@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one JVM-wide session —
+  * `getOrCreate` returns the same session across suites in the forked
+  * test JVM, which keeps `sbt test` fast).
+  */
+trait SparkSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSuite.session
+  def sf(dir: String): String = s"/root/testdata/$dir"
+}
+
+object SparkSuite {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.operators.{GroupedTopN, TopNConfig}
+import graft.queries.RelationalQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def allQueryDefs = RelationalQueries.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Top-3 customers per nation by account balance, with nation names —
+    * grouped top-N (WindowGroupLimit) over a broadcast join.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val joined = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select("n_name", "c_custkey", "c_name", "c_acctbal")
+    GroupedTopN.transform(
+      TopNConfig("c_acctbal", 3), Seq("n_name"), Seq("c_custkey"))(joined)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueryDefs.map(q => q.name -> q.build).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    allQueryDefs.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

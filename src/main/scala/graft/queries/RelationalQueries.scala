@@ -1,0 +1,316 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The relational operator inventory (SURVEY §2.2), one declared query
+  * per category, each with a DuckDB oracle. Spark side is DataFrame
+  * API throughout — Catalyst plans the physical shape (TakeOrdered,
+  * WindowGroupLimit, broadcast joins, partial aggregation).
+  */
+object RelationalQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** events with the click values masked to NULL — the fixture for the
+    * reference's NULL-handling modes (no table has native NULLs).
+    */
+  private def maskedEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      when(col("event_type") === "click", lit(null))
+        .otherwise(col("value")).as("v"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- reference core: global top-N, one per supported numeric type ----
+
+    QueryDef("topn_price_double",
+      (s, dir) => TopN.transformDeterministic(
+        TopNConfig("l_extendedprice", 10), Seq("l_orderkey", "l_linenumber"))(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+        FROM lineitem
+        ORDER BY l_extendedprice DESC NULLS LAST, l_orderkey, l_linenumber
+        LIMIT 10""")),
+
+    QueryDef("topn_orderkey_long",
+      (s, dir) => TopN.transformDeterministic(
+        TopNConfig("o_orderkey", 10), Nil)(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders ORDER BY o_orderkey DESC NULLS LAST LIMIT 10""")),
+
+    QueryDef("topn_size_int",
+      (s, dir) => TopN.transformDeterministic(
+        TopNConfig("p_size", 10), Seq("p_partkey"))(
+        t(s, dir, "part").select("p_partkey", "p_name", "p_size")),
+      Some("""SELECT p_partkey, p_name, p_size
+        FROM part ORDER BY p_size DESC NULLS LAST, p_partkey LIMIT 10""")),
+
+    QueryDef("topn_qty_float",
+      (s, dir) => TopN.transformDeterministic(
+        TopNConfig("qty_f", 10), Seq("l_orderkey", "l_linenumber"))(
+        t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(FloatType).as("qty_f"))),
+      Some("""SELECT l_orderkey, l_linenumber, CAST(l_quantity AS REAL) AS qty_f
+        FROM lineitem
+        ORDER BY qty_f DESC NULLS LAST, l_orderkey, l_linenumber LIMIT 10""")),
+
+    // ---- reference NULL modes (O5/O6) ----
+
+    QueryDef("topn_ignorenull",
+      (s, dir) => TopN.transformDeterministic(
+        TopNConfig("v", 15, ignoreNull = true), Seq("event_id"))(
+        maskedEvents(s, dir)),
+      Some("""SELECT event_id, user_id, value AS v FROM events
+        WHERE event_type <> 'click'
+        ORDER BY v DESC NULLS LAST, event_id LIMIT 15""")),
+
+    QueryDef("topn_nulls_kept",
+      (s, dir) => TopN.transformDeterministic(
+        TopNConfig("v", 300), Seq("event_id"))(
+        maskedEvents(s, dir).where(col("event_id") < 300)),
+      Some("""SELECT event_id, user_id,
+          CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+        FROM events WHERE event_id < 300
+        ORDER BY v DESC NULLS LAST, event_id LIMIT 300""")),
+
+    // ---- grouped top-N (O8) ----
+
+    QueryDef("grouped_topn_orders",
+      (s, dir) => GroupedTopN.transform(
+        TopNConfig("o_totalprice", 3), Seq("o_custkey"), Seq("o_orderkey"))(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC NULLS LAST, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 3""")),
+
+    // ---- aggregation: hash agg with partial/final, grouping ----
+
+    QueryDef("q1_agg",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast(DoubleType).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+          count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    QueryDef("q_distinct_agg",
+      (s, dir) => t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status")),
+      Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+          count(DISTINCT l_suppkey) AS n_supps,
+          count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+        FROM lineitem""")),
+
+    QueryDef("q_rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
+
+    // ---- joins: broadcast inner, semi, anti, outer, range ----
+
+    QueryDef("q_join_revenue",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val n = t(s, dir, "nation")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum(col("o_totalprice").cast(dec)).cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_orders"))
+      },
+      Some("""SELECT n_name,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""")),
+
+    QueryDef("q_semi_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""")),
+
+    QueryDef("q_anti_join",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        val l = t(s, dir, "lineitem").where(col("l_quantity") > 45)
+        p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+          .select("p_partkey", "p_name")
+      },
+      Some("""SELECT p_partkey, p_name FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+          WHERE l_partkey = p_partkey AND l_quantity > 45)""")),
+
+    QueryDef("q_outer_join",
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        val su = t(s, dir, "supplier")
+        n.join(su, n("n_nationkey") === su("s_nationkey"), "left_outer")
+          .groupBy(col("n_name"))
+          .agg(count(col("s_suppkey")).as("n_suppliers"))
+      },
+      Some("""SELECT n_name, count(s_suppkey) AS n_suppliers
+        FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+        GROUP BY n_name""")),
+
+    QueryDef("q_range_join",
+      // acctbal bands of width 400 indexed by nationkey: a genuine
+      // non-equi (range) join; nation is broadcast so the physical plan
+      // is BroadcastNestedLoopJoin over 25 rows, not a shuffle.
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        val c = t(s, dir, "customer")
+        c.join(broadcast(n),
+            c("c_acctbal") >= n("n_nationkey") * 400 &&
+              c("c_acctbal") < (n("n_nationkey") + 1) * 400)
+          .groupBy(col("n_nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+      },
+      Some("""SELECT n_nationkey, count(*) AS n_cust
+        FROM nation JOIN customer
+          ON c_acctbal >= n_nationkey * 400 AND c_acctbal < (n_nationkey + 1) * 400
+        GROUP BY n_nationkey""")),
+
+    // ---- as-of join (union+window, single shuffle — AsOfJoin) ----
+
+    QueryDef("q_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        AsOfJoin.lastPrior(purchases, clicks,
+            keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+            valueCol = "event_id", outCol = "prior_click")
+          .select("event_id", "user_id", "prior_click")
+      },
+      Some("""SELECT event_id, user_id, prior_click FROM (
+          SELECT p.event_id AS event_id, p.user_id AS user_id,
+            c.event_id AS prior_click,
+            row_number() OVER (PARTITION BY p.event_id
+              ORDER BY c.ts DESC, c.event_id DESC) AS rn
+          FROM events p LEFT JOIN events c
+            ON p.user_id = c.user_id AND c.event_type = 'click' AND c.ts < p.ts
+          WHERE p.event_type = 'purchase') WHERE rn = 1""")),
+
+    // ---- window functions: ranking, analytic, frames ----
+
+    QueryDef("q_window_funcs",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        t(s, dir, "orders").where(col("o_custkey") < 100)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).cast(LongType).as("rn"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            sum(col("o_totalprice").cast(dec))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast(DoubleType).as("running_spend"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          CAST(row_number() OVER w AS BIGINT) AS rn,
+          lag(o_totalprice, 1) OVER w AS prev_price,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS running_spend
+        FROM orders WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    // ---- set operations ----
+
+    QueryDef("q_setops",
+      (s, dir) => {
+        val ck = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        val sk = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+        ck.intersect(sk).select(lit("both").as("tag"), col("k"))
+          .unionByName(ck.except(sk).select(lit("cust_only").as("tag"), col("k")))
+      },
+      Some("""SELECT 'both' AS tag, k FROM
+          (SELECT c_nationkey AS k FROM customer
+           INTERSECT SELECT s_nationkey AS k FROM supplier)
+        UNION ALL
+        SELECT 'cust_only' AS tag, k FROM
+          (SELECT c_nationkey AS k FROM customer
+           EXCEPT SELECT s_nationkey AS k FROM supplier)""")),
+
+    // ---- scalar functions: string / date / math ----
+
+    QueryDef("q_scalar_funcs",
+      (s, dir) => t(s, dir, "orders").where(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 4)).as("pri4"),
+          year(col("o_orderdate")).cast(LongType).as("yr"),
+          month(col("o_orderdate")).cast(LongType).as("mo"),
+          (col("o_orderkey") % 7).as("m7"),
+          abs(col("o_orderkey") - 1000).as("centered"),
+          length(concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")))
+            .cast(LongType).as("taglen"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag")),
+      Some("""SELECT o_orderkey,
+          upper(substr(o_orderpriority, 1, 4)) AS pri4,
+          CAST(year(o_orderdate) AS BIGINT) AS yr,
+          CAST(month(o_orderdate) AS BIGINT) AS mo,
+          o_orderkey % 7 AS m7,
+          abs(o_orderkey - 1000) AS centered,
+          CAST(length(o_orderstatus || '-' || o_orderpriority) AS BIGINT) AS taglen,
+          o_orderstatus || '-' || o_orderpriority AS tag
+        FROM orders WHERE o_orderkey < 500""")),
+
+    // ---- time-bucketed aggregation over the event stream table ----
+
+    QueryDef("q_time_bucket",
+      // ts arrives as a nanos long (see Tables); `div 1000` → micros is
+      // lossless at day granularity.
+      (s, dir) => t(s, dir, "events")
+        .groupBy(date_trunc("day", timestamp_micros(expr("ts div 1000")))
+          .cast(DateType).as("day"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("mn"),
+          max(col("value")).as("mx")),
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+          count(*) AS n, min(value) AS mn, max(value) AS mx
+        FROM events GROUP BY 1"""))
+  )
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline.
+  *
+  * Scale posture: every variant is one-shuffle-per-stage and never
+  * groups full document text —
+  *  - exact dedup groups on a 64-bit content hash, so only (hash, id)
+  *    pairs cross the shuffle, not document bodies;
+  *  - MinHash signatures are computed with a single explode +
+  *    partial-aggregated groupBy (map-side combine on shingle hashes);
+  *  - LSH banding turns the quadratic all-pairs problem into
+  *    equi-joins on (band, key), which Spark executes as hash joins.
+  */
+object ExactDedup {
+
+  /** One row per distinct content: representative id (min) + copy count.
+    * Grouping key is xxhash64(content) so the shuffle moves 16 bytes per
+    * row instead of the payload (collision probability ~n^2/2^64 —
+    * negligible below ~10^9 distinct docs; use a 128-bit hash beyond).
+    */
+  def representatives(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(xxhash64(col(contentCol)).as("__graft_h"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("__graft_h")
+
+  /** Input minus duplicate rows (keeps the min-id row per content). */
+  def dropDuplicateContent(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val reps = representatives(df, idCol, contentCol).select(idCol)
+    df.join(reps, Seq(idCol), "left_semi")
+  }
+}
+
+/** MinHash + banded LSH near-duplicate detection over word-shingle
+  * sets, with exact Jaccard verification of the LSH candidates.
+  */
+object MinHashLSH {
+
+  final case class Params(
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      seed: Long = 42L
+  ) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  /** Mersenne prime 2^31-1: permutation hashes h_i(x) = (a_i x + b_i)
+    * mod P stay within long range (a_i, x < 2^31 → product < 2^62).
+    */
+  private val P = 2147483647L
+
+  private def perms(p: Params): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(p.seed)
+    Seq.fill(p.numHashes)(
+      (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Distinct shingle hashes, exploded: (id, x) with x in [0, P). */
+  private def shingleHashes(df: DataFrame, idCol: String, textCol: String, p: Params): DataFrame =
+    df.select(col(idCol),
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), p.shingleSize)))
+          .as("__graft_sh"))
+      .select(col(idCol), pmod(xxhash64(col("__graft_sh")), lit(P)).as("x"))
+
+  /** MinHash signature: one row per id, columns h0..h{k-1}. Computed as
+    * a single groupBy with k `min` aggregates — partial aggregation
+    * runs map-side, so the shuffle carries one k-vector per (partition,
+    * id), not one row per shingle.
+    */
+  def signatures(df: DataFrame, idCol: String, textCol: String, p: Params = Params()): DataFrame = {
+    val hashes = shingleHashes(df, idCol, textCol, p)
+    val aggs = perms(p).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("x") + lit(b)) % P).as(s"h$i")
+    }
+    hashes.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs (a < b): ids whose signatures collide on at
+    * least one band. Equi-join on (band index, band key).
+    */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String, p: Params = Params()): DataFrame = {
+    val sig = signatures(df, idCol, textCol, p)
+    val bandStructs = (0 until p.bands).map { b =>
+      val rowCols = (0 until p.rowsPerBand).map(r => col(s"h${b * p.rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rowCols: _*).as("key"))
+    }
+    val banded = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
+      .distinct()
+  }
+
+  /** Candidates verified with exact Jaccard over distinct shingle sets.
+    * Shingle arrays are bounded per document, so `array_intersect` per
+    * candidate pair is O(doc length) — no second explode needed.
+    * Returns (a, b, inter, uni, jaccard) for pairs with jaccard >=
+    * `threshold`.
+    */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double, p: Params = Params()): DataFrame = {
+    val shingled = df.select(col(idCol),
+      array_distinct(TextFunctions.wordShingles(col(textCol), p.shingleSize)).as("sh"))
+    val cands = candidatePairs(df, idCol, textCol, p)
+    cands
+      .join(shingled.select(col(idCol).as("a"), col("sh").as("sha")), Seq("a"))
+      .join(shingled.select(col(idCol).as("b"), col("sh").as("shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(array_union(col("sha"), col("shb"))).cast("long").as("uni"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+  }
+}
+
+/** 64-bit SimHash near-duplicate fingerprinting over word tokens. */
+object SimHash {
+
+  /** SimHash of a text column: per-token xxhash64 bit votes summed,
+    * bit i of the result set when the vote is positive. Pure
+    * higher-order functions — a single codegen'd projection per row.
+    */
+  def simhash(c: Column): Column = {
+    val votes = aggregate(
+      TextFunctions.tokens(c),
+      array_repeat(lit(0L), 64),
+      (acc, w) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", xxhash64(w), i)
+              .bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L))),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, i) => struct(v.as("v"), i.as("i"))),
+      lit(0L),
+      (acc, s) => when(s.getField("v") > 0,
+        acc.bitwiseOR(call_function("shiftleft", lit(1L), s.getField("i"))))
+        .otherwise(acc))
+  }
+
+  /** Near-duplicate pairs by Hamming distance <= maxHamming, found via
+    * 4x16-bit band LSH (a pair within Hamming 3 of 64 bits must agree
+    * exactly on at least one 16-bit band) then verified with
+    * bit_count(xor). Band join is an equi-join — no all-pairs scan.
+    */
+  def pairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    val hashed = df.select(col(idCol), simhash(col(textCol)).as("sh"))
+    val banded = hashed.select(col(idCol), col("sh"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
+          .as("bk"))
+      .select(col(idCol), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

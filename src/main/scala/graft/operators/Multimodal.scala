@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media payloads travel as opaque
+  * `BinaryType` columns beside a typed metadata struct; decoding /
+  * feature extraction runs batched per partition.
+  *
+  * The Spark-side structure — schema, partition-parallel batched
+  * processing, bounded memory per task — is real and tested; the
+  * actual byte decoding is STUBBED (no image/audio codecs in this
+  * container) behind [[MediaDecode.decodeStub]], a deterministic fake
+  * that derives "features" from the payload bytes. Swapping in a real
+  * codec changes only that function.
+  *
+  * Scale notes: payloads never enter a shuffle key; feature extraction
+  * is mapPartitions (one JVM call per batch of rows, the Scala analog
+  * of arrow-batched UDFs), so per-row overhead is amortized and the
+  * 128 MB parquet row-group is the unit of parallelism.
+  */
+object Multimodal {
+
+  /** A decoded media record: id + payload + metadata. */
+  final case class MediaRecord(doc_id: Long, payload: Array[Byte], fmt: String)
+
+  /** Extracted features (stub): deterministic functions of the bytes. */
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long, fmt: String,
+                                 width: Int, height: Int, checksum: Long)
+
+  /** Wrap a text table as a media table: payload = utf-8 bytes.
+    * Stands in for reading real image/audio bytes from parquet binary
+    * columns — the schema and downstream plumbing are identical.
+    */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("txt").as("fmt"))
+
+  /** STUB decode: a real implementation would parse image headers /
+    * decode frames here. The fake derives width/height/checksum
+    * deterministically from the payload so the pipeline shape (batch
+    * iteration, typed output schema) is fully exercised.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Long) = {
+    var crc = 0L
+    var i = 0
+    while (i < payload.length) { crc = (crc * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
+    val width = 64 + (crc % 577).toInt
+    val height = 64 + ((crc / 577) % 433).toInt
+    (width, height, crc)
+  }
+
+  /** Partition-batched feature extraction over the media table. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "payload", "fmt").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          val (w, h, crc) = decodeStub(rec.payload)
+          MediaFeatures(rec.doc_id, rec.payload.length.toLong, rec.fmt, w, h, crc)
+        }
+      }
+  }
+}

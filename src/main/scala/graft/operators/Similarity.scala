@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ArrayType(FloatType)`).
+  *
+  * Two strategies:
+  *  - [[bruteForceTopK]] — exact cosine top-k. The query set is
+  *    broadcast, so the corpus is scanned once, partition-parallel,
+  *    with no shuffle of corpus rows; the only shuffle is the
+  *    per-query top-k (WindowGroupLimit bounds it to k rows per query
+  *    per partition). This is the correct baseline when |queries| is
+  *    small — even at 100 TB corpus it is one scan.
+  *  - [[RandomHyperplaneLSH.topK]] — sign-random-projection LSH: each
+  *    vector maps to one bucket per hash table; candidates are bucket
+  *    equi-joins. Scales to large query sets because the corpus-side
+  *    cost is |corpus| x tables bucket rows, and scoring touches only
+  *    colliding pairs.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors by cosine for each query vector.
+    * Output: (qid, nid, rank, cosine). Self-matches excluded; ties
+    * broken by neighbor id for determinism.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid").asc)
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        VectorFunctions.cosine(col("qv"), col("nv")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+}
+
+/** Sign-random-projection (random hyperplane) LSH for cosine
+  * similarity. Hyperplanes are generated from a fixed seed, so
+  * bucketing is deterministic across runs and cluster topologies.
+  */
+object RandomHyperplaneLSH {
+
+  final case class Params(
+      tables: Int = 4,
+      planesPerTable: Int = 6,
+      dim: Int = 64,
+      seed: Long = 42L
+  )
+
+  /** Gaussian hyperplanes as literal arrays — constant-folded by
+    * Catalyst, shipped once in the plan, never shuffled.
+    */
+  private def planes(p: Params): Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(p.seed)
+    Seq.fill(p.tables)(Seq.fill(p.planesPerTable)(
+      Array.fill(p.dim)(rnd.nextGaussian())))
+  }
+
+  /** (id, table, bucket) — one bucket per table per vector; bucket =
+    * packed sign bits of the plane dot products.
+    */
+  def buckets(df: DataFrame, idCol: String, vecCol: String, p: Params = Params()): DataFrame = {
+    val v = VectorFunctions.toDoubleArray(col(vecCol))
+    val tableStructs = planes(p).zipWithIndex.map { case (ps, t) =>
+      val bucket = ps.zipWithIndex.map { case (plane, b) =>
+        val planeLit = array(plane.map(lit): _*)
+        when(aggregate(zip_with(v, planeLit, (x, y) => x * y), lit(0.0),
+          (acc, x) => acc + x) >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }
+    df.select(col(idCol), explode(array(tableStructs: _*)).as("tb"))
+      .select(col(idCol), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Approximate top-k by cosine: candidates = bucket collisions in any
+    * table, scored exactly, ranked per query. Output (qid, nid, rank).
+    */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding",
+           p: Params = Params()): DataFrame = {
+    val qb = buckets(queries, idCol, vecCol, p).withColumnRenamed(idCol, "qid")
+    val cb = buckets(corpus, idCol, vecCol, p).withColumnRenamed(idCol, "nid")
+    val cands = qb.join(cb, Seq("table", "bucket"))
+      .where(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid").asc)
+    cands.join(broadcast(q), Seq("qid")).join(c, Seq("nid"))
+      .select(col("qid"), col("nid"),
+        graft.functions.VectorFunctions.cosine(col("qv"), col("nv")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "nid", "rank")
+  }
+}

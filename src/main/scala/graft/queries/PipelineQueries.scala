@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data pipeline operators as declared queries: dedup (exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard), similarity search
+  * (brute-force + LSH ANN), text analysis (stats, fingerprint,
+  * lang-ID), and multimodal plumbing. Oracles are declared wherever the
+  * computation is expressible in portable SQL; hash-heavy ops
+  * (xxhash64-based) get the driver's rows-only check, and their
+  * determinism is covered by ScalaTest specs instead.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private val stops = Seq("the", "and", "of", "is", "in", "a")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- deduplication ----
+
+    QueryDef("dedup_exact",
+      (s, dir) => ExactDedup.representatives(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY text""")),
+
+    QueryDef("dedup_minhash",
+      // top LSH candidate pairs by verified exact Jaccard; threshold 0
+      // keeps the ranking interesting on a corpus with no planted dups
+      (s, dir) => MinHashLSH.nearDuplicates(
+          t(s, dir, "documents"), "doc_id", "text", threshold = 0.0)
+        .orderBy(col("jaccard").desc, col("a"), col("b")).limit(20),
+      None),
+
+    QueryDef("dedup_simhash",
+      (s, dir) => t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), SimHash.simhash(col("text")).as("simhash")),
+      None),
+
+    QueryDef("dedup_word_jaccard",
+      // exact pairwise Jaccard counts over distinct word sets — the
+      // n-gram-Jaccard oracle case (integer outputs, no division)
+      (s, dir) => {
+        val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+        val tok = docs.select(col("doc_id"),
+          explode(array_distinct(TF.tokens(col("text")))).as("w"))
+        val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        tok.as("x").join(tok.as("y"),
+            col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+          .join(cnt.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+          .select(col("a"), col("b"), col("inter"),
+            (col("na") + col("nb") - col("inter")).as("uni"))
+      },
+      Some("""WITH s AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE doc_id < 100),
+        c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+        i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+          FROM s x JOIN s y ON x.w = y.w AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT i.a, i.b, i.inter, ca.n + cb.n - i.inter AS uni
+        FROM i JOIN c ca ON ca.doc_id = i.a JOIN c cb ON cb.doc_id = i.b""")),
+
+    QueryDef("neardup_embedding",
+      // embedding-cosine near-dup: top-20 most similar pairs
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").where(col("vec_id") < 300)
+          .select(col("vec_id"), col("embedding"))
+        e.as("x").join(broadcast(e.as("y")), col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+            graft.functions.VectorFunctions
+              .cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+          .orderBy(col("cos").desc, col("a"), col("b")).limit(20)
+          .select("a", "b")
+      },
+      None),
+
+    // ---- similarity search (ANN) ----
+
+    QueryDef("ann_brute_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e, k = 5)
+          .select(col("qid"), col("nid"), col("rank").as("nn_rank"))
+      },
+      Some("""SELECT qid, nid, CAST(rn AS BIGINT) AS nn_rank FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(
+                CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                c.vec_id) AS rn
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        WHERE rn <= 5""")),
+
+    QueryDef("ann_lsh_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        RandomHyperplaneLSH.topK(e.where(col("vec_id") < 10), e, k = 5)
+          .select(col("qid"), col("nid"), col("rank").as("nn_rank"))
+      },
+      None),
+
+    // ---- text analysis ----
+
+    QueryDef("text_stats",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        TF.distinctTokenCount(col("text")).as("n_distinct"),
+        TF.charCountNoSpaces(col("text")).as("n_chars_nospace"),
+        TF.stopwordCount(col("text"), stops).as("n_stopwords"),
+        TF.regexTokenCount(col("text")).as("n_regex_tokens"),
+        (TF.tokenCount(col("text")).between(20, 500) &&
+          TF.stopwordCount(col("text"), stops) * 20 >= TF.tokenCount(col("text")))
+          .as("is_quality")),
+      Some("""SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+          CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
+          CAST(len(list_filter(string_split(text, ' '),
+            w -> w IN ('the','and','of','is','in','a'))) AS BIGINT) AS n_stopwords,
+          CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+            AS BIGINT) AS n_regex_tokens,
+          (len(string_split(text, ' ')) BETWEEN 20 AND 500)
+            AND (len(list_filter(string_split(text, ' '),
+              w -> w IN ('the','and','of','is','in','a'))) * 20
+              >= len(string_split(text, ' '))) AS is_quality
+        FROM documents""")),
+
+    QueryDef("text_fingerprint",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"), TF.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(text) + 1),
+                i -> CAST(ascii(text[i]) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        FROM documents""")),
+
+    QueryDef("text_langid",
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"), col("lang"), TF.langId(col("text")).as("predicted")),
+      None),
+
+    // ---- multimodal plumbing ----
+
+    QueryDef("mm_features",
+      (s, dir) => Multimodal.asMediaTable(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast(LongType).as("n_bytes"),
+          col("fmt")),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          'txt' AS fmt FROM documents""")),
+
+    QueryDef("mm_decode",
+      // partition-batched stub decode (typed Dataset path)
+      (s, dir) => Multimodal.extractFeatures(s,
+          Multimodal.asMediaTable(t(s, dir, "documents").where(col("doc_id") < 100)))
+        .toDF(),
+      None)
+  )
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.operators.{TopN, TopNConfig}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** Streaming surface of the engine (Structured Streaming).
+  *
+  * The reference plugin is registered for CDAP's `cdap-data-streams`,
+  * where the host applies the *batch* aggregator independently to each
+  * micro-batch window (`pom.xml:39-42` — no stream-specific logic in
+  * the plugin itself). [[StreamingOps.perBatchTopN]] reproduces those
+  * semantics exactly with `foreachBatch`. The windowed and stateful
+  * variants are the Spark-native generalizations: event-time windows
+  * with watermarks, and the reference's bounded heap
+  * (`TopN.java:117-118`) re-expressed as `GroupState`.
+  */
+object StreamingOps {
+
+  /** CDAP-parity streaming top-N: the batch operator applied per
+    * micro-batch; each trigger's result is handed to `sink`
+    * independently (no cross-batch state).
+    */
+  def perBatchTopN(stream: DataFrame, cfg: TopNConfig)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(TopN.transform(cfg)(batch.toDF()), batchId)
+      }
+
+  /** Event-time windowed aggregation with a watermark for late-data
+    * expiry: counts + value bounds per (window, event_type). State is
+    * bounded by the watermark — the 100 TB-stream posture is that
+    * state size is O(active windows x keys), never O(events).
+    */
+  def windowedEventAgg(events: DataFrame, tsCol: String,
+                       watermarkDelay: String, windowDuration: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("mn"), max(col("value")).as("mx"))
+
+  /** Continuous top-K per key across the whole stream: a bounded
+    * top-K list kept in `GroupState` — the streaming generalization of
+    * the reference's `MinMaxPriorityQueue` with `maximumSize(topSize)`
+    * (`TopN.java:117-118`): state per key is O(K), eviction on insert.
+    * Emits the key's refreshed top-K on every batch that touches it
+    * (update semantics).
+    */
+  def statefulTopK[K, V](ds: Dataset[(K, V)], k: Int)(
+      implicit ord: Ordering[V],
+      kEnc: Encoder[K],
+      stateEnc: Encoder[List[V]],
+      outEnc: Encoder[(K, V)]): Dataset[(K, V)] =
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[List[V], (K, V)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[(K, V)], state: GroupState[List[V]]) =>
+          val merged = (state.getOption.getOrElse(Nil) ++ rows.map(_._2))
+            .sorted(ord.reverse).take(k)
+          state.update(merged)
+          merged.iterator.map(v => (key, v))
+      }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.operators.TopNConfig
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+class StreamingOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("perBatchTopN applies batch TopN independently per micro-batch (CDAP parity)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Double)]
+    val collected = mutable.Map[Long, Seq[(Long, Double)]]()
+
+    val query = StreamingOps.perBatchTopN(
+        ms.toDF().toDF("id", "score"), TopNConfig("score", 2)) {
+      (df, batchId) =>
+        collected.synchronized {
+          collected(batchId) =
+            df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        }
+    }.start()
+
+    try {
+      ms.addData((1L, 10.0), (2L, 50.0), (3L, 30.0))
+      query.processAllAvailable()
+      ms.addData((4L, 5.0), (5L, 99.0))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val batches = collected.toSeq.sortBy(_._1).map(_._2)
+    assert(batches.size == 2)
+    // batch 0: top-2 of {10,50,30} = [50, 30]; batch 1 is independent: [99, 5]
+    assert(batches(0) == Seq((2L, 50.0), (3L, 30.0)))
+    assert(batches(1) == Seq((5L, 99.0), (4L, 5.0)))
+  }
+
+  test("windowedEventAgg: event-time windows with watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val stream = ms.toDF().toDF("ts", "event_type", "value")
+
+    val query = StreamingOps.windowedEventAgg(stream, "ts", "10 minutes", "1 hour")
+      .writeStream.outputMode("complete").format("memory").queryName("winagg")
+      .start()
+
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      ms.addData((t(1, 5), "click", 1.0), (t(1, 40), "click", 3.0), (t(2, 10), "buy", 7.0))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.table("winagg")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"), col("mn"), col("mx"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(rows == Set(
+      ("2024-01-01 01:00:00", "click", 2L, 1.0, 3.0),
+      ("2024-01-01 02:00:00", "buy", 1L, 7.0, 7.0)))
+  }
+
+  test("statefulTopK keeps global top-k across batches (bounded GroupState heap)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Double)]
+
+    val query = StreamingOps.statefulTopK(ms.toDS(), 2)
+      .toDF("key", "value")
+      .writeStream.outputMode("update").format("memory").queryName("stk")
+      .start()
+
+    try {
+      ms.addData(("a", 1.0), ("a", 5.0), ("b", 9.0))
+      query.processAllAvailable()
+      ms.addData(("a", 3.0)) // evicts 1.0 from a's top-2; b untouched this batch
+      query.processAllAvailable()
+
+      val afterSecond = spark.table("stk").collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+      // update-mode sink appends each batch's emissions; the LAST batch
+      // emitted only key 'a' with its refreshed global top-2
+      val lastBatchA = afterSecond.filter(_._1 == "a").takeRight(2).toSet
+      assert(lastBatchA == Set(("a", 5.0), ("a", 3.0)))
+    } finally query.stop()
+  }
+}

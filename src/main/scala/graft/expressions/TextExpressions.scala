@@ -1,0 +1,177 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.GraftExpressions
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text hashing kernels + public facades for graft's
+  * native Catalyst expressions.
+  *
+  * The expression case classes live in `org.apache.spark.sql.graft`
+  * (the implementation needs `private[sql]` Spark types — see that
+  * file); these objects are the API the rest of the library uses. The
+  * kernels below are plain static methods so generated whole-stage
+  * code can call them directly.
+  */
+object TextHashing {
+
+  /** FNV-1a 64-bit over a token's bytes within [from, until). */
+  @inline private def fnv1a(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private val ShingleMod = 2147483647L // 2^31-1, matches MinHashLSH.P
+
+  /** Hashes of all word n-gram shingles of a single-space-tokenized
+    * string, each reduced into [0, 2^31-1) for overflow-safe
+    * (a*x+b) mod P permutation hashing downstream. Returns an empty
+    * array when there are fewer than n tokens.
+    */
+  def shingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    var tokens = new Array[Long](16)
+    var nTok = 0
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (nTok == tokens.length) {
+          val grown = new Array[Long](tokens.length * 2)
+          System.arraycopy(tokens, 0, grown, 0, tokens.length)
+          tokens = grown
+        }
+        tokens(nTok) = fnv1a(bytes, start, i)
+        nTok += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    if (nTok < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](nTok - n + 1)
+    var j = 0
+    while (j < out.length) {
+      var h = 0xcbf29ce484222325L
+      var k = 0
+      while (k < n) { h ^= tokens(j + k); h *= 0x100000001b3L; k += 1 }
+      val m = h % ShingleMod
+      out(j) = if (m < 0) m + ShingleMod else m
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), Array[Long]]()
+
+  /** Deterministic (a_i, b_i) permutation parameters for MinHash,
+    * interleaved [a0,b0,a1,b1,...]; derived from the seed exactly like
+    * `MinHashLSH.perms` so both paths agree.
+    */
+  def minhashPerms(seed: Long, k: Int): Array[Long] =
+    permCache.computeIfAbsent((seed, k), { _ =>
+      val rnd = new scala.util.Random(seed)
+      Array.fill(k * 2)(0L).zipWithIndex.map { case (_, i) =>
+        if (i % 2 == 0) 1L + rnd.nextInt(Int.MaxValue - 1).toLong
+        else rnd.nextInt(Int.MaxValue).toLong
+      }
+    })
+
+  /** Full k-hash MinHash signature of a document in one pass: shingle
+    * hashes (not materialized) -> running min of (a_i x + b_i) mod P
+    * per permutation. Documents with fewer than n tokens get an
+    * all-[P] signature (empty-set convention). O(shingles x k), zero
+    * allocation beyond the output.
+    */
+  def minhashSignature(s: UTF8String, n: Int, k: Int, seed: Long): ArrayData = {
+    val shingles = shingleHashes(s, n)
+    val perms = minhashPerms(seed, k)
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, ShingleMod)
+    val m = shingles.numElements()
+    var j = 0
+    while (j < m) {
+      val x = shingles.getLong(j)
+      var i = 0
+      while (i < k) {
+        val h = (perms(2 * i) * x + perms(2 * i + 1)) % ShingleMod
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Polynomial rolling fingerprint over code points:
+    * acc = (acc*31 + codepoint) mod 1e9+7 — EXACTLY the arithmetic of
+    * the SQL-expressible form (see the text_fingerprint oracle), just
+    * single-pass.
+    */
+  def fingerprint(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** 64-bit SimHash over single-space tokens: FNV-1a token hashes vote
+    * per bit; bit set when the vote is positive.
+    */
+  def simhash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val votes = new Array[Int](64)
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        val h = fnv1a(bytes, start, i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** Codegen'd dot product over numeric array columns. */
+object VectorDot {
+  def apply(a: Column, b: Column): Column = GraftExpressions.vectorDot(a, b)
+}
+
+/** Codegen'd word n-gram shingle hashes, array<bigint> in [0, 2^31-1). */
+object WordShingleHashes {
+  def apply(c: Column, n: Int): Column = GraftExpressions.wordShingleHashes(c, n)
+}
+
+/** Codegen'd one-pass MinHash signature, array<bigint> of k mins. */
+object MinHashSignature {
+  def apply(c: Column, n: Int, k: Int, seed: Long): Column =
+    GraftExpressions.minhashSignature(c, n, k, seed)
+}
+
+/** Codegen'd rolling-hash fingerprint (oracle-identical arithmetic). */
+object TextFingerprint {
+  def apply(c: Column): Column = GraftExpressions.textFingerprint(c)
+}
+
+/** Codegen'd 64-bit SimHash. */
+object SimHash64 {
+  def apply(c: Column): Column = GraftExpressions.simhash64(c)
+}

@@ -34,14 +34,14 @@ object TextFunctions {
       .cast(LongType)
 
   /** Deterministic document fingerprint: left-fold polynomial rolling
-    * hash over character codes, `acc = (acc*31 + code) mod 1e9+7`.
-    * Pure integer arithmetic, identical in any engine.
+    * hash over character code points, `acc = (acc*31 + code) mod
+    * 1e9+7`. Pure integer arithmetic, identical in any engine; the
+    * implementation is the single-pass codegen'd expression
+    * [[graft.expressions.TextFingerprint]] (same arithmetic as the
+    * SQL-expressible fold — see the text_fingerprint oracle).
     */
   def fingerprint(c: Column): Column =
-    aggregate(
-      transform(split(c, ""), ch => ascii(ch).cast(LongType)),
-      lit(0L),
-      (acc, x) => (acc * 31 + x) % 1000000007L)
+    graft.expressions.TextFingerprint(c)
 
   /** Word n-gram shingles ("a b c" with n=2 → ["a b", "b c"]); empty
     * array when the document has fewer than n tokens.

@@ -4,21 +4,30 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Vector math over `ArrayType(FloatType)` embedding columns, built
-  * entirely from Spark's higher-order functions (`zip_with` /
-  * `aggregate`) so everything stays inside codegen'd projections — no
-  * UDFs, no serialization boundary, and the expressions survive
-  * whole-stage codegen on the scan→project path.
+/** Vector math over `ArrayType(FloatType)` embedding columns.
   *
-  * All arithmetic is promoted to double *before* folding (ordered
-  * left-to-right) so results are deterministic and engine-portable.
+  * The dot product is the custom codegen'd expression
+  * [[graft.expressions.VectorDot]] — Spark's higher-order-function
+  * composition (`aggregate(zip_with(...))`) evaluates lambdas
+  * interpretively per element and measured ~20x slower on 64-dim
+  * vectors. Both forms accumulate in double, left-to-right, so results
+  * are bit-identical; [[dotHof]] keeps the composable form for
+  * cross-checking.
   */
 object VectorFunctions {
 
   def toDoubleArray(c: Column): Column = c.cast(ArrayType(DoubleType))
 
-  /** Ordered-fold dot product of two equal-length vectors. */
+  /** Ordered-fold dot product of two equal-length vectors
+    * (codegen'd native expression).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.VectorDot(a, b)
+
+  /** Reference implementation via higher-order functions — same
+    * summation order, used to cross-validate [[dot]] in tests.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(toDoubleArray(a), toDoubleArray(b), (x, y) => x * y),
       lit(0.0),

@@ -49,36 +49,30 @@ object MinHashLSH {
     def rowsPerBand: Int = numHashes / bands
   }
 
-  /** Mersenne prime 2^31-1: permutation hashes h_i(x) = (a_i x + b_i)
-    * mod P stay within long range (a_i, x < 2^31 → product < 2^62).
+  // Permutation hashing h_i(x) = (a_i x + b_i) mod 2^31-1 lives in
+  // TextHashing.minhashSignature; values stay within long range
+  // (a_i, x < 2^31 → product < 2^62).
+
+  /** Distinct shingle-hash array per document — one codegen'd
+    * single-pass kernel per row (see
+    * [[graft.expressions.WordShingleHashes]]), no per-shingle string
+    * materialization.
     */
-  private val P = 2147483647L
+  private def shingleHashArray(textCol: String, p: Params) =
+    array_distinct(graft.expressions.WordShingleHashes(col(textCol), p.shingleSize))
 
-  private def perms(p: Params): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(p.seed)
-    Seq.fill(p.numHashes)(
-      (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
-  }
-
-  /** Distinct shingle hashes, exploded: (id, x) with x in [0, P). */
-  private def shingleHashes(df: DataFrame, idCol: String, textCol: String, p: Params): DataFrame =
-    df.select(col(idCol),
-        explode(array_distinct(TextFunctions.wordShingles(col(textCol), p.shingleSize)))
-          .as("__graft_sh"))
-      .select(col(idCol), pmod(xxhash64(col("__graft_sh")), lit(P)).as("x"))
-
-  /** MinHash signature: one row per id, columns h0..h{k-1}. Computed as
-    * a single groupBy with k `min` aggregates — partial aggregation
-    * runs map-side, so the shuffle carries one k-vector per (partition,
-    * id), not one row per shingle.
+  /** MinHash signature: one row per id with an array<bigint> `sig`
+    * column of k running mins, computed entirely inside the projection
+    * by [[graft.expressions.MinHashSignature]] — no explode, no
+    * k-way-min aggregation, NO SHUFFLE. Documents with fewer than
+    * `shingleSize` tokens are dropped (empty shingle set — they would
+    * otherwise share a degenerate all-P signature and band together).
     */
-  def signatures(df: DataFrame, idCol: String, textCol: String, p: Params = Params()): DataFrame = {
-    val hashes = shingleHashes(df, idCol, textCol, p)
-    val aggs = perms(p).zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("x") + lit(b)) % P).as(s"h$i")
-    }
-    hashes.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-  }
+  def signatures(df: DataFrame, idCol: String, textCol: String, p: Params = Params()): DataFrame =
+    df.where(size(split(col(textCol), " ")) >= p.shingleSize)
+      .select(col(idCol),
+        graft.expressions.MinHashSignature(
+          col(textCol), p.shingleSize, p.numHashes, p.seed).as("sig"))
 
   /** LSH candidate pairs (a < b): ids whose signatures collide on at
     * least one band. Equi-join on (band index, band key).
@@ -86,7 +80,8 @@ object MinHashLSH {
   def candidatePairs(df: DataFrame, idCol: String, textCol: String, p: Params = Params()): DataFrame = {
     val sig = signatures(df, idCol, textCol, p)
     val bandStructs = (0 until p.bands).map { b =>
-      val rowCols = (0 until p.rowsPerBand).map(r => col(s"h${b * p.rowsPerBand + r}"))
+      val rowCols = (0 until p.rowsPerBand)
+        .map(r => element_at(col("sig"), b * p.rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(rowCols: _*).as("key"))
     }
     val banded = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
@@ -98,16 +93,16 @@ object MinHashLSH {
       .distinct()
   }
 
-  /** Candidates verified with exact Jaccard over distinct shingle sets.
-    * Shingle arrays are bounded per document, so `array_intersect` per
-    * candidate pair is O(doc length) — no second explode needed.
-    * Returns (a, b, inter, uni, jaccard) for pairs with jaccard >=
-    * `threshold`.
+  /** Candidates verified with exact Jaccard over distinct shingle-hash
+    * sets (hash collisions within a document pair are negligible at
+    * 2^31 space and bounded doc length). Shingle arrays are bounded per
+    * document, so `array_intersect` per candidate pair is O(doc
+    * length) — no second explode needed. Returns (a, b, inter, uni,
+    * jaccard) for pairs with jaccard >= `threshold`.
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double, p: Params = Params()): DataFrame = {
-    val shingled = df.select(col(idCol),
-      array_distinct(TextFunctions.wordShingles(col(textCol), p.shingleSize)).as("sh"))
+    val shingled = df.select(col(idCol), shingleHashArray(textCol, p).as("sh"))
     val cands = candidatePairs(df, idCol, textCol, p)
     cands
       .join(shingled.select(col(idCol).as("a"), col("sh").as("sha")), Seq("a"))
@@ -123,28 +118,12 @@ object MinHashLSH {
 /** 64-bit SimHash near-duplicate fingerprinting over word tokens. */
 object SimHash {
 
-  /** SimHash of a text column: per-token xxhash64 bit votes summed,
-    * bit i of the result set when the vote is positive. Pure
-    * higher-order functions — a single codegen'd projection per row.
+  /** SimHash of a text column: per-token FNV-1a 64-bit hashes vote per
+    * bit; bit i of the result set when the vote is positive. One
+    * codegen'd single-pass kernel per row
+    * ([[graft.expressions.SimHash64]]).
     */
-  def simhash(c: Column): Column = {
-    val votes = aggregate(
-      TextFunctions.tokens(c),
-      array_repeat(lit(0L), 64),
-      (acc, w) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftright", xxhash64(w), i)
-              .bitwiseAND(lit(1L)) === 1L, lit(1L))
-            .otherwise(lit(-1L))),
-        (a, b) => a + b))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, i) => struct(v.as("v"), i.as("i"))),
-      lit(0L),
-      (acc, s) => when(s.getField("v") > 0,
-        acc.bitwiseOR(call_function("shiftleft", lit(1L), s.getField("i"))))
-        .otherwise(acc))
-  }
+  def simhash(c: Column): Column = graft.expressions.SimHash64(c)
 
   /** Near-duplicate pairs by Hamming distance <= maxHamming, found via
     * 4x16-bit band LSH (a pair within Hamming 3 of 64 bits must agree

@@ -67,12 +67,11 @@ object RandomHyperplaneLSH {
     * packed sign bits of the plane dot products.
     */
   def buckets(df: DataFrame, idCol: String, vecCol: String, p: Params = Params()): DataFrame = {
-    val v = VectorFunctions.toDoubleArray(col(vecCol))
+    val v = col(vecCol)
     val tableStructs = planes(p).zipWithIndex.map { case (ps, t) =>
       val bucket = ps.zipWithIndex.map { case (plane, b) =>
         val planeLit = array(plane.map(lit): _*)
-        when(aggregate(zip_with(v, planeLit, (x, y) => x * y), lit(0.0),
-          (acc, x) => acc + x) >= 0, lit(1L << b)).otherwise(lit(0L))
+        when(VectorFunctions.dot(v, planeLit) >= 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("table"), bucket.as("bucket"))
     }

@@ -298,6 +298,16 @@ object RelationalQueries {
           o_orderstatus || '-' || o_orderpriority AS tag
         FROM orders WHERE o_orderkey < 500""")),
 
+    // ---- JSON scalar functions (events.props is a JSON string) ----
+
+    QueryDef("q_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS n
+        FROM events GROUP BY 1""")),
+
     // ---- time-bucketed aggregation over the event stream table ----
 
     QueryDef("q_time_bucket",

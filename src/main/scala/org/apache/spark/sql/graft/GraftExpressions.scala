@@ -153,6 +153,43 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** Registers graft's expressions as session-scoped SQL functions, so
+  * `spark.sql("SELECT simhash64(text) ...")` works — the engine's
+  * SQL-facing function surface. Idempotent.
+  */
+object GraftFunctionRegistry {
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integer literal, got $other")
+  }
+  private def longArg(e: Expression, fn: String, pos: Int): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integer literal, got $other")
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vector_dot",
+      es => VectorDotExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingle_hashes",
+      es => WordShingleHashesExpr(es(0), intArg(es(1), "word_shingle_hashes", 2)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      es => MinHashSignatureExpr(es(0),
+        intArg(es(1), "minhash_signature", 2),
+        intArg(es(2), "minhash_signature", 3),
+        longArg(es(3), "minhash_signature", 4)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("text_fingerprint",
+      es => TextFingerprintExpr(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64Expr(es(0)), "scala_udf")
+  }
+}
+
 /** Column builders — the only access point for the rest of graft. */
 object GraftExpressions {
   def vectorDot(a: Column, b: Column): Column =

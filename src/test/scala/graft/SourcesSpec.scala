@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Source/sink surface (SURVEY §2.2 "scans / sinks"): parquet, csv and
+  * json roundtrips through `spark.read`/`df.write`, and scan-level
+  * optimizations (column pruning + predicate pushdown) that make the
+  * 100 TB posture work — a scan must read only what the query needs.
+  */
+class SourcesSpec extends SparkSuite {
+
+  private lazy val nation = Tables(spark, sf("sf0.001"), "nation")
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft_$name").toString + "/out"
+
+  test("parquet roundtrip preserves rows and schema") {
+    val path = tmp("parquet")
+    nation.write.parquet(path)
+    val back = spark.read.parquet(path)
+    assert(back.schema == nation.schema)
+    assert(back.collect().toSet == nation.collect().toSet)
+  }
+
+  test("csv roundtrip with header + explicit schema") {
+    val path = tmp("csv")
+    nation.write.option("header", "true").csv(path)
+    val back = spark.read.option("header", "true").schema(nation.schema).csv(path)
+    assert(back.collect().toSet == nation.collect().toSet)
+  }
+
+  test("json roundtrip with explicit schema") {
+    val path = tmp("json")
+    nation.write.json(path)
+    val back = spark.read.schema(nation.schema).json(path)
+    assert(back.collect().toSet == nation.collect().toSet)
+  }
+
+  test("column pruning reaches the parquet scan (ReadSchema is minimal)") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val plan = li.select("l_orderkey", "l_quantity").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"plan:\n$plan")
+  }
+
+  test("predicate pushdown reaches the parquet scan (PushedFilters)") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val plan = li.where(col("l_quantity") > 45).select("l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"plan:\n$plan")
+  }
+}

@@ -25,6 +25,27 @@ import org.apache.spark.sql.functions._
   */
 object GroupedTopN {
 
+  /** Aggregate-based physical alternative: `topn_agg` (a
+    * `TypedImperativeAggregate` keeping an O(n) heap per group) with
+    * map-side PARTIAL aggregation — each task pre-reduces to n rows
+    * per group before the shuffle. For high group cardinality with
+    * small n this beats the window form (which must co-locate and sort
+    * every row of a group); it is also exactly the combiner the
+    * reference's single-reducer design lacked (TopN.java:92-95).
+    * Ties are arbitrary (reference contract); output schema = input.
+    */
+  def transformViaAggregate(cfg: TopNConfig, keys: Seq[String])(df: DataFrame): DataFrame = {
+    TopNValidator.validateOrThrow(cfg, Some(df.schema))
+    if (keys.isEmpty) return TopN.transform(cfg)(df)
+    val base = if (cfg.ignoreNull) df.where(col(cfg.field).isNotNull) else df
+    val payload = struct(df.columns.map(col): _*)
+    base.groupBy(keys.map(col): _*)
+      .agg(graft.expressions.TopNAggregate
+        .topNAgg(col(cfg.field), payload, cfg.size).as("__graft_top"))
+      .select(explode(col("__graft_top")).as("__graft_row"))
+      .select(col("__graft_row.*"))
+  }
+
   def transform(cfg: TopNConfig, keys: Seq[String],
                 tiebreakers: Seq[String] = Nil)(df: DataFrame): DataFrame = {
     TopNValidator.validateOrThrow(cfg, Some(df.schema))

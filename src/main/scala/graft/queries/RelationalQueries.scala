@@ -97,6 +97,20 @@ object RelationalQueries {
               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey) AS rn
           FROM orders) WHERE rn <= 3""")),
 
+    QueryDef("grouped_topn_agg",
+      // the TypedImperativeAggregate path (map-side partial heaps);
+      // projecting only (group, ranking value) keeps the output
+      // tie-insensitive, so the oracle comparison is exact
+      (s, dir) => GroupedTopN.transformViaAggregate(
+          TopNConfig("o_totalprice", 3), Seq("o_custkey"))(
+          t(s, dir, "orders"))
+        .select("o_custkey", "o_totalprice"),
+      Some("""SELECT o_custkey, o_totalprice FROM (
+          SELECT o_custkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC NULLS LAST) AS rn
+          FROM orders) WHERE rn <= 3""")),
+
     // ---- aggregation: hash agg with partial/final, grouping ----
 
     QueryDef("q1_agg",

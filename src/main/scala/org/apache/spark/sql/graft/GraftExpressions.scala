@@ -187,6 +187,9 @@ object GraftFunctionRegistry {
       es => TextFingerprintExpr(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64Expr(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("topn_agg",
+      es => TopNAggExpr(es(0), es(1), intArg(es(2), "topn_agg", 3))
+        .toAggregateExpression(), "scala_udf")
   }
 }
 

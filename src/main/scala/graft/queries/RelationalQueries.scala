@@ -149,6 +149,15 @@ object RelationalQueries {
           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
 
+    QueryDef("q_cube",
+      (s, dir) => t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(dec)).cast(DoubleType).as("sum_price")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")),
+
     // ---- joins: broadcast inner, semi, anti, outer, range ----
 
     QueryDef("q_join_revenue",

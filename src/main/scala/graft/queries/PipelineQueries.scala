@@ -111,6 +111,16 @@ object PipelineQueries {
       },
       None),
 
+    QueryDef("ann_ivf_topk",
+      // IVF: deterministic k-means cells, probe 3/16 of the corpus
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        IvfAnn.topK(e.where(col("vec_id") < 10), e, k = 5,
+            p = IvfAnn.Params(k = 16, iterations = 3, nprobe = 3))
+          .select(col("qid"), col("nid"), col("rank").as("nn_rank"))
+      },
+      None),
+
     // ---- text analysis ----
 
     QueryDef("text_stats",

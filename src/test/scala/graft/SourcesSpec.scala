@@ -51,4 +51,31 @@ class SourcesSpec extends SparkSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
       s"plan:\n$plan")
   }
+
+  test("hive-style partitioned layout gets partition pruning (PartitionFilters)") {
+    val path = tmp("partitioned")
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    li.write.partitionBy("l_returnflag").parquet(path)
+    val pruned = spark.read.parquet(path).where(col("l_returnflag") === "A")
+      .select("l_orderkey")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), s"plan:\n$plan")
+    // correctness: pruned read equals filtered full read
+    assert(pruned.count() == li.where(col("l_returnflag") === "A").count())
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val o = Tables(s2, sf("sf0.001"), "orders")
+    val c = Tables(s2, sf("sf0.001"), "customer")
+    o.write.bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+    c.selectExpr("c_custkey AS o_custkey", "c_name")
+      .write.bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("customer_b")
+    val joined = s2.table("orders_b").join(s2.table("customer_b"), Seq("o_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() == o.join(c, o("o_custkey") === c("c_custkey")).count())
+  }
 }

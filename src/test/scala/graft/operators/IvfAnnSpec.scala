@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class IvfAnnSpec extends SparkSuite {
+
+  private lazy val emb = graft.Tables(spark, sf("sf0.001"), "embeddings")
+
+  test("k-means converges to k centroids of the right dimension, deterministically") {
+    val p = IvfAnn.Params(k = 8, iterations = 3)
+    val c1 = IvfAnn.fitCentroids(emb, "vec_id", "embedding", p)
+    val c2 = IvfAnn.fitCentroids(emb, "vec_id", "embedding", p)
+    assert(c1.length == 8 && c1.forall(_.length == 64))
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
+  test("index assigns every corpus vector to a valid cell") {
+    val p = IvfAnn.Params(k = 8, iterations = 2)
+    val centroids = IvfAnn.fitCentroids(emb, "vec_id", "embedding", p)
+    val cells = IvfAnn.index(emb, "embedding", centroids)
+      .select("__graft_cell").distinct().collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < 8))
+    assert(IvfAnn.index(emb, "embedding", centroids).count() == emb.count())
+  }
+
+  test("IVF top-k is well-formed and mostly agrees with brute force at high nprobe") {
+    val queries = emb.where(col("vec_id") < 5)
+    val p = IvfAnn.Params(k = 8, iterations = 3, nprobe = 8) // probe ALL cells
+    val ivf = IvfAnn.topK(queries, emb, k = 5, p = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select(col("qid"), col("nid"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // probing every cell = exact search; must equal brute force
+    assert(ivf == brute)
+  }
+
+  test("IVF with nprobe < k prunes the candidate set but stays valid") {
+    val queries = emb.where(col("vec_id") < 5)
+    val p = IvfAnn.Params(k = 8, iterations = 3, nprobe = 2)
+    val out = IvfAnn.topK(queries, emb, k = 5, p = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val ranks = rows.map(_._3).sorted.toSeq
+      assert(ranks == (1L to ranks.size.toLong))
+      assert(rows.forall { case (q, n, _) => q != n })
+    }
+  }
+}

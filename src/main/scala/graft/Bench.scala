@@ -28,13 +28,19 @@ object Bench {
     Tables(spark, sfDir, "lineitem").count()
     spark.range(1000000L).selectExpr("sum(id * 2)").collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // best-of-2 per query: the second run reuses compiled codegen and
+    // warm page cache, so min() reports steady-state query cost rather
+    // than one-off compilation (which is constant in data size).
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val a = once(fn)
+      val b = once(fn)
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

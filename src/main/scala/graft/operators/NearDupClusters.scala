@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair graph, by iterative
+  * minimum-label propagation: every node repeatedly adopts the
+  * smallest id reachable through its edges until fixpoint. The result
+  * assigns each document a cluster representative (the min id of its
+  * component) — the piece that turns pairwise near-dup detection into
+  * an actual dedup decision ("keep one per cluster").
+  *
+  * Scale shape: each iteration is one join + one groupBy-min on the
+  * edge list (both partial-aggregated equi-shuffles); iterations are
+  * bounded by the component diameter, which for near-dup graphs is
+  * tiny (dup clusters are cliques or near-cliques from LSH banding).
+  * Each iteration's result is checkpointed locally to truncate the
+  * lineage — at cluster scale this would be `checkpoint()` on a
+  * reliable store. This is label propagation, not a hand-rolled
+  * driver loop: per-iteration work is fully distributed.
+  */
+object NearDupClusters {
+
+  /** @param nodes  one column `idCol` — the universe of documents
+    * @param pairs  two columns (a, b) — undirected near-dup edges
+    * @return (idCol, cluster) — cluster = min id of the component;
+    *         singletons map to themselves
+    */
+  def representatives(nodes: DataFrame, pairs: DataFrame, idCol: String,
+                      maxIterations: Int = 10): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+
+    // undirected edge list, both directions
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(eager = true)
+
+    // labels: start as self
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(eager = true)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // candidate = min(own label, neighbors' labels, label's own label).
+      // The last term is pointer-doubling (shortcutting): label chains
+      // halve every iteration, so convergence is O(log diameter), not
+      // O(diameter) — 10 iterations cover components of diameter ~1000.
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nlabel"), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nlabel")).as("nmin"))
+      // id is unique in `labels`, so this is a plain key remap L -> label(L)
+      val labelOfLabel = labels.select(col("id").as("label"), col("label").as("llabel"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left_outer")
+        .join(labelOfLabel, Seq("label"), "left_outer")
+        .select(col("id"),
+          least(col("label"),
+            coalesce(col("nmin"), col("label")),
+            coalesce(col("llabel"), col("label"))).as("label"))
+        .localCheckpoint(eager = true)
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .where($"n.label" =!= $"o.label").limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster"))
+  }
+
+  /** End-to-end near-dup dedup: MinHash+LSH pairs above `threshold` →
+    * components → one representative row per cluster (min id kept).
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double,
+                         p: MinHashLSH.Params = MinHashLSH.Params()): DataFrame = {
+    val pairs = MinHashLSH.nearDuplicates(df, idCol, textCol, threshold, p)
+      .select("a", "b")
+    val reps = representatives(df.select(idCol), pairs, idCol)
+    df.join(reps, Seq(idCol))
+      .where(col(idCol) === col("cluster"))
+      .drop("cluster")
+  }
+}

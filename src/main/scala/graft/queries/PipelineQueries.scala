@@ -44,6 +44,14 @@ object PipelineQueries {
         .select(col("doc_id"), SimHash.simhash(col("text")).as("simhash")),
       None),
 
+    QueryDef("dedup_clusters",
+      // near-dup pairs -> connected components -> one kept row per
+      // cluster; output is the surviving doc ids (deterministic)
+      (s, dir) => NearDupClusters.dropNearDuplicates(
+          t(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+        .select("doc_id", "n_chars"),
+      None),
+
     QueryDef("dedup_word_jaccard",
       // exact pairwise Jaccard counts over distinct word sets — the
       // n-gram-Jaccard oracle case (integer outputs, no division)

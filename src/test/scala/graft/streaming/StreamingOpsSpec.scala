@@ -63,6 +63,33 @@ class StreamingOpsSpec extends SparkSuite {
       ("2024-01-01 02:00:00", "buy", 1L, 7.0, 7.0)))
   }
 
+  test("file-source stream: per-batch top-N over parquet arriving in a watched dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val schema = graft.Tables(spark, sf("sf0.001"), "orders").schema
+    val collected = mutable.Buffer[Seq[Long]]()
+
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val query = StreamingOps.perBatchTopN(
+        stream.select("o_orderkey", "o_custkey", "o_totalprice"),
+        TopNConfig("o_totalprice", 3)) { (df, _) =>
+      collected.synchronized {
+        collected += df.collect().map(_.getLong(0)).toSeq
+      }
+    }.start()
+
+    try {
+      graft.Tables(spark, sf("sf0.001"), "orders").limit(500)
+        .write.mode("append").parquet(dir)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val batchTop = collected.flatten.toSet
+    val expected = graft.operators.TopN.transform(TopNConfig("o_totalprice", 3))(
+        spark.read.parquet(dir).select("o_orderkey", "o_custkey", "o_totalprice"))
+      .collect().map(_.getLong(0)).toSet
+    assert(batchTop == expected)
+  }
+
   test("statefulTopK keeps global top-k across batches (bounded GroupState heap)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(String, Double)]

@@ -11,8 +11,9 @@ import org.apache.spark.sql.types._
   * composition (`aggregate(zip_with(...))`) evaluates lambdas
   * interpretively per element and measured ~20x slower on 64-dim
   * vectors. Both forms accumulate in double, left-to-right, so results
-  * are bit-identical; [[dotHof]] keeps the composable form for
-  * cross-checking.
+  * are bit-identical FOR EQUAL-LENGTH inputs; on mismatched lengths
+  * [[dot]] throws while the HOF form would null-pad. [[dotHof]] keeps
+  * the composable form for cross-checking.
   */
 object VectorFunctions {
 
@@ -35,6 +36,12 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; NULL (not NaN) for zero-norm inputs, so
+    * degenerate vectors sort last under `desc` ranking instead of
+    * first (Spark orders NaN above every real double).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom > 0, dot(a, b) / denom)
+  }
 }

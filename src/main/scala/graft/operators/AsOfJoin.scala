@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of join: for each left row, attach the value carried by the
   * *latest strictly-earlier* right row with the same key.
@@ -34,18 +35,23 @@ object AsOfJoin {
     val valueType = right.schema(valueCol).dataType
     val keyCols = keys.map(col)
 
+    // The carried value is wrapped in a single-field struct: the struct
+    // is NULL only for left-side rows, so `last(..., ignoreNulls)`
+    // correctly returns a right row whose value itself is NULL instead
+    // of skipping past it to an older row.
     val leftU = left.select(
       keyCols ++ Seq(
         col(leftTime).as("__graft_t"),
         lit(0).as("__graft_side"),
-        lit(null).cast(valueType).as("__graft_v"),
+        lit(null).cast(StructType(Seq(StructField("v", valueType))))
+          .as("__graft_vs"),
         struct(left.columns.map(col): _*).as("__graft_row")
       ): _*)
     val rightU = right.select(
       keyCols ++ Seq(
         col(rightTime).as("__graft_t"),
         lit(1).as("__graft_side"),
-        col(valueCol).as("__graft_v"),
+        struct(col(valueCol).as("v")).as("__graft_vs"),
         lit(null).cast(leftU.schema("__graft_row").dataType).as("__graft_row")
       ): _*)
 
@@ -54,12 +60,13 @@ object AsOfJoin {
     // strict "prior" semantics.
     val w = Window
       .partitionBy(keyCols: _*)
-      .orderBy(col("__graft_t").asc, col("__graft_side").asc, col("__graft_v").asc)
+      .orderBy(col("__graft_t").asc, col("__graft_side").asc,
+        col("__graft_vs.v").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     leftU.unionByName(rightU)
-      .withColumn("__graft_prior", last(col("__graft_v"), ignoreNulls = true).over(w))
+      .withColumn("__graft_prior", last(col("__graft_vs"), ignoreNulls = true).over(w))
       .where(col("__graft_side") === 0)
-      .select(col("__graft_row.*"), col("__graft_prior").as(outCol))
+      .select(col("__graft_row.*"), col("__graft_prior.v").as(outCol))
   }
 }

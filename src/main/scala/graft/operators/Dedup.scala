@@ -86,6 +86,7 @@ object MinHashLSH {
     }
     val banded = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+      .localCheckpoint(eager = false) // read by both sides of the self-join
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col(s"l.$idCol") < col(s"r.$idCol"))
@@ -102,7 +103,11 @@ object MinHashLSH {
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double, p: Params = Params()): DataFrame = {
+    // Both the candidate self-join and the two verification joins read
+    // these frames twice; localCheckpoint materializes each kernel
+    // output once instead of re-running the per-row hashing 4x.
     val shingled = df.select(col(idCol), shingleHashArray(textCol, p).as("sh"))
+      .localCheckpoint(eager = false)
     val cands = candidatePairs(df, idCol, textCol, p)
     cands
       .join(shingled.select(col(idCol).as("a"), col("sh").as("sha")), Seq("a"))
@@ -131,6 +136,11 @@ object SimHash {
     * bit_count(xor). Band join is an equi-join — no all-pairs scan.
     */
   def pairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    // 4 bands of 16 bits are exhaustive only up to hamming 3 (a pair
+    // differing in >= 4 bits can spread one flip into every band);
+    // beyond that the band join silently loses recall, so refuse.
+    require(maxHamming <= 3,
+      s"4x16-bit band LSH is only exhaustive for maxHamming <= 3, got $maxHamming")
     val hashed = df.select(col(idCol), simhash(col(textCol)).as("sh"))
     val banded = hashed.select(col(idCol), col("sh"),
         explode(array((0 until 4).map(b =>

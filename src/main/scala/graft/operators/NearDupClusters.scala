@@ -68,6 +68,13 @@ object NearDupClusters {
       converged = changed == 0
       iter += 1
     }
+    // A silent exit here would leave inconsistent labels and let
+    // near-duplicates survive dedup — fail loudly instead. Pointer
+    // doubling covers diameter ~2^maxIterations, so hitting this means
+    // something is pathological, not just "a bit more data".
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge in $maxIterations iterations; " +
+        "raise maxIterations (coverage doubles per iteration)")
     labels.select(col("id").as(idCol), col("label").as("cluster"))
   }
 

@@ -35,6 +35,13 @@ object SkewTools {
       factor: Int,
       joinType: String = "inner"): DataFrame = {
     require(factor >= 1, s"salt factor must be >= 1, got $factor")
+    // join types that preserve unmatched rows of the REPLICATED side
+    // would emit them `factor` times; restrict to the safe ones.
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase),
+      s"saltedJoin supports $allowed (the replicated side must not " +
+        s"preserve unmatched rows), got '$joinType'")
     val saltCol = "__graft_salt"
     val salted = skewed.withColumn(saltCol,
       pmod(hash(skewed.columns.map(col): _*), lit(factor)))

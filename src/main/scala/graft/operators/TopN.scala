@@ -74,6 +74,13 @@ object TopNValidator {
   /** The four physical types the reference accepts as ranking keys
     * (`TopNConfig.java:77-78`). Date/timestamp/decimal are logical
     * types in the reference's Avro-style model and are rejected.
+    *
+    * Field lookup is intentionally CASE-SENSITIVE, matching the
+    * reference's exact `Schema.getField` lookup — even though Spark
+    * itself resolves columns case-insensitively by default. A config
+    * that names the field in the wrong case fails validation here
+    * rather than silently resolving; deterministic and
+    * caseSensitive-setting-independent.
     */
   private val allowedTypes: Set[DataType] =
     Set(IntegerType, LongType, FloatType, DoubleType)

@@ -49,7 +49,7 @@ case class VectorDotExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[ArrayData]
     val bb = b.asInstanceOf[ArrayData]
-    val n = math.min(aa.numElements(), bb.numElements())
+    val n = VectorDotExpr.checkedLength(aa.numElements(), bb.numElements())
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
     var acc = 0.0
@@ -71,7 +71,8 @@ case class VectorDotExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = org.apache.spark.sql.graft.VectorDotExpr.checkedLength(
+          $a.numElements(), $b.numElements());
         double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           $acc += (double)$a.$aGet($i) * (double)$b.$bGet($i);
@@ -84,6 +85,17 @@ case class VectorDotExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VectorDotExpr =
     copy(left = newLeft, right = newRight)
+}
+
+object VectorDotExpr {
+  /** Length-mismatched vectors are a data bug — fail loudly rather
+    * than silently truncating (called from generated code too).
+    */
+  def checkedLength(a: Int, b: Int): Int = {
+    if (a != b) throw new IllegalArgumentException(
+      s"vector_dot: mismatched vector lengths $a vs $b")
+    a
+  }
 }
 
 /** array<bigint> of word n-gram shingle hashes in [0, 2^31-1) —

@@ -96,9 +96,11 @@ case class TopNAggExpr(
     buffer
   }
 
+  // Non-destructive: window frames evaluate the same buffer once per
+  // output row, so eval must not drain the heap.
   override def eval(buffer: TopNAggBuffer): Any =
     new GenericArrayData(
-      buffer.drainDescending().map(_._2.get(0, payload.dataType)))
+      buffer.sortedDescending().map(_._2.get(0, payload.dataType)))
 
   override def serialize(buffer: TopNAggBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -181,8 +183,9 @@ final class TopNAggBuffer(n: Int, ordering: Ordering[Any]) {
 
   def entries: Seq[(Any, UnsafeRow)] = heap.toSeq
 
-  def drainDescending(): Array[(Any, UnsafeRow)] =
-    heap.dequeueAll.toArray.reverse
+  /** Descending by ord without mutating the heap. */
+  def sortedDescending(): Array[(Any, UnsafeRow)] =
+    heap.toArray.sortBy(_._1)(ordering.reverse)
 }
 
 /** Column builder for the aggregate. */

@@ -1,0 +1,15 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** `SparkSessionExtensions` hook: makes graft's native SQL functions
+  * part of every session built with
+  * `--conf spark.sql.extensions=graft.GraftSparkExtensions` (or
+  * `.withExtensions(new GraftSparkExtensions)`), including
+  * `newSession()` forks — the deployment-grade alternative to the
+  * per-session [[GraftFunctions.register]].
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    org.apache.spark.sql.graft.GraftFunctionRegistry.injectInto(e)
+}

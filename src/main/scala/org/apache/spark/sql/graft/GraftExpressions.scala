@@ -168,8 +168,37 @@ case class SimHash64Expr(child: Expression)
 /** Registers graft's expressions as session-scoped SQL functions, so
   * `spark.sql("SELECT simhash64(text) ...")` works — the engine's
   * SQL-facing function surface. Idempotent.
+  *
+  * Two registration paths: [[register]] for an existing session, and
+  * [[injectInto]] for `SparkSessionExtensions` (wired by
+  * `graft.GraftSparkExtensions`, usable via the
+  * `spark.sql.extensions` conf) — the latter makes the functions part
+  * of every session built from the extended builder, including
+  * `newSession()` forks.
   */
 object GraftFunctionRegistry {
+
+  private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vector_dot" -> (es => VectorDotExpr(es(0), es(1))),
+    "word_shingle_hashes" -> (es =>
+      WordShingleHashesExpr(es(0), intArg(es(1), "word_shingle_hashes", 2))),
+    "minhash_signature" -> (es => MinHashSignatureExpr(es(0),
+      intArg(es(1), "minhash_signature", 2),
+      intArg(es(2), "minhash_signature", 3),
+      longArg(es(3), "minhash_signature", 4))),
+    "text_fingerprint" -> (es => TextFingerprintExpr(es(0))),
+    "simhash64" -> (es => SimHash64Expr(es(0))),
+    "topn_agg" -> (es =>
+      TopNAggExpr(es(0), es(1), intArg(es(2), "topn_agg", 3)).toAggregateExpression())
+  )
+
+  def injectInto(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo("org.apache.spark.sql.graft.GraftExpressions", name),
+        b))
+    }
   private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -184,24 +213,9 @@ object GraftFunctionRegistry {
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vector_dot",
-      es => VectorDotExpr(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("word_shingle_hashes",
-      es => WordShingleHashesExpr(es(0), intArg(es(1), "word_shingle_hashes", 2)),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_signature",
-      es => MinHashSignatureExpr(es(0),
-        intArg(es(1), "minhash_signature", 2),
-        intArg(es(2), "minhash_signature", 3),
-        longArg(es(3), "minhash_signature", 4)),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("text_fingerprint",
-      es => TextFingerprintExpr(es(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64",
-      es => SimHash64Expr(es(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("topn_agg",
-      es => TopNAggExpr(es(0), es(1), intArg(es(2), "topn_agg", 3))
-        .toAggregateExpression(), "scala_udf")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 }
 

@@ -36,6 +36,16 @@ class GraftFunctionsSpec extends SparkSuite {
     assert(rows.forall(_.getDouble(1) > 0.0))
   }
 
+  test("SparkSessionExtensions injection: functions exist in a fresh newSession without register()") {
+    // temp-function registration does NOT propagate to newSession();
+    // only the extensions-injected functions do — so this passing
+    // proves the GraftSparkExtensions path works.
+    val s2 = spark.newSession()
+    val r = s2.sql("SELECT simhash64('a b c') AS sh, text_fingerprint('abc') AS fp").head()
+    assert(r.getLong(1) ==
+      "abc".foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L))
+  }
+
   test("bad literal argument yields a clear error") {
     GraftFunctions.register(spark)
     spark.range(1).selectExpr("CAST(id AS STRING) AS text")

@@ -61,6 +61,17 @@ class PlanShapeSpec extends SparkSuite {
       s"plan:\n$plan")
   }
 
+  test("global rank-filter window already rewrites to TakeOrderedAndProject below the Window " +
+    "(SURVEY §4.3: no custom optimizer rule needed — verified, not assumed)") {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables(spark, dir, "lineitem")
+    val w = Window.orderBy(col("l_extendedprice").desc)
+    val plan = li.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5).drop("rn")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
   test("as-of join plans exactly one exchange (the window shuffle)") {
     val plan = SparkEntry.queries("q_asof_join")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -22,6 +22,7 @@ object SparkSuite {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

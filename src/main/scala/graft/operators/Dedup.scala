@@ -36,6 +36,11 @@ object ExactDedup {
 
 /** MinHash + banded LSH near-duplicate detection over word-shingle
   * sets, with exact Jaccard verification of the LSH candidates.
+  *
+  * Algorithm: Broder, "On the resemblance and containment of
+  * documents" (1997) for MinHash resemblance estimation; banding
+  * analysis per Leskovec/Rajaraman/Ullman, "Mining of Massive
+  * Datasets" ch. 3 (b bands of r rows → collision prob 1-(1-j^r)^b).
   */
 object MinHashLSH {
 
@@ -120,7 +125,13 @@ object MinHashLSH {
   }
 }
 
-/** 64-bit SimHash near-duplicate fingerprinting over word tokens. */
+/** 64-bit SimHash near-duplicate fingerprinting over word tokens.
+  *
+  * Algorithm: Charikar, "Similarity estimation techniques from
+  * rounding algorithms" (STOC 2002); the band-join hamming search
+  * follows Manku/Jain/Sarma, "Detecting near-duplicates for web
+  * crawling" (WWW 2007).
+  */
 object SimHash {
 
   /** SimHash of a text column: per-token FNV-1a 64-bit hashes vote per

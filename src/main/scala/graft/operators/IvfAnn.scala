@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
 /** IVF (inverted-file) approximate nearest neighbor search: the
   * corpus is clustered into `k` Voronoi cells (Lloyd's k-means over
   * DataFrames), each vector indexed under its nearest centroid, and a
-  * query probes only its `nprobe` nearest cells.
+  * query probes only its `nprobe` nearest cells — the coarse-quantizer
+  * half of Jegou/Douze/Schmid, "Product quantization for nearest
+  * neighbor search" (TPAMI 2011), without the PQ residual codes.
   *
   * Scale shape:
   *  - training: `iterations` passes, each one corpus scan (cell

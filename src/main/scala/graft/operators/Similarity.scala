@@ -42,8 +42,9 @@ object Similarity {
 }
 
 /** Sign-random-projection (random hyperplane) LSH for cosine
-  * similarity. Hyperplanes are generated from a fixed seed, so
-  * bucketing is deterministic across runs and cluster topologies.
+  * similarity (Charikar, STOC 2002: P[collision] = 1 - theta/pi per
+  * plane). Hyperplanes are generated from a fixed seed, so bucketing
+  * is deterministic across runs and cluster topologies.
   */
 object RandomHyperplaneLSH {
 

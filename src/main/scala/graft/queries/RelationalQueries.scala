@@ -321,6 +321,21 @@ object RelationalQueries {
           o_orderstatus || '-' || o_orderpriority AS tag
         FROM orders WHERE o_orderkey < 500""")),
 
+    QueryDef("q_percentiles",
+      // interpolated percentiles: both engines compute a+(b-a)*f over
+      // the sorted values — IEEE-identical when inputs are identical
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50_qty"),
+          expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95_price"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag,
+          percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
+          percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95_price,
+          count(*) AS n
+        FROM lineitem GROUP BY l_returnflag""")),
+
     // ---- JSON scalar functions (events.props is a JSON string) ----
 
     QueryDef("q_json_extract",

@@ -321,6 +321,38 @@ object RelationalQueries {
           o_orderstatus || '-' || o_orderpriority AS tag
         FROM orders WHERE o_orderkey < 500""")),
 
+    QueryDef("q_pivot",
+      // wide-format pivot on the 3 return flags (explicit value list
+      // keeps column names deterministic: a/n/r)
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast(dec)).cast(DoubleType))
+        .withColumnRenamed("A", "a").withColumnRenamed("N", "n")
+        .withColumnRenamed("R", "r"),
+      Some("""SELECT l_linestatus,
+          CAST(sum(CASE WHEN l_returnflag = 'A'
+            THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS a,
+          CAST(sum(CASE WHEN l_returnflag = 'N'
+            THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS n,
+          CAST(sum(CASE WHEN l_returnflag = 'R'
+            THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS r
+        FROM lineitem GROUP BY l_linestatus""")),
+
+    QueryDef("q_unpivot",
+      // long-format melt of the per-part numeric measures
+      (s, dir) => t(s, dir, "part").where(col("p_partkey") < 100)
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_size").cast(DoubleType).as("p_size"),
+            col("p_retailprice")),
+          "measure", "val"),
+      Some("""SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS val
+          FROM part WHERE p_partkey < 100
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS val
+          FROM part WHERE p_partkey < 100""")),
+
     QueryDef("q_percentiles",
       // interpolated percentiles: both engines compute a+(b-a)*f over
       // the sorted values — IEEE-identical when inputs are identical

@@ -30,6 +30,14 @@ class SourcesSpec extends SparkSuite {
     assert(back.collect().toSet == nation.collect().toSet)
   }
 
+  test("orc roundtrip preserves rows and schema") {
+    val path = tmp("orc")
+    nation.write.orc(path)
+    val back = spark.read.orc(path)
+    assert(back.schema == nation.schema)
+    assert(back.collect().toSet == nation.collect().toSet)
+  }
+
   test("json roundtrip with explicit schema") {
     val path = tmp("json")
     nation.write.json(path)

@@ -52,6 +52,30 @@ object Multimodal {
     (width, height, crc)
   }
 
+  /** Fixed-stride frame sampling over the binary payload: one row per
+    * sampled block of `frameBytes` bytes, keeping every `stride`-th
+    * frame — the shape of video/audio frame extraction (subscript on
+    * an opaque payload, native byte-slicing functions, no UDF). The
+    * payload column is never shuffled; explode multiplies rows only by
+    * the sampled frame count.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes >= 1 && stride >= 1)
+    media.select(
+        col("doc_id"), col("fmt"),
+        explode(sequence(lit(0),
+          greatest(lit(0),
+            ((octet_length(col("payload")) - 1) / (frameBytes * stride)).cast("int")),
+          lit(1))).as("frame_idx"),
+        col("payload"))
+      .select(
+        col("doc_id"), col("fmt"), col("frame_idx").cast("long").as("frame_idx"),
+        col("payload")
+          .substr(col("frame_idx") * (frameBytes * stride) + 1, lit(frameBytes))
+          .as("frame"))
+      .where(octet_length(col("frame")) > 0)
+  }
+
   /** Partition-batched feature extraction over the media table. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._

@@ -182,6 +182,24 @@ object PipelineQueries {
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           'txt' AS fmt FROM documents""")),
 
+    QueryDef("mm_frames",
+      // byte-exact frame sampling: every 4th 32-byte block of the
+      // payload (video-frame-extraction shape on opaque binary)
+      (s, dir) => Multimodal.frameSample(
+          Multimodal.asMediaTable(t(s, dir, "documents").where(col("doc_id") < 50)),
+          frameBytes = 32, stride = 4)
+        .select("doc_id", "frame_idx", "frame"),
+      // DuckDB 1.0 cannot slice BLOBs; the corpus is pure ASCII, so
+      // slicing the string and encoding the slice is byte-identical
+      Some("""WITH f AS (
+          SELECT doc_id, text,
+            unnest(range(0, (octet_length(encode(text)) - 1) // 128 + 1)) AS i
+          FROM documents WHERE doc_id < 50)
+        SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+          encode(substring(text, CAST(i * 128 + 1 AS INT), 32)) AS frame
+        FROM f
+        WHERE length(substring(text, CAST(i * 128 + 1 AS INT), 32)) > 0""")),
+
     QueryDef("mm_decode",
       // partition-batched stub decode (typed Dataset path)
       (s, dir) => Multimodal.extractFeatures(s,

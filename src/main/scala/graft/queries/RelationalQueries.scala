@@ -383,6 +383,32 @@ object RelationalQueries {
       Some("""SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS n
         FROM events GROUP BY 1""")),
 
+    QueryDef("q_sessionize",
+      // gap-based sessionization: a >30-minute silence starts a new
+      // session; session index = running count of session starts.
+      // ts is a nanos long (see Tables) — exact integer arithmetic.
+      (s, dir) => {
+        val gapNs = 30L * 60 * 1000000000L
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        t(s, dir, "events")
+          .withColumn("new_session",
+            when(col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1L)
+              .otherwise(lit(0L)))
+          .select(col("user_id"), col("event_id"),
+            sum(col("new_session"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("session_idx"))
+      },
+      Some("""SELECT user_id, event_id,
+          CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        FROM (
+          SELECT user_id, event_id, ts,
+            CASE WHEN ts - lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+          FROM events)""")),
+
     // ---- time-bucketed aggregation over the event stream table ----
 
     QueryDef("q_time_bucket",

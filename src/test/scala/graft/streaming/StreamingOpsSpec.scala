@@ -90,6 +90,31 @@ class StreamingOpsSpec extends SparkSuite {
     assert(batchTop == expected)
   }
 
+  test("native session windows: gap-based sessions with watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val stream = ms.toDF().toDF("ts", "user_id", "value")
+
+    val sessions = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val query = sessions.writeStream.outputMode("complete")
+      .format("memory").queryName("sessions").start()
+
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      // user 1: two events 10 min apart (one session), then one 2h later
+      ms.addData((t(1, 0), 1L, 1.0), (t(1, 10), 1L, 1.0), (t(3, 30), 1L, 1.0))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.table("sessions")
+      .select(col("user_id"), col("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows == Seq((1L, 1L), (1L, 2L))) // one 2-event session, one singleton
+  }
+
   test("statefulTopK keeps global top-k across batches (bounded GroupState heap)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(String, Double)]

@@ -172,6 +172,37 @@ object PipelineQueries {
         col("doc_id"), col("lang"), TF.langId(col("text")).as("predicted")),
       None),
 
+    // ---- deterministic sampling / splits ----
+
+    QueryDef("sample_train_split",
+      // reproducible 80/20 split via multiplicative (Knuth) hashing of
+      // the id — pure integer arithmetic, identical on any engine, and
+      // stable under data re-partitioning (never rand()-based, which
+      // would be nondeterministic across retries at scale)
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          (pmod(col("doc_id") * 2654435761L, lit(100)) < 80).as("is_train")),
+      Some("""SELECT doc_id, (doc_id * 2654435761) % 100 < 80 AS is_train
+        FROM documents""")),
+
+    QueryDef("sample_stratified",
+      // stratified deterministic sample: 20 docs per language, chosen
+      // by smallest multiplicative hash (uniform within stratum)
+      (s, dir) => {
+        val h = pmod(col("doc_id") * 2654435761L, lit(1000000007L))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc)
+        t(s, dir, "documents")
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= 20)
+          .select("doc_id", "lang")
+      },
+      Some("""SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+          FROM documents) WHERE rn <= 20""")),
+
     // ---- multimodal plumbing ----
 
     QueryDef("mm_features",

@@ -72,6 +72,32 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    import org.apache.spark.sql.functions.{col, lit}
+    // hot key 42 holds ~100k rows; the other side is uniform
+    val skewed = s2.range(100000).select(lit(42L).as("k"), col("id").as("v"))
+      .unionAll(s2.range(1000).select((col("id") % 37).as("k"), col("id").as("v")))
+    val dim = s2.range(64).select(col("id").as("k"), (col("id") * 2).as("w"))
+    // aggregate to keep collect() small; execute THIS dataset's own
+    // QueryExecution so the adaptive plan is finalized on it
+    val joined = skewed.join(dim, Seq("k"))
+      .groupBy().count()
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"), s"expected AQE skew split:\n$plan")
+  }
+
   test("as-of join plans exactly one exchange (the window shuffle)") {
     val plan = SparkEntry.queries("q_asof_join")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -90,6 +90,36 @@ class StreamingOpsSpec extends SparkSuite {
     assert(batchTop == expected)
   }
 
+  test("stream-stream join: clicks joined to purchases within an event-time range") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val c = clicks.toDF().toDF("c_ts", "user_id", "click_id")
+      .withWatermark("c_ts", "1 hour")
+    val b = buys.toDF().toDF("b_ts", "user_id", "buy_id")
+      .withWatermark("b_ts", "1 hour")
+
+    // purchase attributed to clicks in the preceding hour
+    val joined = b.join(c,
+      b("user_id") === c("user_id") &&
+        c("c_ts") <= b("b_ts") && c("c_ts") >= b("b_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("buy_id"), col("click_id"))
+
+    val query = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib").start()
+
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      clicks.addData((t(1, 0), 7L, 100L), (t(3, 0), 7L, 101L))
+      buys.addData((t(1, 30), 7L, 900L)) // within 1h of click 100 only
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.table("attrib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((900L, 100L)))
+  }
+
   test("native session windows: gap-based sessions with watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, Long, Double)]

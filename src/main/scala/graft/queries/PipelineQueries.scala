@@ -172,6 +172,17 @@ object PipelineQueries {
         col("doc_id"), col("lang"), TF.langId(col("text")).as("predicted")),
       None),
 
+    QueryDef("q_sketch_distinct",
+      // HLL++ sketch per language — merge-order-independent, so the
+      // result is deterministic under any partitioning; approximate
+      // values have no SQL oracle (rows-only), exact counterpart is
+      // q_distinct_agg
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(approx_count_distinct(col("text"), 0.02).as("approx_docs"),
+          count(lit(1)).as("n")),
+      None),
+
     // ---- deterministic sampling / splits ----
 
     QueryDef("sample_train_split",

@@ -15,8 +15,6 @@ import org.apache.spark.sql.types._
   */
 object RelationalQueries {
 
-  private val dec = DecimalType(18, 2)
-
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 

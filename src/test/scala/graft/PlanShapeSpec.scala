@@ -72,6 +72,21 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
 
+  test("runtime bloom-filter join pruning injects a bloom filter on the big side") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "50MB")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    import org.apache.spark.sql.functions.col
+    val li = Tables(s2, dir, "lineitem")
+    val p = Tables(s2, dir, "part").where(col("p_size") > 40)
+    val plan = li.join(p, li("l_partkey") === p("p_partkey"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilter"),
+      s"expected runtime bloom filter in optimized plan:\n$plan")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true in final plan)") {
     import spark.implicits._
     val s2 = spark.newSession()

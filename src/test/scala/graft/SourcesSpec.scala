@@ -72,6 +72,28 @@ class SourcesSpec extends SparkSuite {
     assert(pruned.count() == li.where(col("l_returnflag") === "A").count())
   }
 
+  test("range-partitioned sorted write: files hold disjoint, ordered key ranges") {
+    val path = tmp("rangepart")
+    val orders = Tables(spark, sf("sf0.001"), "orders")
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(path)
+    // each output file covers a disjoint o_orderkey range
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length >= 2)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, s"overlap: ${ranges.toSeq}")
+      case _ =>
+    }
+    assert(spark.read.parquet(path).count() == orders.count())
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pinned concrete values from the deterministic sf0.001 fixtures
+  * (seed=42, TESTDATA.md). These catch silent semantic drift between
+  * rounds — a kernel change that still "passes structurally" but
+  * computes something different fails here first.
+  */
+class GoldenValuesSpec extends SparkSuite {
+
+  private val dir = sf("sf0.001")
+
+  test("top lineitem price at sf0.001 is 104998.18 (orderkey 174, line 1)") {
+    val top = SparkEntry.queries("topn_price_double")(spark, dir).head()
+    assert(top.getAs[Long]("l_orderkey") == 174L)
+    assert(top.getAs[Int]("l_linenumber") == 1)
+    assert(top.getAs[Double]("l_extendedprice") == 104998.18)
+  }
+
+  test("q1_agg group count and total row count are stable") {
+    val rows = SparkEntry.queries("q1_agg")(spark, dir).collect()
+    assert(rows.length == 6) // 3 returnflags x 2 linestatuses
+    assert(rows.map(_.getAs[Long]("count_order")).sum == 6000L)
+  }
+
+  test("text fingerprint of doc 0 is reproducible") {
+    val docs = Tables(spark, dir, "documents").where(col("doc_id") === 0)
+    val fp = docs.select(graft.functions.TextFunctions.fingerprint(col("text")))
+      .head().getLong(0)
+    // recompute locally from the same text — the kernel and the data
+    // must both be stable
+    val text = docs.select("text").head().getString(0)
+    val want = text.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+    assert(fp == want)
+    assert(fp == 191689641L, s"corpus or kernel drifted: fp=$fp")
+  }
+
+  test("minhash near-dup top pair at sf0.001 is stable") {
+    val top = SparkEntry.queries("dedup_minhash")(spark, dir).head()
+    // the corpus plants near-dups; the strongest pair is stable data
+    assert(top.getAs[Double]("jaccard") > 0.9,
+      s"expected a >0.9 planted near-dup, got $top")
+  }
+
+  test("asof join: purchases with a prior click count is stable") {
+    val out = SparkEntry.queries("q_asof_join")(spark, dir)
+    val withPrior = out.where(col("prior_click").isNotNull).count()
+    val total = out.count()
+    assert(total == Tables(spark, dir, "events")
+      .where(col("event_type") === "purchase").count())
+    assert(withPrior > 0 && withPrior <= total)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Edge-case hardening across operators: empty inputs, NULL group
+  * keys, degenerate parameters, and partition-count invariance.
+  */
+class EdgeCasesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("as-of join with empty right side keeps all left rows with NULL prior") {
+    val left = Seq((1L, 7L, 9L), (2L, 8L, 5L)).toDF("event_id", "user_id", "ts")
+    val right = left.where(lit(false))
+    val out = AsOfJoin.lastPrior(left, right, Seq("user_id"), "ts", "ts",
+      "event_id", "prior").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("prior"))))
+  }
+
+  test("as-of join with empty left side returns empty") {
+    val right = Seq((1L, 7L, 9L)).toDF("event_id", "user_id", "ts")
+    val left = right.where(lit(false))
+    assert(AsOfJoin.lastPrior(left, right, Seq("user_id"), "ts", "ts",
+      "event_id", "prior").count() == 0)
+  }
+
+  test("grouped top-N with NULL group keys: NULL is its own group") {
+    val df = Seq(
+      (Option("a"), 1L, 10.0), (Option("a"), 2L, 20.0),
+      (Option.empty[String], 3L, 5.0), (Option.empty[String], 4L, 7.0),
+      (Option.empty[String], 5L, 6.0)
+    ).toDF("g", "id", "v")
+    val out = GroupedTopN.transform(TopNConfig("v", 2), Seq("g"), Seq("id"))(df)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(out == Set((Some("a"), 1L), (Some("a"), 2L), (None, 4L), (None, 5L)))
+  }
+
+  test("minhash on a corpus where every doc is too short yields no candidates") {
+    val df = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    assert(MinHashLSH.candidatePairs(df, "doc_id", "text").count() == 0)
+    assert(MinHashLSH.nearDuplicates(df, "doc_id", "text", 0.0).count() == 0)
+  }
+
+  test("exact dedup on an empty table returns empty, no error") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text").where(lit(false))
+    assert(ExactDedup.representatives(df, "doc_id", "text").count() == 0)
+  }
+
+  test("top-N result is invariant to input partitioning") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TopN.transformDeterministic(TopNConfig("l_extendedprice", 25),
+          Seq("l_orderkey", "l_linenumber"))(df)
+        .collect().map(_.toSeq).toSeq
+    assert(run(li.repartition(1)) == run(li.repartition(17)))
+  }
+
+  test("minhash signatures are invariant to input partitioning") {
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      MinHashLSH.signatures(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(sig(docs.repartition(1)) == sig(docs.repartition(13)))
+  }
+
+  test("clustering with no edges labels every node as itself") {
+    val nodes = (1L to 5L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = NearDupClusters.representatives(nodes, pairs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (1L to 5L).map(i => (i, i)).toSet)
+  }
+}

@@ -45,7 +45,7 @@ object AsOfJoin {
         lit(0).as("__graft_side"),
         lit(null).cast(StructType(Seq(StructField("v", valueType))))
           .as("__graft_vs"),
-        struct(left.columns.map(col): _*).as("__graft_row")
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__graft_row")
       ): _*)
     val rightU = right.select(
       keyCols ++ Seq(

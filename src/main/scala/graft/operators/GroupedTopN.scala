@@ -38,7 +38,7 @@ object GroupedTopN {
     TopNValidator.validateOrThrow(cfg, Some(df.schema))
     if (keys.isEmpty) return TopN.transform(cfg)(df)
     val base = if (cfg.ignoreNull) df.where(col(cfg.field).isNotNull) else df
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     base.groupBy(keys.map(col): _*)
       .agg(graft.expressions.TopNAggregate
         .topNAgg(col(cfg.field), payload, cfg.size).as("__graft_top"))

@@ -34,11 +34,11 @@ object IvfAnn {
     * argmin |v-c|^2 = argmax (v.c - |c|^2/2); |v|^2 is constant per row.
     */
   private def cellScore(vec: Column, centroid: Array[Double]): Column =
-    VectorFunctions.dot(vec, array(centroid.map(lit): _*)) -
+    VectorFunctions.dot(vec, array(centroid.toIndexedSeq.map(lit): _*)) -
       lit(centroid.map(x => x * x).sum / 2.0)
 
   private def argmaxCell(vec: Column, centroids: Array[Array[Double]]): Column =
-    array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+    array_max(array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       struct(cellScore(vec, c).as("score"), lit(i).as("cell"))
     }: _*)).getField("cell")
 
@@ -92,7 +92,7 @@ object IvfAnn {
 
     // nprobe nearest cells per query: sort (negScore, cell) ascending
     val qv = VectorFunctions.toDoubleArray(col(vecCol))
-    val scored = array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+    val scored = array_sort(array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       struct((-cellScore(qv, c)).as("negscore"), lit(i).as("cell"))
     }: _*))
     val qProbes = queries

@@ -71,7 +71,7 @@ object RandomHyperplaneLSH {
     val v = col(vecCol)
     val tableStructs = planes(p).zipWithIndex.map { case (ps, t) =>
       val bucket = ps.zipWithIndex.map { case (plane, b) =>
-        val planeLit = array(plane.map(lit): _*)
+        val planeLit = array(plane.toIndexedSeq.map(lit): _*)
         when(VectorFunctions.dot(v, planeLit) >= 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("table"), bucket.as("bucket"))

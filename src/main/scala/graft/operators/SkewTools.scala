@@ -44,7 +44,7 @@ object SkewTools {
         s"preserve unmatched rows), got '$joinType'")
     val saltCol = "__graft_salt"
     val salted = skewed.withColumn(saltCol,
-      pmod(hash(skewed.columns.map(col): _*), lit(factor)))
+      pmod(hash(skewed.columns.toIndexedSeq.map(col): _*), lit(factor)))
     val replicated = other.withColumn(saltCol,
       explode(array((0 until factor).map(lit): _*)))
     salted.join(replicated, Seq(key, saltCol), joinType).drop(saltCol)

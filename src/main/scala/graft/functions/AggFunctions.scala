@@ -12,10 +12,15 @@ import org.apache.spark.sql.types._
   * representable integer sum, so results are bit-identical to the
   * DECIMAL(18,2)-sum-then-cast formulation and engine-portable.
   *
-  * Range: |sum of cents| must stay below 2^63 (and below 2^53 for the
-  * exact final double) — fine up to ~9e16 cents = ~900 trillion in
-  * currency units. Beyond that (extreme 100 TB aggregates over few
-  * groups), fall back to the DECIMAL path.
+  * Range (per GROUP, since sums are per group): bit-exactness of the
+  * final double requires |sum| < 2^53 scaled units — i.e. ~9.0e13
+  * currency units for [[moneySum]] (scale 100) and ~9.0e11 for
+  * [[moneySumDiscounted]] (scale 10^4); Long wraps silently ~1000x
+  * later. A 100 TB fact table aggregated into a handful of groups can
+  * cross these bounds — there, fall back to DECIMAL(38, s) sums (the
+  * formulation these functions replaced; see git history of
+  * RelationalQueries), which trade ~3x aggregation throughput for
+  * unbounded exactness.
   */
 object AggFunctions {
 

@@ -189,18 +189,23 @@ object PipelineQueries {
       // reproducible 80/20 split via multiplicative (Knuth) hashing of
       // the id — pure integer arithmetic, identical on any engine, and
       // stable under data re-partitioning (never rand()-based, which
-      // would be nondeterministic across retries at scale)
+      // would be nondeterministic across retries at scale). The id is
+      // reduced mod 1e6+3 BEFORE multiplying so the product stays
+      // under 2^63 for any BIGINT id — no silent Spark wraparound, no
+      // DuckDB overflow error
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
-          (pmod(col("doc_id") * 2654435761L, lit(100)) < 80).as("is_train")),
-      Some("""SELECT doc_id, (doc_id * 2654435761) % 100 < 80 AS is_train
+          (pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100)) < 80)
+            .as("is_train")),
+      Some("""SELECT doc_id, ((doc_id % 1000003) * 2654435761) % 100 < 80 AS is_train
         FROM documents""")),
 
     QueryDef("sample_stratified",
       // stratified deterministic sample: 20 docs per language, chosen
-      // by smallest multiplicative hash (uniform within stratum)
+      // by smallest multiplicative hash (uniform within stratum);
+      // same overflow-safe reduction as sample_train_split
       (s, dir) => {
-        val h = pmod(col("doc_id") * 2654435761L, lit(1000000007L))
+        val h = pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(1000000007L))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc)
         t(s, dir, "documents")
@@ -211,7 +216,7 @@ object PipelineQueries {
       Some("""SELECT doc_id, lang FROM (
           SELECT doc_id, lang,
             row_number() OVER (PARTITION BY lang
-              ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+              ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000007, doc_id) AS rn
           FROM documents) WHERE rn <= 20""")),
 
     // ---- multimodal plumbing ----

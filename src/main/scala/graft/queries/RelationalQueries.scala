@@ -384,14 +384,18 @@ object RelationalQueries {
     QueryDef("q_sessionize",
       // gap-based sessionization: a >30-minute silence starts a new
       // session; session index = running count of session starts.
-      // ts is a nanos long (see Tables) — exact integer arithmetic.
+      // ts is a nanos long (see Tables); the gap compares at MICROS
+      // (ts div 1000) because DuckDB INTERVAL arithmetic is
+      // microsecond-precision — aligning the granularity makes the
+      // oracle parity structural, not dependent on the fixture having
+      // no sub-microsecond components. Ordering still uses full nanos.
       (s, dir) => {
-        val gapNs = 30L * 60 * 1000000000L
+        val gapUs = 30L * 60 * 1000000L
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts").asc, col("event_id").asc)
         t(s, dir, "events")
           .withColumn("new_session",
-            when(col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1L)
+            when(expr("ts div 1000") - lag(expr("ts div 1000"), 1).over(w) > gapUs, 1L)
               .otherwise(lit(0L)))
           .select(col("user_id"), col("event_id"),
             sum(col("new_session"))

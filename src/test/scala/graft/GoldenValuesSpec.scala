@@ -31,8 +31,7 @@ class GoldenValuesSpec extends SparkSuite {
     // recompute locally from the same text — the kernel and the data
     // must both be stable
     val text = docs.select("text").head().getString(0)
-    val want = text.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
-    assert(fp == want)
+    assert(fp == TestFolds.fingerprintRef(text))
     assert(fp == 191689641L, s"corpus or kernel drifted: fp=$fp")
   }
 

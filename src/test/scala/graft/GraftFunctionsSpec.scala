@@ -42,8 +42,9 @@ class GraftFunctionsSpec extends SparkSuite {
     // proves the GraftSparkExtensions path works.
     val s2 = spark.newSession()
     val r = s2.sql("SELECT simhash64('a b c') AS sh, text_fingerprint('abc') AS fp").head()
-    assert(r.getLong(1) ==
-      "abc".foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L))
+    assert(r.getLong(0) == graft.expressions.TextHashing.simhash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c")))
+    assert(r.getLong(1) == TestFolds.fingerprintRef("abc"))
   }
 
   test("bad literal argument yields a clear error") {

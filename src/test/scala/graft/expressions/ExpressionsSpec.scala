@@ -32,12 +32,12 @@ class ExpressionsSpec extends SparkSuite {
     assert(plan.contains("*(1) Project [vector_dot"), s"plan:\n$plan")
   }
 
-  test("TextFingerprint matches the HOF/SQL fold arithmetic") {
-    val df = Seq("hello world", "", "a", "the quick brown fox").toDF("text")
+  test("TextFingerprint matches the reference fold, including non-BMP code points") {
+    val inputs = Seq("hello world", "", "a", "the quick brown fox",
+      "emoji 😀 and beyond") // surrogate pair: per-Char folds diverge here
+    val df = inputs.toDF("text")
     val got = df.select(TextFingerprint(col("text"))).collect().map(_.getLong(0)).toSeq
-    val want = Seq("hello world", "", "a", "the quick brown fox")
-      .map(_.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L))
-    assert(got == want)
+    assert(got == inputs.map(graft.TestFolds.fingerprintRef))
   }
 
   test("WordShingleHashes: count, range, determinism, short-doc empty") {

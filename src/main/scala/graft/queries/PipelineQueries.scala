@@ -168,6 +168,11 @@ object PipelineQueries {
         FROM documents""")),
 
     QueryDef("text_langid",
+      // NOTE: the synthetic corpus draws every language's text from
+      // the same English-ish vocabulary (verified at data-probe time),
+      // so predictions are near-constant "en" here — the op is
+      // exercised structurally; TextFunctionsSpec covers real
+      // multilingual discrimination on constructed sentences
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"), col("lang"), TF.langId(col("text")).as("predicted")),
       None),

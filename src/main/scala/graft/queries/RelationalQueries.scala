@@ -235,6 +235,44 @@ object RelationalQueries {
           ON c_acctbal >= n_nationkey * 400 AND c_acctbal < (n_nationkey + 1) * 400
         GROUP BY n_nationkey""")),
 
+    QueryDef("q_interval_join",
+      // equi + interval predicate: lineitems shipped within 60 days of
+      // their order's date. The equi key keeps this a hash join with a
+      // post-filter — never a nested-loop range join
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        l.join(o, l("l_orderkey") === o("o_orderkey") &&
+            l("l_shipdate") >= o("o_orderdate") &&
+            l("l_shipdate") < o("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_shipped_60d"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_shipped_60d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_returnflag""")),
+
+    QueryDef("q_nullsafe_join",
+      // null-safe equality (<=>): NULL keys match each other, unlike
+      // plain = which drops them
+      (s, dir) => {
+        val ev = maskedEvents(s, dir).where(col("event_id") < 100)
+        ev.as("x").join(ev.as("y"),
+            col("x.v") <=> col("y.v") && col("x.event_id") < col("y.event_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            count(when(col("x.v").isNull, 1)).as("n_null_pairs"))
+      },
+      Some("""WITH m AS (
+          SELECT event_id,
+            CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+          FROM events WHERE event_id < 100)
+        SELECT count(*) AS n_pairs,
+          count(CASE WHEN x.v IS NULL THEN 1 END) AS n_null_pairs
+        FROM m x JOIN m y
+          ON x.v IS NOT DISTINCT FROM y.v AND x.event_id < y.event_id""")),
+
     // ---- as-of join (union+window, single shuffle — AsOfJoin) ----
 
     QueryDef("q_asof_join",

@@ -31,15 +31,19 @@ object Bench {
     // best-of-2 per query: the second run reuses compiled codegen and
     // warm page cache, so min() reports steady-state query cost rather
     // than one-off compilation (which is constant in data size).
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => return -1.0 }
+      catch { case e: Throwable =>
+        // loud failure: a silently-dropped query would flatter `total`
+        System.err.println(s"[bench] $name FAILED: $e")
+        return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = once(fn)
-      val b = once(fn)
+      val a = once(name, fn)
+      val b = once(name, fn)
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

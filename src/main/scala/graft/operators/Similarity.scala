@@ -39,6 +39,28 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
+
+  /** Exact top-k most-similar PAIRS (a < b) by cosine over a vector
+    * set — the all-pairs O(n^2) theta-join, kept as the correctness
+    * baseline for near-dup detection. Guarded: refuses inputs larger
+    * than `maxVectors` so the quadratic path cannot be reached by
+    * accident at scale; the scale-safe equivalent is
+    * [[RandomHyperplaneLSH.nearDupPairs]] (bucketed candidates, no
+    * all-pairs expansion).
+    */
+  def bruteForcePairsTopK(vectors: DataFrame, k: Int,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          maxVectors: Long = 2000L): DataFrame = {
+    val v = vectors.select(col(idCol), col(vecCol))
+    val n = v.count()
+    require(n <= maxVectors,
+      s"all-pairs cosine is O(n^2): got $n vectors > guard $maxVectors; " +
+        "use RandomHyperplaneLSH.nearDupPairs for large inputs")
+    v.as("x").join(broadcast(v.as("y")), col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        VectorFunctions.cosine(col(s"x.$vecCol"), col(s"y.$vecCol")).as("cos"))
+      .orderBy(col("cos").desc, col("a"), col("b")).limit(k)
+  }
 }
 
 /** Sign-random-projection (random hyperplane) LSH for cosine
@@ -56,9 +78,11 @@ object RandomHyperplaneLSH {
   )
 
   /** Gaussian hyperplanes as literal arrays — constant-folded by
-    * Catalyst, shipped once in the plan, never shuffled.
+    * Catalyst, shipped once in the plan, never shuffled. Public so the
+    * DuckDB oracles can inline the identical constants into SQL (the
+    * planes are seed-derived, data-independent metadata).
     */
-  private def planes(p: Params): Seq[Seq[Array[Double]]] = {
+  def planes(p: Params): Seq[Seq[Array[Double]]] = {
     val rnd = new scala.util.Random(p.seed)
     Seq.fill(p.tables)(Seq.fill(p.planesPerTable)(
       Array.fill(p.dim)(rnd.nextGaussian())))
@@ -101,5 +125,32 @@ object RandomHyperplaneLSH {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("qid", "nid", "rank")
+  }
+
+  /** Scale-safe embedding near-duplicate pairs: candidates are bucket
+    * collisions (equi-join, never all-pairs), verified with exact
+    * cosine >= `threshold`. Output (a, b, cos) with a < b, distinct.
+    * This is the 100 TB path for embedding near-dup — corpus-side cost
+    * is |corpus| x tables bucket rows; scoring touches only colliding
+    * pairs. Recall is the per-pair LSH collision probability
+    * (1 - (1 - (1 - theta/pi)^planes)^tables), asserted numerically in
+    * RecallSpec against the brute-force baseline.
+    */
+  def nearDupPairs(df: DataFrame, threshold: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   p: Params = Params()): DataFrame = {
+    val b = buckets(df, idCol, vecCol, p)
+    val cands = b.as("l").join(b.as("r"),
+        col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
+      .distinct()
+    val v = df.select(col(idCol), col(vecCol))
+    cands
+      .join(v.select(col(idCol).as("a"), col(vecCol).as("va")), Seq("a"))
+      .join(v.select(col(idCol).as("b"), col(vecCol).as("vb")), Seq("b"))
+      .select(col("a"), col("b"),
+        VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
   }
 }

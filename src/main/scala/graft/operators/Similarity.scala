@@ -51,11 +51,17 @@ object Similarity {
   def bruteForcePairsTopK(vectors: DataFrame, k: Int,
                           idCol: String = "vec_id", vecCol: String = "embedding",
                           maxVectors: Long = 2000L): DataFrame = {
-    val v = vectors.select(col(idCol), col(vecCol))
-    val n = v.count()
+    // The size guard is an eager count on the RAW plan (cheap aggregate,
+    // no row materialization — safe even when the guard is about to
+    // refuse an oversized input); only the validated, bounded input is
+    // then localCheckpoint'd so both join sides reuse one
+    // materialization instead of re-evaluating the upstream plan twice.
+    val raw = vectors.select(col(idCol), col(vecCol))
+    val n = raw.count()
     require(n <= maxVectors,
       s"all-pairs cosine is O(n^2): got $n vectors > guard $maxVectors; " +
         "use RandomHyperplaneLSH.nearDupPairs for large inputs")
+    val v = raw.localCheckpoint(eager = false)
     v.as("x").join(broadcast(v.as("y")), col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
         VectorFunctions.cosine(col(s"x.$vecCol"), col(s"y.$vecCol")).as("cos"))

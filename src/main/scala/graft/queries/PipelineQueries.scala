@@ -80,17 +80,34 @@ object PipelineQueries {
         FROM i JOIN c ca ON ca.doc_id = i.a JOIN c cb ON cb.doc_id = i.b""")),
 
     QueryDef("neardup_embedding",
-      // embedding-cosine near-dup: top-20 most similar pairs
-      (s, dir) => {
-        val e = t(s, dir, "embeddings").where(col("vec_id") < 300)
-          .select(col("vec_id"), col("embedding"))
-        e.as("x").join(broadcast(e.as("y")), col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-            graft.functions.VectorFunctions
-              .cosine(col("x.embedding"), col("y.embedding")).as("cos"))
-          .orderBy(col("cos").desc, col("a"), col("b")).limit(20)
-          .select("a", "b")
-      },
+      // embedding-cosine near-dup, exact baseline: top-20 most similar
+      // pairs via the GUARDED all-pairs operator (refuses inputs above
+      // its maxVectors bound, so the quadratic path is structurally
+      // unreachable at scale); the 100 TB path is
+      // neardup_embedding_lsh below
+      (s, dir) => Similarity.bruteForcePairsTopK(
+          t(s, dir, "embeddings").where(col("vec_id") < 300), k = 20)
+        .select("a", "b"),
+      Some("""SELECT a, b FROM (
+          SELECT x.vec_id AS a, y.vec_id AS b,
+            row_number() OVER (ORDER BY list_cosine_similarity(
+              CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])) DESC,
+              x.vec_id, y.vec_id) AS rn
+          FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+          WHERE x.vec_id < 300 AND y.vec_id < 300)
+        WHERE rn <= 20""")),
+
+    QueryDef("neardup_embedding_lsh",
+      // embedding-cosine near-dup, scale path: random-hyperplane LSH
+      // bucket candidates (equi-join, never all-pairs) + exact cosine
+      // verify. Candidate membership is hash-dependent → rows-only
+      // check here; pair recall vs the exact baseline is asserted
+      // numerically in RecallSpec. Threshold 0.2 on a corpus whose max
+      // pairwise cosine is ~0.5 keeps the verify stage selective
+      (s, dir) => RandomHyperplaneLSH.nearDupPairs(
+          t(s, dir, "embeddings"), threshold = 0.2)
+        .orderBy(col("cos").desc, col("a"), col("b")).limit(50)
+        .select("a", "b"),
       None),
 
     // ---- similarity search (ANN) ----
@@ -175,7 +192,30 @@ object PipelineQueries {
       // multilingual discrimination on constructed sentences
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"), col("lang"), TF.langId(col("text")).as("predicted")),
-      None),
+      // argmax of per-language marker counts; the CASE ladder encodes
+      // the same tie-break as the Spark struct-max (earliest language
+      // in TextFunctions.langMarkers wins ties), zero hits -> 'und'
+      Some("""WITH m AS (
+          SELECT doc_id, lang,
+            len(list_filter(string_split(text, ' '),
+              w -> w IN ('the','and','of','is','in','a'))) AS s_en,
+            len(list_filter(string_split(text, ' '),
+              w -> w IN ('el','la','los','de','que','y'))) AS s_es,
+            len(list_filter(string_split(text, ' '),
+              w -> w IN ('le','les','et','des','un','une'))) AS s_fr,
+            len(list_filter(string_split(text, ' '),
+              w -> w IN ('der','die','das','und','ist'))) AS s_de,
+            len(list_filter(string_split(text, ' '),
+              w -> w IN ('的','是','在','了'))) AS s_zh
+          FROM documents)
+        SELECT doc_id, lang,
+          CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) <= 0 THEN 'und'
+               WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+               WHEN s_es >= greatest(s_fr, s_de, s_zh) THEN 'es'
+               WHEN s_fr >= greatest(s_de, s_zh) THEN 'fr'
+               WHEN s_de >= s_zh THEN 'de'
+               ELSE 'zh' END AS predicted
+        FROM m""")),
 
     QueryDef("q_sketch_distinct",
       // HLL++ sketch per language — merge-order-independent, so the
@@ -236,11 +276,14 @@ object PipelineQueries {
 
     QueryDef("mm_frames",
       // byte-exact frame sampling: every 4th 32-byte block of the
-      // payload (video-frame-extraction shape on opaque binary)
+      // payload (video-frame-extraction shape on opaque binary). The
+      // sampled bytes are emitted hex-encoded: raw BINARY output cannot
+      // be canonicalized by the driver's pandas compare (bytearray is
+      // unhashable), and hex is the byte-exact portable encoding
       (s, dir) => Multimodal.frameSample(
           Multimodal.asMediaTable(t(s, dir, "documents").where(col("doc_id") < 50)),
           frameBytes = 32, stride = 4)
-        .select("doc_id", "frame_idx", "frame"),
+        .select(col("doc_id"), col("frame_idx"), hex(col("frame")).as("frame")),
       // DuckDB 1.0 cannot slice BLOBs; the corpus is pure ASCII, so
       // slicing the string and encoding the slice is byte-identical
       Some("""WITH f AS (
@@ -248,15 +291,38 @@ object PipelineQueries {
             unnest(range(0, (octet_length(encode(text)) - 1) // 128 + 1)) AS i
           FROM documents WHERE doc_id < 50)
         SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-          encode(substring(text, CAST(i * 128 + 1 AS INT), 32)) AS frame
+          hex(encode(substring(text, CAST(i * 128 + 1 AS INT), 32))) AS frame
         FROM f
         WHERE length(substring(text, CAST(i * 128 + 1 AS INT), 32)) > 0""")),
 
     QueryDef("mm_decode",
-      // partition-batched stub decode (typed Dataset path)
+      // partition-batched stub decode (typed Dataset path); width and
+      // height are computed Ints -> cast to BIGINT on both sides for
+      // the driver compare
       (s, dir) => Multimodal.extractFeatures(s,
           Multimodal.asMediaTable(t(s, dir, "documents").where(col("doc_id") < 100)))
-        .toDF(),
-      None)
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("fmt"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("checksum")),
+      // the stub codec is a deterministic byte fold (crc = polynomial
+      // rolling hash over utf-8 payload bytes, same arithmetic as the
+      // text_fingerprint oracle on this ASCII corpus) plus integer
+      // width/height derivations — fully SQL-expressible
+      Some("""WITH c AS (
+          SELECT doc_id,
+            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+            list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, length(text) + 1),
+                  i -> CAST(ascii(text[i]) AS BIGINT))),
+              (a, b) -> (a * 31 + b) % 1000000007) AS crc
+          FROM documents WHERE doc_id < 100)
+        SELECT doc_id, n_bytes, 'txt' AS fmt,
+          CAST(64 + crc % 577 AS BIGINT) AS width,
+          CAST(64 + (crc // 577) % 433 AS BIGINT) AS height,
+          crc AS checksum
+        FROM c"""))
   )
 }

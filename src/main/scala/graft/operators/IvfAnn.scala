@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * neighbor search" (TPAMI 2011), without the PQ residual codes.
   *
   * Scale shape:
-  *  - training: `iterations` passes, each one corpus scan (cell
-  *    assignment is k codegen'd [[VectorFunctions.dot]] calls per row)
-  *    plus a (cell, dim)-keyed partial-aggregated shuffle of k x dim
-  *    sums. Centroids are driver-side metadata (k x dim doubles) and
-  *    are shipped to executors as plan literals — never shuffled.
+  *  - training: `iterations` passes over a deterministic hash-SAMPLE
+  *    of the corpus (`Params.trainFraction`, materialized once), not
+  *    the corpus itself (cell assignment is k codegen'd
+  *    [[VectorFunctions.dot]] calls per row) plus a (cell, dim)-keyed
+  *    partial-aggregated shuffle of k x dim sums. Centroids are
+  *    driver-side metadata (k x dim doubles) and are shipped to
+  *    executors as plan literals — never shuffled.
   *  - indexing: one scan, adds a cell id per row.
   *  - search: candidates = equi-join on cell id, so scoring touches
   *    ~(nprobe/k) of the corpus per query instead of all of it —
@@ -28,7 +30,20 @@ import org.apache.spark.sql.functions._
   */
 object IvfAnn {
 
-  final case class Params(k: Int = 16, iterations: Int = 5, nprobe: Int = 3)
+  /** @param trainFraction fraction of the corpus used for k-means
+    *   training, selected by a deterministic multiplicative hash of the
+    *   id (same machinery as the sample_train_split query — stable
+    *   under re-partitioning and retries). Centroid quality needs a
+    *   representative sample, not the full corpus: at 100 TB, training
+    *   on every vector for every Lloyd iteration is the dominant cost
+    *   and adds nothing. Falls back to the full corpus when the sample
+    *   is below ~64 training points per centroid (tiny inputs).
+    */
+  final case class Params(k: Int = 16, iterations: Int = 5, nprobe: Int = 3,
+                          trainFraction: Double = 0.25) {
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
+  }
 
   /** score of assigning vector v to centroid c under L2:
     * argmin |v-c|^2 = argmax (v.c - |c|^2/2); |v|^2 is constant per row.
@@ -42,11 +57,35 @@ object IvfAnn {
       struct(cellScore(vec, c).as("score"), lit(i).as("cell"))
     }: _*)).getField("cell")
 
-  /** Lloyd's k-means; returns k centroids (driver-side metadata). */
+  /** Lloyd's k-means over a deterministic hash-sample of the corpus;
+    * returns k centroids (driver-side metadata).
+    *
+    * Training cost: one bounded sample materialization
+    * (localCheckpoint) + `iterations` passes over the SAMPLE — not the
+    * full corpus — plus a (cell, dim)-keyed partial-aggregated shuffle
+    * of k x dim sums per pass. The sample-size probe (`count`) is one
+    * cheap aggregate job, paid once per fit.
+    */
   def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                    p: Params = Params()): Array[Array[Double]] = {
-    val vecs = corpus.select(col(idCol).as("id"),
+    val all = corpus.select(col(idCol).as("id"),
       VectorFunctions.toDoubleArray(col(vecCol)).as("v"))
+    // multiplicative-hash sample: id reduced mod 1e6+3 BEFORE the
+    // multiply so the product never overflows for any BIGINT id
+    val sampled =
+      if (p.trainFraction >= 1.0) all
+      else all.where(
+        pmod(pmod(col("id"), lit(1000003L)) * 2654435761L, lit(1000000L)) <
+          math.max(1L, (p.trainFraction * 1000000L).toLong))
+    // fall back to the full corpus when the sample is below the useful
+    // k-means training minimum (~64 points per centroid, the
+    // conventional IVF training floor) — tiny corpora train on
+    // everything, large corpora on the sample, and the crossover is
+    // where sampling starts to actually save work
+    val vecs = {
+      val chosen = if (sampled.count() >= 64L * p.k) sampled else all
+      chosen.localCheckpoint(eager = false) // one materialization, reused per iteration
+    }
     var centroids = vecs.orderBy(col("id")).limit(p.k)
       .collect().map(_.getSeq[Double](1).toArray)
     val dim = centroids.head.length

@@ -36,6 +36,29 @@ class IvfAnnSpec extends SparkSuite {
     assert(ivf == brute)
   }
 
+  test("sampled training path: deterministic, and probe-all stays exact") {
+    // 3000 synthetic vectors, k=4 -> training floor 256 < sample ~750,
+    // so the hash-sampled branch (not the tiny-corpus fallback) runs
+    val rnd = new scala.util.Random(11)
+    import spark.implicits._
+    val big = (0 until 3000).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val p = IvfAnn.Params(k = 4, iterations = 2, nprobe = 4, trainFraction = 0.25)
+    val c1 = IvfAnn.fitCentroids(big, "vec_id", "embedding", p)
+    val c2 = IvfAnn.fitCentroids(big, "vec_id", "embedding", p)
+    assert(c1.length == 4 && c1.forall(_.length == 16))
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    // probing every cell is exact search no matter how centroids were
+    // trained — the sampled path must preserve that invariant
+    val queries = big.where(col("vec_id") < 3)
+    val ivf = IvfAnn.topK(queries, big, k = 3, p = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(queries, big, k = 3)
+      .select(col("qid"), col("nid"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf == brute)
+  }
+
   test("IVF with nprobe < k prunes the candidate set but stays valid") {
     val queries = emb.where(col("vec_id") < 5)
     val p = IvfAnn.Params(k = 8, iterations = 3, nprobe = 2)

@@ -54,21 +54,13 @@ object PipelineQueries {
 
     QueryDef("dedup_word_jaccard",
       // exact pairwise Jaccard counts over distinct word sets — the
-      // n-gram-Jaccard oracle case (integer outputs, no division)
-      (s, dir) => {
-        val docs = t(s, dir, "documents").where(col("doc_id") < 100)
-        val tok = docs.select(col("doc_id"),
-          explode(array_distinct(TF.tokens(col("text")))).as("w"))
-        val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        tok.as("x").join(tok.as("y"),
-            col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .agg(count(lit(1)).as("inter"))
-          .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-          .join(cnt.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
-          .select(col("a"), col("b"), col("inter"),
-            (col("na") + col("nb") - col("inter")).as("uni"))
-      },
+      // n-gram-Jaccard oracle case (integer outputs, no division).
+      // maxDocFreq = 1000 structurally bounds the hot-token join blowup
+      // while staying above this 100-doc subset's maximum possible df,
+      // so the capped result is bit-identical to the uncapped oracle
+      (s, dir) => WordJaccard.pairStats(
+        t(s, dir, "documents").where(col("doc_id") < 100),
+        "doc_id", "text", maxDocFreq = 1000L),
       Some("""WITH s AS (
           SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
           FROM documents WHERE doc_id < 100),

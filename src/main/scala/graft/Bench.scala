@@ -43,13 +43,18 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a = once(name, fn)
-      val b = once(name, fn)
+      // a failed first run means a near-certain failed second run —
+      // don't pay (and double-log) the failure twice
+      val b = if (a < 0) -1.0 else once(name, fn)
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed > 0 is the machine-readable marker that `total` is missing
+    // those queries' time (each also reports -1 in `queries`)
+    val failed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -85,37 +85,128 @@ object TopNValidator {
   private val allowedTypes: Set[DataType] =
     Set(IntegerType, LongType, FloatType, DoubleType)
 
-  def validate(cfg: TopNConfig, schema: Option[StructType]): Seq[ValidationFailure] = {
-    val fieldFailures = schema match {
+  private[operators] def fieldFailures(field: String, schema: Option[StructType]): Seq[ValidationFailure] =
+    schema match {
       case None => Nil // schema unknown at this point — re-validate at run prep
       case Some(s) =>
-        s.fields.find(_.name == cfg.field) match {
+        s.fields.find(_.name == field) match {
           case None =>
             Seq(ValidationFailure(
-              s"Field '${cfg.field}' must exist in input schema.",
+              s"Field '$field' must exist in input schema.",
               Some("field")))
           case Some(f) if !allowedTypes.contains(f.dataType) =>
             Seq(ValidationFailure(
-              s"Field '${cfg.field}' of type ${f.dataType.simpleString} cannot be " +
+              s"Field '$field' of type ${f.dataType.simpleString} cannot be " +
                 "used for sorting; it must be of type int, long, float or double.",
               Some("field")))
           case _ => Nil
         }
     }
-    val sizeFailures =
-      if (cfg.size < 1)
-        Seq(ValidationFailure(
-          s"Size ${cfg.size} must be at least 1.", Some("size")))
-      else if (cfg.size > TopNConfig.MaxTop)
-        Seq(ValidationFailure(
-          s"Size ${cfg.size} must be at most ${TopNConfig.MaxTop}.", Some("size")))
-      else Nil
-    fieldFailures ++ sizeFailures
-  }
+
+  private[operators] def sizeFailures(size: Int): Seq[ValidationFailure] =
+    if (size < 1)
+      Seq(ValidationFailure(
+        s"Size $size must be at least 1.", Some("size")))
+    else if (size > TopNConfig.MaxTop)
+      Seq(ValidationFailure(
+        s"Size $size must be at most ${TopNConfig.MaxTop}.", Some("size")))
+    else Nil
+
+  def validate(cfg: TopNConfig, schema: Option[StructType]): Seq[ValidationFailure] =
+    fieldFailures(cfg.field, schema) ++ sizeFailures(cfg.size)
 
   def validateOrThrow(cfg: TopNConfig, schema: Option[StructType]): Unit = {
     val failures = validate(cfg, schema)
     if (failures.nonEmpty) throw new TopNValidationException(failures)
+  }
+}
+
+/** Deploy-time ("raw") Top-N configuration whose property values may be
+  * late-bound `${argument}` placeholders — the analog of the
+  * reference's `@Macro` annotation (`TopNConfig.java:41-52`): at
+  * deployment a property may not have a concrete value yet, so its
+  * validation is deferred; at run preparation the placeholders are
+  * resolved from the runtime arguments and EVERYTHING is re-validated.
+  */
+final case class TopNRawConfig(
+    field: String,
+    size: String = "1",
+    ignoreNull: String = "false"
+)
+
+/** Two-phase validation of [[TopNRawConfig]] mirroring the reference's
+  * `containsMacro` skip at configure time + full re-validation at run
+  * prep (`TopNConfig.java:62-66` guarded by the macro check).
+  */
+object TopNMacro {
+
+  private val Macro = """\$\{([^}]+)\}""".r
+
+  def containsMacro(value: String): Boolean = Macro.findFirstIn(value).isDefined
+
+  private def parseSize(value: String): Either[ValidationFailure, Int] =
+    value.trim.toIntOption.toRight(ValidationFailure(
+      s"Size '$value' must be an integer.", Some("size")))
+
+  private def parseIgnoreNull(value: String): Either[ValidationFailure, Boolean] =
+    value.trim.toLowerCase match {
+      case "true" => Right(true)
+      case "false" => Right(false)
+      case _ => Left(ValidationFailure(
+        s"ignoreNull '$value' must be true or false.", Some("ignoreNull")))
+    }
+
+  /** Deploy-time validation: concrete properties are fully checked;
+    * macro'd properties are skipped (they cannot be judged yet). A
+    * passing deploy validation therefore does NOT guarantee a passing
+    * run — [[resolve]] re-validates after substitution.
+    */
+  def validateAtDeploy(cfg: TopNRawConfig, schema: Option[StructType]): Seq[ValidationFailure] = {
+    val fieldF =
+      if (containsMacro(cfg.field)) Nil
+      else TopNValidator.fieldFailures(cfg.field, schema)
+    val sizeF =
+      if (containsMacro(cfg.size)) Nil
+      else parseSize(cfg.size).fold(Seq(_), TopNValidator.sizeFailures)
+    val ignoreF =
+      if (containsMacro(cfg.ignoreNull)) Nil
+      else parseIgnoreNull(cfg.ignoreNull).left.toSeq
+    fieldF ++ sizeF ++ ignoreF
+  }
+
+  /** Substitute `${arg}`s from `args`; unresolved placeholders fail
+    * with attribution to the property that contains them.
+    */
+  private def substitute(property: String, value: String,
+                         args: Map[String, String]): Either[ValidationFailure, String] = {
+    val names = Macro.findAllMatchIn(value).map(_.group(1)).toSeq
+    val missing = names.filterNot(args.contains)
+    if (missing.nonEmpty)
+      Left(ValidationFailure(
+        s"Unresolved runtime argument(s) ${missing.mkString("${", "}, ${", "}")} " +
+          s"in value '$value'.", Some(property)))
+    else
+      Right(Macro.replaceAllIn(value,
+        m => java.util.regex.Matcher.quoteReplacement(args(m.group(1)))))
+  }
+
+  /** Run-prep resolution: substitute every placeholder from the runtime
+    * arguments, parse, and re-validate the now-concrete config against
+    * the schema. Throws [[TopNValidationException]] with ALL accumulated
+    * failures (substitution, parse, and semantic) — same multi-error
+    * contract as deploy-time validation.
+    */
+  def resolve(cfg: TopNRawConfig, args: Map[String, String],
+              schema: Option[StructType]): TopNConfig = {
+    val fieldE = substitute("field", cfg.field, args)
+    val sizeE = substitute("size", cfg.size, args).flatMap(parseSize)
+    val ignoreE = substitute("ignoreNull", cfg.ignoreNull, args).flatMap(parseIgnoreNull)
+    val substFailures = Seq(fieldE, sizeE, ignoreE).flatMap(_.left.toSeq)
+    if (substFailures.nonEmpty) throw new TopNValidationException(substFailures)
+    val resolved = TopNConfig(
+      fieldE.toOption.get, sizeE.toOption.get, ignoreE.toOption.get)
+    TopNValidator.validateOrThrow(resolved, schema)
+    resolved
   }
 }
 

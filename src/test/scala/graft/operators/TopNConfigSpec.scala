@@ -63,4 +63,53 @@ class TopNConfigSpec extends AnyFunSuite {
     val cfg = TopNConfig("id")
     assert(cfg.size == 1 && !cfg.ignoreNull)
   }
+
+  // ---- V5: late-bound (@Macro) config, TopNConfig.java:41-52 ----
+
+  test("macro'd properties are deferred at deploy; concrete ones still checked") {
+    val cfg = TopNRawConfig(field = "${sort_field}", size = "${n}")
+    assert(TopNMacro.validateAtDeploy(cfg, Some(schema)).isEmpty)
+    // concrete bad size fails at deploy even while field is deferred
+    val bad = TopNRawConfig(field = "${sort_field}", size = "0")
+    val fs = TopNMacro.validateAtDeploy(bad, Some(schema))
+    assert(fs.size == 1 && fs.head.property.contains("size"))
+  }
+
+  test("non-integer size / non-boolean ignoreNull fail at deploy when concrete") {
+    val fs = TopNMacro.validateAtDeploy(
+      TopNRawConfig("id", size = "lots", ignoreNull = "maybe"), Some(schema))
+    assert(fs.map(_.property).flatten.toSet == Set("size", "ignoreNull"))
+  }
+
+  test("deferred-then-passing: macros resolve at run prep and validate clean") {
+    val cfg = TopNRawConfig(field = "${sort_field}", size = "${n}", ignoreNull = "${skip}")
+    assert(TopNMacro.validateAtDeploy(cfg, Some(schema)).isEmpty)
+    val resolved = TopNMacro.resolve(cfg,
+      Map("sort_field" -> "kg", "n" -> "7", "skip" -> "true"), Some(schema))
+    assert(resolved == TopNConfig("kg", 7, ignoreNull = true))
+  }
+
+  test("deferred-then-failing: a bad runtime value fails at run prep with attribution") {
+    val cfg = TopNRawConfig(field = "${sort_field}", size = "${n}")
+    assert(TopNMacro.validateAtDeploy(cfg, Some(schema)).isEmpty) // deploy passes
+    val e = intercept[TopNValidationException] {
+      TopNMacro.resolve(cfg, Map("sort_field" -> "name", "n" -> "0"), Some(schema))
+    }
+    assert(e.failures.map(_.property).flatten.toSet == Set("field", "size"))
+  }
+
+  test("unresolved runtime arguments fail at run prep, attributed to their property") {
+    val cfg = TopNRawConfig(field = "${sort_field}", size = "3")
+    val e = intercept[TopNValidationException] {
+      TopNMacro.resolve(cfg, Map.empty, Some(schema))
+    }
+    assert(e.failures.size == 1 && e.failures.head.property.contains("field"))
+    assert(e.failures.head.message.contains("sort_field"))
+  }
+
+  test("partial substitution composes with literal text") {
+    val cfg = TopNRawConfig(field = "${prefix}g", size = "1")
+    val resolved = TopNMacro.resolve(cfg, Map("prefix" -> "k"), Some(schema))
+    assert(resolved.field == "kg")
+  }
 }

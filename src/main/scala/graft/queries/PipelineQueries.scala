@@ -22,6 +22,40 @@ object PipelineQueries {
 
   private val stops = Seq("the", "and", "of", "is", "in", "a")
 
+  /** Generated DuckDB oracle for ann_lsh_topk. The hyperplanes are
+    * seed-derived, data-independent plan constants
+    * ([[RandomHyperplaneLSH.planes]]), so the oracle inlines the exact
+    * same doubles as SQL literals (shortest-repr `Double.toString`
+    * round-trips bit-exactly through DuckDB's parser) and recomputes
+    * the identical sign-bit buckets: both engines fold the dot product
+    * left-to-right over float-widened-to-double elements, so the sign,
+    * hence the bucket, hence the candidate set, is equal — making even
+    * the "approximate" path exactly checkable.
+    */
+  private def lshTopKOracle: String = {
+    val p = RandomHyperplaneLSH.Params()
+    val tableSelects = RandomHyperplaneLSH.planes(p).zipWithIndex.map { case (ps, t) =>
+      val bucket = ps.zipWithIndex.map { case (plane, b) =>
+        val planeLit = plane.mkString("[", ", ", "]")
+        s"(CASE WHEN list_inner_product(e, $planeLit) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM v"
+    }.mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      b AS ($tableSelects),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+        FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      scored AS (
+        SELECT cand.qid, cand.nid,
+          row_number() OVER (PARTITION BY cand.qid ORDER BY
+            list_cosine_similarity(qe.e, ce.e) DESC, cand.nid) AS rn
+        FROM cand JOIN v qe ON qe.vec_id = cand.qid
+                  JOIN v ce ON ce.vec_id = cand.nid)
+      SELECT qid, nid, CAST(rn AS BIGINT) AS nn_rank FROM scored WHERE rn <= 5"""
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- deduplication ----
@@ -126,7 +160,7 @@ object PipelineQueries {
         RandomHyperplaneLSH.topK(e.where(col("vec_id") < 10), e, k = 5)
           .select(col("qid"), col("nid"), col("rank").as("nn_rank"))
       },
-      None),
+      Some(lshTopKOracle)),
 
     QueryDef("ann_ivf_topk",
       // IVF: deterministic k-means cells, probe 3/16 of the corpus

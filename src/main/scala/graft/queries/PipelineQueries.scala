@@ -32,7 +32,11 @@ object PipelineQueries {
     * hence the bucket, hence the candidate set, is equal — making even
     * the "approximate" path exactly checkable.
     */
-  private def lshTopKOracle: String = {
+  /** `v AS (...), b AS (...)` CTEs shared by the two LSH oracles:
+    * per-vector double-cast embeddings and the per-table sign-bit
+    * buckets with the hyperplane doubles inlined.
+    */
+  private def lshBucketsCte: String = {
     val p = RandomHyperplaneLSH.Params()
     val tableSelects = RandomHyperplaneLSH.planes(p).zipWithIndex.map { case (ps, t) =>
       val bucket = ps.zipWithIndex.map { case (plane, b) =>
@@ -41,8 +45,12 @@ object PipelineQueries {
       }.mkString(" + ")
       s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM v"
     }.mkString(" UNION ALL ")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      b AS ($tableSelects),
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      b AS ($tableSelects)"""
+  }
+
+  private def lshTopKOracle: String =
+    s"""WITH $lshBucketsCte,
       cand AS (
         SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
         FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
@@ -54,7 +62,26 @@ object PipelineQueries {
         FROM cand JOIN v qe ON qe.vec_id = cand.qid
                   JOIN v ce ON ce.vec_id = cand.nid)
       SELECT qid, nid, CAST(rn AS BIGINT) AS nn_rank FROM scored WHERE rn <= 5"""
-  }
+
+  /** Generated DuckDB oracle for neardup_embedding_lsh: same inlined
+    * hyperplane buckets, pair candidates instead of query candidates,
+    * exact cosine verify at the same threshold, same top-50 ordering.
+    */
+  private def lshNearDupOracle: String =
+    s"""WITH $lshBucketsCte,
+      cand AS (
+        SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+        FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+          AND l.vec_id < r.vec_id),
+      scored AS (
+        SELECT cand.a, cand.b,
+          list_cosine_similarity(va.e, vb.e) AS cos
+        FROM cand JOIN v va ON va.vec_id = cand.a
+                  JOIN v vb ON vb.vec_id = cand.b)
+      SELECT a, b FROM (
+        SELECT a, b, row_number() OVER (ORDER BY cos DESC, a, b) AS rn
+        FROM scored WHERE cos >= 0.2)
+      WHERE rn <= 50"""
 
   val all: Seq[QueryDef] = Seq(
 
@@ -126,15 +153,16 @@ object PipelineQueries {
     QueryDef("neardup_embedding_lsh",
       // embedding-cosine near-dup, scale path: random-hyperplane LSH
       // bucket candidates (equi-join, never all-pairs) + exact cosine
-      // verify. Candidate membership is hash-dependent → rows-only
-      // check here; pair recall vs the exact baseline is asserted
-      // numerically in RecallSpec. Threshold 0.2 on a corpus whose max
-      // pairwise cosine is ~0.5 keeps the verify stage selective
+      // verify. The buckets are seed-derived constants, so even this
+      // path has an exact generated oracle (see lshNearDupOracle);
+      // pair recall vs the exact baseline is additionally asserted in
+      // RecallSpec. Threshold 0.2 on a corpus whose max pairwise
+      // cosine is ~0.5 keeps the verify stage selective
       (s, dir) => RandomHyperplaneLSH.nearDupPairs(
           t(s, dir, "embeddings"), threshold = 0.2)
         .orderBy(col("cos").desc, col("a"), col("b")).limit(50)
         .select("a", "b"),
-      None),
+      Some(lshNearDupOracle)),
 
     // ---- similarity search (ANN) ----
 

@@ -175,3 +175,26 @@ object TextFingerprint {
 object SimHash64 {
   def apply(c: Column): Column = GraftExpressions.simhash64(c)
 }
+
+/** Media-payload kernels (plain static methods so generated whole-stage
+  * code can call them directly).
+  */
+object MediaKernels {
+
+  /** Every `stride`-th byte starting at offset 0 — the integer-factor
+    * downscale shape on an opaque payload. stride=1 is the identity.
+    */
+  def byteStride(bytes: Array[Byte], stride: Int): Array[Byte] = {
+    if (stride == 1) return bytes
+    val n = (bytes.length + stride - 1) / stride
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = bytes(i * stride); i += 1 }
+    out
+  }
+}
+
+/** Codegen'd strided byte-subsample of a binary column. */
+object ByteStride {
+  def apply(c: Column, stride: Int): Column = GraftExpressions.byteStride(c, stride)
+}

@@ -76,6 +76,18 @@ object Multimodal {
       .where(octet_length(col("frame")) > 0)
   }
 
+  /** Integer-factor "resize": keep every `stride`-th payload byte — the
+    * raster/waveform downscale shape on an opaque media column, as a
+    * single codegen'd projection ([[graft.expressions.ByteStride]], no
+    * UDF, no shuffle). A real resampler replaces the kernel, not the
+    * plan. Adds `resized` + `resized_bytes` next to the payload.
+    */
+  def resample(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1)
+    media.withColumn("resized", graft.expressions.ByteStride(col("payload"), stride))
+      .withColumn("resized_bytes", octet_length(col("resized")).cast("long"))
+  }
+
   /** Partition-batched feature extraction over the media table. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._

@@ -349,6 +349,21 @@ object PipelineQueries {
         FROM f
         WHERE length(substring(text, CAST(i * 128 + 1 AS INT), 32)) > 0""")),
 
+    QueryDef("mm_resize",
+      // integer-factor downscale on the opaque payload (every 4th
+      // byte), hex-encoded for the portable compare; the ASCII corpus
+      // makes DuckDB's string subscripting byte-identical
+      (s, dir) => Multimodal.resample(
+          Multimodal.asMediaTable(t(s, dir, "documents").where(col("doc_id") < 200)),
+          stride = 4)
+        .select(col("doc_id"), hex(col("resized")).as("resized"),
+          col("resized_bytes")),
+      Some("""SELECT doc_id,
+          hex(encode(array_to_string(
+            list_transform(range(1, length(text) + 1, 4), i -> text[i]), ''))) AS resized,
+          CAST((length(text) + 3) // 4 AS BIGINT) AS resized_bytes
+        FROM documents WHERE doc_id < 200""")),
+
     QueryDef("mm_decode",
       // partition-batched stub decode (typed Dataset path); width and
       // height are computed Ints -> cast to BIGINT on both sides for

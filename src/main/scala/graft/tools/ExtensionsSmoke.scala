@@ -31,19 +31,21 @@ object ExtensionsSmoke {
           |  simhash64('a b c') AS sh,
           |  vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
           |  size(word_shingle_hashes('a b c d', 3)) AS nsh,
-          |  size(minhash_signature('a b c d', 3, 16, 42)) AS sigk
+          |  size(minhash_signature('a b c d', 3, 16, 42)) AS sigk,
+          |  byte_stride(encode('abcdef', 'UTF-8'), 2) AS bs
           |""".stripMargin).collect()(0)
       // fingerprint('abc') = ((0*31+97)*31+98)*31+99 mod 1e9+7
       assert(r.getAs[Long]("fp") == 96354L, s"fp = ${r.getAs[Long]("fp")}")
       assert(r.getAs[Double]("dot") == 11.0, s"dot = ${r.getAs[Double]("dot")}")
       assert(r.getAs[Int]("nsh") == 2)
       assert(r.getAs[Int]("sigk") == 16)
+      assert(new String(r.getAs[Array[Byte]]("bs"), "UTF-8") == "ace")
       val agg = s.sql(
         """SELECT topn_agg(v, named_struct('id', id, 'v', v), 2) AS t
           |FROM VALUES (1L, 10.0D), (2L, 50.0D), (3L, 30.0D), (4L, 40.0D) AS t(id, v)
           |""".stripMargin).collect()
       assert(agg.length == 1 && agg(0).getSeq[Any](0).size == 2)
-      println(s"[$label] all 6 graft SQL functions resolve and compute")
+      println(s"[$label] all 7 graft SQL functions resolve and compute")
     }
 
     check(spark, "root session")

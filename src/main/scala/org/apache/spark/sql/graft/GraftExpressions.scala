@@ -165,6 +165,25 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** Strided byte-subsample of a binary payload: every `stride`-th byte
+  * starting at offset 0 — the integer-factor raster/waveform downscale
+  * shape on an opaque media column (a real codec would replace the
+  * kernel, not the plan).
+  */
+case class ByteStrideExpr(child: Expression, stride: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(stride >= 1, s"stride must be >= 1, got $stride")
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "byte_stride"
+  override def nullSafeEval(b: Any): Any =
+    graft.expressions.MediaKernels.byteStride(b.asInstanceOf[Array[Byte]], stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.MediaKernels.byteStride($c, $stride)")
+  override protected def withNewChildInternal(newChild: Expression): ByteStrideExpr =
+    copy(child = newChild)
+}
+
 /** Registers graft's expressions as session-scoped SQL functions, so
   * `spark.sql("SELECT simhash64(text) ...")` works — the engine's
   * SQL-facing function surface. Idempotent.
@@ -188,6 +207,7 @@ object GraftFunctionRegistry {
       longArg(es(3), "minhash_signature", 4))),
     "text_fingerprint" -> (es => TextFingerprintExpr(es(0))),
     "simhash64" -> (es => SimHash64Expr(es(0))),
+    "byte_stride" -> (es => ByteStrideExpr(es(0), intArg(es(1), "byte_stride", 2))),
     "topn_agg" -> (es =>
       TopNAggExpr(es(0), es(1), intArg(es(2), "topn_agg", 3)).toAggregateExpression())
   )
@@ -232,4 +252,6 @@ object GraftExpressions {
     ExpressionUtils.column(TextFingerprintExpr(ExpressionUtils.expression(c)))
   def simhash64(c: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(c)))
+  def byteStride(c: Column, stride: Int): Column =
+    ExpressionUtils.column(ByteStrideExpr(ExpressionUtils.expression(c), stride))
 }

@@ -16,6 +16,20 @@ class MultimodalSpec extends SparkSuite {
     assert(row.getAs[String]("fmt") == "txt")
   }
 
+  test("resample keeps every stride-th byte; stride 1 is identity") {
+    val docs = Seq((1L, "abcdefg"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs)
+    val out = Multimodal.resample(media, stride = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (new String(r.getAs[Array[Byte]]("resized"), "UTF-8"), r.getAs[Long]("resized_bytes")))
+      .toMap
+    assert(out(1L) == (("adg", 3L)))
+    assert(out(2L) == (("", 0L)))
+    val id = Multimodal.resample(media, stride = 1).collect()
+      .map(r => new String(r.getAs[Array[Byte]]("resized"), "UTF-8")).toSet
+    assert(id == Set("abcdefg", ""))
+  }
+
   test("stub decode is deterministic and byte-derived") {
     val docs = Seq((1L, "hello"), (2L, "hello"), (3L, "other")).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(spark, Multimodal.asMediaTable(docs))

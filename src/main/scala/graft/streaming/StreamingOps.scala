@@ -42,6 +42,22 @@ object StreamingOps {
       .groupBy(window(col(tsCol), windowDuration), col("event_type"))
       .agg(count(lit(1)).as("n"), min(col("value")).as("mn"), max(col("value")).as("mx"))
 
+  /** Streaming exact dedup — the streaming analog of
+    * [[graft.operators.ExactDedup]]: the first document with a given
+    * content survives, later copies arriving within the watermark
+    * horizon are dropped. State holds one 8-byte content hash per
+    * distinct document inside the horizon — never the payload — and is
+    * expired by the watermark, so state size is
+    * O(distinct docs per horizon), not O(stream).
+    */
+  def streamingDedup(docs: DataFrame, tsCol: String, contentCol: String,
+                     watermarkDelay: String): DataFrame =
+    docs
+      .withColumn("__graft_h", xxhash64(col(contentCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__graft_h")
+      .drop("__graft_h")
+
   /** Continuous top-K per key across the whole stream: a bounded
     * top-K list kept in `GroupState` — the streaming generalization of
     * the reference's `MinMaxPriorityQueue` with `maximumSize(topSize)`

@@ -145,6 +145,28 @@ class StreamingOpsSpec extends SparkSuite {
     assert(rows == Seq((1L, 1L), (1L, 2L))) // one 2-event session, one singleton
   }
 
+  test("streamingDedup drops later copies within the watermark horizon") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val stream = ms.toDF().toDF("ts", "doc_id", "text")
+
+    val query = StreamingOps.streamingDedup(stream, "ts", "text", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("sdedup")
+      .start()
+
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      ms.addData((t(1, 0), 1L, "same text"), (t(1, 5), 2L, "same text"),
+        (t(1, 10), 3L, "other text"))
+      query.processAllAvailable()
+      ms.addData((t(1, 20), 4L, "same text")) // still inside the horizon -> dropped
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val survivors = spark.table("sdedup").collect().map(_.getLong(1)).toSet
+    assert(survivors == Set(1L, 3L)) // first copy of each distinct content
+  }
+
   test("statefulTopK keeps global top-k across batches (bounded GroupState heap)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(String, Double)]

@@ -236,6 +236,16 @@ object TopN {
     base.orderBy(col(cfg.field).desc_nulls_last).limit(cfg.size)
   }
 
+  /** Late-bound entry point: resolve a [[TopNRawConfig]]'s `${arg}`
+    * placeholders against the runtime arguments (re-validating
+    * everything — [[TopNMacro.resolve]]), then run the operator. The
+    * deploy-time half of the contract is
+    * [[TopNMacro.validateAtDeploy]], called when the job is configured
+    * and the runtime arguments don't exist yet.
+    */
+  def transformLateBound(raw: TopNRawConfig, args: Map[String, String])(df: DataFrame): DataFrame =
+    transform(TopNMacro.resolve(raw, args, Some(df.schema)))(df)
+
   /** Deterministic variant: ties on the sort field are broken by
     * `tiebreakers` (ascending). The reference's contract is
     * tie-agnostic (its e2e test uses set equality, `TopNTest.java:124`);

@@ -74,6 +74,14 @@ class TopNSpec extends SparkSuite {
     assert(dropped.map(_.getString(0)).toSeq == Seq("dave", "bob"))
   }
 
+  test("late-bound config end-to-end: deploy defer -> runtime resolve -> execute") {
+    val raw = TopNRawConfig(field = "${sort_field}", size = "${n}", ignoreNull = "true")
+    // deploy time: field/size unknown, only concrete values checked
+    assert(TopNMacro.validateAtDeploy(raw, Some(people.schema)).isEmpty)
+    val out = TopN.transformLateBound(raw, Map("sort_field" -> "age", "n" -> "4"))(people)
+    assert(names(out) == Set("Alice", "Eve", "Leo")) // == the ignoreNull golden case
+  }
+
   test("output schema identical to input (TopN.java:71)") {
     val out = TopN.transform(TopNConfig("age", 2))(people)
     assert(out.schema == people.schema)

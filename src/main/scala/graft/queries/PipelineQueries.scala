@@ -113,6 +113,38 @@ object PipelineQueries {
         .select("doc_id", "n_chars"),
       None),
 
+    QueryDef("dedup_clusters_exact",
+      // the clustering operator under an exact DuckDB oracle: edges are
+      // exact word-Jaccard >= 0.8 pairs (SQL-expressible, unlike the
+      // MinHash edges of dedup_clusters), components verified against a
+      // recursive-CTE closure. Proves the label-propagation operator
+      // itself, not just its determinism
+      (s, dir) => {
+        val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+        val pairs = WordJaccard.pairStats(docs, "doc_id", "text", maxDocFreq = 1000L)
+          .where(col("inter").cast("double") / col("uni") >= 0.8)
+          .select("a", "b")
+        NearDupClusters.representatives(docs.select("doc_id"), pairs, "doc_id")
+      },
+      Some("""WITH RECURSIVE
+          s AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents WHERE doc_id < 100),
+          c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+          i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                FROM s x JOIN s y ON x.w = y.w AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+          edges AS (
+            SELECT i.a, i.b FROM i
+            JOIN c ca ON ca.doc_id = i.a JOIN c cb ON cb.doc_id = i.b
+            WHERE CAST(i.inter AS DOUBLE) / (ca.n + cb.n - i.inter) >= 0.8),
+          adj AS (SELECT a AS u, b AS v FROM edges
+                  UNION SELECT b AS u, a AS v FROM edges),
+          reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
+            UNION
+            SELECT reach.node, adj.v FROM reach JOIN adj ON adj.u = reach.r)
+        SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node""")),
+
     QueryDef("dedup_word_jaccard",
       // exact pairwise Jaccard counts over distinct word sets — the
       // n-gram-Jaccard oracle case (integer outputs, no division).

@@ -43,6 +43,15 @@ object NearDupClusters {
 
     var converged = false
     var iter = 0
+    // Convergence probe: labels are monotonically non-increasing (each
+    // update takes a `least`), so the label sum strictly decreases
+    // until fixpoint and sum-equality <=> no label changed. One
+    // exact-decimal agg job per iteration instead of a self-join.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     while (!converged && iter < maxIterations) {
       // candidate = min(own label, neighbors' labels, label's own label).
       // The last term is pointer-doubling (shortcutting): label chains
@@ -62,10 +71,10 @@ object NearDupClusters {
             coalesce(col("nmin"), col("label")),
             coalesce(col("llabel"), col("label"))).as("label"))
         .localCheckpoint(eager = true)
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .where($"n.label" =!= $"o.label").limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     // A silent exit here would leave inconsistent labels and let

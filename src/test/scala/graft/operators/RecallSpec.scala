@@ -88,6 +88,19 @@ class RecallSpec extends SparkSuite {
       s"MinHash candidate recall regressed: ${recall(cand, exact)}")
   }
 
+  test("SimHash band join is EXHAUSTIVE to hamming 3 (recall 1.0 vs brute force)") {
+    // the 4x16-bit pigeonhole guarantee, verified empirically: the band
+    // join must return exactly the brute-force hamming <= 3 pair set
+    val hs = docs.select(col("doc_id"), SimHash.simhash(col("text")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val banded = pairSet(SimHash.pairs(docs, "doc_id", "text", maxHamming = 3).select("a", "b"))
+    assert(banded == brute, s"band join returned ${banded.size} pairs, brute force ${brute.size}")
+  }
+
   test("nearDupPairs finds the planted high-cosine pairs (recall >= 0.9)") {
     val got = pairSet(
       RandomHyperplaneLSH.nearDupPairs(planted, threshold = 0.9).select("a", "b"))

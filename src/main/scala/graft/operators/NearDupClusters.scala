@@ -28,9 +28,6 @@ object NearDupClusters {
     */
   def representatives(nodes: DataFrame, pairs: DataFrame, idCol: String,
                       maxIterations: Int = 10): DataFrame = {
-    val spark = nodes.sparkSession
-    import spark.implicits._
-
     // undirected edge list, both directions
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structural scale guards: every operator documented as a 100 TB path
+  * must plan WITHOUT a quadratic join shape — no BroadcastNestedLoopJoin,
+  * no CartesianProduct — so a code change that silently reintroduces an
+  * all-pairs expansion fails here, not on a cluster. (The intentionally
+  * quadratic exact baselines — bruteForceTopK / bruteForcePairsTopK —
+  * are size-guarded and excluded by design.)
+  */
+class ScalePlanGuardsSpec extends SparkSuite {
+
+  private lazy val emb = graft.Tables(spark, sf("sf0.001"), "embeddings")
+  private lazy val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+
+  private def assertNoQuadraticJoin(df: DataFrame, label: String): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"$label plans a quadratic join:\n$plan")
+  }
+
+  test("LSH near-dup pairs: bucket equi-joins only") {
+    assertNoQuadraticJoin(
+      RandomHyperplaneLSH.nearDupPairs(emb, threshold = 0.2), "nearDupPairs")
+  }
+
+  test("LSH ANN top-k: bucket equi-joins only") {
+    assertNoQuadraticJoin(
+      RandomHyperplaneLSH.topK(emb.where(col("vec_id") < 5), emb, k = 5), "lsh topK")
+  }
+
+  test("IVF ANN top-k: cell equi-join only") {
+    val p = IvfAnn.Params(k = 4, iterations = 1, nprobe = 2)
+    assertNoQuadraticJoin(
+      IvfAnn.topK(emb.where(col("vec_id") < 5), emb, k = 5, p = p), "ivf topK")
+  }
+
+  test("MinHash candidate pairs: band equi-join only") {
+    assertNoQuadraticJoin(
+      MinHashLSH.candidatePairs(docs, "doc_id", "text"), "minhash candidates")
+  }
+
+  test("MinHash verified near-duplicates: equi-joins only") {
+    assertNoQuadraticJoin(
+      MinHashLSH.nearDuplicates(docs, "doc_id", "text", threshold = 0.5), "minhash nearDuplicates")
+  }
+
+  test("SimHash pairs: 16-bit band equi-join only") {
+    assertNoQuadraticJoin(
+      SimHash.pairs(docs, "doc_id", "text", maxHamming = 3), "simhash pairs")
+  }
+
+  test("word-Jaccard pair stats: token-posting equi-join only") {
+    assertNoQuadraticJoin(
+      WordJaccard.pairStats(docs.where(col("doc_id") < 100), "doc_id", "text"), "wordJaccard")
+  }
+
+  test("as-of join: union+window, no range explosion") {
+    val events = graft.Tables(spark, sf("sf0.001"), "events")
+    val quotes = events.select(col("user_id"), col("ts"), col("value"))
+    val trades = events.select(col("user_id"), col("ts").as("t_ts"))
+    assertNoQuadraticJoin(
+      AsOfJoin.lastPrior(trades, quotes, Seq("user_id"), "t_ts", "ts",
+        "value", "asof_value"), "asOfJoin")
+  }
+}

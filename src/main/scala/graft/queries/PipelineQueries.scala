@@ -303,6 +303,35 @@ object PipelineQueries {
                ELSE 'zh' END AS predicted
         FROM m""")),
 
+    QueryDef("text_top_terms",
+      // per-document distinctive-term extraction: the 3 rarest distinct
+      // tokens by corpus document frequency (ties by token) — the
+      // integer-exact core of TF-IDF keyword extraction. One explode +
+      // one df aggregation + one windowed rank; no floats, no logs
+      (s, dir) => {
+        val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+        val tok = docs.select(col("doc_id"),
+          explode(array_distinct(TF.tokens(col("text")))).as("w"))
+        val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df").asc, col("w").asc)
+        tok.join(dfreq, Seq("w"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select(col("doc_id"), col("w").as("term"), col("df"),
+            col("rn").cast("long").as("rank"))
+      },
+      Some("""WITH s AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE doc_id < 200),
+        d AS (SELECT w, count(*) AS df FROM s GROUP BY w)
+        SELECT doc_id, w AS term, df, CAST(rn AS BIGINT) AS rank FROM (
+          SELECT s.doc_id, s.w, d.df,
+            row_number() OVER (PARTITION BY s.doc_id
+              ORDER BY d.df, s.w) AS rn
+          FROM s JOIN d USING (w))
+        WHERE rn <= 3""")),
+
     QueryDef("q_sketch_distinct",
       // HLL++ sketch per language — merge-order-independent, so the
       // result is deterministic under any partitioning; approximate

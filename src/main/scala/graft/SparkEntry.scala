@@ -28,8 +28,31 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQueryDefs.map(q => q.name -> q.build).toMap
 
+  /** sfDir the data-dependent oracle generators should train against;
+    * set by [[Verify]] before it dumps [[oracleSql]] so generated
+    * oracles (inlined k-means centroids) match the queries' run.
+    */
+  @volatile var oracleSfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * Data-dependent oracles (QueryDef.oracleGen) are resolved here
+    * against [[oracleSfDir]]; a generator failure degrades its query to
+    * the rows-only check rather than failing the whole dump.
+    */
   def oracleSql: Map[String, String] =
-    allQueryDefs.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+    allQueryDefs.flatMap { q =>
+      val sql = q.oracle.orElse(q.oracleGen.flatMap { gen =>
+        try {
+          val spark = SparkSession.builder().getOrCreate()
+          Some(gen(spark, oracleSfDir))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[oracle] ${q.name} generator failed: ${e.getMessage}")
+            None
+        }
+      })
+      sql.map(q.name -> _)
+    }.toMap
 }

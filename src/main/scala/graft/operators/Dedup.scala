@@ -81,13 +81,22 @@ object MinHashLSH {
 
   /** LSH candidate pairs (a < b): ids whose signatures collide on at
     * least one band. Equi-join on (band index, band key).
+    *
+    * The band key is the raw rowsPerBand-tuple of signature values
+    * (a struct, hash-partitionable like any other key), not a 64-bit
+    * hash of it: exact banding costs rowsPerBand x 8 bytes of shuffle
+    * key width instead of 8, but candidate pairs are then EXACTLY the
+    * pairs agreeing on a band — no hash-collision false positives —
+    * and the banding is portable SQL (see the dedup_minhash oracle,
+    * which replays it verbatim in DuckDB).
     */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String, p: Params = Params()): DataFrame = {
     val sig = signatures(df, idCol, textCol, p)
     val bandStructs = (0 until p.bands).map { b =>
       val rowCols = (0 until p.rowsPerBand)
         .map(r => element_at(col("sig"), b * p.rowsPerBand + r + 1))
-      struct(lit(b).as("band"), xxhash64(rowCols: _*).as("key"))
+      struct(lit(b).as("band"),
+        struct(rowCols.zipWithIndex.map { case (c, i) => c.as(s"r$i") }: _*).as("key"))
     }
     val banded = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))

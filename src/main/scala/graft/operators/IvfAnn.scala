@@ -4,6 +4,7 @@ import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** IVF (inverted-file) approximate nearest neighbor search: the
   * corpus is clustered into `k` Voronoi cells (Lloyd's k-means over
@@ -25,8 +26,13 @@ import org.apache.spark.sql.functions._
   *    ~(nprobe/k) of the corpus per query instead of all of it —
   *    the 100 TB path where brute force stops being an option.
   *
-  * Determinism: centroid init = the k lowest-id vectors; Lloyd updates
-  * are means of fixed partitions; no RNG anywhere.
+  * Determinism: centroid init = the k lowest-id vectors; Lloyd cell
+  * sums are EXACT (per-element fixed-point quantization at 2^-30 summed
+  * as DECIMAL(38,0) — exact, commutative arithmetic), so centroids are
+  * bit-identical under any partitioning, shuffle merge order, or
+  * cluster topology; no RNG anywhere. That exactness is what lets the
+  * ann_ivf_topk oracle inline the trained centroids as SQL literals
+  * (same template as the LSH hyperplane oracles).
   */
 object IvfAnn {
 
@@ -89,23 +95,33 @@ object IvfAnn {
     var centroids = vecs.orderBy(col("id")).limit(p.k)
       .collect().map(_.getSeq[Double](1).toArray)
     val dim = centroids.head.length
+    // Cell sums accumulate fixed-point longs (floor(x * 2^30 + 0.5)) as
+    // DECIMAL(38,0): exact, commutative arithmetic, so the sum — and
+    // hence every centroid — is independent of shuffle merge order.
+    // A shuffled sum(double) would be only de-facto deterministic
+    // (IEEE addition is not associative), which both breaks the oracle
+    // and could flip borderline cell assignments across topologies.
+    // The 2^-30 quantization is ~2^6 below the float-24 input mantissa
+    // step, so centroid quality is unaffected.
+    val Scale = (1L << 30).toDouble
     for (_ <- 1 to p.iterations) {
       val assigned = vecs.withColumn("cell", argmaxCell(col("v"), centroids))
       val sums = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .agg(sum(floor(col("x") * Scale + 0.5).cast(DecimalType(38, 0))).as("sx"),
+          count(lit(1)).as("n"))
         .collect()
-      val acc = Array.fill(p.k)(new Array[Double](dim))
+      val acc = Array.fill(p.k)(new Array[java.math.BigDecimal](dim))
       val cnt = new Array[Long](p.k)
       sums.foreach { r =>
         val cell = r.getAs[Int]("cell")
-        acc(cell)(r.getAs[Int]("pos")) = r.getAs[Double]("sx")
+        acc(cell)(r.getAs[Int]("pos")) = r.getAs[java.math.BigDecimal]("sx")
         cnt(cell) = r.getAs[Long]("n")
       }
       centroids = centroids.zipWithIndex.map { case (old, i) =>
         if (cnt(i) == 0) old // empty cell keeps its centroid
-        else acc(i).map(_ / cnt(i))
+        else acc(i).map(_.doubleValue / Scale / cnt(i))
       }
     }
     centroids

@@ -83,6 +83,166 @@ object PipelineQueries {
         FROM scored WHERE cos >= 0.2)
       WHERE rn <= 50"""
 
+  // ---- wrapping 64-bit hash arithmetic in DuckDB SQL ----
+  //
+  // Spark-side MinHash/SimHash kernels are built on FNV-1a 64-bit,
+  // whose per-step multiply WRAPS mod 2^64 — not directly expressible
+  // in DuckDB (BIGINT multiply errors on overflow). But the FNV prime
+  // is only 41 bits, so (h_unsigned * prime) < 2^105 fits HUGEINT
+  // (int128): emulate the wrap with explicit `% 2^64`, and convert
+  // unsigned<->signed with single-reference `(x + 2^63) % 2^64 - 2^63`
+  // shifts so nested folds stay linear in SQL size. This is what turns
+  // the previously rows-only minhash/simhash queries into exact
+  // hash-checked oracles.
+
+  private val U64 = "18446744073709551616"  // 2^64
+  private val S63 = "9223372036854775808"   // 2^63
+  /** FNV-1a offset basis 0xcbf29ce484222325 as a signed BIGINT. */
+  private val FnvInit = "CAST(-3750763034362895579 AS BIGINT)"
+
+  /** signed64((unsigned64(x) * FNV_PRIME) mod 2^64); references `x`
+    * exactly once, so folding it N deep stays O(N) SQL text.
+    * unsigned64(x) adds 2^64 unconditionally — congruent mod 2^64 and
+    * keeps the HUGEINT product under 2^106.
+    */
+  private def fnvStep(x: String): String =
+    s"CAST((((CAST($x AS HUGEINT) + $U64) * 1099511628211) % $U64 + $S63) % $U64 - $S63 AS BIGINT)"
+
+  /** FNV-1a 64-bit over the ASCII bytes of string expression `w` —
+    * the exact arithmetic of TextHashing.fnv1a (the corpus is pure
+    * ASCII, so ascii(char) == byte).
+    */
+  private def fnvSql(w: String): String =
+    s"list_reduce(list_prepend($FnvInit, " +
+      s"list_transform(range(1, length($w) + 1), i -> CAST(ascii($w[i]) AS BIGINT))), " +
+      s"(h, b) -> ${fnvStep("xor(h, b)")})"
+
+  private val ivfParams = IvfAnn.Params(k = 16, iterations = 3, nprobe = 3)
+
+  /** Generated DuckDB oracle for dedup_minhash: replays the ENTIRE
+    * MinHash+LSH pipeline — FNV-1a token hashes ([[fnvSql]]), 3-gram
+    * shingle hashes reduced into [0, 2^31-1), 64 permutation mins with
+    * the seed-derived (a_i, b_i) constants inlined
+    * (TextHashing.minhashPerms — a_i, x < 2^31 so products stay in
+    * BIGINT), 16x4 banding on the raw signature tuples (exactly the
+    * operator's band key since candidatePairs joins on the tuples, not
+    * a hash of them), then exact Jaccard verification over distinct
+    * shingle sets. Every step is integer arithmetic both engines fix
+    * identically, so even this "approximate" operator hash-matches.
+    */
+  private def minhashOracle: String = {
+    val p = MinHashLSH.Params()
+    val perms = graft.expressions.TextHashing.minhashPerms(p.seed, p.numHashes)
+    // fold n token hashes into one shingle hash: h = (h xor t) * prime
+    val shingleExpr = {
+      val folded = (0 until p.shingleSize).foldLeft(FnvInit) { (acc, k) =>
+        val idx = if (k == 0) "j" else s"j + $k"
+        fnvStep(s"xor($acc, th[$idx])")
+      }
+      s"(($folded % 2147483647) + 2147483647) % 2147483647"
+    }
+    val minDefs = (0 until p.numHashes).map { i =>
+      s"list_aggregate(list_transform(sh, x -> (${perms(2 * i)} * x + ${perms(2 * i + 1)}) % 2147483647), 'min') AS m$i"
+    }.mkString(", ")
+    val bandLists = (0 until p.bands).map { b =>
+      (0 until p.rowsPerBand).map(r => s"m${b * p.rowsPerBand + r}").mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= ${p.shingleSize}),
+      tt AS (SELECT doc_id, list_transform(toks, w -> ${fnvSql("w")}) AS th FROM d),
+      sgl AS (SELECT doc_id,
+          list_transform(range(1, len(th) - ${p.shingleSize - 2}), j -> $shingleExpr) AS sh
+        FROM tt),
+      sg AS (SELECT doc_id, $minDefs FROM sgl),
+      bk AS (SELECT doc_id, unnest(range(0, ${p.bands})) AS band,
+             unnest($bandLists) AS key FROM sg),
+      cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+          AND l.doc_id < r.doc_id),
+      ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sgl),
+      ver AS (SELECT cand.a, cand.b,
+          CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS inter,
+          CAST(len(list_distinct(list_concat(x.s, y.s))) AS BIGINT) AS uni
+        FROM cand JOIN ds x ON x.doc_id = cand.a
+                  JOIN ds y ON y.doc_id = cand.b)
+      SELECT a, b, inter, uni, jaccard FROM (
+        SELECT a, b, inter, uni, CAST(inter AS DOUBLE) / uni AS jaccard,
+          row_number() OVER (ORDER BY CAST(inter AS DOUBLE) / uni DESC, a, b) AS rn
+        FROM ver) WHERE rn <= 20"""
+  }
+
+  /** Generated DuckDB oracle for dedup_simhash: FNV-1a per token
+    * (same [[fnvSql]] arithmetic), then 64 per-bit +1/-1 vote sums over
+    * the token multiset and a bit-reassembly through HUGEINT (bit 63
+    * would overflow signed BIGINT). Matches TextHashing.simhash64
+    * bit-for-bit.
+    */
+  private def simhashOracle: String = {
+    val voteDefs = (0 until 64).map { b =>
+      s"sum(CASE WHEN (uh // ${BigInt(1) << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(", ")
+    val bitSum = (0 until 64).map { b =>
+      s"(CASE WHEN v$b > 0 THEN CAST(${BigInt(1) << b} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE doc_id < 200),
+      h AS (SELECT doc_id, ${fnvSql("w")} AS th FROM t),
+      u AS (SELECT doc_id, CASE WHEN th < 0 THEN CAST(th AS HUGEINT) + $U64
+                                ELSE CAST(th AS HUGEINT) END AS uh FROM h),
+      v AS (SELECT doc_id, $voteDefs FROM u GROUP BY doc_id)
+      SELECT doc_id, CAST((($bitSum) + $S63) % $U64 - $S63 AS BIGINT) AS simhash FROM v"""
+  }
+
+  /** Generated DuckDB oracle for ann_ivf_topk — the data-dependent
+    * sibling of [[lshTopKOracle]]: k-means training is exactly
+    * deterministic ([[IvfAnn.fitCentroids]] accumulates cell sums as
+    * fixed-point DECIMAL, so centroids are independent of shuffle merge
+    * order), which makes the trained centroids inlinable SQL literals.
+    * The oracle then replays the identical index/probe/rank pipeline:
+    *  - cell assignment = argmax of (dot(v,c_i) - |c_i|^2/2), ties to
+    *    the HIGHEST cell (Spark's array_max over struct(score, cell) is
+    *    lexicographic) — the CASE ladder checks cells high-to-low;
+    *  - probes = top-nprobe cells by (score DESC, cell ASC) (Spark's
+    *    array_sort over struct(-score, cell));
+    *  - candidates = cell equi-join, self-match excluded, ranked by
+    *    (cosine DESC, nid ASC).
+    * The |c_i|^2/2 offsets are computed once in Scala and inlined, so
+    * both engines subtract the identical double.
+    */
+  private def ivfTopKOracle(s: SparkSession, dir: String): String = {
+    val centroids = IvfAnn.fitCentroids(
+      t(s, dir, "embeddings"), "vec_id", "embedding", ivfParams)
+    val k = centroids.length
+    val scoreDefs = centroids.zipWithIndex.map { case (c, i) =>
+      val lit = c.mkString("[", ", ", "]")
+      val off = c.map(x => x * x).sum / 2.0
+      s"list_inner_product(e, $lit) - ($off) AS s$i"
+    }.mkString(", ")
+    val caseLadder = (k - 1 to 1 by -1).map { i =>
+      val others = (0 until i).map(j => s"s$j")
+      val rhs = if (others.size == 1) others.head
+        else s"greatest(${others.mkString(", ")})"
+      s"WHEN s$i >= $rhs THEN $i"
+    }.mkString(" ")
+    val sList = (0 until k).map(i => s"s$i").mkString(", ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      sc AS (SELECT vec_id, e, $scoreDefs FROM v),
+      a AS (SELECT vec_id, e, CASE $caseLadder ELSE 0 END AS cell FROM sc),
+      pr AS (SELECT qid, cell FROM (
+          SELECT vec_id AS qid, c AS cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+          FROM (SELECT vec_id, unnest([$sList]) AS s, unnest(range(0, $k)) AS c
+                FROM sc WHERE vec_id < 10)) WHERE rn <= ${ivfParams.nprobe}),
+      cand AS (SELECT pr.qid, a.vec_id AS nid FROM pr JOIN a ON a.cell = pr.cell
+               WHERE a.vec_id <> pr.qid),
+      scored AS (SELECT cand.qid, cand.nid,
+          row_number() OVER (PARTITION BY cand.qid ORDER BY
+            list_cosine_similarity(qe.e, ce.e) DESC, cand.nid) AS rn
+        FROM cand JOIN v qe ON qe.vec_id = cand.qid
+                  JOIN v ce ON ce.vec_id = cand.nid)
+      SELECT qid, nid, CAST(rn AS BIGINT) AS nn_rank FROM scored WHERE rn <= 5"""
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- deduplication ----
@@ -223,14 +383,17 @@ object PipelineQueries {
       Some(lshTopKOracle)),
 
     QueryDef("ann_ivf_topk",
-      // IVF: deterministic k-means cells, probe 3/16 of the corpus
+      // IVF: deterministic k-means cells, probe 3/16 of the corpus;
+      // the oracle is GENERATED per sfDir (inlined trained centroids —
+      // see ivfTopKOracle), so even this approximate path is checked
+      // rows+schema+hash exact
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        IvfAnn.topK(e.where(col("vec_id") < 10), e, k = 5,
-            p = IvfAnn.Params(k = 16, iterations = 3, nprobe = 3))
+        IvfAnn.topK(e.where(col("vec_id") < 10), e, k = 5, p = ivfParams)
           .select(col("qid"), col("nid"), col("rank").as("nn_rank"))
       },
-      None),
+      None,
+      oracleGen = Some(ivfTopKOracle _)),
 
     // ---- text analysis ----
 

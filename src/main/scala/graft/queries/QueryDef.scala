@@ -20,5 +20,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     build: (SparkSession, String) => DataFrame,
-    oracle: Option[String]
+    oracle: Option[String],
+    /** Oracle SQL that can only be produced with the data in hand —
+      * e.g. the ann_ivf_topk oracle inlines k-means centroids trained
+      * (deterministically) on the target table, so the SQL is a
+      * function of (session, sfDir). Resolved by [[graft.SparkEntry]]
+      * at dump time; a generator that throws degrades that query to
+      * the driver's rows-only check instead of failing the dump.
+      */
+    oracleGen: Option[(SparkSession, String) => String] = None
 )

@@ -18,18 +18,29 @@ import org.apache.spark.sql.functions._
 object ExactDedup {
 
   /** One row per distinct content: representative id (min) + copy count.
-    * Grouping key is xxhash64(content) so the shuffle moves 16 bytes per
-    * row instead of the payload (collision probability ~n^2/2^64 —
-    * negligible below ~10^9 distinct docs; use a 128-bit hash beyond).
+    * Grouping key is a content hash so the shuffle moves a fixed-width
+    * key per row instead of the payload.
+    *
+    * @param wideHash hash width escape hatch for the collision cliff:
+    *   false (default) keys on xxhash64 — 8 shuffle bytes, collision
+    *   probability ~n^2/2^64, negligible below ~10^9 distinct docs;
+    *   true keys on md5 (16 raw bytes via unhex, ~n^2/2^128) — the
+    *   right setting for a 100 TB corpus, whose document count is
+    *   exactly where the 64-bit birthday bound starts to bite.
     */
-  def representatives(df: DataFrame, idCol: String, contentCol: String): DataFrame =
-    df.groupBy(xxhash64(col(contentCol)).as("__graft_h"))
+  def representatives(df: DataFrame, idCol: String, contentCol: String,
+                      wideHash: Boolean = false): DataFrame = {
+    val key = if (wideHash) unhex(md5(col(contentCol).cast("binary")))
+      else xxhash64(col(contentCol))
+    df.groupBy(key.as("__graft_h"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("__graft_h")
+  }
 
   /** Input minus duplicate rows (keeps the min-id row per content). */
-  def dropDuplicateContent(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
-    val reps = representatives(df, idCol, contentCol).select(idCol)
+  def dropDuplicateContent(df: DataFrame, idCol: String, contentCol: String,
+                           wideHash: Boolean = false): DataFrame = {
+    val reps = representatives(df, idCol, contentCol, wideHash).select(idCol)
     df.join(reps, Seq(idCol), "left_semi")
   }
 }
@@ -90,7 +101,18 @@ object MinHashLSH {
     * and the banding is portable SQL (see the dedup_minhash oracle,
     * which replays it verbatim in DuckDB).
     */
-  def candidatePairs(df: DataFrame, idCol: String, textCol: String, p: Params = Params()): DataFrame = {
+  /** @param maxBucket optional per-bucket candidate cap (SCALE.md known
+    *   cliff #2): a pathological corpus where huge sets of documents
+    *   share a band signature (e.g. boilerplate-dominated crawls) makes
+    *   candidate pairs quadratic in bucket size. With a cap, buckets
+    *   holding more than `maxBucket` ids are EXCLUDED from the
+    *   self-join (their pairs are lost — recall loss is explicit and
+    *   logged loudly with the number of dropped buckets, paid for by
+    *   one extra bounded aggregation over the banded rows). Default
+    *   None preserves exact banding semantics.
+    */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String, p: Params = Params(),
+                     maxBucket: Option[Long] = None): DataFrame = {
     val sig = signatures(df, idCol, textCol, p)
     val bandStructs = (0 until p.bands).map { b =>
       val rowCols = (0 until p.rowsPerBand)
@@ -101,7 +123,20 @@ object MinHashLSH {
     val banded = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
       .localCheckpoint(eager = false) // read by both sides of the self-join
-    banded.as("l").join(banded.as("r"),
+    val capped = maxBucket match {
+      case None => banded
+      case Some(cap) =>
+        val oversized = banded.groupBy("band", "key")
+          .agg(count(lit(1)).as("__n")).where(col("__n") > cap)
+          .select("band", "key")
+          .localCheckpoint(eager = false) // read by the count + the anti-join
+        val nOver = oversized.count() // eager by design: truncation must be LOUD
+        if (nOver > 0) System.err.println(
+          s"[graft] MinHashLSH.candidatePairs: dropping $nOver bucket(s) larger than " +
+            s"$cap ids — near-dup pairs inside them are NOT reported (recall loss)")
+        banded.join(oversized, Seq("band", "key"), "left_anti")
+    }
+    capped.as("l").join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
@@ -116,13 +151,14 @@ object MinHashLSH {
     * jaccard) for pairs with jaccard >= `threshold`.
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                     threshold: Double, p: Params = Params()): DataFrame = {
+                     threshold: Double, p: Params = Params(),
+                     maxBucket: Option[Long] = None): DataFrame = {
     // Both the candidate self-join and the two verification joins read
     // these frames twice; localCheckpoint materializes each kernel
     // output once instead of re-running the per-row hashing 4x.
     val shingled = df.select(col(idCol), shingleHashArray(textCol, p).as("sh"))
       .localCheckpoint(eager = false)
-    val cands = candidatePairs(df, idCol, textCol, p)
+    val cands = candidatePairs(df, idCol, textCol, p, maxBucket)
     cands
       .join(shingled.select(col(idCol).as("a"), col("sh").as("sha")), Seq("a"))
       .join(shingled.select(col(idCol).as("b"), col("sh").as("shb")), Seq("b"))

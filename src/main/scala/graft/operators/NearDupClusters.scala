@@ -27,7 +27,17 @@ object NearDupClusters {
     *         singletons map to themselves
     */
   def representatives(nodes: DataFrame, pairs: DataFrame, idCol: String,
-                      maxIterations: Int = 10): DataFrame = {
+                      maxIterations: Int = 10): DataFrame =
+    representativesWithIterations(nodes, pairs, idCol, maxIterations)._1
+
+  /** As [[representatives]], also returning how many propagation
+    * iterations ran (including the final fixpoint-confirming one) —
+    * observable so tests can pin the O(log diameter) convergence
+    * claim on long chains, not just on the clique-shaped clusters
+    * real near-dup graphs produce.
+    */
+  def representativesWithIterations(nodes: DataFrame, pairs: DataFrame, idCol: String,
+                                    maxIterations: Int = 10): (DataFrame, Int) = {
     // undirected edge list, both directions
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
@@ -81,7 +91,7 @@ object NearDupClusters {
     if (!converged) throw new IllegalStateException(
       s"label propagation did not converge in $maxIterations iterations; " +
         "raise maxIterations (coverage doubles per iteration)")
-    labels.select(col("id").as(idCol), col("label").as("cluster"))
+    (labels.select(col("id").as(idCol), col("label").as("cluster")), iter)
   }
 
   /** End-to-end near-dup dedup: MinHash+LSH pairs above `threshold` →

@@ -130,7 +130,14 @@ object PipelineQueries {
     * shingle sets. Every step is integer arithmetic both engines fix
     * identically, so even this "approximate" operator hash-matches.
     */
-  private def minhashOracle: String = {
+  /** Shared CTE block replaying MinHash+LSH candidate generation and
+    * exact-Jaccard verification in DuckDB: FNV-1a token hashes, n-gram
+    * shingle hashes in [0, 2^31-1), the 64 permutation mins with
+    * seed-derived constants inlined, raw-tuple banding, candidate
+    * self-join, and per-pair (inter, uni). Used by both the
+    * dedup_minhash and dedup_clusters oracles.
+    */
+  private def minhashVerCtes: String = {
     val p = MinHashLSH.Params()
     val perms = graft.expressions.TextHashing.minhashPerms(p.seed, p.numHashes)
     // fold n token hashes into one shingle hash: h = (h xor t) * prime
@@ -147,7 +154,7 @@ object PipelineQueries {
     val bandLists = (0 until p.bands).map { b =>
       (0 until p.rowsPerBand).map(r => s"m${b * p.rowsPerBand + r}").mkString("[", ", ", "]")
     }.mkString("[", ", ", "]")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
           WHERE len(string_split(text, ' ')) >= ${p.shingleSize}),
       tt AS (SELECT doc_id, list_transform(toks, w -> ${fnvSql("w")}) AS th FROM d),
       sgl AS (SELECT doc_id,
@@ -164,12 +171,36 @@ object PipelineQueries {
           CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS inter,
           CAST(len(list_distinct(list_concat(x.s, y.s))) AS BIGINT) AS uni
         FROM cand JOIN ds x ON x.doc_id = cand.a
-                  JOIN ds y ON y.doc_id = cand.b)
+                  JOIN ds y ON y.doc_id = cand.b)"""
+  }
+
+  private def minhashOracle: String =
+    s"""WITH $minhashVerCtes
       SELECT a, b, inter, uni, jaccard FROM (
         SELECT a, b, inter, uni, CAST(inter AS DOUBLE) / uni AS jaccard,
           row_number() OVER (ORDER BY CAST(inter AS DOUBLE) / uni DESC, a, b) AS rn
         FROM ver) WHERE rn <= 20"""
-  }
+
+  /** Generated DuckDB oracle for dedup_clusters: verified MinHash
+    * near-dup edges (jaccard >= 0.8, same CTEs as dedup_minhash) →
+    * recursive-CTE connected components → keep each component's min
+    * id. With the LSH pipeline DuckDB-expressible, the clustering
+    * operator's SCALE path (MinHash edges) is exactly checkable — not
+    * just the word-Jaccard proxy of dedup_clusters_exact.
+    */
+  private def clustersOracle: String =
+    s"""WITH RECURSIVE $minhashVerCtes,
+      edges AS (SELECT a, b FROM ver WHERE CAST(inter AS DOUBLE) / uni >= 0.8),
+      adj AS (SELECT a AS u, b AS v FROM edges
+              UNION SELECT b AS u, a AS v FROM edges),
+      reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, adj.v FROM reach JOIN adj ON adj.u = reach.r),
+      comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+      SELECT doc.doc_id, doc.n_chars FROM documents doc
+      JOIN comp ON comp.node = doc.doc_id
+      WHERE comp.node = comp.cluster"""
 
   /** Generated DuckDB oracle for dedup_simhash: FNV-1a per token
     * (same [[fnvSql]] arithmetic), then 64 per-bit +1/-1 vote sums over
@@ -254,33 +285,42 @@ object PipelineQueries {
 
     QueryDef("dedup_minhash",
       // top LSH candidate pairs by verified exact Jaccard; threshold 0
-      // keeps the ranking interesting on a corpus with no planted dups
+      // keeps the ranking interesting on a corpus with no planted dups.
+      // The oracle replays the full MinHash+LSH pipeline in DuckDB
+      // (HUGEINT-emulated wrapping FNV-1a, inlined permutation
+      // constants, raw-tuple banding) — see minhashOracle
       (s, dir) => MinHashLSH.nearDuplicates(
           t(s, dir, "documents"), "doc_id", "text", threshold = 0.0)
         .orderBy(col("jaccard").desc, col("a"), col("b")).limit(20),
-      None),
+      Some(minhashOracle)),
 
     QueryDef("dedup_simhash",
       (s, dir) => t(s, dir, "documents").where(col("doc_id") < 200)
         .select(col("doc_id"), SimHash.simhash(col("text")).as("simhash")),
-      None),
+      Some(simhashOracle)),
 
     QueryDef("dedup_clusters",
       // near-dup pairs -> connected components -> one kept row per
-      // cluster; output is the surviving doc ids (deterministic)
+      // cluster; output is the surviving doc ids. Exact oracle since
+      // round 4: the MinHash edge set is replayed in DuckDB and closed
+      // with a recursive CTE (see clustersOracle)
       (s, dir) => NearDupClusters.dropNearDuplicates(
           t(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
         .select("doc_id", "n_chars"),
-      None),
+      Some(clustersOracle)),
 
     QueryDef("dedup_clusters_exact",
       // the clustering operator under an exact DuckDB oracle: edges are
       // exact word-Jaccard >= 0.8 pairs (SQL-expressible, unlike the
       // MinHash edges of dedup_clusters), components verified against a
       // recursive-CTE closure. Proves the label-propagation operator
-      // itself, not just its determinism
+      // itself, not just its determinism. 250 docs (was 100 in r3) —
+      // iteration DEPTH does not grow with doc count here because the
+      // corpus's planted clusters have diameter ~1; the O(log diameter)
+      // claim is pinned separately on a 200-node chain in
+      // NearDupClustersSpec, where propagation provably runs >2 rounds
       (s, dir) => {
-        val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+        val docs = t(s, dir, "documents").where(col("doc_id") < 250)
         val pairs = WordJaccard.pairStats(docs, "doc_id", "text", maxDocFreq = 1000L)
           .where(col("inter").cast("double") / col("uni") >= 0.8)
           .select("a", "b")
@@ -288,7 +328,7 @@ object PipelineQueries {
       },
       Some("""WITH RECURSIVE
           s AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
-                FROM documents WHERE doc_id < 100),
+                FROM documents WHERE doc_id < 250),
           c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
           i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
                 FROM s x JOIN s y ON x.w = y.w AND x.doc_id < y.doc_id
@@ -300,7 +340,7 @@ object PipelineQueries {
           adj AS (SELECT a AS u, b AS v FROM edges
                   UNION SELECT b AS u, a AS v FROM edges),
           reach(node, r) AS (
-            SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
+            SELECT doc_id, doc_id FROM documents WHERE doc_id < 250
             UNION
             SELECT reach.node, adj.v FROM reach JOIN adj ON adj.u = reach.r)
         SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node""")),

@@ -161,7 +161,44 @@ object RelationalQueries {
           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")),
 
+    QueryDef("q_grouping_sets",
+      // explicit GROUPING SETS (the general form rollup/cube are sugar
+      // for): flag x status detail, per-flag subtotal, grand total
+      (s, dir) => t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          AggFunctions.moneySum(col("l_quantity")).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+          sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")),
+
     // ---- joins: broadcast inner, semi, anti, outer, range ----
+
+    QueryDef("q_full_outer_join",
+      // per-nation deep-debt customer vs supplier counts; thresholds
+      // chosen (data-probed) so the sf0.01 nation sets overlap on some
+      // keys and mismatch in BOTH directions — every null-extension
+      // path of the full outer join is exercised
+      (s, dir) => {
+        val cn = t(s, dir, "customer").where(col("c_acctbal") < -900)
+          .groupBy(col("c_nationkey").as("k"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sn = t(s, dir, "supplier").where(col("s_acctbal") < -500)
+          .groupBy(col("s_nationkey").as("k"))
+          .agg(count(lit(1)).as("n_supp"))
+        cn.join(sn, Seq("k"), "full_outer")
+      },
+      Some("""SELECT COALESCE(c.k, s.k) AS k, c.n_cust, s.n_supp FROM
+          (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer
+           WHERE c_acctbal < -900 GROUP BY 1) c
+          FULL JOIN
+          (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier
+           WHERE s_acctbal < -500 GROUP BY 1) s
+          ON c.k = s.k""")),
 
     QueryDef("q_join_revenue",
       (s, dir) => {

@@ -79,4 +79,43 @@ object StreamingOps {
           state.update(merged)
           merged.iterator.map(v => (key, v))
       }
+
+  /** [[statefulTopK]] with a processing-time TTL per key: a key whose
+    * state is untouched for `ttlMillis` is evicted at the next batch
+    * boundary. [[statefulTopK]]'s state is O(K) per key but unbounded
+    * in KEY CARDINALITY — on a 100 TB stream with churning keys (user
+    * ids, session ids) state grows forever; with a TTL it is
+    * O(keys active within the TTL horizon), the same bounding argument
+    * the watermark gives [[streamingDedup]]. Idle keys restart from
+    * empty state on their next event — the semantics trade-off TTL
+    * always implies — so size `ttlMillis` to the longest silence a key
+    * must survive.
+    *
+    * Test-harness note: `StreamingQuery.processAllAvailable()` can
+    * block indefinitely while timeouts are armed (the engine keeps
+    * scheduling timeout batches); await sink contents instead (see
+    * StreamingOpsSpec).
+    */
+  def statefulTopKWithTTL[K, V](ds: Dataset[(K, V)], k: Int, ttlMillis: Long)(
+      implicit ord: Ordering[V],
+      kEnc: Encoder[K],
+      stateEnc: Encoder[List[V]],
+      outEnc: Encoder[(K, V)]): Dataset[(K, V)] = {
+    require(ttlMillis > 0, s"ttlMillis must be positive, got $ttlMillis")
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[List[V], (K, V)](
+        OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: K, rows: Iterator[(K, V)], state: GroupState[List[V]]) =>
+          if (state.hasTimedOut) {
+            state.remove() // eviction: drop the idle key's heap entirely
+            Iterator.empty
+          } else {
+            val merged = (state.getOption.getOrElse(Nil) ++ rows.map(_._2))
+              .sorted(ord.reverse).take(k)
+            state.update(merged)
+            state.setTimeoutDuration(ttlMillis)
+            merged.iterator.map(v => (key, v))
+          }
+      }
+  }
 }

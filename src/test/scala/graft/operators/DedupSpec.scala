@@ -74,4 +74,27 @@ class DedupSpec extends SparkSuite {
     val top = MinHashLSH.nearDuplicates(df, "doc_id", "text", threshold = 0.8)
     assert(top.count() > 0) // sf0.001 corpus contains >0.8-jaccard pairs
   }
+
+  test("exact dedup: wideHash (128-bit md5 key) output identical to the 64-bit default") {
+    val df = docs(1L -> "a b c", 2L -> "x y", 3L -> "a b c", 4L -> "d e", 5L -> "x y")
+    def reps(wide: Boolean) =
+      ExactDedup.representatives(df, "doc_id", "text", wideHash = wide)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reps(wide = true) == reps(wide = false))
+    assert(ExactDedup.dropDuplicateContent(df, "doc_id", "text", wideHash = true)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+  }
+
+  test("minhash bucket cap: oversized buckets are dropped, generous cap is a no-op") {
+    // 12 identical documents: every band bucket holds all 12 ids, so the
+    // uncapped candidate set is the full 12-choose-2
+    val df = docs((1L to 12L).map(i => i -> base): _*)
+    assert(MinHashLSH.candidatePairs(df, "doc_id", "text").count() == 66L)
+    // cap below the bucket size: the pathological bucket is excluded
+    assert(MinHashLSH.candidatePairs(df, "doc_id", "text",
+      maxBucket = Some(5L)).count() == 0L)
+    // cap above it: exact semantics preserved
+    assert(MinHashLSH.candidatePairs(df, "doc_id", "text",
+      maxBucket = Some(100L)).count() == 66L)
+  }
 }

@@ -25,6 +25,24 @@ class NearDupClustersSpec extends SparkSuite {
     assert(got.toSeq == Seq(1L))
   }
 
+  test("200-node chain: converges to one cluster in >2 but <=12 propagation rounds") {
+    // A path graph is the worst case for label propagation (diameter =
+    // n-1); the planted near-dup clusters in the test corpus have
+    // diameter ~1, so this is the test that actually makes pointer
+    // doubling iterate. Coverage ~doubles per round: a 200-node chain
+    // needs ~log2(199) ≈ 8 rounds plus the fixpoint-confirming one.
+    val n = 200L
+    val nodes = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val (reps, iters) = NearDupClusters.representativesWithIterations(
+      nodes, pairs, "doc_id", maxIterations = 12)
+    val labels = reps.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 0L), "every chain node must label to min id 0")
+    assert(iters > 2, s"a 200-chain must take >2 rounds, took $iters")
+    assert(iters <= 12)
+  }
+
   test("dropNearDuplicates keeps one representative per planted cluster") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
     val docs = Seq(

@@ -53,4 +53,16 @@ class SimilaritySpec extends SparkSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"expected broadcast join in plan:\n$plan")
   }
+
+  test("nearDupPairs bucket cap drops the degenerate all-identical bucket, generous cap is a no-op") {
+    import spark.implicits._
+    // 6 identical vectors land in ONE bucket per table — the degenerate
+    // corpus the cap exists for
+    val df = (1L to 6L).map(i => (i, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    def n(cap: Option[Long]) =
+      RandomHyperplaneLSH.nearDupPairs(df, threshold = 0.5, maxBucket = cap).count()
+    assert(n(None) == 15L) // 6 choose 2
+    assert(n(Some(3L)) == 0L)
+    assert(n(Some(50L)) == 15L)
+  }
 }

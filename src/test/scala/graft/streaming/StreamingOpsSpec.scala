@@ -190,4 +190,46 @@ class StreamingOpsSpec extends SparkSuite {
       assert(lastBatchA == Set(("a", 5.0), ("a", 3.0)))
     } finally query.stop()
   }
+
+  test("statefulTopKWithTTL evicts idle keys: state restarts from empty after the TTL") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Double)]
+
+    val query = StreamingOps.statefulTopKWithTTL(ms.toDS(), 2, ttlMillis = 100L)
+      .toDF("key", "value")
+      .writeStream.outputMode("update").format("memory").queryName("stkttl")
+      .start()
+
+    // processAllAvailable() HANGS while group-state timeouts are armed
+    // (the engine keeps scheduling timeout batches, so "no new data"
+    // never latches) — await sink row counts instead; batches run
+    // continuously under the default trigger.
+    def awaitRows(n: Int): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (spark.table("stkttl").count() < n &&
+        System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(spark.table("stkttl").count() >= n, s"timed out waiting for $n sink rows")
+    }
+
+    try {
+      ms.addData(("a", 5.0), ("a", 1.0))
+      awaitRows(2) // a emits its top-2 {5.0, 1.0}; TTL armed
+      Thread.sleep(1000) // a's TTL lapses; an automatic timeout batch evicts it
+      ms.addData(("b", 9.0))
+      awaitRows(3)
+      ms.addData(("a", 3.0)) // a restarts from EMPTY state
+      awaitRows(4)
+      Thread.sleep(300) // grace: catch any spurious extra emissions
+
+      val rows = spark.table("stkttl").collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+      // eviction itself emitted nothing for either key
+      assert(rows.count(_._1 == "b") == 1)
+      // had a's state survived, the last batch would emit a's top-2
+      // (5.0, 3.0) = TWO rows; eviction means exactly one row, 3.0
+      val aRows = rows.filter(_._1 == "a")
+      assert(aRows.length == 3, s"expected 2 (batch 0) + 1 (restart) rows for a, got ${aRows.toSeq}")
+      assert(aRows.last == ("a", 3.0))
+    } finally query.stop()
+  }
 }

@@ -68,8 +68,15 @@ object TextFunctions {
   /** Heuristic language ID: argmax of per-language marker-word counts,
     * ties broken by marker priority order, zero hits → "und"
     * (undetermined). Single projection, no shuffle.
+    *
+    * The struct-max compares (score, tb, lang) lexicographically; `tb`
+    * (= -index) is unique per entry, so the `lang` field never
+    * participates in the comparison — guarded by the require below so
+    * a duplicated language entry can't silently change tie semantics.
     */
   def langId(c: Column): Column = {
+    require(langMarkers.map(_._1).distinct.size == langMarkers.size,
+      "langMarkers languages must be unique (tb tie-break relies on it)")
     val scored = langMarkers.zipWithIndex.map { case ((lang, words), i) =>
       struct(
         stopwordCount(c, words).as("score"),

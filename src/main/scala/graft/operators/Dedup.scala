@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * groups full document text —
   *  - exact dedup groups on a 64-bit content hash, so only (hash, id)
   *    pairs cross the shuffle, not document bodies;
-  *  - MinHash signatures are computed with a single explode +
-  *    partial-aggregated groupBy (map-side combine on shingle hashes);
+  *  - MinHash signatures are a single codegen'd projection per row
+  *    ([[graft.expressions.MinHashSignature]]) — no explode, NO
+  *    shuffle;
   *  - LSH banding turns the quadratic all-pairs problem into
   *    equi-joins on (band, key), which Spark executes as hash joins.
   */

@@ -44,6 +44,24 @@ class PlanShapeSpec extends SparkSuite {
       s"expected partial+final HashAggregate:\n$plan")
   }
 
+  test("grouping sets plan: Expand feeds a partial aggregate before the exchange") {
+    val qe = SparkEntry.queries("q_grouping_sets")(spark, dir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("Expand"), s"plan:\n$plan")
+    // partial (map-side) aggregation must sit below the shuffle so each
+    // grouping-set replica combines before crossing the wire
+    val firstAgg = plan.indexOf("HashAggregate")
+    val exchange = plan.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0 && exchange < plan.lastIndexOf("HashAggregate"),
+      s"expected partial agg below the exchange:\n$plan")
+  }
+
+  test("full outer join plans a join preserving both sides (SMJ/SHJ FullOuter)") {
+    val plan = SparkEntry.queries("q_full_outer_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"plan:\n$plan")
+  }
+
   test("semi/anti joins plan as semi/anti (no row multiplication)") {
     val semi = SparkEntry.queries("q_semi_join")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -110,13 +110,56 @@ object RandomHyperplaneLSH {
       .select(col(idCol), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
+  /** Multi-probe buckets for the QUERY side: per table, the base
+    * bucket plus `extraProbes` single-bit-flip probes chosen by
+    * MARGIN — the flipped bits are those whose hyperplane dot product
+    * is closest to zero, i.e. where the sign decision was least
+    * confident and the true neighbors most likely live one flip away
+    * (Lv et al., "Multi-probe LSH", VLDB 2007, adapted to sign-random
+    * projections). Recall rises without more tables or any corpus-side
+    * reindexing: the corpus keeps exactly one bucket row per table,
+    * only the (small) query side fans out 1+extraProbes rows per
+    * table — the right trade at 100 TB, where corpus-side index size
+    * dominates.
+    */
+  def probeBuckets(df: DataFrame, idCol: String, vecCol: String,
+                   p: Params = Params(), extraProbes: Int): DataFrame = {
+    require(extraProbes >= 0 && extraProbes <= p.planesPerTable,
+      s"extraProbes must be in [0, ${p.planesPerTable}], got $extraProbes")
+    val v = col(vecCol)
+    val powers = array((0 until p.planesPerTable).map(b => lit(1L << b)): _*)
+    val tableStructs = planes(p).zipWithIndex.flatMap { case (ps, t) =>
+      val dots = ps.map(plane =>
+        VectorFunctions.dot(v, array(plane.toIndexedSeq.map(lit): _*)))
+      val base = dots.zipWithIndex.map { case (d, b) =>
+        when(d >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      // bits ranked by |dot| ascending (ties by bit index): the least
+      // confident sign decisions first
+      val ranked = array_sort(array(dots.zipWithIndex.map { case (d, b) =>
+        struct(abs(d).as("m"), lit(b).as("b"))
+      }: _*))
+      val flips = (0 until extraProbes).map { i =>
+        base.bitwiseXOR(
+          element_at(powers, element_at(ranked, i + 1).getField("b") + 1))
+      }
+      (base +: flips).map(bkt => struct(lit(t).as("table"), bkt.as("bucket")))
+    }
+    df.select(col(idCol), explode(array(tableStructs: _*)).as("tb"))
+      .select(col(idCol), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
   /** Approximate top-k by cosine: candidates = bucket collisions in any
     * table, scored exactly, ranked per query. Output (qid, nid, rank).
+    *
+    * @param extraProbes per-table single-bit-flip probes added on the
+    *   query side ([[probeBuckets]]); 0 = classic single-probe LSH
     */
   def topK(queries: DataFrame, corpus: DataFrame, k: Int,
            idCol: String = "vec_id", vecCol: String = "embedding",
-           p: Params = Params()): DataFrame = {
-    val qb = buckets(queries, idCol, vecCol, p).withColumnRenamed(idCol, "qid")
+           p: Params = Params(), extraProbes: Int = 0): DataFrame = {
+    val qb = probeBuckets(queries, idCol, vecCol, p, extraProbes)
+      .withColumnRenamed(idCol, "qid")
     val cb = buckets(corpus, idCol, vecCol, p).withColumnRenamed(idCol, "nid")
     val cands = qb.join(cb, Seq("table", "bucket"))
       .where(col("qid") =!= col("nid"))

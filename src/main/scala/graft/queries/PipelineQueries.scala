@@ -63,6 +63,50 @@ object PipelineQueries {
                   JOIN v ce ON ce.vec_id = cand.nid)
       SELECT qid, nid, CAST(rn AS BIGINT) AS nn_rank FROM scored WHERE rn <= 5"""
 
+  /** Generated DuckDB oracle for ann_lsh_multiprobe: the corpus-side
+    * buckets are the shared [[lshBucketsCte]]; the query side adds, per
+    * table, the 2 margin-ranked single-bit-flip probes
+    * ([[RandomHyperplaneLSH.probeBuckets]]) — expressible because both
+    * engines compute bit-identical left-to-right dot products, so the
+    * |margin| ORDERING (ties by bit index) matches exactly, not just
+    * the signs.
+    */
+  private def lshMultiProbeOracle: String = {
+    val p = RandomHyperplaneLSH.Params()
+    val extra = 2
+    val powList = (0 until p.planesPerTable).map(b => 1L << b).mkString("[", ", ", "]")
+    val perTable = RandomHyperplaneLSH.planes(p).zipWithIndex.map { case (ps, t) =>
+      val absList = ps.map(plane =>
+        s"abs(list_inner_product(e, ${plane.mkString("[", ", ", "]")}))")
+        .mkString("[", ", ", "]")
+      s"""qr$t AS (SELECT vec_id, bit FROM (
+          SELECT vec_id, m, bit,
+            row_number() OVER (PARTITION BY vec_id ORDER BY m, bit) AS rn
+          FROM (SELECT vec_id, unnest($absList) AS m,
+                unnest(range(0, ${p.planesPerTable})) AS bit
+                FROM v WHERE vec_id < 10))
+        WHERE rn <= $extra)"""
+    }
+    val flipSelects = (0 until p.tables).map { t =>
+      s"""SELECT b.vec_id, b.tbl, xor(b.bucket, ($powList)[qr$t.bit + 1]) AS bucket
+        FROM b JOIN qr$t ON b.vec_id = qr$t.vec_id AND b.tbl = $t"""
+    }
+    s"""WITH $lshBucketsCte,
+      ${perTable.mkString(", ")},
+      qp AS (
+        SELECT vec_id, tbl, bucket FROM b WHERE vec_id < 10
+        UNION ALL ${flipSelects.mkString(" UNION ALL ")}),
+      cand AS (SELECT DISTINCT qp.vec_id AS qid, c.vec_id AS nid
+        FROM qp JOIN b c ON qp.tbl = c.tbl AND qp.bucket = c.bucket
+        WHERE c.vec_id <> qp.vec_id),
+      scored AS (SELECT cand.qid, cand.nid,
+          row_number() OVER (PARTITION BY cand.qid ORDER BY
+            list_cosine_similarity(qe.e, ce.e) DESC, cand.nid) AS rn
+        FROM cand JOIN v qe ON qe.vec_id = cand.qid
+                  JOIN v ce ON ce.vec_id = cand.nid)
+      SELECT qid, nid, CAST(rn AS BIGINT) AS nn_rank FROM scored WHERE rn <= 5"""
+  }
+
   /** Generated DuckDB oracle for neardup_embedding_lsh: same inlined
     * hyperplane buckets, pair candidates instead of query candidates,
     * exact cosine verify at the same threshold, same top-50 ordering.
@@ -421,6 +465,18 @@ object PipelineQueries {
           .select(col("qid"), col("nid"), col("rank").as("nn_rank"))
       },
       Some(lshTopKOracle)),
+
+    QueryDef("ann_lsh_multiprobe",
+      // margin-ranked multi-probe LSH: +2 least-confident bit flips per
+      // table on the QUERY side only — recall rises (RecallSpec:
+      // 0.20 -> >=0.3 on this corpus) with zero corpus-side reindexing
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        RandomHyperplaneLSH.topK(e.where(col("vec_id") < 10), e, k = 5,
+            extraProbes = 2)
+          .select(col("qid"), col("nid"), col("rank").as("nn_rank"))
+      },
+      Some(lshMultiProbeOracle)),
 
     QueryDef("ann_ivf_topk",
       // IVF: deterministic k-means cells, probe 3/16 of the corpus;

@@ -59,6 +59,26 @@ class RecallSpec extends SparkSuite {
       s"LSH recall@5 regressed: ${recall(lsh, brute)}")
   }
 
+  test("multi-probe LSH: recall@5 dominates single-probe; query fan-out is exactly 1+extra per table") {
+    val q = emb.where(col("vec_id") < 10)
+    val brute = pairSet(Similarity.bruteForceTopK(q, emb, k = 5).select("qid", "nid"))
+    val single = pairSet(RandomHyperplaneLSH.topK(q, emb, k = 5).select("qid", "nid"))
+    val multi = pairSet(RandomHyperplaneLSH.topK(q, emb, k = 5, extraProbes = 2)
+      .select("qid", "nid"))
+    // probing the 2 least-confident bit flips per table can only ADD
+    // candidates, and a true top-5 member is never displaced except by
+    // another true member — recall is monotone by construction
+    // (single-probe floor 0.20; multi-probe clears 0.3 on this corpus)
+    assert(recall(multi, brute) >= recall(single, brute),
+      s"multi-probe recall ${recall(multi, brute)} < single ${recall(single, brute)}")
+    assert(recall(multi, brute) >= 0.3,
+      s"multi-probe recall@5 regressed: ${recall(multi, brute)}")
+    // corpus side is untouched; query side fans out (1+2) rows per table
+    val p = RandomHyperplaneLSH.Params()
+    val fanout = RandomHyperplaneLSH.probeBuckets(q, "vec_id", "embedding", p, 2).count()
+    assert(fanout == 10L * p.tables * 3)
+  }
+
   test("ann_ivf_topk recall@5 vs the exact brute-force baseline") {
     val q = emb.where(col("vec_id") < 10)
     val brute = pairSet(Similarity.bruteForceTopK(q, emb, k = 5).select("qid", "nid"))

@@ -602,6 +602,63 @@ object PipelineQueries {
           count(lit(1)).as("n")),
       None),
 
+    QueryDef("dedup_cross_split",
+      // train/test DECONTAMINATION: near-duplicate pairs (same MinHash
+      // pipeline + exact-Jaccard verify, >= 0.8) that STRADDLE the
+      // deterministic 80/20 split — exactly the documents a pipeline
+      // must drop from train to avoid test leakage. Composes the dedup
+      // and split operators; oracle reuses the minhash CTEs plus the
+      // multiplicative-hash split predicate
+      (s, dir) => {
+        val splitHash =
+          pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100)) < 80
+        val split = t(s, dir, "documents")
+          .select(col("doc_id"), splitHash.as("is_train"))
+        MinHashLSH.nearDuplicates(
+            t(s, dir, "documents"), "doc_id", "text", threshold = 0.8)
+          .select("a", "b", "inter", "uni")
+          .join(split.select(col("doc_id").as("a"), col("is_train").as("a_train")), Seq("a"))
+          .join(split.select(col("doc_id").as("b"), col("is_train").as("b_train")), Seq("b"))
+          .where(col("a_train") =!= col("b_train"))
+          .select("a", "b", "inter", "uni", "a_train")
+      },
+      Some(s"""WITH $minhashVerCtes,
+        sp AS (SELECT doc_id, ((doc_id % 1000003) * 2654435761) % 100 < 80 AS is_train
+               FROM documents)
+        SELECT v.a, v.b, v.inter, v.uni, sa.is_train AS a_train
+        FROM ver v
+        JOIN sp sa ON sa.doc_id = v.a JOIN sp sb ON sb.doc_id = v.b
+        WHERE CAST(v.inter AS DOUBLE) / v.uni >= 0.8
+          AND sa.is_train <> sb.is_train""")),
+
+    QueryDef("text_bigrams",
+      // corpus-level bigram statistics (contamination/quality analysis
+      // staple): top-20 bigrams by document frequency, ties by bigram.
+      // One projection + explode + count — no joins
+      (s, dir) => {
+        // split ONCE into a column, then build bigrams over it — a
+        // lambda over split(text) inline re-evaluates the split per
+        // element (O(len^2) per doc; measured 2.4 s vs 0.3 s at sf0.1)
+        val bigrams = expr(
+          "transform(sequence(0, size(t) - 2), " +
+            "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))")
+        t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .where(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(array_distinct(bigrams)).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("bigram").asc).limit(20)
+      },
+      Some("""WITH b AS (
+          SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, len(string_split(text, ' '))),
+              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+          FROM documents WHERE len(string_split(text, ' ')) >= 2)
+        SELECT bigram, df FROM (
+          SELECT bigram, count(*) AS df,
+            row_number() OVER (ORDER BY count(*) DESC, bigram) AS rn
+          FROM b GROUP BY bigram) WHERE rn <= 20""")),
+
     // ---- deterministic sampling / splits ----
 
     QueryDef("sample_train_split",

@@ -252,20 +252,50 @@ object PipelineQueries {
     * would overflow signed BIGINT). Matches TextHashing.simhash64
     * bit-for-bit.
     */
-  private def simhashOracle: String = {
+  /** CTE block computing `sh(doc_id, simhash)` for docs matching
+    * `pred` — shared by the projection and band-pair simhash oracles.
+    */
+  private def simhashCtes(pred: String): String = {
     val voteDefs = (0 until 64).map { b =>
       s"sum(CASE WHEN (uh // ${BigInt(1) << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
     }.mkString(", ")
     val bitSum = (0 until 64).map { b =>
       s"(CASE WHEN v$b > 0 THEN CAST(${BigInt(1) << b} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
     }.mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-          FROM documents WHERE doc_id < 200),
+    s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE $pred),
       h AS (SELECT doc_id, ${fnvSql("w")} AS th FROM t),
       u AS (SELECT doc_id, CASE WHEN th < 0 THEN CAST(th AS HUGEINT) + $U64
                                 ELSE CAST(th AS HUGEINT) END AS uh FROM h),
-      v AS (SELECT doc_id, $voteDefs FROM u GROUP BY doc_id)
-      SELECT doc_id, CAST((($bitSum) + $S63) % $U64 - $S63 AS BIGINT) AS simhash FROM v"""
+      v AS (SELECT doc_id, $voteDefs FROM u GROUP BY doc_id),
+      sh AS (SELECT doc_id,
+        CAST((($bitSum) + $S63) % $U64 - $S63 AS BIGINT) AS simhash FROM v)"""
+  }
+
+  private def simhashOracle: String =
+    s"""WITH ${simhashCtes("doc_id < 200")}
+      SELECT doc_id, simhash FROM sh"""
+
+  /** Generated DuckDB oracle for dedup_simhash_pairs: the simhash CTEs
+    * plus the 4x16-bit band equi-join (bit slices extracted through the
+    * unsigned HUGEINT representation) and the bit_count(xor) hamming
+    * verify — DuckDB's bit_count/xor are two's-complement 64-bit,
+    * matching Spark's exactly (probed: bit_count(-1) = 64).
+    */
+  private def simhashPairsOracle: String = {
+    val keys = (0 until 4).map(t =>
+      s"CAST((us // ${BigInt(1) << (16 * t)}) % 65536 AS BIGINT)").mkString("[", ", ", "]")
+    s"""WITH ${simhashCtes("doc_id < 500")},
+      us AS (SELECT doc_id, simhash,
+          CASE WHEN simhash < 0 THEN CAST(simhash AS HUGEINT) + $U64
+               ELSE CAST(simhash AS HUGEINT) END AS us FROM sh),
+      bk AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS band,
+             unnest($keys) AS key FROM us),
+      pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+          CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+        FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+          AND l.doc_id < r.doc_id)
+      SELECT a, b, hamming FROM pairs WHERE hamming <= 3"""
   }
 
   /** Generated DuckDB oracle for ann_ivf_topk — the data-dependent
@@ -342,6 +372,16 @@ object PipelineQueries {
       (s, dir) => t(s, dir, "documents").where(col("doc_id") < 200)
         .select(col("doc_id"), SimHash.simhash(col("text")).as("simhash")),
       Some(simhashOracle)),
+
+    QueryDef("dedup_simhash_pairs",
+      // the simhash BAND JOIN under an oracle (the projection query
+      // above only checks the hashes): near-dup pairs at hamming <= 3,
+      // found via the 4x16-bit band equi-join the operator guarantees
+      // exhaustive in that radius
+      (s, dir) => SimHash.pairs(
+        t(s, dir, "documents").where(col("doc_id") < 500),
+        "doc_id", "text", maxHamming = 3),
+      Some(simhashPairsOracle)),
 
     QueryDef("dedup_clusters",
       // near-dup pairs -> connected components -> one kept row per

@@ -58,6 +58,25 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("__graft_h")
       .drop("__graft_h")
 
+  /** Streaming NEAR-dup dedup at Hamming radius 0: later documents
+    * whose 64-bit SimHash equals that of a document inside the
+    * watermark horizon are dropped. SimHash is a bag-of-tokens
+    * signature, so unlike [[streamingDedup]]'s content hash this also
+    * catches byte-different copies with the same token multiset
+    * (reordered boilerplate, shuffled field order) — at the same
+    * 8-bytes-per-doc watermark-expired state bound. Radius > 0 would
+    * need any-of-k-band-keys dedup semantics that
+    * `dropDuplicatesWithinWatermark` cannot express — use the batch
+    * [[graft.operators.SimHash.pairs]] for that.
+    */
+  def streamingSimhashDedup(docs: DataFrame, tsCol: String, textCol: String,
+                            watermarkDelay: String): DataFrame =
+    docs
+      .withColumn("__graft_sh", graft.operators.SimHash.simhash(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__graft_sh")
+      .drop("__graft_sh")
+
   /** Continuous top-K per key across the whole stream: a bounded
     * top-K list kept in `GroupState` — the streaming generalization of
     * the reference's `MinMaxPriorityQueue` with `maximumSize(topSize)`

@@ -72,4 +72,21 @@ class EdgeCasesSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == (1L to 5L).map(i => (i, i)).toSet)
   }
+
+  test("new guard parameters reject out-of-range values eagerly") {
+    val emb = graft.Tables(spark, sf("sf0.001"), "embeddings")
+    val p = RandomHyperplaneLSH.Params()
+    intercept[IllegalArgumentException] {
+      RandomHyperplaneLSH.probeBuckets(emb, "vec_id", "embedding", p,
+        extraProbes = p.planesPerTable + 1)
+    }
+    intercept[IllegalArgumentException] {
+      RandomHyperplaneLSH.probeBuckets(emb, "vec_id", "embedding", p, extraProbes = -1)
+    }
+    intercept[IllegalArgumentException] {
+      import spark.implicits._
+      graft.streaming.StreamingOps.statefulTopKWithTTL(
+        Seq(("k", 1.0)).toDS(), 2, ttlMillis = 0L)
+    }
+  }
 }

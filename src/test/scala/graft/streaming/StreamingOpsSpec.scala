@@ -167,6 +167,30 @@ class StreamingOpsSpec extends SparkSuite {
     assert(survivors == Set(1L, 3L)) // first copy of each distinct content
   }
 
+  test("streamingSimhashDedup drops token-multiset duplicates (incl. reordered copies)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val stream = ms.toDF().toDF("ts", "doc_id", "text")
+
+    val query = StreamingOps.streamingSimhashDedup(stream, "ts", "text", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("shdedup")
+      .start()
+
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      ms.addData(
+        (t(1, 0), 1L, "alpha beta gamma delta"),
+        (t(1, 5), 2L, "delta gamma beta alpha"), // same bag of tokens -> dup
+        (t(1, 10), 3L, "totally different words here"))
+      query.processAllAvailable()
+      ms.addData((t(1, 20), 4L, "alpha beta gamma delta")) // exact copy in horizon
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val survivors = spark.table("shdedup").collect().map(_.getLong(1)).toSet
+    assert(survivors == Set(1L, 3L)) // 2 (reordered) and 4 (exact) dropped
+  }
+
   test("statefulTopK keeps global top-k across batches (bounded GroupState heap)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(String, Double)]

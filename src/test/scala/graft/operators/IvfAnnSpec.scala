@@ -59,6 +59,20 @@ class IvfAnnSpec extends SparkSuite {
     assert(ivf == brute)
   }
 
+  test("fitCentroids is bit-identical under different input partitionings") {
+    // the round-4 determinism claim at its root: cell sums accumulate
+    // exact fixed-point DECIMAL, so shuffle merge order — which DOES
+    // change with partitioning — cannot perturb any centroid bit. This
+    // is also what licenses the centroid-inlined ann_ivf_topk oracle
+    val p = IvfAnn.Params(k = 8, iterations = 3)
+    def fit(parts: Int): Seq[Seq[Double]] =
+      IvfAnn.fitCentroids(emb.repartition(parts), "vec_id", "embedding", p)
+        .map(_.toSeq).toSeq
+    val a = fit(1)
+    val b = fit(13)
+    assert(a == b, "centroids must be bit-identical across partitionings")
+  }
+
   test("IVF with nprobe < k prunes the candidate set but stays valid") {
     val queries = emb.where(col("vec_id") < 5)
     val p = IvfAnn.Params(k = 8, iterations = 3, nprobe = 2)

@@ -225,6 +225,21 @@ object PipelineQueries {
           row_number() OVER (ORDER BY CAST(inter AS DOUBLE) / uni DESC, a, b) AS rn
         FROM ver) WHERE rn <= 20"""
 
+  /** MinHash edges (jaccard >= 0.8) closed into connected components
+    * via a recursive CTE — `comp(node, cluster)`. Shared by the
+    * dedup_clusters and dedup_keep_best oracles.
+    */
+  private def clusterCtes: String =
+    s"""$minhashVerCtes,
+      edges AS (SELECT a, b FROM ver WHERE CAST(inter AS DOUBLE) / uni >= 0.8),
+      adj AS (SELECT a AS u, b AS v FROM edges
+              UNION SELECT b AS u, a AS v FROM edges),
+      reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, adj.v FROM reach JOIN adj ON adj.u = reach.r),
+      comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)"""
+
   /** Generated DuckDB oracle for dedup_clusters: verified MinHash
     * near-dup edges (jaccard >= 0.8, same CTEs as dedup_minhash) →
     * recursive-CTE connected components → keep each component's min
@@ -233,18 +248,23 @@ object PipelineQueries {
     * just the word-Jaccard proxy of dedup_clusters_exact.
     */
   private def clustersOracle: String =
-    s"""WITH RECURSIVE $minhashVerCtes,
-      edges AS (SELECT a, b FROM ver WHERE CAST(inter AS DOUBLE) / uni >= 0.8),
-      adj AS (SELECT a AS u, b AS v FROM edges
-              UNION SELECT b AS u, a AS v FROM edges),
-      reach(node, r) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT reach.node, adj.v FROM reach JOIN adj ON adj.u = reach.r),
-      comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+    s"""WITH RECURSIVE $clusterCtes
       SELECT doc.doc_id, doc.n_chars FROM documents doc
       JOIN comp ON comp.node = doc.doc_id
       WHERE comp.node = comp.cluster"""
+
+  /** Generated DuckDB oracle for dedup_keep_best: same components,
+    * but the survivor per cluster is the highest-quality doc
+    * (n_chars DESC, doc_id ASC) instead of the min id.
+    */
+  private def keepBestOracle: String =
+    s"""WITH RECURSIVE $clusterCtes
+      SELECT doc_id, n_chars FROM (
+        SELECT d.doc_id, d.n_chars,
+          row_number() OVER (PARTITION BY comp.cluster
+            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM documents d JOIN comp ON comp.node = d.doc_id)
+      WHERE rn = 1"""
 
   /** Generated DuckDB oracle for dedup_simhash: FNV-1a per token
     * (same [[fnvSql]] arithmetic), then 64 per-bit +1/-1 vote sums over
@@ -428,6 +448,26 @@ object PipelineQueries {
             UNION
             SELECT reach.node, adj.v FROM reach JOIN adj ON adj.u = reach.r)
         SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node""")),
+
+    QueryDef("dedup_keep_best",
+      // quality-aware canonicalization: per near-dup cluster keep the
+      // HIGHEST-quality doc (n_chars DESC, ties by lowest id) rather
+      // than the min id — the survivor-selection real pipelines want
+      // (dedup_clusters proves the min-id form; this proves ranked
+      // representative selection over the same components)
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = MinHashLSH.nearDuplicates(docs, "doc_id", "text", threshold = 0.8)
+          .select("a", "b")
+        val reps = NearDupClusters.representatives(docs.select("doc_id"), pairs, "doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster").orderBy(col("n_chars").desc, col("doc_id").asc)
+        docs.join(reps, Seq("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("doc_id", "n_chars")
+      },
+      Some(keepBestOracle)),
 
     QueryDef("dedup_word_jaccard",
       // exact pairwise Jaccard counts over distinct word sets — the
@@ -698,6 +738,35 @@ object PipelineQueries {
           SELECT bigram, count(*) AS df,
             row_number() OVER (ORDER BY count(*) DESC, bigram) AS rn
           FROM b GROUP BY bigram) WHERE rn <= 20""")),
+
+    QueryDef("text_repetition",
+      // Gopher-style internal-repetition signal: fraction of word
+      // bigrams that are repeats within the document. Integer counts
+      // exact on both sides; the fraction is one correctly-rounded
+      // double division of exact integers
+      (s, dir) => {
+        val bigrams = expr(
+          "transform(sequence(0, size(t) - 2), " +
+            "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))")
+        t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .where(size(col("t")) >= 2)
+          .select(col("doc_id"),
+            size(bigrams).cast("long").as("n_bigrams"),
+            size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"))
+          .withColumn("dup_frac",
+            (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") /
+              col("n_bigrams"))
+      },
+      Some("""WITH b AS (
+          SELECT doc_id,
+            list_transform(range(1, len(string_split(text, ' '))),
+              i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) AS bg
+          FROM documents WHERE len(string_split(text, ' ')) >= 2)
+        SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+          CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams,
+          CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_frac
+        FROM b""")),
 
     // ---- deterministic sampling / splits ----
 

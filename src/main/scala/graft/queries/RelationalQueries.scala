@@ -310,6 +310,27 @@ object RelationalQueries {
         FROM m x JOIN m y
           ON x.v IS NOT DISTINCT FROM y.v AND x.event_id < y.event_id""")),
 
+    QueryDef("q_salted_join",
+      // the skew-salting tool under the driver's oracle gate: salting
+      // only re-partitions (deterministic row-hash salt on the skewed
+      // side, factor-replication of the other), so the salted inner
+      // join must be ROW-IDENTICAL to the plain join — the oracle is
+      // the unsalted SQL join
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey").as("k"), col("o_totalprice"))
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_name"))
+        SkewTools.saltedJoin(o, c, "k", factor = 8)
+          .groupBy(col("c_name"))
+          .agg(count(lit(1)).as("n_orders"),
+            AggFunctions.moneySum(col("o_totalprice")).as("revenue"))
+      },
+      Some("""SELECT c_name, count(*) AS n_orders,
+          sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_name""")),
+
     // ---- as-of join (union+window, single shuffle — AsOfJoin) ----
 
     QueryDef("q_asof_join",

@@ -368,6 +368,60 @@ object PipelineQueries {
       SELECT qid, nid, CAST(rn AS BIGINT) AS nn_rank FROM scored WHERE rn <= 5"""
   }
 
+  private val pqParams = PqAnn.Params(m = 8, ksub = 16, iterations = 3)
+
+  /** Generated DuckDB oracle for pq_ann_topk — the PQ sibling of
+    * [[ivfTopKOracle]]: training is exactly deterministic (same
+    * fixed-point DECIMAL machinery), so the m x ksub x dsub codebooks
+    * inline as SQL literals. The oracle replays normalization
+    * (x / sqrt(ip(e,e)) — bit-identical in both engines), per-subspace
+    * encoding (argmax CASE ladders, ties to the highest cell like
+    * Spark's array_max), and ADC scoring (per-subspace CASE selecting
+    * the coded centroid's inner product with the query subvector,
+    * summed left-to-right in the same order as the Spark reduce).
+    */
+  private def pqTopKOracle(s: SparkSession, dir: String): String = {
+    val cbs = PqAnn.fitCodebooks(t(s, dir, "embeddings"), "vec_id", "embedding", pqParams)
+    val m = cbs.length
+    val ksub = cbs(0).length
+    val dsub = cbs(0)(0).length
+    val sliceDefs = (0 until m).map { sub =>
+      s"list_transform(range(1, ${dsub + 1}), i -> en[${sub * dsub} + i]) AS x$sub"
+    }.mkString(", ")
+    val scoreDefs = (for (sub <- 0 until m; c <- 0 until ksub) yield {
+      val cb = cbs(sub)(c)
+      val off = cb.map(x => x * x).sum / 2.0
+      s"list_inner_product(x$sub, ${cb.mkString("[", ", ", "]")}) - ($off) AS s${sub}_$c"
+    }).mkString(", ")
+    val cellDefs = (0 until m).map { sub =>
+      val ladder = (ksub - 1 to 1 by -1).map { c =>
+        val others = (0 until c).map(j => s"s${sub}_$j")
+        val rhs = if (others.size == 1) others.head
+          else s"greatest(${others.mkString(", ")})"
+        s"WHEN s${sub}_$c >= $rhs THEN $c"
+      }.mkString(" ")
+      s"CASE $ladder ELSE 0 END AS c$sub"
+    }.mkString(", ")
+    val adc = (0 until m).map { sub =>
+      val arms = (0 until ksub).map { c =>
+        s"WHEN ${c} THEN list_inner_product(q.x$sub, ${cbs(sub)(c).mkString("[", ", ", "]")})"
+      }.mkString(" ")
+      s"(CASE e.c$sub $arms END)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      n AS (SELECT vec_id,
+        list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS en FROM v),
+      sl AS (SELECT vec_id, $sliceDefs FROM n),
+      sc AS (SELECT vec_id, $scoreDefs FROM sl),
+      e AS (SELECT vec_id, $cellDefs FROM sc),
+      scored AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ($adc) DESC, e.vec_id) AS rn
+        FROM (SELECT * FROM sl WHERE vec_id < 10) q
+        JOIN e ON e.vec_id <> q.vec_id)
+      SELECT qid, nid, CAST(rn AS BIGINT) AS nn_rank FROM scored WHERE rn <= 5"""
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- deduplication ----
@@ -557,6 +611,20 @@ object PipelineQueries {
           .select(col("qid"), col("nid"), col("rank").as("nn_rank"))
       },
       Some(lshMultiProbeOracle)),
+
+    QueryDef("pq_ann_topk",
+      // product-quantized ANN: the corpus side is scanned as packed
+      // 4-bit-per-subspace codes (~64x smaller than the float
+      // embeddings — the 100 TB memory story), scored by asymmetric
+      // distance against exact queries; codebook training is exactly
+      // deterministic, so the oracle inlines the trained codebooks
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        PqAnn.topK(e.where(col("vec_id") < 10), e, k = 5, p = pqParams)
+          .select(col("qid"), col("nid"), col("rank").as("nn_rank"))
+      },
+      None,
+      oracleGen = Some(pqTopKOracle _)),
 
     QueryDef("ann_ivf_topk",
       // IVF: deterministic k-means cells, probe 3/16 of the corpus;

@@ -53,12 +53,14 @@ object PqAnn {
 
   /** v / |v| as a double array column; null-safe only for nonzero
     * norms (degenerate zero vectors are a data error for cosine ANN).
+    * Public so [[IvfPqAnn]] normalizes with the identical arithmetic.
     */
-  private def normalized(vecCol: Column): Column = {
+  def normalizedCol(vecCol: Column): Column = {
     val v = VectorFunctions.toDoubleArray(vecCol)
     val n = sqrt(VectorFunctions.dot(v, v))
     transform(v, x => x / n)
   }
+  private def normalized(vecCol: Column): Column = normalizedCol(vecCol)
 
   private def subvec(vn: Column, sub: Int, dsub: Int): Column =
     slice(vn, sub * dsub + 1, dsub)
@@ -81,12 +83,24 @@ object PqAnn {
     * driver-side doubles out.
     */
   def fitCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-                   p: Params = Params()): Array[Array[Array[Double]]] = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+                   p: Params = Params()): Array[Array[Array[Double]]] =
+    fitCodebooksOn(
+      corpus.select(col(idCol).as("id"), normalized(col(vecCol)).as("vn")), p)
+
+  /** As [[fitCodebooks]] over an ALREADY-PREPARED (id, vn) frame —
+    * vn a double-array column, NOT re-normalized here. This is the
+    * entry point [[IvfPqAnn]] uses to train on coarse-cell RESIDUALS.
+    *
+    * @param dimHint vector dimensionality when the caller already
+    *   knows it — skips the one-row probe job
+    */
+  def fitCodebooksOn(prepared: DataFrame, p: Params = Params(),
+                     dimHint: Option[Int] = None): Array[Array[Array[Double]]] = {
+    val dim = dimHint.getOrElse(prepared.select(size(col("vn"))).head().getInt(0))
     require(dim % p.m == 0, s"dim $dim not divisible by m=${p.m}")
     val dsub = dim / p.m
 
-    val base = corpus.select(col(idCol).as("id"), normalized(col(vecCol)).as("vn"))
+    val base = prepared.select(col("id"), col("vn"))
       .localCheckpoint(eager = false) // reused across iterations
     // init: subvectors of the ksub lowest-id vectors, per subspace
     val initRows = base.orderBy(col("id")).limit(p.ksub)
@@ -132,17 +146,36 @@ object PqAnn {
     codebooks
   }
 
-  /** (idCol, code) — the packed 4-bit-per-subspace PQ code as a LONG
-    * (subspace s occupies bits [4s, 4s+4)).
+  /** Packed 4-bit-per-subspace PQ code of a (double-array) vector
+    * column as a LONG expression (subspace s occupies bits
+    * [4s, 4s+4)).
     */
-  def encode(corpus: DataFrame, idCol: String, vecCol: String,
-             codebooks: Array[Array[Array[Double]]]): DataFrame = {
+  def packedCode(vn: Column, codebooks: Array[Array[Array[Double]]]): Column = {
     val dsub = codebooks(0)(0).length
-    val vn = normalized(col(vecCol))
-    val packed = codebooks.zipWithIndex.map { case (cb, s) =>
+    codebooks.zipWithIndex.map { case (cb, s) =>
       argmaxCell(subvec(vn, s, dsub), cb).cast("long") * (1L << (4 * s))
     }.reduce(_ + _)
-    corpus.select(col(idCol), packed.as("code"))
+  }
+
+  /** (idCol, code) — the packed PQ code per corpus row. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+             codebooks: Array[Array[Array[Double]]]): DataFrame =
+    corpus.select(col(idCol), packedCode(normalized(col(vecCol)), codebooks).as("code"))
+
+  /** ADC score of a packed `code` column against an exact query-vector
+    * column: sum over subspaces of dot(query subvector, the centroid
+    * the code names) — left-to-right over subspaces (the oracle mirrors
+    * the order).
+    */
+  def adcScore(qn: Column, code: Column,
+               codebooks: Array[Array[Array[Double]]]): Column = {
+    val dsub = codebooks(0)(0).length
+    codebooks.zipWithIndex.map { case (cb, s) =>
+      val cell = shiftright(code, 4 * s).bitwiseAND(lit(15L)).cast("int")
+      VectorFunctions.dot(
+        subvec(qn, s, dsub),
+        element_at(typedLit(cb.map(_.toSeq).toSeq), cell + 1))
+    }.reduce(_ + _)
   }
 
   /** Approximate top-k by ADC cosine: queries exact (broadcast), the
@@ -153,22 +186,127 @@ object PqAnn {
            idCol: String = "vec_id", vecCol: String = "embedding",
            p: Params = Params()): DataFrame = {
     val codebooks = fitCodebooks(corpus, idCol, vecCol, p)
-    val dsub = codebooks(0)(0).length
     val coded = encode(corpus, idCol, vecCol, codebooks)
       .select(col(idCol).as("nid"), col("code"))
     val q = queries.select(col(idCol).as("qid"), normalized(col(vecCol)).as("qn"))
 
-    val score = codebooks.zipWithIndex.map { case (cb, s) =>
-      val cell = shiftright(col("code"), 4 * s).bitwiseAND(lit(15L)).cast("int")
-      VectorFunctions.dot(
-        subvec(col("qn"), s, dsub),
-        element_at(typedLit(cb.map(_.toSeq).toSeq), cell + 1))
-    }.reduce(_ + _)
-
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc").desc, col("nid").asc)
     coded.join(broadcast(q), col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), score.as("adc"))
+      .select(col("qid"), col("nid"),
+        adcScore(col("qn"), col("code"), codebooks).as("adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "nid", "rank")
+  }
+}
+
+/** The full IVF-ADC pipeline of Jegou/Douze/Schmid (TPAMI 2011): a
+  * coarse quantizer (deterministic k-means, [[IvfAnn.fitCentroids]])
+  * partitions the corpus into Voronoi cells; each vector's RESIDUAL
+  * against its cell centroid is product-quantized ([[PqAnn]]); search
+  * probes `nprobe` cells and scores candidates by
+  * dot(q, cell centroid) + ADC(q, residual code) — the exact
+  * decomposition dot(q, c + r) = dot(q, c) + dot(q, r), with r
+  * approximated by its codebook entry.
+  *
+  * Scale shape — this is THE quantized-ANN architecture for 100 TB:
+  *  - index = (id, cell, 4-byte code): the probe join reads ~nprobe/k
+  *    of the corpus AND each touched row is ~64x smaller than its
+  *    float embedding;
+  *  - training = the two deterministic k-means fits (coarse on a
+  *    sample via IvfAnn, residual PQ in one job per pass across all
+  *    subspaces); both codebooks ship as plan literals;
+  *  - residuals are never materialized at search time — scoring is
+  *    codebook lookups against the exact broadcast query.
+  *
+  * Determinism: both trainers use the exact fixed-point DECIMAL sums,
+  * so (coarse, residual) codebooks — and hence the oracle-inlined
+  * literals — are bit-identical under any partitioning.
+  */
+object IvfPqAnn {
+
+  final case class Params(coarseK: Int = 16, coarseIterations: Int = 3,
+                          nprobe: Int = 3, pq: PqAnn.Params = PqAnn.Params())
+
+  /** Trains coarse + residual codebooks AND returns the
+    * cell-assigned normalized corpus, so [[topK]] shares ONE
+    * normalization pass and one checkpointed materialization between
+    * training, residual encoding, and search indexing (a second full
+    * corpus pass would be pure waste at 100 TB).
+    */
+  private def fitOn(corpus: DataFrame, idCol: String, vecCol: String, p: Params):
+      (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
+    val base = corpus.select(col(idCol).as("id"),
+        PqAnn.normalizedCol(col(vecCol)).as("vn"))
+      .localCheckpoint(eager = false)
+    val coarse = IvfAnn.fitCentroids(base, "id", "vn",
+      IvfAnn.Params(k = p.coarseK, iterations = p.coarseIterations,
+        nprobe = p.nprobe))
+    // (id, vn, __graft_cell), materialized once: read by residual
+    // codebook training AND by the final index encode
+    val indexedBase = IvfAnn.index(base, "vn", coarse)
+      .localCheckpoint(eager = false)
+    val residuals = indexedBase
+      .select(col("id"),
+        zip_with(col("vn"),
+          element_at(typedLit(coarse.map(_.toSeq).toSeq), col("__graft_cell") + 1),
+          (a, b) => a - b).as("vn"))
+    (coarse, PqAnn.fitCodebooksOn(residuals, p.pq,
+      dimHint = Some(coarse(0).length)), indexedBase)
+  }
+
+  /** (coarse centroids, residual PQ codebooks), both trained on the
+    * L2-normalized corpus.
+    */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String, p: Params):
+      (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val (coarse, rescb, _) = fitOn(corpus, idCol, vecCol, p)
+    (coarse, rescb)
+  }
+
+  /** Approximate top-k by probed-cell ADC cosine. Output
+    * (qid, nid, rank), rank by (score DESC, nid ASC).
+    */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding",
+           p: Params = Params()): DataFrame = {
+    val (coarse, rescb, indexedBase) = fitOn(corpus, idCol, vecCol, p)
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+
+    // index: (nid, cell, residual code) — the compressed
+    // representation, derived from the SAME materialization training
+    // used (no second normalize/assign pass over the corpus)
+    val indexed = indexedBase
+      .select(col("id").as("nid"), col("__graft_cell").as("cell"),
+        PqAnn.packedCode(
+          zip_with(col("vn"),
+            element_at(coarseLit, col("__graft_cell") + 1),
+            (a, b) => a - b), rescb).as("code"))
+
+    // query probes: top-nprobe cells by (score DESC, cell ASC) — the
+    // same tie-breaks as IvfAnn.topK
+    val qn = PqAnn.normalizedCol(col(vecCol))
+    val probesSorted = array_sort(array(coarse.toIndexedSeq.zipWithIndex.map {
+      case (c, i) =>
+        val score = VectorFunctions.dot(qn, array(c.toIndexedSeq.map(lit): _*)) -
+          lit(c.map(x => x * x).sum / 2.0)
+        struct((-score).as("negscore"), lit(i).as("cell"))
+    }: _*))
+    val qProbes = queries
+      .select(col(idCol).as("qid"), qn.as("qn"),
+        slice(probesSorted, 1, p.nprobe).as("probes"))
+      .select(col("qid"), col("qn"), explode(col("probes")).as("probe"))
+      .select(col("qid"), col("qn"), col("probe.cell").as("cell"))
+
+    val score =
+      VectorFunctions.dot(col("qn"), element_at(coarseLit, col("cell") + 1)) +
+        PqAnn.adcScore(col("qn"), col("code"), rescb)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid").asc)
+    indexed.join(broadcast(qProbes), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), score.as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("qid", "nid", "rank")

@@ -76,20 +76,17 @@ object IvfAnn {
                    p: Params = Params()): Array[Array[Double]] = {
     val all = corpus.select(col(idCol).as("id"),
       VectorFunctions.toDoubleArray(col(vecCol)).as("v"))
-    // multiplicative-hash sample: id reduced mod 1e6+3 BEFORE the
-    // multiply so the product never overflows for any BIGINT id
     val sampled =
       if (p.trainFraction >= 1.0) all
-      else all.where(
-        pmod(pmod(col("id"), lit(1000003L)) * 2654435761L, lit(1000000L)) <
-          math.max(1L, (p.trainFraction * 1000000L).toLong))
+      else all.where(Sampling.hashGate(col("id"), p.trainFraction))
     // fall back to the full corpus when the sample is below the useful
     // k-means training minimum (~64 points per centroid, the
     // conventional IVF training floor) — tiny corpora train on
     // everything, large corpora on the sample, and the crossover is
     // where sampling starts to actually save work
     val vecs = {
-      val chosen = if (sampled.count() >= 64L * p.k) sampled else all
+      val chosen =
+        if ((sampled eq all) || sampled.count() >= 64L * p.k) sampled else all
       chosen.localCheckpoint(eager = false) // one materialization, reused per iteration
     }
     var centroids = vecs.orderBy(col("id")).limit(p.k)

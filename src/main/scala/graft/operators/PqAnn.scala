@@ -23,10 +23,12 @@ import org.apache.spark.sql.types.DecimalType
   * recall is measured against the exact cosine baseline (RecallSpec).
   *
   * Scale shape:
-  *  - training: `iterations` passes over ALL m subspaces AT ONCE (one
-  *    explode + one (sub, cell, pos)-keyed partial-aggregated shuffle
-  *    per pass — not m separate k-means jobs); codebooks are m x ksub
-  *    x dsub doubles of driver-side metadata shipped as plan literals.
+  *  - training: `iterations` passes over a deterministic hash-SAMPLE
+  *    of the corpus ([[Params.trainFraction]]), all m subspaces AT ONCE
+  *    (one explode + one (sub, cell, pos)-keyed partial-aggregated
+  *    shuffle per pass — not m separate k-means jobs); codebooks are
+  *    m x ksub x dsub doubles of driver-side metadata shipped as plan
+  *    literals.
   *  - encoding: one projection per corpus row (m CASE-free argmaxes of
   *    ksub dim-dsub codegen'd dots), emitting the packed code.
   *  - search: broadcast the (small) query set; the corpus-side scan
@@ -45,10 +47,20 @@ object PqAnn {
   /** @param m subspaces; dim must be divisible by m
     * @param ksub centroids per subspace (<= 16 so the packed code fits
     *   4 bits per subspace)
+    * @param trainFraction fraction of the corpus used for codebook
+    *   training, selected by the deterministic [[Sampling.hashGate]]
+    *   (FAISS-style practice: train the quantizer on a bounded sample,
+    *   encode the full corpus — at 100 TB, Lloyd passes over every
+    *   vector are the dominant index-build cost and add nothing).
+    *   Falls back to the full corpus below ~64 training points per
+    *   centroid, the same floor as [[IvfAnn.Params.trainFraction]].
     */
-  final case class Params(m: Int = 8, ksub: Int = 16, iterations: Int = 3) {
+  final case class Params(m: Int = 8, ksub: Int = 16, iterations: Int = 3,
+                          trainFraction: Double = 0.25) {
     require(m >= 1 && ksub >= 2 && ksub <= 16,
       s"need 1 <= m and 2 <= ksub <= 16 (4-bit packed codes), got m=$m ksub=$ksub")
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
   }
 
   /** v / |v| as a double array column; null-safe only for nonzero
@@ -100,8 +112,20 @@ object PqAnn {
     require(dim % p.m == 0, s"dim $dim not divisible by m=${p.m}")
     val dsub = dim / p.m
 
-    val base = prepared.select(col("id"), col("vn"))
-      .localCheckpoint(eager = false) // reused across iterations
+    // deterministic hash-sample for codebook TRAINING only (encoding
+    // always covers the full corpus); below the 64-points-per-centroid
+    // floor sampling saves nothing and costs recall, so tiny corpora
+    // train on everything — which also keeps the sf0.01 oracle corpora
+    // bit-identical to unsampled training
+    val all = prepared.select(col("id"), col("vn"))
+    val base = {
+      val sampled =
+        if (p.trainFraction >= 1.0) all
+        else all.where(Sampling.hashGate(col("id"), p.trainFraction))
+      val chosen =
+        if ((sampled eq all) || sampled.count() >= 64L * p.ksub) sampled else all
+      chosen.localCheckpoint(eager = false) // reused across iterations
+    }
     // init: subvectors of the ksub lowest-id vectors, per subspace
     val initRows = base.orderBy(col("id")).limit(p.ksub)
       .collect().map(_.getSeq[Double](1).toArray)
@@ -214,9 +238,11 @@ object PqAnn {
   *  - index = (id, cell, 4-byte code): the probe join reads ~nprobe/k
   *    of the corpus AND each touched row is ~64x smaller than its
   *    float embedding;
-  *  - training = the two deterministic k-means fits (coarse on a
-  *    sample via IvfAnn, residual PQ in one job per pass across all
-  *    subspaces); both codebooks ship as plan literals;
+  *  - training = the two deterministic k-means fits, BOTH over bounded
+  *    hash-samples (coarse via [[IvfAnn.Params.trainFraction]],
+  *    residual PQ via [[PqAnn.Params.trainFraction]] — one job per
+  *    pass across all subspaces); both codebooks ship as plan
+  *    literals;
   *  - residuals are never materialized at search time — scoring is
   *    codebook lookups against the exact broadcast query.
   *

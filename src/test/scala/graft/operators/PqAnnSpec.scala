@@ -35,6 +35,32 @@ class PqAnnSpec extends SparkSuite {
     assert(codes == again)
   }
 
+  test("sampled training equals full training on the explicitly pre-filtered corpus") {
+    // 500 ids at frac=0.5 gives ~250 >= 64*ksub(=2)*... use ksub=2, m=2:
+    // floor 64*2=128 < sample size, so the SAMPLED path engages; it must
+    // produce exactly the codebooks of unsampled training over the
+    // hash-gated subset (init + Lloyd sums see the identical rows)
+    val sp = PqAnn.Params(m = 2, ksub = 2, iterations = 2, trainFraction = 0.5)
+    val gated = emb.where(Sampling.hashGate(col("vec_id"), 0.5))
+    assert(gated.count() >= 64L * sp.ksub && gated.count() < emb.count(),
+      "test premise: the gate selects a strict subset above the floor")
+    val sampled = PqAnn.fitCodebooks(emb, "vec_id", "embedding", sp)
+      .map(_.map(_.toSeq).toSeq).toSeq
+    val explicit = PqAnn.fitCodebooks(gated, "vec_id", "embedding",
+      sp.copy(trainFraction = 1.0)).map(_.map(_.toSeq).toSeq).toSeq
+    assert(sampled == explicit)
+  }
+
+  test("below the 64-per-centroid floor, sampling falls back to full-corpus training") {
+    // ksub=16 needs 1024 training points; 500 ids * 0.25 ≈ 125 — the
+    // fallback must make frac=0.25 bit-identical to frac=1.0
+    val sampled = PqAnn.fitCodebooks(emb, "vec_id", "embedding",
+      p.copy(trainFraction = 0.25)).map(_.map(_.toSeq).toSeq).toSeq
+    val full = PqAnn.fitCodebooks(emb, "vec_id", "embedding",
+      p.copy(trainFraction = 1.0)).map(_.map(_.toSeq).toSeq).toSeq
+    assert(sampled == full)
+  }
+
   test("topK is well-formed: no self-matches, contiguous ranks per query") {
     val out = PqAnn.topK(emb.where(col("vec_id") < 5), emb, k = 5, p = p)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

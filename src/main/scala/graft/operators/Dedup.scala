@@ -191,8 +191,18 @@ object SimHash {
     * 4x16-bit band LSH (a pair within Hamming 3 of 64 bits must agree
     * exactly on at least one 16-bit band) then verified with
     * bit_count(xor). Band join is an equi-join — no all-pairs scan.
+    *
+    * @param maxBucket optional per-bucket candidate cap (SCALE.md known
+    *   cliff #2), same contract as [[MinHashLSH.candidatePairs]]: a
+    *   boilerplate-heavy corpus where mega-clusters of documents share
+    *   a 16-bit band makes the band self-join quadratic in bucket
+    *   size. With a cap, buckets holding more than `maxBucket` ids are
+    *   EXCLUDED from the self-join — their pairs are lost, and the
+    *   recall loss is explicit: the dropped-bucket count is logged
+    *   loudly. Default None preserves exact band semantics.
     */
-  def pairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+  def pairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int,
+            maxBucket: Option[Long] = None): DataFrame = {
     // 4 bands of 16 bits are exhaustive only up to hamming 3 (a pair
     // differing in >= 4 bits can spread one flip into every band);
     // beyond that the band join silently loses recall, so refuse.
@@ -205,7 +215,21 @@ object SimHash {
             shiftright(col("sh"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
           .as("bk"))
       .select(col(idCol), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("l").join(banded.as("r"),
+      .localCheckpoint(eager = false) // read by both sides of the self-join
+    val capped = maxBucket match {
+      case None => banded
+      case Some(cap) =>
+        val oversized = banded.groupBy("band", "key")
+          .agg(count(lit(1)).as("__n")).where(col("__n") > cap)
+          .select("band", "key")
+          .localCheckpoint(eager = false) // read by the count + the anti-join
+        val nOver = oversized.count() // eager by design: truncation must be LOUD
+        if (nOver > 0) System.err.println(
+          s"[graft] SimHash.pairs: dropping $nOver bucket(s) larger than " +
+            s"$cap ids — near-dup pairs inside them are NOT reported (recall loss)")
+        banded.join(oversized, Seq("band", "key"), "left_anti")
+    }
+    capped.as("l").join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),

@@ -97,4 +97,17 @@ class DedupSpec extends SparkSuite {
     assert(MinHashLSH.candidatePairs(df, "doc_id", "text",
       maxBucket = Some(100L)).count() == 66L)
   }
+
+  test("simhash bucket cap: oversized buckets are dropped, generous cap is a no-op") {
+    // 12 identical documents share one simhash, so every 16-bit band
+    // bucket holds all 12 ids and the uncapped pair set is 12-choose-2
+    val df = docs((1L to 12L).map(i => i -> base): _*)
+    assert(SimHash.pairs(df, "doc_id", "text", maxHamming = 3).count() == 66L)
+    // cap below the bucket size: the pathological buckets are excluded
+    assert(SimHash.pairs(df, "doc_id", "text", maxHamming = 3,
+      maxBucket = Some(5L)).count() == 0L)
+    // cap above it: exact band semantics preserved
+    assert(SimHash.pairs(df, "doc_id", "text", maxHamming = 3,
+      maxBucket = Some(100L)).count() == 66L)
+  }
 }

@@ -130,33 +130,67 @@ object IvfAnn {
     corpus.withColumn("__graft_cell",
       argmaxCell(VectorFunctions.toDoubleArray(col(vecCol)), centroids))
 
-  /** Approximate top-k by cosine, probing nprobe cells per query.
-    * Output (qid, nid, rank) — rank over the probed candidates,
-    * deterministic (neighbor-id tiebreak).
+  /** A fitted IVF index: driver-side centroids + the cell-assigned
+    * corpus as (nid, nv, cell). Fit once ([[fitIndex]]), persist
+    * ([[save]]/[[load]]), search many ([[searchTopK]]) — at 100 TB the
+    * k-means training and the corpus assignment scan are per-INDEX
+    * costs that must not be re-paid per query batch.
     */
-  def topK(queries: DataFrame, corpus: DataFrame, k: Int,
-           idCol: String = "vec_id", vecCol: String = "embedding",
-           p: Params = Params()): DataFrame = {
-    val centroids = fitCentroids(corpus, idCol, vecCol, p)
-    val indexed = index(corpus, vecCol, centroids)
-      .select(col(idCol).as("nid"), col(vecCol).as("nv"),
-        col("__graft_cell").as("cell"))
+  final case class Index(centroids: Array[Array[Double]], indexed: DataFrame)
 
+  /** Trains centroids and assigns every corpus row to its cell. */
+  def fitIndex(corpus: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding", p: Params = Params()): Index = {
+    val centroids = fitCentroids(corpus, idCol, vecCol, p)
+    Index(centroids, index(corpus, vecCol, centroids)
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"),
+        col("__graft_cell").as("cell")))
+  }
+
+  /** Persists the index as plain parquet: `path/corpus` = (nid, nv,
+    * cell), `path/meta` = one row holding the centroid matrix. Parquet
+    * round-trips doubles and the raw vector column bit-exactly (no
+    * text re-parse), so a loaded index searches bit-identically to the
+    * fitted one (pinned in IvfAnnSpec).
+    */
+  def save(idx: Index, path: String): Unit = {
+    val spark = idx.indexed.sparkSession
+    import spark.implicits._
+    idx.indexed.write.mode("overwrite").parquet(s"$path/corpus")
+    Seq(Tuple1(idx.centroids.map(_.toSeq).toSeq)).toDF("centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val centroids = spark.read.parquet(s"$path/meta").head()
+      .getAs[scala.collection.Seq[scala.collection.Seq[Double]]](0)
+      .map(_.toArray).toArray
+    Index(centroids, spark.read.parquet(s"$path/corpus"))
+  }
+
+  /** Approximate top-k by cosine against a prebuilt index, probing
+    * `nprobe` cells per query — the amortized path: no training, no
+    * corpus assignment, just the probe equi-join. Output
+    * (qid, nid, rank), deterministic (neighbor-id tiebreak).
+    */
+  def searchTopK(queries: DataFrame, idx: Index, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 nprobe: Int = 3): DataFrame = {
     // nprobe nearest cells per query: sort (negScore, cell) ascending
     val qv = VectorFunctions.toDoubleArray(col(vecCol))
-    val scored = array_sort(array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+    val scored = array_sort(array(idx.centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       struct((-cellScore(qv, c)).as("negscore"), lit(i).as("cell"))
     }: _*))
     val qProbes = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"),
-        slice(scored, 1, p.nprobe).as("probes"))
+        slice(scored, 1, nprobe).as("probes"))
       .select(col("qid"), col("qv"),
         explode(col("probes")).as("probe"))
       .select(col("qid"), col("qv"), col("probe.cell").as("cell"))
 
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("nid").asc)
-    indexed.join(broadcast(qProbes), Seq("cell"))
+    idx.indexed.join(broadcast(qProbes), Seq("cell"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         VectorFunctions.cosine(col("qv"), col("nv")).as("cosine"))
@@ -164,4 +198,16 @@ object IvfAnn {
       .where(col("rank") <= k)
       .select("qid", "nid", "rank")
   }
+
+  /** Approximate top-k by cosine, probing nprobe cells per query.
+    * Output (qid, nid, rank) — rank over the probed candidates,
+    * deterministic (neighbor-id tiebreak). Trains in-line; callers
+    * with a reusable corpus should [[fitIndex]] + [[save]] once and
+    * [[searchTopK]] against the loaded index instead.
+    */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding",
+           p: Params = Params()): DataFrame =
+    searchTopK(queries, fitIndex(corpus, idCol, vecCol, p), k,
+      idCol, vecCol, p.nprobe)
 }

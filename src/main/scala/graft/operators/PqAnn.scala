@@ -202,27 +202,68 @@ object PqAnn {
     }.reduce(_ + _)
   }
 
-  /** Approximate top-k by ADC cosine: queries exact (broadcast), the
-    * corpus represented ONLY by its codes. Output (qid, nid, rank),
-    * rank by (adc score DESC, nid ASC).
+  /** A fitted PQ index: driver-side codebooks + the coded corpus as
+    * (nid, code) — the ~64x-compressed representation. Fit once
+    * ([[fitIndex]]), persist ([[save]]/[[load]]), search many
+    * ([[searchTopK]]).
     */
-  def topK(queries: DataFrame, corpus: DataFrame, k: Int,
-           idCol: String = "vec_id", vecCol: String = "embedding",
-           p: Params = Params()): DataFrame = {
-    val codebooks = fitCodebooks(corpus, idCol, vecCol, p)
-    val coded = encode(corpus, idCol, vecCol, codebooks)
-      .select(col(idCol).as("nid"), col("code"))
-    val q = queries.select(col(idCol).as("qid"), normalized(col(vecCol)).as("qn"))
+  final case class Index(codebooks: Array[Array[Array[Double]]], coded: DataFrame)
 
+  /** Trains codebooks and encodes every corpus row. */
+  def fitIndex(corpus: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding", p: Params = Params()): Index = {
+    val codebooks = fitCodebooks(corpus, idCol, vecCol, p)
+    Index(codebooks, encode(corpus, idCol, vecCol, codebooks)
+      .select(col(idCol).as("nid"), col("code")))
+  }
+
+  /** Persists the index as plain parquet: `path/corpus` = (nid, code),
+    * `path/meta` = one row holding the m x ksub x dsub codebook tensor.
+    * Parquet round-trips doubles bit-exactly, so a loaded index
+    * searches bit-identically to the fitted one (pinned in PqAnnSpec).
+    */
+  def save(idx: Index, path: String): Unit = {
+    val spark = idx.coded.sparkSession
+    import spark.implicits._
+    idx.coded.write.mode("overwrite").parquet(s"$path/corpus")
+    Seq(Tuple1(idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)).toDF("codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val codebooks = spark.read.parquet(s"$path/meta").head()
+      .getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]](0)
+      .map(_.map(_.toArray).toArray).toArray
+    Index(codebooks, spark.read.parquet(s"$path/corpus"))
+  }
+
+  /** Approximate top-k by ADC cosine against a prebuilt index — no
+    * training, no encoding: one scan of the packed codes against the
+    * broadcast exact queries. Output (qid, nid, rank), rank by
+    * (adc score DESC, nid ASC).
+    */
+  def searchTopK(queries: DataFrame, idx: Index, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), normalized(col(vecCol)).as("qn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc").desc, col("nid").asc)
-    coded.join(broadcast(q), col("qid") =!= col("nid"))
+    idx.coded.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        adcScore(col("qn"), col("code"), codebooks).as("adc"))
+        adcScore(col("qn"), col("code"), idx.codebooks).as("adc"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("qid", "nid", "rank")
   }
+
+  /** Approximate top-k by ADC cosine: queries exact (broadcast), the
+    * corpus represented ONLY by its codes. Trains in-line; callers
+    * with a reusable corpus should [[fitIndex]] + [[save]] once and
+    * [[searchTopK]] against the loaded index instead.
+    */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding",
+           p: Params = Params()): DataFrame =
+    searchTopK(queries, fitIndex(corpus, idCol, vecCol, p), k, idCol, vecCol)
 }
 
 /** The full IVF-ADC pipeline of Jegou/Douze/Schmid (TPAMI 2011): a
@@ -291,29 +332,70 @@ object IvfPqAnn {
     (coarse, rescb)
   }
 
-  /** Approximate top-k by probed-cell ADC cosine. Output
-    * (qid, nid, rank), rank by (score DESC, nid ASC).
+  /** A fitted IVF-PQ index: coarse centroids + residual codebooks
+    * (driver-side) + the indexed corpus as (nid, cell, code). Fit once
+    * ([[fitIndex]]), persist ([[save]]/[[load]]), search many
+    * ([[searchTopK]]).
     */
-  def topK(queries: DataFrame, corpus: DataFrame, k: Int,
-           idCol: String = "vec_id", vecCol: String = "embedding",
-           p: Params = Params()): DataFrame = {
+  final case class Index(coarse: Array[Array[Double]],
+                         codebooks: Array[Array[Array[Double]]],
+                         indexed: DataFrame)
+
+  /** Trains both codebooks and residual-encodes every corpus row —
+    * index = (nid, coarse cell, packed residual code), derived from
+    * the SAME materialization training used (no second
+    * normalize/assign pass over the corpus).
+    */
+  def fitIndex(corpus: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding", p: Params = Params()): Index = {
     val (coarse, rescb, indexedBase) = fitOn(corpus, idCol, vecCol, p)
     val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
-
-    // index: (nid, cell, residual code) — the compressed
-    // representation, derived from the SAME materialization training
-    // used (no second normalize/assign pass over the corpus)
-    val indexed = indexedBase
+    Index(coarse, rescb, indexedBase
       .select(col("id").as("nid"), col("__graft_cell").as("cell"),
         PqAnn.packedCode(
           zip_with(col("vn"),
             element_at(coarseLit, col("__graft_cell") + 1),
-            (a, b) => a - b), rescb).as("code"))
+            (a, b) => a - b), rescb).as("code")))
+  }
 
+  /** Persists the index as plain parquet: `path/corpus` = (nid, cell,
+    * code), `path/meta` = one row holding both codebook tensors —
+    * bit-exact round-trip (pinned in PqAnnSpec).
+    */
+  def save(idx: Index, path: String): Unit = {
+    val spark = idx.indexed.sparkSession
+    import spark.implicits._
+    idx.indexed.write.mode("overwrite").parquet(s"$path/corpus")
+    Seq((idx.coarse.map(_.toSeq).toSeq,
+        idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("coarse", "codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val row = spark.read.parquet(s"$path/meta").head()
+    val coarse = row.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("coarse")
+      .map(_.toArray).toArray
+    val codebooks = row
+      .getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]]("codebooks")
+      .map(_.map(_.toArray).toArray).toArray
+    Index(coarse, codebooks, spark.read.parquet(s"$path/corpus"))
+  }
+
+  /** Approximate top-k by probed-cell ADC cosine against a prebuilt
+    * index — the amortized path: no training, no residual encoding;
+    * the probe equi-join touches ~nprobe/coarseK of the corpus, each
+    * row a 4-byte code. Output (qid, nid, rank), rank by
+    * (score DESC, nid ASC).
+    */
+  def searchTopK(queries: DataFrame, idx: Index, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 nprobe: Int = 3): DataFrame = {
+    val coarseLit = typedLit(idx.coarse.map(_.toSeq).toSeq)
     // query probes: top-nprobe cells by (score DESC, cell ASC) — the
     // same tie-breaks as IvfAnn.topK
     val qn = PqAnn.normalizedCol(col(vecCol))
-    val probesSorted = array_sort(array(coarse.toIndexedSeq.zipWithIndex.map {
+    val probesSorted = array_sort(array(idx.coarse.toIndexedSeq.zipWithIndex.map {
       case (c, i) =>
         val score = VectorFunctions.dot(qn, array(c.toIndexedSeq.map(lit): _*)) -
           lit(c.map(x => x * x).sum / 2.0)
@@ -321,20 +403,31 @@ object IvfPqAnn {
     }: _*))
     val qProbes = queries
       .select(col(idCol).as("qid"), qn.as("qn"),
-        slice(probesSorted, 1, p.nprobe).as("probes"))
+        slice(probesSorted, 1, nprobe).as("probes"))
       .select(col("qid"), col("qn"), explode(col("probes")).as("probe"))
       .select(col("qid"), col("qn"), col("probe.cell").as("cell"))
 
     val score =
       VectorFunctions.dot(col("qn"), element_at(coarseLit, col("cell") + 1)) +
-        PqAnn.adcScore(col("qn"), col("code"), rescb)
+        PqAnn.adcScore(col("qn"), col("code"), idx.codebooks)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("nid").asc)
-    indexed.join(broadcast(qProbes), Seq("cell"))
+    idx.indexed.join(broadcast(qProbes), Seq("cell"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), score.as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("qid", "nid", "rank")
   }
+
+  /** Approximate top-k by probed-cell ADC cosine. Output
+    * (qid, nid, rank), rank by (score DESC, nid ASC). Trains in-line;
+    * callers with a reusable corpus should [[fitIndex]] + [[save]]
+    * once and [[searchTopK]] against the loaded index instead.
+    */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding",
+           p: Params = Params()): DataFrame =
+    searchTopK(queries, fitIndex(corpus, idCol, vecCol, p), k,
+      idCol, vecCol, p.nprobe)
 }

@@ -73,6 +73,24 @@ class IvfAnnSpec extends SparkSuite {
     assert(a == b, "centroids must be bit-identical across partitionings")
   }
 
+  test("fit -> save -> load -> search equals fit -> search bit-exactly") {
+    val p = IvfAnn.Params(k = 8, iterations = 3, nprobe = 3)
+    val idx = IvfAnn.fitIndex(emb, "vec_id", "embedding", p)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    IvfAnn.save(idx, dir)
+    val loaded = IvfAnn.load(spark, dir)
+    assert(loaded.centroids.map(_.toSeq).toSeq == idx.centroids.map(_.toSeq).toSeq,
+      "centroids must round-trip parquet bit-exactly")
+    val queries = emb.where(col("vec_id") < 5)
+    def run(i: IvfAnn.Index) =
+      IvfAnn.searchTopK(queries, i, k = 5, nprobe = p.nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = IvfAnn.topK(queries, emb, k = 5, p = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(idx) == direct, "searchTopK(fitIndex) must equal topK")
+    assert(run(loaded) == direct, "a loaded index must search identically")
+  }
+
   test("IVF with nprobe < k prunes the candidate set but stays valid") {
     val queries = emb.where(col("vec_id") < 5)
     val p = IvfAnn.Params(k = 8, iterations = 3, nprobe = 2)

@@ -61,6 +61,43 @@ class PqAnnSpec extends SparkSuite {
     assert(sampled == full)
   }
 
+  test("PQ fit -> save -> load -> search equals fit -> search bit-exactly") {
+    val idx = PqAnn.fitIndex(emb, "vec_id", "embedding", p)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    PqAnn.save(idx, dir)
+    val loaded = PqAnn.load(spark, dir)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+      "codebooks must round-trip parquet bit-exactly")
+    val queries = emb.where(col("vec_id") < 5)
+    def run(i: PqAnn.Index) = PqAnn.searchTopK(queries, i, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = PqAnn.topK(queries, emb, k = 5, p = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(idx) == direct, "searchTopK(fitIndex) must equal topK")
+    assert(run(loaded) == direct, "a loaded index must search identically")
+  }
+
+  test("IVF-PQ fit -> save -> load -> search equals fit -> search bit-exactly") {
+    val ip = IvfPqAnn.Params(coarseK = 8, coarseIterations = 2, nprobe = 3,
+      pq = PqAnn.Params(m = 8, ksub = 16, iterations = 2))
+    val idx = IvfPqAnn.fitIndex(emb, "vec_id", "embedding", ip)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    IvfPqAnn.save(idx, dir)
+    val loaded = IvfPqAnn.load(spark, dir)
+    assert(loaded.coarse.map(_.toSeq).toSeq == idx.coarse.map(_.toSeq).toSeq)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val queries = emb.where(col("vec_id") < 5)
+    def run(i: IvfPqAnn.Index) =
+      IvfPqAnn.searchTopK(queries, i, k = 5, nprobe = ip.nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = IvfPqAnn.topK(queries, emb, k = 5, p = ip)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(idx) == direct, "searchTopK(fitIndex) must equal topK")
+    assert(run(loaded) == direct, "a loaded index must search identically")
+  }
+
   test("topK is well-formed: no self-matches, contiguous ranks per query") {
     val out = PqAnn.topK(emb.where(col("vec_id") < 5), emb, k = 5, p = p)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

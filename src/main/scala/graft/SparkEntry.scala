@@ -42,12 +42,22 @@ object SparkEntry {
     * the rows-only check rather than failing the whole dump.
     */
   def oracleSql: Map[String, String] =
+    oracleSql(SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        "oracleSql needs a live SparkSession (generated oracles train " +
+          "on data); start one or call oracleSql(spark) explicitly — " +
+          "refusing to silently create a default-config session")))
+
+  /** [[oracleSql]] against an explicit session — the generator loop
+    * never falls back to `builder().getOrCreate()`, so a bare call
+    * site can't silently spin up a default-config session.
+    */
+  def oracleSql(session: SparkSession): Map[String, String] =
     allQueryDefs.flatMap { q =>
       val sql = q.oracle.orElse(q.oracleGen.flatMap { gen =>
-        try {
-          val spark = SparkSession.builder().getOrCreate()
-          Some(gen(spark, oracleSfDir))
-        } catch {
+        try Some(gen(session, oracleSfDir))
+        catch {
           case e: Throwable =>
             System.err.println(s"[oracle] ${q.name} generator failed: ${e.getMessage}")
             None

@@ -83,6 +83,12 @@ object StreamingOps {
     * (`TopN.java:117-118`): state per key is O(K), eviction on insert.
     * Emits the key's refreshed top-K on every batch that touches it
     * (update semantics).
+    *
+    * WARNING — state is unbounded in KEY CARDINALITY: every key ever
+    * seen holds its O(K) list forever. On a stream with churning keys
+    * (user ids, session ids) state grows without bound; prefer
+    * [[statefulTopKWithTTL]] unless the key domain is known-small and
+    * closed (e.g. a fixed category dimension).
     */
   def statefulTopK[K, V](ds: Dataset[(K, V)], k: Int)(
       implicit ord: Ordering[V],

@@ -35,6 +35,20 @@ class GoldenValuesSpec extends SparkSuite {
     assert(fp == 191689641L, s"corpus or kernel drifted: fp=$fp")
   }
 
+  test("q_sketch_distinct HLL values at sf0.001 are pinned (deterministic sketch)") {
+    // The HLL++ register merge is commutative+idempotent, so the
+    // estimate is independent of partitioning and merge order — the
+    // one rows-only driver query is still exactly reproducible, and a
+    // kernel/config drift (relativeSD, hash) fails here first.
+    val rows = SparkEntry.queries("q_sketch_distinct")(spark, dir)
+      .orderBy("lang").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("approx_docs"), r.getAs[Long]("n")))
+    assert(rows.toSeq == Seq(
+      ("de", 72L, 71L), ("en", 197L, 193L), ("es", 80L, 80L),
+      ("fr", 83L, 82L), ("zh", 75L, 74L)),
+      s"HLL sketch drifted: ${rows.toSeq}")
+  }
+
   test("minhash near-dup top pair at sf0.001 is stable") {
     val top = SparkEntry.queries("dedup_minhash")(spark, dir).head()
     // the corpus plants near-dups; the strongest pair is stable data

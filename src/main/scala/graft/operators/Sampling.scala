@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic multiplicative-hash row gates shared by every
@@ -22,7 +23,37 @@ object Sampling {
   def hashGate(id: Column, fraction: Double): Column = {
     require(fraction > 0.0 && fraction <= 1.0,
       s"fraction must be in (0, 1], got $fraction")
-    pmod(pmod(id, lit(1000003L)) * 2654435761L, lit(1000000L)) <
-      math.max(1L, (fraction * 1000000L).toLong)
+    hashValue(id) < math.max(1L, (fraction * 1000000L).toLong)
+  }
+
+  /** The underlying hash value in [0, 1e6) — exposed for operators
+    * that need an ORDER (not just a gate) over the same deterministic
+    * randomness, e.g. [[shardShuffle]].
+    */
+  def hashValue(id: Column): Column =
+    pmod(pmod(id, lit(1000003L)) * 2654435761L, lit(1000000L))
+
+  /** Deterministic training-data shuffle, sharded: rows are assigned
+    * to `nShards` shards by id hash and ordered WITHIN each shard by
+    * (hash, id). This is the scalable form of "shuffle the corpus
+    * before training": a single global random order would funnel the
+    * whole dataset through one sorting task, while per-shard order is
+    * embarrassingly parallel (one window partition per shard — at
+    * cluster scale, one output file per shard) and epoch-reproducible:
+    * the order depends only on id VALUES, never on partitioning or
+    * task retries.
+    *
+    * Output: the id column, `shard`, `pos` (1-based position within
+    * the shard). Hash collisions are broken by id, so the total order
+    * is unique.
+    */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.select(col(idCol), hashValue(col(idCol)).as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .select(col(idCol), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
   }
 }

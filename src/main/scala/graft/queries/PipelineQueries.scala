@@ -781,6 +781,37 @@ object PipelineQueries {
       None,
       oracleGen = Some(ivfTopKOracle _)),
 
+    QueryDef("ann_ivf_search",
+      // the AMORTIZED IVF path: fit + save + load once per JVM
+      // (ivfIndexFor), then search the parquet-backed index — no
+      // in-query training. Same oracle as ann_ivf_topk (identical
+      // params ⇒ identical deterministic centroids ⇒ identical
+      // search results), so fit→save→load→search is proven bit-equal
+      // to fit→search under the driver's hash gate.
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        IvfAnn.searchTopK(e.where(col("vec_id") < 10), ivfIndexFor(s, dir),
+            k = 5, nprobe = ivfParams.nprobe)
+          .select(col("qid"), col("nid"), col("rank").as("nn_rank"))
+      },
+      None,
+      oracleGen = Some(ivfTopKOracle _)),
+
+    QueryDef("ivfpq_ann_search",
+      // amortized IVF-PQ: search a persisted (nid, cell, 4-byte code)
+      // index — the 100 TB serving shape where the two k-means fits
+      // are per-index-lifetime cost, not per-query. Oracle shared with
+      // ivfpq_ann_topk for the same determinism reason as
+      // ann_ivf_search.
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        IvfPqAnn.searchTopK(e.where(col("vec_id") < 10), ivfPqIndexFor(s, dir),
+            k = 5, nprobe = ivfPqParams.nprobe)
+          .select(col("qid"), col("nid"), col("rank").as("nn_rank"))
+      },
+      None,
+      oracleGen = Some(ivfPqTopKOracle _)),
+
     // ---- text analysis ----
 
     QueryDef("text_stats",
@@ -1013,6 +1044,36 @@ object PipelineQueries {
             row_number() OVER (PARTITION BY lang
               ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000007, doc_id) AS rn
           FROM documents) WHERE rn <= 20""")),
+
+    QueryDef("sample_shard_shuffle",
+      // deterministic sharded corpus shuffle (the pre-training "shuffle
+      // then write N shard files" step): shard by id hash, order within
+      // shard by (hash, id) — parallel per shard, reproducible per
+      // epoch; see Sampling.shardShuffle for the scale argument
+      (s, dir) => Sampling.shardShuffle(t(s, dir, "documents"), "doc_id", 8),
+      Some("""WITH h AS (SELECT doc_id,
+            ((doc_id % 1000003) * 2654435761) % 1000000 AS h FROM documents)
+        SELECT doc_id, h % 8 AS shard,
+          CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+        FROM h""")),
+
+    QueryDef("text_chunks",
+      // overlapping 64-token windows advanced by 48 (16-token overlap)
+      // — the LLM-pipeline chunking step; narrow generator transform,
+      // no shuffle (TextChunk.transform)
+      (s, dir) => TextChunk.transform(
+        t(s, dir, "documents"), "doc_id", "text", chunkSize = 64, stride = 48),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+          st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+            FROM tk)
+        SELECT doc_id,
+          CAST(start // 48 AS BIGINT) AS chunk_idx,
+          CAST(least(64, len(toks) - start) AS BIGINT) AS chunk_tokens,
+          array_to_string(list_slice(toks, start + 1, start + 64), ' ')
+            AS chunk_text
+        FROM st""")),
 
     // ---- multimodal plumbing ----
 

@@ -331,6 +331,81 @@ object RelationalQueries {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_name""")),
 
+    QueryDef("fuzzy_join_parts",
+      // blocked fuzzy self-join (entity resolution): the blocking key
+      // (p_brand, p_size) bounds the candidate set — 1250 blocks of
+      // ~n/1250 rows, so candidates grow as n²/1250, never the raw n²
+      // cross product — and edit distance verifies candidates only.
+      // Both engines implement classic unit-cost Levenshtein, so even
+      // the fuzzy predicate hash-matches exactly.
+      (s, dir) => {
+        val b = t(s, dir, "part")
+          .select("p_partkey", "p_name", "p_brand", "p_size")
+        b.as("l").join(b.as("r"),
+            col("l.p_brand") === col("r.p_brand") &&
+              col("l.p_size") === col("r.p_size") &&
+              col("l.p_partkey") < col("r.p_partkey"))
+          .where(levenshtein(col("l.p_name"), col("r.p_name")) <= 2)
+          .select(col("l.p_partkey").as("a"), col("r.p_partkey").as("b"),
+            col("l.p_name").as("a_name"), col("r.p_name").as("b_name"),
+            levenshtein(col("l.p_name"), col("r.p_name"))
+              .cast("long").as("dist"))
+      },
+      Some("""WITH b AS (SELECT p_partkey, p_name, p_brand, p_size FROM part)
+        SELECT l.p_partkey AS a, r.p_partkey AS b,
+          l.p_name AS a_name, r.p_name AS b_name,
+          CAST(levenshtein(l.p_name, r.p_name) AS BIGINT) AS dist
+        FROM b l JOIN b r
+          ON l.p_brand = r.p_brand AND l.p_size = r.p_size
+            AND l.p_partkey < r.p_partkey
+        WHERE levenshtein(l.p_name, r.p_name) <= 2""")),
+
+    QueryDef("q_exists_subquery",
+      // correlated EXISTS (TPC-H Q4 shape): Catalyst decorrelates it
+      // to a left-semi hash join on l_orderkey — asserted against the
+      // same rewrite DuckDB plans, both checked via the oracle
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+        s.sql("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders_sq o
+          WHERE EXISTS (SELECT 1 FROM lineitem_sq l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND CAST(l.l_shipdate AS DATE) >
+                date_add(CAST(o.o_orderdate AS DATE), 60))
+          GROUP BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60)
+        GROUP BY o_orderpriority""")),
+
+    QueryDef("q_scalar_subquery",
+      // correlated aggregate scalar subquery (TPC-H Q17 shape):
+      // decorrelated to an aggregate + join on l_partkey. Exactness:
+      // quantities are integer-valued, so the per-part double sum is
+      // exact and order-independent, 0.2*avg is the identical double
+      // in both engines, and the money sum follows the DECIMAL(18,2)
+      // convention with one final double division
+      (s, dir) => {
+        t(s, dir, "part").createOrReplaceTempView("part_sq")
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+        s.sql("""SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+              AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+          FROM lineitem_sq l JOIN part_sq p ON p.p_partkey = l.l_partkey
+          WHERE p.p_brand = 'Brand#1'
+            AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+              FROM lineitem_sq l2 WHERE l2.l_partkey = l.l_partkey)""")
+      },
+      Some("""SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+            AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")),
+
     // ---- as-of join (union+window, single shuffle — AsOfJoin) ----
 
     QueryDef("q_asof_join",

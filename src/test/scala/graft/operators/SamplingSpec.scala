@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSuite {
+
+  private lazy val docs =
+    spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+
+  test("hashGate selects a stable subset of roughly the requested fraction") {
+    val n = docs.count()
+    val a = docs.where(Sampling.hashGate(col("doc_id"), 0.2)).count()
+    val b = docs.where(Sampling.hashGate(col("doc_id"), 0.2)).count()
+    assert(a == b) // value-determined, not run-determined
+    assert(a > n / 10 && a < n * 3 / 10, s"fraction drifted: $a of $n")
+  }
+
+  test("shardShuffle covers every row exactly once with dense per-shard positions") {
+    val out = Sampling.shardShuffle(docs, "doc_id", 8)
+    assert(out.count() == docs.count())
+    assert(out.select("doc_id").distinct().count() == docs.count())
+    // positions within each shard are 1..count(shard), no gaps
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("maxp"), min("pos").as("minp"))
+      .where(col("maxp") =!= col("n") || col("minp") =!= 1)
+    assert(bad.count() == 0, bad.collect().mkString("; "))
+    assert(out.select("shard").distinct().count() == 8)
+  }
+
+  test("shardShuffle is reproducible and independent of input partitioning") {
+    val a = Sampling.shardShuffle(docs, "doc_id", 8)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = Sampling.shardShuffle(docs.repartition(13), "doc_id", 8)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("shardShuffle order differs from id order (it actually shuffles)") {
+    val out = Sampling.shardShuffle(docs, "doc_id", 1)
+    val byPos = out.orderBy("pos").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(byPos != byPos.sorted, "shuffle left the corpus in id order")
+    assert(byPos.sorted == docs.select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("invalid shard counts and fractions are rejected") {
+    intercept[IllegalArgumentException](Sampling.shardShuffle(docs, "doc_id", 0))
+    intercept[IllegalArgumentException](Sampling.hashGate(col("doc_id"), 0.0))
+    intercept[IllegalArgumentException](Sampling.hashGate(col("doc_id"), 1.5))
+  }
+}

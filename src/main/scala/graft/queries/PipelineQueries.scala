@@ -195,6 +195,16 @@ object PipelineQueries {
         path)
       IvfPqAnn.load(s, path)
     })
+  private val pqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PqAnn.Index]()
+  private def pqIndexFor(s: SparkSession, dir: String): PqAnn.Index =
+    pqIndexCache.computeIfAbsent(dir, _ => {
+      val path = s"$indexRoot/pq_${math.abs(dir.hashCode)}"
+      PqAnn.save(
+        PqAnn.fitIndex(t(s, dir, "embeddings"), "vec_id", "embedding", pqParams),
+        path)
+      PqAnn.load(s, path)
+    })
 
   /** Generated DuckDB oracle for dedup_minhash: replays the ENTIRE
     * MinHash+LSH pipeline — FNV-1a token hashes ([[fnvSql]]), 3-gram
@@ -812,6 +822,21 @@ object PipelineQueries {
       None,
       oracleGen = Some(ivfPqTopKOracle _)),
 
+    QueryDef("pq_ann_search",
+      // amortized flat-PQ: one scan of a persisted (nid, 4-byte code)
+      // index, no training and no encoding in the query — with
+      // ann_ivf_search and ivfpq_ann_search this completes the
+      // fit-once/search-many proof for all three quantized ANN
+      // variants. Oracle shared with pq_ann_topk (identical params ⇒
+      // identical deterministic codebooks ⇒ identical search).
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        PqAnn.searchTopK(e.where(col("vec_id") < 10), pqIndexFor(s, dir), k = 5)
+          .select(col("qid"), col("nid"), col("rank").as("nn_rank"))
+      },
+      None,
+      oracleGen = Some(pqTopKOracle _)),
+
     // ---- text analysis ----
 
     QueryDef("text_stats",
@@ -838,6 +863,24 @@ object PipelineQueries {
               w -> w IN ('the','and','of','is','in','a'))) * 20
               >= len(string_split(text, ' '))) AS is_quality
         FROM documents""")),
+
+    QueryDef("text_redact",
+      // the PII-scrub shape: regex masking as a pure codegen'd
+      // projection (no shuffle, no UDF). The events.props JSON is the
+      // corpus stand-in with digit runs to mask; the pattern is kept
+      // to the regex subset Java and RE2 interpret identically, and
+      // DuckDB needs the explicit 'g' flag to match Spark's
+      // replace-all semantics
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "#").as("redacted"),
+          (length(col("props")) - length(regexp_replace(col("props"), "[0-9]", "")))
+            .cast("long").as("n_masked_chars")),
+      Some("""SELECT event_id,
+          regexp_replace(props, '[0-9]+', '#', 'g') AS redacted,
+          CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
+            AS BIGINT) AS n_masked_chars
+        FROM events""")),
 
     QueryDef("text_fingerprint",
       (s, dir) => t(s, dir, "documents").select(

@@ -584,6 +584,52 @@ object RelationalQueries {
 
     // ---- time-bucketed aggregation over the event stream table ----
 
+    QueryDef("q_latest_by_key",
+      // CDC/upsert compaction: latest record per key by (ts, event_id)
+      // — the "apply a changelog" step of an incremental pipeline.
+      // rank-1 window over the key: Catalyst inserts WindowGroupLimit
+      // before the exchange, so each map task forwards at most one row
+      // per key it sees — the compaction never shuffles the full
+      // history at scale
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"))
+      },
+      Some("""SELECT user_id, event_id, event_type, value FROM (
+          SELECT user_id, event_id, event_type, value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1""")),
+
+    QueryDef("q_hop_window",
+      // sliding (hopping) 1-hour window advanced by 15 minutes: each
+      // event lands in exactly 4 windows via Spark's `window()`
+      // generator (an Expand — constant 4x fan-out, no self-join);
+      // the oracle regenerates the same epoch-aligned window starts
+      // with integer micros arithmetic: starts s = 900e6 * n with
+      // s in (t - 3600e6, t]. Window starts are 15-min aligned, so
+      // the second-precision BIGINT start is lossless
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(timestamp_micros(expr("ts div 1000")),
+          "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("mn"),
+          max(col("value")).as("mx"))
+        .select(col("window.start").cast("long").as("w_start"),
+          col("n"), col("mn"), col("mx")),
+      Some("""WITH e AS (SELECT epoch_us(ts) AS tu, value FROM events),
+          x AS (SELECT tu, value, unnest(range(
+              (tu - 3600000000) // 900000000 + 1,
+              tu // 900000000 + 1)) AS wn FROM e)
+        SELECT (wn * 900000000) // 1000000 AS w_start,
+          count(*) AS n, min(value) AS mn, max(value) AS mx
+        FROM x GROUP BY 1""")),
+
     QueryDef("q_time_bucket",
       // ts arrives as a nanos long (see Tables); `div 1000` → micros is
       // lossless at day granularity.

@@ -28,9 +28,10 @@ object Bench {
     Tables(spark, sfDir, "lineitem").count()
     spark.range(1000000L).selectExpr("sum(id * 2)").collect()
 
-    // best-of-2 per query: the second run reuses compiled codegen and
-    // warm page cache, so min() reports steady-state query cost rather
-    // than one-off compilation (which is constant in data size).
+    // median-of-3 per query: the first run pays one-off codegen
+    // compilation and cold page cache, so the median reports
+    // steady-state cost — and unlike best-of-N, a retry-masked lucky
+    // minimum cannot flatter a flaky query.
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
@@ -42,11 +43,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = once(name, fn)
-      // a failed first run means a near-certain failed second run —
-      // don't pay (and double-log) the failure twice
-      val b = if (a < 0) -1.0 else once(name, fn)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      // a failed first run means a near-certain failed repeat —
+      // don't pay (and multi-log) the failure again
+      val runs = Iterator.continually(once(name, fn))
+        .take(3).takeWhile(_ >= 0).toSeq
+      name -> (if (runs.size < 3) -1.0 else runs.sorted.apply(1))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -167,10 +167,10 @@ object PipelineQueries {
     * call per sfDir fits the index, SAVES it to a temp dir, and LOADS
     * it back — so the persistence API is exercised end-to-end under
     * the oracle gate — and every later call searches the loaded
-    * (parquet-backed) index only. In Bench's best-of-2, the min is
-    * therefore the amortized search-only cost that index persistence
-    * exists to expose; at 100 TB this fit-once/search-many split is
-    * the only affordable shape for a served ANN index.
+    * (parquet-backed) index only. In Bench's median-of-3, the median
+    * run is therefore the amortized search-only cost that index
+    * persistence exists to expose; at 100 TB this fit-once/search-many
+    * split is the only affordable shape for a served ANN index.
     */
   private lazy val indexRoot =
     java.nio.file.Files.createTempDirectory("graft_ann_index").toString
@@ -1117,6 +1117,38 @@ object PipelineQueries {
           array_to_string(list_slice(toks, start + 1, start + 64), ' ')
             AS chunk_text
         FROM st""")),
+
+    QueryDef("text_pack",
+      // chunk → shard → pack: the full sequence-assembly line of a
+      // training pipeline. Greedy contiguous-fill into 256-token bins
+      // per 4-way hash shard; all window arithmetic is exact LONGs,
+      // so the oracle replays it verbatim
+      (s, dir) => {
+        val chunks = TextChunk.transform(
+            t(s, dir, "documents"), "doc_id", "text", chunkSize = 64, stride = 48)
+          .withColumn("shard", pmod(Sampling.hashValue(col("doc_id")), lit(4L)))
+        TextPack.pack(chunks, "shard", Seq("doc_id", "chunk_idx"),
+            "chunk_tokens", binTokens = 256L)
+          .select(col("doc_id"), col("chunk_idx"), col("shard"),
+            col("bin"), col("bin_offset"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+          st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+            FROM tk),
+          ch AS (SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+              CAST(least(64, len(toks) - start) AS BIGINT) AS chunk_tokens
+            FROM st),
+          sh AS (SELECT *, CAST(((doc_id % 1000003) * 2654435761) % 1000000 % 4
+              AS BIGINT) AS shard FROM ch),
+          cm AS (SELECT *, sum(chunk_tokens) OVER (PARTITION BY shard
+              ORDER BY doc_id, chunk_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - chunk_tokens AS before FROM sh)
+        SELECT doc_id, chunk_idx, shard,
+          CAST(before // 256 AS BIGINT) AS bin,
+          CAST(before % 256 AS BIGINT) AS bin_offset
+        FROM cm""")),
 
     // ---- multimodal plumbing ----
 

@@ -584,6 +584,21 @@ object RelationalQueries {
 
     // ---- time-bucketed aggregation over the event stream table ----
 
+    QueryDef("q_array_agg",
+      // nested-type aggregation: per-customer order-priority list.
+      // collect_list is partial-agg'd map-side (ObjectHashAggregate);
+      // array_sort makes the accumulation order immaterial, and the
+      // string join makes the nested output hash portably
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(array_join(array_sort(collect_list(col("o_orderpriority"))), ",")
+            .as("prios"),
+          count(lit(1)).as("n_orders")),
+      Some("""SELECT o_custkey,
+          array_to_string(list_sort(list(o_orderpriority)), ',') AS prios,
+          count(*) AS n_orders
+        FROM orders GROUP BY o_custkey""")),
+
     QueryDef("q_latest_by_key",
       // CDC/upsert compaction: latest record per key by (ts, event_id)
       // — the "apply a changelog" step of an incremental pipeline.

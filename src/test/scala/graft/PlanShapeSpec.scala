@@ -138,4 +138,34 @@ class PlanShapeSpec extends SparkSuite {
     assert(exchanges <= 2, s"expected at most one shuffle (+AQE wrapper):\n$plan")
     assert(!plan.contains("NestedLoop"), s"plan:\n$plan")
   }
+
+  test("CDC compaction plans WindowGroupLimit (survivors shuffle, not history)") {
+    val plan = SparkEntry.queries("q_latest_by_key")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
+  }
+
+  test("text chunking and redaction are shuffle-free narrow plans") {
+    for (q <- Seq("text_chunks", "text_redact")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q plans a shuffle:\n$plan")
+    }
+  }
+
+  test("hopping window plans Expand below a partial aggregate") {
+    val plan = SparkEntry.queries("q_hop_window")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"plan:\n$plan")
+    val exchange = plan.indexOf("Exchange")
+    assert(exchange >= 0 && exchange < plan.lastIndexOf("HashAggregate"),
+      s"expected partial agg below the exchange:\n$plan")
+  }
+
+  test("fuzzy join is an equi-join on the blocking key, never a nested loop") {
+    val plan = SparkEntry.queries("fuzzy_join_parts")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"plan:\n$plan")
+  }
 }

@@ -105,6 +105,35 @@ object StreamingOps {
           merged.iterator.map(v => (key, v))
       }
 
+  /** Streaming CDC/upsert materialization — the streaming analog of
+    * the batch `q_latest_by_key` compaction: GroupState holds the
+    * single LATEST value per key under `ord` (order by event time with
+    * a unique tiebreaker), and each batch that touches a key emits the
+    * key's refreshed latest row (update semantics). Out-of-order
+    * arrivals are handled by construction: an older change arriving
+    * late loses the `max` and cannot overwrite a newer one.
+    *
+    * State is one V per key — the size of the COMPACTED table, which
+    * is exactly what an upsert view materializes, so `NoTimeout` is
+    * the correct default here (unlike [[statefulTopK]], whose per-key
+    * payload is O(K)): drop-and-restart semantics would silently
+    * resurrect overwritten rows. If the key domain churns without
+    * bound, apply the [[statefulTopKWithTTL]] TTL pattern with k=1
+    * instead.
+    */
+  def streamingLatestByKey[K, V](ds: Dataset[(K, V)])(
+      implicit ord: Ordering[V],
+      kEnc: Encoder[K],
+      stateEnc: Encoder[V],
+      outEnc: Encoder[(K, V)]): Dataset[(K, V)] =
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[V, (K, V)](GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[(K, V)], state: GroupState[V]) =>
+          val latest = (state.getOption.iterator ++ rows.map(_._2)).max(ord)
+          state.update(latest)
+          (key, latest)
+      }
+
   /** [[statefulTopK]] with a processing-time TTL per key: a key whose
     * state is untouched for `ttlMillis` is evicted at the next batch
     * boundary. [[statefulTopK]]'s state is O(K) per key but unbounded

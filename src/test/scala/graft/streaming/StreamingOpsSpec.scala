@@ -256,4 +256,54 @@ class StreamingOpsSpec extends SparkSuite {
       assert(aRows.last == ("a", 3.0))
     } finally query.stop()
   }
+
+  test("streamingLatestByKey: upsert view, late out-of-order change cannot overwrite") {
+    implicit val ctx = spark.sqlContext
+    // value = (event ts, payload); Ordering by (ts, payload) — the
+    // (ts, unique-id) recency order of q_latest_by_key
+    val ms = MemoryStream[(String, (Long, String))]
+    val query = StreamingOps.streamingLatestByKey(ms.toDS())
+      .toDF("key", "latest")
+      .writeStream.outputMode("update").format("memory").queryName("cdc")
+      .start()
+
+    try {
+      ms.addData(("u1", (10L, "v10")), ("u1", (30L, "v30")), ("u2", (5L, "a5")))
+      query.processAllAvailable()
+      // late arrival: ts 20 < current 30 must NOT overwrite u1
+      ms.addData(("u1", (20L, "LATE")), ("u2", (9L, "a9")))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val emitted = spark.table("cdc").collect()
+      .map(r => (r.getString(0), r.getStruct(1).getLong(0), r.getStruct(1).getString(1)))
+    // last emission per key is the compacted truth
+    val last = emitted.zipWithIndex.groupBy(_._1._1)
+      .map { case (k, rows) => k -> rows.maxBy(_._2)._1 }
+    assert(last("u1") == ("u1", 30L, "v30"), s"late row overwrote: ${emitted.toSeq}")
+    assert(last("u2") == ("u2", 9L, "a9"))
+  }
+
+  test("TextChunk applies to a stream unchanged (batch/stream unification)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    // the exact batch operator, applied to an unbounded DataFrame: a
+    // narrow generator transform is streamable with append semantics
+    val query = graft.operators.TextChunk
+      .transform(ms.toDF().toDF("doc_id", "text"), "doc_id", "text", 4, 3)
+      .writeStream.outputMode("append").format("memory").queryName("chunks")
+      .start()
+
+    try {
+      ms.addData((1L, "a b c d e f g"))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("chunks")
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("chunk_tokens"), r.getAs[String]("chunk_text")))
+    // identical to the batch semantics: starts 0,3,6; last window short
+    assert(got.toSeq == Seq((0L, 4L, "a b c d"), (1L, 4L, "d e f g"), (2L, 1L, "g")))
+  }
 }

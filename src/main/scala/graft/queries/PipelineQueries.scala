@@ -864,6 +864,34 @@ object PipelineQueries {
               >= len(string_split(text, ' '))) AS is_quality
         FROM documents""")),
 
+    QueryDef("text_rarity",
+      // CCNet-style lexicon-frequency signal: per-document mean corpus
+      // document-frequency of its tokens — very low means garbled /
+      // exotic vocabulary, very high means boilerplate. Two shuffles
+      // (df agg + doc re-agg); the df table is vocabulary-sized, so at
+      // corpus scale the token join is the standard broadcast-if-small
+      // / shuffle-if-not decision AQE already makes. All counts are
+      // exact integers; avg_df is one correctly-rounded double
+      // division of exact integers
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val dfTab = toks.groupBy("tok")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        toks.join(dfTab, "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("df")).as("sum_df"),
+            (sum(col("df")).cast("double") / count(lit(1))).as("avg_df"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+          d AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY tok)
+        SELECT doc_id, count(*) AS n_tokens,
+          CAST(sum(df) AS BIGINT) AS sum_df,
+          CAST(sum(df) AS DOUBLE) / count(*) AS avg_df
+        FROM tk JOIN d USING (tok) GROUP BY doc_id""")),
+
     QueryDef("text_redact",
       // the PII-scrub shape: regex masking as a pure codegen'd
       // projection (no shuffle, no UDF). The events.props JSON is the

@@ -454,6 +454,72 @@ object RelationalQueries {
         FROM orders WHERE o_custkey < 100
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
 
+    QueryDef("q_window_range_frame",
+      // VALUE-based (RANGE) frame — trailing 30-day spend per
+      // customer: peers by day value, not row position, so same-day
+      // orders always aggregate together regardless of row order.
+      // Money sums in exact cents over the frame; days are integer
+      // epoch-days on both sides
+      (s, dir) => {
+        val o = t(s, dir, "orders").where(col("o_custkey") < 100)
+          .withColumn("day",
+            datediff(col("o_orderdate").cast(DateType),
+              lit("1970-01-01").cast(DateType)).cast(LongType))
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+          .rangeBetween(-29, 0)
+        o.select(col("o_custkey"), col("o_orderkey"), col("day"),
+          (sum(AggFunctions.cents(col("o_totalprice"))).over(w) / 100.0)
+            .as("trailing_30d_spend"),
+          count(lit(1)).over(w).cast(LongType).as("n_orders_30d"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+            CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+          FROM orders WHERE o_custkey < 100)
+        SELECT o_custkey, o_orderkey, day,
+          sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w / 100.0
+            AS trailing_30d_spend,
+          CAST(count(*) OVER w AS BIGINT) AS n_orders_30d
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+          RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""")),
+
+    QueryDef("q_profile",
+      // data-quality profiling: null and distinct counts for five
+      // columns in ONE scan — the multi-distinct is a single Expand
+      // (5x constant fan-out) + partial agg, not five passes; stack()
+      // unpivots the one driver row
+      (s, dir) => {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderpriority")
+        val aggs = cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c")))
+        t(s, dir, "orders")
+          .agg(count(lit(1)).as("n_rows"), aggs: _*)
+          .select(col("n_rows"), expr("stack(5, " +
+            cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ") +
+            ") AS (col_name, n_nulls, n_distinct)"))
+      },
+      Some("""WITH a AS (SELECT count(*) AS n_rows,
+          sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn1,
+          count(DISTINCT o_orderkey) AS nd1,
+          sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn2,
+          count(DISTINCT o_custkey) AS nd2,
+          sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn3,
+          count(DISTINCT o_orderstatus) AS nd3,
+          sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn4,
+          count(DISTINCT o_totalprice) AS nd4,
+          sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn5,
+          count(DISTINCT o_orderpriority) AS nd5
+        FROM orders)
+        SELECT n_rows, 'o_orderkey' AS col_name,
+          CAST(nn1 AS BIGINT) AS n_nulls, nd1 AS n_distinct FROM a
+        UNION ALL SELECT n_rows, 'o_custkey', CAST(nn2 AS BIGINT), nd2 FROM a
+        UNION ALL SELECT n_rows, 'o_orderstatus', CAST(nn3 AS BIGINT), nd3 FROM a
+        UNION ALL SELECT n_rows, 'o_totalprice', CAST(nn4 AS BIGINT), nd4 FROM a
+        UNION ALL SELECT n_rows, 'o_orderpriority', CAST(nn5 AS BIGINT), nd5
+          FROM a""")),
+
     // ---- set operations ----
 
     QueryDef("q_setops",

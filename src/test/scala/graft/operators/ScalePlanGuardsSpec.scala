@@ -66,4 +66,30 @@ class ScalePlanGuardsSpec extends SparkSuite {
       AsOfJoin.lastPrior(trades, quotes, Seq("user_id"), "t_ts", "ts",
         "value", "asof_value"), "asOfJoin")
   }
+
+  test("PQ/IVF/IVF-PQ loaded-index search: equi-joins only, no training") {
+    val queries = emb.where(col("vec_id") < 5)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_guard_idx").toString
+    val ivfP = IvfAnn.Params(k = 4, iterations = 1, nprobe = 2)
+    IvfAnn.save(IvfAnn.fitIndex(emb, "vec_id", "embedding", ivfP), s"$tmp/ivf")
+    assertNoQuadraticJoin(
+      IvfAnn.searchTopK(queries, IvfAnn.load(spark, s"$tmp/ivf"), k = 5,
+        nprobe = ivfP.nprobe), "ivf searchTopK")
+    val pqP = PqAnn.Params(m = 4, ksub = 4, iterations = 1)
+    PqAnn.save(PqAnn.fitIndex(emb, "vec_id", "embedding", pqP), s"$tmp/pq")
+    // flat PQ scores every code against the broadcast queries — the
+    // non-equi theta join over 4-byte codes is the DESIGNED ADC scan
+    // (IVF-PQ is the cell-pruned variant); assert the corpus side is
+    // the coded parquet scan, not a re-encoding
+    val pqPlan = PqAnn.searchTopK(queries, PqAnn.load(spark, s"$tmp/pq"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(pqPlan.contains(s"$tmp/pq/corpus"), s"expected coded scan:\n$pqPlan")
+    val ivfPqP = IvfPqAnn.Params(coarseK = 4, coarseIterations = 1, nprobe = 2,
+      pq = PqAnn.Params(m = 4, ksub = 4, iterations = 1))
+    IvfPqAnn.save(IvfPqAnn.fitIndex(emb, "vec_id", "embedding", ivfPqP),
+      s"$tmp/ivfpq")
+    assertNoQuadraticJoin(
+      IvfPqAnn.searchTopK(queries, IvfPqAnn.load(spark, s"$tmp/ivfpq"), k = 5,
+        nprobe = ivfPqP.nprobe), "ivfpq searchTopK")
+  }
 }

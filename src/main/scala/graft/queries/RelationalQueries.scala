@@ -337,19 +337,25 @@ object RelationalQueries {
       // ~n/1250 rows, so candidates grow as n²/1250, never the raw n²
       // cross product — and edit distance verifies candidates only.
       // Both engines implement classic unit-cost Levenshtein, so even
-      // the fuzzy predicate hash-matches exactly.
+      // the fuzzy predicate hash-matches exactly. The Spark side uses
+      // the THRESHOLD-capped variant (returns -1 past the cap): the DP
+      // early-exits once a row of the edit matrix exceeds 2, turning
+      // O(len^2) per candidate into O(len * cap) — the per-pair cost
+      // that matters once blocking has bounded the pair count. Kept
+      // pairs have true distance <= 2, so the capped value equals the
+      // exact one on every surviving row.
       (s, dir) => {
         val b = t(s, dir, "part")
           .select("p_partkey", "p_name", "p_brand", "p_size")
+        val d = levenshtein(col("l.p_name"), col("r.p_name"), 2)
         b.as("l").join(b.as("r"),
             col("l.p_brand") === col("r.p_brand") &&
               col("l.p_size") === col("r.p_size") &&
               col("l.p_partkey") < col("r.p_partkey"))
-          .where(levenshtein(col("l.p_name"), col("r.p_name")) <= 2)
+          .where(d.between(0, 2))
           .select(col("l.p_partkey").as("a"), col("r.p_partkey").as("b"),
             col("l.p_name").as("a_name"), col("r.p_name").as("b_name"),
-            levenshtein(col("l.p_name"), col("r.p_name"))
-              .cast("long").as("dist"))
+            d.cast("long").as("dist"))
       },
       Some("""WITH b AS (SELECT p_partkey, p_name, p_brand, p_size FROM part)
         SELECT l.p_partkey AS a, r.p_partkey AS b,

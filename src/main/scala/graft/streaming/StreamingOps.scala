@@ -42,6 +42,19 @@ object StreamingOps {
       .groupBy(window(col(tsCol), windowDuration), col("event_type"))
       .agg(count(lit(1)).as("n"), min(col("value")).as("mn"), max(col("value")).as("mx"))
 
+  /** Sliding (hopping) variant of [[windowedEventAgg]]: each event
+    * lands in `windowDuration / slideDuration` overlapping windows
+    * (the same constant-fan-out Expand as the batch `q_hop_window`).
+    * Watermark expiry still bounds state: closed window starts are
+    * dropped once the watermark passes their end.
+    */
+  def slidingEventAgg(events: DataFrame, tsCol: String, watermarkDelay: String,
+                      windowDuration: String, slideDuration: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration, slideDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("mn"), max(col("value")).as("mx"))
+
   /** Streaming exact dedup — the streaming analog of
     * [[graft.operators.ExactDedup]]: the first document with a given
     * content survives, later copies arriving within the watermark

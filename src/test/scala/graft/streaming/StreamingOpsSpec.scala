@@ -63,6 +63,28 @@ class StreamingOpsSpec extends SparkSuite {
       ("2024-01-01 02:00:00", "buy", 1L, 7.0, 7.0)))
   }
 
+  test("slidingEventAgg: each event lands in windowDuration/slide overlapping windows") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val stream = ms.toDF().toDF("ts", "event_type", "value")
+
+    val query = StreamingOps
+      .slidingEventAgg(stream, "ts", "10 minutes", "1 hour", "15 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("hopagg")
+      .start()
+
+    try {
+      ms.addData((java.sql.Timestamp.valueOf("2024-01-01 01:05:00"), "click", 2.0))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val starts = spark.table("hopagg")
+      .select(col("window.start").cast("string")).collect().map(_.getString(0)).sorted
+    // 1h/15m = 4 windows: starts 00:15, 00:30, 00:45, 01:00
+    assert(starts.toSeq == Seq("2024-01-01 00:15:00", "2024-01-01 00:30:00",
+      "2024-01-01 00:45:00", "2024-01-01 01:00:00"), starts.toSeq)
+  }
+
   test("file-source stream: per-batch top-N over parquet arriving in a watched dir") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val schema = graft.Tables(spark, sf("sf0.001"), "orders").schema

@@ -224,6 +224,36 @@ object PipelineQueries {
     * self-join, and per-pair (inter, uni). Used by both the
     * dedup_minhash and dedup_clusters oracles.
     */
+  /** Static oracle for dedup_substring_spans: replays the 8-token
+    * shingle hashing (FNV-1a token hashes folded per window, reduced
+    * into [0, 2^31-1) — the exact TextHashing.shingleHashes
+    * arithmetic), zips positions via parallel unnest, and counts
+    * corpus-wide repeated shingles per document.
+    */
+  private def substringSpansOracle: String = {
+    val k = 8
+    val folded = (0 until k).foldLeft(FnvInit) { (acc, t) =>
+      val idx = if (t == 0) "j" else s"j + $t"
+      fnvStep(s"xor($acc, th[$idx])")
+    }
+    val shingle = s"(($folded % 2147483647) + 2147483647) % 2147483647"
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= $k),
+      tt AS (SELECT doc_id, list_transform(toks, w -> ${fnvSql("w")}) AS th FROM d),
+      sgl AS (SELECT doc_id,
+          list_transform(range(1, len(th) - ${k - 2}), j -> $shingle) AS sh
+        FROM tt),
+      sp AS (SELECT doc_id, unnest(range(0, len(sh))) AS pos, unnest(sh) AS h
+        FROM sgl),
+      rep AS (SELECT h FROM sp GROUP BY h HAVING count(*) > 1),
+      dup AS (SELECT doc_id, count(*) AS n_dup FROM sp JOIN rep USING (h)
+        GROUP BY doc_id),
+      tot AS (SELECT doc_id, count(*) AS n_shingles FROM sp GROUP BY doc_id)
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+      CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_shingles
+    FROM tot LEFT JOIN dup USING (doc_id)"""
+  }
+
   private def minhashVerCtes: String = {
     val p = MinHashLSH.Params()
     val perms = graft.expressions.TextHashing.minhashPerms(p.seed, p.numHashes)
@@ -863,6 +893,31 @@ object PipelineQueries {
               w -> w IN ('the','and','of','is','in','a'))) * 20
               >= len(string_split(text, ' '))) AS is_quality
         FROM documents""")),
+
+    QueryDef("dedup_substring_spans",
+      // repeated-substring signal (Lee et al. 2022, "Deduplicating
+      // Training Data Makes Language Models Better", arXiv:2107.06499
+      // — re-derived here as window-hash matching, not suffix arrays):
+      // per document, how many of its 8-token windows occur elsewhere
+      // in the corpus (or again in the same document). One codegen'd
+      // shingle projection (no string materialization per window),
+      // one hash-only shuffle for the repeated-hash table, hash
+      // equi-joins after — token text never leaves its scan partition
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(graft.expressions.WordShingleHashes(col("text"), 8))
+              .as(Seq("pos", "h")))
+        val rep = sh.groupBy("h").agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") > 1).select("h")
+        val dup = sh.join(rep, "h")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+          .join(dup, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup_shingles"))
+      },
+      Some(substringSpansOracle)),
 
     QueryDef("text_rarity",
       // CCNet-style lexicon-frequency signal: per-document mean corpus

@@ -162,6 +162,14 @@ class PlanShapeSpec extends SparkSuite {
       s"expected partial agg below the exchange:\n$plan")
   }
 
+  test("q_profile reads the table once (multi-distinct via one Expand)") {
+    val plan = SparkEntry.queries("q_profile")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"plan:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected exactly one scan:\n$plan")
+  }
+
   test("fuzzy join is an equi-join on the blocking key, never a nested loop") {
     val plan = SparkEntry.queries("fuzzy_join_parts")(spark, dir)
       .queryExecution.executedPlan.toString

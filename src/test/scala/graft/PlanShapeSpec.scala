@@ -162,6 +162,13 @@ class PlanShapeSpec extends SparkSuite {
       s"expected partial agg below the exchange:\n$plan")
   }
 
+  test("correlated EXISTS decorrelates to a semi join, never a nested loop") {
+    val plan = SparkEntry.queries("q_exists_subquery")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"plan:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"plan:\n$plan")
+  }
+
   test("q_profile reads the table once (multi-distinct via one Expand)") {
     val plan = SparkEntry.queries("q_profile")(spark, dir)
       .queryExecution.executedPlan.toString

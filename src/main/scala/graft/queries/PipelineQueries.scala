@@ -904,6 +904,12 @@ object PipelineQueries {
       // one hash-only shuffle for the repeated-hash table, hash
       // equi-joins after — token text never leaves its scan partition
       (s, dir) => {
+        // the (doc, pos, h) explode feeds three consumers; it is
+        // deliberately RECOMPUTED per consumer — measured 0.64 s vs
+        // 1.1+ s with a localCheckpoint at sf0.1, because the explode
+        // is a cheap codegen projection while checkpointing serializes
+        // every exploded row. Checkpoint only if the upstream scan
+        // becomes the dominant cost (e.g. remote storage)
         val sh = t(s, dir, "documents")
           .select(col("doc_id"),
             posexplode(graft.expressions.WordShingleHashes(col("text"), 8))

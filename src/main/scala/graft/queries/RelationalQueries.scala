@@ -717,6 +717,45 @@ object RelationalQueries {
           count(*) AS n, min(value) AS mn, max(value) AS mx
         FROM x GROUP BY 1""")),
 
+    QueryDef("q_gap_fill",
+      // time-series resample: per-user daily counts with missing days
+      // filled as 0 across each user's [first, last] day span — the
+      // gap-fill step dashboards and windowed models need. The
+      // sequence explode is bounded by span days per user (retention-
+      // bounded at scale, never data-volume-bounded); day ids are
+      // exact integer floor-divisions of the micros timestamp
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+        val daily = e.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+        val spans = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        spans.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+            FROM events),
+          d AS (SELECT user_id, day, count(*) AS n FROM e GROUP BY 1, 2),
+          m AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d
+            GROUP BY user_id),
+          s AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM m)
+        SELECT user_id, day, CAST(coalesce(n, 0) AS BIGINT) AS n
+        FROM s LEFT JOIN d USING (user_id, day)""")),
+
+    QueryDef("q_histogram",
+      // equal-width histogram with EXACT integer bucketing: bucket on
+      // cents (round(price*100) as LONG) div 100000, so a price at a
+      // bucket boundary can never flip buckets to double rounding;
+      // one partial-agg'd groupBy
+      (s, dir) => t(s, dir, "lineitem")
+        .select(AggFunctions.cents(col("l_extendedprice")).as("cents"))
+        .groupBy(expr("cents div 100000").as("bucket"))
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 100000
+            AS bucket, count(*) AS n
+        FROM lineitem GROUP BY 1""")),
+
     QueryDef("q_time_bucket",
       // ts arrives as a nanos long (see Tables); `div 1000` → micros is
       // lossless at day granularity.

@@ -21,6 +21,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // deployment posture: graft SQL functions + the LevenshteinPrefilter
+      // optimizer rule active, exactly as a spark-submit user would run
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

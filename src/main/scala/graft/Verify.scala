@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // deployment posture: graft SQL functions + the LevenshteinPrefilter
+      // optimizer rule active, exactly as a spark-submit user would run
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.oracleSfDir = sfDir // generated oracles train on the verified data

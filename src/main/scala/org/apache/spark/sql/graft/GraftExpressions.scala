@@ -212,13 +212,15 @@ object GraftFunctionRegistry {
       TopNAggExpr(es(0), es(1), intArg(es(2), "topn_agg", 3)).toAggregateExpression())
   )
 
-  def injectInto(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  def injectInto(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     builders.foreach { case (name, b) =>
       e.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new ExpressionInfo("org.apache.spark.sql.graft.GraftExpressions", name),
         b))
     }
+    e.injectOptimizerRule(_ => LevenshteinPrefilter)
+  }
   private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(

@@ -1,0 +1,65 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: in front of a capped edit-distance predicate
+  * `levenshtein(a, b) <= k` (or `<`), conjoin the implied cheap
+  * prefilter `abs(length(a) - length(b)) <= k` — edit distance is
+  * bounded below by the length difference, so the O(len·k) DP can be
+  * skipped entirely for pairs whose lengths already disagree by more
+  * than the cap. On a blocked fuzzy join this prunes candidates with
+  * two codegen'd length reads instead of a DP table.
+  *
+  * Soundness: only TOP-LEVEL conjuncts are strengthened (a disjunct's
+  * implication must not leak to the whole predicate), and the added
+  * conjunct is IMPLIED by an existing one, so `cond AND implied` is
+  * equivalent to `cond` in every context — Filter predicates and join
+  * conditions alike (predicate pushdown moves the filter into the
+  * join condition before user rules run, so both nodes are handled).
+  * The prefilter is PREPENDED so conjunction short-circuit evaluates
+  * the two length reads before the DP. NULL inputs make both the
+  * original predicate and the prefilter NULL — unchanged row fate.
+  * Idempotent: a prefilter that is already semantically present is
+  * not re-added, so the fixpoint runner terminates.
+  *
+  * Injected by [[GraftFunctionRegistry.injectInto]] (the
+  * `spark.sql.extensions=graft.GraftSparkExtensions` path) or
+  * per-session via `spark.experimental.extraOptimizations`.
+  */
+object LevenshteinPrefilter extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def lenDiff(lev: Levenshtein): Expression =
+    Abs(Subtract(Length(lev.left), Length(lev.right)))
+
+  private def implied(conjunct: Expression): Option[Expression] = conjunct match {
+    case LessThanOrEqual(lev: Levenshtein, k @ Literal(_, IntegerType)) =>
+      Some(LessThanOrEqual(lenDiff(lev), k))
+    case LessThan(lev: Levenshtein, k @ Literal(_, IntegerType)) =>
+      Some(LessThan(lenDiff(lev), k))
+    case EqualTo(lev: Levenshtein, k @ Literal(_, IntegerType)) =>
+      Some(LessThanOrEqual(lenDiff(lev), k))
+    case GreaterThanOrEqual(k @ Literal(_, IntegerType), lev: Levenshtein) =>
+      Some(LessThanOrEqual(lenDiff(lev), k))
+    case GreaterThan(k @ Literal(_, IntegerType), lev: Levenshtein) =>
+      Some(LessThan(lenDiff(lev), k))
+    case _ => None
+  }
+
+  private def strengthen(cond: Expression): Option[Expression] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val fresh = conjuncts.flatMap(implied)
+      .filterNot(p => conjuncts.exists(_.semanticEquals(p)))
+    if (fresh.isEmpty) None
+    else Some(fresh.foldRight(cond)((p, acc) => And(p, acc)))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      strengthen(cond).map(Filter(_, child)).getOrElse(f)
+    case j @ Join(_, _, _, Some(cond), _) =>
+      strengthen(cond).map(c => j.copy(condition = Some(c))).getOrElse(j)
+  }
+}

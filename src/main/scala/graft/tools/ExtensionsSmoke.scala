@@ -50,6 +50,22 @@ object ExtensionsSmoke {
 
     check(spark, "root session")
     check(spark.newSession(), "newSession fork") // extensions must survive forks
+
+    def checkRule(s: SparkSession, label: String): Unit = {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val names = Seq((1L, "kettle"), (2L, "kettles"), (3L, "cat"))
+        .toDF("id", "name")
+      val df = names.as("l").join(names.as("r"), col("l.id") < col("r.id"))
+        .where(levenshtein(col("l.name"), col("r.name")) <= 1)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("abs("),
+        s"LevenshteinPrefilter did not fire via extensions:\n$opt")
+      assert(df.count() == 1) // only (kettle, kettles)
+      println(s"[$label] LevenshteinPrefilter rewrote the plan, result correct")
+    }
+    checkRule(spark, "root session")
+    checkRule(spark.newSession(), "newSession fork")
     spark.stop()
     println("EXTENSIONS-SMOKE-PASS")
   }

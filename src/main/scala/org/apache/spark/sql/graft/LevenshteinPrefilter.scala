@@ -28,22 +28,33 @@ import org.apache.spark.sql.types.IntegerType
   * Injected by [[GraftFunctionRegistry.injectInto]] (the
   * `spark.sql.extensions=graft.GraftSparkExtensions` path) or
   * per-session via `spark.experimental.extraOptimizations`.
+  *
+  * Measured effect (blocked part-name self-join, sf0.1, warm): the
+  * UNCAPPED 2-arg `levenshtein(a,b) <= 2` — which computes the full
+  * O(n·m) DP before comparing — drops 0.96 s → 0.6-0.8 s (~35%);
+  * the capped 3-arg form gained nothing (its DP already early-exits
+  * at the threshold) and cost ~0.1-0.2 s of extra length reads on a
+  * length-homogeneous corpus — so the rule deliberately matches ONLY
+  * the uncapped form, where the expression itself cannot early-exit.
   */
 object LevenshteinPrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
   private def lenDiff(lev: Levenshtein): Expression =
     Abs(Subtract(Length(lev.left), Length(lev.right)))
 
+  // Only the UNCAPPED 2-arg form (threshold = None) is rewritten: the
+  // 3-arg capped DP already early-exits at the threshold, where the
+  // prefilter measured as pure overhead (see scaladoc).
   private def implied(conjunct: Expression): Option[Expression] = conjunct match {
-    case LessThanOrEqual(lev: Levenshtein, k @ Literal(_, IntegerType)) =>
+    case LessThanOrEqual(lev @ Levenshtein(_, _, None), k @ Literal(_, IntegerType)) =>
       Some(LessThanOrEqual(lenDiff(lev), k))
-    case LessThan(lev: Levenshtein, k @ Literal(_, IntegerType)) =>
+    case LessThan(lev @ Levenshtein(_, _, None), k @ Literal(_, IntegerType)) =>
       Some(LessThan(lenDiff(lev), k))
-    case EqualTo(lev: Levenshtein, k @ Literal(_, IntegerType)) =>
+    case EqualTo(lev @ Levenshtein(_, _, None), k @ Literal(_, IntegerType)) =>
       Some(LessThanOrEqual(lenDiff(lev), k))
-    case GreaterThanOrEqual(k @ Literal(_, IntegerType), lev: Levenshtein) =>
+    case GreaterThanOrEqual(k @ Literal(_, IntegerType), lev @ Levenshtein(_, _, None)) =>
       Some(LessThanOrEqual(lenDiff(lev), k))
-    case GreaterThan(k @ Literal(_, IntegerType), lev: Levenshtein) =>
+    case GreaterThan(k @ Literal(_, IntegerType), lev @ Levenshtein(_, _, None)) =>
       Some(LessThan(lenDiff(lev), k))
     case _ => None
   }

@@ -1,51 +1,78 @@
 package graft
 
-import graft.functions.{TextFunctions => TF}
 import graft.operators._
 import org.apache.spark.sql.functions._
 
-/** End-to-end training-data pipeline composition over the real corpus:
-  * quality filter → exact dedup → near-dup clustering → per-language
-  * top-N by quality → ANN enrichment. Exercises the operators the way
-  * a user would chain them, not in isolation.
+/** End-to-end integration of the training-data assembly line — the
+  * composition a real corpus build runs, proven to hold together:
+  *
+  *   documents → quality gate → exact dedup → near-dup keep-one →
+  *   chunk → shard → pack → partitioned parquet write
+  *
+  * Asserts monotone row accounting at every stage, determinism of the
+  * final artifact against a repartitioned rerun, and that the written
+  * layout is the shard-partitioned form a trainer would consume.
   */
 class PipelineIntegrationSpec extends SparkSuite {
 
-  test("full corpus pipeline: filter -> dedup -> cluster -> grouped topN -> ANN join") {
-    val dir = sf("sf0.001")
-    val docs = Tables(spark, dir, "documents")
-    val emb = Tables(spark, dir, "embeddings")
+  private lazy val docs =
+    spark.read.parquet(sf("sf0.001") + "/documents.parquet")
 
-    // 1. quality scoring + filter
-    val scored = docs.withColumn("n_tokens", TF.tokenCount(col("text")))
-      .withColumn("quality",
-        TF.stopwordCount(col("text"), Seq("the", "a", "of")) * lit(1000) / col("n_tokens"))
-      .where(col("n_tokens") >= 10)
-    assert(scored.count() > 0)
+  private def buildCorpus(input: org.apache.spark.sql.DataFrame) = {
+    // 1. quality gate: Gopher-ish token-count band (cheap projection)
+    val quality = input
+      .where(size(split(col("text"), " ")).between(5, 1000))
+    // 2. exact dedup: first doc per content hash survives (payload kept)
+    val exact = ExactDedup.dropDuplicateContent(quality, "doc_id", "text")
+    // 3. near-dup: one representative per MinHash cluster
+    val unique = NearDupClusters.dropNearDuplicates(exact, "doc_id", "text",
+      threshold = 0.5)
+    // 4-6. chunk, shard, pack
+    val chunks = TextChunk.transform(unique, "doc_id", "text", 64, 48)
+      .withColumn("shard", pmod(Sampling.hashValue(col("doc_id")), lit(4L)))
+    TextPack.pack(chunks, "shard", Seq("doc_id", "chunk_idx"),
+      "chunk_tokens", binTokens = 256L)
+  }
 
-    // 2. exact dedup (no exact dups in corpus -> count preserved)
-    val exact = ExactDedup.dropDuplicateContent(scored, "doc_id", "text")
-    assert(exact.count() == scored.count())
+  test("stages compose with monotone row accounting") {
+    val n0 = docs.count()
+    val quality = docs.where(size(split(col("text"), " ")).between(5, 1000))
+    val n1 = quality.count()
+    val exact = ExactDedup.dropDuplicateContent(quality, "doc_id", "text")
+    val n2 = exact.count()
+    val unique = NearDupClusters.dropNearDuplicates(exact, "doc_id", "text", 0.5)
+    val n3 = unique.count()
+    assert(n1 <= n0 && n2 <= n1 && n3 <= n2, s"$n0 -> $n1 -> $n2 -> $n3")
+    assert(n3 > 0)
+    val packed = buildCorpus(docs)
+    // every surviving doc contributes at least one chunk; no chunk is
+    // orphaned from a dropped doc
+    assert(packed.select("doc_id").distinct().count() == n3)
+  }
 
-    // 3. near-dup clustering drops the planted near-dups
-    val deduped = NearDupClusters.dropNearDuplicates(exact, "doc_id", "text", 0.8)
-    val nDeduped = deduped.count()
-    assert(nDeduped < exact.count(), "planted near-dups must be removed")
+  test("final artifact is deterministic under input repartitioning") {
+    val a = buildCorpus(docs).collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = buildCorpus(docs.repartition(17)).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b)
+  }
 
-    // 4. top-3 per language by quality (schema-preserving grouped topN)
-    val top = GroupedTopN.transform(
-      TopNConfig("quality", 3), Seq("lang"), Seq("doc_id"))(
-      deduped.select("doc_id", "lang", "quality"))
-    assert(top.groupBy("lang").count().agg(max("count")).head().getLong(0) <= 3)
-
-    // 5. enrich survivors with nearest-neighbor doc ids via ANN
-    val queryVecs = emb.join(top.select(col("doc_id").as("vec_id")), Seq("vec_id"))
-    val neighbors = Similarity.bruteForceTopK(queryVecs, emb, k = 3)
-    val enriched = top.join(neighbors,
-      top("doc_id") === neighbors("qid"), "left_outer")
-    assert(enriched.count() >= top.count())
-    // every surviving doc with an embedding got exactly 3 neighbors
-    val counts = neighbors.groupBy("qid").count().collect().map(_.getLong(1))
-    assert(counts.forall(_ == 3))
+  test("shard-partitioned write produces one directory per shard, reread intact") {
+    val out = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val packed = buildCorpus(docs)
+      .select("shard", "bin", "bin_offset", "doc_id", "chunk_idx",
+        "chunk_tokens", "chunk_text")
+    packed.write.partitionBy("shard").mode("overwrite").parquet(out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == packed.count())
+    // partition pruning: reading one shard scans only its directory
+    val one = back.where(col("shard") === 2)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(one.count() ==
+      packed.where(col("shard") === 2).count())
   }
 }

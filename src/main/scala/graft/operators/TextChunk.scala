@@ -22,6 +22,12 @@ object TextChunk {
     * windows. Output: the id column, `chunk_idx` (0-based ordinal),
     * `chunk_tokens` (actual tokens in this window, = chunkSize except
     * possibly the last), `chunk_text` (space-rejoined window).
+    *
+    * NULL text yields NO chunk rows (filtered before the generator):
+    * without the filter, `greatest(size(NULL)-1, 0)` = 0 emits one
+    * start offset and `least(chunkSize, NULL)` evaluates to chunkSize,
+    * producing a phantom (0, chunkSize, NULL) row that inflates token
+    * counts downstream in [[TextPack]].
     */
   def transform(df: DataFrame, idCol: String, textCol: String,
                 chunkSize: Int, stride: Int): DataFrame = {
@@ -29,7 +35,8 @@ object TextChunk {
     require(stride > 0 && stride <= chunkSize,
       s"stride must be in [1, chunkSize]: got stride=$stride size=$chunkSize")
     val toks: Column = split(col(textCol), " ")
-    df.select(col(idCol), toks.as("__toks"))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__toks"))
       .select(col(idCol), col("__toks"),
         posexplode(sequence(lit(0),
           greatest(size(col("__toks")) - 1, lit(0)), lit(stride)))

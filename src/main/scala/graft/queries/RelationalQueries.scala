@@ -18,6 +18,17 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Floor-consistent integer division as a SQL fragment: DuckDB `//`
+    * FLOORS while Spark `div` truncates toward zero, so the two
+    * diverge on negative inputs (pre-1970 timestamps, negative
+    * prices). `a - pmod(a, b)` is the largest multiple of `b` that is
+    * `<= a` (pmod is always non-negative), so the quotient is exact
+    * floor division in pure integer arithmetic — identical to `div`
+    * on the non-negative domain, so existing oracles are unchanged.
+    */
+  private def floorDiv(a: String, b: Long): String =
+    s"(($a) - pmod($a, ${b}L)) div ${b}L"
+
   /** events with the click values masked to NULL — the fixture for the
     * reference's NULL-handling modes (no table has native NULLs).
     */
@@ -726,7 +737,9 @@ object RelationalQueries {
       // exact integer floor-divisions of the micros timestamp
       (s, dir) => {
         val e = t(s, dir, "events")
-          .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+          // one floor-div by 86400e9 ns == floor(floor(ns/1e3)/86400e6)
+          // (floor composition), matching the oracle's epoch_us // day
+          .select(col("user_id"), expr(floorDiv("ts", 86400000000000L)).as("day"))
         val daily = e.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
         val spans = daily.groupBy("user_id")
           .agg(min("day").as("d0"), max("day").as("d1"))
@@ -750,7 +763,7 @@ object RelationalQueries {
       // one partial-agg'd groupBy
       (s, dir) => t(s, dir, "lineitem")
         .select(AggFunctions.cents(col("l_extendedprice")).as("cents"))
-        .groupBy(expr("cents div 100000").as("bucket"))
+        .groupBy(expr(floorDiv("cents", 100000L)).as("bucket"))
         .agg(count(lit(1)).as("n")),
       Some("""SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 100000
             AS bucket, count(*) AS n

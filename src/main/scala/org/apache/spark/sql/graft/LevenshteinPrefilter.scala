@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, IntegralType}
 
 /** Optimizer rule: in front of a capped edit-distance predicate
   * `levenshtein(a, b) <= k` (or `<`), conjoin the implied cheap
@@ -39,23 +39,48 @@ import org.apache.spark.sql.types.IntegerType
   */
 object LevenshteinPrefilter extends Rule[LogicalPlan] with PredicateHelper {
 
-  private def lenDiff(lev: Levenshtein): Expression =
-    Abs(Subtract(Length(lev.left), Length(lev.right)))
+  // The length-diff lower bound, widened to the literal's integral
+  // type so the implied comparison is well-typed against e.g. a LONG
+  // cap (int -> wider integral is always lossless).
+  private def lenDiff(lev: Levenshtein, like: Literal): Expression = {
+    val d = Abs(Subtract(Length(lev.left), Length(lev.right)))
+    if (like.dataType == IntegerType) d else Cast(d, like.dataType)
+  }
+
+  // Matches the uncapped Levenshtein either bare (int literal cap) or
+  // under the Cast that type coercion inserts when the cap literal is
+  // a wider integral (`levenshtein(a,b) <= 2L` coerces the int-typed
+  // DP side to LONG) — without this the long-literal form silently
+  // skipped the prefilter.
+  private object UncappedLev {
+    def unapply(e: Expression): Option[Levenshtein] = e match {
+      case lev @ Levenshtein(_, _, None) => Some(lev)
+      case Cast(lev @ Levenshtein(_, _, None), _: IntegralType, _, _) => Some(lev)
+      case _ => None
+    }
+  }
+
+  private object IntegralLit {
+    def unapply(e: Expression): Option[Literal] = e match {
+      case l @ Literal(_, _: IntegralType) => Some(l)
+      case _ => None
+    }
+  }
 
   // Only the UNCAPPED 2-arg form (threshold = None) is rewritten: the
   // 3-arg capped DP already early-exits at the threshold, where the
   // prefilter measured as pure overhead (see scaladoc).
   private def implied(conjunct: Expression): Option[Expression] = conjunct match {
-    case LessThanOrEqual(lev @ Levenshtein(_, _, None), k @ Literal(_, IntegerType)) =>
-      Some(LessThanOrEqual(lenDiff(lev), k))
-    case LessThan(lev @ Levenshtein(_, _, None), k @ Literal(_, IntegerType)) =>
-      Some(LessThan(lenDiff(lev), k))
-    case EqualTo(lev @ Levenshtein(_, _, None), k @ Literal(_, IntegerType)) =>
-      Some(LessThanOrEqual(lenDiff(lev), k))
-    case GreaterThanOrEqual(k @ Literal(_, IntegerType), lev @ Levenshtein(_, _, None)) =>
-      Some(LessThanOrEqual(lenDiff(lev), k))
-    case GreaterThan(k @ Literal(_, IntegerType), lev @ Levenshtein(_, _, None)) =>
-      Some(LessThan(lenDiff(lev), k))
+    case LessThanOrEqual(UncappedLev(lev), IntegralLit(k)) =>
+      Some(LessThanOrEqual(lenDiff(lev, k), k))
+    case LessThan(UncappedLev(lev), IntegralLit(k)) =>
+      Some(LessThan(lenDiff(lev, k), k))
+    case EqualTo(UncappedLev(lev), IntegralLit(k)) =>
+      Some(LessThanOrEqual(lenDiff(lev, k), k))
+    case GreaterThanOrEqual(IntegralLit(k), UncappedLev(lev)) =>
+      Some(LessThanOrEqual(lenDiff(lev, k), k))
+    case GreaterThan(IntegralLit(k), UncappedLev(lev)) =>
+      Some(LessThan(lenDiff(lev, k), k))
     case _ => None
   }
 

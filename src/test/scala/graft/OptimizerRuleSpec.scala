@@ -40,6 +40,20 @@ class OptimizerRuleSpec extends SparkSuite {
     assert(got == base && got == Set((1L, 2L), (1L, 4L)), got)
   }
 
+  test("a LONG-literal cap also gains the prefilter (through the coercion Cast)") {
+    // `<= 1L` coerces the int-typed levenshtein under a Cast to LONG;
+    // the rule must match through that Cast or silently skip the
+    // prefilter for long caps.
+    val df = names(s2).as("l").join(names(s2).as("r"),
+        col("l.id") < col("r.id"))
+      .where(levenshtein(col("l.name"), col("r.name")) <= lit(1L))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("abs("), s"expected length prefilter in:\n$opt")
+    val got = df.select("l.id", "r.id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 4L)), got)
+  }
+
   test("a disjunctive levenshtein predicate is NOT strengthened") {
     val df = names(s2).as("l").join(names(s2).as("r"),
         col("l.id") < col("r.id"))

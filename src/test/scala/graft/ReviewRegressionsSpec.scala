@@ -89,4 +89,20 @@ class ReviewRegressionsSpec extends SparkSuite {
       NearDupClusters.representatives(nodes, pairs, "doc_id", maxIterations = 2)
     }
   }
+
+  test("query-side floor division FLOORS on negatives (DuckDB // parity)") {
+    // q_gap_fill / q_histogram use (a - pmod(a, b)) div b; Spark's bare
+    // `div` truncates toward zero and would disagree with DuckDB's `//`
+    // for pre-1970 timestamps and negative prices
+    val vals = Seq(-7L, -5L, -3L, -1L, 0L, 1L, 3L, 5L, 7L)
+    val got = vals.toDF("a")
+      .select(expr("(a - pmod(a, 3L)) div 3L").as("fd"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == vals.map(v => Math.floorDiv(v, 3L)), got)
+    // and the truncating form genuinely differs on this domain —
+    // the regression is observable, not vacuous
+    val trunc = vals.toDF("a").select(expr("a div 3L")).collect()
+      .map(_.getLong(0)).toSeq
+    assert(trunc != got)
+  }
 }

@@ -38,6 +38,16 @@ class TextChunkSpec extends SparkSuite {
     assert(got.toSeq == Seq((0L, 3L, "a b c")))
   }
 
+  test("NULL text yields no chunk rows (no phantom window)") {
+    // without the null filter, greatest(size(NULL)-1,0)=0 emits one
+    // start and least(size, NULL)=size produces (0, 64, NULL) — a
+    // phantom row the DuckDB oracle (range over NULL) never emits
+    val got = TextChunk.transform(
+      Seq((1L, null: String), (2L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", 64, 48).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("doc_id") == 2L, got.toSeq)
+  }
+
   test("stride == size is non-overlapping exact partitioning") {
     val text = (0 until 96).map(i => s"t$i").mkString(" ")
     val got = chunksOf(text, 48, 48)

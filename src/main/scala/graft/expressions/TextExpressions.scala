@@ -123,6 +123,31 @@ object TextHashing {
     acc
   }
 
+  /** Occurrences of `term` as a whole single-space-delimited token of
+    * `s` — the BM25 term-frequency kernel. Byte-wise compare in one
+    * pass, zero allocation; a term containing a space can never match
+    * (tokens are space-free by construction).
+    */
+  def tokenCount(s: UTF8String, term: UTF8String): Long = {
+    val bytes = s.getBytes
+    val t = term.getBytes
+    var n = 0L
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i - start == t.length) {
+          var k = 0
+          while (k < t.length && bytes(start + k) == t(k)) k += 1
+          if (k == t.length) n += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    n
+  }
+
   /** 64-bit SimHash over single-space tokens: FNV-1a token hashes vote
     * per bit; bit set when the vote is positive.
     */
@@ -174,6 +199,42 @@ object TextFingerprint {
 /** Codegen'd 64-bit SimHash. */
 object SimHash64 {
   def apply(c: Column): Column = GraftExpressions.simhash64(c)
+}
+
+/** Codegen'd whole-token occurrence count (BM25 term frequency). */
+object TokenCount {
+  def apply(text: Column, term: Column): Column =
+    GraftExpressions.tokenCount(text, term)
+}
+
+/** Bit-manipulation kernels (plain static methods so generated
+  * whole-stage code can call them directly).
+  */
+object BitKernels {
+
+  /** Morton (z-order) interleave of two 32-bit values treated as
+    * unsigned: bit i of x lands at output bit 2i, bit i of y at
+    * 2i+1. Standard parallel-prefix spread ("Interleave bits by
+    * Binary Magic Numbers", Sean Anderson's public Bit Twiddling
+    * Hacks collection) — five mask-shift rounds per operand, no loop.
+    */
+  def interleave(x: Int, y: Int): Long =
+    spread(x) | (spread(y) << 1)
+
+  private def spread(v: Int): Long = {
+    var x = v & 0xffffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+}
+
+/** Codegen'd Morton (z-order) bit interleave of two int columns. */
+object InterleaveBits {
+  def apply(x: Column, y: Column): Column = GraftExpressions.interleaveBits(x, y)
 }
 
 /** Media-payload kernels (plain static methods so generated whole-stage

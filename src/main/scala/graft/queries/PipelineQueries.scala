@@ -206,6 +206,17 @@ object PipelineQueries {
       PqAnn.load(s, path)
     })
 
+  /** BM25 query terms (present at every sf) + per-sfDir corpus stats,
+    * fitted once per JVM — the fit-once/score-many split that makes
+    * corpus statistics an index-lifetime cost, like ANN centroids.
+    */
+  private val bm25Terms = Seq("hash", "join", "scan")
+  private val bm25StatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Bm25.Stats]()
+  private def bm25StatsFor(s: SparkSession, dir: String): Bm25.Stats =
+    bm25StatsCache.computeIfAbsent(dir,
+      _ => Bm25.fitStats(t(s, dir, "documents"), "text", bm25Terms))
+
   /** Generated DuckDB oracle for dedup_minhash: replays the ENTIRE
     * MinHash+LSH pipeline — FNV-1a token hashes ([[fnvSql]]), 3-gram
     * shingle hashes reduced into [0, 2^31-1), 64 permutation mins with
@@ -1044,6 +1055,22 @@ object PipelineQueries {
           FROM s JOIN d USING (w))
         WHERE rn <= 3""")),
 
+    QueryDef("text_bm25",
+      // Okapi BM25 keyword retrieval: top 25 documents for a fixed
+      // 3-term query, scored in ONE projection-only corpus scan (tf
+      // via the codegen'd token_count kernel — no explode, no token
+      // array, no shuffle) ending in TakeOrderedAndProject. Corpus
+      // stats (N, avgdl, df/idf per term) are fitted once per corpus
+      // and inlined as literals into both engines' expressions, so
+      // even the double scores hash-match (fixed-order IEEE
+      // arithmetic; Double.toString round-trips through DuckDB's
+      // parser bit-exactly)
+      (s, dir) => Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
+        bm25Terms, bm25StatsFor(s, dir), k = 25),
+      None,
+      oracleGen = Some((s, dir) => Bm25.oracleSql("documents", "doc_id",
+        "text", bm25Terms, bm25StatsFor(s, dir), k = 25))),
+
     QueryDef("q_sketch_distinct",
       // HLL++ sketch per language — merge-order-independent, so the
       // result is deterministic under any partitioning; approximate
@@ -1176,6 +1203,31 @@ object PipelineQueries {
             row_number() OVER (PARTITION BY lang
               ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000007, doc_id) AS rn
           FROM documents) WHERE rn <= 20""")),
+
+    QueryDef("sample_weighted_mix",
+      // training-corpus COMPOSITION: per-domain (language) sampling
+      // rates — the "wikipedia at 0.9x, web-crawl at 0.125x" mixing
+      // step that sets a training run's data diet. Same deterministic
+      // multiplicative-hash gate as sample_train_split, thresholded
+      // per domain: reproducible, retry-stable, and re-weightable
+      // without reshuffling (changing a rate only moves the threshold,
+      // so smaller samples nest inside larger ones — a rate decrease
+      // never ADDS rows, which makes mix experiments monotone)
+      (s, dir) => {
+        val rates = Seq("en" -> 900000L, "zh" -> 500000L, "es" -> 250000L,
+          "de" -> 125000L, "fr" -> 750000L)
+        val thr = rates.foldRight(lit(0L)) { case ((l, r), acc) =>
+          when(col("lang") === l, lit(r)).otherwise(acc)
+        }
+        t(s, dir, "documents")
+          .where(Sampling.hashValue(col("doc_id")) < thr)
+          .select(col("doc_id"), col("lang"))
+      },
+      Some("""SELECT doc_id, lang FROM documents
+        WHERE ((doc_id % 1000003) * 2654435761) % 1000000 <
+          CASE lang WHEN 'en' THEN 900000 WHEN 'zh' THEN 500000
+            WHEN 'es' THEN 250000 WHEN 'de' THEN 125000
+            WHEN 'fr' THEN 750000 ELSE 0 END""")),
 
     QueryDef("sample_shard_shuffle",
       // deterministic sharded corpus shuffle (the pre-training "shuffle

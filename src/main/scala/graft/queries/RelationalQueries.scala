@@ -769,6 +769,36 @@ object RelationalQueries {
             AS bucket, count(*) AS n
         FROM lineitem GROUP BY 1""")),
 
+    QueryDef("q_zorder_layout",
+      // z-order data layout, proven end to end: Morton-interleave the
+      // (mod-1024) part/supp keys via the codegen'd InterleaveBits
+      // kernel, then treat each 4096-wide z-range as one "file". The
+      // assertion the output encodes: every bucket's min/max extent is
+      // bounded on BOTH dimensions (a z-range of width 4^6 covers one
+      // 64x64 square), which is exactly the property that lets parquet
+      // min/max stats prune 2-D range predicates after a z-ordered
+      // write — a single-column sort would bound one dimension and
+      // leave the other's extent at full width. Pure integer
+      // arithmetic; the oracle replays the interleave as an unrolled
+      // 10-bit shift/mask sum
+      (s, dir) => t(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(1024)).cast("int").as("x"),
+          pmod(col("l_suppkey"), lit(1024)).cast("int").as("y"))
+        .withColumn("z", ZOrder.zvalue(col("x"), col("y")))
+        .groupBy(shiftright(col("z"), 12).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).cast("long").as("xmin"),
+          max(col("x")).cast("long").as("xmax"),
+          min(col("y")).cast("long").as("ymin"),
+          max(col("y")).cast("long").as("ymax")),
+      Some(s"""WITH p AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+            FROM lineitem),
+          z AS (SELECT x, y, ${ZOrder.mortonSql("x", "y", 10)} AS z FROM p)
+        SELECT z >> 12 AS bucket, count(*) AS n,
+          CAST(min(x) AS BIGINT) AS xmin, CAST(max(x) AS BIGINT) AS xmax,
+          CAST(min(y) AS BIGINT) AS ymin, CAST(max(y) AS BIGINT) AS ymax
+        FROM z GROUP BY 1""")),
+
     QueryDef("q_time_bucket",
       // ts arrives as a nanos long (see Tables); `div 1000` → micros is
       // lossless at day granularity.

@@ -32,7 +32,9 @@ object ExtensionsSmoke {
           |  vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
           |  size(word_shingle_hashes('a b c d', 3)) AS nsh,
           |  size(minhash_signature('a b c d', 3, 16, 42)) AS sigk,
-          |  byte_stride(encode('abcdef', 'UTF-8'), 2) AS bs
+          |  byte_stride(encode('abcdef', 'UTF-8'), 2) AS bs,
+          |  token_count('a b a c a', 'a') AS tc,
+          |  interleave_bits(3, 1) AS zv
           |""".stripMargin).collect()(0)
       // fingerprint('abc') = ((0*31+97)*31+98)*31+99 mod 1e9+7
       assert(r.getAs[Long]("fp") == 96354L, s"fp = ${r.getAs[Long]("fp")}")
@@ -40,12 +42,15 @@ object ExtensionsSmoke {
       assert(r.getAs[Int]("nsh") == 2)
       assert(r.getAs[Int]("sigk") == 16)
       assert(new String(r.getAs[Array[Byte]]("bs"), "UTF-8") == "ace")
+      assert(r.getAs[Long]("tc") == 3L, s"tc = ${r.getAs[Long]("tc")}")
+      // x=3 -> bits 0,2; y=1 -> bit 1; z = 0b0111 = 7
+      assert(r.getAs[Long]("zv") == 7L, s"zv = ${r.getAs[Long]("zv")}")
       val agg = s.sql(
         """SELECT topn_agg(v, named_struct('id', id, 'v', v), 2) AS t
           |FROM VALUES (1L, 10.0D), (2L, 50.0D), (3L, 30.0D), (4L, 40.0D) AS t(id, v)
           |""".stripMargin).collect()
       assert(agg.length == 1 && agg(0).getSeq[Any](0).size == 2)
-      println(s"[$label] all 7 graft SQL functions resolve and compute")
+      println(s"[$label] all 9 graft SQL functions resolve and compute")
     }
 
     check(spark, "root session")

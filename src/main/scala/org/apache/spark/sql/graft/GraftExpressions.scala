@@ -165,6 +165,47 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** Whole-token occurrence count of `term` in a single-space-tokenized
+  * string — the BM25 term-frequency kernel, one pass, zero allocation
+  * (vs `size(filter(split(...)))`, whose lambda evaluates
+  * interpretively per element and materializes the token array).
+  */
+case class TokenCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "token_count"
+  override def nullSafeEval(s: Any, t: Any): Any =
+    TextHashing.tokenCount(s.asInstanceOf[UTF8String], t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, t) => s"graft.expressions.TextHashing.tokenCount($s, $t)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Morton (z-order) interleave of two int columns, treated as
+  * unsigned 32-bit: bit i of x -> output bit 2i, bit i of y -> 2i+1.
+  * The multidimensional clustering key for data layout — sorting by
+  * it gives parquet row groups bounded rectangles in (x, y) space, so
+  * min/max column statistics prune 2-D range predicates.
+  */
+case class InterleaveBitsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "interleave_bits"
+  override def nullSafeEval(x: Any, y: Any): Any =
+    graft.expressions.BitKernels.interleave(x.asInstanceOf[Int], y.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, y) => s"graft.expressions.BitKernels.interleave($x, $y)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): InterleaveBitsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Strided byte-subsample of a binary payload: every `stride`-th byte
   * starting at offset 0 — the integer-factor raster/waveform downscale
   * shape on an opaque media column (a real codec would replace the
@@ -208,6 +249,8 @@ object GraftFunctionRegistry {
     "text_fingerprint" -> (es => TextFingerprintExpr(es(0))),
     "simhash64" -> (es => SimHash64Expr(es(0))),
     "byte_stride" -> (es => ByteStrideExpr(es(0), intArg(es(1), "byte_stride", 2))),
+    "token_count" -> (es => TokenCountExpr(es(0), es(1))),
+    "interleave_bits" -> (es => InterleaveBitsExpr(es(0), es(1))),
     "topn_agg" -> (es =>
       TopNAggExpr(es(0), es(1), intArg(es(2), "topn_agg", 3)).toAggregateExpression())
   )
@@ -256,4 +299,10 @@ object GraftExpressions {
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(c)))
   def byteStride(c: Column, stride: Int): Column =
     ExpressionUtils.column(ByteStrideExpr(ExpressionUtils.expression(c), stride))
+  def tokenCount(text: Column, term: Column): Column =
+    ExpressionUtils.column(TokenCountExpr(
+      ExpressionUtils.expression(text), ExpressionUtils.expression(term)))
+  def interleaveBits(x: Column, y: Column): Column =
+    ExpressionUtils.column(InterleaveBitsExpr(
+      ExpressionUtils.expression(x), ExpressionUtils.expression(y)))
 }

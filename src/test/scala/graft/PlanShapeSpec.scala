@@ -183,4 +183,27 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       s"plan:\n$plan")
   }
+
+  test("BM25 top-k: one corpus scan into TakeOrderedAndProject, no hash shuffle") {
+    val plan = SparkEntry.queries("text_bm25")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected exactly one corpus scan:\n$plan")
+    // scoring itself shuffles nothing; the only exchange is the
+    // single-partition one ranking the k survivors
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"scoring should not hash-shuffle the corpus:\n$plan")
+  }
+
+  test("z-order layout plans one range exchange + in-partition sort") {
+    val pts = Tables(spark, dir, "lineitem")
+      .select(pmod(col("l_partkey"), lit(1024)).cast("int").as("x"),
+        pmod(col("l_suppkey"), lit(1024)).cast("int").as("y"))
+    val plan = graft.operators.ZOrder.layout(pts, col("x"), col("y"), 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"plan:\n$plan")
+    assert(plan.contains("Sort [__z"), s"expected in-partition sort:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"), s"plan:\n$plan")
+  }
 }

@@ -810,6 +810,97 @@ object RelationalQueries {
           max(col("value")).as("mx")),
       Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
           count(*) AS n, min(value) AS mn, max(value) AS mx
-        FROM events GROUP BY 1"""))
+        FROM events GROUP BY 1""")),
+
+    QueryDef("graph_pagerank",
+      // link-graph ranking (the one relational category absent until
+      // now): 3 fixed Jacobi iterations of scaled-integer PageRank
+      // over the customer<->supplier trade graph (an edge per distinct
+      // trading pair, both directions, supplier ids offset into their
+      // own namespace). Exact integer arithmetic end to end — the
+      // oracle unrolls the identical iterations in DuckDB and
+      // hash-matches bit-for-bit. Top-25 hubs with id tiebreak.
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val cs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(10000000L)).as("dst"))
+        val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank.ranks(edges, "src", "dst")
+          .orderBy(col("rank").desc, col("node").asc)
+          .limit(25)
+      },
+      Some(PageRank.oracleSql(
+        """cs AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs)""") +
+        "\n      SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 25")),
+
+    QueryDef("q_funnel",
+      // ordered event funnel (view -> click -> purchase, strictly
+      // increasing timestamps): each stage is a frontier that only
+      // SHRINKS — stage k+1 is a semi-join of the next event type
+      // against stage k's (user, ts) frontier, so at scale the
+      // expensive scans are the per-type filters (pushed to the
+      // source) and the joins run on ever-smaller key sets that AQE
+      // broadcasts once they fit. Counts are exact integers.
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("user_id", "ts", "event_type")
+        def stage(typ: String, prev: DataFrame, prevTs: String, out: String) =
+          ev.where(col("event_type") === typ)
+            .join(prev.select(col("user_id"), col(prevTs)), "user_id")
+            .where(col("ts") > col(prevTs))
+            .groupBy("user_id").agg(min("ts").as(out))
+        val v = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("tv"))
+        val c = stage("click", v, "tv", "tc")
+        val p = stage("purchase", c, "tc", "tp")
+        def cnt(name: String, df: DataFrame) =
+          df.agg(lit(name).as("stage"), count(lit(1)).as("users"))
+        cnt("view", v).union(cnt("click", c)).union(cnt("purchase", p))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+          c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+            JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id),
+          p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+            JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id)
+        SELECT 'view' AS stage, (SELECT count(*) FROM v) AS users
+        UNION ALL SELECT 'click', (SELECT count(*) FROM c)
+        UNION ALL SELECT 'purchase', (SELECT count(*) FROM p)""")),
+
+    QueryDef("q_cohort_retention",
+      // cohort retention: customers bucketed by first-order month,
+      // counted by months-since-cohort offset. Months are exact
+      // integer indices (year*12 + month), so offsets are pure integer
+      // subtraction — no calendar-arithmetic divergence between
+      // engines. Two partial-agg'd shuffles (min per customer, then
+      // distinct-count per cohort cell); the first-order join reuses
+      // the customer-keyed exchange.
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("ym"))
+        val fo = o.groupBy("o_custkey").agg(min("ym").as("cohort_month"))
+        o.join(fo, "o_custkey")
+          .select(col("o_custkey"), col("cohort_month"),
+            (col("ym") - col("cohort_month")).as("month_offset"))
+          .where(col("month_offset") <= 12)
+          .groupBy("cohort_month", "month_offset")
+          .agg(countDistinct(col("o_custkey")).as("customers"))
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+              year(o_orderdate) * 12 + month(o_orderdate) AS ym FROM orders),
+          fo AS (SELECT o_custkey, min(ym) AS cohort_month FROM o
+            GROUP BY o_custkey)
+        SELECT CAST(fo.cohort_month AS BIGINT) AS cohort_month,
+          CAST(o.ym - fo.cohort_month AS BIGINT) AS month_offset,
+          count(DISTINCT o.o_custkey) AS customers
+        FROM o JOIN fo ON fo.o_custkey = o.o_custkey
+        WHERE o.ym - fo.cohort_month <= 12
+        GROUP BY 1, 2"""))
   )
 }

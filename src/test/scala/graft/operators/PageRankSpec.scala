@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val P = PageRank.Params()
+
+  private def ranksOf(edges: Seq[(Long, Long)],
+                      p: PageRank.Params = P): Map[Long, Long] =
+    PageRank.ranks(edges.toDF("src", "dst"), "src", "dst", p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("symmetric cycle gives equal ranks; mass conserved up to floor loss") {
+    // directed 4-cycle: every node has in-deg = out-deg = 1
+    val r = ranksOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(r.size == 4)
+    assert(r.values.toSet.size == 1, s"cycle ranks must be equal: $r")
+    // total mass stays within iterations * (quantization + damping
+    // rounding) of scale — no mass invented, bounded leakage
+    val total = r.values.sum
+    assert(total <= P.scale)
+    assert(total > P.scale - 1000L, s"lost too much mass: $total")
+  }
+
+  test("star graph ranks the hub above the leaves") {
+    // leaves 1..5 point at hub 99 and back (undirected star)
+    val edges = (1L to 5L).flatMap(l => Seq((l, 99L), (99L, l)))
+    val r = ranksOf(edges)
+    val hub = r(99L)
+    (1L to 5L).foreach(l => assert(hub > r(l), s"hub must outrank leaf $l: $r"))
+    // leaves are symmetric -> identical ranks
+    assert((1L to 5L).map(r).toSet.size == 1)
+  }
+
+  test("dangling sink accumulates rank but leaks its mass (documented)") {
+    // 1 -> 2 -> 3, node 3 has no out-edges
+    val r = ranksOf(Seq((1L, 2L), (2L, 3L)))
+    assert(r.size == 3)
+    // rank flows down the chain; node 1 (no in-edges) keeps base only
+    assert(r(3L) > r(2L) && r(2L) > r(1L), s"chain ordering broken: $r")
+  }
+
+  test("bit-identical under repartitioning (scaled-integer determinism)") {
+    val edges = (for (i <- 1L to 40L) yield (i, i * 7 % 41 + 1)) ++
+      (for (i <- 1L to 40L) yield (i * 13 % 41 + 1, i))
+    val df1 = edges.toDF("src", "dst").repartition(1)
+    val df7 = edges.toDF("src", "dst").repartition(7, col("dst"))
+    val r1 = PageRank.ranks(df1, "src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val r7 = PageRank.ranks(df7, "src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(r1.sameElements(r7))
+  }
+
+  test("parallel edges collapse to one (simple-graph contract)") {
+    val once = ranksOf(Seq((1L, 2L), (2L, 1L)))
+    val duped = ranksOf(Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L)))
+    assert(once == duped)
+  }
+
+  test("one-iteration hand check on a 2-node cycle") {
+    // n=2: r0 = scale/2 each; contrib = r0 (outdeg 1);
+    // r1 = (scale*15/100)/2 + 85*r0/100
+    val p = PageRank.Params(iterations = 1)
+    val r = ranksOf(Seq((1L, 2L), (2L, 1L)), p)
+    val r0 = p.scale / 2
+    val expected = (p.scale * 15 / 100) / 2 + 85 * r0 / 100
+    assert(r(1L) == expected && r(2L) == expected)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication over an embedding column — the SemDeDup
+  * recipe (Abbas/Tirumala/Simig/Ganguli/Morcos, "SemDeDup: Data-
+  * efficient learning at web-scale through semantic deduplication",
+  * arXiv:2303.09540): k-means-cluster the embeddings, compare pairs
+  * only WITHIN a cluster, and keep one representative from every
+  * group of vectors more similar than a cosine threshold. Catches
+  * paraphrases and re-renderings that exact/MinHash dedup misses
+  * because no tokens overlap.
+  *
+  * Scale shape — this is the reason SemDeDup clusters first:
+  *  - clustering reuses [[IvfAnn.fitCentroids]] (deterministic Lloyd
+  *    iterations over a hash-sample; centroids are driver metadata);
+  *  - the pair search is an equi-join on the cell id, never an
+  *    all-pairs product — with k sized ~N/1000 the per-cell work is
+  *    bounded, exactly the posture of the LSH band joins;
+  *  - the cell assignment is computed once and localCheckpoint'd,
+  *    since both sides of the self-join and the survivor anti-join
+  *    read it;
+  *  - `maxCluster` caps degenerate cells (a boilerplate-heavy corpus
+  *    can collapse into one giant cluster): oversized cells skip pair
+  *    generation — their rows all SURVIVE (dedup recall loss, never
+  *    data loss) — and the drop is logged loudly, the same contract
+  *    as MinHashLSH's `maxBucket`.
+  *
+  * Determinism: centroid training is exactly deterministic (fixed-
+  * point DECIMAL sums — see IvfAnn), assignment ties break to the
+  * highest cell (array_max on (score, cell) structs), and the keep
+  * rule is min-id-wins, so the survivor set is a pure function of the
+  * data. That lets the dedup_semantic oracle inline the trained
+  * centroids and replay cluster assignment + the in-cell cosine
+  * threshold in DuckDB exactly.
+  */
+object SemDedup {
+
+  /** @param tau cosine threshold at/above which two same-cell vectors
+    *   are duplicates. Calibrate per corpus: embedding models differ
+    *   in cosine concentration (the paper sweeps 0.95-0.999 for CLIP;
+    *   the synthetic fixture corpus needs far lower — its max pairwise
+    *   cosine is ~0.5).
+    * @param maxCluster upper bound on cluster size eligible for pair
+    *   generation; None = no cap.
+    */
+  final case class Params(k: Int = 16, iterations: Int = 3,
+                          trainFraction: Double = 0.25,
+                          tau: Double = 0.35,
+                          maxCluster: Option[Long] = None) {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+  }
+
+  /** Cell-assigned corpus: (id, v DOUBLE[], cell). */
+  private def assign(corpus: DataFrame, idCol: String, vecCol: String,
+                     p: Params): DataFrame = {
+    val centroids = IvfAnn.fitCentroids(corpus, idCol, vecCol,
+      IvfAnn.Params(k = p.k, iterations = p.iterations,
+        trainFraction = p.trainFraction))
+    IvfAnn.index(corpus, vecCol, centroids)
+      .select(col(idCol).as("id"),
+        VectorFunctions.toDoubleArray(col(vecCol)).as("v"),
+        col("__graft_cell").as("cell"))
+      .localCheckpoint(eager = false) // read 3x: both join sides + anti-join
+  }
+
+  /** Ids dropped as semantic duplicates: any vector with a SMALLER-id
+    * same-cell vector at cosine >= tau loses (min-id canonical
+    * survivor, the same rule as ExactDedup/NearDupClusters).
+    */
+  private def droppedIds(assigned: DataFrame, p: Params): DataFrame = {
+    val eligible = p.maxCluster match {
+      case None => assigned
+      case Some(cap) =>
+        val oversized = assigned.groupBy("cell")
+          .agg(count(lit(1)).as("__n")).where(col("__n") > cap)
+          .select("cell")
+          .localCheckpoint(eager = false) // read by the count + the anti-join
+        val nOver = oversized.count() // eager by design: truncation must be LOUD
+        if (nOver > 0) System.err.println(
+          s"[graft] SemDedup: $nOver cluster(s) larger than $cap skip pair " +
+            "generation — their rows all survive (dedup recall loss)")
+        assigned.join(oversized, Seq("cell"), "left_anti")
+    }
+    eligible.as("a").join(eligible.as("b"),
+        col("a.cell") === col("b.cell") && col("b.id") < col("a.id"))
+      .where(VectorFunctions.cosine(col("a.v"), col("b.v")) >= p.tau)
+      .select(col("a.id").as("id"))
+      .distinct()
+  }
+
+  /** Surviving rows after semantic dedup: (idCol, cell), one row per
+    * input vector that is not a semantic duplicate of a smaller-id
+    * same-cell vector.
+    */
+  def survivors(corpus: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding",
+                p: Params = Params()): DataFrame = {
+    val assigned = assign(corpus, idCol, vecCol, p)
+    assigned.join(droppedIds(assigned, p), Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cell"))
+  }
+}

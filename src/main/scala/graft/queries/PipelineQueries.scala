@@ -217,6 +217,79 @@ object PipelineQueries {
     bm25StatsCache.computeIfAbsent(dir,
       _ => Bm25.fitStats(t(s, dir, "documents"), "text", bm25Terms))
 
+  /** Generated DuckDB oracle for hybrid_rrf: the BM25 top-20 replay
+    * ([[Bm25.oracleSql]], idf/avgdl inlined) and the exact-cosine
+    * top-20 replay (the ann_brute_topk template pinned to query vector
+    * 7) are fused with `1e0 / (60 + rank)` terms — each term is ONE
+    * double division over exact integers, summed in the same
+    * (lexical, dense) order as the Spark side, so even the fused
+    * double scores hash-match.
+    */
+  private def hybridOracle(s: SparkSession, dir: String): String = {
+    val bmSql = Bm25.oracleSql("documents", "doc_id", "text", bm25Terms,
+      bm25StatsFor(s, dir), 20)
+    s"""WITH bm AS (SELECT doc_id, rank AS rank_a FROM ($bmSql)),
+      cs AS (SELECT nid AS doc_id, CAST(rn AS BIGINT) AS rank_b FROM (
+          SELECT c.vec_id AS nid, row_number() OVER (ORDER BY
+              list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rn
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id = 7 AND c.vec_id <> q.vec_id)
+        WHERE rn <= 20),
+      f AS (SELECT coalesce(bm.doc_id, cs.doc_id) AS doc_id, rank_a, rank_b,
+          coalesce(1e0 / (60 + rank_a), 0e0) +
+            coalesce(1e0 / (60 + rank_b), 0e0) AS rrf_score
+        FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.doc_id),
+      top AS (SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 15)
+    SELECT doc_id, rank_a, rank_b, rrf_score,
+      CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+        AS rank
+    FROM top"""
+  }
+
+  // tau calibrated against the fixture corpus: nearest pairwise cosine
+  // to 0.45 is >= 1e-4 away at sf0.01 AND sf0.1, while cross-engine
+  // cosine evaluation differs by ~1e-15 relative — no boundary flips.
+  // maxCluster=2000 is deliberately above every cell size, and the
+  // oracle does NOT model the cap: a cell ever exceeding it would
+  // hash-mismatch, machine-checking that the cap is a no-op here.
+  private val semDedupParams = SemDedup.Params(k = 16, iterations = 3,
+    trainFraction = 0.25, tau = 0.45, maxCluster = Some(2000L))
+
+  /** Generated DuckDB oracle for dedup_semantic: inlines the
+    * deterministically-trained k-means centroids (the
+    * [[ivfTopKOracle]] template), replays ties-high cell assignment,
+    * then drops every vector with a smaller-id same-cell vector at
+    * cosine >= tau.
+    */
+  private def semDedupOracle(s: SparkSession, dir: String): String = {
+    val centroids = IvfAnn.fitCentroids(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      IvfAnn.Params(k = semDedupParams.k,
+        iterations = semDedupParams.iterations,
+        trainFraction = semDedupParams.trainFraction))
+    val k = centroids.length
+    val scoreDefs = centroids.zipWithIndex.map { case (c, i) =>
+      val lit = c.mkString("[", ", ", "]")
+      val off = c.map(x => x * x).sum / 2.0
+      s"list_inner_product(e, $lit) - ($off) AS s$i"
+    }.mkString(", ")
+    val caseLadder = (k - 1 to 1 by -1).map { i =>
+      val others = (0 until i).map(j => s"s$j")
+      val rhs = if (others.size == 1) others.head
+        else s"greatest(${others.mkString(", ")})"
+      s"WHEN s$i >= $rhs THEN $i"
+    }.mkString(" ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      sc AS (SELECT vec_id, e, $scoreDefs FROM v),
+      a AS (SELECT vec_id, e, CASE $caseLadder ELSE 0 END AS cell FROM sc),
+      drp AS (SELECT DISTINCT x.vec_id FROM a x JOIN a y
+        ON x.cell = y.cell AND y.vec_id < x.vec_id
+        AND list_cosine_similarity(x.e, y.e) >= ${semDedupParams.tau}e0)
+    SELECT a.vec_id, a.cell FROM a LEFT JOIN drp ON drp.vec_id = a.vec_id
+    WHERE drp.vec_id IS NULL"""
+  }
+
   /** Generated DuckDB oracle for dedup_minhash: replays the ENTIRE
     * MinHash+LSH pipeline — FNV-1a token hashes ([[fnvSql]]), 3-gram
     * shingle hashes reduced into [0, 2^31-1), 64 permutation mins with
@@ -753,6 +826,19 @@ object PipelineQueries {
         .select("a", "b"),
       Some(lshNearDupOracle)),
 
+    QueryDef("dedup_semantic",
+      // SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings
+      // (deterministic Lloyd training shared with IvfAnn), generate
+      // pairs only WITHIN a cell (equi-join — never all-pairs), keep
+      // the min-id survivor of every cosine>=tau group. The paraphrase
+      // dedup pass that token-based MinHash/SimHash can't do. Oracle
+      // inlines the trained centroids and replays assignment + the
+      // in-cell threshold exactly
+      (s, dir) => SemDedup.survivors(
+        t(s, dir, "embeddings"), "vec_id", "embedding", semDedupParams),
+      None,
+      oracleGen = Some(semDedupOracle _)),
+
     // ---- similarity search (ANN) ----
 
     QueryDef("ann_brute_topk",
@@ -904,6 +990,54 @@ object PipelineQueries {
               w -> w IN ('the','and','of','is','in','a'))) * 20
               >= len(string_split(text, ' '))) AS is_quality
         FROM documents""")),
+
+    QueryDef("text_quality_gate",
+      // Gopher-style composite quality FILTER (Rae et al. 2021,
+      // arXiv:2112.11446 §A1.1 rules, thresholds calibrated to the
+      // fixture corpus) with per-rule attribution — the gate a
+      // pipeline applies before training, where knowing WHY a doc was
+      // dropped matters as much as dropping it. Ratio thresholds are
+      // CROSS-MULTIPLIED integer comparisons (4*nw <= nc, ns*20 >= nw
+      // ...), never double divisions — the gate decision is exact in
+      // any engine and under any evaluation order. One projection-only
+      // scan, fully codegen'd
+      (s, dir) => {
+        val nw = TF.tokenCount(col("text"))
+        val nc = TF.charCountNoSpaces(col("text"))
+        val nd = TF.distinctTokenCount(col("text"))
+        val ns = TF.stopwordCount(col("text"), stops)
+        val mw = array_max(transform(split(col("text"), " "), w => length(w)))
+          .cast("long")
+        val rLen = nw.between(25, 80)
+        val rWordLen = (nw * 4 <= nc) && (nc <= nw * 5)
+        val rMaxWord = mw <= 7L
+        val rStop = ns * 20 >= nw
+        val rDistinct = nd * 2 >= nw
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          rLen.as("r_len"), rWordLen.as("r_word_len"),
+          rMaxWord.as("r_max_word"), rStop.as("r_stop"),
+          rDistinct.as("r_distinct"),
+          (rLen && rWordLen && rMaxWord && rStop && rDistinct).as("passes"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+            CAST(length(replace(text, ' ', '')) AS BIGINT) AS nc,
+            CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+            CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN ('the','and','of','is','in','a'))) AS BIGINT) AS ns,
+            CAST(list_max(list_transform(string_split(text, ' '),
+              w -> length(w))) AS BIGINT) AS mw
+          FROM documents)
+        SELECT doc_id,
+          nw BETWEEN 25 AND 80 AS r_len,
+          (nw * 4 <= nc) AND (nc <= nw * 5) AS r_word_len,
+          mw <= 7 AS r_max_word,
+          ns * 20 >= nw AS r_stop,
+          nd * 2 >= nw AS r_distinct,
+          (nw BETWEEN 25 AND 80) AND (nw * 4 <= nc) AND (nc <= nw * 5)
+            AND mw <= 7 AND ns * 20 >= nw AND nd * 2 >= nw AS passes
+        FROM d""")),
 
     QueryDef("dedup_substring_spans",
       // repeated-substring signal (Lee et al. 2022, "Deduplicating
@@ -1070,6 +1204,27 @@ object PipelineQueries {
       None,
       oracleGen = Some((s, dir) => Bm25.oracleSql("documents", "doc_id",
         "text", bm25Terms, bm25StatsFor(s, dir), k = 25))),
+
+    QueryDef("hybrid_rrf",
+      // hybrid retrieval: reciprocal-rank fusion of the lexical (BM25
+      // top-20) and dense (exact-cosine top-20 for query vector 7)
+      // lists — the standard RAG retrieval composition. Fusion joins
+      // two k-row lists (broadcast, O(k)); the corpus-scale work
+      // happened in the upstream retrievers. Integer ranks + one
+      // division per term keep even the fused double scores exact
+      (s, dir) => {
+        val bm = Bm25.topK(t(s, dir, "documents"), "doc_id", "text",
+          bm25Terms, bm25StatsFor(s, dir), k = 20)
+        val e = t(s, dir, "embeddings")
+        val cos = Similarity.bruteForceTopK(e.where(col("vec_id") === 7), e, k = 20)
+          .select(col("nid").as("doc_id"), col("rank"))
+        HybridRetrieval.rrf2(bm.select(col("doc_id"), col("rank")), cos,
+          "doc_id", "rank", topK = 15)
+          .select(col("doc_id"), col("rank_a"), col("rank_b"),
+            col("rrf_score"), col("rank"))
+      },
+      None,
+      oracleGen = Some(hybridOracle _)),
 
     QueryDef("q_sketch_distinct",
       // HLL++ sketch per language — merge-order-independent, so the

@@ -92,4 +92,17 @@ class ScalePlanGuardsSpec extends SparkSuite {
       IvfPqAnn.searchTopK(queries, IvfPqAnn.load(spark, s"$tmp/ivfpq"), k = 5,
         nprobe = ivfPqP.nprobe), "ivfpq searchTopK")
   }
+
+  test("SemDedup survivors: in-cell equi-join only") {
+    val p = SemDedup.Params(k = 4, iterations = 1, tau = 0.4)
+    assertNoQuadraticJoin(SemDedup.survivors(emb, p = p), "semDedup")
+  }
+
+  test("PageRank iteration: key equi-joins only") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    assertNoQuadraticJoin(
+      PageRank.ranks(edges, "src", "dst", PageRank.Params(iterations = 2)),
+      "pageRank")
+  }
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class SemDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def vecsDF(vs: Seq[(Long, Seq[Float])]) =
+    vs.toDF("vec_id", "embedding")
+
+  // two tight groups on orthogonal axes + one outlier. The three
+  // LOWEST ids span the three groups on purpose: k-means init takes
+  // the k lowest-id vectors, so each group gets its own stable cell.
+  private val fixture = vecsDF(Seq(
+    1L -> Seq(1f, 0f, 0f), 2L -> Seq(0f, 1f, 0f), 3L -> Seq(0f, 0f, 1f),
+    4L -> Seq(0.999f, 0.01f, 0f), 5L -> Seq(0.998f, 0.02f, 0f),
+    11L -> Seq(0.01f, 0.999f, 0f)))
+
+  private val p = SemDedup.Params(k = 3, iterations = 2, trainFraction = 1.0,
+    tau = 0.95)
+
+  test("min-id survivor per semantic group; outlier untouched") {
+    val kept = SemDedup.survivors(fixture, p = p)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 2L, 3L)),
+      s"expected {1,2,3}, got ${kept.mkString(",")}")
+  }
+
+  test("tau=1-epsilon keeps everything distinct") {
+    val kept = SemDedup.survivors(fixture,
+        p = p.copy(tau = 0.9999999)).count()
+    assert(kept == fixture.count())
+  }
+
+  test("maxCluster cap: oversized cells skip pair generation, rows survive") {
+    // cap below the x-axis group size (3 members: 1,4,5) -> its
+    // near-dups are NOT dropped; the 2-member y-axis cell still
+    // dedups to its min id
+    val keptCapped = SemDedup.survivors(fixture,
+        p = p.copy(maxCluster = Some(2L)))
+      .select("vec_id").as[Long].collect().sorted
+    assert(keptCapped.contains(1L) && keptCapped.contains(4L) &&
+      keptCapped.contains(5L), s"capped cell must survive whole: ${keptCapped.mkString(",")}")
+    assert(!keptCapped.contains(11L), "uncapped cell must still dedup")
+  }
+
+  test("deterministic under repartitioning") {
+    val a = SemDedup.survivors(fixture.repartition(1), p = p)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    val b = SemDedup.survivors(fixture.repartition(5), p = p)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+}

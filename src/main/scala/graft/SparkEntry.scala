@@ -54,7 +54,15 @@ object SparkEntry {
     * site can't silently spin up a default-config session.
     */
   def oracleSql(session: SparkSession): Map[String, String] =
-    allQueryDefs.flatMap { q =>
+    oracleSql(session, None)
+
+  /** [[oracleSql]] restricted to `names` (None = all) — generated
+    * oracles TRAIN (k-means fits etc.) at dump time, so a filtered
+    * local run must skip the generators it doesn't need.
+    */
+  def oracleSql(session: SparkSession,
+                names: Option[Set[String]]): Map[String, String] =
+    allQueryDefs.filter(q => names.forall(_.contains(q.name))).flatMap { q =>
       val sql = q.oracle.orElse(q.oracleGen.flatMap { gen =>
         try Some(gen(session, oracleSfDir))
         catch {

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min Sketch frequency estimation (Cormode/Muthukrishnan 2005,
+  * "An improved data stream summary: the count-min sketch and its
+  * applications") — bounded-memory approximate counts over unbounded
+  * key cardinality: depth x width counters, point estimate = min over
+  * depth hashed buckets, one-sided error (never underestimates,
+  * overestimate <= 2N/width with probability 1 - 2^-depth).
+  *
+  * Why this sketch gets a hash-exact oracle when HLL++ stays
+  * rows-only (q_sketch_distinct): CMS is a LINEAR sketch — counters
+  * are plain integer sums over data-independent hash functions, so
+  * the result is merge-order independent BY ALGEBRA (commutative
+  * integer addition), not just by implementation discipline. The
+  * whole computation — hashing, bucketing, summing, the min over
+  * depth rows — replays in DuckDB integer arithmetic bit-for-bit.
+  *
+  * Scale shape: the build is one partial-aggregated shuffle whose
+  * group count is capped at depth*width (counters, not keys — the
+  * map side combines the unbounded key stream into <= depth*width
+  * partials per task); estimates probe depth buckets per query key
+  * via a broadcast of the literal probe table. Linearity also means
+  * shard sketches ADD: build per partition/day/shard, sum counters to
+  * query any union — the property the merge test pins.
+  *
+  * Hash family: h_i(x) = ((a_i * (x mod P) + b_i) mod P) mod width,
+  * P = 2^31-1, with the same seed-derived (a_i, b_i) constants as the
+  * MinHash permutations ([[graft.expressions.TextHashing.minhashPerms]]).
+  * Exact on the non-negative key domain (documented; negative keys
+  * would floor-vs-truncate differently across engines).
+  */
+object CountMin {
+
+  /** 2^31 - 1, the Mersenne prime the hash family reduces modulo. */
+  val P: Long = 2147483647L
+
+  final case class Params(depth: Int = 4, width: Int = 2048,
+                          seed: Long = 42L) {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+  }
+
+  /** Seed-derived (a_i, b_i) per depth row — data-independent plan
+    * constants, like the LSH hyperplanes.
+    */
+  def perms(p: Params): Seq[(Long, Long)] =
+    graft.expressions.TextHashing.minhashPerms(p.seed, p.depth)
+      .grouped(2).map(x => (x(0), x(1))).toSeq
+
+  private def bucket(key: Column, a: Long, b: Long, width: Int): Column =
+    pmod(pmod(lit(a) * pmod(key, lit(P)) + lit(b), lit(P)), lit(width.toLong))
+
+  /** Driver-side mirror of [[bucket]] for probe literals and oracles. */
+  def bucketOf(key: Long, a: Long, b: Long, width: Int): Long =
+    ((a * (key % P) + b) % P) % width
+
+  /** Builds the counter table (row, col, cnt) — at most depth*width
+    * rows regardless of input size or key cardinality.
+    */
+  def build(df: DataFrame, keyCol: String, p: Params = Params()): DataFrame = {
+    val rows = perms(p).zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("row"), bucket(col(keyCol), a, b, p.width).as("col"))
+    }
+    df.select(explode(array(rows: _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.col").as("col"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for literal `keys`: (key, cm_est BIGINT), one row
+    * per key, cm_est = min over the depth probed counters (0 for a
+    * never-hit bucket).
+    */
+  def estimate(counters: DataFrame, keys: Seq[Long],
+               p: Params = Params()): DataFrame = {
+    require(keys.nonEmpty, "estimate needs at least one key")
+    require(keys.forall(_ >= 0), "CMS hash family is defined on keys >= 0")
+    val spark = counters.sparkSession
+    import spark.implicits._
+    val probes = for {
+      k <- keys
+      (ab, i) <- perms(p).zipWithIndex
+    } yield (k, i, bucketOf(k, ab._1, ab._2, p.width))
+    val probeDf = probes.toDF("key", "row", "col")
+    counters.join(broadcast(probeDf), Seq("row", "col"), "right")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+  }
+
+  /** DuckDB replay of build+estimate over `table.keyExpr` for the
+    * oracle gate: per-depth-row bucket sums unioned, probe literals
+    * precomputed with [[bucketOf]], LEFT JOIN + coalesce for empty
+    * buckets — all integer arithmetic.
+    */
+  def oracleSql(table: String, keyExpr: String, keys: Seq[Long],
+                p: Params = Params()): String = {
+    val rows = perms(p).zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT $i AS row, (($a * (($keyExpr) % $P) + $b) % $P) % ${p.width} AS col, " +
+        s"count(*) AS cnt FROM $table GROUP BY 2"
+    }.mkString("\n      UNION ALL ")
+    val probeRows = (for {
+      k <- keys
+      (ab, i) <- perms(p).zipWithIndex
+    } yield s"($k, $i, ${bucketOf(k, ab._1, ab._2, p.width)})").mkString(", ")
+    s"""WITH c AS ($rows),
+      probes(key, row, col) AS (VALUES $probeRows)
+    SELECT probes.key, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cm_est
+    FROM probes LEFT JOIN c ON c.row = probes.row AND c.col = probes.col
+    GROUP BY probes.key"""
+  }
+}

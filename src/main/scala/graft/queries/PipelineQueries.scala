@@ -210,6 +210,12 @@ object PipelineQueries {
     * fitted once per JVM — the fit-once/score-many split that makes
     * corpus statistics an index-lifetime cost, like ANN centroids.
     */
+  /** CMS probe keys: eight live part keys + two absent ones (exact
+    * count 0 — any non-zero estimate is pure collision overestimate).
+    */
+  private val cmsKeys: Seq[Long] =
+    (1L to 8L) ++ Seq(9999991L, 123456789L)
+
   private val bm25Terms = Seq("hash", "join", "scan")
   private val bm25StatsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Bm25.Stats]()
@@ -1225,6 +1231,29 @@ object PipelineQueries {
       },
       None,
       oracleGen = Some(hybridOracle _)),
+
+    QueryDef("q_cms_freq",
+      // Count-Min sketch frequency estimates — the sketch category's
+      // hash-EXACT row (HLL++ stays rows-only): CMS is a linear
+      // sketch, so its counters are merge-order independent by
+      // algebra and the whole build+probe replays in DuckDB integer
+      // arithmetic. Probes include two absent keys (exact 0) to show
+      // the one-sided error; exact counts joined alongside
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val est = CountMin.estimate(CountMin.build(li, "l_partkey"), cmsKeys)
+        val exact = li.groupBy(col("l_partkey").as("key"))
+          .agg(count(lit(1)).as("exact_cnt"))
+        est.join(exact, Seq("key"), "left")
+          .select(col("key"), col("cm_est"),
+            coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
+      },
+      Some(s"""WITH ex AS (SELECT l_partkey AS key, count(*) AS exact_cnt
+            FROM lineitem GROUP BY 1)
+        SELECT est.key, est.cm_est,
+          CAST(coalesce(ex.exact_cnt, 0) AS BIGINT) AS exact_cnt
+        FROM (${CountMin.oracleSql("lineitem", "l_partkey", cmsKeys)}) est
+        LEFT JOIN ex ON ex.key = est.key""")),
 
     QueryDef("q_sketch_distinct",
       // HLL++ sketch per language — merge-order-independent, so the

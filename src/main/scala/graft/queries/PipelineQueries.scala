@@ -216,6 +216,36 @@ object PipelineQueries {
   private val cmsKeys: Seq[Long] =
     (1L to 8L) ++ Seq(9999991L, 123456789L)
 
+  private val bloomParams = Bloom.Params(bits = 8192, hashes = 3, seed = 7L)
+
+  /** Static DuckDB oracle for dedup_bloom_decontam: replays the
+    * fingerprint fold, the 80/20 split gate, bloom build (distinct
+    * probed positions of the test side), membership (all `hashes`
+    * probes present), and the exact semi-join flag — pure integer
+    * arithmetic end to end.
+    */
+  private def bloomDecontamOracle: String = {
+    val fp = """list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(text) + 1),
+            i -> CAST(ascii(text[i]) AS BIGINT))),
+        (a, b) -> (a * 31 + b) % 1000000007)"""
+    val posList = Bloom.posSql("fp", bloomParams).mkString("[", ", ", "]")
+    s"""WITH f AS (SELECT doc_id, $fp AS fp,
+          ((doc_id % 1000003) * 2654435761) % 100 < 80 AS is_train
+        FROM documents),
+      test AS (SELECT fp FROM f WHERE NOT is_train),
+      bits AS (SELECT DISTINCT unnest($posList) AS pos FROM test),
+      train AS (SELECT doc_id, fp FROM f WHERE is_train),
+      probe AS (SELECT doc_id, unnest($posList) AS pos FROM train),
+      hits AS (SELECT doc_id, count(*) AS nhit
+        FROM probe JOIN bits USING (pos) GROUP BY doc_id)
+    SELECT t.doc_id,
+      coalesce(h.nhit, 0) = ${bloomParams.hashes} AS bloom_hit,
+      EXISTS (SELECT 1 FROM test WHERE test.fp = t.fp) AS exact_hit
+    FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id"""
+  }
+
   private val bm25Terms = Seq("hash", "join", "scan")
   private val bm25StatsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Bm25.Stats]()
@@ -1265,6 +1295,32 @@ object PipelineQueries {
         .agg(approx_count_distinct(col("text"), 0.02).as("approx_docs"),
           count(lit(1)).as("n")),
       None),
+
+    QueryDef("dedup_bloom_decontam",
+      // decontamination via bloom broadcast: build the filter over the
+      // TEST split's fingerprints (bounded: <= bits positions), gate
+      // the TRAIN split by scan-side membership — no shuffle of the
+      // train corpus, unlike the exact semi-join it approximates. The
+      // exact flag is joined alongside: exact_hit implies bloom_hit
+      // (no false negatives — pinned in BloomSpec), bloom-only hits
+      // are the documented FP cost. Integer-exact in both engines
+      (s, dir) => {
+        val f = t(s, dir, "documents").select(
+          col("doc_id"), TF.fingerprint(col("text")).as("fp"),
+          (pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100)) < 80)
+            .as("is_train"))
+        val test = f.where(!col("is_train"))
+        val train = f.where(col("is_train"))
+        val bits = Bloom.bitset(test, "fp", bloomParams)
+        val exact = train
+          .join(test.select("fp").distinct(), Seq("fp"), "left_semi")
+          .select(col("doc_id"), lit(true).as("exact_hit"))
+        Bloom.mightContain(train, "doc_id", "fp", bits, bloomParams)
+          .join(exact, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("bloom_hit"),
+            coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
+      },
+      Some(bloomDecontamOracle)),
 
     QueryDef("dedup_cross_split",
       // train/test DECONTAMINATION: near-duplicate pairs (same MinHash

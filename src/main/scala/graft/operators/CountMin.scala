@@ -84,7 +84,11 @@ object CountMin {
       (ab, i) <- perms(p).zipWithIndex
     } yield (k, i, bucketOf(k, ab._1, ab._2, p.width))
     val probeDf = probes.toDF("key", "row", "col")
-    counters.join(broadcast(probeDf), Seq("row", "col"), "right")
+    // probes LEFT JOIN broadcast(counters): the outer side must be the
+    // probe list (empty buckets estimate 0), and only the inner side
+    // can be the broadcast build side — counters are <= depth*width
+    // rows by construction, always broadcastable
+    probeDf.join(broadcast(counters), Seq("row", "col"), "left")
       .groupBy("key")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
   }

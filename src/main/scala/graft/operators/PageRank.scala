@@ -73,21 +73,29 @@ object PageRank {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(eager = false) // scanned once per iteration
+      .localCheckpoint(eager = false) // feeds nodes, outdeg AND the join
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst")))
       .distinct()
       .localCheckpoint(eager = false)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // out-degree is attached to the edge list ONCE, outside the loop,
+    // and the result is pre-partitioned on src BEFORE the lineage cut:
+    // a checkpointed Dataset keeps its partitioning, so every
+    // iteration's ranks join finds the big side already hash-
+    // partitioned on the join key and only the small ranks relation
+    // moves — the cluster-scale iteration shape (partition the edges
+    // once, iterate against them in place)
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .repartition(col("src"))
+      .localCheckpoint(eager = false) // scanned once per iteration
     // one long of driver metadata — never data
     val n = nodes.count()
     require(n > 0, "PageRank over an empty edge set")
     val base = (p.scale * (p.dampDen - p.dampNum) / p.dampDen) / n
     var ranks = nodes.withColumn("rank", lit(p.scale / n))
-    for (_ <- 1 to p.iterations) {
-      val contrib = e
-        .join(ranks, e("src") === ranks("node"))
-        .join(outdeg, "src")
+    for (i <- 1 to p.iterations) {
+      val contrib = ed
+        .join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("s"))
@@ -97,7 +105,12 @@ object PageRank {
           (lit(base) +
             expr(s"(${p.dampNum}L * coalesce(s, 0L)) div ${p.dampDen}L"))
             .as("rank"))
-        .localCheckpoint(eager = false)
+      // lineage cut every few rounds, not every round: a 3-deep
+      // join+agg chain plans fine in one job, and skipping the
+      // intermediate materialization keeps consecutive iterations
+      // inside one codegen'd stage pipeline
+      if (i % 4 == 0 && i < p.iterations)
+        ranks = ranks.localCheckpoint(eager = false)
     }
     ranks
   }

@@ -1272,7 +1272,10 @@ object PipelineQueries {
       (s, dir) => {
         val li = t(s, dir, "lineitem")
         val est = CountMin.estimate(CountMin.build(li, "l_partkey"), cmsKeys)
-        val exact = li.groupBy(col("l_partkey").as("key"))
+        // exact side filters to the probe keys BEFORE aggregating — an
+        // In-filter pushed to the scan, not a full-key-space group-by
+        val exact = li.where(col("l_partkey").isin(cmsKeys: _*))
+          .groupBy(col("l_partkey").as("key"))
           .agg(count(lit(1)).as("exact_cnt"))
         est.join(exact, Seq("key"), "left")
           .select(col("key"), col("cm_est"),

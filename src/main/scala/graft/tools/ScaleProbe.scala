@@ -83,6 +83,36 @@ object ScaleProbe {
           TextPack.pack(chunks, "shard", Seq("doc_id", "chunk_idx"),
             "chunk_tokens", 256L).count()
         },
+        "count-min build (partkey)" -> time {
+          CountMin.build(li, "l_partkey").count()
+        },
+        "bloom build+probe (fingerprints)" -> time {
+          val f = docs.select(col("doc_id"),
+            graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+          val bits = Bloom.bitset(f.where(pmod(col("doc_id"), lit(5L)) === 0), "fp")
+          Bloom.mightContain(f, "doc_id", "fp", bits)
+            .where(col("bloom_hit")).count()
+        },
+        "pagerank 3 iters (trade graph)" -> {
+          val ord = scaled(Tables(spark, sfDir, "orders"),
+            Seq("o_orderkey", "o_custkey"), factor)
+          val liG = scaled(li0, Seq("l_orderkey", "l_suppkey"), factor)
+          time {
+            val cs = ord.join(liG, ord("o_orderkey") === liG("l_orderkey"))
+              .select(col("o_custkey").as("src"),
+                (col("l_suppkey") + lit(10000000L)).as("dst"))
+            val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+            PageRank.ranks(edges, "src", "dst").count()
+          }
+        },
+        "semantic dedup (k sized to corpus)" -> {
+          // SemDeDup's documented scale discipline: k grows with the
+          // corpus (~N/1000) so cells stay task-bounded and the
+          // in-cell pair join stays ~linear overall
+          val emb = scaled(emb0, Seq("vec_id"), factor)
+          val p = SemDedup.Params(k = 16 * factor, iterations = 2, tau = 0.45)
+          time { SemDedup.survivors(emb, p = p).count() }
+        },
         "IVF loaded-index search top-5 (10 queries)" -> {
           // fit+save is untimed per-index-lifetime cost; the timed
           // part is the serving path — probe the loaded parquet index
@@ -121,6 +151,18 @@ object ScaleProbe {
       }
       sb.append(s"| $op | " + cells.mkString(" | ") + " |\n")
     }
+    sb.append("\nNotes: the semantic-dedup row grows SUPERLINEARLY by design ")
+    sb.append("of the probe — k is sized to the corpus (~N/1000 discipline), ")
+    sb.append("and flat k-means ASSIGNMENT is O(n*k*d), i.e. ~N^2 once k ")
+    sb.append("tracks N. That is the honest cost of SemDeDup's clustering ")
+    sb.append("step at extreme scale; past ~10^8 vectors the standard fix is ")
+    sb.append("a two-level coarse quantizer (assign to sqrt(k) super-cells, ")
+    sb.append("then argmax within the chosen group: O(n*sqrt(k)*d)) — same ")
+    sb.append("Spark shape (two chained codegen projections), documented ")
+    sb.append("here rather than implemented because the in-cell pair join, ")
+    sb.append("not assignment, dominates at every fixture scale. The ")
+    sb.append("pagerank row counts EDGES in rows; time is ~linear in edges ")
+    sb.append("with the 3-iteration budget fixed.\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALEPROBE.md"), sb.toString)
     println(sb.toString)
     spark.stop()

@@ -366,4 +366,31 @@ class StreamingOpsSpec extends SparkSuite {
     // identical to the batch semantics: starts 0,3,6; last window short
     assert(got.toSeq == Seq((0L, 4L, "a b c d"), (1L, 4L, "d e f g"), (2L, 1L, "g")))
   }
+
+  test("CountMin.build applies to a stream unchanged (linear sketches are streaming-native)") {
+    implicit val ctx = spark.sqlContext
+    val p = graft.operators.CountMin.Params(depth = 2, width = 32)
+    val ms = MemoryStream[Long]
+    // the exact batch operator: counters are a running groupBy sum, so
+    // update-mode streaming maintains the sketch incrementally — the
+    // linearity the batch spec pins is what makes this correct
+    val query = graft.operators.CountMin
+      .build(ms.toDF().toDF("k"), "k", p)
+      .writeStream.outputMode("complete").format("memory").queryName("cms")
+      .start()
+
+    try {
+      ms.addData(1L, 1L, 2L)
+      query.processAllAvailable()
+      ms.addData(1L, 3L)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("cms")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.CountMin
+      .build(Seq(1L, 1L, 2L, 1L, 3L).toDF("k"), "k", p)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, "streamed counters must equal the batch sketch")
+  }
 }

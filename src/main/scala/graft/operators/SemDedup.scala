@@ -46,24 +46,60 @@ object SemDedup {
     * @param maxCluster upper bound on cluster size eligible for pair
     *   generation; None = no cap.
     */
+  /** @param twoLevel use the [[TwoLevelQuantizer]] for cell
+    *   assignment: O(sqrt(k)·d) per row instead of O(k·d) — the
+    *   measured fix for flat assignment's superlinearity once k is
+    *   sized to the corpus (SCALEPROBE.md). Assignment is approximate
+    *   at super-cell boundaries; the dedup contract (min-id survivor
+    *   per cosine>=tau in-cell group) is unchanged and stays exactly
+    *   deterministic, so the two-level path has its own exact oracle.
+    * @param superK super-cell count (default ceil(sqrt(k))).
+    */
   final case class Params(k: Int = 16, iterations: Int = 3,
                           trainFraction: Double = 0.25,
                           tau: Double = 0.35,
-                          maxCluster: Option[Long] = None) {
+                          maxCluster: Option[Long] = None,
+                          twoLevel: Boolean = false,
+                          superK: Int = 0) {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    def superKOrDefault: Int =
+      if (superK > 0) superK else math.ceil(math.sqrt(k.toDouble)).toInt
+  }
+
+  /** The trained centroids + (for the two-level path) their grouping —
+    * exposed so the oracle generator inlines the identical constants.
+    */
+  def model(corpus: DataFrame, idCol: String, vecCol: String, p: Params)
+      : (Array[Array[Double]], Option[TwoLevelQuantizer.Grouping]) = {
+    val centroids = IvfAnn.fitCentroids(corpus, idCol, vecCol,
+      IvfAnn.Params(k = p.k, iterations = p.iterations,
+        trainFraction = p.trainFraction))
+    val grouping =
+      if (p.twoLevel) Some(TwoLevelQuantizer.group(centroids, p.superKOrDefault))
+      else None
+    (centroids, grouping)
   }
 
   /** Cell-assigned corpus: (id, v DOUBLE[], cell). */
   private def assign(corpus: DataFrame, idCol: String, vecCol: String,
                      p: Params): DataFrame = {
-    val centroids = IvfAnn.fitCentroids(corpus, idCol, vecCol,
-      IvfAnn.Params(k = p.k, iterations = p.iterations,
-        trainFraction = p.trainFraction))
-    IvfAnn.index(corpus, vecCol, centroids)
-      .select(col(idCol).as("id"),
-        VectorFunctions.toDoubleArray(col(vecCol)).as("v"),
-        col("__graft_cell").as("cell"))
-      .localCheckpoint(eager = false) // read 3x: both join sides + anti-join
+    val (centroids, grouping) = model(corpus, idCol, vecCol, p)
+    val assigned = grouping match {
+      case None =>
+        IvfAnn.index(corpus, vecCol, centroids)
+          .select(col(idCol).as("id"),
+            VectorFunctions.toDoubleArray(col(vecCol)).as("v"),
+            col("__graft_cell").as("cell"))
+      case Some(g) =>
+        corpus
+          .select(col(idCol).as("id"),
+            VectorFunctions.toDoubleArray(col(vecCol)).as("v"))
+          .withColumn("__super", TwoLevelQuantizer.superExpr(col("v"), g))
+          .withColumn("cell",
+            TwoLevelQuantizer.cellExpr(col("v"), centroids, g, col("__super")))
+          .select("id", "v", "cell")
+    }
+    assigned.localCheckpoint(eager = false) // read 3x: joins + anti-join
   }
 
   /** Ids dropped as semantic duplicates: any vector with a SMALLER-id

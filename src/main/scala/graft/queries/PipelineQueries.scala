@@ -326,6 +326,61 @@ object PipelineQueries {
     WHERE drp.vec_id IS NULL"""
   }
 
+  /** Argmax-by-descending-CASE-ladder over candidate ids (ascending),
+    * ties to the HIGHEST id — the SQL mirror of Spark's array_max
+    * over (score, idx) structs.
+    */
+  private def argmaxLadder(score: Int => String, ids: Seq[Int]): String = {
+    val sorted = ids.sorted
+    if (sorted.size == 1) sorted.head.toString
+    else {
+      val arms = (sorted.size - 1 to 1 by -1).map { t =>
+        val others = sorted.take(t).map(score)
+        val rhs = if (others.size == 1) others.head
+          else s"greatest(${others.mkString(", ")})"
+        s"WHEN ${score(sorted(t))} >= $rhs THEN ${sorted(t)}"
+      }.mkString(" ")
+      s"CASE $arms ELSE ${sorted.head} END"
+    }
+  }
+
+  private val semDedup2Params = semDedupParams.copy(twoLevel = true)
+
+  /** Generated oracle for dedup_semantic_fast: the two-level
+    * assignment replayed exactly — super scores + ties-high super
+    * ladder, then per-super member ladders over the SAME inlined
+    * centroids and driver-computed grouping, then the unchanged
+    * in-cell threshold dedup.
+    */
+  private def semDedup2Oracle(s: SparkSession, dir: String): String = {
+    val (centroids, gOpt) = SemDedup.model(
+      t(s, dir, "embeddings"), "vec_id", "embedding", semDedup2Params)
+    val g = gOpt.get
+    def scoreDef(c: Array[Double], name: String): String = {
+      val lit = c.mkString("[", ", ", "]")
+      val off = c.map(x => x * x).sum / 2.0
+      s"list_inner_product(e, $lit) - ($off) AS $name"
+    }
+    val superDefs = g.superCentroids.zipWithIndex
+      .map { case (c, j) => scoreDef(c, s"u$j") }.mkString(", ")
+    val superLadder = argmaxLadder(i => s"u$i", g.superCentroids.indices)
+    val cellDefs = centroids.zipWithIndex
+      .map { case (c, i) => scoreDef(c, s"s$i") }.mkString(", ")
+    val cellCase = g.members.zipWithIndex.map { case (mem, j) =>
+      s"WHEN $j THEN ${argmaxLadder(i => s"s$i", mem.toIndexedSeq)}"
+    }.mkString(" ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      su AS (SELECT vec_id, e, $superDefs FROM v),
+      sa AS (SELECT vec_id, e, $superLadder AS sup FROM su),
+      sc AS (SELECT vec_id, e, sup, $cellDefs FROM sa),
+      a AS (SELECT vec_id, e, CASE sup $cellCase END AS cell FROM sc),
+      drp AS (SELECT DISTINCT x.vec_id FROM a x JOIN a y
+        ON x.cell = y.cell AND y.vec_id < x.vec_id
+        AND list_cosine_similarity(x.e, y.e) >= ${semDedup2Params.tau}e0)
+    SELECT a.vec_id, a.cell FROM a LEFT JOIN drp ON drp.vec_id = a.vec_id
+    WHERE drp.vec_id IS NULL"""
+  }
+
   /** Generated DuckDB oracle for dedup_minhash: replays the ENTIRE
     * MinHash+LSH pipeline — FNV-1a token hashes ([[fnvSql]]), 3-gram
     * shingle hashes reduced into [0, 2^31-1), 64 permutation mins with
@@ -874,6 +929,19 @@ object PipelineQueries {
         t(s, dir, "embeddings"), "vec_id", "embedding", semDedupParams),
       None,
       oracleGen = Some(semDedupOracle _)),
+
+    QueryDef("dedup_semantic_fast",
+      // SemDeDup with the two-level coarse quantizer: assignment cost
+      // O(sqrt(k)·d) per row instead of O(k·d) — the implemented fix
+      // for the flat-assignment superlinearity SCALEPROBE measures
+      // once k is sized to the corpus. Assignment is approximate at
+      // super-cell boundaries, but the computation is exactly
+      // deterministic, so this path carries its OWN exact oracle
+      // (super ladder + per-super member ladders replayed in DuckDB)
+      (s, dir) => SemDedup.survivors(
+        t(s, dir, "embeddings"), "vec_id", "embedding", semDedup2Params),
+      None,
+      oracleGen = Some(semDedup2Oracle _)),
 
     // ---- similarity search (ANN) ----
 

@@ -113,6 +113,15 @@ object ScaleProbe {
           val p = SemDedup.Params(k = 16 * factor, iterations = 2, tau = 0.45)
           time { SemDedup.survivors(emb, p = p).count() }
         },
+        "semantic dedup, two-level assignment" -> {
+          // same workload through the TwoLevelQuantizer: assignment
+          // drops from O(n*k*d) to O(n*sqrt(k)*d) — this row vs the
+          // one above IS the measured payoff
+          val emb = scaled(emb0, Seq("vec_id"), factor)
+          val p = SemDedup.Params(k = 16 * factor, iterations = 2,
+            tau = 0.45, twoLevel = true)
+          time { SemDedup.survivors(emb, p = p).count() }
+        },
         "IVF loaded-index search top-5 (10 queries)" -> {
           // fit+save is untimed per-index-lifetime cost; the timed
           // part is the serving path — probe the loaded parquet index
@@ -151,18 +160,23 @@ object ScaleProbe {
       }
       sb.append(s"| $op | " + cells.mkString(" | ") + " |\n")
     }
-    sb.append("\nNotes: the semantic-dedup row grows SUPERLINEARLY by design ")
-    sb.append("of the probe — k is sized to the corpus (~N/1000 discipline), ")
-    sb.append("and flat k-means ASSIGNMENT is O(n*k*d), i.e. ~N^2 once k ")
-    sb.append("tracks N. That is the honest cost of SemDeDup's clustering ")
-    sb.append("step at extreme scale; past ~10^8 vectors the standard fix is ")
-    sb.append("a two-level coarse quantizer (assign to sqrt(k) super-cells, ")
-    sb.append("then argmax within the chosen group: O(n*sqrt(k)*d)) — same ")
-    sb.append("Spark shape (two chained codegen projections), documented ")
-    sb.append("here rather than implemented because the in-cell pair join, ")
-    sb.append("not assignment, dominates at every fixture scale. The ")
-    sb.append("pagerank row counts EDGES in rows; time is ~linear in edges ")
-    sb.append("with the 3-iteration budget fixed.\n")
+    sb.append("\nNotes: the flat semantic-dedup row grows SUPERLINEARLY by ")
+    sb.append("design of the probe — k is sized to the corpus (~N/1000 ")
+    sb.append("discipline), so BOTH corpus-row assignment (O(n*k*d)) and ")
+    sb.append("k-means training (Lloyd passes are O(sample*k*d) with the ")
+    sb.append("training sample floored at 64*k points, i.e. O(k^2*d)) grow ")
+    sb.append("~quadratically once k tracks N. The two-level row runs the ")
+    sb.append("same workload through `TwoLevelQuantizer` (assign to sqrt(k) ")
+    sb.append("super-cells, then argmax within the chosen group's members ")
+    sb.append("only: O(n*sqrt(k)*d), exact oracle under ")
+    sb.append("dedup_semantic_fast): it removes the per-corpus-row term — ")
+    sb.append("the consistent gap at every factor — while the residual ")
+    sb.append("growth shared by both rows is the TRAINING term, which is ")
+    sb.append("bounded by the sample floor (corpus-independent at fixed k, ")
+    sb.append("embarrassingly parallel, and per-index-lifetime — paid once, ")
+    sb.append("not per run, under index persistence). The pagerank row ")
+    sb.append("counts EDGES in rows; time is ~linear in edges with the ")
+    sb.append("3-iteration budget fixed.\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALEPROBE.md"), sb.toString)
     println(sb.toString)
     spark.stop()

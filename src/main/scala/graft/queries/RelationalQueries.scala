@@ -769,6 +769,50 @@ object RelationalQueries {
             AS bucket, count(*) AS n
         FROM lineitem GROUP BY 1""")),
 
+    QueryDef("q_hist_quantiles",
+      // bounded-memory quantiles: one partial-agg'd pass builds the
+      // fixed-width cents histogram (bucket count bounded by the
+      // value RANGE, not the data volume — the sketch-style memory
+      // contract), then p50/p90/p99 are read off the cumulative
+      // counts. The quantile is the first bucket whose cumulative
+      // count reaches ceil(pct*n/100), expressed as the integer
+      // cross-multiplication cum*100 >= pct*n — exact in any engine,
+      // unlike interpolated double quantiles. The rank-definition
+      // counterpart with exact per-row percentiles is q_percentiles
+      (s, dir) => {
+        val spark = s; import spark.implicits._
+        val h = t(s, dir, "lineitem")
+          .select(AggFunctions.cents(col("l_extendedprice")).as("cents"))
+          .groupBy(expr(floorDiv("cents", 100000L)).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+        // the window + total run over the BUCKET table (bounded rows)
+        val c = h.withColumn("cum",
+          sum("n").over(Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val total = h.agg(sum("n").as("total"))
+        val targets = Seq(("p50", 50L), ("p90", 90L), ("p99", 99L))
+          .toDF("q", "pct")
+        c.crossJoin(broadcast(total)).join(broadcast(targets),
+            col("cum") * 100 >= col("pct") * col("total"))
+          .groupBy("q")
+          .agg(min("bucket").as("bucket"))
+          .select(col("q"), col("bucket"),
+            (col("bucket") * 100000L).as("lo_cents"))
+      },
+      Some("""WITH h AS (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 100000
+              AS bucket, count(*) AS n
+            FROM lineitem GROUP BY 1),
+          c AS (SELECT bucket, sum(n) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM h),
+          tot AS (SELECT sum(n) AS total FROM h),
+          t(q, pct) AS (VALUES ('p50', 50), ('p90', 90), ('p99', 99))
+        SELECT t.q, min(c.bucket) AS bucket,
+          CAST(min(c.bucket) * 100000 AS BIGINT) AS lo_cents
+        FROM c CROSS JOIN tot JOIN t ON c.cum * 100 >= t.pct * tot.total
+        GROUP BY t.q""")),
+
     QueryDef("q_zorder_layout",
       // z-order data layout, proven end to end: Morton-interleave the
       // (mod-1024) part/supp keys via the codegen'd InterleaveBits

@@ -142,6 +142,45 @@ class StreamingOpsSpec extends SparkSuite {
     assert(rows == Set((900L, 100L)))
   }
 
+  test("stream-stream LEFT OUTER join: unmatched rows emit with nulls once the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val c = clicks.toDF().toDF("c_ts", "user_id", "click_id")
+      .withWatermark("c_ts", "10 minutes")
+    val b = buys.toDF().toDF("b_ts", "user_id", "buy_id")
+      .withWatermark("b_ts", "10 minutes")
+    // every click, with its purchase within the following hour if any:
+    // the outer side can only emit a null-padded row once the
+    // watermark proves no match can still arrive — which is the state
+    // eviction contract that bounds join state at scale
+    val joined = c.join(b,
+      c("user_id") === b("user_id") &&
+        b("b_ts") >= c("c_ts") && b("b_ts") <= c("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("click_id"), col("buy_id"))
+
+    val query = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib_outer").start()
+
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      clicks.addData((t(1, 0), 7L, 100L), (t(1, 0), 8L, 200L))
+      buys.addData((t(1, 30), 7L, 900L)) // user 7 converts; user 8 never does
+      query.processAllAvailable()
+      // advance BOTH watermarks far past click 200's match horizon
+      clicks.addData((t(6, 0), 9L, 300L))
+      buys.addData((t(6, 0), 9L, 901L))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.table("attrib_outer").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(rows.contains((100L, Some(900L))), s"matched row missing: $rows")
+    assert(rows.contains((200L, None)),
+      s"watermark-expired unmatched click must emit null-padded: $rows")
+  }
+
   test("native session windows: gap-based sessions with watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, Long, Double)]

@@ -49,6 +49,36 @@ class GoldenValuesSpec extends SparkSuite {
       s"HLL sketch drifted: ${rows.toSeq}")
   }
 
+  test("pagerank hub ranking at sf0.001 is pinned (scaled-integer exactness)") {
+    val top = SparkEntry.queries("graph_pagerank")(spark, dir).head()
+    // supplier 7 (offset namespace) is the busiest trading hub; the
+    // rank is an exact integer in 1e-12 units — ANY arithmetic or
+    // iteration-order drift changes it
+    assert(top.getAs[Long]("node") == 10000007L)
+    assert(top.getAs[Long]("rank") == 72360156072L, s"rank drifted: $top")
+  }
+
+  test("count-min estimates at sf0.001 are pinned and collision-free") {
+    val rows = SparkEntry.queries("q_cms_freq")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("key"),
+        r.getAs[Long]("cm_est"), r.getAs[Long]("exact_cnt"))).sortBy(_._1)
+    // at 60k rows / 2048-wide sketch every probe is collision-free:
+    // estimate == exact, including 0 for the two absent keys
+    assert(rows.forall { case (_, est, exact) => est == exact })
+    assert(rows.map(_._2).sum == 267L, s"estimates drifted: ${rows.toSeq}")
+  }
+
+  test("quality gate pass count at sf0.001 is pinned") {
+    val out = SparkEntry.queries("text_quality_gate")(spark, dir).collect()
+    assert(out.length == 500)
+    assert(out.count(_.getAs[Boolean]("passes")) == 18,
+      "gate thresholds or kernels drifted")
+  }
+
+  test("semantic dedup survivor count at sf0.001 is pinned") {
+    assert(SparkEntry.queries("dedup_semantic")(spark, dir).count() == 499L)
+  }
+
   test("minhash near-dup top pair at sf0.001 is stable") {
     val top = SparkEntry.queries("dedup_minhash")(spark, dir).head()
     // the corpus plants near-dups; the strongest pair is stable data

@@ -89,4 +89,46 @@ class EdgeCasesSpec extends SparkSuite {
         Seq(("k", 1.0)).toDS(), 2, ttlMillis = 0L)
     }
   }
+
+  test("round-7 operators reject degenerate inputs eagerly and loudly") {
+    import spark.implicits._
+    // empty graph: no silent empty result — the caller's edge
+    // derivation is broken and must hear about it
+    intercept[IllegalArgumentException] {
+      PageRank.ranks(Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
+    }
+    intercept[IllegalArgumentException] {
+      PageRank.Params(iterations = 0)
+    }
+    // CMS hash family is defined on non-negative keys only
+    intercept[IllegalArgumentException] {
+      CountMin.estimate(
+        CountMin.build(Seq(1L).toDF("k"), "k"), Seq(-5L))
+    }
+    intercept[IllegalArgumentException] { CountMin.Params(width = 1) }
+    intercept[IllegalArgumentException] { Bloom.Params(bits = 32) }
+    intercept[IllegalArgumentException] { SemDedup.Params(tau = 0.0) }
+    intercept[IllegalArgumentException] {
+      HybridRetrieval.rrf2(Seq((1L, 1L)).toDF("id", "rank"),
+        Seq((1L, 1L)).toDF("id", "rank"), "id", "rank", topK = 0)
+    }
+  }
+
+  test("round-7 operators: benign empty/singleton inputs flow through") {
+    import spark.implicits._
+    // empty protected set: a valid bloom that matches nothing
+    val noBits = Bloom.bitset(Seq.empty[Long].toDF("fp"), "fp")
+    val probed = Bloom.mightContain(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "fp"), "id", "fp", noBits)
+    assert(probed.collect().forall(!_.getBoolean(1)))
+    // fused lists may be empty on one or both sides
+    val empty = Seq.empty[(Long, Long)].toDF("id", "rank")
+    assert(HybridRetrieval.rrf2(empty, empty, "id", "rank", topK = 5)
+      .count() == 0)
+    // a single vector survives semantic dedup trivially
+    val one = Seq((7L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val kept = SemDedup.survivors(one,
+      p = SemDedup.Params(k = 1, iterations = 1, trainFraction = 1.0, tau = 0.5))
+    assert(kept.select("vec_id").as[Long].collect().sameElements(Array(7L)))
+  }
 }

@@ -57,6 +57,60 @@ class PipelineIntegrationSpec extends SparkSuite {
     assert(a == b)
   }
 
+  /** The round-7 assembly line: rule gate → bloom decontamination →
+    * exact dedup → SEMANTIC dedup (embedding clusters) → chunk/pack.
+    * The composition a modern LLM corpus build actually runs — each
+    * stage drops rows for a different reason (quality, contamination,
+    * byte-identity, meaning-identity) and the accounting must stay
+    * monotone with no orphans.
+    */
+  private def buildCorpusV2(input: org.apache.spark.sql.DataFrame,
+                            emb: org.apache.spark.sql.DataFrame) = {
+    // 1. rule gate (two of the text_quality_gate conjuncts)
+    val nw = size(split(col("text"), " ")).cast("long")
+    val gated = input.where(nw.between(25, 80) &&
+      functions.TextFunctions.distinctTokenCount(col("text")) * 2 >= nw)
+    // 2. bloom decontamination against the held-out split
+    val f = gated.select(col("doc_id"), col("text"),
+      functions.TextFunctions.fingerprint(col("text")).as("fp"),
+      (pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100)) < 80)
+        .as("is_train"))
+    val bits = Bloom.bitset(f.where(!col("is_train")), "fp")
+    val train = f.where(col("is_train"))
+    val clean = train.join(
+      Bloom.mightContain(train, "doc_id", "fp", bits).where(col("bloom_hit")),
+      Seq("doc_id"), "left_anti")
+    // 3. byte-identity dedup
+    val exact = ExactDedup.dropDuplicateContent(
+      clean.select("doc_id", "text"), "doc_id", "text")
+    // 4. meaning-identity dedup: survivors of the embedding clusters;
+    // docs without an embedding row pass through (can't be judged)
+    val sem = SemDedup.survivors(
+      emb.join(exact.select(col("doc_id").as("vec_id")), Seq("vec_id")),
+      p = SemDedup.Params(k = 4, iterations = 2, tau = 0.45))
+    val dropped = emb.select(col("vec_id").as("doc_id"))
+      .join(sem.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+    val unique = exact.join(dropped, Seq("doc_id"), "left_anti")
+    // 5-6. chunk + pack
+    val chunks = TextChunk.transform(unique, "doc_id", "text", 64, 48)
+      .withColumn("shard", pmod(Sampling.hashValue(col("doc_id")), lit(4L)))
+    TextPack.pack(chunks, "shard", Seq("doc_id", "chunk_idx"),
+      "chunk_tokens", binTokens = 256L)
+  }
+
+  test("round-7 assembly line: gate -> decontam -> dedup x2 -> pack holds together") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val packed = buildCorpusV2(docs, emb)
+    val survivors = packed.select("doc_id").distinct().count()
+    assert(survivors > 0 && survivors < docs.count(),
+      s"every stage must bite: $survivors of ${docs.count()}")
+    // deterministic under repartitioning — the retry/topology contract
+    val a = packed.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = buildCorpusV2(docs.repartition(13), emb.repartition(7))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("shard-partitioned write produces one directory per shard, reread intact") {
     val out = java.nio.file.Files.createTempDirectory("graft_corpus").toString
     val packed = buildCorpus(docs)

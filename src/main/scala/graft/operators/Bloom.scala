@@ -54,22 +54,23 @@ object Bloom {
     df.select(explode(array(posExprs(col(keyCol), p): _*)).as("pos"))
       .distinct()
 
-  /** (idCol, bloom_hit BOOLEAN): true iff ALL `hashes` probed
-    * positions of the row's key are set in `bits`. The bitset side is
-    * broadcast; the probed side is scanned once (constant `hashes`x
-    * explode), grouped by id with a partial-agg'd count.
+  /** (idCol, bloom_hit BOOLEAN): true iff ALL probed positions of the
+    * row's key are set in `bits` — one row per distinct id. ONE scan
+    * of the probed side: the exploded (id, pos) probes are
+    * deduplicated (so repeated ids and self-colliding hash positions
+    * cannot distort the count — a duplicated member id must never
+    * read as a non-member; no-false-negatives is the contract),
+    * LEFT-joined to the broadcast bitset with a hit marker, and
+    * reduced per id with `count(hit) == count(*)`. Ids must identify
+    * a key (one key per id; duplicate (id, key) ROWS are fine).
     */
   def mightContain(df: DataFrame, idCol: String, keyCol: String,
-                   bits: DataFrame, p: Params = Params()): DataFrame = {
-    val hits = df
-      .select(col(idCol), explode(array(posExprs(col(keyCol), p): _*)).as("pos"))
-      .join(broadcast(bits), Seq("pos"))
+                   bits: DataFrame, p: Params = Params()): DataFrame =
+    df.select(col(idCol), explode(array(posExprs(col(keyCol), p): _*)).as("pos"))
+      .distinct()
+      .join(broadcast(bits.withColumn("__hit", lit(1))), Seq("pos"), "left")
       .groupBy(idCol)
-      .agg((count(lit(1)) === p.hashes.toLong).as("bloom_hit"))
-    df.select(col(idCol))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("bloom_hit"), lit(false)).as("bloom_hit"))
-  }
+      .agg((count(col("__hit")) === count(lit(1))).as("bloom_hit"))
 
   /** SQL fragment list mirroring [[posExprs]] over `keyExpr` (non-
     * negative domain), for oracle construction.

@@ -61,6 +61,8 @@ object Bm25 {
     val row = docs.agg(count(lit(1)).as("n"), aggs: _*).head()
     val n = row.getLong(0)
     require(n > 0, "BM25 stats over an empty corpus")
+    require(!row.isNullAt(1),
+      s"BM25 stats: every $textCol value is NULL — nothing to tokenize")
     val avgdl = row.getLong(1).toDouble / n.toDouble
     val df = terms.indices.map(i => row.getLong(2 + i))
     val idf = df.map(d => math.log(1.0 + (n - d + 0.5) / (d + 0.5)))

@@ -45,8 +45,7 @@ object SemDedup {
     *   cosine is ~0.5).
     * @param maxCluster upper bound on cluster size eligible for pair
     *   generation; None = no cap.
-    */
-  /** @param twoLevel use the [[TwoLevelQuantizer]] for cell
+    * @param twoLevel use the [[TwoLevelQuantizer]] for cell
     *   assignment: O(sqrt(k)·d) per row instead of O(k·d) — the
     *   measured fix for flat assignment's superlinearity once k is
     *   sized to the corpus (SCALEPROBE.md). Assignment is approximate
@@ -74,8 +73,12 @@ object SemDedup {
     val centroids = IvfAnn.fitCentroids(corpus, idCol, vecCol,
       IvfAnn.Params(k = p.k, iterations = p.iterations,
         trainFraction = p.trainFraction))
+    // clamp to the ACTUAL centroid count: fitCentroids returns
+    // min(k, corpus size) centroids on tiny corpora, and superK must
+    // not exceed it
     val grouping =
-      if (p.twoLevel) Some(TwoLevelQuantizer.group(centroids, p.superKOrDefault))
+      if (p.twoLevel) Some(TwoLevelQuantizer.group(centroids,
+        math.min(p.superKOrDefault, centroids.length)))
       else None
     (centroids, grouping)
   }

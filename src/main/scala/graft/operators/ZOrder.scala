@@ -30,7 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** The Morton key of two int columns (unsigned 32-bit interleave). */
+  /** The Morton key of two int columns (unsigned 32-bit interleave).
+    * NOTE: a negative input sets high z bits (y's sign bit lands on z
+    * bit 63), so SIGNED ordering of z-values from negative
+    * coordinates does not follow the Morton curve — [[layout]] guards
+    * against this; raw `zvalue` callers on possibly-negative domains
+    * must shift/mask their inputs first.
+    */
   def zvalue(x: Column, y: Column): Column = InterleaveBits(x, y)
 
   /** Cluster `df` for writing: range-partition by the z-value of
@@ -38,10 +44,20 @@ object ZOrder {
     * key. Each output partition then holds a contiguous z-range —
     * parquet files written from it carry tight min/max bounds on both
     * x and y.
+    *
+    * Coordinates must be non-negative: y's sign bit would land on z
+    * bit 63, and the signed range exchange would then split the
+    * Morton curve at the wrap, giving the straddling file a full-
+    * extent min/max (silent loss of the pruning contract). Enforced
+    * per row by a codegen'd assert woven into the z-value's data flow
+    * (column pruning cannot drop it).
     */
   def layout(df: DataFrame, x: Column, y: Column, numFiles: Int): DataFrame = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
-    df.withColumn("__z", zvalue(x, y))
+    val guard = assert_true(x >= 0 && y >= 0,
+      lit("ZOrder.layout requires non-negative coordinates: the sign " +
+        "bit wraps the signed Morton order and voids min/max pruning"))
+    df.withColumn("__z", when(guard.isNull, zvalue(x, y)))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -206,10 +206,6 @@ object PipelineQueries {
       PqAnn.load(s, path)
     })
 
-  /** BM25 query terms (present at every sf) + per-sfDir corpus stats,
-    * fitted once per JVM — the fit-once/score-many split that makes
-    * corpus statistics an index-lifetime cost, like ANN centroids.
-    */
   /** CMS probe keys: eight live part keys + two absent ones (exact
     * count 0 — any non-zero estimate is pure collision overestimate).
     */
@@ -246,6 +242,10 @@ object PipelineQueries {
     FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id"""
   }
 
+  /** BM25 query terms (present at every sf) + per-sfDir corpus stats,
+    * fitted once per JVM — the fit-once/score-many split that makes
+    * corpus statistics an index-lifetime cost, like ANN centroids.
+    */
   private val bm25Terms = Seq("hash", "join", "scan")
   private val bm25StatsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Bm25.Stats]()
@@ -310,15 +310,9 @@ object PipelineQueries {
       val off = c.map(x => x * x).sum / 2.0
       s"list_inner_product(e, $lit) - ($off) AS s$i"
     }.mkString(", ")
-    val caseLadder = (k - 1 to 1 by -1).map { i =>
-      val others = (0 until i).map(j => s"s$j")
-      val rhs = if (others.size == 1) others.head
-        else s"greatest(${others.mkString(", ")})"
-      s"WHEN s$i >= $rhs THEN $i"
-    }.mkString(" ")
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       sc AS (SELECT vec_id, e, $scoreDefs FROM v),
-      a AS (SELECT vec_id, e, CASE $caseLadder ELSE 0 END AS cell FROM sc),
+      a AS (SELECT vec_id, e, ${argmaxLadder(i => s"s$i", 0 until k)} AS cell FROM sc),
       drp AS (SELECT DISTINCT x.vec_id FROM a x JOIN a y
         ON x.cell = y.cell AND y.vec_id < x.vec_id
         AND list_cosine_similarity(x.e, y.e) >= ${semDedupParams.tau}e0)
@@ -591,16 +585,10 @@ object PipelineQueries {
       val off = c.map(x => x * x).sum / 2.0
       s"list_inner_product(e, $lit) - ($off) AS s$i"
     }.mkString(", ")
-    val caseLadder = (k - 1 to 1 by -1).map { i =>
-      val others = (0 until i).map(j => s"s$j")
-      val rhs = if (others.size == 1) others.head
-        else s"greatest(${others.mkString(", ")})"
-      s"WHEN s$i >= $rhs THEN $i"
-    }.mkString(" ")
     val sList = (0 until k).map(i => s"s$i").mkString(", ")
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       sc AS (SELECT vec_id, e, $scoreDefs FROM v),
-      a AS (SELECT vec_id, e, CASE $caseLadder ELSE 0 END AS cell FROM sc),
+      a AS (SELECT vec_id, e, ${argmaxLadder(i => s"s$i", 0 until k)} AS cell FROM sc),
       pr AS (SELECT qid, cell FROM (
           SELECT vec_id AS qid, c AS cell,
             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
@@ -642,13 +630,7 @@ object PipelineQueries {
       s"list_inner_product(x$sub, ${cb.mkString("[", ", ", "]")}) - ($off) AS s${sub}_$c"
     }).mkString(", ")
     val cellDefs = (0 until m).map { sub =>
-      val ladder = (ksub - 1 to 1 by -1).map { c =>
-        val others = (0 until c).map(j => s"s${sub}_$j")
-        val rhs = if (others.size == 1) others.head
-          else s"greatest(${others.mkString(", ")})"
-        s"WHEN s${sub}_$c >= $rhs THEN $c"
-      }.mkString(" ")
-      s"CASE $ladder ELSE 0 END AS c$sub"
+      s"${argmaxLadder(c => s"s${sub}_$c", 0 until ksub)} AS c$sub"
     }.mkString(", ")
     val adc = (0 until m).map { sub =>
       val arms = (0 until ksub).map { c =>
@@ -699,12 +681,7 @@ object PipelineQueries {
       val off = c.map(x => x * x).sum / 2.0
       s"list_inner_product(en, ${c.mkString("[", ", ", "]")}) - ($off) AS s$i"
     }.mkString(", ")
-    val coarseLadder = (ck - 1 to 1 by -1).map { i =>
-      val others = (0 until i).map(j => s"s$j")
-      val rhs = if (others.size == 1) others.head
-        else s"greatest(${others.mkString(", ")})"
-      s"WHEN s$i >= $rhs THEN $i"
-    }.mkString(" ")
+    val coarseCase = argmaxLadder(i => s"s$i", 0 until ck)
     val sList = (0 until ck).map(i => s"s$i").mkString(", ")
 
     val resSliceDefs = (0 until m).map { sub =>
@@ -717,13 +694,7 @@ object PipelineQueries {
       s"list_inner_product(x$sub, ${cb.mkString("[", ", ", "]")}) - ($off) AS r${sub}_$c"
     }).mkString(", ")
     val resCellDefs = (0 until m).map { sub =>
-      val ladder = (ksub - 1 to 1 by -1).map { c =>
-        val others = (0 until c).map(j => s"r${sub}_$j")
-        val rhs = if (others.size == 1) others.head
-          else s"greatest(${others.mkString(", ")})"
-        s"WHEN r${sub}_$c >= $rhs THEN $c"
-      }.mkString(" ")
-      s"CASE $ladder ELSE 0 END AS c$sub"
+      s"${argmaxLadder(c => s"r${sub}_$c", 0 until ksub)} AS c$sub"
     }.mkString(", ")
 
     val qSliceDefs = (0 until m).map { sub =>
@@ -746,7 +717,7 @@ object PipelineQueries {
       n AS (SELECT vec_id,
         list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS en FROM v),
       csc AS (SELECT vec_id, en, $coarseScoreDefs FROM n),
-      ca AS (SELECT vec_id, en, CASE $coarseLadder ELSE 0 END AS cell FROM csc),
+      ca AS (SELECT vec_id, en, $coarseCase AS cell FROM csc),
       rsl AS (SELECT vec_id, cell, $resSliceDefs FROM ca),
       rsc AS (SELECT vec_id, cell, $resScoreDefs FROM rsl),
       e AS (SELECT vec_id, cell, $resCellDefs FROM rsc),

@@ -785,14 +785,19 @@ object RelationalQueries {
           .select(AggFunctions.cents(col("l_extendedprice")).as("cents"))
           .groupBy(expr(floorDiv("cents", 100000L)).as("bucket"))
           .agg(count(lit(1)).as("n"))
-        // the window + total run over the BUCKET table (bounded rows)
-        val c = h.withColumn("cum",
-          sum("n").over(Window.orderBy("bucket")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val total = h.agg(sum("n").as("total"))
+        // cumulative AND total both as windows over the BUCKET table
+        // (bounded rows) — ONE pass over the histogram, no second
+        // scan+aggregate of the fact table for the total
+        val c = h
+          .withColumn("cum",
+            sum("n").over(Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("total",
+            sum("n").over(Window.orderBy("bucket").rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
         val targets = Seq(("p50", 50L), ("p90", 90L), ("p99", 99L))
           .toDF("q", "pct")
-        c.crossJoin(broadcast(total)).join(broadcast(targets),
+        c.join(broadcast(targets),
             col("cum") * 100 >= col("pct") * col("total"))
           .groupBy("q")
           .agg(min("bucket").as("bucket"))

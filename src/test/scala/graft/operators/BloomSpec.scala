@@ -36,6 +36,18 @@ class BloomSpec extends SparkSuite {
     assert(large < small, s"more bits must cut FPs: $small -> $large")
   }
 
+  test("duplicated member rows stay hits (no-false-negatives under duplicate ids)") {
+    // regression: the membership count used to see 2x the probe rows
+    // for a duplicated id and read a true member as a non-member —
+    // the exact failure the one-sided contract forbids
+    val member = keys(Seq(5L))
+    val dup = member.union(member)
+    val bits = Bloom.bitset(member, "key", p)
+    val out = Bloom.mightContain(dup, "id", "key", bits, p).collect()
+    assert(out.length == 1 && out.head.getBoolean(1),
+      s"duplicated member must remain a hit: ${out.toSeq}")
+  }
+
   test("membership is deterministic under repartitioning") {
     val ks = keys(1L to 300L)
     def run(parts: Int) = {

@@ -242,6 +242,96 @@ object PipelineQueries {
     FROM train t LEFT JOIN hits h ON h.doc_id = t.doc_id"""
   }
 
+  private val funnelSemParams = SemDedup.Params(k = 8, iterations = 2,
+    tau = 0.45)
+
+  /** The composed v2 assembly line (rule gate → split → bloom
+    * decontam → exact dedup), shared between the declared
+    * pipeline_funnel_counts query and its oracle generator — the
+    * generator must train the semantic stage's centroids on the
+    * IDENTICAL intermediate the query feeds it.
+    */
+  private def funnelStages(s: SparkSession, dir: String)
+      : Map[String, DataFrame] = {
+    val docs = t(s, dir, "documents")
+    val nw = size(split(col("text"), " ")).cast("long")
+    val gated = docs.where(nw.between(25, 80) &&
+      TF.distinctTokenCount(col("text")) * 2 >= nw)
+    val f = gated.select(col("doc_id"), col("text"),
+      TF.fingerprint(col("text")).as("fp"),
+      (pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100)) < 80)
+        .as("is_train"))
+    val bits = Bloom.bitset(f.where(!col("is_train")), "fp", bloomParams)
+    val train = f.where(col("is_train"))
+    val clean = train.join(
+      Bloom.mightContain(train, "doc_id", "fp", bits, bloomParams)
+        .where(col("bloom_hit")),
+      Seq("doc_id"), "left_anti")
+    val exact = ExactDedup.dropDuplicateContent(
+      clean.select("doc_id", "text"), "doc_id", "text")
+    val semInput = t(s, dir, "embeddings")
+      .join(exact.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    Map("input" -> docs, "gate" -> gated, "train" -> train,
+      "decontam" -> clean, "exact" -> exact, "semInput" -> semInput)
+  }
+
+  /** Generated oracle for pipeline_funnel_counts: the ENTIRE composed
+    * pipeline replayed in DuckDB — gate rules, split, bloom build +
+    * membership (mirroring the deduped-probe count contract), min-id
+    * exact dedup, and the semantic stage with centroids trained on
+    * the replicated intermediate and inlined.
+    */
+  private def pipelineFunnelOracle(s: SparkSession, dir: String): String = {
+    val (centroids, _) = SemDedup.model(
+      funnelStages(s, dir)("semInput"), "vec_id", "embedding", funnelSemParams)
+    val k = centroids.length
+    val fp = """list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(text) + 1),
+            i -> CAST(ascii(text[i]) AS BIGINT))),
+        (a, b) -> (a * 31 + b) % 1000000007)"""
+    val posList = Bloom.posSql("fp", bloomParams).mkString("[", ", ", "]")
+    val scoreDefs = centroids.zipWithIndex.map { case (c, i) =>
+      val lit = c.mkString("[", ", ", "]")
+      val off = c.map(x => x * x).sum / 2.0
+      s"list_inner_product(e, $lit) - ($off) AS s$i"
+    }.mkString(", ")
+    s"""WITH g AS (SELECT doc_id, text FROM documents
+        WHERE len(string_split(text, ' ')) BETWEEN 25 AND 80
+          AND len(list_distinct(string_split(text, ' '))) * 2
+            >= len(string_split(text, ' '))),
+      f AS (SELECT doc_id, text, $fp AS fp,
+          ((doc_id % 1000003) * 2654435761) % 100 < 80 AS is_train FROM g),
+      test AS (SELECT fp FROM f WHERE NOT is_train),
+      bits AS (SELECT DISTINCT unnest($posList) AS pos FROM test),
+      train AS (SELECT doc_id, text, fp FROM f WHERE is_train),
+      probe AS (SELECT DISTINCT doc_id, unnest($posList) AS pos FROM train),
+      bloomhit AS (SELECT probe.doc_id FROM probe
+        LEFT JOIN bits ON bits.pos = probe.pos
+        GROUP BY probe.doc_id HAVING count(bits.pos) = count(*)),
+      clean AS (SELECT train.doc_id, train.text FROM train
+        LEFT JOIN bloomhit ON bloomhit.doc_id = train.doc_id
+        WHERE bloomhit.doc_id IS NULL),
+      ex AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY text),
+      semin AS (SELECT v.vec_id, v.e FROM
+          (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) v
+        JOIN ex ON ex.doc_id = v.vec_id),
+      sc AS (SELECT vec_id, e, $scoreDefs FROM semin),
+      a AS (SELECT vec_id, e, ${argmaxLadder(i => s"s$i", 0 until k)} AS cell
+        FROM sc),
+      drp AS (SELECT DISTINCT x.vec_id FROM a x JOIN a y
+        ON x.cell = y.cell AND y.vec_id < x.vec_id
+        AND list_cosine_similarity(x.e, y.e) >= ${funnelSemParams.tau}e0),
+      fin AS (SELECT ex.doc_id FROM ex
+        LEFT JOIN drp ON drp.vec_id = ex.doc_id WHERE drp.vec_id IS NULL)
+    SELECT '0_input' AS stage, (SELECT count(*) FROM documents) AS rows_out
+    UNION ALL SELECT '1_gate', (SELECT count(*) FROM g)
+    UNION ALL SELECT '2_train', (SELECT count(*) FROM train)
+    UNION ALL SELECT '3_decontam', (SELECT count(*) FROM clean)
+    UNION ALL SELECT '4_exact', (SELECT count(*) FROM ex)
+    UNION ALL SELECT '5_semantic', (SELECT count(*) FROM fin)"""
+  }
+
   /** BM25 query terms (present at every sf) + per-sfDir corpus stats,
     * fitted once per JVM — the fit-once/score-many split that makes
     * corpus statistics an index-lifetime cost, like ANN centroids.
@@ -1363,6 +1453,35 @@ object PipelineQueries {
             coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
       },
       Some(bloomDecontamOracle)),
+
+    QueryDef("pipeline_funnel_counts",
+      // the COMPOSED corpus-build pipeline under the oracle gate:
+      // rule gate -> deterministic split -> bloom decontamination ->
+      // exact dedup -> semantic dedup, reported as per-stage survivor
+      // counts. Each stage drops rows for a different reason
+      // (quality, contamination, byte-identity, meaning-identity);
+      // the oracle replays the ENTIRE composition in DuckDB — the
+      // proof that the stages compose exactly, not just individually
+      (s, dir) => {
+        val st = funnelStages(s, dir)
+        val sem = SemDedup.survivors(st("semInput"), p = funnelSemParams)
+        val dropped = t(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"))
+          .join(sem.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+            "left_anti")
+        // docs without an embedding row pass through (cannot be judged)
+        val fin = st("exact").join(dropped, Seq("doc_id"), "left_anti")
+        def cnt(stage: String, df: DataFrame) =
+          df.agg(lit(stage).as("stage"), count(lit(1)).as("rows_out"))
+        cnt("0_input", st("input"))
+          .union(cnt("1_gate", st("gate")))
+          .union(cnt("2_train", st("train")))
+          .union(cnt("3_decontam", st("decontam")))
+          .union(cnt("4_exact", st("exact")))
+          .union(cnt("5_semantic", fin))
+      },
+      None,
+      oracleGen = Some(pipelineFunnelOracle _)),
 
     QueryDef("dedup_cross_split",
       // train/test DECONTAMINATION: near-duplicate pairs (same MinHash

@@ -269,6 +269,10 @@ object PipelineQueries {
       Seq("doc_id"), "left_anti")
     val exact = ExactDedup.dropDuplicateContent(
       clean.select("doc_id", "text"), "doc_id", "text")
+      // six stage-count branches + the semantic stage all read the
+      // funnel's tail; one materialization stops the per-branch
+      // re-evaluation of the whole upstream (gate+bloom+dedup) chain
+      .localCheckpoint(eager = false)
     val semInput = t(s, dir, "embeddings")
       .join(exact.select(col("doc_id").as("vec_id")), Seq("vec_id"))
     Map("input" -> docs, "gate" -> gated, "train" -> train,

@@ -131,4 +131,17 @@ class EdgeCasesSpec extends SparkSuite {
       p = SemDedup.Params(k = 1, iterations = 1, trainFraction = 1.0, tau = 0.5))
     assert(kept.select("vec_id").as[Long].collect().sameElements(Array(7L)))
   }
+
+  test("ZOrder.layout rejects negative coordinates per row (sign bit wraps Morton order)") {
+    import spark.implicits._
+    val ok = Seq((3, 5), (1023, 0)).toDF("x", "y")
+    assert(ZOrder.layout(ok, col("x"), col("y"), 2).count() == 2)
+    val bad = Seq((3, 5), (-1, 7)).toDF("x", "y")
+    val e = intercept[Exception] {
+      ZOrder.layout(bad, col("x"), col("y"), 2).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("non-negative")), s"unexpected: $e")
+  }
 }

@@ -432,4 +432,37 @@ class StreamingOpsSpec extends SparkSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(streamed == batch, "streamed counters must equal the batch sketch")
   }
+
+  test("stateful ops run unchanged on the RocksDB state store (the disk-backed-state knob)") {
+    // SCALE.md prescribes RocksDBStateStoreProvider once per-executor
+    // state exceeds heap; prove the documented knob actually carries
+    // our stateful operators — same results, disk-backed state
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(String, Double)]
+      val query = graft.streaming.StreamingOps
+        .statefulTopK(ms.toDS(), k = 2)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("rocks_topk").start()
+      try {
+        ms.addData(("a", 1.0), ("a", 5.0), ("a", 3.0))
+        query.processAllAvailable()
+        ms.addData(("a", 4.0), ("b", 9.0))
+        query.processAllAvailable()
+      } finally query.stop()
+      val rows = spark.table("rocks_topk").collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+      // last batch emitted a's refreshed top-2 and b's singleton
+      assert(rows.filter(_._1 == "a").takeRight(2).toSet ==
+        Set(("a", 5.0), ("a", 4.0)), s"got ${rows.toSeq}")
+      assert(rows.filter(_._1 == "b").toSet == Set(("b", 9.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -69,6 +69,17 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merges shard sketches built with the SAME Params: counters add
+    * (linearity), so per-partition/day/shard sketches combine into
+    * any union's sketch without touching the data again — the
+    * incremental-build shape for a partitioned 100 TB corpus.
+    */
+  def merge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "merge needs at least one sketch")
+    sketches.reduce(_ unionAll _)
+      .groupBy("row", "col").agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** Point estimates for literal `keys`: (key, cm_est BIGINT), one row
     * per key, cm_est = min over the depth probed counters (0 for a
     * never-hit bucket).

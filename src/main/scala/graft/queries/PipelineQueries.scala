@@ -1421,6 +1421,20 @@ object PipelineQueries {
         FROM (${CountMin.oracleSql("lineitem", "l_partkey", cmsKeys)}) est
         LEFT JOIN ex ON ex.key = est.key""")),
 
+    QueryDef("q_cms_merge",
+      // incremental sketch build: two shard sketches (orderkey
+      // parity) MERGED, probed for the same keys. The oracle is the
+      // WHOLE-CORPUS replay — the hash-match IS the linearity proof
+      // (merged shards == one pass), which is what lets a partitioned
+      // corpus build its frequency sketch day by day
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        def shard(par: Int) = CountMin.build(
+          li.where(pmod(col("l_orderkey"), lit(2)) === par), "l_partkey")
+        CountMin.estimate(CountMin.merge(Seq(shard(0), shard(1))), cmsKeys)
+      },
+      Some(CountMin.oracleSql("lineitem", "l_partkey", cmsKeys))),
+
     QueryDef("q_sketch_distinct",
       // HLL++ sketch per language — merge-order-independent, so the
       // result is deterministic under any partitioning; approximate

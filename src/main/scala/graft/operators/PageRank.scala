@@ -68,7 +68,27 @@ object PageRank {
     * destination of any edge).
     */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
-            p: Params = Params()): DataFrame = {
+            p: Params = Params()): DataFrame =
+    ranksImpl(edges, srcCol, dstCol, p, seeds = Nil)
+
+  /** PERSONALIZED PageRank (Page et al. 1999 §6; the random surfer
+    * restarts only at `seeds`): the teleport mass lands exclusively
+    * on the seed set, so ranks measure proximity/authority RELATIVE
+    * to the seeds — the crawl-curation primitive (score pages by
+    * trusted-domain proximity) rather than global popularity. Same
+    * scaled-integer arithmetic, same per-iteration shape; seeds are a
+    * bounded literal list (driver metadata, inlined into the plan and
+    * the oracle identically).
+    */
+  def personalizedRanks(edges: DataFrame, srcCol: String, dstCol: String,
+                        seeds: Seq[Long], p: Params = Params()): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs at least one seed")
+    require(seeds.distinct.size == seeds.size, "duplicate seed nodes")
+    ranksImpl(edges, srcCol, dstCol, p, seeds)
+  }
+
+  private def ranksImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                        p: Params, seeds: Seq[Long]): DataFrame = {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -91,8 +111,17 @@ object PageRank {
     // one long of driver metadata — never data
     val n = nodes.count()
     require(n > 0, "PageRank over an empty edge set")
-    val base = (p.scale * (p.dampDen - p.dampNum) / p.dampDen) / n
-    var ranks = nodes.withColumn("rank", lit(p.scale / n))
+    // uniform mode: teleport mass spreads over all n nodes;
+    // personalized mode: over the seed set only
+    val nBase = if (seeds.isEmpty) n else seeds.size.toLong
+    val base = (p.scale * (p.dampDen - p.dampNum) / p.dampDen) / nBase
+    def baseCol: org.apache.spark.sql.Column =
+      if (seeds.isEmpty) lit(base)
+      else when(col("node").isin(seeds: _*), lit(base)).otherwise(lit(0L))
+    var ranks = nodes.withColumn("rank",
+      if (seeds.isEmpty) lit(p.scale / nBase)
+      else when(col("node").isin(seeds: _*), lit(p.scale / nBase))
+        .otherwise(lit(0L)))
     for (i <- 1 to p.iterations) {
       val contrib = ed
         .join(ranks, ed("src") === ranks("node"))
@@ -102,7 +131,7 @@ object PageRank {
       ranks = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"),
-          (lit(base) +
+          (baseCol +
             expr(s"(${p.dampNum}L * coalesce(s, 0L)) div ${p.dampDen}L"))
             .as("rank"))
       // lineage cut every few rounds, not every round: a 3-deep
@@ -121,22 +150,34 @@ object PageRank {
     * here is non-negative, where the two agree; DuckDB's sum(BIGINT)
     * widens to HUGEINT, so each round's rank is cast back to BIGINT.
     */
-  def oracleSql(edgesCte: String, p: Params = Params()): String = {
-    val base = s"((${p.scale} * ${p.dampDen - p.dampNum} // ${p.dampDen}) // n)"
+  def oracleSql(edgesCte: String, p: Params = Params(),
+                seeds: Seq[Long] = Nil): String = {
+    val uniform = seeds.isEmpty
+    val baseRaw =
+      if (uniform)
+        s"((${p.scale} * ${p.dampDen - p.dampNum} // ${p.dampDen}) // n)"
+      else {
+        val b = (p.scale * (p.dampDen - p.dampNum) / p.dampDen) / seeds.size
+        s"(CASE WHEN nodes.node IN (${seeds.mkString(", ")}) THEN $b ELSE 0 END)"
+      }
+    val init =
+      if (uniform) s"CAST(${p.scale} // n AS BIGINT)"
+      else s"CAST(CASE WHEN node IN (${seeds.mkString(", ")}) " +
+        s"THEN ${p.scale / seeds.size} ELSE 0 END AS BIGINT)"
     val iters = (1 to p.iterations).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
       s"""i$i AS (SELECT e.dst AS node, sum($prev.rank // deg.deg) AS s
         FROM e JOIN $prev ON e.src = $prev.node JOIN deg ON deg.src = e.src
         GROUP BY e.dst),
       r$i AS (SELECT nodes.node,
-          CAST($base + (${p.dampNum} * coalesce(i$i.s, 0)) // ${p.dampDen} AS BIGINT) AS rank
+          CAST($baseRaw + (${p.dampNum} * coalesce(i$i.s, 0)) // ${p.dampDen} AS BIGINT) AS rank
         FROM nodes CROSS JOIN p LEFT JOIN i$i ON i$i.node = nodes.node)"""
     }.mkString(",\n      ")
     s"""WITH $edgesCte,
       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
       deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
       p AS (SELECT count(*) AS n FROM nodes),
-      r0 AS (SELECT node, CAST(${p.scale} // n AS BIGINT) AS rank
+      r0 AS (SELECT node, $init AS rank
              FROM nodes CROSS JOIN p),
       $iters"""
   }

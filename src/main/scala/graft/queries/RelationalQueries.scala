@@ -886,6 +886,30 @@ object RelationalQueries {
           e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs)""") +
         "\n      SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 25")),
 
+    QueryDef("graph_pagerank_seeded",
+      // PERSONALIZED PageRank: the teleport mass restarts only at
+      // five trusted seed customers, so ranks measure proximity to
+      // the seeds — the crawl-curation primitive (score unknown nodes
+      // by trusted-set proximity). Same exact integer arithmetic and
+      // unrolled-CTE oracle; seeds are inlined literals in both plans
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val cs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(10000000L)).as("dst"))
+        val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank.personalizedRanks(edges, "src", "dst", seeds = Seq(1L, 2L, 3L, 4L, 5L))
+          .orderBy(col("rank").desc, col("node").asc)
+          .limit(25)
+      },
+      Some(PageRank.oracleSql(
+        """cs AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs)""",
+        seeds = Seq(1L, 2L, 3L, 4L, 5L)) +
+        "\n      SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 25")),
+
     QueryDef("q_funnel",
       // ordered event funnel (view -> click -> purchase, strictly
       // increasing timestamps): each stage is a frontier that only

@@ -61,6 +61,35 @@ class PageRankSpec extends SparkSuite {
     assert(once == duped)
   }
 
+  test("personalized: teleport mass stays near the seed") {
+    // chain 1 -> 2 -> 3 -> 4 with back-edges; seed at node 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val r = PageRank.personalizedRanks(edges.toDF("src", "dst"),
+      "src", "dst", seeds = Seq(1L)).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // with few iterations mass oscillates along the chain (the seed
+    // emits everything each round), so compare nodes of equal parity:
+    // the seed side must dominate its mirror at the same distance
+    assert(r(1L) > r(4L) && r(2L) > r(3L),
+      s"seed side must outrank the far side: $r")
+    assert(r.values.forall(_ >= 0L))
+    // uniform ranks on the same symmetric chain would NOT be seed-skewed
+    val u = PageRank.ranks(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(u(1L) == u(4L) && u(2L) == u(3L), s"symmetry broken: $u")
+  }
+
+  test("personalized rejects empty or duplicate seeds") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      PageRank.personalizedRanks(e, "src", "dst", seeds = Nil)
+    }
+    intercept[IllegalArgumentException] {
+      PageRank.personalizedRanks(e, "src", "dst", seeds = Seq(1L, 1L))
+    }
+  }
+
   test("one-iteration hand check on a 2-node cycle") {
     // n=2: r0 = scale/2 each; contrib = r0 (outdeg 1);
     // r1 = (scale*15/100)/2 + 85*r0/100

@@ -41,11 +41,23 @@ object Bloom {
     graft.expressions.TextHashing.minhashPerms(p.seed, p.hashes)
       .grouped(2).map(x => (x(0), x(1))).toSeq
 
-  private def posExprs(key: Column, p: Params): Seq[Column] =
+  /** Keys must be NON-NULL on both sides: a NULL key hashes to NULL
+    * probe positions, which join nothing — on the build side it would
+    * silently insert nothing, and on the probe side it would silently
+    * read as a non-member, breaching the no-false-negatives contract.
+    * Enforced per row with a loud raise_error woven into the hash
+    * expressions (fingerprint your nullable column, or filter NULLs
+    * explicitly, before calling).
+    */
+  private def posExprs(key: Column, p: Params): Seq[Column] = {
+    val k = when(key.isNotNull, key).otherwise(raise_error(lit(
+      "Bloom keys must be non-null: a NULL key probes NULL positions " +
+        "and would silently read as a non-member (false negative)")))
     perms(p).map { case (a, b) =>
-      pmod(pmod(lit(a) * pmod(key, lit(P)) + lit(b), lit(P)),
+      pmod(pmod(lit(a) * pmod(k, lit(P)) + lit(b), lit(P)),
         lit(p.bits.toLong))
     }
+  }
 
   /** The filter: distinct set-bit positions of every key's `hashes`
     * probes — at most `bits` rows regardless of input size.

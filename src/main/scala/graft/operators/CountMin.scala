@@ -57,8 +57,30 @@ object CountMin {
   def bucketOf(key: Long, a: Long, b: Long, width: Int): Long =
     ((a * (key % P) + b) % P) % width
 
+  /** Schema-metadata tag carried on the `cnt` field so sketches are
+    * self-describing: merging shards built under DIFFERENT Params
+    * (depth/width/seed) would sum counters from incompatible hash
+    * families into a silently wrong sketch whose min can
+    * UNDERestimate — breaking the one-sided-error guarantee.
+    */
+  private def paramsMeta(p: Params) = new org.apache.spark.sql.types.MetadataBuilder()
+    .putLong("graft.cms.depth", p.depth.toLong)
+    .putLong("graft.cms.width", p.width.toLong)
+    .putLong("graft.cms.seed", p.seed)
+    .build()
+
+  private def paramsOf(df: DataFrame): Option[Params] = {
+    val m = df.schema("cnt").metadata
+    if (m.contains("graft.cms.depth"))
+      Some(Params(m.getLong("graft.cms.depth").toInt,
+        m.getLong("graft.cms.width").toInt, m.getLong("graft.cms.seed")))
+    else None
+  }
+
   /** Builds the counter table (row, col, cnt) — at most depth*width
-    * rows regardless of input size or key cardinality.
+    * rows regardless of input size or key cardinality. The Params are
+    * stamped into the `cnt` field's schema metadata so a later
+    * [[merge]] can verify shard compatibility.
     */
   def build(df: DataFrame, keyCol: String, p: Params = Params()): DataFrame = {
     val rows = perms(p).zipWithIndex.map { case ((a, b), i) =>
@@ -66,18 +88,28 @@ object CountMin {
     }
     df.select(explode(array(rows: _*)).as("rc"))
       .groupBy(col("rc.row").as("row"), col("rc.col").as("col"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt", paramsMeta(p)))
   }
 
   /** Merges shard sketches built with the SAME Params: counters add
     * (linearity), so per-partition/day/shard sketches combine into
     * any union's sketch without touching the data again — the
     * incremental-build shape for a partitioned 100 TB corpus.
+    * Every shard must carry [[build]]'s Params stamp and they must
+    * all match: summing counters from different hash families is a
+    * silently wrong sketch (its min can underestimate), so that is a
+    * loud error here, not a wrong answer downstream.
     */
   def merge(sketches: Seq[DataFrame]): DataFrame = {
     require(sketches.nonEmpty, "merge needs at least one sketch")
-    sketches.reduce(_ unionAll _)
-      .groupBy("row", "col").agg(sum(col("cnt")).as("cnt"))
+    val stamps = sketches.map(paramsOf)
+    require(stamps.forall(_.isDefined),
+      "merge requires sketches built by CountMin.build (missing Params stamp)")
+    require(stamps.flatten.distinct.size == 1,
+      s"merge requires identical Params across shards, got: ${stamps.flatten.distinct.mkString(", ")}")
+    sketches.reduce(_ union _)
+      .groupBy("row", "col")
+      .agg(sum(col("cnt")).as("cnt", paramsMeta(stamps.head.get)))
   }
 
   /** Point estimates for literal `keys`: (key, cm_est BIGINT), one row

@@ -54,8 +54,9 @@ object ZOrder {
     */
   def layout(df: DataFrame, x: Column, y: Column, numFiles: Int): DataFrame = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
-    val guard = assert_true(x >= 0 && y >= 0,
-      lit("ZOrder.layout requires non-negative coordinates: the sign " +
+    val guard = assert_true(x.isNotNull && y.isNotNull && x >= 0 && y >= 0,
+      lit("ZOrder.layout requires non-null, non-negative coordinates: " +
+        "a NULL produces no z-value to range-partition on, and the sign " +
         "bit wraps the signed Morton order and voids min/max pruning"))
     df.withColumn("__z", when(guard.isNull, zvalue(x, y)))
       .repartitionByRange(numFiles, col("__z"))

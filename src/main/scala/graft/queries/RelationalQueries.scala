@@ -884,7 +884,8 @@ object RelationalQueries {
         """cs AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
           e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs)""") +
-        "\n      SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 25")),
+        s"\n      SELECT node, rank FROM r${PageRank.Params().iterations} " +
+        "ORDER BY rank DESC, node LIMIT 25")),
 
     QueryDef("graph_pagerank_seeded",
       // PERSONALIZED PageRank: the teleport mass restarts only at
@@ -908,7 +909,8 @@ object RelationalQueries {
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
           e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs)""",
         seeds = Seq(1L, 2L, 3L, 4L, 5L)) +
-        "\n      SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 25")),
+        s"\n      SELECT node, rank FROM r${PageRank.Params().iterations} " +
+        "ORDER BY rank DESC, node LIMIT 25")),
 
     QueryDef("q_funnel",
       // ordered event funnel (view -> click -> purchase, strictly

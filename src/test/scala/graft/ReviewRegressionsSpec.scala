@@ -105,4 +105,52 @@ class ReviewRegressionsSpec extends SparkSuite {
       .map(_.getLong(0)).toSeq
     assert(trunc != got)
   }
+
+  test("CountMin.merge refuses shards built under different Params") {
+    val ks = (1L to 100L).toDF("k")
+    val a = CountMin.build(ks, "k", CountMin.Params(depth = 4, width = 64))
+    val b = CountMin.build(ks, "k", CountMin.Params(depth = 4, width = 128))
+    val ex = intercept[IllegalArgumentException] {
+      CountMin.merge(Seq(a, b))
+    }
+    assert(ex.getMessage.contains("identical Params"))
+    // a hand-built counter table without build()'s stamp is refused too
+    val unstamped = Seq((0, 1L, 5L)).toDF("row", "col", "cnt")
+    intercept[IllegalArgumentException] { CountMin.merge(Seq(a, unstamped)) }
+    // matching shards still merge, and merged output re-merges (the
+    // stamp survives the aggregate)
+    val p = CountMin.Params(depth = 4, width = 64)
+    val m = CountMin.merge(Seq(a, CountMin.build(ks, "k", p)))
+    assert(CountMin.merge(Seq(m, CountMin.build(ks, "k", p))).count() > 0)
+  }
+
+  test("Bloom raises loudly on NULL keys instead of silent false negatives") {
+    val withNull = Seq((1L, java.lang.Long.valueOf(7L)),
+      (2L, null.asInstanceOf[java.lang.Long])).toDF("id", "fp")
+    val clean = Seq((1L, 7L)).toDF("id", "fp")
+    val bits = Bloom.bitset(clean, "fp")
+    // probe side: the NULL-key row must abort the job, not read false
+    val ex = intercept[Exception] {
+      Bloom.mightContain(withNull, "id", "fp", bits).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("non-null")
+      || ex.getCause != null && ex.getCause.getMessage.contains("non-null"))
+    // build side: a NULL key inserts nothing — also refused
+    intercept[Exception] { Bloom.bitset(withNull, "fp").collect() }
+    // and the clean path still answers true for a member
+    val hit = Bloom.mightContain(clean, "id", "fp", bits)
+      .collect().head.getBoolean(1)
+    assert(hit)
+  }
+
+  test("ZOrder.layout names NULL coordinates in its per-row guard") {
+    val bad = Seq((Some(1L), Some(2L)), (None, Some(3L)))
+      .toDF("x", "y")
+    val ex = intercept[Exception] {
+      ZOrder.layout(bad, col("x"), col("y"), 2).count()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("non-null"))
+  }
 }

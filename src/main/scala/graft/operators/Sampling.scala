@@ -56,4 +56,29 @@ object Sampling {
       .select(col(idCol), col("shard"),
         row_number().over(w).cast("long").as("pos"))
   }
+
+  /** Exactly-k deterministic "uniform" sample: the k rows whose id
+    * hashes smallest (ties by id). Complements [[hashGate]]'s
+    * Bernoulli gate when the pipeline needs an exact count (eval
+    * sets, human-review batches). Two properties make it the
+    * 100 TB-safe form of `ORDER BY rand() LIMIT k`:
+    *
+    *  - MERGEABLE: bottom-k of a union is the bottom-k of the
+    *    per-shard bottom-ks, so the plan is `TakeOrderedAndProject` —
+    *    each task forwards at most k rows and there is no full sort
+    *    or shuffle of the corpus;
+    *  - NESTED: the bottom-k' for k' < k is a prefix, so growing an
+    *    eval set keeps every previously selected row (monotone
+    *    experiments), and the selection is identical across retries,
+    *    partitionings, and engines (hash of the id VALUE only).
+    *
+    * Output: (idCol, h) in hash order — h kept so downstream can
+    * extend or merge samples without recomputing it.
+    */
+  def bottomK(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.select(col(idCol), hashValue(col(idCol)).as("h"))
+      .orderBy(col("h").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -517,6 +517,33 @@ object PipelineQueries {
     FROM tot LEFT JOIN dup USING (doc_id)"""
   }
 
+  /** Generated oracle for dedup_ngram_decontam: the same window-hash
+    * replay as [[substringSpansOracle]], but per-doc DISTINCT window
+    * hashes split by the deterministic train/test gate, with the
+    * train side counted against the test side's hash set.
+    */
+  private def ngramDecontamOracle(k: Int): String = {
+    val folded = (0 until k).foldLeft(FnvInit) { (acc, t) =>
+      val idx = if (t == 0) "j" else s"j + $t"
+      fnvStep(s"xor($acc, th[$idx])")
+    }
+    val shingle = s"(($folded % 2147483647) + 2147483647) % 2147483647"
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+          ((doc_id % 1000003) * 2654435761) % 100 < 80 AS is_train
+        FROM documents WHERE len(string_split(text, ' ')) >= $k),
+      tt AS (SELECT doc_id, is_train,
+          list_transform(toks, w -> ${fnvSql("w")}) AS th FROM d),
+      sgl AS (SELECT doc_id, is_train,
+          list_distinct(list_transform(range(1, len(th) - ${k - 2}),
+            j -> $shingle)) AS sh
+        FROM tt),
+      sp AS (SELECT doc_id, is_train, unnest(sh) AS h FROM sgl),
+      te AS (SELECT DISTINCT h FROM sp WHERE NOT is_train)
+    SELECT doc_id, count(*) AS n_shared
+    FROM sp JOIN te USING (h) WHERE is_train
+    GROUP BY doc_id"""
+  }
+
   private def minhashVerCtes: String = {
     val p = MinHashLSH.Params()
     val perms = graft.expressions.TextHashing.minhashPerms(p.seed, p.numHashes)
@@ -1784,6 +1811,95 @@ object PipelineQueries {
           CAST(64 + crc % 577 AS BIGINT) AS width,
           CAST(64 + (crc // 577) % 433 AS BIGINT) AS height,
           crc AS checksum
-        FROM c"""))
+        FROM c""")),
+
+    QueryDef("sample_bottomk",
+      // exactly-k deterministic sample (eval-set selection): the 200
+      // docs whose id hashes smallest. Plans as TakeOrderedAndProject
+      // — every task forwards <= k rows, no corpus sort/shuffle — and
+      // the selection is mergeable across shards, nested across k,
+      // and identical across retries and engines (hash of the id
+      // VALUE only; the scale-safe `ORDER BY rand() LIMIT k`)
+      (s, dir) => Sampling.bottomK(t(s, dir, "documents"), "doc_id", 200),
+      Some("""SELECT doc_id,
+          ((doc_id % 1000003) * 2654435761) % 1000000 AS h
+        FROM documents ORDER BY h, doc_id LIMIT 200""")),
+
+    QueryDef("text_pmi",
+      // collocation mining: top-30 bigrams by pointwise mutual
+      // information over the corpus. All counts are exact integers;
+      // the PMI ordinate drops the log (monotone) and is computed as
+      // ONE IEEE division of exact sub-2^53 integer products
+      // (c12*N / (c1*c2)) — the hybrid_rrf trick — so even the double
+      // scores hash-match. minCount >= 5 is the standard PMI
+      // low-frequency guard (a 1-count pair has maximal PMI noise).
+      // Scale shape: two explode+count aggregations (bigram table,
+      // unigram table) + vocabulary-sized joins AQE broadcasts when
+      // small; no per-doc state, no quadratic path
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(split(col("text"), " ").as("t"))
+        val pairs = toks.where(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(t) - 2), " +
+              "i -> struct(element_at(t, i + 1) AS w1, element_at(t, i + 2) AS w2))"))
+            .as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val uni = toks.select(explode(col("t")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val tot = big.agg(sum("c12").as("nb"))
+        big.where(col("c12") >= 5)
+          .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+          .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+          .crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+            ((col("c12") * col("nb")).cast("double") / (col("c1") * col("c2")))
+              .as("pmi_ratio"))
+          .orderBy(col("pmi_ratio").desc, col("w1").asc, col("w2").asc)
+          .limit(30)
+      },
+      Some("""WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+          bg AS (SELECT unnest(list_transform(range(1, len(t)),
+              i -> [t[i], t[i + 1]])) AS b
+            FROM tk WHERE len(t) >= 2),
+          big AS (SELECT b[1] AS w1, b[2] AS w2, count(*) AS c12
+            FROM bg GROUP BY 1, 2),
+          uc AS (SELECT unnest(t) AS tok FROM tk),
+          uni AS (SELECT tok, count(*) AS c FROM uc GROUP BY tok),
+          tot AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM big),
+          r AS (SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+              CAST(c12 * tot.nb AS DOUBLE) / (u1.c * u2.c) AS pmi_ratio
+            FROM big CROSS JOIN tot
+            JOIN uni u1 ON u1.tok = big.w1
+            JOIN uni u2 ON u2.tok = big.w2
+            WHERE c12 >= 5),
+          rr AS (SELECT *, row_number() OVER (
+              ORDER BY pmi_ratio DESC, w1, w2) AS rn FROM r)
+        SELECT w1, w2, c12, c1, c2, pmi_ratio FROM rr WHERE rn <= 30""")),
+
+    QueryDef("dedup_ngram_decontam",
+      // GPT-3-style exact n-gram decontamination (Brown 2020 appx C;
+      // re-derived as window-hash matching): train-split docs sharing
+      // any 8-token window with the test split, with the count of
+      // DISTINCT shared windows per contaminated doc. Unlike
+      // dedup_cross_split (MinHash near-dup straddle) this is the
+      // EXACT-overlap form: one codegen'd shingle projection per
+      // side, hash-only equi-join against the test side's distinct
+      // window-hash set — token text never leaves its scan partition,
+      // and there is no signature tuning to miss a verbatim overlap
+      (s, dir) => {
+        val f = t(s, dir, "documents").select(col("doc_id"),
+          (pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100)) < 80)
+            .as("is_train"),
+          array_distinct(graft.expressions.WordShingleHashes(col("text"), 8))
+            .as("hs"))
+        val sh = f.select(col("doc_id"), col("is_train"),
+          explode(col("hs")).as("h"))
+        val testH = sh.where(!col("is_train")).select("h").distinct()
+        sh.where(col("is_train")).join(testH, "h")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      },
+      Some(ngramDecontamOracle(8)))
   )
 }

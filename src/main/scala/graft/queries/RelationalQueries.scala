@@ -976,6 +976,76 @@ object RelationalQueries {
           count(DISTINCT o.o_custkey) AS customers
         FROM o JOIN fo ON fo.o_custkey = o.o_custkey
         WHERE o.ym - fo.cohort_month <= 12
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    QueryDef("q_outliers",
+      // 3-sigma outlier detection per group, INTEGER-EXACT: the
+      // per-group test |x - mean| > 3*stddev_pop is cross-multiplied
+      // by n^2 into (n*x - S)^2 > 9*(n*S2 - S^2) over exact cents
+      // sums — no double mean/variance anywhere, so the flag can
+      // never flip on accumulation order. Sums are DECIMAL(38,0)
+      // (Spark) / HUGEINT (DuckDB): squares of 13-digit sums need
+      // ~26 digits. Scale shape: stats are one partial-agg'd pass to
+      // |groups| rows, broadcast back over a second scan — no
+      // skew-prone shuffle of the fact table by the group key.
+      (s, dir) => {
+        val dec = DecimalType(38, 0)
+        val o = t(s, dir, "orders").select(
+          col("o_orderpriority").as("pri"),
+          AggFunctions.cents(col("o_totalprice")).as("cents"))
+        val stats = o.groupBy("pri").agg(
+          count(lit(1)).as("n"),
+          sum(col("cents").cast(dec)).as("s"),
+          sum((col("cents") * col("cents")).cast(dec)).as("s2"))
+        val nD = col("n").cast(dec)
+        val lhs = nD * col("cents").cast(dec) - col("s")
+        val isOut = lhs * lhs > lit(9).cast(dec) * (nD * col("s2") - col("s") * col("s"))
+        o.join(broadcast(stats), "pri")
+          .groupBy("pri")
+          .agg(count(lit(1)).as("n_orders"),
+            count(when(isOut, lit(1))).as("n_outliers"),
+            max(when(isOut, col("cents"))).as("max_outlier_cents"))
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS pri,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+          st AS (SELECT pri, count(*) AS n,
+              sum(CAST(cents AS HUGEINT)) AS s,
+              sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS s2
+            FROM o GROUP BY pri)
+        SELECT o.pri, count(*) AS n_orders,
+          count(*) FILTER (WHERE
+            (CAST(st.n AS HUGEINT) * o.cents - st.s)
+              * (CAST(st.n AS HUGEINT) * o.cents - st.s)
+            > 9 * (CAST(st.n AS HUGEINT) * st.s2 - st.s * st.s)) AS n_outliers,
+          max(o.cents) FILTER (WHERE
+            (CAST(st.n AS HUGEINT) * o.cents - st.s)
+              * (CAST(st.n AS HUGEINT) * o.cents - st.s)
+            > 9 * (CAST(st.n AS HUGEINT) * st.s2 - st.s * st.s)) AS max_outlier_cents
+        FROM o JOIN st ON st.pri = o.pri
+        GROUP BY o.pri""")),
+
+    QueryDef("q_group_mode",
+      // exact per-group mode (majority label — the label-aggregation
+      // primitive): most frequent event_type per user, deterministic
+      // ties by event_type asc. Pre-aggregation shrinks the input to
+      // |user x type| rows BEFORE the per-user window, and rank()=1
+      // plans as WindowGroupLimit — each map task forwards at most
+      // one row per (user, type) group, never the raw event stream.
+      (s, dir) => {
+        val cnt = t(s, dir, "events")
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("cnt").desc, col("event_type").asc)
+        cnt.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("mode_type"), col("cnt"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+            FROM events GROUP BY 1, 2),
+          r AS (SELECT user_id, event_type, cnt, row_number() OVER (
+              PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+            FROM c)
+        SELECT user_id, event_type AS mode_type, cnt FROM r WHERE rn = 1"""))
   )
 }

@@ -79,6 +79,30 @@ class PlanShapeSpec extends SparkSuite {
       s"plan:\n$plan")
   }
 
+  test("sample_bottomk plans TakeOrderedAndProject (no corpus sort or shuffle)") {
+    val plan = SparkEntry.queries("sample_bottomk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"bottom-k must not globally sort the corpus:\n$plan")
+  }
+
+  test("q_group_mode pre-aggregates and plans WindowGroupLimit for rank=1") {
+    val plan = SparkEntry.queries("q_group_mode")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
+    // the window input is the (user, type) aggregate, not raw events:
+    // a partial aggregate must appear below the window's exchange
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"plan:\n$plan")
+  }
+
+  test("q_outliers broadcasts the per-group stats back over the fact scan") {
+    val plan = SparkEntry.queries("q_outliers")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
   test("global rank-filter window already rewrites to TakeOrderedAndProject below the Window " +
     "(SURVEY §4.3: no custom optimizer rule needed — verified, not assumed)") {
     import org.apache.spark.sql.expressions.Window

@@ -49,5 +49,32 @@ class SamplingSpec extends SparkSuite {
     intercept[IllegalArgumentException](Sampling.shardShuffle(docs, "doc_id", 0))
     intercept[IllegalArgumentException](Sampling.hashGate(col("doc_id"), 0.0))
     intercept[IllegalArgumentException](Sampling.hashGate(col("doc_id"), 1.5))
+    intercept[IllegalArgumentException](Sampling.bottomK(docs, "doc_id", 0))
+  }
+
+  test("bottomK is mergeable: bottom-k of shard bottom-ks equals the global bottom-k") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(1), r.getLong(0))).toSeq
+    val whole = ids(Sampling.bottomK(docs, "doc_id", 25))
+    val half1 = Sampling.bottomK(docs.where(col("doc_id") % 2 === 0), "doc_id", 25)
+    val half2 = Sampling.bottomK(docs.where(col("doc_id") % 2 === 1), "doc_id", 25)
+    val merged = ids(Sampling.bottomK(
+      half1.union(half2).select(col("doc_id")), "doc_id", 25))
+    assert(whole == merged)
+  }
+
+  test("bottomK nests: the bottom-10 is a prefix of the bottom-25") {
+    def ids(k: Int) = Sampling.bottomK(docs, "doc_id", k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids(25).take(10) == ids(10))
+  }
+
+  test("bottomK is partitioning-independent and exactly k") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.bottomK(df, "doc_id", 40).collect().map(_.getLong(0)).toSeq
+    val a = run(docs)
+    val b = run(docs.repartition(17))
+    assert(a == b)
+    assert(a.size == 40 && a.distinct.size == 40)
   }
 }

@@ -81,4 +81,25 @@ object Sampling {
       .orderBy(col("h").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** [[bottomK]] within each group: exactly min(k, |group|) rows per
+    * `groupCol` value — the exact-count form of stratified sampling
+    * (per-language eval sets, per-domain review batches). The
+    * rank<=k filter plans as `WindowGroupLimit`, so each map task
+    * forwards at most k rows per group before the exchange; the same
+    * mergeable/nested/deterministic properties as [[bottomK]] hold
+    * per group.
+    *
+    * Output: (groupCol, idCol, h).
+    */
+  def groupBottomK(df: DataFrame, groupCol: String, idCol: String,
+                   k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("h").asc, col(idCol).asc)
+    df.select(col(groupCol), col(idCol), hashValue(col(idCol)).as("h"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

@@ -1900,6 +1900,22 @@ object PipelineQueries {
         sh.where(col("is_train")).join(testH, "h")
           .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       },
-      Some(ngramDecontamOracle(8)))
+      Some(ngramDecontamOracle(8))),
+
+    QueryDef("sample_group_bottomk",
+      // exact-count stratified sampling: exactly min(50, |lang|) docs
+      // per language by smallest id hash — the per-group form of
+      // sample_bottomk (vs sample_stratified's Bernoulli gate, which
+      // only approximates the per-stratum count). rank<=k plans as
+      // WindowGroupLimit: each map task forwards at most k rows per
+      // language before the exchange
+      (s, dir) => Sampling.groupBottomK(t(s, dir, "documents"),
+        "lang", "doc_id", 50),
+      Some("""SELECT lang, doc_id, h FROM (
+          SELECT lang, doc_id,
+            ((doc_id % 1000003) * 2654435761) % 1000000 AS h,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000, doc_id) AS rn
+          FROM documents) WHERE rn <= 50"""))
   )
 }

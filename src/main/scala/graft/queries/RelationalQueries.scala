@@ -1046,6 +1046,29 @@ object RelationalQueries {
           r AS (SELECT user_id, event_type, cnt, row_number() OVER (
               PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
             FROM c)
-        SELECT user_id, event_type AS mode_type, cnt FROM r WHERE rn = 1"""))
+        SELECT user_id, event_type AS mode_type, cnt FROM r WHERE rn = 1""")),
+
+    QueryDef("q_skyline",
+      // 2-D Pareto frontier ("earliest big orders"): orders no other
+      // order beats on BOTH order day (earlier) and price (higher).
+      // Integer-exact (epoch days + cents). The operator avoids both
+      // naive shapes — the O(n^2) dominance self-join and a running
+      // max windowed over the whole corpus in one task: per-day maxima
+      // first (partial-agg'd, output bounded by the DATE RANGE, not
+      // data volume), a tiny window over that day table, then the
+      // surviving frontier broadcast back over the fact scan.
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("day"),
+          AggFunctions.cents(col("o_totalprice")).as("cents"))
+        Skyline.frontier(o, "day", "cents")
+      },
+      Some(Skyline.oracleSql(
+        """(SELECT o_orderkey,
+            CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)""",
+        "day", "cents", "t.o_orderkey, t.day, t.cents")))
   )
 }

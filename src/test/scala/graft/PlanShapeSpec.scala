@@ -97,6 +97,12 @@ class PlanShapeSpec extends SparkSuite {
       s"plan:\n$plan")
   }
 
+  test("sample_group_bottomk plans WindowGroupLimit (per-task k rows per group)") {
+    val plan = SparkEntry.queries("sample_group_bottomk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
+  }
+
   test("q_outliers broadcasts the per-group stats back over the fact scan") {
     val plan = SparkEntry.queries("q_outliers")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -69,6 +69,26 @@ class SamplingSpec extends SparkSuite {
     assert(ids(25).take(10) == ids(10))
   }
 
+  test("groupBottomK emits exactly min(k, group size) per group, deterministically") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.groupBottomK(df, "lang", "doc_id", 7)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val a = run(docs)
+    val b = run(docs.repartition(11))
+    assert(a == b)
+    val sizes = a.groupBy(_._1).view.mapValues(_.size).toMap
+    val groupTotals = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    groupTotals.foreach { case (g, n) =>
+      assert(sizes(g) == math.min(7L, n), s"group $g: ${sizes(g)} of $n")
+    }
+    // per-group selection equals the global bottomK restricted to the group
+    val gA = docs.filter(col("lang") === a.head._1)
+    val direct = Sampling.bottomK(gA, "doc_id", 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.filter(_._1 == a.head._1).map(_._2).toSet == direct)
+  }
+
   test("bottomK is partitioning-independent and exactly k") {
     def run(df: org.apache.spark.sql.DataFrame) =
       Sampling.bottomK(df, "doc_id", 40).collect().map(_.getLong(0)).toSeq

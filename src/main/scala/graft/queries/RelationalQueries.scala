@@ -1069,6 +1069,83 @@ object RelationalQueries {
         """(SELECT o_orderkey,
             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)""",
-        "day", "cents", "t.o_orderkey, t.day, t.cents")))
+        "day", "cents", "t.o_orderkey, t.day, t.cents"))),
+
+    QueryDef("q_hist_merge",
+      // incremental quantiles: the fixed-width histogram is a LINEAR
+      // sketch like Count-Min — integer bucket counts sum — so
+      // per-shard/day/partition histograms merge into any union's
+      // histogram without rescanning the data. Two orderkey-parity
+      // shard histograms are built and MERGED, then p50/p90/p99 read
+      // off the merged table; the oracle is the WHOLE-CORPUS replay,
+      // so the hash-match is the linearity proof (merged shards ==
+      // one pass) — the q_cms_merge contract generalized to quantiles
+      (s, dir) => {
+        val spark = s; import spark.implicits._
+        def shard(par: Int) = t(s, dir, "lineitem")
+          .where(pmod(col("l_orderkey"), lit(2)) === par)
+          .select(AggFunctions.cents(col("l_extendedprice")).as("cents"))
+          .groupBy(expr(floorDiv("cents", 100000L)).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val h = shard(0).union(shard(1))
+          .groupBy("bucket").agg(sum("n").as("n"))
+        val c = h
+          .withColumn("cum",
+            sum("n").over(Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("total",
+            sum("n").over(Window.orderBy("bucket").rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+        val targets = Seq(("p50", 50L), ("p90", 90L), ("p99", 99L))
+          .toDF("q", "pct")
+        c.join(broadcast(targets),
+            col("cum") * 100 >= col("pct") * col("total"))
+          .groupBy("q")
+          .agg(min("bucket").as("bucket"))
+          .select(col("q"), col("bucket"),
+            (col("bucket") * 100000L).as("lo_cents"))
+      },
+      Some("""WITH h AS (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 100000
+              AS bucket, count(*) AS n
+            FROM lineitem GROUP BY 1),
+          c AS (SELECT bucket, sum(n) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM h),
+          tot AS (SELECT sum(n) AS total FROM h),
+          t(q, pct) AS (VALUES ('p50', 50), ('p90', 90), ('p99', 99))
+        SELECT t.q, min(c.bucket) AS bucket,
+          CAST(min(c.bucket) * 100000 AS BIGINT) AS lo_cents
+        FROM c CROSS JOIN tot JOIN t ON c.cum * 100 >= t.pct * tot.total
+        GROUP BY t.q""")),
+
+    QueryDef("q_decayed_counts",
+      // recency-weighted engagement: per event type, events weighted
+      // by 2^-(age/4d) from a FIXED reference date (half-life 4 days,
+      // horizon-capped exponent). The weight is an integer SHIFT —
+      // score_int = sum(2^(7 - age_buckets)) is pure BIGINT
+      // arithmetic, and the reported double is score_int / 2^7, one
+      // EXACT dyadic division — so unlike a float pow() chain the
+      // score is bit-deterministic under any partitioning and engine.
+      // One partial-agg'd pass; the fixed reference date (not
+      // max(ts)) keeps the weights retry-stable and incremental
+      // across corpus growth
+      // ts arrives as a nanos long (see Tables); `div 1000` → micros
+      // is lossless at day granularity
+      (s, dir) => t(s, dir, "events")
+        .selectExpr("event_type",
+          "least(7, greatest(0, datediff(DATE'2024-02-01', " +
+            "to_date(timestamp_micros(ts div 1000)))) div 4) AS h")
+        .selectExpr("event_type", "shiftleft(1L, 7 - h) AS wgt")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("wgt").as("score_int"))
+        .withColumn("decayed", col("score_int") / 128.0),
+      Some("""WITH e AS (SELECT event_type,
+            least(7, greatest(0, DATE '2024-02-01' - CAST(ts AS DATE)) // 4) AS h
+          FROM events)
+        SELECT event_type, count(*) AS n_events,
+          CAST(sum(CAST(1 AS BIGINT) << (7 - h)) AS BIGINT) AS score_int,
+          CAST(sum(CAST(1 AS BIGINT) << (7 - h)) AS BIGINT) / 128.0 AS decayed
+        FROM e GROUP BY event_type"""))
   )
 }

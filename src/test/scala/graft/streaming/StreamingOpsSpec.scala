@@ -433,6 +433,43 @@ class StreamingOpsSpec extends SparkSuite {
     assert(streamed == batch, "streamed counters must equal the batch sketch")
   }
 
+  test("time-decayed counts apply to a stream unchanged (integer-shift weights are streaming-native)") {
+    implicit val ctx = spark.sqlContext
+    // q_decayed_counts' aggregation: weights are per-row integer
+    // shifts from a FIXED reference date (never max(ts), which a
+    // stream cannot know), so the score is a running groupBy sum —
+    // update/complete-mode streaming maintains it incrementally
+    def decayed(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("event_type",
+        "least(7, greatest(0, datediff(DATE'2024-02-01', " +
+          "to_date(timestamp_micros(ts div 1000)))) div 4) AS h")
+      .selectExpr("event_type", "shiftleft(1L, 7 - h) AS wgt")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.sum("wgt").as("score_int"))
+    val day = 86400L * 1000000000L
+    val jan1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000000L
+    val rows = Seq((jan1, "view"), (jan1 + 20 * day, "view"),
+      (jan1 + 29 * day, "click"), (jan1 + 2 * day, "view"))
+    val ms = MemoryStream[(Long, String)]
+    val query = decayed(ms.toDF().toDF("ts", "event_type"))
+      .writeStream.outputMode("complete").format("memory").queryName("decayed")
+      .start()
+    try {
+      ms.addData(rows.take(2): _*)
+      query.processAllAvailable()
+      ms.addData(rows.drop(2): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("decayed")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = decayed(rows.toDF("ts", "event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    // recency genuinely outranks raw count: ONE day-old click (2^7)
+    // beats THREE stale views (1 + 32 + 1)
+    assert(batch("click") == 128L && batch("view") == 34L)
+  }
+
   test("stateful ops run unchanged on the RocksDB state store (the disk-backed-state knob)") {
     // SCALE.md prescribes RocksDBStateStoreProvider once per-executor
     // state exceeds heap; prove the documented knob actually carries

@@ -544,6 +544,40 @@ object PipelineQueries {
     GROUP BY doc_id"""
   }
 
+  /** Generated oracle for dedup_winnow: n-token shingle hashes as in
+    * [[substringSpansOracle]], winnowed to per-window minima (window
+    * w over consecutive shingles, elementwise `least` — no slicing
+    * semantics to diverge), distinct per doc, then corpus-shared
+    * prints counted per doc.
+    */
+  private def winnowOracle(n: Int, w: Int): String = {
+    val folded = (0 until n).foldLeft(FnvInit) { (acc, t) =>
+      val idx = if (t == 0) "j" else s"j + $t"
+      fnvStep(s"xor($acc, th[$idx])")
+    }
+    val shingle = s"(($folded % 2147483647) + 2147483647) % 2147483647"
+    val winMin = (0 until w).map(t => if (t == 0) "sh[i]" else s"sh[i + $t]")
+      .mkString("least(", ", ", ")")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= ${n + w - 1}),
+      tt AS (SELECT doc_id, list_transform(toks, w -> ${fnvSql("w")}) AS th FROM d),
+      sgl AS (SELECT doc_id,
+          list_transform(range(1, len(th) - ${n - 2}), j -> $shingle) AS sh
+        FROM tt),
+      win AS (SELECT doc_id,
+          list_distinct(list_transform(range(1, len(sh) - ${w - 2}),
+            i -> $winMin)) AS ps
+        FROM sgl),
+      sp AS (SELECT doc_id, unnest(ps) AS p FROM win),
+      rep AS (SELECT p FROM sp GROUP BY p HAVING count(*) > 1),
+      shr AS (SELECT doc_id, count(*) AS n_shared FROM sp JOIN rep USING (p)
+        GROUP BY doc_id),
+      tot AS (SELECT doc_id, count(*) AS n_prints FROM sp GROUP BY doc_id)
+    SELECT doc_id, CAST(n_prints AS BIGINT) AS n_prints,
+      CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared
+    FROM tot LEFT JOIN shr USING (doc_id)"""
+  }
+
   private def minhashVerCtes: String = {
     val p = MinHashLSH.Params()
     val perms = graft.expressions.TextHashing.minhashPerms(p.seed, p.numHashes)
@@ -1916,6 +1950,21 @@ object PipelineQueries {
             ((doc_id % 1000003) * 2654435761) % 1000000 AS h,
             row_number() OVER (PARTITION BY lang
               ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000, doc_id) AS rn
-          FROM documents) WHERE rn <= 50"""))
+          FROM documents) WHERE rn <= 50""")),
+
+    QueryDef("dedup_winnow",
+      // winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+      // 2003 — the MOSS technique): per window of 4 consecutive
+      // 5-token shingle hashes keep only the MINIMUM, giving a
+      // ~2/(w+1)-density fingerprint set that still GUARANTEES any
+      // shared run of >= n+w-1 = 8 tokens produces a shared print.
+      // The pipeline value vs dedup_substring_spans (all windows):
+      // the shuffled/joined print table shrinks ~3x while detection
+      // granularity stays 8 tokens. Window minima are elementwise
+      // `least` over the codegen'd shingle array — one projection,
+      // no extra shuffle vs the spans query
+      (s, dir) => Winnow.sharedStats(t(s, dir, "documents"),
+        "doc_id", "text", n = 5, w = 4),
+      Some(winnowOracle(5, 4)))
   )
 }

@@ -38,6 +38,22 @@ object RelationalQueries {
       when(col("event_type") === "click", lit(null))
         .otherwise(col("value")).as("v"))
 
+  /** One SQL text, two engines (q_sql_surface): runs VERBATIM through
+    * `spark.sql` over temp views AND through DuckDB as its own oracle
+    * — the dialect-portable subset (ANSI joins, integer cents
+    * arithmetic, alias group-by, deterministic tiebreak) hash-matches
+    * bit-for-bit. TPC-H Q3's shape on this schema.
+    */
+  private val sqlSurfaceText: String =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_day,
+        sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+          * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY l_orderkey, o_day
+      ORDER BY revenue_e4 DESC, l_orderkey
+      LIMIT 10"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- reference core: global top-N, one per supported numeric type ----
@@ -1146,6 +1162,20 @@ object RelationalQueries {
         SELECT event_type, count(*) AS n_events,
           CAST(sum(CAST(1 AS BIGINT) << (7 - h)) AS BIGINT) AS score_int,
           CAST(sum(CAST(1 AS BIGINT) << (7 - h)) AS BIGINT) / 128.0 AS decayed
-        FROM e GROUP BY event_type"""))
+        FROM e GROUP BY event_type""")),
+
+    QueryDef("q_sql_surface",
+      // the spark.sql entry point proven end to end: the SAME SQL
+      // text runs verbatim in Spark (over temp views) and in DuckDB
+      // (as its own oracle) and hash-matches — the portability
+      // exhibit for users arriving with SQL instead of the DataFrame
+      // API. Catalyst plans it like the hand-built joins (broadcast +
+      // partial agg + TakeOrderedAndProject)
+      (s, dir) => {
+        Seq("orders", "lineitem").foreach(n =>
+          t(s, dir, n).createOrReplaceTempView(n))
+        s.sql(sqlSurfaceText)
+      },
+      Some(sqlSurfaceText))
   )
 }

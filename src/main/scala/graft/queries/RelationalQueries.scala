@@ -995,50 +995,62 @@ object RelationalQueries {
         GROUP BY 1, 2""")),
 
     QueryDef("q_outliers",
-      // 3-sigma outlier detection per group, INTEGER-EXACT: the
-      // per-group test |x - mean| > 3*stddev_pop is cross-multiplied
-      // by n^2 into (n*x - S)^2 > 9*(n*S2 - S^2) over exact cents
-      // sums — no double mean/variance anywhere, so the flag can
-      // never flip on accumulation order. Sums are DECIMAL(38,0)
-      // (Spark) / HUGEINT (DuckDB): squares of 13-digit sums need
-      // ~26 digits. Scale shape: stats are one partial-agg'd pass to
-      // |groups| rows, broadcast back over a second scan — no
-      // skew-prone shuffle of the fact table by the group key.
+      // 3-sigma outlier detection per group, INTEGER-EXACT: flag
+      // customers whose total spend is > 3 population-stddevs from
+      // their market segment's mean (per-order prices are near-
+      // uniform — no outliers exist there — but per-CUSTOMER spend
+      // compounds order-count variance into a real tail: 1/7/67
+      // outliers at sf0.001/0.01/0.1). The test |x - mean| >
+      // 3*stddev_pop is cross-multiplied by n^2 into (n*x - S)^2 >
+      // 9*(n*S2 - S^2) over exact cent sums — no double mean or
+      // variance anywhere, so the flag can never flip on accumulation
+      // order. Sums are DECIMAL(38,0) (Spark) / HUGEINT (DuckDB).
+      // Scale shape: orders partial-agg to |customers| rows, segment
+      // join on the customer key, stats partial-agg'd to |segments|
+      // rows and broadcast back — the fact table is never shuffled by
+      // the (low-cardinality, skew-prone) segment key.
       (s, dir) => {
         val dec = DecimalType(38, 0)
-        val o = t(s, dir, "orders").select(
-          col("o_orderpriority").as("pri"),
-          AggFunctions.cents(col("o_totalprice")).as("cents"))
-        val stats = o.groupBy("pri").agg(
+        val spend = t(s, dir, "orders")
+          .select(col("o_custkey"),
+            AggFunctions.cents(col("o_totalprice")).as("cents"))
+          .groupBy("o_custkey").agg(sum("cents").as("spend"))
+        val cust = spend.join(
+          t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment").as("seg")), "o_custkey")
+        val stats = cust.groupBy("seg").agg(
           count(lit(1)).as("n"),
-          sum(col("cents").cast(dec)).as("s"),
-          sum((col("cents") * col("cents")).cast(dec)).as("s2"))
+          sum(col("spend").cast(dec)).as("s"),
+          sum(col("spend").cast(dec) * col("spend").cast(dec)).as("s2"))
         val nD = col("n").cast(dec)
-        val lhs = nD * col("cents").cast(dec) - col("s")
+        val lhs = nD * col("spend").cast(dec) - col("s")
         val isOut = lhs * lhs > lit(9).cast(dec) * (nD * col("s2") - col("s") * col("s"))
-        o.join(broadcast(stats), "pri")
-          .groupBy("pri")
-          .agg(count(lit(1)).as("n_orders"),
+        cust.join(broadcast(stats), "seg")
+          .groupBy("seg")
+          .agg(count(lit(1)).as("n_customers"),
             count(when(isOut, lit(1))).as("n_outliers"),
-            max(when(isOut, col("cents"))).as("max_outlier_cents"))
+            max(when(isOut, col("spend"))).as("max_outlier_spend"))
       },
-      Some("""WITH o AS (SELECT o_orderpriority AS pri,
-              CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
-          st AS (SELECT pri, count(*) AS n,
-              sum(CAST(cents AS HUGEINT)) AS s,
-              sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS s2
-            FROM o GROUP BY pri)
-        SELECT o.pri, count(*) AS n_orders,
+      Some("""WITH sp AS (SELECT o_custkey,
+              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend
+            FROM orders GROUP BY 1),
+          cu AS (SELECT c.c_mktsegment AS seg, sp.spend
+            FROM sp JOIN customer c ON c.c_custkey = sp.o_custkey),
+          st AS (SELECT seg, count(*) AS n,
+              sum(CAST(spend AS HUGEINT)) AS s,
+              sum(CAST(spend AS HUGEINT) * CAST(spend AS HUGEINT)) AS s2
+            FROM cu GROUP BY seg)
+        SELECT cu.seg, count(*) AS n_customers,
           count(*) FILTER (WHERE
-            (CAST(st.n AS HUGEINT) * o.cents - st.s)
-              * (CAST(st.n AS HUGEINT) * o.cents - st.s)
+            (CAST(st.n AS HUGEINT) * cu.spend - st.s)
+              * (CAST(st.n AS HUGEINT) * cu.spend - st.s)
             > 9 * (CAST(st.n AS HUGEINT) * st.s2 - st.s * st.s)) AS n_outliers,
-          max(o.cents) FILTER (WHERE
-            (CAST(st.n AS HUGEINT) * o.cents - st.s)
-              * (CAST(st.n AS HUGEINT) * o.cents - st.s)
-            > 9 * (CAST(st.n AS HUGEINT) * st.s2 - st.s * st.s)) AS max_outlier_cents
-        FROM o JOIN st ON st.pri = o.pri
-        GROUP BY o.pri""")),
+          max(cu.spend) FILTER (WHERE
+            (CAST(st.n AS HUGEINT) * cu.spend - st.s)
+              * (CAST(st.n AS HUGEINT) * cu.spend - st.s)
+            > 9 * (CAST(st.n AS HUGEINT) * st.s2 - st.s * st.s)) AS max_outlier_spend
+        FROM cu JOIN st ON st.seg = cu.seg
+        GROUP BY cu.seg""")),
 
     QueryDef("q_group_mode",
       // exact per-group mode (majority label — the label-aggregation

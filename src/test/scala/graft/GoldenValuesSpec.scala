@@ -49,6 +49,57 @@ class GoldenValuesSpec extends SparkSuite {
       s"HLL sketch drifted: ${rows.toSeq}")
   }
 
+  test("skyline frontier at sf0.001 is pinned (5 non-dominated orders)") {
+    val rows = SparkEntry.queries("q_skyline")(spark, dir)
+      .orderBy("day").collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("day"), r.getAs[Long]("cents")))
+    assert(rows.toSeq == Seq(
+      (652L, 9131L, 14244931L), (123L, 9135L, 21912689L),
+      (104L, 9143L, 46579950L), (96L, 9150L, 48732062L),
+      (988L, 9165L, 49970505L)), s"frontier drifted: ${rows.toSeq}")
+  }
+
+  test("bottom-k sample head at sf0.001 is pinned (hash order is part of the contract)") {
+    val rows = SparkEntry.queries("sample_bottomk")(spark, dir)
+      .limit(5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((0L, 0L), (179L, 1219L), (358L, 2438L),
+      (140L, 6540L), (319L, 7759L)), s"sample head drifted: ${rows.toSeq}")
+  }
+
+  test("decayed scores at sf0.001 are pinned (integer-shift weights)") {
+    val rows = SparkEntry.queries("q_decayed_counts")(spark, dir)
+      .orderBy("event_type").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("score_int"),
+        r.getAs[Double]("decayed")))
+    assert(rows.toSeq == Seq(
+      ("click", 5511L, 43.0546875), ("error", 4133L, 32.2890625),
+      ("purchase", 4337L, 33.8828125), ("signup", 4700L, 36.71875),
+      ("view", 5029L, 39.2890625)), s"decayed scores drifted: ${rows.toSeq}")
+  }
+
+  test("winnowed fingerprint stats at sf0.001 are pinned for known docs") {
+    val rows = SparkEntry.queries("dedup_winnow")(spark, dir)
+      .where(col("doc_id").isin(0L, 1L, 5L)).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 0 is fully duplicated elsewhere (all 8 prints shared); doc 1
+    // is unique; doc 5 shares 14 of 15 prints with its near-duplicate
+    assert(rows.toSeq == Seq((0L, 8L, 8L), (1L, 32L, 0L), (5L, 15L, 14L)),
+      s"winnow stats drifted: ${rows.toSeq}")
+  }
+
+  test("the one FURNITURE spend outlier at sf0.001 is pinned (integer 3-sigma)") {
+    val rows = SparkEntry.queries("q_outliers")(spark, dir)
+      .orderBy("seg").collect()
+      .map(r => (r.getAs[String]("seg"), r.getAs[Long]("n_customers"),
+        r.getAs[Long]("n_outliers")))
+    assert(rows.toSeq == Seq(("AUTOMOBILE", 23L, 0L), ("BUILDING", 34L, 0L),
+      ("FURNITURE", 40L, 1L), ("HOUSEHOLD", 23L, 0L), ("MACHINERY", 30L, 0L)),
+      s"outlier flags drifted: ${rows.toSeq}")
+    val mx = SparkEntry.queries("q_outliers")(spark, dir)
+      .where(col("seg") === "FURNITURE").head().getAs[Long]("max_outlier_spend")
+    assert(mx == 601712645L, s"outlier spend drifted: $mx")
+  }
+
   test("pagerank hub ranking at sf0.001 is pinned (scaled-integer exactness)") {
     val top = SparkEntry.queries("graph_pagerank")(spark, dir).head()
     // supplier 7 (offset namespace) is the busiest trading hub; the

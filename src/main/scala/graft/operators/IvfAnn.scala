@@ -138,13 +138,18 @@ object IvfAnn {
     */
   final case class Index(centroids: Array[Array[Double]], indexed: DataFrame)
 
-  /** Trains centroids and assigns every corpus row to its cell. */
+  /** Trains centroids and assigns every corpus row to its cell.
+    * `metaCols` are carried into the indexed corpus verbatim (label /
+    * tenant / language columns for FILTERED search — see
+    * [[searchTopK]]'s `candidateFilter`).
+    */
   def fitIndex(corpus: DataFrame, idCol: String = "vec_id",
-               vecCol: String = "embedding", p: Params = Params()): Index = {
+               vecCol: String = "embedding", p: Params = Params(),
+               metaCols: Seq[String] = Nil): Index = {
     val centroids = fitCentroids(corpus, idCol, vecCol, p)
     Index(centroids, index(corpus, vecCol, centroids)
-      .select(col(idCol).as("nid"), col(vecCol).as("nv"),
-        col("__graft_cell").as("cell")))
+      .select((Seq(col(idCol).as("nid"), col(vecCol).as("nv"),
+        col("__graft_cell").as("cell")) ++ metaCols.map(col)): _*))
   }
 
   /** Persists the index as plain parquet: `path/corpus` = (nid, nv,
@@ -175,23 +180,33 @@ object IvfAnn {
     */
   def searchTopK(queries: DataFrame, idx: Index, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding",
-                 nprobe: Int = 3): DataFrame = {
+                 nprobe: Int = 3,
+                 queryMetaCols: Seq[String] = Nil,
+                 candidateFilter: Option[Column] = None): DataFrame = {
     // nprobe nearest cells per query: sort (negScore, cell) ascending
     val qv = VectorFunctions.toDoubleArray(col(vecCol))
     val scored = array_sort(array(idx.centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       struct((-cellScore(qv, c)).as("negscore"), lit(i).as("cell"))
     }: _*))
+    // query-side metadata travels prefixed (q_label, …) so a
+    // candidateFilter can reference both sides unambiguously, e.g.
+    // col("label") === col("q_label") — the single-stage FILTERED
+    // vector search: the predicate applies inside the probe join
+    // (before scoring), not as a post-filter that silently returns
+    // fewer than k survivors of an unfiltered top-k
+    val qMeta = queryMetaCols.map(m => col(m).as(s"q_$m"))
     val qProbes = queries
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
-        slice(scored, 1, nprobe).as("probes"))
-      .select(col("qid"), col("qv"),
-        explode(col("probes")).as("probe"))
-      .select(col("qid"), col("qv"), col("probe.cell").as("cell"))
+      .select((Seq(col(idCol).as("qid"), col(vecCol).as("qv"),
+        slice(scored, 1, nprobe).as("probes")) ++ qMeta): _*)
+      .withColumn("probe", explode(col("probes")))
+      .withColumn("cell", col("probe.cell"))
+      .drop("probes", "probe")
 
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("nid").asc)
     idx.indexed.join(broadcast(qProbes), Seq("cell"))
       .where(col("qid") =!= col("nid"))
+      .where(candidateFilter.getOrElse(lit(true)))
       .select(col("qid"), col("nid"),
         VectorFunctions.cosine(col("qv"), col("nv")).as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))

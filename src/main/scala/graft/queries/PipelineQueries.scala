@@ -731,7 +731,17 @@ object PipelineQueries {
     * The |c_i|^2/2 offsets are computed once in Scala and inlined, so
     * both engines subtract the identical double.
     */
-  private def ivfTopKOracle(s: SparkSession, dir: String): String = {
+  private def ivfTopKOracle(s: SparkSession, dir: String): String =
+    ivfOracleImpl(s, dir, labelFiltered = false)
+
+  /** [[ivfTopKOracle]] with the label-equality candidate filter
+    * threaded through — the ann_ivf_filtered oracle.
+    */
+  private def ivfFilteredOracle(s: SparkSession, dir: String): String =
+    ivfOracleImpl(s, dir, labelFiltered = true)
+
+  private def ivfOracleImpl(s: SparkSession, dir: String,
+                            labelFiltered: Boolean): String = {
     val centroids = IvfAnn.fitCentroids(
       t(s, dir, "embeddings"), "vec_id", "embedding", ivfParams)
     val k = centroids.length
@@ -741,16 +751,23 @@ object PipelineQueries {
       s"list_inner_product(e, $lit) - ($off) AS s$i"
     }.mkString(", ")
     val sList = (0 until k).map(i => s"s$i").mkString(", ")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      sc AS (SELECT vec_id, e, $scoreDefs FROM v),
-      a AS (SELECT vec_id, e, ${argmaxLadder(i => s"s$i", 0 until k)} AS cell FROM sc),
-      pr AS (SELECT qid, cell FROM (
-          SELECT vec_id AS qid, c AS cell,
+    // the filtered variant threads the label through every CTE and
+    // applies the equality INSIDE the candidate join (single-stage
+    // filter, matching IvfAnn.searchTopK's candidateFilter)
+    val lab = if (labelFiltered) ", label" else ""
+    val labQ = if (labelFiltered) ", label AS qlabel" else ""
+    val labPr = if (labelFiltered) ", qlabel" else ""
+    val labCond = if (labelFiltered) " AND a.label = pr.qlabel" else ""
+    s"""WITH v AS (SELECT vec_id$lab, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      sc AS (SELECT vec_id$lab, e, $scoreDefs FROM v),
+      a AS (SELECT vec_id$lab, e, ${argmaxLadder(i => s"s$i", 0 until k)} AS cell FROM sc),
+      pr AS (SELECT qid$labPr, cell FROM (
+          SELECT vec_id AS qid$labQ, c AS cell,
             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
-          FROM (SELECT vec_id, unnest([$sList]) AS s, unnest(range(0, $k)) AS c
+          FROM (SELECT vec_id$lab, unnest([$sList]) AS s, unnest(range(0, $k)) AS c
                 FROM sc WHERE vec_id < 10)) WHERE rn <= ${ivfParams.nprobe}),
       cand AS (SELECT pr.qid, a.vec_id AS nid FROM pr JOIN a ON a.cell = pr.cell
-               WHERE a.vec_id <> pr.qid),
+               WHERE a.vec_id <> pr.qid$labCond),
       scored AS (SELECT cand.qid, cand.nid,
           row_number() OVER (PARTITION BY cand.qid ORDER BY
             list_cosine_similarity(qe.e, ce.e) DESC, cand.nid) AS rn
@@ -1147,6 +1164,28 @@ object PipelineQueries {
       },
       None,
       oracleGen = Some(ivfTopKOracle _)),
+
+    QueryDef("ann_ivf_filtered",
+      // FILTERED vector search ("nearest neighbors with the same
+      // label/tenant/language"): the label-equality predicate applies
+      // INSIDE the probe join — single-stage filtering, not a
+      // post-filter of an unfiltered top-k that silently under-fills
+      // k when neighbors fail the predicate. Metadata rides the
+      // index (fitIndex metaCols) so filtering costs no extra join;
+      // same deterministic training as ann_ivf_topk, so the oracle
+      // inlines identical centroids and threads the label through
+      // the replay
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val idx = IvfAnn.fitIndex(e, "vec_id", "embedding", ivfParams,
+          metaCols = Seq("label"))
+        IvfAnn.searchTopK(e.where(col("vec_id") < 10), idx, k = 5,
+            nprobe = ivfParams.nprobe, queryMetaCols = Seq("label"),
+            candidateFilter = Some(col("label") === col("q_label")))
+          .select(col("qid"), col("nid"), col("rank").as("nn_rank"))
+      },
+      None,
+      oracleGen = Some(ivfFilteredOracle _)),
 
     QueryDef("ann_ivf_search",
       // the AMORTIZED IVF path: fit + save + load once per JVM

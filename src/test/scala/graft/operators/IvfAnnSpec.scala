@@ -91,6 +91,29 @@ class IvfAnnSpec extends SparkSuite {
     assert(run(loaded) == direct, "a loaded index must search identically")
   }
 
+  test("filtered search: every neighbor shares the query's label, inside the probe join") {
+    val p = IvfAnn.Params(k = 8, iterations = 3, nprobe = 3)
+    val idx = IvfAnn.fitIndex(emb, "vec_id", "embedding", p,
+      metaCols = Seq("label"))
+    val queries = emb.where(col("vec_id") < 10)
+    val out = IvfAnn.searchTopK(queries, idx, k = 5, nprobe = p.nprobe,
+        queryMetaCols = Seq("label"),
+        candidateFilter = Some(col("label") === col("q_label")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { case (q, n, _) =>
+      assert(labelOf(q) == labelOf(n), s"neighbor $n crossed label of query $q")
+    }
+    // the filter genuinely changes the ranking vs unfiltered search
+    val unfiltered = IvfAnn.searchTopK(queries,
+        IvfAnn.fitIndex(emb, "vec_id", "embedding", p), k = 5,
+        nprobe = p.nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(t => (t._1, t._2)).toSet != unfiltered)
+  }
+
   test("IVF with nprobe < k prunes the candidate set but stays valid") {
     val queries = emb.where(col("vec_id") < 5)
     val p = IvfAnn.Params(k = 8, iterations = 3, nprobe = 2)

@@ -2004,6 +2004,30 @@ object PipelineQueries {
       // no extra shuffle vs the spans query
       (s, dir) => Winnow.sharedStats(t(s, dir, "documents"),
         "doc_id", "text", n = 5, w = 4),
-      Some(winnowOracle(5, 4)))
+      Some(winnowOracle(5, 4))),
+
+    QueryDef("dedup_prefix_jaccard",
+      // LOSSLESS set-similarity self-join (Bayardo 2007 prefix
+      // filter): every pair at distinct-token Jaccard >= 4/5, found
+      // by equi-joining only each doc's RAREST tokens (prefix length
+      // n - ceil(4n/5) + 1) and verifying candidates exactly — no
+      // all-pairs product, no recall loss (vs dedup_word_jaccard's
+      // df cap, which drops hot tokens explicitly). tau = 4/5 selects
+      // true near-duplicates on this shared-vocabulary corpus (1/2
+      // matches a third of all pairs — measured 92k rows at sf0.01).
+      // Pure integer arithmetic end to end (ceil by integer division,
+      // threshold cross-multiplied), replayed identically in DuckDB.
+      // Gated to 500 docs BY DESIGN (the dedup_clusters_exact
+      // precedent): this corpus carries ~300-doc near-identical
+      // cliques, so the TRUE pair set is quadratic in clique size
+      // (~3M pairs ungated at sf0.1) — a pipeline materializes
+      // survivors via NearDupClusters, not all clique pairs; the
+      // gated query is the oracle-exact proof of the operator
+      (s, dir) => SetSimJoin.pairs(
+        t(s, dir, "documents").where(col("doc_id") < 500),
+        "doc_id", "text", tauNum = 4, tauDen = 5),
+      Some(SetSimJoin.oracleSql(
+        "(SELECT * FROM documents WHERE doc_id < 500)", "doc_id", "text",
+        tauNum = 4, tauDen = 5)))
   )
 }

@@ -2028,6 +2028,47 @@ object PipelineQueries {
         "doc_id", "text", tauNum = 4, tauDen = 5),
       Some(SetSimJoin.oracleSql(
         "(SELECT * FROM documents WHERE doc_id < 500)", "doc_id", "text",
-        tauNum = 4, tauDen = 5)))
+        tauNum = 4, tauDen = 5))),
+
+    QueryDef("text_sparse_topk",
+      // sparse (lexical) doc-to-doc retrieval via the INVERTED-INDEX
+      // join shape — the complement of text_bm25's projection-only
+      // scan: score(q, d) = sum over shared tokens of tf_q * tf_d,
+      // pure integer dot product of term-frequency vectors (no
+      // doubles, no fold-order sensitivity), top-5 per query with id
+      // tiebreak. The posting join touches only the QUERY docs'
+      // tokens; partial-agg'd per-pair sums + WindowGroupLimit rank.
+      // At corpus-as-queries scale this becomes the all-pairs sparse
+      // product — then prefix-filter (SetSimJoin) or BM25 scan-side
+      // scoring are the bounded alternatives
+      (s, dir) => {
+        val tf = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val qtf = tf.where(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"), col("tok"), col("tf").as("qtf"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("doc_id").asc)
+        tf.join(qtf, "tok")
+          .where(col("doc_id") =!= col("qid"))
+          .groupBy("qid", "doc_id")
+          .agg(sum(col("tf") * col("qtf")).as("score"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 5)
+          .select(col("qid"), col("doc_id").as("nid"), col("score"), col("rank"))
+      },
+      Some("""WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents) GROUP BY 1, 2),
+          q AS (SELECT doc_id AS qid, tok, tf AS qtf FROM tf WHERE doc_id < 5),
+          sc AS (SELECT q.qid, tf.doc_id AS nid,
+              CAST(sum(tf.tf * q.qtf) AS BIGINT) AS score
+            FROM tf JOIN q USING (tok) WHERE tf.doc_id <> q.qid
+            GROUP BY 1, 2),
+          r AS (SELECT qid, nid, score, row_number() OVER (
+              PARTITION BY qid ORDER BY score DESC, nid) AS rank
+            FROM sc)
+        SELECT qid, nid, score, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 5"""))
   )
 }

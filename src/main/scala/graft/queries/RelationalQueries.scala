@@ -1176,6 +1176,59 @@ object RelationalQueries {
           CAST(sum(CAST(1 AS BIGINT) << (7 - h)) AS BIGINT) / 128.0 AS decayed
         FROM e GROUP BY event_type""")),
 
+    QueryDef("q_scd2_intervals",
+      // temporal modeling: build SCD-type-2 validity intervals from a
+      // changelog — per user, each event is valid from its timestamp
+      // until the next event (NULL = still current). One shuffle on
+      // the entity key, a lead() window per key; nanos stay exact
+      // integers end to end (Spark reads the parquet TIMESTAMP(NANOS)
+      // as a nanos long; DuckDB's reader surfaces micros, so both
+      // sides emit exact MICROS — `ts div 1000` is lossless in that
+      // unit and no truncation can merge or reorder adjacent versions
+      // (event timestamps are distinct at micro granularity)
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("valid_from").asc, col("event_id").asc)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("valid_from"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull)
+      },
+      Some("""SELECT user_id, event_id,
+          epoch_us(ts) AS valid_from,
+          lead(epoch_us(ts)) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) AS valid_to,
+          lead(epoch_us(ts)) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
+        FROM events""")),
+
+    QueryDef("q_ntile_buckets",
+      // equi-depth bucketing (quantile feature binning): deciles of
+      // order value within each priority via ntile(10) over the total
+      // order (cents, orderkey) — both engines implement the SQL
+      // standard split (first n mod k buckets get one extra row), so
+      // bucket boundaries are deterministic and integer-exact; output
+      // is the per-bucket profile (count, min, max cents)
+      (s, dir) => {
+        val w = Window.partitionBy("pri")
+          .orderBy(col("cents").asc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+            AggFunctions.cents(col("o_totalprice")).as("cents"))
+          .withColumn("tile", ntile(10).over(w).cast("long"))
+          .groupBy("pri", "tile")
+          .agg(count(lit(1)).as("n"), min("cents").as("lo_cents"),
+            max("cents").as("hi_cents"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderpriority AS pri,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+          tl AS (SELECT pri, cents, ntile(10) OVER (PARTITION BY pri
+              ORDER BY cents, o_orderkey) AS tile FROM o)
+        SELECT pri, CAST(tile AS BIGINT) AS tile, count(*) AS n,
+          min(cents) AS lo_cents, max(cents) AS hi_cents
+        FROM tl GROUP BY 1, 2""")),
+
     QueryDef("q_sql_surface",
       // the spark.sql entry point proven end to end: the SAME SQL
       // text runs verbatim in Spark (over temp views) and in DuckDB

@@ -94,6 +94,29 @@ class SourcesSpec extends SparkSuite {
     assert(spark.read.parquet(path).count() == orders.count())
   }
 
+  test("schema evolution: mergeSchema unions columns across parquet file generations") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    // generation 1: (id, v); generation 2 adds a quality column
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.mode("append").parquet(path)
+    Seq((3L, 30.0, 0.9), (4L, 40.0, 0.8)).toDF("id", "v", "quality")
+      .write.mode("append").parquet(path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.toSet == Set("id", "v", "quality"))
+    assert(merged.count() == 4)
+    // old-generation rows surface NULL quality; new rows keep theirs
+    val q = merged.orderBy("id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(q.toSeq == Seq(1L -> None, 2L -> None,
+      3L -> Some(0.9), 4L -> Some(0.8)))
+    // and filters on the evolved column still push to the scan
+    val plan = merged.where(col("quality") > 0.85)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(quality), GreaterThan(quality,0.85)]"),
+      s"plan:\n$plan")
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

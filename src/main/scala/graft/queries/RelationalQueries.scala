@@ -928,6 +928,37 @@ object RelationalQueries {
         s"\n      SELECT node, rank FROM r${PageRank.Params().iterations} " +
         "ORDER BY rank DESC, node LIMIT 25")),
 
+    QueryDef("graph_triangles",
+      // per-node triangle counts + clustering coefficient over the
+      // part co-purchase graph (parts appearing in the same order;
+      // every 5th part so density is comparable across SFs), by
+      // degree-ordered wedge counting (Latapy 2008 compact-forward —
+      // pure equi-joins, hubs become wedge sinks; see
+      // graft.operators.Triangles). The coefficient is one IEEE
+      // division of exact BIGINT products, so the DuckDB replay
+      // hash-matches bit-for-bit. Top-25 by triangle count, id
+      // tiebreak.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey")
+          .where(col("l_partkey") % 5 === 0)
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        Triangles.perNode(e, "u", "v")
+          .orderBy(col("tri").desc, col("node").asc)
+          .limit(25)
+      },
+      Some(s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey % 5 = 0),
+          e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey),
+          ${Triangles.oracleSqlBody}
+        SELECT node, tri, deg, clustering FROM res
+        ORDER BY tri DESC, node LIMIT 25""")),
+
     QueryDef("q_funnel",
       // ordered event funnel (view -> click -> purchase, strictly
       // increasing timestamps): each stage is a frontier that only

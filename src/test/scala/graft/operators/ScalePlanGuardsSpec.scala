@@ -105,4 +105,10 @@ class ScalePlanGuardsSpec extends SparkSuite {
       PageRank.ranks(edges, "src", "dst", PageRank.Params(iterations = 2)),
       "pageRank")
   }
+
+  test("triangle counting: wedge + closure equi-joins only") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("u", "v")
+    assertNoQuadraticJoin(Triangles.perNode(edges, "u", "v"), "triangles")
+  }
 }

@@ -681,6 +681,46 @@ object RelationalQueries {
               > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
           FROM events)""")),
 
+    QueryDef("q_session_window",
+      // NATIVE session windows: the same gap-based sessions as
+      // q_sessionize, but as Spark's built-in session_window()
+      // aggregation — batch plans the dedicated UpdatingSessions
+      // merge (and the identical call is streaming-native with
+      // watermarked state, StreamingOpsSpec). Boundary semantics
+      // pinned empirically: events EXACTLY gap apart merge, strictly
+      // past the gap split; session end = last event + gap. The
+      // oracle replays that rule as the lag/cumsum island SQL at
+      // MICROS granularity (DuckDB's interval precision), per-session
+      // aggregates restricted to fold-order-safe count/min/max.
+      (s, dir) => {
+        val gapUs = 30L * 60 * 1000000L
+        t(s, dir, "events")
+          .select(col("user_id"),
+            timestamp_micros(expr("ts div 1000")).as("tsm"), col("value"))
+          .groupBy(col("user_id"),
+            session_window(col("tsm"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("value")).as("mn"), max(col("value")).as("mx"))
+          .select(col("user_id"),
+            unix_micros(col("sw.start")).as("session_start"),
+            unix_micros(col("sw.end")).as("session_end"),
+            col("n_events"), col("mn"), col("mx"))
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events),
+          m AS (SELECT user_id, tsu, value,
+              CASE WHEN lag(tsu) OVER w IS NULL
+                   OR tsu - lag(tsu) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS brk
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+          g AS (SELECT user_id, tsu, value,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY tsu
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM m)
+        SELECT user_id, CAST(min(tsu) AS BIGINT) AS session_start,
+          CAST(max(tsu) + 1800000000 AS BIGINT) AS session_end,
+          count(*) AS n_events, min(value) AS mn, max(value) AS mx
+        FROM g GROUP BY user_id, sid""")),
+
     // ---- time-bucketed aggregation over the event stream table ----
 
     QueryDef("q_array_agg",

@@ -203,13 +203,36 @@ object SimHash {
     */
   def pairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int,
             maxBucket: Option[Long] = None): DataFrame = {
+    val hashed = df.select(col(idCol), simhash(col(textCol)).as("sh"))
+    HammingBands.pairs64(hashed, idCol, "sh", maxHamming, maxBucket,
+      caller = "SimHash.pairs")
+  }
+}
+
+/** The 4x16-bit hamming-band LSH self-join over ANY 64-bit hash
+  * column — the candidate machinery shared by [[SimHash.pairs]]
+  * (text near-dup) and [[graft.operators.Multimodal]]'s perceptual
+  * aHash pairing (media near-dup): a pair within Hamming 3 of 64
+  * bits must agree exactly on at least one 16-bit band (pigeonhole),
+  * so candidates come from band equi-joins, never an all-pairs scan.
+  */
+object HammingBands {
+
+  /** Near-duplicate id pairs (a, b, hamming) with hamming <=
+    * `maxHamming`, from `hashed(idCol, hashCol: BIGINT)`.
+    * `maxBucket` is the loud per-bucket candidate cap (SCALE.md
+    * cliff #2), same contract as [[MinHashLSH.candidatePairs]].
+    */
+  def pairs64(hashed: DataFrame, idCol: String, hashCol: String,
+              maxHamming: Int, maxBucket: Option[Long] = None,
+              caller: String = "HammingBands.pairs64"): DataFrame = {
     // 4 bands of 16 bits are exhaustive only up to hamming 3 (a pair
     // differing in >= 4 bits can spread one flip into every band);
     // beyond that the band join silently loses recall, so refuse.
     require(maxHamming <= 3,
       s"4x16-bit band LSH is only exhaustive for maxHamming <= 3, got $maxHamming")
-    val hashed = df.select(col(idCol), simhash(col(textCol)).as("sh"))
-    val banded = hashed.select(col(idCol), col("sh"),
+    val banded = hashed.select(col(idCol), col(hashCol).as("sh"))
+      .select(col(idCol), col("sh"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("sh"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
@@ -225,7 +248,7 @@ object SimHash {
           .localCheckpoint(eager = false) // read by the count + the anti-join
         val nOver = oversized.count() // eager by design: truncation must be LOUD
         if (nOver > 0) System.err.println(
-          s"[graft] SimHash.pairs: dropping $nOver bucket(s) larger than " +
+          s"[graft] $caller: dropping $nOver bucket(s) larger than " +
             s"$cap ids — near-dup pairs inside them are NOT reported (recall loss)")
         banded.join(oversized, Seq("band", "key"), "left_anti")
     }

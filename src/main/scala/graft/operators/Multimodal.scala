@@ -88,6 +88,42 @@ object Multimodal {
       .withColumn("resized_bytes", octet_length(col("resized")).cast("long"))
   }
 
+  /** 64-bit perceptual difference hash ("dHash") of the payload: 65
+    * positional cells, bit c set when cell c's mean byte value exceeds
+    * cell c+1's — the gradient-sign image-dedup baseline applied to
+    * the opaque payload bytes (a real raster replaces the bytes, not
+    * the plan). Adjacent-cell comparison localizes in-place
+    * perturbations (watermarks, overlays, region edits) to the bits
+    * whose cells they touch. One codegen'd single-pass kernel per row
+    * ([[graft.expressions.DiffHash64]]); exact integer
+    * cross-multiplication, so hashes replay bit-identically in SQL.
+    */
+  def diffHash(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.expressions.DiffHash64(payload)
+
+  /** Perceptual near-duplicate pairs over a media table: dHash each
+    * payload (one projection, payload never shuffled), then the shared
+    * 4x16-bit hamming-band equi-join ([[HammingBands.pairs64]] — the
+    * same candidate machinery as SimHash text dedup, exhaustive to
+    * hamming 3). Payloads shorter than 65 bytes are excluded: with
+    * fewer bytes than cells the hash degrades toward a raw byte map
+    * and every short payload collides.
+    *
+    * @param maxBucket loud per-bucket candidate cap (SCALE.md cliff
+    *   #2): mega-clusters of identical-hash media (solid-color
+    *   thumbnails, tracking pixels) otherwise go quadratic in the
+    *   band self-join.
+    */
+  def phashPairs(media: DataFrame, idCol: String, payloadCol: String,
+                 maxHamming: Int = 3,
+                 maxBucket: Option[Long] = None): DataFrame = {
+    val hashed = media
+      .where(octet_length(col(payloadCol)) >= 65)
+      .select(col(idCol), diffHash(col(payloadCol)).as("ph"))
+    HammingBands.pairs64(hashed, idCol, "ph", maxHamming, maxBucket,
+      caller = "Multimodal.phashPairs")
+  }
+
   /** Partition-batched feature extraction over the media table. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._

@@ -1886,6 +1886,66 @@ object PipelineQueries {
           crc AS checksum
         FROM c""")),
 
+    QueryDef("mm_phash_pairs",
+      // perceptual near-dup detection on opaque media payloads: the
+      // image-dedup shape exact hashing misses. Fixture plants the
+      // canonical case — every 10th document re-issued with a
+      // same-length in-place overlay (the watermark/timestamp-stamp
+      // scenario) — and the codegen'd dHash (adjacent-cell gradient
+      // signs, graft.expressions.DiffHash64) localizes the edit to
+      // the touched cells, so planted pairs land within hamming 3
+      // while unrelated docs rarely even share a band (measured: 41
+      // band candidates corpus-wide at sf0.01, 26 close pairs).
+      // Candidates come from the shared 4x16-bit hamming-band
+      // equi-join (HammingBands.pairs64 — same machinery as SimHash
+      // text dedup), never an all-pairs scan. The oracle replays the
+      // whole construction — per-byte cell sums, cross-multiplied
+      // gradient bits (HUGEINT shifts for the unsigned-64 emulation),
+      // banding, hamming — on DuckDB's view of the ASCII payloads
+      (s, dir) => {
+        val src = t(s, dir, "documents").where(length(col("text")) >= 256)
+          .select(col("doc_id"), col("text"))
+        val overlaid = src.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(substring(col("text"), 1, 100), lit("WATERMARK-OVERLAY!"),
+              expr("substring(text, 119)")).as("text"))
+        Multimodal.phashPairs(
+          Multimodal.asMediaTable(src.unionByName(overlaid)),
+          "doc_id", "payload")
+      },
+      Some("""WITH src AS (SELECT doc_id, text FROM documents
+            WHERE length(text) >= 256),
+          media AS (SELECT doc_id, text FROM src
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id,
+              substr(text, 1, 100) || 'WATERMARK-OVERLAY!' ||
+                substr(text, 119) AS text
+            FROM src WHERE doc_id % 10 = 0),
+          d AS (SELECT doc_id, text, length(text) AS len FROM media),
+          u AS (SELECT doc_id, len,
+              unnest(list_transform(range(1, len + 1),
+                i -> CAST(ascii(text[i]) AS BIGINT))) AS b,
+              unnest(range(0, len)) AS i FROM d),
+          cs AS (SELECT doc_id, (i * 65) // len AS cell,
+              sum(b) AS s, count(*) AS n
+            FROM u GROUP BY 1, 2),
+          ph AS (SELECT lo.doc_id AS doc_id,
+              sum(CASE WHEN lo.s * hi.n > hi.s * lo.n
+                THEN CAST(1 AS HUGEINT) << lo.cell ELSE 0 END) AS hu
+            FROM cs lo JOIN cs hi
+              ON hi.doc_id = lo.doc_id AND hi.cell = lo.cell + 1
+            GROUP BY 1),
+          bands AS (SELECT doc_id, hu, unnest([0, 1, 2, 3]) AS band,
+              unnest([(hu >> 0) & 65535, (hu >> 16) & 65535,
+                      (hu >> 32) & 65535, (hu >> 48) & 65535]) AS key
+            FROM ph),
+          cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+              l.hu AS ha, r.hu AS hb
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+        SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 3""")),
+
     QueryDef("sample_bottomk",
       // exactly-k deterministic sample (eval-set selection): the 200
       // docs whose id hashes smallest. Plans as TakeOrderedAndProject

@@ -225,6 +225,23 @@ case class ByteStrideExpr(child: Expression, stride: Int)
     copy(child = newChild)
 }
 
+/** bigint 64-bit difference hash (perceptual dHash) of a binary
+  * payload — 65 positional cells, bit c set when cell c's mean byte
+  * value exceeds cell c+1's by exact integer cross-multiplication.
+  */
+case class DiffHash64Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "diff_hash64"
+  override def nullSafeEval(b: Any): Any =
+    graft.expressions.MediaKernels.diffHash64(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.MediaKernels.diffHash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): DiffHash64Expr =
+    copy(child = newChild)
+}
+
 /** Registers graft's expressions as session-scoped SQL functions, so
   * `spark.sql("SELECT simhash64(text) ...")` works — the engine's
   * SQL-facing function surface. Idempotent.
@@ -249,6 +266,7 @@ object GraftFunctionRegistry {
     "text_fingerprint" -> (es => TextFingerprintExpr(es(0))),
     "simhash64" -> (es => SimHash64Expr(es(0))),
     "byte_stride" -> (es => ByteStrideExpr(es(0), intArg(es(1), "byte_stride", 2))),
+    "diff_hash64" -> (es => DiffHash64Expr(es(0))),
     "token_count" -> (es => TokenCountExpr(es(0), es(1))),
     "interleave_bits" -> (es => InterleaveBitsExpr(es(0), es(1))),
     "topn_agg" -> (es =>
@@ -299,6 +317,8 @@ object GraftExpressions {
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(c)))
   def byteStride(c: Column, stride: Int): Column =
     ExpressionUtils.column(ByteStrideExpr(ExpressionUtils.expression(c), stride))
+  def diffHash64(c: Column): Column =
+    ExpressionUtils.column(DiffHash64Expr(ExpressionUtils.expression(c)))
   def tokenCount(text: Column, term: Column): Column =
     ExpressionUtils.column(TokenCountExpr(
       ExpressionUtils.expression(text), ExpressionUtils.expression(term)))

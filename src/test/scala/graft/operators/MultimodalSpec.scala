@@ -41,4 +41,50 @@ class MultimodalSpec extends SparkSuite {
     val (w, h, crc) = Multimodal.decodeStub("hello".getBytes("UTF-8"))
     assert(feats(1L) == ((5L, w, h, crc)))
   }
+
+  test("dHash: identical payloads collide at hamming 0; kernel matches column") {
+    val text = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val pairs = Multimodal.phashPairs(Multimodal.asMediaTable(docs),
+      "doc_id", "payload").collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L &&
+      pairs.head.getLong(2) == 0L)
+    // column kernel == plain-JVM kernel on the same bytes
+    val viaCol = Multimodal.asMediaTable(docs.limit(1))
+      .select(Multimodal.diffHash(col("payload"))).collect().head.getLong(0)
+    assert(viaCol ==
+      graft.expressions.MediaKernels.diffHash64(text.getBytes("UTF-8")))
+  }
+
+  test("dHash: a same-length in-place overlay stays within hamming 3") {
+    val rnd = new scala.util.Random(11)
+    val base = (1 to 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val overlaid = base.substring(0, 150) + "WATERMARK!" + base.substring(160)
+    assert(overlaid.length == base.length)
+    val docs = Seq((1L, base), (2L, overlaid)).toDF("doc_id", "text")
+    val pairs = Multimodal.phashPairs(Multimodal.asMediaTable(docs),
+      "doc_id", "payload").collect()
+    assert(pairs.length == 1, "overlay pair must be detected")
+    assert(pairs.head.getLong(2) <= 3L)
+  }
+
+  test("dHash: payloads shorter than the cell count are excluded") {
+    val docs = Seq((1L, "short"), (2L, "short")).toDF("doc_id", "text")
+    val pairs = Multimodal.phashPairs(Multimodal.asMediaTable(docs),
+      "doc_id", "payload").collect()
+    assert(pairs.isEmpty)
+  }
+
+  test("dHash oversized-bucket cap drops the flooded bucket loudly") {
+    // 40 identical payloads -> one bucket of 40; cap 10 drops them all
+    val text = ("lorem ipsum dolor sit amet consectetur adipiscing elit " * 4).trim
+    val docs = (1L to 40L).map(i => (i, text)).toDF("doc_id", "text")
+    val capped = Multimodal.phashPairs(Multimodal.asMediaTable(docs),
+      "doc_id", "payload", maxBucket = Some(10L)).collect()
+    assert(capped.isEmpty)
+    val uncapped = Multimodal.phashPairs(Multimodal.asMediaTable(docs),
+      "doc_id", "payload").collect()
+    assert(uncapped.length == 40 * 39 / 2)
+  }
 }

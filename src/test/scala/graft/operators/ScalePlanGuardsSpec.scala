@@ -106,6 +106,12 @@ class ScalePlanGuardsSpec extends SparkSuite {
       "pageRank")
   }
 
+  test("perceptual dHash pairs: 16-bit band equi-join only") {
+    assertNoQuadraticJoin(
+      Multimodal.phashPairs(Multimodal.asMediaTable(docs), "doc_id", "payload"),
+      "phashPairs")
+  }
+
   test("triangle counting: wedge + closure equi-joins only") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("u", "v")

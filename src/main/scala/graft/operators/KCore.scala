@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition by fixed-round peeling — the graph-curation
+  * primitive between degree filtering (one round) and full community
+  * detection: the k-core is the maximal subgraph where every node
+  * keeps >= k neighbors INSIDE the subgraph (Seidman 1983, "Network
+  * structure and minimum degree"), the standard dense-region /
+  * spam-farm / boilerplate-hub extractor on link graphs.
+  *
+  * Peeling (repeatedly delete nodes of degree < k) is run for a FIXED
+  * number of rounds rather than to a convergence test — the same
+  * operational choice as [[PageRank]]: predictable cost, retry-stable
+  * output, and an oracle that can unroll the identical rounds as SQL
+  * CTEs. Peeling is monotone (each round only removes), so once the
+  * cascade settles every further round is a no-op and the fixed-round
+  * result EQUALS the true k-core; if the budget stops mid-cascade the
+  * result is still the deterministic R-round peel on any engine and
+  * any partitioning (set semantics — no arithmetic at all). Size the
+  * budget with [[converged]] where the extra pass is affordable.
+  *
+  * Scale shape per round: one degree aggregation (partial-agg'd
+  * (node, count) pairs — map-side combined) and two semi-joins of the
+  * edge list against the survivor set, all hash-partitioned
+  * equi-joins; lineage cut per round via localCheckpoint (swap to
+  * `checkpoint` on a reliable store for multi-hour jobs). Edges and
+  * survivors only shrink, so per-round cost is non-increasing —
+  * unlike iterative rank propagation, the working set peels away.
+  */
+object KCore {
+
+  /** Nodes of the k-core of the undirected graph `edges(uCol, vCol)`
+    * (parallel edges / self-loops dropped) after `rounds` peeling
+    * rounds. Output: (node, core_deg BIGINT) — the node's degree
+    * within the surviving subgraph, core_deg >= k.
+    */
+  def core(edges: DataFrame, uCol: String, vCol: String,
+           k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges
+      .select(least(col(uCol), col(vCol)).as("u"),
+        greatest(col(uCol), col(vCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).where(col("d") >= k).select("node")
+        .localCheckpoint(eager = false) // read by both semi-joins
+      e = e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(eager = false) // cut lineage per round
+    }
+    degrees(e).where(col("d") >= k)
+      .select(col("node"), col("d").cast("long").as("core_deg"))
+  }
+
+  /** True when one more peeling round would remove nothing — i.e. the
+    * R-round result already IS the k-core. One extra degree+filter
+    * pass; driver-side state is a single count.
+    */
+  def converged(edges: DataFrame, uCol: String, vCol: String,
+                k: Int, rounds: Int): Boolean = {
+    val c = core(edges, uCol, vCol, k, rounds)
+    val cNext = core(edges, uCol, vCol, k, rounds + 1)
+    cNext.count() == c.count()
+  }
+
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+
+  /** The identical fixed-round peel as unrolled DuckDB CTEs over an
+    * edge CTE named `e0` with columns (u, v) — canonical u < v,
+    * distinct, loop-free; callers prepend `WITH e0 AS (...)` and
+    * append a final SELECT over `dfin` (node, d). Kept beside the
+    * operator so the two constructions evolve together.
+    *
+    * Every per-round CTE is `AS MATERIALIZED`: each round references
+    * the previous one three times (degrees + both survivor joins), so
+    * letting the optimizer inline the chain re-expands the base scan
+    * ~3^rounds times — at 8 rounds that exhausts file handles before
+    * it exhausts patience. Materialization is exactly the operator's
+    * localCheckpoint, mirrored on the oracle side.
+    */
+  def oracleSqlBody(k: Int, rounds: Int): String = {
+    val rs = (0 until rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT node, count(*) AS d FROM
+          (SELECT u AS node FROM e$r UNION ALL SELECT v FROM e$r) x$r
+          GROUP BY 1),
+        k$r AS MATERIALIZED (SELECT node FROM d$r WHERE d >= $k),
+        e${r + 1} AS MATERIALIZED (SELECT e$r.u AS u, e$r.v AS v FROM e$r
+          JOIN k$r ka ON ka.node = e$r.u
+          JOIN k$r kb ON kb.node = e$r.v)"""
+    }.mkString(",\n      ")
+    s"""$rs,
+      dfin AS (SELECT node, d FROM (
+          SELECT node, count(*) AS d FROM
+            (SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds) xf
+          GROUP BY 1)
+        WHERE d >= $k)"""
+  }
+}

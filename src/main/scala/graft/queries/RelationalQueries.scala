@@ -999,6 +999,32 @@ object RelationalQueries {
         SELECT node, tri, deg, clustering FROM res
         ORDER BY tri DESC, node LIMIT 25""")),
 
+    QueryDef("graph_kcore",
+      // k-core extraction (Seidman 1983) over the same co-purchase
+      // graph: the maximal subgraph where every part keeps >= 15
+      // co-purchase partners INSIDE the subgraph — 8 fixed peeling
+      // rounds (the cascade settles in ~5 at both SFs: 400 nodes ->
+      // 354 @ sf0.01, 4000 -> 3592 @ sf0.1), pure set semantics so
+      // any engine replays it exactly; the oracle unrolls the
+      // identical rounds as CTEs (KCore.oracleSqlBody)
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey")
+          .where(col("l_partkey") % 5 === 0)
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        KCore.core(e, "u", "v", k = 15, rounds = 8)
+      },
+      Some(s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey % 5 = 0),
+          e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey),
+          ${KCore.oracleSqlBody(k = 15, rounds = 8)}
+        SELECT node, CAST(d AS BIGINT) AS core_deg FROM dfin""")),
+
     QueryDef("q_funnel",
       // ordered event funnel (view -> click -> purchase, strictly
       // increasing timestamps): each stage is a frontier that only

@@ -117,4 +117,10 @@ class ScalePlanGuardsSpec extends SparkSuite {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("u", "v")
     assertNoQuadraticJoin(Triangles.perNode(edges, "u", "v"), "triangles")
   }
+
+  test("k-core peel: degree agg + semi-join rounds only") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("u", "v")
+    assertNoQuadraticJoin(KCore.core(edges, "u", "v", k = 2, rounds = 2), "kcore")
+  }
 }

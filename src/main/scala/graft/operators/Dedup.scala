@@ -114,16 +114,7 @@ object MinHashLSH {
     */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String, p: Params = Params(),
                      maxBucket: Option[Long] = None): DataFrame = {
-    val sig = signatures(df, idCol, textCol, p)
-    val bandStructs = (0 until p.bands).map { b =>
-      val rowCols = (0 until p.rowsPerBand)
-        .map(r => element_at(col("sig"), b * p.rowsPerBand + r + 1))
-      struct(lit(b).as("band"),
-        struct(rowCols.zipWithIndex.map { case (c, i) => c.as(s"r$i") }: _*).as("key"))
-    }
-    val banded = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-      .localCheckpoint(eager = false) // read by both sides of the self-join
+    val banded = bandKeys(signatures(df, idCol, textCol, p), idCol, p)
     val capped = maxBucket match {
       case None => banded
       case Some(cap) =>
@@ -142,6 +133,25 @@ object MinHashLSH {
           col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
       .distinct()
+  }
+
+  /** Exploded (id, band, key) rows from a signature frame — the raw
+    * rowsPerBand-tuple band keys described on [[candidatePairs]],
+    * shared by the self-join there and the batch-vs-index join in
+    * [[IncrementalDedup]]. localCheckpoint'd: every caller reads the
+    * banding at least twice.
+    */
+  private[operators] def bandKeys(sig: DataFrame, idCol: String,
+                                  p: Params): DataFrame = {
+    val bandStructs = (0 until p.bands).map { b =>
+      val rowCols = (0 until p.rowsPerBand)
+        .map(r => element_at(col("sig"), b * p.rowsPerBand + r + 1))
+      struct(lit(b).as("band"),
+        struct(rowCols.zipWithIndex.map { case (c, i) => c.as(s"r$i") }: _*).as("key"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+      .localCheckpoint(eager = false)
   }
 
   /** Candidates verified with exact Jaccard over distinct shingle-hash

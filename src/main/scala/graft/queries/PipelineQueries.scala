@@ -622,6 +622,61 @@ object PipelineQueries {
           row_number() OVER (ORDER BY CAST(inter AS DOUBLE) / uni DESC, a, b) AS rn
         FROM ver) WHERE rn <= 20"""
 
+  /** Oracle for dedup_incremental: replays the fingerprint-index
+    * admission decision — signatures + raw-tuple banding exactly as
+    * [[minhashVerCtes]], split into corpus/batch by the
+    * multiplicative-hash gate, candidates from the batch-vs-corpus
+    * band join, near-dup when >= `minAgree` of the signature
+    * components agree (the incremental Jaccard estimate — the index
+    * keeps no text), exact-dup by content equality (the operator's
+    * xxhash64 membership, collision-free at fixture scale).
+    */
+  private def incrementalDedupOracle(oldPct: Int, minAgree: Int): String = {
+    val p = MinHashLSH.Params()
+    val perms = graft.expressions.TextHashing.minhashPerms(p.seed, p.numHashes)
+    val shingleExpr = {
+      val folded = (0 until p.shingleSize).foldLeft(FnvInit) { (acc, k) =>
+        val idx = if (k == 0) "j" else s"j + $k"
+        fnvStep(s"xor($acc, th[$idx])")
+      }
+      s"(($folded % 2147483647) + 2147483647) % 2147483647"
+    }
+    val minDefs = (0 until p.numHashes).map { i =>
+      s"list_aggregate(list_transform(sh, x -> (${perms(2 * i)} * x + ${perms(2 * i + 1)}) % 2147483647), 'min') AS m$i"
+    }.mkString(", ")
+    val bandLists = (0 until p.bands).map { b =>
+      (0 until p.rowsPerBand).map(r => s"m${b * p.rowsPerBand + r}").mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]")
+    val agreeSum = (0 until p.numHashes)
+      .map(i => s"CASE WHEN l.m$i = r.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    def isOld(ref: String) =
+      s"(((($ref) % 1000003) * 2654435761) % 100 < $oldPct)"
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= ${p.shingleSize}),
+      tt AS (SELECT doc_id, list_transform(toks, w -> ${fnvSql("w")}) AS th FROM d),
+      sgl AS (SELECT doc_id,
+          list_transform(range(1, len(th) - ${p.shingleSize - 2}), j -> $shingleExpr) AS sh
+        FROM tt),
+      sg AS MATERIALIZED (SELECT doc_id, $minDefs FROM sgl),
+      bk AS (SELECT doc_id, unnest(range(0, ${p.bands})) AS band,
+             unnest($bandLists) AS key FROM sg),
+      cand AS (SELECT DISTINCT l.doc_id AS bid, r.doc_id AS oid
+        FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+        WHERE NOT ${isOld("l.doc_id")} AND ${isOld("r.doc_id")}),
+      near AS (SELECT DISTINCT cand.bid FROM cand
+        JOIN sg l ON l.doc_id = cand.bid
+        JOIN sg r ON r.doc_id = cand.oid
+        WHERE $agreeSum >= $minAgree),
+      exa AS (SELECT DISTINCT b.doc_id AS bid FROM documents b
+        JOIN documents o ON o.text = b.text
+        WHERE NOT ${isOld("b.doc_id")} AND ${isOld("o.doc_id")})
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE NOT ${isOld("doc_id")}
+      AND doc_id NOT IN (SELECT bid FROM near)
+      AND doc_id NOT IN (SELECT bid FROM exa)"""
+  }
+
   /** MinHash edges (jaccard >= 0.8) closed into connected components
     * via a recursive CTE — `comp(node, cluster)`. Shared by the
     * dedup_clusters and dedup_keep_best oracles.
@@ -2010,6 +2065,29 @@ object PipelineQueries {
           rr AS (SELECT *, row_number() OVER (
               ORDER BY pmi_ratio DESC, w1, w2) AS rn FROM r)
         SELECT w1, w2, c12, c1, c2, pmi_ratio FROM rr WHERE rn <= 30""")),
+
+    QueryDef("dedup_incremental",
+      // INCREMENTAL ingest against a fingerprint index: the corpus
+      // (60% hash split) is represented only by (content hash,
+      // MinHash signature) rows — no text retained — and the batch
+      // (the other 40%) is admitted unless it exact-matches an
+      // indexed hash or collides on an LSH band with >= 45/64
+      // signature components agreeing (the incremental Jaccard
+      // estimate, Broder 1997). The daily-corpus-growth shape:
+      // admitting N new docs touches the index, never the old text.
+      // Oracle replays signatures, banding, the band join and the
+      // integer agreement count (incrementalDedupOracle)
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val isOld =
+          pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100)) < 60
+        val idx = IncrementalDedup.fitIndex(
+          docs.where(isOld), "doc_id", "text")
+        IncrementalDedup.filterNew(docs.where(!isOld), "doc_id", "text",
+            idx, minAgree = 45)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+      },
+      Some(incrementalDedupOracle(oldPct = 60, minAgree = 45))),
 
     QueryDef("dedup_ngram_decontam",
       // GPT-3-style exact n-gram decontamination (Brown 2020 appx C;

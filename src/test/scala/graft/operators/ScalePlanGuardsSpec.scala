@@ -118,6 +118,15 @@ class ScalePlanGuardsSpec extends SparkSuite {
     assertNoQuadraticJoin(Triangles.perNode(edges, "u", "v"), "triangles")
   }
 
+  test("incremental dedup admission: hash semi-join + band equi-join only") {
+    val idx = IncrementalDedup.fitIndex(docs.where(col("doc_id") < 100),
+      "doc_id", "text")
+    assertNoQuadraticJoin(
+      IncrementalDedup.filterNew(docs.where(col("doc_id") >= 100),
+        "doc_id", "text", idx, minAgree = 45),
+      "incremental dedup")
+  }
+
   test("k-core peel: degree agg + semi-join rounds only") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("u", "v")

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation — the admission gate a corpus
+  * or warehouse load runs before anything downstream trusts the data
+  * (the capability popularized by constraint-suite libraries such as
+  * AWS Deequ; re-derived here as plain aggregates). Each rule
+  * evaluates to ONE row (rule, checked BIGINT, violations BIGINT);
+  * a suite is the union of its rules, so the whole contract is one
+  * small DataFrame a scheduler can assert on.
+  *
+  * Scale shape: a predicate rule is a scan-level aggregate (count +
+  * conditional sum, map-side partial, no shuffle beyond the one-row
+  * final); a uniqueness rule is a hash aggregate on the key; a
+  * referential rule is an anti-join the optimizer broadcasts when
+  * the parent side is small. Rules never materialize violating rows
+  * — they count them; pair with a filter on the same predicate to
+  * extract offenders.
+  */
+object DataQuality {
+
+  /** Rows where `violation` is true, as (rule, checked, violations). */
+  def predicateRule(df: DataFrame, rule: String, violation: Column): DataFrame =
+    df.agg(
+      count(lit(1)).as("checked"),
+      coalesce(sum(when(violation, 1L).otherwise(0L)), lit(0L)).as("violations")
+    ).select(lit(rule).as("rule"), col("checked"), col("violations"))
+
+  /** Key uniqueness: violations = rows beyond the first per key. */
+  def uniqueRule(df: DataFrame, rule: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(
+        coalesce(sum(col("n")), lit(0L)).as("checked"),
+        coalesce(sum(col("n") - 1L), lit(0L)).as("violations"))
+      .select(lit(rule).as("rule"), col("checked"), col("violations"))
+
+  /** Referential integrity: child keys with no matching parent key.
+    * NULL child keys are counted as violations (an unknown parent is
+    * not a valid reference); use a completeness rule to distinguish.
+    */
+  def referenceRule(child: DataFrame, childKey: String,
+                    parent: DataFrame, parentKey: String,
+                    rule: String): DataFrame = {
+    val total = child.agg(count(lit(1)).as("checked"))
+    val orphans = child
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    total.crossJoin(orphans)
+      .select(lit(rule).as("rule"), col("checked"), col("violations"))
+  }
+
+  /** A suite is the union of its rules — run together, read as one. */
+  def suite(rules: Seq[DataFrame]): DataFrame =
+    rules.reduce(_ unionByName _)
+}

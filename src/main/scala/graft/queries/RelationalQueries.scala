@@ -721,6 +721,102 @@ object RelationalQueries {
           count(*) AS n_events, min(value) AS mn, max(value) AS mx
         FROM g GROUP BY user_id, sid""")),
 
+    QueryDef("q_snapshot_diff",
+      // snapshot differencing (CDC without a changelog): yesterday's
+      // orders vs today's — planted inside the query as a removal
+      // stripe (keys % 97), an in-place price change (% 101) and an
+      // added stripe (% 103, re-keyed) — emitting exactly the
+      // added/removed/changed keys. The full-outer join carries
+      // (key, 8-byte row fingerprint) per side, never the payload;
+      // the oracle replays the plant and compares column VALUES
+      // (hash equality == value equality absent 2^-64 collisions,
+      // the dedup_exact convention)
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val newSnap = o.where(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1)
+              .otherwise(col("o_totalprice")))
+          .unionByName(o.where(col("o_orderkey") % 103 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+        SnapshotDiff.diff(o, newSnap, Seq("o_orderkey"))
+      },
+      Some("""WITH newt AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+            CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1
+                 ELSE o_totalprice END AS o_totalprice,
+            o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 97 <> 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+            o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 103 = 0),
+        j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+            CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                 WHEN n.o_orderkey IS NULL THEN 'removed'
+                 WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                   OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                   OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                 THEN 'changed'
+            END AS change
+          FROM orders o FULL OUTER JOIN newt n
+            ON n.o_orderkey = o.o_orderkey)
+        SELECT o_orderkey, change FROM j WHERE change IS NOT NULL""")),
+
+    QueryDef("q_data_quality",
+      // declarative data-quality gate (the Deequ-shaped admission
+      // contract): six rules — key uniqueness, referential integrity
+      // (anti-join, broadcast when the parent is small), value-range,
+      // review-threshold, sign, and a cross-field consistency check —
+      // each one (rule, checked, violations) row, the whole contract
+      // one 6-row frame a scheduler asserts on. Rules count
+      // violations at the scan (map-side partial aggs), never
+      // materialize offenders
+      (s, dir) => DataQuality.suite(Seq(
+        DataQuality.uniqueRule(t(s, dir, "orders"),
+          "orders_key_unique", Seq("o_orderkey")),
+        DataQuality.referenceRule(t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey", "orders_custkey_ri"),
+        DataQuality.predicateRule(t(s, dir, "lineitem"),
+          "lineitem_qty_range",
+          col("l_quantity") < 1 || col("l_quantity") > 50),
+        DataQuality.predicateRule(t(s, dir, "lineitem"),
+          "lineitem_qty_review", col("l_quantity") > 45),
+        DataQuality.predicateRule(t(s, dir, "customer"),
+          "customer_acctbal_negative", col("c_acctbal") < 0),
+        DataQuality.predicateRule(t(s, dir, "documents"),
+          "documents_nchars_consistent",
+          col("n_chars") =!= length(col("text"))))),
+      Some("""SELECT 'orders_key_unique' AS rule,
+          CAST(sum(n) AS BIGINT) AS checked,
+          CAST(sum(n - 1) AS BIGINT) AS violations
+        FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey) u
+        UNION ALL
+        SELECT 'orders_custkey_ri',
+          (SELECT count(*) FROM orders),
+          (SELECT count(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'lineitem_qty_range', count(*),
+          CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+            THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_qty_review', count(*),
+          CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'customer_acctbal_negative', count(*),
+          CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM customer
+        UNION ALL
+        SELECT 'documents_nchars_consistent', count(*),
+          CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+            AS BIGINT)
+        FROM documents""")),
+
     // ---- time-bucketed aggregation over the event stream table ----
 
     QueryDef("q_array_agg",

@@ -90,6 +90,37 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("__graft_sh")
       .drop("__graft_sh")
 
+  /** Streaming admission against a GROWING fingerprint index — the
+    * continuous form of [[graft.operators.IncrementalDedup]]'s
+    * daily-ingest loop: each micro-batch is filtered against the
+    * index (exact hash + near-dup signature agreement), the
+    * survivors are handed to `onBatch`, and the survivors'
+    * fingerprints join the index BEFORE the next batch. Unlike
+    * [[streamingDedup]]'s watermark-horizon state, the index is
+    * intentionally unbounded-by-time (a corpus remembers forever) and
+    * bounded per doc (~0.5 KB of fingerprint, never text); persist it
+    * with IncrementalDedup.save at shutdown to resume the loop.
+    * Within-batch duplicates are NOT resolved here (run the one-shot
+    * batch dedup inside `onBatch` if batches can self-collide).
+    */
+  def streamingIncrementalDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      initialIndex: DataFrame, minAgree: Int,
+      p: graft.operators.MinHashLSH.Params = graft.operators.MinHashLSH.Params())(
+      onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    var index = initialIndex.localCheckpoint(eager = true)
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val survivors = graft.operators.IncrementalDedup
+          .filterNew(batch, idCol, textCol, index, minAgree, p)
+          .localCheckpoint(eager = true) // materialize before the index grows
+        index = graft.operators.IncrementalDedup.appended(index,
+            graft.operators.IncrementalDedup.fitIndex(survivors, idCol, textCol, p))
+          .localCheckpoint(eager = true) // cut lineage: index lives across batches
+        onBatch(survivors, batchId)
+      }
+  }
+
   /** Continuous top-K per key across the whole stream: a bounded
     * top-K list kept in `GroupState` — the streaming generalization of
     * the reference's `MinMaxPriorityQueue` with `maximumSize(topSize)`

@@ -502,4 +502,39 @@ class StreamingOpsSpec extends SparkSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("streamingIncrementalDedup: the index grows, re-sends and near-copies bounce") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.IncrementalDedup
+    def doc(seed: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      (1 to 60).map(_ => s"w${rnd.nextInt(500)}").mkString(" ")
+    }
+    val initial = IncrementalDedup.fitIndex(
+      Seq((1L, doc(1))).toDF("doc_id", "text"), "doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val admitted = mutable.Map[Long, Set[Long]]()
+    val query = StreamingOps.streamingIncrementalDedup(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        initial, minAgree = 45) { (survivors, batchId) =>
+      admitted.synchronized {
+        admitted(batchId) = survivors.collect().map(_.getLong(0)).toSet
+      }
+    }.start()
+    try {
+      // batch 0: fresh doc 10 admitted; doc 11 = exact copy of the
+      // pre-indexed doc 1 -> bounced
+      ms.addData((10L, doc(10)), (11L, doc(1)))
+      query.processAllAvailable()
+      // batch 1: exact re-send of 10 (admitted LAST batch -> index
+      // must have grown) and a near-copy of it -> both bounced;
+      // fresh doc 12 admitted
+      val near10 = doc(10).split(" ").zipWithIndex
+        .map { case (w, i) => if (i % 40 == 3) "CHANGED" else w }.mkString(" ")
+      ms.addData((20L, doc(10)), (21L, near10), (12L, doc(12)))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(admitted(0L) == Set(10L), s"batch 0: ${admitted.toMap}")
+    assert(admitted(1L) == Set(12L), s"batch 1: ${admitted.toMap}")
+  }
 }

@@ -721,6 +721,34 @@ object RelationalQueries {
           count(*) AS n_events, min(value) AS mn, max(value) AS mx
         FROM g GROUP BY user_id, sid""")),
 
+    QueryDef("graph_communities",
+      // label-propagation communities (Raghavan 2007) over the
+      // REPEATED co-purchase graph (part pairs sharing >= 2 distinct
+      // orders — the support filter keeps signal edges and fragments
+      // the one-blob co-occurrence graph into real neighborhoods):
+      // 5 synchronous votes, most-frequent-neighbor-label with
+      // min-label tiebreak — pure integer/set arithmetic the oracle
+      // unrolls round by round (LabelPropagation.oracleSqlBody)
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .agg(countDistinct(col("a.l_orderkey")).as("s"))
+          .where(col("s") >= 2).select("u", "v")
+        LabelPropagation.communities(e, "u", "v", rounds = 5)
+      },
+      Some(s"""WITH pr AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+              count(DISTINCT a.l_orderkey) AS s
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2),
+          e AS (SELECT u, v FROM pr WHERE s >= 2),
+          ${LabelPropagation.oracleSqlBody(rounds = 5)}
+        SELECT node, lab AS community FROM lb5""")),
+
     QueryDef("q_snapshot_diff",
       // snapshot differencing (CDC without a changelog): yesterday's
       // orders vs today's — planted inside the query as a removal

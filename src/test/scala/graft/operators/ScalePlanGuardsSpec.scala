@@ -132,4 +132,11 @@ class ScalePlanGuardsSpec extends SparkSuite {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("u", "v")
     assertNoQuadraticJoin(KCore.core(edges, "u", "v", k = 2, rounds = 2), "kcore")
   }
+
+  test("label propagation: adjacency-label equi-join rounds only") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("u", "v")
+    assertNoQuadraticJoin(
+      LabelPropagation.communities(edges, "u", "v", rounds = 2), "lpa")
+  }
 }

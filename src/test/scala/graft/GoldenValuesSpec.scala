@@ -145,4 +145,67 @@ class GoldenValuesSpec extends SparkSuite {
       .where(col("event_type") === "purchase").count())
     assert(withPrior > 0 && withPrior <= total)
   }
+
+  test("triangle counts at sf0.001: top-3 co-purchase hubs are pinned") {
+    val rows = SparkEntry.queries("graph_triangles")(spark, dir)
+      .limit(3).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("tri"), r.getAs[Long]("deg")))
+    assert(rows.toSeq == Seq((85L, 156L, 27L), (105L, 150L, 26L), (155L, 138L, 24L)),
+      s"triangle structure drifted: ${rows.toSeq}")
+  }
+
+  test("15-core at sf0.001 is empty; communities collapse to one blob") {
+    // at this SF the co-purchase graph is below the k=15 cascade
+    // threshold (the cascade peels everything) and the support>=2
+    // graph is one dense blob — both DETERMINISTIC structural facts
+    // of the fixture; nonzero counts at sf0.01/0.1 are oracle-gated
+    assert(SparkEntry.queries("graph_kcore")(spark, dir).count() == 0L)
+    val comm = SparkEntry.queries("graph_communities")(spark, dir)
+      .agg(count(lit(1)), countDistinct(col("community"))).head()
+    assert((comm.getLong(0), comm.getLong(1)) == ((200L, 1L)),
+      s"community structure drifted: $comm")
+  }
+
+  test("perceptual dHash pairs at sf0.001 are pinned (32 pairs, hamming sum 57)") {
+    val agg = SparkEntry.queries("mm_phash_pairs")(spark, dir)
+      .agg(count(lit(1)), sum(col("hamming"))).head()
+    assert((agg.getLong(0), agg.getLong(1)) == ((32L, 57L)),
+      s"dHash pairing drifted: $agg")
+  }
+
+  test("incremental dedup admission at sf0.001 is pinned (188 survivors)") {
+    val agg = SparkEntry.queries("dedup_incremental")(spark, dir)
+      .agg(count(lit(1)), sum(col("doc_id"))).head()
+    assert((agg.getLong(0), agg.getLong(1)) == ((188L, 47088L)),
+      s"admission decision drifted: $agg")
+  }
+
+  test("session windows at sf0.001: 946 sessions over 1000 events") {
+    val agg = SparkEntry.queries("q_session_window")(spark, dir)
+      .agg(count(lit(1)), sum(col("n_events"))).head()
+    assert((agg.getLong(0), agg.getLong(1)) == ((946L, 1000L)),
+      s"session merge drifted: $agg")
+  }
+
+  test("snapshot diff stripes at sf0.001 are pinned (15/14/16)") {
+    val byType = SparkEntry.queries("q_snapshot_diff")(spark, dir)
+      .groupBy("change").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(byType == Map("added" -> 15L, "changed" -> 14L, "removed" -> 16L),
+      s"diff classification drifted: $byType")
+  }
+
+  test("data-quality contract at sf0.001 is pinned rule by rule") {
+    val rows = SparkEntry.queries("q_data_quality")(spark, dir)
+      .orderBy("rule").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("checked"), r.getAs[Long]("violations")))
+    assert(rows.toSeq == Seq(
+      ("customer_acctbal_negative", 150L, 11L),
+      ("documents_nchars_consistent", 500L, 0L),
+      ("lineitem_qty_range", 6000L, 0L),
+      ("lineitem_qty_review", 6000L, 590L),
+      ("orders_custkey_ri", 1500L, 0L),
+      ("orders_key_unique", 1500L, 0L)),
+      s"quality contract drifted: ${rows.toSeq}")
+  }
 }

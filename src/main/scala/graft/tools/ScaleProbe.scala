@@ -138,6 +138,49 @@ object ScaleProbe {
             tau = 0.45, twoLevel = true)
           time { SemDedup.survivors(emb, p = p).count() }
         },
+        "triangle counting (co-purchase, disjoint copies)" -> {
+          // l_partkey remapped per copy too: factor-f data is f
+          // DISJOINT copies of the graph, so linear wall time is the
+          // correct reference curve for the wedge+closure joins
+          val liT = scaled(li0, Seq("l_orderkey", "l_partkey"), factor)
+            .where(col("l_partkey") % 5 === 0)
+            .select("l_orderkey", "l_partkey")
+          time {
+            val e = liT.as("a").join(liT.as("b"),
+                col("a.l_orderkey") === col("b.l_orderkey") &&
+                  col("a.l_partkey") < col("b.l_partkey"))
+              .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+            Triangles.perNode(e, "u", "v").count()
+          }
+        },
+        "k-core peel, 8 rounds (co-purchase, disjoint copies)" -> {
+          val liT = scaled(li0, Seq("l_orderkey", "l_partkey"), factor)
+            .where(col("l_partkey") % 5 === 0)
+            .select("l_orderkey", "l_partkey")
+          time {
+            val e = liT.as("a").join(liT.as("b"),
+                col("a.l_orderkey") === col("b.l_orderkey") &&
+                  col("a.l_partkey") < col("b.l_partkey"))
+              .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+            KCore.core(e, "u", "v", k = 15, rounds = 8).count()
+          }
+        },
+        "incremental dedup admission (planted exact dups)" -> {
+          // the scaled corpus REPLICATES text under new ids, so every
+          // batch doc has factor-1 exact twins in the index and
+          // identical-signature band buckets of size ~factor — the
+          // admission path's worst-ish case (candidates/doc grows
+          // linearly with factor, bounded by bucket size, never the
+          // corpus product)
+          val isOld = pmod(pmod(col("doc_id"), lit(1000003L))
+            * 2654435761L, lit(100)) < 60
+          time {
+            val idx = IncrementalDedup.fitIndex(
+              docs.where(isOld), "doc_id", "text")
+            IncrementalDedup.filterNew(docs.where(!isOld), "doc_id", "text",
+              idx, minAgree = 45).count()
+          }
+        },
         "IVF loaded-index search top-5 (10 queries)" -> {
           // fit+save is untimed per-index-lifetime cost; the timed
           // part is the serving path — probe the loaded parquet index

@@ -144,4 +144,61 @@ class EdgeCasesSpec extends SparkSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("non-negative")), s"unexpected: $e")
   }
+
+  test("round-8 graph operators: empty / degenerate edge sets return empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(Triangles.perNode(empty, "u", "v").count() == 0)
+    assert(KCore.core(empty, "u", "v", k = 2, rounds = 2).count() == 0)
+    assert(LabelPropagation.communities(empty, "u", "v", rounds = 2).count() == 0)
+    // pure self-loops normalize away to an empty graph
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("u", "v")
+    assert(Triangles.perNode(loops, "u", "v").count() == 0)
+    assert(KCore.core(loops, "u", "v", k = 1, rounds = 1).count() == 0)
+  }
+
+  test("round-8 operators reject out-of-range parameters eagerly") {
+    import spark.implicits._
+    val e = Seq((1L, 2L)).toDF("u", "v")
+    intercept[IllegalArgumentException] { KCore.core(e, "u", "v", k = 0, rounds = 1) }
+    intercept[IllegalArgumentException] { KCore.core(e, "u", "v", k = 2, rounds = 0) }
+    intercept[IllegalArgumentException] {
+      LabelPropagation.communities(e, "u", "v", rounds = 0)
+    }
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val idx = IncrementalDedup.fitIndex(docs, "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.filterNew(docs, "doc_id", "text", idx, minAgree = 0)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.filterNew(docs, "doc_id", "text", idx, minAgree = 65)
+    }
+  }
+
+  test("snapshot diff and quality rules behave on empty inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Double)].toDF("k", "s", "v")
+    val full = Seq((1L, "a", 1.0)).toDF("k", "s", "v")
+    // empty -> full is all added; full -> empty all removed
+    val added = SnapshotDiff.diff(empty, full, Seq("k")).collect()
+    assert(added.length == 1 && added.head.getString(1) == "added")
+    val removed = SnapshotDiff.diff(full, empty, Seq("k")).collect()
+    assert(removed.length == 1 && removed.head.getString(1) == "removed")
+    // quality rules on an empty table: checked=0, violations=0, no NULLs
+    val r = DataQuality.suite(Seq(
+      DataQuality.predicateRule(empty, "p", col("v") < 0),
+      DataQuality.uniqueRule(empty, "u", Seq("k")))).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSet == Set(("p", 0L, 0L), ("u", 0L, 0L)))
+  }
+
+  test("incremental dedup against an EMPTY index admits everything") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "i j k l m n o p"))
+      .toDF("doc_id", "text")
+    val emptyIdx = IncrementalDedup.fitIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    val out = IncrementalDedup.filterNew(docs, "doc_id", "text", emptyIdx, 45)
+    assert(out.count() == 2)
+  }
 }

@@ -129,4 +129,40 @@ class PipelineIntegrationSpec extends SparkSuite {
     assert(one.count() ==
       packed.where(col("shard") === 2).count())
   }
+
+  test("two-day incremental ingest: day-2 admission composes with the gate and pack") {
+    // day 1: gate + one-shot dedup builds the corpus AND its
+    // fingerprint index (persisted, as an ingest job would)
+    val day1 = docs.where(col("doc_id") < 250)
+    val day1Corpus = NearDupClusters.dropNearDuplicates(
+      ExactDedup.dropDuplicateContent(
+        day1.where(size(split(col("text"), " ")).between(5, 1000)),
+        "doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_day1idx").toString
+    IncrementalDedup.save(
+      IncrementalDedup.fitIndex(day1Corpus, "doc_id", "text"), idxPath)
+
+    // day 2: a batch containing genuinely new docs AND re-sends of
+    // day-1 content under new ids — admission must keep the former
+    // and bounce the latter WITHOUT rereading day-1 text
+    val fresh = docs.where(col("doc_id") >= 250 && col("doc_id") < 300)
+    val resend = day1Corpus.limit(20)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val day2 = fresh.select("doc_id", "text").unionByName(resend)
+      .where(size(split(col("text"), " ")).between(5, 1000))
+    val idx = IncrementalDedup.load(spark, idxPath)
+    val admitted = IncrementalDedup.filterNew(day2, "doc_id", "text",
+      idx, minAgree = 45)
+    val ids = admitted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(_ < 500000L), s"re-sent day-1 content admitted: $ids")
+    assert(ids.nonEmpty, "day-2 fresh docs must survive")
+
+    // the admitted batch flows into the same chunk->shard->pack tail
+    val chunks = TextChunk.transform(admitted, "doc_id", "text", 64, 48)
+      .withColumn("shard", pmod(Sampling.hashValue(col("doc_id")), lit(4L)))
+    val packed = TextPack.pack(chunks, "shard", Seq("doc_id", "chunk_idx"),
+      "chunk_tokens", binTokens = 256L)
+    assert(packed.select("doc_id").distinct().count() == ids.size)
+  }
 }

@@ -239,7 +239,18 @@ object ScaleProbe {
     sb.append("second candidate-volume stress probe: planted duplicates ")
     sb.append("multiply cross-split window collisions (rows = contaminated ")
     sb.append("train docs, ~90x more at 8x), yet time grows ~linearly — ")
-    sb.append("the hash equi-join never materializes a candidate product.\n")
+    sb.append("the hash equi-join never materializes a candidate product. ")
+    sb.append("The triangle and k-core rows scale over DISJOINT graph ")
+    sb.append("copies (both endpoints remapped per copy), so linear wall ")
+    sb.append("time is the correct reference curve: measured growth is ")
+    sb.append("linear-or-better for both (the wedge join's Σoutdeg² term ")
+    sb.append("and the shrinking peel working set parallelize across ")
+    sb.append("copies). The incremental-dedup row is the admission path's ")
+    sb.append("candidate stress: replicated text gives every batch doc ")
+    sb.append("factor-1 exact twins in the index and identical-signature ")
+    sb.append("band buckets of size ~factor — candidates/doc grow with ")
+    sb.append("bucket size, never the corpus product, and measured time ")
+    sb.append("stays ~linear in batch+index size.\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALEPROBE.md"), sb.toString)
     println(sb.toString)
     spark.stop()

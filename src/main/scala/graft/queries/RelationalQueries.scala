@@ -721,6 +721,36 @@ object RelationalQueries {
           count(*) AS n_events, min(value) AS mn, max(value) AS mx
         FROM g GROUP BY user_id, sid""")),
 
+    QueryDef("q_spatial_radius",
+      // EXACT spatial radius join by grid bucketing: customers and
+      // suppliers placed on a 1024x1024 integer grid (hash-derived
+      // coordinates), all pairs within Euclidean distance 16. Cells
+      // are r x r, the probe side replicates into its 3x3
+      // neighborhood, so every qualifying pair shares a cell key BY
+      // CONSTRUCTION (no recall knob) and meets exactly once; verify
+      // is integer dx^2+dy^2 <= r^2. The oracle brute-forces the
+      // |C| x |S| product — affordable in DuckDB at test SFs, which
+      // is exactly the check the grid join exists to avoid at scale
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_custkey"),
+          pmod(col("c_custkey"), lit(1024L)).as("x"),
+          pmod(col("c_custkey") * 31, lit(1024L)).as("y"))
+        val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+          pmod(col("s_suppkey") * 7, lit(1024L)).as("x"),
+          pmod(col("s_suppkey") * 131, lit(1024L)).as("y"))
+        SpatialJoin.radiusJoin(c, "c_custkey", sup, "s_suppkey",
+          "x", "y", r = 16L)
+      },
+      Some("""WITH c AS (SELECT c_custkey AS id, c_custkey % 1024 AS x,
+            (c_custkey * 31) % 1024 AS y FROM customer),
+          s AS (SELECT s_suppkey AS id, (s_suppkey * 7) % 1024 AS x,
+            (s_suppkey * 131) % 1024 AS y FROM supplier)
+        SELECT c.id AS c_custkey, s.id AS s_suppkey,
+          CAST((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+            AS BIGINT) AS dist2
+        FROM c JOIN s ON (c.x - s.x) * (c.x - s.x)
+          + (c.y - s.y) * (c.y - s.y) <= 256""")),
+
     QueryDef("graph_communities",
       // label-propagation communities (Raghavan 2007) over the
       // REPEATED co-purchase graph (part pairs sharing >= 2 distinct

@@ -133,6 +133,15 @@ class ScalePlanGuardsSpec extends SparkSuite {
     assertNoQuadraticJoin(KCore.core(edges, "u", "v", k = 2, rounds = 2), "kcore")
   }
 
+  test("spatial radius join: 3x3 cell equi-join only") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L, 5L), (2L, 8L, 8L)).toDF("id", "x", "y")
+    assertNoQuadraticJoin(
+      SpatialJoin.radiusJoin(pts, "id", pts.toDF("id", "x", "y"), "id",
+        "x", "y", r = 4L),
+      "spatial radius join")
+  }
+
   test("label propagation: adjacency-label equi-join rounds only") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("u", "v")

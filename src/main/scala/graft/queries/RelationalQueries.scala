@@ -979,6 +979,78 @@ object RelationalQueries {
             AS bucket, count(*) AS n
         FROM lineitem GROUP BY 1""")),
 
+    QueryDef("q_locf",
+      // time-series imputation by last-observation-carried-forward:
+      // click rows' masked values are forward-filled from the user's
+      // latest earlier observation (last ignoreNulls over the
+      // running frame) — the standard sensor/price-gap repair; one
+      // shuffle on the user key, per-user sorted runs, deterministic
+      // (ts, event_id) order. Filled values are exact COPIES of
+      // observed doubles, so the replay hash-matches
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            when(col("event_type") === "click", lit(null))
+              .otherwise(col("value")).as("v"))
+          .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+          .select("event_id", "user_id", "v", "v_filled")
+      },
+      Some("""SELECT event_id, user_id, v,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        FROM (SELECT event_id, user_id, ts,
+            CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+          FROM events)""")),
+
+    QueryDef("q_weighted_quantiles",
+      // WEIGHTED quantiles under the same bounded-memory histogram
+      // contract as q_hist_quantiles: each lineitem contributes its
+      // quantity (integer units), so p50/p90/p99 answer "the price
+      // bucket below which half/90%/99% of UNITS ship" — the
+      // inventory-weighted distribution, not the row-weighted one.
+      // Cumulative weight cutoffs are integer cross-multiplications;
+      // bucket memory is bounded by the value range
+      (s, dir) => {
+        val spark = s; import spark.implicits._
+        val h = t(s, dir, "lineitem")
+          .select(AggFunctions.cents(col("l_extendedprice")).as("cents"),
+            col("l_quantity").cast("long").as("w"))
+          .groupBy(expr(floorDiv("cents", 100000L)).as("bucket"))
+          .agg(sum(col("w")).as("n"))
+        val c = h
+          .withColumn("cum",
+            sum("n").over(Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("total",
+            sum("n").over(Window.orderBy("bucket").rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+        val targets = Seq(("p50", 50L), ("p90", 90L), ("p99", 99L))
+          .toDF("q", "pct")
+        c.join(broadcast(targets),
+            col("cum") * 100 >= col("pct") * col("total"))
+          .groupBy("q")
+          .agg(min("bucket").as("bucket"))
+          .select(col("q"), col("bucket"),
+            (col("bucket") * 100000L).as("lo_cents"))
+      },
+      Some("""WITH h AS (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 100000
+              AS bucket, sum(CAST(l_quantity AS BIGINT)) AS n
+            FROM lineitem GROUP BY 1),
+          c AS (SELECT bucket, sum(n) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(n) OVER () AS total FROM h),
+          t AS (SELECT * FROM (VALUES ('p50', 50), ('p90', 90),
+            ('p99', 99)) AS v(q, pct))
+        SELECT q, min(bucket) AS bucket,
+          CAST(min(bucket) * 100000 AS BIGINT) AS lo_cents
+        FROM c JOIN t ON cum * 100 >= pct * total
+        GROUP BY q""")),
+
     QueryDef("q_hist_quantiles",
       // bounded-memory quantiles: one partial-agg'd pass builds the
       // fixed-width cents histogram (bucket count bounded by the

@@ -979,6 +979,56 @@ object RelationalQueries {
             AS bucket, count(*) AS n
         FROM lineitem GROUP BY 1""")),
 
+    QueryDef("q_journey_paths",
+      // session journey mining: the 20 most common event-type PATHS
+      // through a session (gap-sessionized as in q_sessionize, path
+      // = '>'-joined types in deterministic (ts, event_id) order).
+      // The per-session fold is collect_list of (ts, event_id, type)
+      // structs sorted INSIDE the aggregate output (array_sort), so
+      // accumulation order is immaterial — the map-side partial agg
+      // survives; paths then count like any other key. The funnel's
+      // exploratory sibling: q_funnel checks ONE ordered pattern,
+      // this surfaces which patterns exist
+      (s, dir) => {
+        val gapUs = 30L * 60 * 1000000L
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val sess = t(s, dir, "events")
+          .withColumn("new_session",
+            when(expr("ts div 1000") - lag(expr("ts div 1000"), 1).over(w) > gapUs, 1L)
+              .otherwise(lit(0L)))
+          .withColumn("session_idx",
+            sum(col("new_session"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val paths = sess.groupBy(col("user_id"), col("session_idx"))
+          .agg(array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"),
+                col("event_type")))),
+              x => x.getField("event_type")), ">").as("path"))
+        paths.groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path").asc)
+          .limit(20)
+      },
+      Some("""WITH s AS (
+          SELECT user_id, event_id, ts, event_type,
+            CASE WHEN ts - lag(ts, 1) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        g AS (SELECT user_id, event_id, ts, event_type,
+            sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM s),
+        p AS (SELECT user_id, session_idx,
+            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+          FROM g GROUP BY 1, 2),
+        c AS (SELECT path, count(*) AS n FROM p GROUP BY 1),
+        r AS (SELECT path, n, row_number() OVER (ORDER BY n DESC, path)
+            AS rn FROM c)
+        SELECT path, n FROM r WHERE rn <= 20""")),
+
     QueryDef("q_locf",
       // time-series imputation by last-observation-carried-forward:
       // click rows' masked values are forward-filled from the user's

@@ -53,6 +53,8 @@ object DataQuality {
   }
 
   /** A suite is the union of its rules — run together, read as one. */
-  def suite(rules: Seq[DataFrame]): DataFrame =
+  def suite(rules: Seq[DataFrame]): DataFrame = {
+    require(rules.nonEmpty, "a data-quality suite needs at least one rule")
     rules.reduce(_ unionByName _)
+  }
 }

@@ -222,7 +222,7 @@ object SimHash {
 /** The 4x16-bit hamming-band LSH self-join over ANY 64-bit hash
   * column — the candidate machinery shared by [[SimHash.pairs]]
   * (text near-dup) and [[graft.operators.Multimodal]]'s perceptual
-  * aHash pairing (media near-dup): a pair within Hamming 3 of 64
+  * dHash pairing (media near-dup): a pair within Hamming 3 of 64
   * bits must agree exactly on at least one 16-bit band (pigeonhole),
   * so candidates come from band equi-joins, never an all-pairs scan.
   */

@@ -44,8 +44,15 @@ object IncrementalDedup {
     */
   def fitIndex(docs: DataFrame, idCol: String, textCol: String,
                p: MinHashLSH.Params = MinHashLSH.Params()): DataFrame =
-    docs.select(col(idCol), xxhash64(col(textCol)).as("xh"))
-      .join(MinHashLSH.signatures(docs, idCol, textCol, p), Seq(idCol), "left")
+    // ONE projection — hash and conditional signature together (the
+    // condition mirrors MinHashLSH.signatures' short-doc filter); a
+    // hash-scan joined back to a signature-scan would cost an extra
+    // pass plus an id shuffle on every index build and admission
+    docs.select(col(idCol), xxhash64(col(textCol)).as("xh"),
+      when(size(split(col(textCol), " ")) >= p.shingleSize,
+        graft.expressions.MinHashSignature(
+          col(textCol), p.shingleSize, p.numHashes, p.seed))
+        .as("sig"))
 
   def save(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").parquet(path)

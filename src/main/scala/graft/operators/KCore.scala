@@ -37,7 +37,26 @@ object KCore {
     * within the surviving subgraph, core_deg >= k.
     */
   def core(edges: DataFrame, uCol: String, vCol: String,
-           k: Int, rounds: Int): DataFrame = {
+           k: Int, rounds: Int): DataFrame =
+    coreOf(peeledEdges(edges, uCol, vCol, k, rounds), k)
+
+  /** True when one more peeling round would remove nothing — i.e. the
+    * R-round result already IS the k-core. Costs ONE extra peel round
+    * over the R-round edge set (already checkpointed), not a second
+    * full peel; driver-side state is two counts.
+    */
+  def converged(edges: DataFrame, uCol: String, vCol: String,
+                k: Int, rounds: Int): Boolean = {
+    val eR = peeledEdges(edges, uCol, vCol, k, rounds)
+    val eNext = peelRound(eR, k)
+    coreOf(eNext, k).count() == coreOf(eR, k).count()
+  }
+
+  /** The edge set surviving `rounds` peel applications (canonicalized,
+    * lineage cut per round).
+    */
+  private def peeledEdges(edges: DataFrame, uCol: String, vCol: String,
+                          k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var e = edges
@@ -46,28 +65,22 @@ object KCore {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(eager = false)
-    for (_ <- 1 to rounds) {
-      val keep = degrees(e).where(col("d") >= k).select("node")
-        .localCheckpoint(eager = false) // read by both semi-joins
-      e = e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select("u", "v")
-        .localCheckpoint(eager = false) // cut lineage per round
-    }
-    degrees(e).where(col("d") >= k)
-      .select(col("node"), col("d").cast("long").as("core_deg"))
+    for (_ <- 1 to rounds) e = peelRound(e, k)
+    e
   }
 
-  /** True when one more peeling round would remove nothing — i.e. the
-    * R-round result already IS the k-core. One extra degree+filter
-    * pass; driver-side state is a single count.
-    */
-  def converged(edges: DataFrame, uCol: String, vCol: String,
-                k: Int, rounds: Int): Boolean = {
-    val c = core(edges, uCol, vCol, k, rounds)
-    val cNext = core(edges, uCol, vCol, k, rounds + 1)
-    cNext.count() == c.count()
+  private def peelRound(e: DataFrame, k: Int): DataFrame = {
+    val keep = degrees(e).where(col("d") >= k).select("node")
+      .localCheckpoint(eager = false) // read by both semi-joins
+    e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+      .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      .select("u", "v")
+      .localCheckpoint(eager = false) // cut lineage per round
   }
+
+  private def coreOf(e: DataFrame, k: Int): DataFrame =
+    degrees(e).where(col("d") >= k)
+      .select(col("node"), col("d").cast("long").as("core_deg"))
 
   private def degrees(e: DataFrame): DataFrame =
     e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))

@@ -28,8 +28,13 @@ object SnapshotDiff {
     */
   def diff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
-    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
-      s"snapshot schemas differ: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
+    // names AND types: the fingerprint is type-sensitive (xxhash64 of
+    // INT 1 != BIGINT 1), so a type-drifted snapshot must refuse
+    // loudly here rather than report every row as 'changed'
+    def shape(df: DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    require(shape(oldDf) == shape(newDf),
+      s"snapshot schemas differ: ${shape(oldDf)} vs ${shape(newDf)}")
     val valCols = oldDf.columns.filterNot(keyCols.contains).sorted
     require(valCols.nonEmpty, "need at least one non-key column to compare")
     def fp(df: DataFrame, alias: String) =

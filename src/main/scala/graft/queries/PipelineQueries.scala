@@ -578,7 +578,14 @@ object PipelineQueries {
     FROM tot LEFT JOIN shr USING (doc_id)"""
   }
 
-  private def minhashVerCtes: String = {
+  /** The shared MinHash replay prefix — CTEs d/tt/sgl (token + shingle
+    * hashes), sg (the m0..m63 signature columns) and bk (raw-tuple
+    * band keys) — generated ONCE for every oracle that replays
+    * [[MinHashLSH]] signatures (dedup_minhash / clusters / keep_best /
+    * cross_split / dedup_incremental), so the FNV fold, permutation
+    * constants and band layout cannot desynchronize between them.
+    */
+  private def minhashSigCtes(materializeSg: Boolean = false): String = {
     val p = MinHashLSH.Params()
     val perms = graft.expressions.TextHashing.minhashPerms(p.seed, p.numHashes)
     // fold n token hashes into one shingle hash: h = (h xor t) * prime
@@ -595,15 +602,20 @@ object PipelineQueries {
     val bandLists = (0 until p.bands).map { b =>
       (0 until p.rowsPerBand).map(r => s"m${b * p.rowsPerBand + r}").mkString("[", ", ", "]")
     }.mkString("[", ", ", "]")
+    val sgMat = if (materializeSg) " MATERIALIZED" else ""
     s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
           WHERE len(string_split(text, ' ')) >= ${p.shingleSize}),
       tt AS (SELECT doc_id, list_transform(toks, w -> ${fnvSql("w")}) AS th FROM d),
       sgl AS (SELECT doc_id,
           list_transform(range(1, len(th) - ${p.shingleSize - 2}), j -> $shingleExpr) AS sh
         FROM tt),
-      sg AS (SELECT doc_id, $minDefs FROM sgl),
+      sg AS$sgMat (SELECT doc_id, $minDefs FROM sgl),
       bk AS (SELECT doc_id, unnest(range(0, ${p.bands})) AS band,
-             unnest($bandLists) AS key FROM sg),
+             unnest($bandLists) AS key FROM sg)"""
+  }
+
+  private def minhashVerCtes: String =
+    s"""${minhashSigCtes()},
       cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
           AND l.doc_id < r.doc_id),
@@ -613,7 +625,6 @@ object PipelineQueries {
           CAST(len(list_distinct(list_concat(x.s, y.s))) AS BIGINT) AS uni
         FROM cand JOIN ds x ON x.doc_id = cand.a
                   JOIN ds y ON y.doc_id = cand.b)"""
-  }
 
   private def minhashOracle: String =
     s"""WITH $minhashVerCtes
@@ -633,34 +644,12 @@ object PipelineQueries {
     */
   private def incrementalDedupOracle(oldPct: Int, minAgree: Int): String = {
     val p = MinHashLSH.Params()
-    val perms = graft.expressions.TextHashing.minhashPerms(p.seed, p.numHashes)
-    val shingleExpr = {
-      val folded = (0 until p.shingleSize).foldLeft(FnvInit) { (acc, k) =>
-        val idx = if (k == 0) "j" else s"j + $k"
-        fnvStep(s"xor($acc, th[$idx])")
-      }
-      s"(($folded % 2147483647) + 2147483647) % 2147483647"
-    }
-    val minDefs = (0 until p.numHashes).map { i =>
-      s"list_aggregate(list_transform(sh, x -> (${perms(2 * i)} * x + ${perms(2 * i + 1)}) % 2147483647), 'min') AS m$i"
-    }.mkString(", ")
-    val bandLists = (0 until p.bands).map { b =>
-      (0 until p.rowsPerBand).map(r => s"m${b * p.rowsPerBand + r}").mkString("[", ", ", "]")
-    }.mkString("[", ", ", "]")
     val agreeSum = (0 until p.numHashes)
       .map(i => s"CASE WHEN l.m$i = r.m$i THEN 1 ELSE 0 END")
       .mkString(" + ")
     def isOld(ref: String) =
       s"(((($ref) % 1000003) * 2654435761) % 100 < $oldPct)"
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-          WHERE len(string_split(text, ' ')) >= ${p.shingleSize}),
-      tt AS (SELECT doc_id, list_transform(toks, w -> ${fnvSql("w")}) AS th FROM d),
-      sgl AS (SELECT doc_id,
-          list_transform(range(1, len(th) - ${p.shingleSize - 2}), j -> $shingleExpr) AS sh
-        FROM tt),
-      sg AS MATERIALIZED (SELECT doc_id, $minDefs FROM sgl),
-      bk AS (SELECT doc_id, unnest(range(0, ${p.bands})) AS band,
-             unnest($bandLists) AS key FROM sg),
+    s"""WITH ${minhashSigCtes(materializeSg = true)},
       cand AS (SELECT DISTINCT l.doc_id AS bid, r.doc_id AS oid
         FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
         WHERE NOT ${isOld("l.doc_id")} AND ${isOld("r.doc_id")}),

@@ -102,6 +102,20 @@ object StreamingOps {
     * with IncrementalDedup.save at shutdown to resume the loop.
     * Within-batch duplicates are NOT resolved here (run the one-shot
     * batch dedup inside `onBatch` if batches can self-collide).
+    *
+    * Replay-safe under foreachBatch's at-least-once contract: before
+    * filtering, any index rows carrying the BATCH'S OWN ids are
+    * scrubbed (a re-delivered batch would otherwise find its own
+    * fingerprints — appended by the failed attempt — and self-reject
+    * every document, silently losing them). Doc ids are assumed
+    * stable across redelivery, the usual CDC contract.
+    *
+    * Cost shape: only the per-batch survivor DELTA is eagerly
+    * materialized; the cross-batch index is the lazy union of those
+    * immutable checkpointed deltas, so per-batch work is O(batch),
+    * not O(index) re-materialization (the union plan grows one leaf
+    * per batch — restart the query from a saved index long before
+    * that lineage width matters).
     */
   def streamingIncrementalDedup(
       docs: DataFrame, idCol: String, textCol: String,
@@ -111,12 +125,16 @@ object StreamingOps {
     var index = initialIndex.localCheckpoint(eager = true)
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val batchDf = batch.localCheckpoint(eager = true) // read 3x below
+        // replay idempotence: drop any fingerprints a failed prior
+        // attempt at THIS batch already appended
+        val cleanIdx = index.join(batchDf.select(col(idCol)), Seq(idCol), "left_anti")
         val survivors = graft.operators.IncrementalDedup
-          .filterNew(batch, idCol, textCol, index, minAgree, p)
+          .filterNew(batchDf, idCol, textCol, cleanIdx, minAgree, p)
           .localCheckpoint(eager = true) // materialize before the index grows
-        index = graft.operators.IncrementalDedup.appended(index,
-            graft.operators.IncrementalDedup.fitIndex(survivors, idCol, textCol, p))
-          .localCheckpoint(eager = true) // cut lineage: index lives across batches
+        index = graft.operators.IncrementalDedup.appended(cleanIdx,
+          graft.operators.IncrementalDedup.fitIndex(survivors, idCol, textCol, p)
+            .localCheckpoint(eager = true)) // eager DELTA only — O(batch)/batch
         onBatch(survivors, batchId)
       }
   }

@@ -70,6 +70,26 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(again.count() == 0)
   }
 
+  test("replay scrub: a redelivered batch is not rejected by its own fingerprints") {
+    // simulate a failed first attempt: the batch's fingerprints were
+    // already appended to the index before the delivery crashed
+    val batch = Seq((10L, mkDoc(99)), (11L, mkDoc(7))).toDF("doc_id", "text")
+    val idx = IncrementalDedup.fitIndex(oldDocs, "doc_id", "text", P)
+    val polluted = IncrementalDedup.appended(idx,
+      IncrementalDedup.fitIndex(batch, "doc_id", "text", P))
+    // naive re-filter against the polluted index self-rejects everything
+    assert(IncrementalDedup.filterNew(batch, "doc_id", "text",
+      polluted, 45, P).count() == 0)
+    // the streaming loop's scrub (anti-join on the batch's own ids)
+    // restores the first-attempt admission decision exactly
+    val scrubbed = polluted.join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+    val replayed = IncrementalDedup.filterNew(batch, "doc_id", "text",
+      scrubbed, 45, P).orderBy("doc_id").collect().toSeq
+    val firstTime = IncrementalDedup.filterNew(batch, "doc_id", "text",
+      idx, 45, P).orderBy("doc_id").collect().toSeq
+    assert(replayed == firstTime && replayed.nonEmpty)
+  }
+
   test("index-side bucket cap admits hidden near-dups loudly (documented loss)") {
     // corpus of 30 identical docs floods every band bucket
     val boiler = mkDoc(5)

@@ -58,7 +58,13 @@ object Bench {
     // failed > 0 is the machine-readable marker that `total` is missing
     // those queries' time (each also reports -1 in `queries`)
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout goes through sbt's [info] prefix, which breaks the driver's
+    // JSON parse — also persist the line verbatim to a file it can read
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

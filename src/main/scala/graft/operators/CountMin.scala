@@ -153,7 +153,8 @@ object CountMin {
     } yield s"($k, $i, ${bucketOf(k, ab._1, ab._2, p.width)})").mkString(", ")
     s"""WITH c AS ($rows),
       probes(key, row, col) AS (VALUES $probeRows)
-    SELECT probes.key, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cm_est
+    SELECT CAST(probes.key AS BIGINT) AS key,
+      CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cm_est
     FROM probes LEFT JOIN c ON c.row = probes.row AND c.col = probes.col
     GROUP BY probes.key"""
   }

@@ -21,12 +21,38 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
-  /** Rows where `violation` is true, as (rule, checked, violations). */
+  /** Rows where `violation` is true OR evaluates to NULL, as
+    * (rule, checked, violations). A NULL predicate outcome (e.g. a
+    * range check over a NULL value) counts as a violation — in a
+    * quality gate the NULLs are usually the problem being hunted, so
+    * a three-valued-logic pass-through would silently under-report;
+    * pair with an explicit completeness rule to tell the two apart.
+    */
   def predicateRule(df: DataFrame, rule: String, violation: Column): DataFrame =
-    df.agg(
-      count(lit(1)).as("checked"),
-      coalesce(sum(when(violation, 1L).otherwise(0L)), lit(0L)).as("violations")
-    ).select(lit(rule).as("rule"), col("checked"), col("violations"))
+    predicateSuite(df, Seq(rule -> violation))
+
+  /** All predicate rules over ONE scan of `df`: a single aggregate
+    * computes the shared row count plus one conditional sum per rule,
+    * then the one-row result is unpivoted to (rule, checked,
+    * violations) rows. At warehouse scale this is the difference
+    * between N scans of the fact table and one — predicate rules are
+    * all scan-level conditional sums, so they compose into a single
+    * map-side-partial aggregate for free.
+    */
+  def predicateSuite(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "predicateSuite needs at least one rule")
+    val aggs = count(lit(1)).as("checked") +:
+      rules.zipWithIndex.map { case ((_, violation), i) =>
+        coalesce(sum(when(violation.isNull || violation, 1L).otherwise(0L)),
+          lit(0L)).as(s"__v$i")
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.zipWithIndex.map { case ((rule, _), i) =>
+        struct(lit(rule).as("rule"), col("checked"),
+          col(s"__v$i").as("violations"))
+      }: _*)).as("r"))
+      .select("r.rule", "r.checked", "r.violations")
+  }
 
   /** Key uniqueness: violations = rows beyond the first per key. */
   def uniqueRule(df: DataFrame, rule: String, keyCols: Seq[String]): DataFrame =

@@ -44,12 +44,20 @@ object KCore {
     * R-round result already IS the k-core. Costs ONE extra peel round
     * over the R-round edge set (already checkpointed), not a second
     * full peel; driver-side state is two counts.
+    *
+    * The fixpoint test compares EDGE counts, not surviving-node
+    * counts: peeling is monotone (edges only ever removed), so edge-
+    * count equality certifies the whole edge set — and with it both
+    * the node set and every core_deg. Node counts can tie while the
+    * edge set is still shrinking (a node can lose edges without
+    * dropping below k), which would certify a false convergence with
+    * over-reported core_deg.
     */
   def converged(edges: DataFrame, uCol: String, vCol: String,
                 k: Int, rounds: Int): Boolean = {
     val eR = peeledEdges(edges, uCol, vCol, k, rounds)
     val eNext = peelRound(eR, k)
-    coreOf(eNext, k).count() == coreOf(eR, k).count()
+    eNext.count() == eR.count()
   }
 
   /** The edge set surviving `rounds` peel applications (canonicalized,

@@ -65,6 +65,16 @@ object SemDedup {
       if (superK > 0) superK else math.ceil(math.sqrt(k.toDouble)).toInt
   }
 
+  /** A fitted semantic-dedup model: the trained centroids plus (two-
+    * level path) their super-cell grouping — driver-side metadata only
+    * (k x dim doubles), [[save]]/[[load]]-able so the k-means fit is a
+    * per-model-lifetime cost: freeze the model once, then dedup every
+    * new corpus drop against the same frozen cells (the IvfAnn.Index
+    * posture — training never re-paid per run).
+    */
+  final case class Model(centroids: Array[Array[Double]],
+                         grouping: Option[TwoLevelQuantizer.Grouping])
+
   /** The trained centroids + (for the two-level path) their grouping —
     * exposed so the oracle generator inlines the identical constants.
     */
@@ -83,10 +93,44 @@ object SemDedup {
     (centroids, grouping)
   }
 
+  def fitModel(corpus: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding", p: Params = Params()): Model = {
+    val (centroids, grouping) = model(corpus, idCol, vecCol, p)
+    Model(centroids, grouping)
+  }
+
+  /** Persists the model as one parquet row. Parquet round-trips
+    * doubles bit-exactly (no text re-parse), so a loaded model assigns
+    * — and therefore dedups — bit-identically to the fitted one
+    * (pinned in SemDedupSpec).
+    */
+  def save(m: Model, spark: org.apache.spark.sql.SparkSession,
+           path: String): Unit = {
+    import spark.implicits._
+    Seq((m.centroids.map(_.toSeq).toSeq,
+        m.grouping.map(_.superCentroids.map(_.toSeq).toSeq),
+        m.grouping.map(_.members.map(_.toSeq).toSeq)))
+      .toDF("centroids", "super_centroids", "members")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    def mat(i: Int): Array[Array[Double]] =
+      r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]](i)
+        .map(_.toArray).toArray
+    val grouping =
+      if (r.isNullAt(1)) None
+      else Some(TwoLevelQuantizer.Grouping(mat(1),
+        r.getAs[scala.collection.Seq[scala.collection.Seq[Int]]](2)
+          .map(_.toArray).toArray))
+    Model(mat(0), grouping)
+  }
+
   /** Cell-assigned corpus: (id, v DOUBLE[], cell). */
   private def assign(corpus: DataFrame, idCol: String, vecCol: String,
-                     p: Params): DataFrame = {
-    val (centroids, grouping) = model(corpus, idCol, vecCol, p)
+                     m: Model): DataFrame = {
+    val Model(centroids, grouping) = m
     val assigned = grouping match {
       case None =>
         IvfAnn.index(corpus, vecCol, centroids)
@@ -132,12 +176,27 @@ object SemDedup {
 
   /** Surviving rows after semantic dedup: (idCol, cell), one row per
     * input vector that is not a semantic duplicate of a smaller-id
-    * same-cell vector.
+    * same-cell vector. Fits the model in-line; callers with a frozen
+    * corpus model should [[fitModel]] + [[save]] once and run
+    * [[survivorsWithModel]] against the loaded model instead.
     */
   def survivors(corpus: DataFrame, idCol: String = "vec_id",
                 vecCol: String = "embedding",
                 p: Params = Params()): DataFrame = {
-    val assigned = assign(corpus, idCol, vecCol, p)
+    if (!p.twoLevel && p.k > 64) System.err.println(
+      s"[graft] SemDedup: flat assignment at k=${p.k} is O(n*k*d) — " +
+        "superlinear once k is sized to the corpus; set twoLevel=true " +
+        "for the O(n*sqrt(k)*d) two-level quantizer")
+    survivorsWithModel(corpus, idCol, vecCol, p,
+      fitModel(corpus, idCol, vecCol, p))
+  }
+
+  /** [[survivors]] against a prebuilt (typically [[load]]ed) model —
+    * no training; the dedup contract and determinism are unchanged.
+    */
+  def survivorsWithModel(corpus: DataFrame, idCol: String, vecCol: String,
+                         p: Params, m: Model): DataFrame = {
+    val assigned = assign(corpus, idCol, vecCol, m)
     assigned.join(droppedIds(assigned, p), Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("cell"))
   }

@@ -25,8 +25,17 @@ object SnapshotDiff {
 
   /** (keyCols..., change) for every key whose row differs between
     * `oldDf` and `newDf` (same schema). Unchanged keys are absent.
+    *
+    * PRECONDITION: `keyCols` uniquely identify a row within each
+    * snapshot — duplicate keys would fan out the full-outer join and
+    * emit multiple (possibly conflicting) change rows per key. Pass
+    * `requireUniqueKeys = true` to enforce this inside the plan: each
+    * side is key-aggregated and any duplicate raises a task error
+    * (one extra map-side-partial aggregate per side, no driver
+    * action).
     */
-  def diff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String]): DataFrame = {
+  def diff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+           requireUniqueKeys: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     // names AND types: the fingerprint is type-sensitive (xxhash64 of
     // INT 1 != BIGINT 1), so a type-drifted snapshot must refuse
@@ -37,9 +46,24 @@ object SnapshotDiff {
       s"snapshot schemas differ: ${shape(oldDf)} vs ${shape(newDf)}")
     val valCols = oldDf.columns.filterNot(keyCols.contains).sorted
     require(valCols.nonEmpty, "need at least one non-key column to compare")
-    def fp(df: DataFrame, alias: String) =
-      df.select(keyCols.map(col) :+
-        xxhash64(struct(valCols.map(col): _*)).as(alias): _*)
+    // xxhash64 SKIPS null fields (the running seed passes through), so
+    // hashing bare values would fingerprint (x, NULL) and (NULL, x)
+    // identically in same-typed columns — systematically reporting
+    // value-shifted rows as unchanged. Pairing each value with its
+    // null flag makes NULL placement participate in the hash.
+    def fp(df: DataFrame, alias: String) = {
+      val hashed = df.select(keyCols.map(col) :+
+        xxhash64(struct(valCols.toSeq.flatMap(c =>
+          Seq(col(c).isNull, col(c))): _*)).as(alias): _*)
+      if (!requireUniqueKeys) hashed
+      else hashed.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n"), max(col(alias)).as(alias))
+        .select(keyCols.map(col) :+
+          when(col("__n") > 1, raise_error(concat(
+            lit("SnapshotDiff: duplicate snapshot key ("),
+            concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
+            lit(")")))).otherwise(col(alias)).as(alias): _*)
+    }
     fp(oldDf, "__oh").join(fp(newDf, "__nh"), keyCols, "full_outer")
       .select(keyCols.map(col) :+
         when(col("__oh").isNull, "added")
@@ -49,3 +73,4 @@ object SnapshotDiff {
       .where(col("change").isNotNull)
   }
 }
+

@@ -205,6 +205,15 @@ object PipelineQueries {
         path)
       PqAnn.load(s, path)
     })
+  private val semModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SemDedup.Model]()
+  private def semModelFor(s: SparkSession, dir: String): SemDedup.Model =
+    semModelCache.computeIfAbsent(dir, _ => {
+      val path = s"$indexRoot/sem_${math.abs(dir.hashCode)}"
+      SemDedup.save(SemDedup.fitModel(
+        t(s, dir, "embeddings"), "vec_id", "embedding", semDedup2Params), s, path)
+      SemDedup.load(s, path)
+    })
 
   /** CMS probe keys: eight live part keys + two absent ones (exact
     * count 0 — any non-zero estimate is pure collision overestimate).
@@ -1109,24 +1118,42 @@ object PipelineQueries {
       // (deterministic Lloyd training shared with IvfAnn), generate
       // pairs only WITHIN a cell (equi-join — never all-pairs), keep
       // the min-id survivor of every cosine>=tau group. The paraphrase
-      // dedup pass that token-based MinHash/SimHash can't do. Oracle
-      // inlines the trained centroids and replays assignment + the
-      // in-cell threshold exactly
+      // dedup pass that token-based MinHash/SimHash can't do.
+      // The FLAGSHIP path routes cell assignment through the two-level
+      // coarse quantizer — O(sqrt(k)·d) per row instead of O(k·d), the
+      // scale-safe default once k is sized to the corpus; assignment
+      // is approximate at super-cell boundaries but exactly
+      // deterministic, so the oracle replays it (super ladder +
+      // per-super member ladders) bit-for-bit
+      (s, dir) => SemDedup.survivors(
+        t(s, dir, "embeddings"), "vec_id", "embedding", semDedup2Params),
+      None,
+      oracleGen = Some(semDedup2Oracle _)),
+
+    QueryDef("dedup_semantic_flat",
+      // BASELINE-ONLY flat assignment (every row scores all k cells,
+      // O(n·k·d)): kept under the oracle gate as the exactness
+      // reference the two-level path is judged against — NOT the path
+      // to run at scale (SemDedup.survivors warns loudly past k=64).
+      // Oracle inlines the trained centroids and replays flat
+      // assignment + the in-cell threshold exactly
       (s, dir) => SemDedup.survivors(
         t(s, dir, "embeddings"), "vec_id", "embedding", semDedupParams),
       None,
       oracleGen = Some(semDedupOracle _)),
 
-    QueryDef("dedup_semantic_fast",
-      // SemDeDup with the two-level coarse quantizer: assignment cost
-      // O(sqrt(k)·d) per row instead of O(k·d) — the implemented fix
-      // for the flat-assignment superlinearity SCALEPROBE measures
-      // once k is sized to the corpus. Assignment is approximate at
-      // super-cell boundaries, but the computation is exactly
-      // deterministic, so this path carries its OWN exact oracle
-      // (super ladder + per-super member ladders replayed in DuckDB)
-      (s, dir) => SemDedup.survivors(
-        t(s, dir, "embeddings"), "vec_id", "embedding", semDedup2Params),
+    QueryDef("dedup_semantic_search",
+      // the AMORTIZED SemDeDup path: fit + save + load the centroid
+      // model once per JVM (semModelFor), then dedup against the
+      // parquet-backed model with NO in-query training — the frozen-
+      // model posture that dedups every new corpus drop against the
+      // same cells. Same oracle as dedup_semantic (identical params ⇒
+      // identical deterministic centroids ⇒ identical survivors), so
+      // fit→save→load→dedup is proven bit-equal to fit→dedup under
+      // the driver's hash gate.
+      (s, dir) => SemDedup.survivorsWithModel(
+        t(s, dir, "embeddings"), "vec_id", "embedding", semDedup2Params,
+        semModelFor(s, dir)),
       None,
       oracleGen = Some(semDedup2Oracle _)),
 
@@ -1581,14 +1608,22 @@ object PipelineQueries {
 
     QueryDef("q_sketch_distinct",
       // HLL++ sketch per language — merge-order-independent, so the
-      // result is deterministic under any partitioning; approximate
-      // values have no SQL oracle (rows-only), exact counterpart is
-      // q_distinct_agg
+      // result is deterministic under any partitioning. The estimate
+      // itself is estimator-internal (DuckDB's HLL differs), so the
+      // hash-exact surface is (exact distinct, estimate-within-bound
+      // BOOLEAN): rsd=0.02 against a 5% pinned bound — the oracle
+      // asserts TRUE, so an estimator drift past the bound flips the
+      // flag and fails the hash. Exact counterpart is q_distinct_agg
       (s, dir) => t(s, dir, "documents")
         .groupBy(col("lang"))
         .agg(approx_count_distinct(col("text"), 0.02).as("approx_docs"),
-          count(lit(1)).as("n")),
-      None),
+          countDistinct(col("text")).as("exact_docs"))
+        .select(col("lang"), col("exact_docs"),
+          (abs(col("approx_docs") - col("exact_docs"))
+            <= col("exact_docs") * lit(0.05)).as("approx_within_bound")),
+      Some("""SELECT lang, count(DISTINCT text) AS exact_docs,
+          true AS approx_within_bound
+        FROM documents GROUP BY lang""")),
 
     QueryDef("dedup_bloom_decontam",
       // decontamination via bloom broadcast: build the filter over the

@@ -46,8 +46,8 @@ object RelationalQueries {
     */
   private val sqlSurfaceText: String =
     """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_day,
-        sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-          * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+          * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY l_orderkey, o_day
@@ -829,19 +829,19 @@ object RelationalQueries {
       // (anti-join, broadcast when the parent is small), value-range,
       // review-threshold, sign, and a cross-field consistency check —
       // each one (rule, checked, violations) row, the whole contract
-      // one 6-row frame a scheduler asserts on. Rules count
-      // violations at the scan (map-side partial aggs), never
-      // materialize offenders
+      // one 6-row frame a scheduler asserts on. Per-table predicate
+      // rules fold into ONE conditional-sum aggregate (one scan of
+      // the fact table, then unpivoted) — never a scan per rule; the
+      // suite never materializes offenders
       (s, dir) => DataQuality.suite(Seq(
         DataQuality.uniqueRule(t(s, dir, "orders"),
           "orders_key_unique", Seq("o_orderkey")),
         DataQuality.referenceRule(t(s, dir, "orders"), "o_custkey",
           t(s, dir, "customer"), "c_custkey", "orders_custkey_ri"),
-        DataQuality.predicateRule(t(s, dir, "lineitem"),
-          "lineitem_qty_range",
-          col("l_quantity") < 1 || col("l_quantity") > 50),
-        DataQuality.predicateRule(t(s, dir, "lineitem"),
-          "lineitem_qty_review", col("l_quantity") > 45),
+        DataQuality.predicateSuite(t(s, dir, "lineitem"), Seq(
+          "lineitem_qty_range" ->
+            (col("l_quantity") < 1 || col("l_quantity") > 50),
+          "lineitem_qty_review" -> (col("l_quantity") > 45))),
         DataQuality.predicateRule(t(s, dir, "customer"),
           "customer_acctbal_negative", col("c_acctbal") < 0),
         DataQuality.predicateRule(t(s, dir, "documents"),
@@ -858,21 +858,23 @@ object RelationalQueries {
             (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey))
         UNION ALL
         SELECT 'lineitem_qty_range', count(*),
-          CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
-            THEN 1 ELSE 0 END) AS BIGINT)
+          CAST(sum(CASE WHEN (l_quantity < 1 OR l_quantity > 50)
+            IS NOT FALSE THEN 1 ELSE 0 END) AS BIGINT)
         FROM lineitem
         UNION ALL
         SELECT 'lineitem_qty_review', count(*),
-          CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT)
+          CAST(sum(CASE WHEN (l_quantity > 45) IS NOT FALSE
+            THEN 1 ELSE 0 END) AS BIGINT)
         FROM lineitem
         UNION ALL
         SELECT 'customer_acctbal_negative', count(*),
-          CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          CAST(sum(CASE WHEN (c_acctbal < 0) IS NOT FALSE
+            THEN 1 ELSE 0 END) AS BIGINT)
         FROM customer
         UNION ALL
         SELECT 'documents_nchars_consistent', count(*),
-          CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
-            AS BIGINT)
+          CAST(sum(CASE WHEN (n_chars <> length(text)) IS NOT FALSE
+            THEN 1 ELSE 0 END) AS BIGINT)
         FROM documents""")),
 
     // ---- time-bucketed aggregation over the event stream table ----
@@ -1405,7 +1407,7 @@ object RelationalQueries {
             max(when(isOut, col("spend"))).as("max_outlier_spend"))
       },
       Some("""WITH sp AS (SELECT o_custkey,
-              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend
             FROM orders GROUP BY 1),
           cu AS (SELECT c.c_mktsegment AS seg, sp.spend
             FROM sp JOIN customer c ON c.c_custkey = sp.o_custkey),

@@ -121,18 +121,20 @@ object ScaleProbe {
             PageRank.ranks(edges, "src", "dst").count()
           }
         },
-        "semantic dedup (k sized to corpus)" -> {
-          // SemDeDup's documented scale discipline: k grows with the
-          // corpus (~N/1000) so cells stay task-bounded and the
-          // in-cell pair join stays ~linear overall
+        "semantic dedup, flat assignment (BASELINE-ONLY)" -> {
+          // the retired flat path, measured only as the reference
+          // curve: k grows with the corpus (~N/1000 discipline), so
+          // O(n*k*d) assignment is superlinear by construction — the
+          // flagship dedup_semantic no longer ships this plan
           val emb = scaled(emb0, Seq("vec_id"), factor)
           val p = SemDedup.Params(k = 16 * factor, iterations = 2, tau = 0.45)
           time { SemDedup.survivors(emb, p = p).count() }
         },
-        "semantic dedup, two-level assignment" -> {
-          // same workload through the TwoLevelQuantizer: assignment
-          // drops from O(n*k*d) to O(n*sqrt(k)*d) — this row vs the
-          // one above IS the measured payoff
+        "semantic dedup, two-level assignment (DEFAULT)" -> {
+          // the same workload through the TwoLevelQuantizer — the plan
+          // dedup_semantic actually ships: assignment drops from
+          // O(n*k*d) to O(n*sqrt(k)*d); this row vs the one above IS
+          // the measured payoff
           val emb = scaled(emb0, Seq("vec_id"), factor)
           val p = SemDedup.Params(k = 16 * factor, iterations = 2,
             tau = 0.45, twoLevel = true)
@@ -219,7 +221,9 @@ object ScaleProbe {
       }
       sb.append(s"| $op | " + cells.mkString(" | ") + " |\n")
     }
-    sb.append("\nNotes: the flat semantic-dedup row grows SUPERLINEARLY by ")
+    sb.append("\nNotes: the flat semantic-dedup row is BASELINE-ONLY — the ")
+    sb.append("flagship dedup_semantic query ships the two-level plan; the ")
+    sb.append("flat row grows SUPERLINEARLY by ")
     sb.append("design of the probe — k is sized to the corpus (~N/1000 ")
     sb.append("discipline), so BOTH corpus-row assignment (O(n*k*d)) and ")
     sb.append("k-means training (Lloyd passes are O(sample*k*d) with the ")
@@ -228,7 +232,7 @@ object ScaleProbe {
     sb.append("same workload through `TwoLevelQuantizer` (assign to sqrt(k) ")
     sb.append("super-cells, then argmax within the chosen group's members ")
     sb.append("only: O(n*sqrt(k)*d), exact oracle under ")
-    sb.append("dedup_semantic_fast): it removes the per-corpus-row term — ")
+    sb.append("dedup_semantic): it removes the per-corpus-row term — ")
     sb.append("the consistent gap at every factor — while the residual ")
     sb.append("growth shared by both rows is the TRAINING term, which is ")
     sb.append("bounded by the sample floor (corpus-independent at fixed k, ")

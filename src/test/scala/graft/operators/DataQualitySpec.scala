@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class DataQualitySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val withNulls = Seq(
+    (1L, Some(10.0)), (2L, Some(60.0)), (3L, None), (4L, Some(5.0))
+  ).toDF("k", "q")
+
+  test("NULL predicate outcomes count as violations") {
+    // the range check over NULL q evaluates to NULL — in a quality
+    // gate that is a violation (the NULL is the problem being hunted),
+    // not a silent pass-through
+    val r = DataQuality.predicateRule(withNulls, "range",
+        col("q") < 1 || col("q") > 50)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("range", 4L, 2L)), // 60.0 out of range + NULL
+      s"NULL under-reported: ${r.toSeq}")
+  }
+
+  test("predicateSuite equals the union of individual rules, one scan") {
+    val rules = Seq(
+      "range" -> (col("q") < 1 || col("q") > 50),
+      "review" -> (col("q") > 45))
+    val suite = DataQuality.predicateSuite(withNulls, rules)
+    val separate = DataQuality.suite(rules.map { case (n, v) =>
+      DataQuality.predicateRule(withNulls, n, v)
+    })
+    val a = suite.collect().map(x =>
+      (x.getString(0), x.getLong(1), x.getLong(2))).sortBy(_._1)
+    val b = separate.collect().map(x =>
+      (x.getString(0), x.getLong(1), x.getLong(2))).sortBy(_._1)
+    assert(a.sameElements(b), s"${a.toSeq} vs ${b.toSeq}")
+    // ONE aggregate feeds every rule row: a single scan in the plan
+    val scans = suite.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LeafNode => l
+    }
+    assert(scans.length == 1,
+      s"predicate suite must scan once, saw ${scans.length} leaves")
+  }
+
+  test("empty input: zero checked, zero violations") {
+    val empty = Seq.empty[(Long, Option[Double])].toDF("k", "q")
+    val r = DataQuality.predicateSuite(empty, Seq(
+        "range" -> (col("q") < 1), "sign" -> (col("q") < 0)))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("range", 0L, 0L), ("sign", 0L, 0L)))
+  }
+}

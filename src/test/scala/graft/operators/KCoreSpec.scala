@@ -72,4 +72,21 @@ class KCoreSpec extends SparkSuite {
       .orderBy("node").collect().toSeq
     assert(a == b)
   }
+
+  test("converged compares EDGES, not nodes: node-count tie mid-cascade") {
+    // a-b, b-c plus K4{c,d,e,f}, k=2: after round 1 (a peeled) the
+    // survivor NODE count equals the next round's (b peels, but no
+    // node count change until the degree filter) — a node-count test
+    // would certify convergence falsely and report c's core_deg as 4.
+    // One more round removes b-c; the true 2-core is K4 with c at 3.
+    val edges = Seq((1L, 2L), (2L, 3L), // a-b, b-c
+      (3L, 4L), (3L, 5L), (3L, 6L), (4L, 5L), (4L, 6L), (5L, 6L)) // K4
+    val df = edges.toDF("u", "v")
+    assert(!KCore.converged(df, "u", "v", 2, 1),
+      "round-1 edge set still shrinks: must not certify")
+    assert(KCore.converged(df, "u", "v", 2, 2))
+    val r = run(edges, k = 2, rounds = 2)
+    assert(r == Map(3L -> 3L, 4L -> 3L, 5L -> 3L, 6L -> 3L),
+      s"true 2-core is K4 with c at core_deg 3, got $r")
+  }
 }

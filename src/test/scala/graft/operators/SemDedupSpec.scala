@@ -52,4 +52,32 @@ class SemDedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
     assert(a.sameElements(b))
   }
+
+  test("save/load round-trips the model bit-exactly (flat and two-level)") {
+    for (params <- Seq(p, p.copy(twoLevel = true))) {
+      val fit = SemDedup.fitModel(fixture, "vec_id", "embedding", params)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_semdedup_spec").toString
+      SemDedup.save(fit, spark, dir)
+      val loaded = SemDedup.load(spark, dir)
+      // bit equality, not approximate: parquet round-trips doubles
+      // exactly, and frozen-model dedup depends on it
+      assert(loaded.centroids.length == fit.centroids.length)
+      for ((l, f) <- loaded.centroids.zip(fit.centroids))
+        assert(l.sameElements(f), "centroid drift through save/load")
+      assert(loaded.grouping.isDefined == fit.grouping.isDefined)
+      for ((lg, fg) <- loaded.grouping.zip(fit.grouping)) {
+        for ((l, f) <- lg.superCentroids.zip(fg.superCentroids))
+          assert(l.sameElements(f), "super-centroid drift through save/load")
+        for ((l, f) <- lg.members.zip(fg.members))
+          assert(l.sameElements(f), "member drift through save/load")
+      }
+      // and the loaded model dedups identically to the fitted one
+      val a = SemDedup.survivorsWithModel(fixture, "vec_id", "embedding",
+        params, fit).collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      val b = SemDedup.survivorsWithModel(fixture, "vec_id", "embedding",
+        params, loaded).collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      assert(a.sameElements(b))
+    }
+  }
 }

@@ -47,4 +47,32 @@ class SnapshotDiffSpec extends SparkSuite {
     assert(d.length == 1)
     assert(d.head.getString(1) == "y" && d.head.getString(2) == "changed")
   }
+
+  test("a value shifting across a NULL in same-typed columns is 'changed'") {
+    // xxhash64 skips NULL struct fields, so (x, NULL) vs (NULL, x)
+    // would collide without the per-column null flags in the
+    // fingerprint — these rows MUST report changed, not silence
+    val o = Seq((1L, Some("x"), None: Option[String]),
+      (2L, Some("same"), Some("same"))).toDF("k", "c1", "c2")
+    val n = Seq((1L, None: Option[String], Some("x")),
+      (2L, Some("same"), Some("same"))).toDF("k", "c1", "c2")
+    val d = SnapshotDiff.diff(o, n, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "changed"), s"NULL shift missed: $d")
+  }
+
+  test("requireUniqueKeys refuses duplicate snapshot keys loudly") {
+    val dup = Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("k", "s", "v")
+    val ok = Seq((1L, "a", 1.0)).toDF("k", "s", "v")
+    val e = intercept[Exception] {
+      SnapshotDiff.diff(dup, ok, Seq("k"), requireUniqueKeys = true)
+        .collect()
+    }
+    assert(e.getMessage.contains("duplicate snapshot key") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate snapshot key")),
+      s"wrong failure: $e")
+    // and the checked path still passes on genuinely unique keys
+    assert(SnapshotDiff.diff(ok, ok, Seq("k"),
+      requireUniqueKeys = true).count() == 0)
+  }
 }

@@ -18,17 +18,18 @@ def canon(rows):
     return sorted(rows, key=key)
 
 def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    try:
-        import decimal
-        if isinstance(v, decimal.Decimal):
-            return float(v)
-    except Exception:
-        pass
+    # Type-strict: no Decimal->float collapse (a DuckDB HUGEINT/DECIMAL vs
+    # Spark BIGINT/DOUBLE divergence must FAIL here, like the driver's
+    # type-sensitive hash). Only NaN needs canonicalizing (NaN != NaN).
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
     return v
+
+
+def result_types(con, rel_sql):
+    """name.lower() -> DuckDB type string for a query's result schema."""
+    rows = con.execute(f"DESCRIBE {rel_sql}").fetchall()
+    return {r[0].lower(): r[1] for r in rows}
 
 def main(outdir, sfdir):
     con = duckdb.connect()
@@ -56,6 +57,18 @@ def main(outdir, sfdir):
             continue
         if sorted(c.lower() for c in got_cols) != sorted(c.lower() for c in want_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(want_cols)}")
+            n_fail += 1
+            continue
+        try:
+            gt = result_types(con, f"SELECT * FROM read_parquet({files!r})")
+            wt = result_types(con, f"({sql})")
+        except Exception as e:
+            print(f"FAIL {name}: describe error {e}")
+            n_fail += 1
+            continue
+        type_mismatch = {c: (gt[c], wt[c]) for c in gt if gt[c] != wt.get(c)}
+        if type_mismatch:
+            print(f"FAIL {name}: result types diverge {type_mismatch}")
             n_fail += 1
             continue
         gi = [got_cols.index(c) for c in sorted(got_cols, key=str.lower)]

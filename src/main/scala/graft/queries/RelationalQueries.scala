@@ -18,6 +18,27 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Per-JVM hive-partitioned copy of `events` (day=YYYY-MM-DD dirs,
+    * 30 partitions): written once per sf dir, then read back as a
+    * partitioned source so a declared query can prove partition
+    * PRUNING end-to-end — the first thing a 100 TB consumer relies on
+    * (a day-ranged query must touch the matching partition dirs, not
+    * the whole table). The layout is exactly what a daily ingest job
+    * produces with `.write.partitionBy("day")`.
+    */
+  private val partEventsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partitionedEventsFor(s: SparkSession, dir: String): String =
+    partEventsCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_part_events").toString
+      // ts arrives as a nanos long (see Tables); div 1000 → micros
+      t(s, dir, "events")
+        .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      path
+    })
+
   /** Floor-consistent integer division as a SQL fragment: DuckDB `//`
     * FLOORS while Spark `div` truncates toward zero, so the two
     * diverge on negative inputs (pre-1970 timestamps, negative
@@ -876,6 +897,31 @@ object RelationalQueries {
           CAST(sum(CASE WHEN (n_chars <> length(text)) IS NOT FALSE
             THEN 1 ELSE 0 END) AS BIGINT)
         FROM documents""")),
+
+    QueryDef("q_partition_pruned",
+      // hive-partition pruning END-TO-END: a day-ranged aggregate over
+      // the partitioned events layout (partitionedEventsFor). The scan
+      // must carry the range as PartitionFilters and touch exactly 3
+      // of the 30 day dirs — asserted in PlanShapeSpec and visible in
+      // EXPLAINS.md; at 100 TB this is the difference between reading
+      // 3 days and reading the table. Oracle computes the same
+      // aggregate from the unpartitioned base table (identical rows,
+      // integer-cents arithmetic)
+      (s, dir) => {
+        val path = partitionedEventsFor(s, dir)
+        s.read.parquet(path)
+          .where(col("day").between(
+            lit("2024-01-05").cast(DateType), lit("2024-01-07").cast(DateType)))
+          .groupBy(col("day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(AggFunctions.cents(col("value"))).as("value_cents"))
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, event_type,
+          count(*) AS n_events,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+        GROUP BY 1, 2""")),
 
     // ---- time-bucketed aggregation over the event stream table ----
 

@@ -255,8 +255,174 @@ object ScaleProbe {
     sb.append("band buckets of size ~factor — candidates/doc grow with ")
     sb.append("bucket size, never the corpus product, and measured time ")
     sb.append("stays ~linear in batch+index size.\n")
+
+    // ---- streaming state growth: state must track KEYS, not events ----
+    sb.append(streamingStateSection(spark, docs0, idxRoot))
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALEPROBE.md"), sb.toString)
     println(sb.toString)
     spark.stop()
+  }
+
+  /** Measures Structured-Streaming state growth at 1x–8x input for the
+    * two stateful operators whose bounding argument SCALE.md makes:
+    * statefulTopKWithTTL (state rows from the engine's own
+    * StateOperatorProgress; must be O(active keys), evicted to ~0 by
+    * the TTL) and streamingIncrementalDedup (index rows + on-disk
+    * bytes; must be O(admitted distinct docs), flat under duplicate
+    * replay no matter how many events stream past).
+    */
+  private def streamingStateSection(spark: SparkSession,
+                                    docs0: DataFrame,
+                                    idxRoot: String): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    /** Feeds nEvents over nKeys in two batches through
+      * statefulTopKWithTTL(k=5); returns (state rows at peak, state
+      * bytes at peak, state rows after the TTL lapses — measured after
+      * a single fresh-key nudge batch, so the expected floor is 1).
+      */
+    def topkState(tag: String, nKeys: Int, nEvents: Int): (Long, Long, Long) = {
+      val ms = MemoryStream[(Long, Double)]
+      val qn = s"stkprobe_$tag"
+      val ttlMillis = 5000L
+      val query = graft.streaming.StreamingOps
+        .statefulTopKWithTTL(ms.toDS(), 5, ttlMillis)
+        .toDF("key", "value")
+        .writeStream.outputMode("update").format("memory").queryName(qn)
+        .start()
+      // processAllAvailable() hangs while group-state timeouts are
+      // armed (StreamingOpsSpec note) — await sink row counts instead
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.currentTimeMillis + 120000
+        while (spark.table(qn).count() < n &&
+          System.currentTimeMillis < deadline) Thread.sleep(50)
+      }
+      def stateRows: Long = Option(query.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      def stateBytes: Long = Option(query.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.memoryUsedBytes).sum
+      try {
+        val half = nEvents / 2
+        def batch(offset: Int, n: Int) = (0 until n).map(i =>
+          ((i % nKeys).toLong,
+            ((i.toLong * 2654435761L + offset) % 100000).toDouble))
+        // every key sees >= 5 values per batch, so each batch emits
+        // exactly k=5 update rows per key — await is deterministic
+        ms.addData(batch(0, half))
+        awaitRows(5L * nKeys)
+        ms.addData(batch(1, nEvents - half))
+        awaitRows(10L * nKeys)
+        val peak = stateRows
+        val bytes = stateBytes
+        // TTL eviction: let every key idle past the TTL, then nudge
+        // with ONE fresh key — the nudge batch runs after the timeout
+        // batches, so surviving state is the nudge key alone
+        Thread.sleep(ttlMillis + 2000)
+        ms.addData(Seq((-1L, 0.0)))
+        awaitRows(10L * nKeys + 1)
+        Thread.sleep(500)
+        (peak, bytes, stateRows)
+      } finally query.stop()
+    }
+
+    /** Streams `fed` docs through streamingIncrementalDedup in
+      * `fed.size / batchSize` batches against an initially-empty
+      * index; returns (docs fed, index rows after the run, index bytes
+      * as persisted parquet). Batch boundaries matter: within-batch
+      * duplicates are documented as unresolved (the one-shot batch
+      * dedup's job), so the duplicate-replay probe feeds one copy-set
+      * per batch to measure the cross-batch admission path.
+      */
+    def incDedupState(tag: String, fed: Seq[(Long, String)],
+                      batchSize: Int): (Long, Long, Long) = {
+      val ms = MemoryStream[(Long, String)]
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val query = graft.streaming.StreamingOps.streamingIncrementalDedup(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        IncrementalDedup.fitIndex(empty, "doc_id", "text"), minAgree = 45) {
+        (surv, _) => admitted.synchronized {
+          admitted ++= surv.select("doc_id").collect().map(_.getLong(0))
+        }
+      }.start()
+      try {
+        fed.grouped(batchSize).foreach { chunk =>
+          ms.addData(chunk)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      // the grown index equals (in rows and content) the fingerprints
+      // of the admitted docs — persist that to measure on-disk bytes
+      val admittedSet = admitted.toSet
+      val idx = IncrementalDedup.fitIndex(
+        fed.filter(d => admittedSet.contains(d._1)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      val path = java.nio.file.Paths.get(s"$idxRoot/incstate_$tag")
+      IncrementalDedup.save(idx, path.toString)
+      val bytes = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(path).iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(p => java.nio.file.Files.size(p)).sum
+      }
+      (fed.size.toLong, admittedSet.size.toLong, bytes)
+    }
+
+    val allDocs = docs0.select(col("doc_id"), col("text"))
+      .orderBy("doc_id").limit(4000)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val baseDocs = allDocs.take(500)
+
+    val factors = Seq(1, 2, 4, 8)
+    val rows = Seq(
+      "topK+TTL, keys grow with input (events=40k·f, keys=1k·f)" ->
+        factors.map(f => {
+          val (peak, bytes, after) = topkState(s"grow$f", 1000 * f, 40000 * f)
+          f"$peak%d rows (${bytes / 1024}%d KB), after TTL $after%d"
+        }),
+      "topK+TTL, FIXED 1k keys (events=40k·f)" ->
+        factors.map(f => {
+          val (peak, bytes, after) = topkState(s"fix$f", 1000, 40000 * f)
+          f"$peak%d rows (${bytes / 1024}%d KB), after TTL $after%d"
+        }),
+      "incremental dedup, planted duplicate replay (500·f docs, 500 distinct)" ->
+        factors.map(f => {
+          val fed = (0 until f).flatMap(i => baseDocs.map { case (id, tx) =>
+            (id + i.toLong * 1000000000L, tx) })
+          // one copy-set per batch: replayed duplicates hit the INDEX
+          val (n, idxRows, bytes) =
+            incDedupState(s"dup$f", fed, baseDocs.size)
+          f"$idxRows%d index rows / $n%d fed (${bytes / 1024}%d KB)"
+        }),
+      "incremental dedup, fresh corpus (500·f distinct docs)" ->
+        factors.map(f => {
+          val fed = allDocs.take(500 * f)
+          val (n, idxRows, bytes) =
+            incDedupState(s"new$f", fed, math.max(1, (fed.size + 3) / 4))
+          f"$idxRows%d index rows / $n%d fed (${bytes / 1024}%d KB)"
+        }))
+
+    val sb = new StringBuilder
+    sb.append("\n## Streaming state growth (1x–8x input)\n\n")
+    sb.append("State size must track ACTIVE KEYS, never events: ")
+    sb.append("statefulTopKWithTTL state rows/bytes come from the engine's ")
+    sb.append("StateOperatorProgress at peak, then again after the 5 s TTL ")
+    sb.append("lapses (a single fresh-key nudge batch triggers the eviction ")
+    sb.append("sweep, so the expected post-TTL floor is 1 row). The ")
+    sb.append("incremental-dedup index is intentionally unbounded-by-time ")
+    sb.append("but bounded PER DOC: under planted duplicate replay the ")
+    sb.append("index stays flat (~500 rows) while fed events grow 8x; on a ")
+    sb.append("fresh corpus it grows linearly in admitted docs at ~0.5 KB ")
+    sb.append("per doc (near-dups naturally present in the fixture corpus ")
+    sb.append("are also rejected, so admitted <= fed).\n\n")
+    sb.append("| probe | " + factors.map(f => s"${f}x").mkString(" | ") + " |\n")
+    sb.append("|---|" + factors.map(_ => "---").mkString("|") + "|\n")
+    rows.foreach { case (name, cells) =>
+      sb.append(s"| $name | " + cells.mkString(" | ") + " |\n")
+    }
+    sb.toString
   }
 }

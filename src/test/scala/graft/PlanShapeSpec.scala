@@ -236,4 +236,27 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan.contains("Sort [__z"), s"expected in-partition sort:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning"), s"plan:\n$plan")
   }
+
+  test("q_partition_pruned scans exactly the 3 matching day partitions") {
+    val df = SparkEntry.queries("q_partition_pruned")(spark, dir)
+    // collect on the pre-AQE physical plan: the adaptive wrapper hides
+    // the scan node from executedPlan.collect before execution
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1, s"expected one file scan, got ${scans.length}")
+    // the day range must reach the scan as PartitionFilters — pruning
+    // happens at planning from directory metadata, no data read
+    val meta = scans.head.metadata
+    assert(meta.get("PartitionFilters").exists(_.contains("day")),
+      s"no partition filter on day: $meta")
+    assert(scans.head.selectedPartitions.partitionCount == 3,
+      s"expected 3 pruned day dirs, scanned ${scans.head.selectedPartitions.partitionCount}")
+    // and the values agree with the unpartitioned base table
+    val base = Tables(spark, dir, "events")
+      .where(to_date(timestamp_micros(expr("ts div 1000")))
+        .between(lit("2024-01-05"), lit("2024-01-07")))
+      .count()
+    assert(df.agg(sum("n_events")).head().getLong(0) == base)
+  }
 }

@@ -136,6 +136,49 @@ object CountMin {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
   }
 
+  /** Point estimates for EVERY key in `keysDf.keyCol` — the
+    * distributed probe (no driver-side key list, unlike [[estimate]]):
+    * each key row expands to its depth bucket coordinates in one
+    * projection, joins the broadcast counter table, and takes the min.
+    * Output (keyCol, cm_est BIGINT). The heavy-hitter shape: candidate
+    * keys come from the sketch (one-sided error ⇒ a deterministic
+    * SUPERSET of the true heavy hitters), then only candidates pay for
+    * exact verification.
+    */
+  def estimateAll(counters: DataFrame, keysDf: DataFrame, keyCol: String,
+                  p: Params = Params()): DataFrame = {
+    val rows = perms(p).zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("row"), bucket(col(keyCol), a, b, p.width).as("col"))
+    }
+    keysDf.select(col(keyCol), explode(array(rows: _*)).as("rc"))
+      .select(col(keyCol), col("rc.row").as("row"), col("rc.col").as("col"))
+      .join(broadcast(counters), Seq("row", "col"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+  }
+
+  /** DuckDB replay of build + [[estimateAll]] over relation `rel`'s
+    * `keyExpr`, as a CTE block: counter sums, distinct keys, per-key
+    * probe rows, and `__est(__k, cm_est)`. Callers embed it in a WITH
+    * and select from `__est`.
+    */
+  def oracleAllKeysSql(rel: String, keyExpr: String,
+                       p: Params = Params()): String = {
+    val cRows = perms(p).zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT $i AS row, (($a * (($keyExpr) % $P) + $b) % $P) % ${p.width} AS col, " +
+        s"count(*) AS cnt FROM $rel GROUP BY 2"
+    }.mkString("\n      UNION ALL ")
+    val pRows = perms(p).zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT __k, $i AS row, (($a * (__k % $P) + $b) % $P) % ${p.width} AS col FROM __dk"
+    }.mkString("\n      UNION ALL ")
+    s"""__c AS ($cRows),
+      __dk AS (SELECT DISTINCT ($keyExpr) AS __k FROM $rel),
+      __p AS ($pRows),
+      __est AS (SELECT __k, CAST(min(coalesce(__c.cnt, 0)) AS BIGINT) AS cm_est
+        FROM __p LEFT JOIN __c ON __c.row = __p.row AND __c.col = __p.col
+        GROUP BY __k)"""
+  }
+
   /** DuckDB replay of build+estimate over `table.keyExpr` for the
     * oracle gate: per-depth-row bucket sums unioned, probe literals
     * precomputed with [[bucketOf]], LEFT JOIN + coalesce for empty

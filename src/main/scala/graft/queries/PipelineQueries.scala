@@ -1606,6 +1606,39 @@ object PipelineQueries {
       },
       Some(CountMin.oracleSql("lineitem", "l_partkey", cmsKeys))),
 
+    QueryDef("q_cms_heavy_hitters",
+      // bounded-memory heavy hitters, the frequent-items shape: the
+      // CMS's one-sided error makes `cm_est >= N/50` a deterministic
+      // SUPERSET of the true >=2%-frequency keys, so only candidates
+      // pay for exact verification — at 100 TB the sketch (depth*width
+      // counters) replaces a full-cardinality group-by for candidate
+      // generation, and the probe is distributed (estimateAll — no
+      // driver key list). Skew is planted deterministically (the
+      // user_id tail collapses to one mega-key); thresholds are
+      // in-plan scalar aggregates, never literals that drift with SF
+      (s, dir) => {
+        val keyed = t(s, dir, "events").select(
+          when(col("user_id") < 10, col("user_id"))
+            .otherwise(lit(9999L)).cast("long").as("hh_key"))
+        val sk = CountMin.build(keyed, "hh_key")
+        val est = CountMin.estimateAll(sk, keyed.distinct(), "hh_key")
+        val exact = keyed.groupBy("hh_key").agg(count(lit(1)).as("exact_cnt"))
+        val tot = keyed.agg(count(lit(1)).as("n_total"))
+        est.join(exact, "hh_key").crossJoin(broadcast(tot))
+          .select(col("hh_key"), col("exact_cnt"), col("cm_est"),
+            (col("cm_est") * 50 >= col("n_total")).as("is_heavy_candidate"),
+            (col("exact_cnt") * 50 >= col("n_total")).as("is_true_heavy"))
+      },
+      Some(s"""WITH k AS (SELECT CASE WHEN user_id < 10 THEN user_id
+            ELSE 9999 END AS hh_key FROM events),
+        ${CountMin.oracleAllKeysSql("k", "hh_key")},
+        tot AS (SELECT count(*) AS n_total FROM k),
+        ex AS (SELECT hh_key, count(*) AS exact_cnt FROM k GROUP BY 1)
+      SELECT __est.__k AS hh_key, ex.exact_cnt, __est.cm_est,
+        __est.cm_est * 50 >= tot.n_total AS is_heavy_candidate,
+        ex.exact_cnt * 50 >= tot.n_total AS is_true_heavy
+      FROM __est JOIN ex ON ex.hh_key = __est.__k CROSS JOIN tot""")),
+
     QueryDef("q_sketch_distinct",
       // HLL++ sketch per language — merge-order-independent, so the
       // result is deterministic under any partitioning. The estimate

@@ -18,6 +18,44 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Per-JVM BUCKETED copies of orders/lineitem (8 buckets on the join
+    * key, sorted within buckets): written once per sf dir via
+    * `bucketBy(...).saveAsTable`, so a declared query can prove the
+    * co-located join end-to-end — both scans expose the same hash
+    * partitioning and the join runs with NO exchange on either side.
+    * At 100 TB this is THE shuffle-elimination lever for repeated
+    * fact-to-fact joins: the shuffle is paid once at write time, then
+    * every join on the bucket key is exchange-free forever.
+    */
+  private val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedTablesFor(s: SparkSession, dir: String): (String, String) =
+    bucketedCache.computeIfAbsent(dir, _ => {
+      val tag = math.abs(dir.hashCode).toString
+      val (ot, lt) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
+      // a previous JVM's managed-table DIRECTORY can outlive the
+      // in-memory catalog entry — clear both or saveAsTable refuses
+      // with LOCATION_ALREADY_EXISTS
+      def reset(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        val loc = java.nio.file.Paths.get(wh, name)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      reset(ot); reset(lt)
+      t(s, dir, "orders").write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      t(s, dir, "lineitem").write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      (ot, lt)
+    })
+
   /** Per-JVM hive-partitioned copy of `events` (day=YYYY-MM-DD dirs,
     * 30 partitions): written once per sf dir, then read back as a
     * partitioned source so a declared query can prove partition
@@ -897,6 +935,30 @@ object RelationalQueries {
           CAST(sum(CASE WHEN (n_chars <> length(text)) IS NOT FALSE
             THEN 1 ELSE 0 END) AS BIGINT)
         FROM documents""")),
+
+    QueryDef("q_bucketed_join",
+      // co-located (bucketed) join END-TO-END: orders and lineitem
+      // pre-bucketed 8 ways on the join key join WITHOUT an exchange
+      // on either side (PlanShapeSpec asserts exactly one Exchange in
+      // the whole plan — the final group-by's). The merge hint forces
+      // SMJ so bucketing, not a broadcast, is what kills the shuffle.
+      // Oracle computes the same aggregate from the unbucketed base
+      // tables (bucketing reorders storage, never rows)
+      (s, dir) => {
+        val (ot, lt) = bucketedTablesFor(s, dir)
+        val o = s.table(ot).select(col("o_orderkey"), col("o_orderpriority"))
+        val l = s.table(lt).select(col("l_orderkey").as("o_orderkey"),
+          AggFunctions.cents(col("l_extendedprice")).as("cents"))
+        o.hint("merge").join(l, "o_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("cents")).as("revenue_cents"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+            AS revenue_cents
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1""")),
 
     QueryDef("q_partition_pruned",
       // hive-partition pruning END-TO-END: a day-ranged aggregate over

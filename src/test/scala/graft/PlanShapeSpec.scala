@@ -237,6 +237,21 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan.contains("Exchange hashpartitioning"), s"plan:\n$plan")
   }
 
+  test("q_bucketed_join joins co-located buckets with no join-side exchange") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, dir)
+    // executedPlan: EnsureRequirements has inserted exchanges (the
+    // pre-preparation sparkPlan shows none anywhere)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"plan:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scans not bucketed:\n$plan")
+    // the ONLY exchange is the final group-by's: both join inputs are
+    // bucketed 8 ways on the join key, so the join itself is
+    // shuffle-free — the 100 TB fact-to-fact join shape
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected only the aggregation exchange, got $exchanges:\n$plan")
+  }
+
   test("q_partition_pruned scans exactly the 3 matching day partitions") {
     val df = SparkEntry.queries("q_partition_pruned")(spark, dir)
     // collect on the pre-AQE physical plan: the adaptive wrapper hides

@@ -50,6 +50,22 @@ class CountMinSpec extends SparkSuite {
     assert(run(1).sameElements(run(8)))
   }
 
+  test("estimateAll matches literal-key estimate for every distinct key") {
+    val data = keysDF((1L to 500L).map(i => i * 13 % 37))
+    val sk = CountMin.build(data, "k", p)
+    val viaAll = CountMin.estimateAll(sk, data.distinct(), "k", p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLit = CountMin.estimate(sk, (0L until 37L), p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAll == viaLit.filter { case (k, _) => viaAll.contains(k) })
+    assert(viaAll.keySet == (0L until 37L).filter(k =>
+      (1L to 500L).exists(i => i * 13 % 37 == k)).toSet)
+    // one-sided error: estimates never undercount
+    val exact = (1L to 500L).map(i => i * 13 % 37)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (k, n) => assert(viaAll(k) >= n) }
+  }
+
   test("driver-side bucketOf mirrors the plan-side bucket expression") {
     val ks = Seq(0L, 1L, CountMin.P - 1, CountMin.P, 123456789L)
     val fromPlan = CountMin.build(keysDF(ks), "k", p)

@@ -443,7 +443,7 @@ object PipelineQueries {
 
   private val semDedup2Params = semDedupParams.copy(twoLevel = true)
 
-  /** Generated oracle for dedup_semantic_fast: the two-level
+  /** Generated oracle for the two-level dedup_semantic path: the two-level
     * assignment replayed exactly — super scores + ties-high super
     * ladder, then per-super member ladders over the SAME inlined
     * centroids and driver-computed grouping, then the unchanged

@@ -1873,6 +1873,31 @@ object PipelineQueries {
             AS BIGINT) AS pos
         FROM h""")),
 
+    QueryDef("text_head_tail_truncate",
+      // context-budget truncation, the keep-the-edges policy: docs over
+      // 64 tokens keep their first and last 32 joined by a <TRUNC>
+      // marker (openings and closings carry disproportionate signal;
+      // the middle is what a budget drops). ONE codegen'd projection —
+      // no shuffle, no UDF; exact string arithmetic both engines
+      // replay verbatim
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        t(s, dir, "documents").select(
+          col("doc_id"), size(toks).cast("long").as("n_tokens"),
+          when(size(toks) <= 64, col("text"))
+            .otherwise(concat_ws(" ", concat(slice(toks, 1, 32),
+              array(lit("<TRUNC>")), slice(toks, -32, 32))))
+            .as("text_trunc"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk, text
+            FROM documents)
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+          CASE WHEN len(tk) <= 64 THEN text
+               ELSE array_to_string(
+                 tk[1:32] || ['<TRUNC>'] || tk[len(tk)-31:len(tk)], ' ')
+          END AS text_trunc
+        FROM d""")),
+
     QueryDef("text_chunks",
       // overlapping 64-token windows advanced by 48 (16-token overlap)
       // — the LLM-pipeline chunking step; narrow generator transform,

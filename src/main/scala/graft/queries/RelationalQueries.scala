@@ -960,6 +960,55 @@ object RelationalQueries {
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         GROUP BY 1""")),
 
+    QueryDef("q_bucket_pruned",
+      // BUCKET pruning end-to-end, the point-lookup complement of
+      // q_partition_pruned: an equality filter on the bucket key reads
+      // 1 of the 8 bucket files (SelectedBucketsCount asserted in
+      // PlanShapeSpec) — on a 100 TB bucketed fact table a key lookup
+      // touches 1/buckets of the data with zero shuffle. The probed
+      // keys span several buckets to keep the result non-trivial
+      (s, dir) => {
+        val (ot, _) = bucketedTablesFor(s, dir)
+        // a bare point lookup has no downstream distribution need, so
+        // the planner's auto-bucketed-scan pass would flip the scan to
+        // non-bucketed and forfeit bucket-file pruning — pin it on
+        // (the Tables.nanosAsLong precedent for session-conf pins)
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        s.table(ot)
+          .where(col("o_orderkey").isin(1L, 7L, 32L, 133L))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderpriority
+        FROM orders WHERE o_orderkey IN (1, 7, 32, 133)""")),
+
+    QueryDef("q_winsorize",
+      // winsorization (percentile clipping) — the outlier-TAMING
+      // counterpart to q_outliers' detection: account balances clipped
+      // to their market segment's [p10, p90]. Interpolated percentiles
+      // are IEEE-identical across engines over identical inputs (the
+      // q_percentiles contract), and clipping returns either the
+      // original double or that shared percentile — so even this
+      // double-valued output hash-matches. Percentiles are a 5-row
+      // broadcast back onto the fact side, never a fact shuffle by
+      // segment
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val pct = c.groupBy(col("c_mktsegment"))
+          .agg(expr("percentile_cont(0.1) WITHIN GROUP (ORDER BY c_acctbal)").as("p10"),
+            expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY c_acctbal)").as("p90"))
+        c.join(broadcast(pct), "c_mktsegment")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            least(greatest(col("c_acctbal"), col("p10")), col("p90"))
+              .as("acctbal_w"))
+      },
+      Some("""WITH pct AS (SELECT c_mktsegment,
+            percentile_cont(0.1) WITHIN GROUP (ORDER BY c_acctbal) AS p10,
+            percentile_cont(0.9) WITHIN GROUP (ORDER BY c_acctbal) AS p90
+          FROM customer GROUP BY 1)
+        SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+          least(greatest(c.c_acctbal, pct.p10), pct.p90) AS acctbal_w
+        FROM customer c JOIN pct USING (c_mktsegment)""")),
+
     QueryDef("q_partition_pruned",
       // hive-partition pruning END-TO-END: a day-ranged aggregate over
       // the partitioned events layout (partitionedEventsFor). The scan

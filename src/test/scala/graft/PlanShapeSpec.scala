@@ -252,6 +252,16 @@ class PlanShapeSpec extends SparkSuite {
       s"expected only the aggregation exchange, got $exchanges:\n$plan")
   }
 
+  test("q_bucket_pruned reads a strict subset of the 8 bucket files") {
+    val df = SparkEntry.queries("q_bucket_pruned")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the IN-filter on the bucket key prunes at planning: the scan
+    // reports fewer than 8 selected buckets (4 keys -> at most 4)
+    val m = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no bucket pruning in plan:\n$plan")
+    assert(m.get.group(1).toInt <= 4, s"expected <= 4 buckets:\n$plan")
+  }
+
   test("q_partition_pruned scans exactly the 3 matching day partitions") {
     val df = SparkEntry.queries("q_partition_pruned")(spark, dir)
     // collect on the pre-AQE physical plan: the adaptive wrapper hides

@@ -113,6 +113,19 @@ object RelationalQueries {
       ORDER BY revenue_e4 DESC, l_orderkey
       LIMIT 10"""
 
+  /** One SQL text, two engines (q_not_in_nullaware): NOT IN against a
+    * NULL-free vs a NULL-containing subquery — the 3VL behavior pair.
+    */
+  private val notInNullawareSql: String =
+    """WITH mask AS (SELECT CASE WHEN event_type = 'click' THEN NULL
+          ELSE user_id END AS uid FROM events),
+      clean AS (SELECT uid FROM mask WHERE uid IS NOT NULL)
+    SELECT
+      (SELECT count(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT uid FROM clean)) AS n_not_in_clean,
+      (SELECT count(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT uid FROM mask)) AS n_not_in_withnull"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- reference core: global top-N, one per supported numeric type ----
@@ -1008,6 +1021,75 @@ object RelationalQueries {
         SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
           least(greatest(c.c_acctbal, pct.p10), pct.p90) AS acctbal_w
         FROM customer c JOIN pct USING (c_mktsegment)""")),
+
+    QueryDef("q_group_regression",
+      // grouped least-squares trend + Pearson correlation, the
+      // analytics staple, made hash-exact the PMI way: every sum
+      // (n, Σx, Σy, Σxy, Σx², Σy²) is an exact integer over (epoch
+      // day, daily order count); slope/intercept/r are then a handful
+      // of IEEE ops over identical integers — bit-identical across
+      // engines and partitionings, unlike a naive avg/covar_pop chain
+      // whose double accumulation order floats. Two partial-agg'd
+      // shuffles: (priority, day) then priority
+      (s, dir) => {
+        val d = DoubleType
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"),
+            datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+              .cast("long").as("x"))
+          .agg(count(lit(1)).as("y"))
+        val sums = daily.groupBy("o_orderpriority").agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        val n = col("n")
+        val num = n * col("sxy") - col("sx") * col("sy")
+        val den = n * col("sxx") - col("sx") * col("sx")
+        val deny = n * col("syy") - col("sy") * col("sy")
+        val slope = num.cast(d) / den.cast(d)
+        sums.select(col("o_orderpriority"), n.as("n_days"),
+          slope.as("slope"),
+          ((col("sy").cast(d) - slope * col("sx").cast(d)) / n.cast(d))
+            .as("intercept"),
+          (num.cast(d) / (sqrt(den.cast(d)) * sqrt(deny.cast(d)))).as("r"))
+      },
+      Some("""WITH daily AS (SELECT o_orderpriority,
+            datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+            count(*) AS y
+          FROM orders GROUP BY 1, 2),
+        s AS (SELECT o_orderpriority,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx,
+            CAST(sum(y * y) AS BIGINT) AS syy
+          FROM daily GROUP BY 1)
+        SELECT o_orderpriority, n AS n_days,
+          CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+          (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+            / CAST(n AS DOUBLE) AS intercept,
+          CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+        FROM s""")),
+
+    QueryDef("q_not_in_nullaware",
+      // NOT IN's three-valued logic end-to-end (the null-aware anti
+      // join): against the NULL-free subquery NOT IN counts the true
+      // anti-join complement; against the subquery CONTAINING a NULL
+      // every membership test is UNKNOWN and the count is exactly 0 —
+      // the classic silent-empty-result SQL semantic an engine must
+      // honor, pinned here as data. One verbatim SQL text, two
+      // engines (the q_sql_surface convention)
+      (s, dir) => {
+        Seq("customer", "events").foreach(nm =>
+          t(s, dir, nm).createOrReplaceTempView(nm))
+        s.sql(notInNullawareSql)
+      },
+      Some(notInNullawareSql)),
 
     QueryDef("q_partition_pruned",
       // hive-partition pruning END-TO-END: a day-ranged aggregate over

@@ -13,6 +13,28 @@ import org.apache.spark.sql.SparkSession
   * comparability.
   */
 object Bench {
+
+  /** Fixed headline subset for the compact stdout line — one
+    * representative per operator family, stable across rounds so the
+    * consumer can diff per-query times mechanically. Full per-query
+    * times always land in the bench-out file.
+    */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q_join_revenue", "topn_price_double", "grouped_topn_orders",
+    "grouped_topn_agg", "q_percentiles", "q_window_funcs", "q_rollup",
+    "q_asof_join", "q_range_join", "q_salted_join", "q_bucketed_join",
+    "q_partition_pruned", "q_session_window", "q_funnel", "q_sql_surface",
+    "q_sketch_distinct", "q_cms_heavy_hitters", "q_data_quality",
+    "q_snapshot_diff", "q_zorder_layout", "q_profile",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_semantic",
+    "dedup_clusters", "dedup_incremental", "neardup_embedding_lsh",
+    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "pq_ann_topk",
+    "ivfpq_ann_search", "hybrid_rrf", "fuzzy_join_parts",
+    "text_bm25", "text_chunks", "text_pack", "text_langid",
+    "text_quality_gate", "text_fingerprint",
+    "graph_pagerank", "graph_triangles", "graph_kcore", "graph_communities",
+    "mm_features", "mm_phash_pairs", "sample_stratified")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -58,13 +80,25 @@ object Bench {
     // failed > 0 is the machine-readable marker that `total` is missing
     // those queries' time (each also reports -1 in `queries`)
     val failed = results.count(_._2 < 0)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // stdout goes through sbt's [info] prefix, which breaks the driver's
-    // JSON parse — also persist the line verbatim to a file it can read
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    // The full per-query map is persisted to a file; stdout carries a
+    // COMPACT line instead. The consumer captures only the last ~2000
+    // chars of stdout, and the full 130+-query map (~4 KB) overflows
+    // that window, truncating the JSON mid-line and making it
+    // unparseable. The compact line keeps the contract fields
+    // (metric/value/unit/queries/sf) with a FIXED headline subset at
+    // millisecond precision — stable membership round-over-round so
+    // per-query diffs stay mechanical — plus n/failed and a pointer to
+    // the full dump.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val byName = results.toMap
+    val headlineQs = headline.filter(byName.contains).map { n =>
+      "\"" + n + "\":" + f"${byName(n)}%.3f"
+    }.mkString("{", ",", "}")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"queries":$headlineQs,"full":"$out","sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 }

@@ -1658,6 +1658,40 @@ object PipelineQueries {
           true AS approx_within_bound
         FROM documents GROUP BY lang""")),
 
+    QueryDef("q_sketch_union",
+      // MERGEABLE sketch rollup — the 100 TB distinct-count pattern:
+      // one Datasketches HLL sketch per (year, month) shard of the
+      // order stream, then the yearly distinct-customer count comes
+      // from UNIONING the 12 shard sketches — the raw keys are never
+      // re-scanned or re-shuffled at rollup time, so a daily 100 TB
+      // ingest keeps per-partition sketches (KB each) and any ad-hoc
+      // rollup (week/month/year/all-time) is a union over sketch
+      // blobs. Gate shape follows q_sketch_distinct: the estimate is
+      // estimator-internal, the hash-exact surface is (exact distinct,
+      // estimate-within-5%-bound BOOLEAN) with lgK=14 (~0.8% rse);
+      // raw estimates are golden-pinned in GoldenValuesSpec
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          col("o_custkey"))
+        val monthly = o.groupBy("yr", "mo")
+          .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"))
+        val yearly = monthly.groupBy("yr")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .as("approx_cust"))
+        val exact = o.groupBy("yr")
+          .agg(countDistinct(col("o_custkey")).as("exact_cust"))
+        exact.join(yearly, "yr")
+          .select(col("yr"), col("exact_cust"),
+            (abs(col("approx_cust") - col("exact_cust"))
+              <= col("exact_cust") * lit(0.05)).as("approx_within_bound"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+          count(DISTINCT o_custkey) AS exact_cust,
+          true AS approx_within_bound
+        FROM orders GROUP BY 1""")),
+
     QueryDef("dedup_bloom_decontam",
       // decontamination via bloom broadcast: build the filter over the
       // TEST split's fingerprints (bounded: <= bits positions), gate

@@ -1855,6 +1855,65 @@ object RelationalQueries {
           t(s, dir, n).createOrReplaceTempView(n))
         s.sql(sqlSurfaceText)
       },
-      Some(sqlSurfaceText))
+      Some(sqlSurfaceText)),
+
+    QueryDef("graph_bfs",
+      // multi-source BFS: exact min-hop distance from 3 trusted seed
+      // customers over the customer<->supplier trade graph, 3 hops —
+      // the crawl-frontier primitive (PageRank scores proximity, BFS
+      // certifies it). Pure set semantics: frontier = neighbors minus
+      // reached, so any partitioning and any engine replays it
+      // exactly; the oracle unrolls the identical rounds as CTEs.
+      // Edges are partitioned once before the loop, each round
+      // shuffles only the shrinking frontier (see operators.Bfs)
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val cs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(10000000L)).as("dst"))
+        val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+        Bfs.distances(edges, "src", "dst", seeds = Seq(1L, 2L, 3L), maxHops = 3)
+      },
+      Some(s"""WITH cs AS (SELECT DISTINCT o_custkey AS src,
+              l_suppkey + 10000000 AS dst
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
+          ${Bfs.oracleSqlBody(seeds = Seq(1L, 2L, 3L), maxHops = 3)}
+        SELECT node, dist FROM bfs""")),
+
+    QueryDef("q_incremental_agg",
+      // materialized-view maintenance: the running per-priority order
+      // profile is kept as an ALGEBRAIC state (count, sum, min, max —
+      // all mergeable) and each "day's" append batch only scans its
+      // own increment; merge shuffles state rows (groups x batches),
+      // never facts. Here the history (<1997) plus two year batches
+      // are partial-aggregated independently and merged — the oracle
+      // is the single-pass aggregate over the union, proving
+      // merge(partials) == recompute(all). avg is derived at read
+      // time from exact BIGINTs (one IEEE division, the PMI
+      // convention); storing it would break mergeability
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          col("o_orderpriority").as("pri"),
+          AggFunctions.cents(col("o_totalprice")).as("cents"),
+          col("o_orderdate"))
+        val history = o.where(col("o_orderdate") < lit("1997-01-01").cast(DateType))
+        val batch1 = o.where(year(col("o_orderdate")) === 1997)
+        val batch2 = o.where(col("o_orderdate") >= lit("1998-01-01").cast(DateType))
+        val partials = Seq(history, batch1, batch2)
+          .map(IncrementalAgg.partial(_, Seq("pri"), "cents"))
+        IncrementalAgg.finish(IncrementalAgg.merge(partials, Seq("pri")))
+      },
+      // DuckDB sum(BIGINT) promotes to HUGEINT — cast back to BIGINT
+      // (the round-8 q_sql_surface lesson; the checker is type-strict)
+      Some("""SELECT o_orderpriority AS pri,
+          count(*) AS agg_cnt,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS agg_sum,
+          min(CAST(round(o_totalprice * 100) AS BIGINT)) AS agg_min,
+          max(CAST(round(o_totalprice * 100) AS BIGINT)) AS agg_max,
+          CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS agg_avg
+        FROM orders GROUP BY 1"""))
   )
 }

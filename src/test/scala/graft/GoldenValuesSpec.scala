@@ -62,6 +62,31 @@ class GoldenValuesSpec extends SparkSuite {
       s"sketch-distinct surface drifted: ${rows.toSeq}")
   }
 
+  test("q_sketch_union: union of monthly sketches == one direct yearly sketch") {
+    // The mergeability LAW behind the rollup pattern: HLL registers
+    // are per-slot maxima, so union-of-monthly-sketches has exactly
+    // the registers of one sketch over the whole year — estimates
+    // must be EQUAL, not merely close. A drift here means the union
+    // path lost precision and per-shard sketching is no longer safe.
+    val o = graft.Tables(spark, dir, "orders").select(
+      year(col("o_orderdate")).cast("long").as("yr"),
+      month(col("o_orderdate")).cast("long").as("mo"),
+      col("o_custkey"))
+    val viaUnion = o.groupBy("yr", "mo")
+      .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"))
+      .groupBy("yr")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+    val direct = o.groupBy("yr")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), lit(14))).as("est"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (u, d) = (m(viaUnion), m(direct))
+    assert(u == d && u.nonEmpty, s"sketch-union law broken: $u vs $d")
+    val rows = SparkEntry.queries("q_sketch_union")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("approx_within_bound")),
+      "yearly HLL estimate outside the 5% pinned bound")
+  }
+
   test("skyline frontier at sf0.001 is pinned (5 non-dominated orders)") {
     val rows = SparkEntry.queries("q_skyline")(spark, dir)
       .orderBy("day").collect()

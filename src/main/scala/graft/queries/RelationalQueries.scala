@@ -1882,6 +1882,36 @@ object RelationalQueries {
           ${Bfs.oracleSqlBody(seeds = Seq(1L, 2L, 3L), maxHops = 3)}
         SELECT node, dist FROM bfs""")),
 
+    QueryDef("graph_sssp",
+      // bounded-round Bellman-Ford: cheapest trade-path cost from 3
+      // seed customers over the weighted trade graph (weight = rounded
+      // lineitem quantity — an exact BIGINT), 4 relaxation rounds. The
+      // weighted complement of graph_bfs: min-plus algebra over exact
+      // integers, so the unrolled-CTE oracle replays bit-identically;
+      // parallel edges are absorbed by min on both sides. Per round:
+      // one equi-join of the distance relation against the
+      // once-partitioned edges + a partial-agg'd min per node
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_quantity")
+        val cs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(10000000L)).as("dst"),
+            round(col("l_quantity")).cast("long").as("w"))
+        val both = cs.union(
+          cs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        Sssp.costs(both, "src", "dst", "w", seeds = Seq(1L, 2L, 3L), rounds = 4)
+      },
+      Some(s"""WITH cs AS (SELECT o_custkey AS src,
+              l_suppkey + 10000000 AS dst,
+              CAST(round(l_quantity) AS BIGINT) AS w
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          e AS (SELECT src, dst, w FROM cs
+            UNION ALL SELECT dst, src, w FROM cs),
+          ${Sssp.oracleSqlBody(seeds = Seq(1L, 2L, 3L), rounds = 4)}
+        SELECT node, cost FROM sssp""")),
+
     QueryDef("q_incremental_agg",
       // materialized-view maintenance: the running per-priority order
       // profile is kept as an ALGEBRAIC state (count, sum, min, max —

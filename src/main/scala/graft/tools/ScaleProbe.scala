@@ -195,6 +195,44 @@ object ScaleProbe {
             IvfAnn.searchTopK(emb0.where(col("vec_id") < 10), idx,
               k = 5, nprobe = p.nprobe).count()
           }
+        },
+        "BFS 3 hops, 3 seeds per copy (trade graph, disjoint copies)" -> {
+          // seeds replicated into every remapped copy, so the frontier
+          // spans all copies and linear wall time is the correct
+          // reference curve (one copy from fixed seeds would measure
+          // constant work)
+          val ord = scaled(Tables(spark, sfDir, "orders"),
+            Seq("o_orderkey", "o_custkey"), factor)
+          val liG = scaled(li0, Seq("l_orderkey", "l_suppkey"), factor)
+          val seeds = (0 until factor)
+            .flatMap(i => Seq(1L, 2L, 3L).map(_ + i.toLong * 1000000000L))
+          time {
+            val cs = ord.join(liG, ord("o_orderkey") === liG("l_orderkey"))
+              .select(col("o_custkey").as("src"),
+                (col("l_suppkey") + lit(10000000L)).as("dst"))
+            val edges = cs.union(
+              cs.select(col("dst").as("src"), col("src").as("dst")))
+            Bfs.distances(edges, "src", "dst", seeds, maxHops = 3).count()
+          }
+        },
+        "incremental agg merge (3 batches, 5-group state)" -> {
+          // facts scale, the algebraic state stays 5 rows/batch: time
+          // must track the partial-aggregate scans (linear), while the
+          // merge shuffles groups x batches rows regardless of factor
+          val ord = scaled(Tables(spark, sfDir, "orders"),
+            Seq("o_orderkey"), factor)
+          time {
+            val o = ord.select(col("o_orderpriority").as("pri"),
+              graft.functions.AggFunctions.cents(col("o_totalprice")).as("cents"),
+              col("o_orderdate"))
+            val batches = Seq(
+              o.where(col("o_orderdate") < lit("1997-01-01").cast("date")),
+              o.where(year(col("o_orderdate")) === 1997),
+              o.where(col("o_orderdate") >= lit("1998-01-01").cast("date")))
+            IncrementalAgg.merge(
+              batches.map(IncrementalAgg.partial(_, Seq("pri"), "cents")),
+              Seq("pri")).count()
+          }
         })
       (factor0, probes)
     }
@@ -254,7 +292,13 @@ object ScaleProbe {
     sb.append("factor-1 exact twins in the index and identical-signature ")
     sb.append("band buckets of size ~factor — candidates/doc grow with ")
     sb.append("bucket size, never the corpus product, and measured time ")
-    sb.append("stays ~linear in batch+index size.\n")
+    sb.append("stays ~linear in batch+index size. The BFS row seeds every ")
+    sb.append("disjoint copy (3 seeds/copy), so reached rows and wall time ")
+    sb.append("should both track factor; each hop shuffles only the ")
+    sb.append("frontier against the once-partitioned edge list. The ")
+    sb.append("incremental-agg row scans factor-scaled facts into a 5-row ")
+    sb.append("state per batch — time tracks the scans, the merge moves ")
+    sb.append("groups x batches rows at every factor.\n")
 
     // ---- streaming state growth: state must track KEYS, not events ----
     sb.append(streamingStateSection(spark, docs0, idxRoot))

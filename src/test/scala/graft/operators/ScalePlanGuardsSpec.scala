@@ -148,4 +148,29 @@ class ScalePlanGuardsSpec extends SparkSuite {
     assertNoQuadraticJoin(
       LabelPropagation.communities(edges, "u", "v", rounds = 2), "lpa")
   }
+
+  test("BFS frontier expansion: src equi-join + anti-join rounds only") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assertNoQuadraticJoin(
+      Bfs.distances(edges, "src", "dst", Seq(1L), maxHops = 3), "bfs")
+  }
+
+  test("SSSP relaxation: src equi-join + min-agg rounds only") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 4L)).toDF("src", "dst", "w")
+    assertNoQuadraticJoin(
+      Sssp.costs(edges, "src", "dst", "w", Seq(1L), rounds = 3), "sssp")
+  }
+
+  test("incremental agg merge: union + partial-agg only (no join at all)") {
+    import spark.implicits._
+    val b = Seq(("a", 1L), ("b", 2L)).toDF("g", "v")
+    val merged = IncrementalAgg.merge(
+      Seq(IncrementalAgg.partial(b, Seq("g"), "v"),
+        IncrementalAgg.partial(b, Seq("g"), "v")), Seq("g"))
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"state merge should not join:\n$plan")
+    assertNoQuadraticJoin(merged, "incremental agg merge")
+  }
 }

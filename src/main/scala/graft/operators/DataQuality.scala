@@ -83,4 +83,51 @@ object DataQuality {
     require(rules.nonEmpty, "a data-quality suite needs at least one rule")
     rules.reduce(_ unionByName _)
   }
+
+  /** Distribution drift between a reference and a current slice of the
+    * same BIGINT measure (the PSI/retraining-trigger shape, kept
+    * exact): both sides are histogrammed into fixed-width bins, then
+    * each bin's share difference is tested against `thresholdPct`
+    * percent by INTEGER cross-multiplication —
+    * `|cnt_ref·n_cur − cnt_cur·n_ref| · (100/thresholdPct) >
+    * n_ref·n_cur` — so the flag is bit-deterministic on any engine
+    * and any partitioning (no double division, the q_outliers
+    * convention). Output: (bin, cnt_ref, cnt_cur, drifted) for every
+    * bin present on either side (a bin missing from one side counts
+    * 0 there — appearing/vanishing mass is exactly what drift is).
+    *
+    * Scale shape: two scan-level histogram aggregates (map-side
+    * partial, bin cardinality bounded by value RANGE not volume — the
+    * q_histogram argument) + one full-outer join on bin + two
+    * broadcast one-row totals. The fact tables are never joined.
+    */
+  def histogramDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+                     binWidth: Long, thresholdPct: Int): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"thresholdPct must be in [1,100], got $thresholdPct")
+    require(100 % thresholdPct == 0,
+      s"thresholdPct must divide 100 for exact integer cross-multiplication, got $thresholdPct")
+    val mult = 100L / thresholdPct
+    // integer `div`, never floor(double /): the double quotient can
+    // misround near bin edges at large magnitudes; div is exact on
+    // both engines (DuckDB `//`). Values are required non-negative
+    // (true for the measures this gates) so div == floor division.
+    def bins(df: DataFrame, cnt: String) = df
+      .select(col(valueCol).cast("long").as("__v"))
+      .select(expr(s"__v div ${binWidth}L").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(cnt))
+    val cr = bins(ref, "cnt_ref")
+    val cc = bins(cur, "cnt_cur")
+    val nr = ref.agg(count(lit(1)).as("n_ref"))
+    val nc = cur.agg(count(lit(1)).as("n_cur"))
+    cr.join(cc, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
+        coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"))
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
+      .select(col("bin"), col("cnt_ref"), col("cnt_cur"),
+        (abs(col("cnt_ref") * col("n_cur") - col("cnt_cur") * col("n_ref"))
+          * lit(mult) > col("n_ref") * col("n_cur")).as("drifted"))
+  }
 }

@@ -949,6 +949,42 @@ object RelationalQueries {
             THEN 1 ELSE 0 END) AS BIGINT)
         FROM documents""")),
 
+    QueryDef("q_drift_bins",
+      // distribution drift between years of order value (the
+      // PSI/retraining-trigger shape, kept exact): both year slices
+      // histogrammed into $20k-wide cents bins, per-bin share
+      // difference tested against 2% by integer cross-multiplication
+      // |cnt_ref*n_cur - cnt_cur*n_ref|*50 > n_ref*n_cur — no double
+      // division anywhere, so the flags are bit-deterministic on any
+      // engine (the q_outliers convention). Bins present on only one
+      // side count 0 on the other — appearing/vanishing mass IS
+      // drift. Two scan-level histograms + a full-outer join on bin
+      // + two broadcast one-row totals; the fact table never joins
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          AggFunctions.cents(col("o_totalprice")).as("cents"),
+          year(col("o_orderdate")).as("y"))
+        DataQuality.histogramDrift(
+          o.where(col("y") === 1996), o.where(col("y") === 1997),
+          "cents", binWidth = 2000000L, thresholdPct = 2)
+      },
+      Some("""WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+              year(o_orderdate) AS y FROM orders),
+          cr AS (SELECT cents // 2000000 AS bin, count(*) AS cnt_ref
+            FROM o WHERE y = 1996 GROUP BY 1),
+          cc AS (SELECT cents // 2000000 AS bin, count(*) AS cnt_cur
+            FROM o WHERE y = 1997 GROUP BY 1),
+          nr AS (SELECT count(*) AS n_ref FROM o WHERE y = 1996),
+          nc AS (SELECT count(*) AS n_cur FROM o WHERE y = 1997)
+        SELECT COALESCE(cr.bin, cc.bin) AS bin,
+          CAST(COALESCE(cnt_ref, 0) AS BIGINT) AS cnt_ref,
+          CAST(COALESCE(cnt_cur, 0) AS BIGINT) AS cnt_cur,
+          abs(CAST(COALESCE(cnt_ref, 0) AS BIGINT) * n_cur
+              - CAST(COALESCE(cnt_cur, 0) AS BIGINT) * n_ref) * 50
+            > n_ref * n_cur AS drifted
+        FROM cr FULL OUTER JOIN cc ON cr.bin = cc.bin
+        CROSS JOIN nr CROSS JOIN nc""")),
+
     QueryDef("q_bucketed_join",
       // co-located (bucketed) join END-TO-END: orders and lineitem
       // pre-bucketed 8 ways on the join key join WITHOUT an exchange

@@ -49,4 +49,36 @@ class DataQualitySpec extends SparkSuite {
       .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
     assert(r.toSeq == Seq(("range", 0L, 0L), ("sign", 0L, 0L)))
   }
+
+  test("histogramDrift: exact flags at the threshold boundary, one-sided bins count 0") {
+    // ref: 50 values in bin 0, 50 in bin 1  (shares .5/.5)
+    // cur: 48 in bin 0, 48 in bin 1, 4 in bin 9 (shares .48/.48/.04)
+    // threshold 2%: |.5-.48| = .02 is NOT > 2% (strict); bin 9's
+    // .04 - 0 = .04 IS. Cross-multiplied exactly, never via doubles.
+    val ref = (1L to 100L).map(i => if (i <= 50) 5L else 15L).toDF("v")
+    val cur = ((1L to 48L).map(_ => 5L) ++ (1L to 48L).map(_ => 15L) ++
+      Seq(95L, 95L, 95L, 95L)).toDF("v")
+    val r = DataQuality.histogramDrift(ref, cur, "v",
+        binWidth = 10L, thresholdPct = 2)
+      .collect().map(x => (x.getLong(0),
+        (x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r == Map(
+      0L -> (50L, 48L, false),
+      1L -> (50L, 48L, false),
+      9L -> (0L, 4L, true)))
+  }
+
+  test("histogramDrift: identical distributions never drift; config refuses loudly") {
+    val d = (1L to 60L).map(i => i % 30).toDF("v")
+    val r = DataQuality.histogramDrift(d, d, "v", 10L, 2)
+      .collect().map(_.getBoolean(3))
+    assert(r.nonEmpty && r.forall(_ == false))
+    intercept[IllegalArgumentException] {
+      DataQuality.histogramDrift(d, d, "v", 0L, 2)
+    }
+    intercept[IllegalArgumentException] {
+      // 3 does not divide 100 — the exact cross-multiplication needs it
+      DataQuality.histogramDrift(d, d, "v", 10L, 3)
+    }
+  }
 }

@@ -113,8 +113,14 @@ object DataQuality {
     // misround near bin edges at large magnitudes; div is exact on
     // both engines (DuckDB `//`). Values are required non-negative
     // (true for the measures this gates) so div == floor division.
+    // negative values refuse in-plan: integer division rounds toward
+    // zero in Spark but floors in some engines, so a negative value
+    // would silently bin differently in a cross-engine replay
     def bins(df: DataFrame, cnt: String) = df
-      .select(col(valueCol).cast("long").as("__v"))
+      .select(when(col(valueCol).cast("long") < 0,
+          raise_error(concat(lit(s"histogramDrift: negative $valueCol: "),
+            col(valueCol).cast("string"))))
+        .otherwise(col(valueCol).cast("long")).as("__v"))
       .select(expr(s"__v div ${binWidth}L").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as(cnt))
     val cr = bins(ref, "cnt_ref")

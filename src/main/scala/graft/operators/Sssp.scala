@@ -35,14 +35,18 @@ object Sssp {
     * task error).
     */
   def costs(edges: DataFrame, srcCol: String, dstCol: String,
-            weightCol: String, seeds: Seq[Long], rounds: Int): DataFrame = {
+            weightCol: String, seeds: Seq[Long], rounds: Int,
+            checkpoint: Boolean = true): DataFrame = {
     require(seeds.nonEmpty, "SSSP needs at least one seed")
     require(rounds >= 1 && rounds <= 16,
       s"rounds must be in [1, 16], got $rounds — each round is a " +
         "shuffle; size the budget to the graph's hop diameter")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges
+    // checkpoint=false: plan-assertion escape hatch, see Bfs.distances
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(eager = false) else df
+    val e = cut(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("w"))
@@ -52,18 +56,16 @@ object Sssp {
         raise_error(concat(lit("negative edge weight: "),
           col("w").cast("string"))))
         .otherwise(col("w"))).as("w"))
-      .repartition(col("src"))
-      .localCheckpoint(eager = false) // scanned once per round, partitioned once
+      .repartition(col("src"))) // scanned once per round, partitioned once
     var dist = seeds.toDF("node")
       .select(col("node").cast("long").as("node"), lit(0L).as("cost"))
     for (_ <- 1 to rounds) {
       val relaxed = e.join(dist, e("src") === dist("node"))
         .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
-      dist = dist.union(relaxed)
-        .groupBy("node").agg(min("cost").as("cost"))
-        // each round's result feeds the next join AND the next union —
-        // cut so it computes once and lineage stays one round deep
-        .localCheckpoint(eager = false)
+      // each round's result feeds the next join AND the next union —
+      // cut so it computes once and lineage stays one round deep
+      dist = cut(dist.union(relaxed)
+        .groupBy("node").agg(min("cost").as("cost")))
     }
     dist
   }

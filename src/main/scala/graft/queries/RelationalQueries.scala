@@ -1948,6 +1948,68 @@ object RelationalQueries {
           ${Sssp.oracleSqlBody(seeds = Seq(1L, 2L, 3L), rounds = 4)}
         SELECT node, cost FROM sssp""")),
 
+    QueryDef("q_concurrency",
+      // interval-concurrency sweep: open order lines per day — +1
+      // when the order is placed, -1 when the line ships (interval
+      // [order, ship)), daily nets, then an exact DISTRIBUTED prefix
+      // sum (PrefixSum: range shards + per-shard windows + broadcast
+      // offsets — never the single-task global window Spark warns
+      // about). The classic "how many X were active at time t" shape
+      // (sessions, loans, backlog) kept exact BIGINT end to end
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        val line = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        val deltas = line
+          .select(col("o_orderdate").cast(DateType).as("day"),
+            lit(1L).as("delta"))
+          .unionAll(line.select(col("l_shipdate").cast(DateType).as("day"),
+            lit(-1L).as("delta")))
+          .groupBy("day").agg(sum("delta").as("net"))
+        PrefixSum.cumulative(deltas, Seq("day"), "net")
+          .select(col("day"), col("net"), col("cum").as("open_lines"))
+      },
+      // DuckDB window sum over BIGINT promotes to HUGEINT — cast back
+      Some("""WITH j AS (SELECT CAST(o_orderdate AS DATE) AS od,
+              CAST(l_shipdate AS DATE) AS sd
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          d AS (SELECT od AS day, 1 AS delta FROM j
+            UNION ALL SELECT sd, -1 FROM j),
+          n AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net
+            FROM d GROUP BY 1)
+        SELECT day, net,
+          CAST(sum(net) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS open_lines
+        FROM n""")),
+
+    QueryDef("sample_pps",
+      // systematic probability-proportional-to-size sampling: walk
+      // lineitem in (orderkey, line) order accumulating price cents,
+      // keep every $100M-crossing row — selection probability
+      // min(1, w/step), deterministic on any engine/partitioning
+      // (integer div crossings over the exact distributed prefix
+      // sum), unlike rand()-keyed weighted designs. The survey-
+      // sampling complement of sample_weighted_mix's rate gates
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_line"),
+          AggFunctions.cents(col("l_extendedprice")).as("w_cents"))
+        PrefixSum.systematicPps(li, Seq("l_orderkey", "l_line"),
+          "w_cents", step = 10000000000L)
+      },
+      Some("""WITH li AS (SELECT l_orderkey,
+              CAST(l_linenumber AS BIGINT) AS l_line,
+              CAST(round(l_extendedprice * 100) AS BIGINT) AS w_cents
+            FROM lineitem),
+          c AS (SELECT l_orderkey, l_line, w_cents,
+            CAST(sum(w_cents) OVER (ORDER BY l_orderkey, l_line
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum
+            FROM li)
+        SELECT l_orderkey, l_line, w_cents, cum FROM c
+        WHERE cum // 10000000000 != (cum - w_cents) // 10000000000""")),
+
     QueryDef("q_incremental_agg",
       // materialized-view maintenance: the running per-priority order
       // profile is kept as an ALGEBRAIC state (count, sum, min, max —

@@ -30,6 +30,27 @@ object StreamingOps {
         sink(TopN.transform(cfg)(batch.toDF()), batchId)
       }
 
+  /** Per-micro-batch distribution-drift monitor: each trigger's rows
+    * are histogram-compared against the static `ref` slice via
+    * [[graft.operators.DataQuality.histogramDrift]] (exact integer
+    * cross-multiplied flags — a drift alert that cannot flap on
+    * partitioning), and the per-bin result is handed to `sink` with
+    * the batch id. The streaming face of `q_drift_bins`: the batch
+    * operator applied unchanged per trigger (the same batch/stream
+    * unification as [[perBatchTopN]]); `ref` is re-read per batch —
+    * cache() it for a long-running monitor.
+    */
+  def perBatchDriftMonitor(stream: DataFrame, ref: DataFrame,
+                           valueCol: String, binWidth: Long,
+                           thresholdPct: Int)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(graft.operators.DataQuality.histogramDrift(
+          ref, batch.toDF(), valueCol, binWidth, thresholdPct), batchId)
+      }
+
   /** Event-time windowed aggregation with a watermark for late-data
     * expiry: counts + value bounds per (window, event_type). State is
     * bounded by the watermark — the 100 TB-stream posture is that

@@ -41,6 +41,12 @@ class BfsSpec extends SparkSuite {
     assert(r == Map(1L -> 0L, 42L -> 0L, 2L -> 1L))
   }
 
+  test("duplicated seeds emit one dist-0 row, not two") {
+    val rows = Bfs.distances(Seq((1L, 2L)).toDF("src", "dst"),
+      "src", "dst", Seq(1L, 1L, 1L), maxHops = 1).collect()
+    assert(rows.length == 2) // node 1 once, node 2 once
+  }
+
   test("shorter path wins when a node is reachable at two depths") {
     // 1->2->3 and 1->3 directly: dist(3) = 1, never overwritten to 2
     val r = run(Seq((1L, 2L), (2L, 3L), (1L, 3L)), Seq(1L), maxHops = 3)

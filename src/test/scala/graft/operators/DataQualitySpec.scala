@@ -81,4 +81,12 @@ class DataQualitySpec extends SparkSuite {
       DataQuality.histogramDrift(d, d, "v", 10L, 3)
     }
   }
+
+  test("histogramDrift: negative values refuse loudly in-plan") {
+    val neg = Seq(5L, -1L).toDF("v")
+    val ex = intercept[Exception] {
+      DataQuality.histogramDrift(neg, neg, "v", 10L, 2).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

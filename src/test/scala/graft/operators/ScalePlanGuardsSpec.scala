@@ -152,15 +152,23 @@ class ScalePlanGuardsSpec extends SparkSuite {
   test("BFS frontier expansion: src equi-join + anti-join rounds only") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
-    assertNoQuadraticJoin(
-      Bfs.distances(edges, "src", "dst", Seq(1L), maxHops = 3), "bfs")
+    // checkpoint=false: lineage cuts would hide every round behind an
+    // opaque RDD scan and make this assertion vacuous
+    val df = Bfs.distances(edges, "src", "dst", Seq(1L), maxHops = 3,
+      checkpoint = false)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), s"expected visible round joins:\n$plan")
+    assertNoQuadraticJoin(df, "bfs")
   }
 
   test("SSSP relaxation: src equi-join + min-agg rounds only") {
     import spark.implicits._
     val edges = Seq((1L, 2L, 3L), (2L, 3L, 4L)).toDF("src", "dst", "w")
-    assertNoQuadraticJoin(
-      Sssp.costs(edges, "src", "dst", "w", Seq(1L), rounds = 3), "sssp")
+    val df = Sssp.costs(edges, "src", "dst", "w", Seq(1L), rounds = 3,
+      checkpoint = false)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), s"expected visible round joins:\n$plan")
+    assertNoQuadraticJoin(df, "sssp")
   }
 
   test("incremental agg merge: union + partial-agg only (no join at all)") {

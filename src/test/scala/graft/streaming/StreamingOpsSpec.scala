@@ -39,6 +39,37 @@ class StreamingOpsSpec extends SparkSuite {
     assert(batches(1) == Seq((5L, 99.0), (4L, 5.0)))
   }
 
+  test("perBatchDriftMonitor flags a shifted batch against the static reference") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Long]
+    // reference: uniform over bins 0..3 (25 values each)
+    val ref = (0L until 100L).map(i => (i % 4) * 10L + 5L).toDF("v")
+    val collected = mutable.Map[Long, Map[Long, Boolean]]()
+
+    val query = StreamingOps.perBatchDriftMonitor(
+        ms.toDF().toDF("v"), ref, "v", binWidth = 10L, thresholdPct = 10) {
+      (df, batchId) =>
+        collected.synchronized {
+          collected(batchId) = df.collect()
+            .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+        }
+    }.start()
+
+    try {
+      // batch 0 mirrors the reference -> no drift anywhere
+      ms.addData((0L until 100L).map(i => (i % 4) * 10L + 5L): _*)
+      query.processAllAvailable()
+      // batch 1 collapses onto bin 9 -> every bin drifts
+      ms.addData((0L until 50L).map(_ => 95L): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    assert(collected(0L).values.forall(_ == false))
+    assert(collected(1L).keySet == Set(0L, 1L, 2L, 3L, 9L))
+    assert(collected(1L).values.forall(_ == true))
+  }
+
   test("windowedEventAgg: event-time windows with watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String, Double)]

@@ -31,6 +31,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // iterative operators' localCheckpoint blocks persist for the
+      // JVM lifetime — drop them between queries (same hygiene as
+      // Bench) so a 140-query dump doesn't accumulate storage
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -37,6 +37,12 @@ object Compaction {
     * on-disk target (input bytes are compressed too, so the ratio
     * carries through); the final file sizes track it up to
     * row-group granularity and compression variance.
+    *
+    * A hive-partitioned input (`day=.../part-*.parquet`) is read with
+    * its partition columns recovered as data columns, but the OUTPUT
+    * is a flat layout — to compact per partition and keep the layout,
+    * run per partition directory (which is also the right unit of
+    * work for incremental daily compaction).
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetBytes: Long, sortCol: Option[String] = None): Report = {

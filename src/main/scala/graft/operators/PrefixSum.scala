@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   * depends only on the global order, and offsets are computed from
   * actual partition contents — boundary placement cancels out.
   *
-  * The (orderCols) tuple must be a total order (unique per row) —
-  * equal keys would make "the prefix" ill-defined; the constraint is
-  * the caller's tiebreaker discipline (same as every LIMIT in the
-  * query surface).
+  * The (orderCols) tuple must be a NON-NULL total order (unique per
+  * row) — equal keys would make "the prefix" ill-defined, and ASC
+  * NULL placement differs across engines (Spark sorts NULLS FIRST,
+  * others LAST), so a NULL key would silently reorder a replay. The
+  * constraint is the caller's tiebreaker discipline (same as every
+  * LIMIT in the query surface).
   */
 object PrefixSum {
 

@@ -1966,6 +1966,10 @@ object RelationalQueries {
           .unionAll(line.select(col("l_shipdate").cast(DateType).as("day"),
             lit(-1L).as("delta")))
           .groupBy("day").agg(sum("delta").as("net"))
+          // NULL days out before the ordered sweep: ASC NULL placement
+          // differs across engines (Spark first, DuckDB last), so a
+          // NULL date would silently reorder the cums in a replay
+          .where(col("day").isNotNull)
         PrefixSum.cumulative(deltas, Seq("day"), "net")
           .select(col("day"), col("net"), col("cum").as("open_lines"))
       },
@@ -1976,7 +1980,7 @@ object RelationalQueries {
           d AS (SELECT od AS day, 1 AS delta FROM j
             UNION ALL SELECT sd, -1 FROM j),
           n AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net
-            FROM d GROUP BY 1)
+            FROM d WHERE day IS NOT NULL GROUP BY 1)
         SELECT day, net,
           CAST(sum(net) OVER (ORDER BY day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)

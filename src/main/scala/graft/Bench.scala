@@ -103,10 +103,15 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val byName = results.toMap
+    // Locale.ROOT: the f interpolator uses the JVM default locale,
+    // which renders a comma decimal separator under e.g. de_DE and
+    // breaks the JSON parse this line exists to enable
+    def s3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
     val headlineQs = headline.filter(byName.contains).map { n =>
-      "\"" + n + "\":" + f"${byName(n)}%.3f"
+      "\"" + n + "\":" + s3(byName(n))
     }.mkString("{", ",", "}")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$failed,"queries":$headlineQs,"full":"$out","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"failed":$failed,"queries":$headlineQs,"full":"$out","sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }

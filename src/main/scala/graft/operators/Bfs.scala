@@ -86,7 +86,9 @@ object Bfs {
     * bit-exact against the Spark plan.
     */
   def oracleSqlBody(seeds: Seq[Long], maxHops: Int): String = {
-    val seedRows = seeds.map(s => s"($s)").mkString(", ")
+    // distinct mirrors distances(): a duplicated seed must not yield
+    // two (seed, 0) rows on the oracle side either
+    val seedRows = seeds.distinct.map(s => s"($s)").mkString(", ")
     val f0 =
       s"""f0 AS (SELECT CAST(s AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
          |    FROM (VALUES $seedRows) t(s))""".stripMargin

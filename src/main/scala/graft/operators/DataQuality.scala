@@ -125,15 +125,23 @@ object DataQuality {
       .groupBy("bin").agg(count(lit(1)).as(cnt))
     val cr = bins(ref, "cnt_ref")
     val cc = bins(cur, "cnt_cur")
-    val nr = ref.agg(count(lit(1)).as("n_ref"))
-    val nc = cur.agg(count(lit(1)).as("n_cur"))
+    // totals derive from the histograms (sum of bin counts == row
+    // count: every row bins) — never a second scan of the fact slices
+    val nr = cr.agg(coalesce(sum(col("cnt_ref")), lit(0L)).as("n_ref"))
+    val nc = cc.agg(coalesce(sum(col("cnt_cur")), lit(0L)).as("n_cur"))
+    // cross-multiplication in DECIMAL(38,0): BIGINT products overflow
+    // once a slice passes ~4e8 rows (n^2 * mult > 2^63), exactly the
+    // scale this gates — decimal keeps the flag exact to 10^38 (the
+    // q_outliers convention); the oracle mirrors with HUGEINT
+    def d(c: Column) = c.cast("decimal(38,0)")
     cr.join(cc, Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
         coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"))
       .crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
       .select(col("bin"), col("cnt_ref"), col("cnt_cur"),
-        (abs(col("cnt_ref") * col("n_cur") - col("cnt_cur") * col("n_ref"))
-          * lit(mult) > col("n_ref") * col("n_cur")).as("drifted"))
+        (abs(d(col("cnt_ref")) * d(col("n_cur"))
+            - d(col("cnt_cur")) * d(col("n_ref"))) * lit(mult)
+          > d(col("n_ref")) * d(col("n_cur"))).as("drifted"))
   }
 }

@@ -29,7 +29,11 @@ object IncrementalAgg {
 
   /** Per-batch partial state: one row per group with the mergeable
     * components over BIGINT `valueCol` (cast exact upstream — cents
-    * discipline, see QueryDef conventions).
+    * discipline, see QueryDef conventions). `agg_cnt` counts NON-NULL
+    * values, so all four components cover the same row set (sum, min
+    * and max skip NULLs too) and `finish`'s avg stays the mean of the
+    * values actually summed; count rows instead upstream if NULL rows
+    * must be visible.
     */
   def partial(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     require(groupCols.nonEmpty, "need at least one grouping column")

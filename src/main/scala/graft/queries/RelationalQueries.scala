@@ -968,20 +968,24 @@ object RelationalQueries {
           o.where(col("y") === 1996), o.where(col("y") === 1997),
           "cents", binWidth = 2000000L, thresholdPct = 2)
       },
+      // HUGEINT products mirror the Spark side's DECIMAL(38,0):
+      // BIGINT cross-multiplication overflows past ~4e8-row slices
       Some("""WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
               year(o_orderdate) AS y FROM orders),
           cr AS (SELECT cents // 2000000 AS bin, count(*) AS cnt_ref
             FROM o WHERE y = 1996 GROUP BY 1),
           cc AS (SELECT cents // 2000000 AS bin, count(*) AS cnt_cur
             FROM o WHERE y = 1997 GROUP BY 1),
-          nr AS (SELECT count(*) AS n_ref FROM o WHERE y = 1996),
-          nc AS (SELECT count(*) AS n_cur FROM o WHERE y = 1997)
+          nr AS (SELECT CAST(COALESCE(sum(cnt_ref), 0) AS BIGINT) AS n_ref
+            FROM cr),
+          nc AS (SELECT CAST(COALESCE(sum(cnt_cur), 0) AS BIGINT) AS n_cur
+            FROM cc)
         SELECT COALESCE(cr.bin, cc.bin) AS bin,
           CAST(COALESCE(cnt_ref, 0) AS BIGINT) AS cnt_ref,
           CAST(COALESCE(cnt_cur, 0) AS BIGINT) AS cnt_cur,
-          abs(CAST(COALESCE(cnt_ref, 0) AS BIGINT) * n_cur
-              - CAST(COALESCE(cnt_cur, 0) AS BIGINT) * n_ref) * 50
-            > n_ref * n_cur AS drifted
+          abs(CAST(COALESCE(cnt_ref, 0) AS HUGEINT) * n_cur
+              - CAST(COALESCE(cnt_cur, 0) AS HUGEINT) * n_ref) * 50
+            > CAST(n_ref AS HUGEINT) * n_cur AS drifted
         FROM cr FULL OUTER JOIN cc ON cr.bin = cc.bin
         CROSS JOIN nr CROSS JOIN nc""")),
 
@@ -1959,12 +1963,17 @@ object RelationalQueries {
       (s, dir) => {
         val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
         val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
-        val line = o.join(li, o("o_orderkey") === li("l_orderkey"))
-        val deltas = line
-          .select(col("o_orderdate").cast(DateType).as("day"),
-            lit(1L).as("delta"))
-          .unionAll(line.select(col("l_shipdate").cast(DateType).as("day"),
-            lit(-1L).as("delta")))
+        // ONE pass over the join: both deltas explode from the same
+        // row (two different projections of the join would be
+        // canonically different subtrees after pruning — not reused,
+        // the big join executed twice; the PrefixSum lesson)
+        val deltas = o.join(li, o("o_orderkey") === li("l_orderkey"))
+          .select(explode(array(
+            struct(col("o_orderdate").cast(DateType).as("day"),
+              lit(1L).as("delta")),
+            struct(col("l_shipdate").cast(DateType).as("day"),
+              lit(-1L).as("delta")))).as("x"))
+          .select("x.day", "x.delta")
           .groupBy("day").agg(sum("delta").as("net"))
           // NULL days out before the ordered sweep: ASC NULL placement
           // differs across engines (Spark first, DuckDB last), so a
@@ -2039,8 +2048,12 @@ object RelationalQueries {
       },
       // DuckDB sum(BIGINT) promotes to HUGEINT — cast back to BIGINT
       // (the round-8 q_sql_surface lesson; the checker is type-strict)
+      // count(cents), not count(*): IncrementalAgg.partial counts
+      // NON-NULL values so all four state components cover the same
+      // row set — the oracle matches that semantic (equal on this
+      // NULL-free column, divergent by design if NULLs ever appear)
       Some("""SELECT o_orderpriority AS pri,
-          count(*) AS agg_cnt,
+          count(CAST(round(o_totalprice * 100) AS BIGINT)) AS agg_cnt,
           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS agg_sum,
           min(CAST(round(o_totalprice * 100) AS BIGINT)) AS agg_min,
           max(CAST(round(o_totalprice * 100) AS BIGINT)) AS agg_max,

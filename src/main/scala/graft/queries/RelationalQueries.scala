@@ -1173,6 +1173,51 @@ object RelationalQueries {
           count(*) AS n_orders
         FROM orders GROUP BY o_custkey""")),
 
+    QueryDef("q_array_lambda",
+      // higher-order array functions (codegen'd lambdas — the
+      // array-processing surface beyond plain collect): per order,
+      // the line items become one sorted struct array, then
+      // transform / filter / zip_with / aggregate compute integer
+      // reductions WITHOUT re-exploding — at scale this is one
+      // ObjectHashAggregate + a projection, no second shuffle. All
+      // values exact BIGINTs; the oracle replays with DuckDB list
+      // lambdas (zip_with folded into one transform — same algebra)
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            struct(col("l_linenumber").cast("long").as("ln"),
+              round(col("l_quantity")).cast("long").as("qty"),
+              AggFunctions.cents(col("l_extendedprice")).as("cents"))
+              .as("item"))
+          .groupBy("l_orderkey")
+          .agg(array_sort(collect_list(col("item"))).as("items"))
+        items.select(col("l_orderkey"),
+          size(col("items")).cast("long").as("n_items"),
+          aggregate(transform(col("items"), x => x.getField("qty")),
+            lit(0L), (acc, x) => acc + x).as("sum_qty"),
+          size(filter(col("items"), x => x.getField("qty") > 25))
+            .cast("long").as("n_big"),
+          aggregate(
+            zip_with(transform(col("items"), _.getField("qty")),
+              transform(col("items"), _.getField("cents")),
+              (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("qty_cents_dot"))
+      },
+      Some("""WITH g AS (SELECT l_orderkey,
+              list(struct_pack(ln := CAST(l_linenumber AS BIGINT),
+                  qty := CAST(round(l_quantity) AS BIGINT),
+                  cents := CAST(round(l_extendedprice * 100) AS BIGINT))
+                ORDER BY l_linenumber) AS items
+            FROM lineitem GROUP BY 1)
+        SELECT l_orderkey,
+          CAST(len(items) AS BIGINT) AS n_items,
+          CAST(list_sum(list_transform(items, x -> x.qty)) AS BIGINT)
+            AS sum_qty,
+          CAST(len(list_filter(items, x -> x.qty > 25)) AS BIGINT) AS n_big,
+          CAST(list_sum(list_transform(items, x -> x.qty * x.cents))
+            AS BIGINT) AS qty_cents_dot
+        FROM g""")),
+
     QueryDef("q_latest_by_key",
       // CDC/upsert compaction: latest record per key by (ts, event_id)
       // — the "apply a changelog" step of an incremental pipeline.

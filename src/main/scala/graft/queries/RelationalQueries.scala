@@ -723,6 +723,31 @@ object RelationalQueries {
       Some("""SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS n
         FROM events GROUP BY 1""")),
 
+    QueryDef("q_regexp_extract",
+      // regexp surface: extract-all (match count), first-match
+      // extraction, replace-all, and an rlike predicate — all four are
+      // codegen'd string kernels evaluated in ONE scan pass, no
+      // shuffle at all (pure per-row projection + filter), so the
+      // query is scan-bandwidth-bound at 100 TB. The pattern sticks
+      // to \b/class/quantifier constructs whose semantics agree
+      // between Java regex (Spark) and RE2 (DuckDB); both engines
+      // return '' (not NULL) for a no-match extract, and the rlike
+      // prefilter makes first6 non-empty by construction anyway
+      (s, dir) => t(s, dir, "documents")
+        .where(col("text").rlike("\\b[a-z]{6}\\b"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("\\b[a-z]{6}\\b"), lit(0)))
+            .cast(LongType).as("n6"),
+          regexp_extract(col("text"), "\\b[a-z]{6}\\b", 0).as("first6"),
+          length(regexp_replace(col("text"), "[aeiou]", ""))
+            .cast(LongType).as("novowel_len")),
+      Some("""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '\b[a-z]{6}\b')) AS BIGINT) AS n6,
+          regexp_extract(text, '\b[a-z]{6}\b') AS first6,
+          CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+            AS novowel_len
+        FROM documents WHERE regexp_matches(text, '\b[a-z]{6}\b')""")),
+
     QueryDef("q_sessionize",
       // gap-based sessionization: a >30-minute silence starts a new
       // session; session index = running count of session starts.
@@ -1217,6 +1242,78 @@ object RelationalQueries {
           CAST(list_sum(list_transform(items, x -> x.qty * x.cents))
             AS BIGINT) AS qty_cents_dot
         FROM g""")),
+
+    QueryDef("q_map_funcs",
+      // map-typed column surface: per return flag, a linestatus ->
+      // total-quantity MAP built with map_from_entries over the
+      // (flag,status) pre-aggregate (keys unique by construction —
+      // map_from_entries raises on duplicates rather than silently
+      // last-wins), then element_at lookups, map_filter,
+      // transform_values and a map_values fold. Two narrow hash
+      // aggregates (6 groups), then pure per-row map kernels — the
+      // map never shuffles and the output is exact scalars. The
+      // oracle replays the same algebra as conditional sums: the
+      // threshold filter keeps 3 of 6 groups at sf0.01, and
+      // element_at on a missing key would be NULL on both engines
+      (s, dir) => {
+        val m = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(round(col("l_quantity")).cast(LongType)).as("qty"))
+          .groupBy(col("l_returnflag"))
+          .agg(map_from_entries(array_sort(
+            collect_list(struct(col("l_linestatus"), col("qty"))))).as("m"))
+        m.select(col("l_returnflag"),
+          size(col("m")).cast(LongType).as("n_status"),
+          element_at(col("m"), "O").as("qty_open"),
+          element_at(col("m"), "F").as("qty_final"),
+          aggregate(map_values(map_filter(col("m"),
+              (_, v) => v > 254000L)),
+            lit(0L), (acc, x) => acc + x).as("qty_big"),
+          aggregate(map_values(transform_values(col("m"),
+              (_, v) => v * 2L)),
+            lit(0L), (acc, x) => acc + x).as("qty_doubled"))
+      },
+      Some("""WITH s AS (SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem GROUP BY 1, 2)
+        SELECT l_returnflag,
+          CAST(count(*) AS BIGINT) AS n_status,
+          CAST(sum(qty) FILTER (l_linestatus = 'O') AS BIGINT) AS qty_open,
+          CAST(sum(qty) FILTER (l_linestatus = 'F') AS BIGINT) AS qty_final,
+          CAST(coalesce(sum(qty) FILTER (qty > 254000), 0) AS BIGINT)
+            AS qty_big,
+          CAST(sum(qty * 2) AS BIGINT) AS qty_doubled
+        FROM s GROUP BY l_returnflag""")),
+
+    QueryDef("q_posexplode",
+      // lateral explode-with-position (the Generate operator):
+      // per-order quantity arrays (sorted by (line number, qty) — the
+      // fixture has duplicate line numbers within an order, so the
+      // value is part of the sort key to pin every position)
+      // re-flattened with a 1-based position column.
+      // Generate is narrow — it runs inside the same stage as the
+      // aggregate output, no extra shuffle; at 100 TB the cost is the
+      // one groupBy exchange, and the explode fan-out stays pinned to
+      // its parent partition (no skew amplification beyond the
+      // per-order array length). Oracle replays with DuckDB's indexed
+      // list_transform + unnest (also 1-based)
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(transform(array_sort(collect_list(struct(
+            col("l_linenumber").as("ln"),
+            round(col("l_quantity")).cast(LongType).as("qty")))),
+          x => x.getField("qty")).as("qtys"))
+        .select(col("l_orderkey"), posexplode(col("qtys")))
+        .select(col("l_orderkey"),
+          (col("pos") + 1L).cast(LongType).as("pos"),
+          col("col").as("qty")),
+      Some("""WITH g AS (SELECT l_orderkey,
+              list(CAST(round(l_quantity) AS BIGINT)
+                ORDER BY l_linenumber, round(l_quantity)) AS qtys
+            FROM lineitem GROUP BY 1)
+        SELECT l_orderkey, CAST(u.e.pos AS BIGINT) AS pos, u.e.qty AS qty
+        FROM g, unnest(list_transform(qtys,
+          (x, i) -> struct_pack(pos := i, qty := x))) u(e)""")),
 
     QueryDef("q_latest_by_key",
       // CDC/upsert compaction: latest record per key by (ts, event_id)

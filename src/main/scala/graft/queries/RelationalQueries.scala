@@ -242,6 +242,64 @@ object RelationalQueries {
           count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
         FROM lineitem""")),
 
+    QueryDef("q_bitwise_agg",
+      // bitwise aggregates (bit_and/bit_or/bit_xor): flag-mask folding
+      // over grouped BIGINTs. All three are commutative+associative, so
+      // the partial (map-side) aggregate applies unchanged — one shuffle
+      // of 3 longs per group regardless of row count. xor doubles as a
+      // cheap membership-parity check (a row counted twice cancels out).
+      (s, dir) => t(s, dir, "lineitem").where(col("l_orderkey") < 5000)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("bit_and(l_orderkey)").as("mask_and"),
+          expr("bit_or(l_orderkey)").as("mask_or"),
+          expr("bit_xor(l_orderkey)").as("mask_xor"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag,
+          bit_and(l_orderkey) AS mask_and,
+          bit_or(l_orderkey) AS mask_or,
+          bit_xor(l_orderkey) AS mask_xor,
+          count(*) AS n
+        FROM lineitem WHERE l_orderkey < 5000
+        GROUP BY l_returnflag""")),
+
+    QueryDef("q_bool_agg",
+      // boolean aggregates (bool_and/bool_or) + filtered count. The
+      // Spark side uses count_if, the oracle the ANSI FILTER clause —
+      // same semantics, both partial-aggregable (a boolean fold ships
+      // one byte per group from the map side).
+      (s, dir) => t(s, dir, "orders").groupBy(col("o_orderstatus"))
+        .agg(expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+          expr("bool_or(o_totalprice > 400000)").as("any_over_400k"),
+          expr("count_if(o_orderpriority = '1-URGENT')").as("n_urgent"),
+          count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus,
+          bool_and(o_totalprice > 1000) AS all_over_1k,
+          bool_or(o_totalprice > 400000) AS any_over_400k,
+          count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+          count(*) AS n
+        FROM orders GROUP BY o_orderstatus""")),
+
+    QueryDef("q_listagg",
+      // ordered string aggregation as a NATIVE aggregate (Spark 4
+      // listagg ... WITHIN GROUP == DuckDB string_agg ... ORDER BY),
+      // not the collect_list+array_sort fold q_journey_paths uses. The
+      // (ts, event_id) tiebreak makes the concatenation deterministic;
+      // restricting to one low-cardinality user set keeps each group's
+      // string bounded (listagg is inherently a gather — at 100 TB you
+      // bound the group, never the table).
+      (s, dir) => t(s, dir, "events")
+        .where(col("user_id") < 50 && col("event_type").isin("view", "click"))
+        .groupBy(col("user_id"))
+        .agg(expr("listagg(event_type, '>') WITHIN GROUP (ORDER BY ts, event_id)")
+          .as("trail"),
+          count(lit(1)).as("n")),
+      Some("""SELECT user_id,
+          string_agg(event_type, '>' ORDER BY ts, event_id) AS trail,
+          count(*) AS n
+        FROM events
+        WHERE user_id < 50 AND event_type IN ('view', 'click')
+        GROUP BY user_id""")),
+
     QueryDef("q_rollup",
       (s, dir) => t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -588,6 +646,36 @@ object RelationalQueries {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY day
           RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""")),
 
+    QueryDef("q_dist_rank",
+      // distribution-rank analytics: percent_rank, cume_dist, and
+      // nth_value over a fully tie-broken ordering. With no ties,
+      // percent_rank = (rn-1)/(N-1) and cume_dist = rn/N — exact
+      // integer ratios, so the DOUBLE division is correctly rounded
+      // identically on both engines (QueryDef doc: never round doubles
+      // mid-plan; these are single divisions of exact integers). The
+      // full (qty, orderkey, linenumber) tiebreak also makes the
+      // default RANGE frame for nth_value row-deterministic.
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_quantity").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc)
+        t(s, dir, "lineitem").where(col("l_orderkey") < 2000)
+          .select(col("l_orderkey"),
+            col("l_linenumber").cast(LongType).as("line_no"),
+            col("l_returnflag"), col("l_quantity"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            nth_value(col("l_quantity"), 3).over(w).as("third_qty"))
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+          l_returnflag, l_quantity,
+          percent_rank() OVER w AS pr,
+          cume_dist() OVER w AS cd,
+          nth_value(l_quantity, 3) OVER w AS third_qty
+        FROM lineitem WHERE l_orderkey < 2000
+        WINDOW w AS (PARTITION BY l_returnflag
+          ORDER BY l_quantity, l_orderkey, l_linenumber)""")),
+
     QueryDef("q_profile",
       // data-quality profiling: null and distinct counts for five
       // columns in ONE scan — the multi-distinct is a single Expand
@@ -641,6 +729,38 @@ object RelationalQueries {
         SELECT 'cust_only' AS tag, k FROM
           (SELECT c_nationkey AS k FROM customer
            EXCEPT SELECT s_nationkey AS k FROM supplier)""")),
+
+    QueryDef("q_setops_all",
+      // MULTISET set ops (EXCEPT ALL / INTERSECT ALL): duplicates carry
+      // multiplicity, so Catalyst plans a count-annotated aggregate +
+      // Generate replay — a genuinely different physical shape from the
+      // DISTINCT set ops above (which lower to left-anti / left-semi
+      // joins). Output is re-aggregated to (value, multiplicity) so the
+      // row SET is deterministic while the multiset semantics stay
+      // observable: any engine that deduplicated early gets mult=1
+      // everywhere and hash-fails.
+      (s, dir) => {
+        val ok = t(s, dir, "orders")
+          .select((col("o_custkey") % 100).as("k"))
+        val ck = t(s, dir, "customer")
+          .select((col("c_custkey") % 100).as("k"))
+        val ex = ok.exceptAll(ck).groupBy(col("k"))
+          .agg(count(lit(1)).as("mult"))
+          .select(lit("except_all").as("tag"), col("k"), col("mult"))
+        val ia = ok.intersectAll(ck).groupBy(col("k"))
+          .agg(count(lit(1)).as("mult"))
+          .select(lit("intersect_all").as("tag"), col("k"), col("mult"))
+        ex.unionByName(ia)
+      },
+      Some("""SELECT 'except_all' AS tag, k, CAST(count(*) AS BIGINT) AS mult
+          FROM (SELECT o_custkey % 100 AS k FROM orders
+                EXCEPT ALL SELECT c_custkey % 100 AS k FROM customer)
+          GROUP BY k
+        UNION ALL
+        SELECT 'intersect_all' AS tag, k, CAST(count(*) AS BIGINT) AS mult
+          FROM (SELECT o_custkey % 100 AS k FROM orders
+                INTERSECT ALL SELECT c_custkey % 100 AS k FROM customer)
+          GROUP BY k""")),
 
     // ---- scalar functions: string / date / math ----
 

@@ -28,6 +28,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQueryDefs.map(q => q.name -> q.build).toMap
 
+  /** name → oracle kind ("static" | "generated" | "rows-only") for
+    * every declared query — the source of truth SURVEY §8's counts are
+    * regenerated from (`graft.tools.SurveyCounts`), so the doc's
+    * claims can never drift from the registry.
+    */
+  def oracleKinds: Seq[(String, String)] =
+    allQueryDefs.map { q =>
+      q.name -> (if (q.oracle.isDefined) "static"
+                 else if (q.oracleGen.isDefined) "generated"
+                 else "rows-only")
+    }.sortBy(_._1)
+
   /** sfDir the data-dependent oracle generators should train against;
     * set by [[Verify]] before it dumps [[oracleSql]] so generated
     * oracles (inlined k-means centroids) match the queries' run.

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -17,12 +19,42 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read it as a nanos-since-epoch long instead.
-      // Keeping nanosecond longs (not truncated micros timestamps)
-      // preserves exact ordering for as-of / strictly-before semantics.
+      // Legacy fixture form: parquet TIMESTAMP(NANOS), which Spark's
+      // vectorized reader rejects unless surfaced as a nanos long.
+      // Harmless for micros fixtures (the conf only affects NANOS).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
     }
-    spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Fixture contract: `events.ts` is exposed as MICROS-since-epoch
+    * BIGINT no matter which physical type the driver-generated parquet
+    * carries — `timestamp[us]` (read as TIMESTAMP or TIMESTAMP_NTZ),
+    * `timestamp[ns]` (read as a nanos INT64 via nanosAsLong), or a raw
+    * INT64 nanos column. Integer micros keep every downstream
+    * gap/bucket/window computation in exact BIGINT arithmetic and
+    * match DuckDB's `epoch_us(ts)` on the same file, so oracle parity
+    * is structural rather than dependent on reader defaults. The NTZ
+    * branch uses pure wall-clock `timestampdiff` from the epoch
+    * literal, so the value is the raw stored micros regardless of the
+    * session time zone.
+    */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        // nanos → micros; floor-consistent (see RelationalQueries
+        // .floorDiv) so pre-1970 nanos would not round toward zero
+        df.withColumn("ts", expr("(ts - pmod(ts, 1000L)) div 1000L"))
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")))
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported fixture type $other " +
+            "(expected INT64 nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
 }

@@ -102,8 +102,11 @@ object Bm25 {
           .reduce(_ + _).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
-    // rank over the k survivors only (a global window over k rows,
-    // not over the corpus)
+    // rank over the k survivors only — a single-partition window whose
+    // input is the GlobalLimit(k) above, so its cost is O(k) no matter
+    // the corpus size. The `WindowExec: No Partition Defined` warning
+    // this emits is benign BY CONSTRUCTION (input ≤ k rows; pinned in
+    // BoundedWindowSpec), unlike a global window over raw data.
     scored.withColumn("rank",
       row_number().over(Window.orderBy(col("score").desc, col(idCol).asc))
         .cast("long"))

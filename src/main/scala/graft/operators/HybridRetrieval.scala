@@ -44,7 +44,10 @@ object HybridRetrieval {
         (term("rank_a") + term("rank_b")).as("rrf_score"))
       .orderBy(col("rrf_score").desc, col(idCol).asc)
       .limit(topK)
-    // final rank over the topK survivors only (window over k rows)
+    // final rank over the topK survivors only — single-partition window
+    // fed by the GlobalLimit(topK) above, cost O(topK) regardless of
+    // corpus size (bound pinned in BoundedWindowSpec; the WindowExec
+    // no-partition warning is benign here)
     fused.withColumn("rank",
       row_number().over(Window.orderBy(col("rrf_score").desc, col(idCol).asc))
         .cast("long"))

@@ -55,7 +55,12 @@ object PrefixSum {
         .orderBy(oc: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // per-shard totals: a <= `shards`-row relation; its own prefix sum
-    // runs as one tiny task and broadcasts back — never the data
+    // runs as one tiny task and broadcasts back — never the data.
+    // This is the only single-partition window in the operator and its
+    // input cardinality is ≤ shards BY CONSTRUCTION (one aggregated
+    // row per shard; pinned in BoundedWindowSpec), so the WindowExec
+    // no-partition warning is benign — the data itself flows through
+    // the PARTITIONED per-shard window above.
     val offsets = ranged.groupBy("__shard")
       .agg(sum(col(valueCol)).as("__tot"))
       .withColumn("__offset",

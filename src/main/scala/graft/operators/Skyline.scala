@@ -41,7 +41,11 @@ object Skyline {
     */
   def frontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val perX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("__ymax"))
-    // running max over x-level rows: strictly-earlier groups only
+    // running max over x-level rows: strictly-earlier groups only.
+    // Single-partition window, but its input is perX — ONE row per
+    // distinct x value (bounded by the x VALUE RANGE, never the table
+    // size; pinned in BoundedWindowSpec) — so the no-partition
+    // WindowExec warning is benign by construction.
     val w = Window.orderBy(col(xCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     // the frontier derives from df itself — rename its join keys so

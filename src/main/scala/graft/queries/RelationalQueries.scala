@@ -70,9 +70,9 @@ object RelationalQueries {
     partEventsCache.computeIfAbsent(dir, _ => {
       val path = java.nio.file.Files
         .createTempDirectory("graft_part_events").toString
-      // ts arrives as a nanos long (see Tables); div 1000 → micros
+      // ts arrives as a micros long (Tables normalizes every fixture form)
       t(s, dir, "events")
-        .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+        .withColumn("day", to_date(timestamp_micros(col("ts"))))
         .write.mode("overwrite").partitionBy("day").parquet(path)
       path
     })
@@ -871,18 +871,17 @@ object RelationalQueries {
     QueryDef("q_sessionize",
       // gap-based sessionization: a >30-minute silence starts a new
       // session; session index = running count of session starts.
-      // ts is a nanos long (see Tables); the gap compares at MICROS
-      // (ts div 1000) because DuckDB INTERVAL arithmetic is
-      // microsecond-precision — aligning the granularity makes the
-      // oracle parity structural, not dependent on the fixture having
-      // no sub-microsecond components. Ordering still uses full nanos.
+      // ts is a micros long (see Tables); the gap compares at MICROS
+      // because DuckDB INTERVAL arithmetic is microsecond-precision —
+      // aligning the granularity makes the oracle parity structural,
+      // not dependent on fixture sub-microsecond components.
       (s, dir) => {
         val gapUs = 30L * 60 * 1000000L
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts").asc, col("event_id").asc)
         t(s, dir, "events")
           .withColumn("new_session",
-            when(expr("ts div 1000") - lag(expr("ts div 1000"), 1).over(w) > gapUs, 1L)
+            when(col("ts") - lag(col("ts"), 1).over(w) > gapUs, 1L)
               .otherwise(lit(0L)))
           .select(col("user_id"), col("event_id"),
             sum(col("new_session"))
@@ -913,7 +912,7 @@ object RelationalQueries {
         val gapUs = 30L * 60 * 1000000L
         t(s, dir, "events")
           .select(col("user_id"),
-            timestamp_micros(expr("ts div 1000")).as("tsm"), col("value"))
+            timestamp_micros(col("ts")).as("tsm"), col("value"))
           .groupBy(col("user_id"),
             session_window(col("tsm"), "30 minutes").as("sw"))
           .agg(count(lit(1)).as("n_events"),
@@ -1466,7 +1465,7 @@ object RelationalQueries {
       // s in (t - 3600e6, t]. Window starts are 15-min aligned, so
       // the second-precision BIGINT start is lossless
       (s, dir) => t(s, dir, "events")
-        .groupBy(window(timestamp_micros(expr("ts div 1000")),
+        .groupBy(window(timestamp_micros(col("ts")),
           "1 hour", "15 minutes"))
         .agg(count(lit(1)).as("n"),
           min(col("value")).as("mn"),
@@ -1490,9 +1489,9 @@ object RelationalQueries {
       // exact integer floor-divisions of the micros timestamp
       (s, dir) => {
         val e = t(s, dir, "events")
-          // one floor-div by 86400e9 ns == floor(floor(ns/1e3)/86400e6)
-          // (floor composition), matching the oracle's epoch_us // day
-          .select(col("user_id"), expr(floorDiv("ts", 86400000000000L)).as("day"))
+          // floor-div of the micros ts by 86400e6, matching the
+          // oracle's epoch_us // day exactly
+          .select(col("user_id"), expr(floorDiv("ts", 86400000000L)).as("day"))
         val daily = e.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
         val spans = daily.groupBy("user_id")
           .agg(min("day").as("d0"), max("day").as("d1"))
@@ -1538,7 +1537,7 @@ object RelationalQueries {
           .orderBy(col("ts").asc, col("event_id").asc)
         val sess = t(s, dir, "events")
           .withColumn("new_session",
-            when(expr("ts div 1000") - lag(expr("ts div 1000"), 1).over(w) > gapUs, 1L)
+            when(col("ts") - lag(col("ts"), 1).over(w) > gapUs, 1L)
               .otherwise(lit(0L)))
           .withColumn("session_idx",
             sum(col("new_session"))
@@ -1724,10 +1723,9 @@ object RelationalQueries {
         FROM z GROUP BY 1""")),
 
     QueryDef("q_time_bucket",
-      // ts arrives as a nanos long (see Tables); `div 1000` → micros is
-      // lossless at day granularity.
+      // ts arrives as a micros long (Tables normalizes every fixture form)
       (s, dir) => t(s, dir, "events")
-        .groupBy(date_trunc("day", timestamp_micros(expr("ts div 1000")))
+        .groupBy(date_trunc("day", timestamp_micros(col("ts")))
           .cast(DateType).as("day"))
         .agg(count(lit(1)).as("n"),
           min(col("value")).as("mn"),
@@ -2074,12 +2072,11 @@ object RelationalQueries {
       // One partial-agg'd pass; the fixed reference date (not
       // max(ts)) keeps the weights retry-stable and incremental
       // across corpus growth
-      // ts arrives as a nanos long (see Tables); `div 1000` → micros
-      // is lossless at day granularity
+      // ts arrives as a micros long (Tables normalizes every fixture form)
       (s, dir) => t(s, dir, "events")
         .selectExpr("event_type",
           "least(7, greatest(0, datediff(DATE'2024-02-01', " +
-            "to_date(timestamp_micros(ts div 1000)))) div 4) AS h")
+            "to_date(timestamp_micros(ts)))) div 4) AS h")
         .selectExpr("event_type", "shiftleft(1L, 7 - h) AS wgt")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"), sum("wgt").as("score_int"))
@@ -2096,18 +2093,17 @@ object RelationalQueries {
       // temporal modeling: build SCD-type-2 validity intervals from a
       // changelog — per user, each event is valid from its timestamp
       // until the next event (NULL = still current). One shuffle on
-      // the entity key, a lead() window per key; nanos stay exact
-      // integers end to end (Spark reads the parquet TIMESTAMP(NANOS)
-      // as a nanos long; DuckDB's reader surfaces micros, so both
-      // sides emit exact MICROS — `ts div 1000` is lossless in that
-      // unit and no truncation can merge or reorder adjacent versions
-      // (event timestamps are distinct at micro granularity)
+      // the entity key, a lead() window per key; timestamps stay exact
+      // integer MICROS end to end (Tables normalizes the fixture,
+      // DuckDB's epoch_us surfaces the identical value), so no
+      // truncation can merge or reorder adjacent versions (event
+      // timestamps are distinct at micro granularity)
       (s, dir) => {
         val w = Window.partitionBy("user_id")
           .orderBy(col("valid_from").asc, col("event_id").asc)
         t(s, dir, "events")
           .select(col("user_id"), col("event_id"),
-            expr("ts div 1000").as("valid_from"))
+            col("ts").as("valid_from"))
           .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
           .withColumn("is_current", col("valid_to").isNull)
       },

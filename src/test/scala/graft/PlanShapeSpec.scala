@@ -279,7 +279,7 @@ class PlanShapeSpec extends SparkSuite {
       s"expected 3 pruned day dirs, scanned ${scans.head.selectedPartitions.partitionCount}")
     // and the values agree with the unpartitioned base table
     val base = Tables(spark, dir, "events")
-      .where(to_date(timestamp_micros(expr("ts div 1000")))
+      .where(to_date(timestamp_micros(col("ts")))
         .between(lit("2024-01-05"), lit("2024-01-07")))
       .count()
     assert(df.agg(sum("n_events")).head().getLong(0) == base)

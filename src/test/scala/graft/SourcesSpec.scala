@@ -117,6 +117,46 @@ class SourcesSpec extends SparkSuite {
       s"plan:\n$plan")
   }
 
+  test("events fixture contract: ts normalizes to micros BIGINT from every physical form") {
+    // The driver regenerates the testdata between rounds and has
+    // already shipped events.ts as parquet TIMESTAMP(NANOS) (one
+    // round) and timestamp[us]/TIMESTAMP_NTZ (the next) — this pins
+    // the Tables contract so the NEXT silent fixture change fails one
+    // loud test instead of nine queries. Whatever the physical type,
+    // the engine sees micros-since-epoch BIGINT named `ts`.
+    val ev = Tables(spark, sf("sf0.001"), "events")
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType, s"ts must surface as BIGINT micros")
+    val mm = ev.agg(min("ts"), max("ts")).head()
+    // plausibility: micros magnitude (2020..2030), not nanos/millis
+    val lo = 1577836800000000L // 2020-01-01 in micros
+    val hi = 1893456000000000L // 2030-01-01 in micros
+    assert(mm.getLong(0) >= lo && mm.getLong(1) <= hi,
+      s"ts range ${mm.getLong(0)}..${mm.getLong(1)} is not micros-since-epoch")
+
+    // synthesize the other accepted physical forms from the normalized
+    // values and assert all normalize back to identical (id, ts) sets
+    val base = ev.select("event_id", "ts")
+    val expected = base.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def roundtrip(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Tables.normalizeEventTs(df).select("event_id", "ts")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val asNanosLong = base.withColumn("ts", col("ts") * 1000L)
+    val asTimestamp = base.withColumn("ts", timestamp_micros(col("ts")))
+    val asNtz = base.withColumn("ts",
+      timestamp_micros(col("ts")).cast("timestamp_ntz"))
+    assert(roundtrip(asNanosLong) == expected, "nanos INT64 form drifted")
+    assert(roundtrip(asTimestamp) == expected, "TIMESTAMP form drifted")
+    assert(roundtrip(asNtz) == expected, "TIMESTAMP_NTZ form drifted")
+    // and a parquet-written NTZ copy (what the current fixture IS)
+    // normalizes identically through the full Tables read path
+    val path = java.nio.file.Files.createTempDirectory("graft_evfix").toString
+    asNtz.write.mode("overwrite").parquet(s"$path/events.parquet")
+    val back = Tables(spark, path, "events")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back == expected, "parquet NTZ roundtrip through Tables drifted")
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -473,12 +473,12 @@ class StreamingOpsSpec extends SparkSuite {
     def decayed(df: org.apache.spark.sql.DataFrame) = df
       .selectExpr("event_type",
         "least(7, greatest(0, datediff(DATE'2024-02-01', " +
-          "to_date(timestamp_micros(ts div 1000)))) div 4) AS h")
+          "to_date(timestamp_micros(ts)))) div 4) AS h")
       .selectExpr("event_type", "shiftleft(1L, 7 - h) AS wgt")
       .groupBy("event_type")
       .agg(org.apache.spark.sql.functions.sum("wgt").as("score_int"))
-    val day = 86400L * 1000000000L
-    val jan1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000000L
+    val day = 86400L * 1000000L
+    val jan1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
     val rows = Seq((jan1, "view"), (jan1 + 20 * day, "view"),
       (jan1 + 29 * day, "click"), (jan1 + 2 * day, "view"))
     val ms = MemoryStream[(Long, String)]

@@ -18,14 +18,16 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // Legacy fixture form: parquet TIMESTAMP(NANOS), which Spark's
-      // vectorized reader rejects unless surfaced as a nanos long.
-      // Harmless for micros fixtures (the conf only affects NANOS).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+    // Legacy fixture form: parquet TIMESTAMP(NANOS), which Spark's
+    // vectorized reader rejects unless surfaced as a nanos long.
+    // Harmless for micros fixtures (the conf only affects NANOS).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    name match {
+      case "events"   => normalizeEventTs(df)
+      case "orders"   => normalizeDateCol(df, "o_orderdate")
+      case "lineitem" => normalizeDateCol(df, "l_shipdate")
+      case _          => df
     }
   }
 
@@ -56,5 +58,25 @@ object Tables {
         throw new IllegalArgumentException(
           s"events.ts: unsupported fixture type $other " +
             "(expected INT64 nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
+
+  /** Same silent-fixture-change robustness for the date columns the
+    * relational queries depend on (orders.o_orderdate,
+    * lineitem.l_shipdate). timestamp[us]/date32 forms read
+    * CONSISTENTLY on both engines (every query casts or extracts
+    * calendar fields), so those pass through untouched — the only
+    * dangerous form is timestamp[ns], where Spark surfaces a nanos
+    * INT64 (nanosAsLong) while DuckDB surfaces TIMESTAMP_NS. That
+    * form is converted back to a micros TIMESTAMP_NTZ here, restoring
+    * today's semantics for every downstream cast/year/interval site.
+    */
+  private[graft] def normalizeDateCol(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType => df.withColumn(c,
+        // wall-clock timestampadd from the NTZ epoch literal — like
+        // the NTZ branch above, independent of the session time zone
+        expr(s"timestampadd(MICROSECOND, ($c - pmod($c, 1000L)) div 1000L, " +
+          "TIMESTAMP_NTZ'1970-01-01 00:00:00')"))
+      case _ => df
     }
 }

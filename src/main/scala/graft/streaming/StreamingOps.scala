@@ -160,6 +160,71 @@ object StreamingOps {
       }
   }
 
+  /** Streaming gap-sessionization — the streaming twin of the batch
+    * `q_sessionize` (lag + running-sum over micros gaps): each event
+    * is tagged with its session's START time (micros), where a
+    * >`gapUs` silence per key opens a new session. Emitting the start
+    * as the session id (rather than a per-key running index) is what
+    * makes state EVICTABLE: once the watermark passes
+    * `lastTs + gapUs`, any future event for that key must open a new
+    * session anyway, so dropping the 16-byte (lastTs, sessionStart)
+    * state changes nothing — state is O(keys active within the gap
+    * horizon), the same bounding argument the watermark gives
+    * [[streamingDedup]]. (A running session INDEX would have to
+    * survive forever per key; a session START is self-identifying.
+    * Batch parity: rank starts per key to recover the index.)
+    *
+    * Within a micro-batch, a key's rows are buffered and sorted by
+    * (ts, id) — bounded by the key's per-trigger volume, never the
+    * stream. Events arriving LATER than the watermark may mis-assign
+    * (their session state may already be evicted) — the standard
+    * flatMapGroupsWithState late-data caveat; size `watermarkDelay`
+    * to the tolerated disorder.
+    *
+    * Input: `keyCol` (long), `idCol` (long, order tiebreak),
+    * `tsCol` (TIMESTAMP). Output columns: key, id, ts_us,
+    * session_start_us.
+    */
+  def streamingGapSessionize(events: DataFrame, keyCol: String, idCol: String,
+                             tsCol: String, gapUs: Long,
+                             watermarkDelay: String): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapUs / 1000L + 1L
+    val typed = events
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).cast("long"), col(idCol).cast("long"),
+        unix_micros(col(tsCol)), col(tsCol))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap: any future event opens a
+            // new session, so the state is semantically dead weight
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.map(r => (r._2, r._3)).toArray.sortBy {
+              case (id, ts) => (ts, id)
+            }
+            var (last, start) = state.getOption.getOrElse((Long.MinValue, Long.MinValue))
+            val out = sorted.map { case (id, ts) =>
+              if (start == Long.MinValue || ts - last > gapUs) start = ts
+              last = ts
+              (key, id, ts, start)
+            }
+            state.update((last, start))
+            state.setTimeoutTimestamp(last / 1000L + gapMs)
+            out.iterator
+          }
+      }
+      .toDF(keyCol, idCol, "ts_us", "session_start_us")
+  }
+
   /** Continuous top-K per key across the whole stream: a bounded
     * top-K list kept in `GroupState` — the streaming generalization of
     * the reference's `MinMaxPriorityQueue` with `maximumSize(topSize)`

@@ -157,6 +157,32 @@ class SourcesSpec extends SparkSuite {
     assert(back == expected, "parquet NTZ roundtrip through Tables drifted")
   }
 
+  test("orders/lineitem date-column contract: a nanos-INT64 fixture normalizes back to micros NTZ") {
+    // timestamp[us]/date32 forms read consistently on both engines and
+    // pass through Tables untouched; the dangerous regeneration is
+    // timestamp[ns] (Spark: nanos long via nanosAsLong, DuckDB:
+    // TIMESTAMP_NS). Synthesize that long form and assert Tables
+    // restores the exact micros wall-clock values the queries see now.
+    val orders = Tables(spark, sf("sf0.001"), "orders")
+    val expected = orders
+      .select(col("o_orderkey"),
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', " +
+          "cast(o_orderdate as timestamp_ntz))").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val asNanos = orders.withColumn("o_orderdate",
+      expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', " +
+        "cast(o_orderdate as timestamp_ntz)) * 1000L"))
+    val normalized = Tables.normalizeDateCol(asNanos, "o_orderdate")
+    assert(normalized.schema("o_orderdate").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val back = normalized
+      .select(col("o_orderkey"),
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', " +
+          "o_orderdate)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back == expected, "nanos-long date column did not normalize to micros NTZ")
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -237,6 +237,61 @@ class StreamingOpsSpec extends SparkSuite {
     assert(rows == Seq((1L, 1L), (1L, 2L))) // one 2-event session, one singleton
   }
 
+  test("streamingGapSessionize: lag-gap sessions match the batch q_sessionize rule") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val stream = ms.toDF().toDF("ts", "user_id", "event_id")
+    val gapUs = 30L * 60 * 1000000L
+    val out = StreamingOps.streamingGapSessionize(
+      stream, "user_id", "event_id", "ts", gapUs, "10 minutes")
+    val query = out.writeStream.outputMode("append")
+      .format("memory").queryName("gapsess").start()
+
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      // user 1: events 10 min apart (one session) then 2h later (new
+      // session); user 2: exactly-gap-apart events MERGE (the > gap
+      // rule, same boundary semantics as the batch query). The second
+      // batch delivers user 1's late-session event out of order
+      // WITHIN the batch (id 4 before id 3 in arrival, ts order 3, 4)
+      ms.addData((t(1, 0), 1L, 1L), (t(1, 10), 1L, 2L),
+        (t(2, 0), 2L, 10L), (t(2, 30), 2L, 11L))
+      query.processAllAvailable()
+      ms.addData((t(3, 40), 1L, 4L), (t(3, 30), 1L, 3L))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.table("gapsess").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    def us(h: Int, m: Int) = t(h, m).getTime * 1000L
+    assert(rows == Set(
+      (1L, 1L, us(1, 0)), (1L, 2L, us(1, 0)),   // session A: 2 events
+      (2L, 10L, us(2, 0)), (2L, 11L, us(2, 0)), // exactly-gap merges
+      (1L, 3L, us(3, 30)), (1L, 4L, us(3, 30))  // 2h later: new session
+    ), s"unexpected sessions: $rows")
+
+    // batch parity: the same rows through the q_sessionize lag/cumsum
+    // rule produce the same (event -> session start) partitioning
+    val batch = Seq((us(1, 0), 1L, 1L), (us(1, 10), 1L, 2L),
+      (us(2, 0), 2L, 10L), (us(2, 30), 2L, 11L),
+      (us(3, 30), 1L, 3L), (us(3, 40), 1L, 4L))
+      .toDF("tsu", "user_id", "event_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tsu").asc, col("event_id").asc)
+    val idx = batch
+      .withColumn("sidx",
+        sum(when(col("tsu") - lag(col("tsu"), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+          .over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val starts = idx.groupBy("user_id", "sidx").agg(min("tsu").as("start"))
+    val batchSessions = idx.join(starts, Seq("user_id", "sidx"))
+      .select(col("user_id"), col("event_id"), col("start"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batchSessions == rows,
+      s"stream/batch divergence: batch=$batchSessions stream=$rows")
+  }
+
   test("streamingDedup drops later copies within the watermark horizon") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, Long, String)]

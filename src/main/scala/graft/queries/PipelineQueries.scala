@@ -1894,6 +1894,49 @@ object PipelineQueries {
             WHEN 'es' THEN 250000 WHEN 'de' THEN 125000
             WHEN 'fr' THEN 750000 ELSE 0 END""")),
 
+    QueryDef("sample_temperature_mix",
+      // temperature-FLATTENED corpus composition — the multilingual
+      // alpha-sampling step (mT5/XLM-R convention, alpha = 0.5):
+      // per-language acceptance rate proportional to 1/sqrt(n_lang),
+      // normalized so the SMALLEST language keeps every row, which
+      // makes kept counts proportional to sqrt(n_lang) — high-resource
+      // languages are down-sampled, low-resource ones preserved.
+      // Unlike sample_weighted_mix's hand-set rates, the thresholds
+      // here are COMPUTED IN-PLAN from the observed language counts
+      // (never literals that drift with SF): two |langs|-row
+      // aggregates broadcast back onto the scan, so the corpus itself
+      // is never shuffled — at 100 TB this is one pass + two tiny
+      // broadcasts. Exactness: sqrt is IEEE-correctly-rounded in both
+      // engines and the expression keeps one multiply, one divide and
+      // one floor in the same order, so the integer thresholds (and
+      // therefore the kept set) agree bit-for-bit with the oracle.
+      // Same multiplicative-hash gate as the rest of the sampling
+      // family: reproducible, retry-stable, and monotone (raising the
+      // temperature only moves thresholds, so cooler mixes nest
+      // inside hotter ones).
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        val nMin = counts.agg(min("n_lang").as("n_min"))
+        val thr = counts.crossJoin(broadcast(nMin))
+          .select(col("lang"),
+            floor(lit(1000000.0) * sqrt(col("n_min").cast("double"))
+              / sqrt(col("n_lang").cast("double"))).cast("long").as("thr"))
+        d.join(broadcast(thr), "lang")
+          .where(Sampling.hashValue(col("doc_id")) < col("thr"))
+          .select(col("doc_id"), col("lang"))
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents
+            GROUP BY 1),
+          m AS (SELECT min(n_lang) AS n_min FROM c),
+          thr AS (SELECT lang,
+              CAST(floor(1000000.0 * sqrt(n_min) / sqrt(n_lang)) AS BIGINT)
+                AS thr
+            FROM c CROSS JOIN m)
+        SELECT d.doc_id, d.lang FROM documents d
+        JOIN thr ON d.lang = thr.lang
+        WHERE ((doc_id % 1000003) * 2654435761) % 1000000 < thr.thr""")),
+
     QueryDef("sample_shard_shuffle",
       // deterministic sharded corpus shuffle (the pre-training "shuffle
       // then write N shard files" step): shard by id hash, order within

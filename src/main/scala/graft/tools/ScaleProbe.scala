@@ -432,6 +432,51 @@ object ScaleProbe {
       (fed.size.toLong, admittedSet.size.toLong, bytes)
     }
 
+    /** Feeds nEvents spread over nKeys through streamingGapSessionize
+      * (1-minute gap), then advances the watermark an hour past every
+      * key's last event and nudges twice (timeouts sweep in the batch
+      * AFTER the watermark moves); returns (state rows at peak, state
+      * rows after eviction — floor is the 2 nudge keys). State must be
+      * O(keys active within the gap horizon): 16 bytes/key, evicted
+      * once the watermark passes lastTs + gap, NEVER O(events).
+      */
+    def gapSessState(tag: String, nKeys: Int, nEvents: Int): (Long, Long) = {
+      val ms = MemoryStream[(java.sql.Timestamp, Long, Long)]
+      val qn = s"gsprobe_$tag"
+      val query = graft.streaming.StreamingOps.streamingGapSessionize(
+        ms.toDF().toDF("ts", "user_id", "event_id"),
+        "user_id", "event_id", "ts", gapUs = 60L * 1000000L,
+        watermarkDelay = "1 second")
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .start()
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.currentTimeMillis + 120000
+        while (spark.table(qn).count() < n &&
+          System.currentTimeMillis < deadline) Thread.sleep(50)
+      }
+      def stateRows: Long = Option(query.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      try {
+        val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        def ts(offMs: Long) = new java.sql.Timestamp(t0 + offMs)
+        // every key's events land 100 ms apart — one open session/key
+        val batch = (0 until nEvents).map(i =>
+          (ts(i / nKeys * 100L), (i % nKeys).toLong, i.toLong))
+        ms.addData(batch)
+        awaitRows(nEvents.toLong)
+        val peak = stateRows
+        // two far-future nudges: the first advances the watermark past
+        // every lastTs + gap at batch END, the second's batch runs the
+        // timeout sweep that evicts the dead keys
+        ms.addData(Seq((ts(3600000L), -1L, 900000001L)))
+        awaitRows(nEvents.toLong + 1)
+        ms.addData(Seq((ts(3600001L), -2L, 900000002L)))
+        awaitRows(nEvents.toLong + 2)
+        Thread.sleep(300)
+        (peak, stateRows)
+      } finally query.stop()
+    }
+
     val allDocs = docs0.select(col("doc_id"), col("text"))
       .orderBy("doc_id").limit(4000)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
@@ -448,6 +493,16 @@ object ScaleProbe {
         factors.map(f => {
           val (peak, bytes, after) = topkState(s"fix$f", 1000, 40000 * f)
           f"$peak%d rows (${bytes / 1024}%d KB), after TTL $after%d"
+        }),
+      "gap sessions, keys grow with input (events=20k·f, keys=1k·f)" ->
+        factors.map(f => {
+          val (peak, after) = gapSessState(s"gsgrow$f", 1000 * f, 20000 * f)
+          f"$peak%d rows, after eviction $after%d"
+        }),
+      "gap sessions, FIXED 1k keys (events=20k·f)" ->
+        factors.map(f => {
+          val (peak, after) = gapSessState(s"gsfix$f", 1000, 20000 * f)
+          f"$peak%d rows, after eviction $after%d"
         }),
       "incremental dedup, planted duplicate replay (500·f docs, 500 distinct)" ->
         factors.map(f => {
@@ -472,7 +527,12 @@ object ScaleProbe {
     sb.append("statefulTopKWithTTL state rows/bytes come from the engine's ")
     sb.append("StateOperatorProgress at peak, then again after the 5 s TTL ")
     sb.append("lapses (a single fresh-key nudge batch triggers the eviction ")
-    sb.append("sweep, so the expected post-TTL floor is 1 row). The ")
+    sb.append("sweep, so the expected post-TTL floor is 1 row). ")
+    sb.append("streamingGapSessionize state is one 16-byte (lastTs, start) ")
+    sb.append("pair per key, evicted by EVENT-TIME timeout once the ")
+    sb.append("watermark passes lastTs + gap — eviction is semantics-")
+    sb.append("preserving because any later event necessarily opens a new ")
+    sb.append("session (the post-eviction floor is the 2 nudge keys). The ")
     sb.append("incremental-dedup index is intentionally unbounded-by-time ")
     sb.append("but bounded PER DOC: under planted duplicate replay the ")
     sb.append("index stays flat (~500 rows) while fed events grow 8x; on a ")

@@ -1916,7 +1916,12 @@ object PipelineQueries {
       // inside hotter ones).
       (s, dir) => {
         val d = t(s, dir, "documents")
+        // the |langs|-row count relation feeds BOTH the min and the
+        // thresholds; one materialization keeps the corpus at ONE
+        // pruned lang-column pass instead of re-aggregating per branch
+        // (the pipeline_funnel_counts convention)
         val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+          .localCheckpoint(eager = false)
         val nMin = counts.agg(min("n_lang").as("n_min"))
         val thr = counts.crossJoin(broadcast(nMin))
           .select(col("lang"),

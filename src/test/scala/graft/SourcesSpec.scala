@@ -183,6 +183,69 @@ class SourcesSpec extends SparkSuite {
     assert(back == expected, "nanos-long date column did not normalize to micros NTZ")
   }
 
+  test("fixture schema contract: every table surfaces the names+types the engine depends on") {
+    // The generalized form of the events-ts lesson: the driver
+    // regenerates the testdata between rounds, and a silent type
+    // change (nanos vs micros timestamps was round 9's) should fail
+    // ONE test that names the drifted column, not N queries with
+    // analysis errors. These are the POST-normalization types Tables
+    // guarantees (events.ts → micros BIGINT; orders/lineitem date
+    // columns may arrive as timestamp[us]/[ns]/date32 — accepted as
+    // any date-or-timestamp type here since every query casts).
+    import org.apache.spark.sql.types._
+    val dateLike: DataType => Boolean = {
+      case TimestampType | TimestampNTZType | DateType => true
+      case _ => false
+    }
+    val exact: Map[String, Map[String, DataType]] = Map(
+      "region" -> Map("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Map("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> Map("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> Map("s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part" -> Map("p_partkey" -> LongType, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders" -> Map("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        "o_orderpriority" -> StringType),
+      "lineitem" -> Map("l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType),
+      "events" -> Map("event_id" -> LongType, "ts" -> LongType, // normalized
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> Map("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> Map("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType, containsNull = true),
+        "label" -> IntegerType))
+    val flexible: Map[String, Seq[String]] = Map(
+      "orders" -> Seq("o_orderdate"), "lineitem" -> Seq("l_shipdate"))
+    val drift = Tables.names.flatMap { tn =>
+      val schema = Tables(spark, sf("sf0.001"), tn).schema
+      val fields = schema.fields.map(f => f.name -> f.dataType).toMap
+      val missing = (exact(tn).keySet ++ flexible.getOrElse(tn, Nil).toSet)
+        .diff(fields.keySet).map(c => s"$tn.$c MISSING")
+      val wrong = exact(tn).collect {
+        case (c, want) if fields.contains(c) && fields(c) != want =>
+          s"$tn.$c is ${fields(c)}, engine needs $want"
+      }
+      val badDate = flexible.getOrElse(tn, Nil).collect {
+        case c if fields.contains(c) && !dateLike(fields(c)) =>
+          s"$tn.$c is ${fields(c)}, engine needs a date/timestamp type"
+      }
+      missing ++ wrong ++ badDate
+    }
+    assert(drift.isEmpty,
+      s"fixture drifted from the engine contract:\n  ${drift.mkString("\n  ")}")
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -62,9 +62,55 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("q_histogram", 1, "integer bucketing folds map-side, one exchange"),
     ("dedup_exact", 1, "hash-grouped on content hash, payload never re-shuffled"),
     ("q_asof_join", 1, "union+window form: ONE shuffle replaces a range join"),
-    // two-shuffle families: two genuinely different keys
+    // join families (counted at the suite's SF/config: small sides
+    // broadcast, so the budget also guards the broadcast decision)
+    ("q_semi_join", 0, "EXISTS side broadcasts; fact side never moves"),
+    ("q_anti_join", 0, "NOT-EXISTS side broadcasts; fact side never moves"),
+    ("q_outer_join", 1, "one exchange for the preserved-side SMJ + agg"),
+    ("q_nullsafe_join", 1, "null-safe equi-join keys shuffle once"),
+    ("q_range_join", 1, "bucketed range join: one exchange, no cartesian"),
+    ("q_interval_join", 1, "interval overlap via bucket keys, one exchange"),
+    ("q_exists_subquery", 1, "decorrelated to a semi join + final agg exchange"),
+    ("q_winsorize", 1, "5-row percentile relation broadcasts back; one agg"),
+    ("dedup_simhash", 0, "16-bit band join broadcasts at suite SF; no corpus shuffle"),
+    ("sample_train_split", 0, "hash-gate filter only"),
+    ("text_quality_gate", 0, "per-row quality arithmetic, no grouping"),
+    ("mm_decode", 0, "partition-batched byte kernels, pure projection"),
+    ("mm_frames", 0, "byte-exact frame sampling, pure projection"),
+    ("mm_resize", 0, "integer-factor stride kernel, pure projection"),
+    ("text_head_tail_truncate", 0, "slice+concat projection"),
+    ("topn_orderkey_long", 0, "TakeOrderedAndProject"),
+    ("topn_ignorenull", 0, "IsNotNull pushed to scan + TakeOrderedAndProject"),
+    ("ann_brute_topk", 1, "queries broadcast over the corpus; one top-k exchange"),
+    ("sample_stratified", 1, "per-language rank window, one exchange"),
+    ("q_percentiles", 1, "interpolated percentiles, one group exchange"),
+    ("q_rollup", 1, "rollup Expand feeds partial agg, one exchange"),
+    ("q_cube", 1, "cube Expand feeds partial agg, one exchange"),
+    ("q_grouping_sets", 1, "grouping-sets Expand feeds partial agg, one exchange"),
+    ("q_window_funcs", 1, "one per-customer window shuffle"),
+    ("q_window_range_frame", 1, "value-based frame over one key shuffle"),
+    ("q_ntile_buckets", 1, "ntile over one priority-key shuffle"),
+    ("q_dist_rank", 1, "percent_rank/cume_dist over one key shuffle"),
+    ("q_array_agg", 1, "collect_list partial-agg'd map-side, one exchange"),
+    ("text_bigrams", 1, "explode then one df-count exchange"),
+    ("q_json_extract", 1, "extracted key folds map-side, one exchange"),
+    // two-shuffle families: two genuinely different keys or a 2-phase
+    // algorithm (distinct/pivot rewrite, pre-agg + window)
     ("q_gap_fill", 2, "(user,day) counts then per-user spans; fill join broadcasts"),
-    ("q_journey_paths", 2, "user-key session window, then path-count exchange"))
+    ("q_journey_paths", 2, "user-key session window, then path-count exchange"),
+    ("q_distinct_agg", 2, "distinct rewrite: expand phase + final phase"),
+    ("q_pivot", 2, "pivot's two-phase aggregate"),
+    ("q_profile", 2, "one 5x Expand scan + two-phase multi-distinct"),
+    ("q_group_mode", 2, "(user,type) pre-agg then per-user WindowGroupLimit"),
+    ("q_setops", 2, "intersect/except plan as two distinct phases"),
+    ("q_scalar_subquery", 2, "correlated avg decorrelates to agg + join + agg"),
+    ("q_skyline", 2, "per-x maxima then frontier broadcast back"),
+    ("q_sketch_distinct", 2, "HLL partials + the exact-distinct gate's 2-phase"),
+    ("text_top_terms", 2, "token df counts then per-language top-k window"),
+    ("q_full_outer_join", 2, "both sides preserved: each shuffles once"),
+    // three-shuffle: three semantically distinct stages
+    ("q_cohort_retention", 3,
+      "first-order min per customer, cohort join reuse, distinct-count cell"))
 
   budgets.foreach { case (name, maxShuffles, why) =>
     test(s"$name stays within its shuffle budget ($maxShuffles): $why") {

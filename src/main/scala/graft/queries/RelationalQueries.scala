@@ -488,6 +488,58 @@ object RelationalQueries {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_name""")),
 
+    QueryDef("q_skew_report",
+      // SKEW DIAGNOSTICS — the report an operator runs BEFORE choosing
+      // a join strategy at 100 TB (salt? AQE skew split? broadcast?):
+      // for each candidate shuffle key, the key-space size, the
+      // hottest key and its count, and the skew factor
+      // (hottest / mean per-key count, as an exact integer permille).
+      // One partial-agg'd count per key space, then a 1-row
+      // TakeOrdered per key space — the diagnosis never re-shuffles
+      // more than (key, count) pairs. Exact integer arithmetic
+      // end-to-end: skew_x1000 = max_cnt * n_keys * 1000 div n_rows.
+      // The events.user_id row exposes the fixture's planted hot key
+      // (the same skew q_salted_join and the AQE skew pin exercise).
+      (s, dir) => {
+        def keyStats(df: DataFrame, keyRef: String, key: String): DataFrame = {
+          val counts = df.groupBy(col(key).as("k"))
+            .agg(count(lit(1)).as("cnt"))
+            .localCheckpoint(eager = false) // feeds top-1 AND the totals
+          val top = counts.orderBy(col("cnt").desc, col("k").asc).limit(1)
+            .select(col("k").as("hot_key"), col("cnt").as("hot_cnt"))
+          val tot = counts.agg(count(lit(1)).as("n_keys"),
+            sum(col("cnt")).as("n_rows"))
+          top.crossJoin(tot).select(
+            lit(keyRef).as("key_ref"), col("n_keys"), col("n_rows"),
+            col("hot_key"), col("hot_cnt"),
+            expr("hot_cnt * n_keys * 1000 div n_rows").as("skew_x1000"))
+        }
+        keyStats(t(s, dir, "events"), "events.user_id", "user_id")
+          .union(keyStats(t(s, dir, "orders"), "orders.o_custkey", "o_custkey"))
+          .union(keyStats(t(s, dir, "lineitem"), "lineitem.l_partkey", "l_partkey"))
+      },
+      Some("""WITH ec AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+          oc AS (SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1),
+          lc AS (SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+          e AS (SELECT 'events.user_id' AS key_ref,
+              (SELECT count(*) FROM ec) AS n_keys,
+              (SELECT sum(cnt) FROM ec) AS n_rows,
+              k AS hot_key, cnt AS hot_cnt
+            FROM ec ORDER BY cnt DESC, k LIMIT 1),
+          o AS (SELECT 'orders.o_custkey',
+              (SELECT count(*) FROM oc), (SELECT sum(cnt) FROM oc),
+              k, cnt FROM oc ORDER BY cnt DESC, k LIMIT 1),
+          l AS (SELECT 'lineitem.l_partkey',
+              (SELECT count(*) FROM lc), (SELECT sum(cnt) FROM lc),
+              k, cnt FROM lc ORDER BY cnt DESC, k LIMIT 1),
+          u AS (SELECT * FROM e UNION ALL SELECT * FROM o
+            UNION ALL SELECT * FROM l)
+        SELECT key_ref, CAST(n_keys AS BIGINT) AS n_keys,
+          CAST(n_rows AS BIGINT) AS n_rows, hot_key,
+          CAST(hot_cnt AS BIGINT) AS hot_cnt,
+          CAST(hot_cnt * n_keys * 1000 // n_rows AS BIGINT) AS skew_x1000
+        FROM u""")),
+
     QueryDef("fuzzy_join_parts",
       // blocked fuzzy self-join (entity resolution): the blocking key
       // (p_brand, p_size) bounds the candidate set — 1250 blocks of

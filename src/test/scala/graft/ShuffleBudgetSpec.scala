@@ -110,7 +110,9 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("q_full_outer_join", 2, "both sides preserved: each shuffles once"),
     // three-shuffle: three semantically distinct stages
     ("q_cohort_retention", 3,
-      "first-order min per customer, cohort join reuse, distinct-count cell"))
+      "first-order min per customer, cohort join reuse, distinct-count cell"),
+    ("q_skew_report", 3,
+      "one checkpointed (key,count) partial agg per key space; raw tables never re-shuffle"))
 
   budgets.foreach { case (name, maxShuffles, why) =>
     test(s"$name stays within its shuffle budget ($maxShuffles): $why") {

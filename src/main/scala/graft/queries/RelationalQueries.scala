@@ -885,6 +885,41 @@ object RelationalQueries {
           count(*) AS n
         FROM lineitem GROUP BY l_returnflag""")),
 
+    QueryDef("q_approx_percentile_gate",
+      // bounded-memory quantile SKETCH under the oracle gate, the
+      // q_sketch_distinct convention applied to percentiles: at 100 TB
+      // an exact per-group percentile needs a sort or a full value
+      // histogram, while approx_percentile's Greenwald-Khanna summary
+      // is O(1/eps) memory and MERGEABLE (map-side partials combine) —
+      // but a sketch value is engine-internal, so the DECLARED surface
+      // is (exact percentile, within-guarantee BOOLEAN): accuracy=100
+      // guarantees rank error <= n/100, so the sketch's p50 must lie
+      // between the exact percentile_disc values at ranks 0.48 and
+      // 0.52 (a 2x-slack bracket, monotone in rank so value-space
+      // checkable). The oracle recomputes the exact columns and
+      // expects every bracket flag TRUE — a sketch drifting past its
+      // contract goes red, while the gate stays hash-stable under any
+      // merge order because only the GUARANTEE is declared, never the
+      // estimate
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+            .as("p50_exact"),
+          count(lit(1)).as("n"),
+          expr("approx_percentile(l_quantity, 0.5, 100)").as("__sk"),
+          expr("percentile_disc(0.48) WITHIN GROUP (ORDER BY l_quantity)")
+            .as("__lo"),
+          expr("percentile_disc(0.52) WITHIN GROUP (ORDER BY l_quantity)")
+            .as("__hi"))
+        .select(col("l_returnflag"), col("p50_exact"), col("n"),
+          (col("__sk") >= col("__lo") && col("__sk") <= col("__hi"))
+            .as("sketch_in_bound")),
+      Some("""SELECT l_returnflag,
+          percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_exact,
+          count(*) AS n, true AS sketch_in_bound
+        FROM lineitem GROUP BY l_returnflag""")),
+
     // ---- JSON scalar functions (events.props is a JSON string) ----
 
     QueryDef("q_json_extract",

@@ -84,6 +84,8 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("ann_brute_topk", 1, "queries broadcast over the corpus; one top-k exchange"),
     ("sample_stratified", 1, "per-language rank window, one exchange"),
     ("q_percentiles", 1, "interpolated percentiles, one group exchange"),
+    ("q_approx_percentile_gate", 1,
+      "GK sketch + exact brackets fold in one grouped aggregate"),
     ("q_rollup", 1, "rollup Expand feeds partial agg, one exchange"),
     ("q_cube", 1, "cube Expand feeds partial agg, one exchange"),
     ("q_grouping_sets", 1, "grouping-sets Expand feeds partial agg, one exchange"),

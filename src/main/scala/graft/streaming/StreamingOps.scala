@@ -218,11 +218,98 @@ object StreamingOps {
               (key, id, ts, start)
             }
             state.update((last, start))
-            state.setTimeoutTimestamp(last / 1000L + gapMs)
+            // clamp above the current watermark: a batch made entirely
+            // of late events could otherwise request a past timeout,
+            // which throws
+            state.setTimeoutTimestamp(math.max(last / 1000L + gapMs,
+              state.getCurrentWatermarkMs() + 1L))
             out.iterator
           }
       }
       .toDF(keyCol, idCol, "ts_us", "session_start_us")
+  }
+
+  /** Streaming ordered-funnel progression — the streaming twin of the
+    * batch `q_funnel` (view → click → purchase at strictly increasing
+    * timestamps), with the ATTRIBUTION-WINDOW semantics a continuous
+    * conversion tracker needs: a key's funnel must complete within
+    * `horizonUs` of its FIRST stage, which is exactly what makes the
+    * per-key state evictable — once the watermark passes
+    * firstTs + horizon, no event can legally advance that funnel, so
+    * dropping the 24-byte (firstTs, lastTs, stageIdx) state is
+    * semantics-preserving (the [[streamingGapSessionize]] argument;
+    * an unwindowed funnel would pin state per key forever). A key's
+    * next attempt after expiry starts a fresh funnel at stage 0.
+    *
+    * Emits one row per stage ADVANCE (append mode):
+    * key, stage_idx (0-based), ts_us of the advancing event. Within a
+    * micro-batch a key's rows are sorted by (ts, id); an event only
+    * advances the funnel if it is the NEXT stage, strictly later than
+    * the previous advance, and within the horizon of stage 0. Events
+    * later than the watermark may miss an already-evicted funnel —
+    * the standard late-data caveat; size `watermarkDelay` to the
+    * tolerated disorder.
+    */
+  def streamingFunnel(events: DataFrame, keyCol: String, idCol: String,
+                      tsCol: String, typeCol: String, stages: Seq[String],
+                      horizonUs: Long, watermarkDelay: String): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    require(horizonUs > 0, s"horizonUs must be positive, got $horizonUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    val typed = events
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).cast("long"), col(idCol).cast("long"),
+        unix_micros(col(tsCol)), col(typeCol).cast("string"), col(tsCol))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+    // state: (firstTs, lastTs, stagesDone) — stagesDone = how many
+    // stages have matched (next needed stage == stagesDone)
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Int), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long,
+         rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Int)]) =>
+          if (state.hasTimedOut) {
+            state.remove() // horizon passed: nothing can advance this funnel
+            Iterator.empty
+          } else {
+            val sorted = rows.map(r => (r._2, r._3, r._4)).toArray
+              .sortBy { case (id, ts, _) => (ts, id) }
+            var (first, last, done) =
+              state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0))
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+            sorted.foreach { case (_, ts, typ) =>
+              // a funnel past its horizon restarts on the next stage-0 event
+              if (first != Long.MinValue && ts - first > horizonUs &&
+                  done < stages.size) {
+                first = Long.MinValue; last = Long.MinValue; done = 0
+              }
+              if (done < stages.size && stageIdx.get(typ).contains(done) &&
+                  (done == 0 || ts > last) &&
+                  (first == Long.MinValue || ts - first <= horizonUs)) {
+                if (done == 0) first = ts
+                last = ts
+                out += ((key, done.toLong, ts, first))
+                done += 1
+              }
+            }
+            if (first == Long.MinValue) {
+              state.remove()
+            } else {
+              state.update((first, last, done))
+              // evict once the watermark passes the horizon of stage 0;
+              // clamp above the current watermark (a late batch could
+              // otherwise request a timeout in the past, which throws)
+              state.setTimeoutTimestamp(math.max(
+                first / 1000L + horizonUs / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
+          }
+      }
+      .toDF(keyCol, "stage_idx", "ts_us", "funnel_start_us")
   }
 
   /** Continuous top-K per key across the whole stream: a bounded

@@ -292,6 +292,62 @@ class StreamingOpsSpec extends SparkSuite {
       s"stream/batch divergence: batch=$batchSessions stream=$rows")
   }
 
+  test("streamingFunnel: staged conversion within the attribution horizon") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val stream = ms.toDF().toDF("ts", "user_id", "event_id", "event_type")
+    val hourUs = 3600L * 1000000L
+    val out = StreamingOps.streamingFunnel(stream, "user_id", "event_id",
+      "ts", "event_type", Seq("view", "click", "purchase"),
+      horizonUs = 2 * hourUs, watermarkDelay = "10 minutes")
+    val query = out.writeStream.outputMode("append")
+      .format("memory").queryName("sfunnel").start()
+
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def us(h: Int, m: Int) = t(h, m).getTime * 1000L
+    try {
+      // user 1 converts fully inside the horizon; user 2 views then
+      // clicks OUT OF ORDER within the batch (sorted by ts → still
+      // advances); user 3's click arrives before any view (no advance)
+      ms.addData(
+        (t(1, 0), 1L, 1L, "view"), (t(1, 10), 1L, 2L, "click"),
+        (t(1, 30), 1L, 3L, "purchase"),
+        (t(2, 10), 2L, 11L, "click"), (t(2, 0), 2L, 10L, "view"),
+        (t(1, 0), 3L, 20L, "click"))
+      query.processAllAvailable()
+      // user 2's purchase lands PAST the 2h horizon of its 02:00 view:
+      // the expired funnel restarts at stage 0 on a later view instead
+      ms.addData((t(4, 30), 2L, 12L, "purchase"), (t(4, 40), 2L, 13L, "view"))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.table("sfunnel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      (1L, 0L, us(1, 0)), (1L, 1L, us(1, 10)), (1L, 2L, us(1, 30)),
+      (2L, 0L, us(2, 0)), (2L, 1L, us(2, 10)),
+      (2L, 0L, us(4, 40)) // restart after expiry, not a stage-2 advance
+    ), s"unexpected funnel advances: $rows")
+
+    // batch parity on the completed user: q_funnel's stage rule (min
+    // next-type ts strictly after the previous stage) reproduces user
+    // 1's advance timestamps
+    val ev = Seq((us(1, 0), 1L, "view"), (us(1, 10), 1L, "click"),
+      (us(1, 30), 1L, "purchase")).toDF("tsu", "user_id", "event_type")
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tsu").as("t0"))
+    val c = ev.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("tsu") > col("t0"))
+      .groupBy("user_id").agg(min("tsu").as("t1"), min("t0").as("t0"))
+    val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("tsu") > col("t1"))
+      .groupBy("user_id").agg(min("tsu").as("t2"), min("t0").as("t0"),
+        min("t1").as("t1"))
+    val batchStages = p.select("t0", "t1", "t2").head()
+    assert((batchStages.getLong(0), batchStages.getLong(1),
+      batchStages.getLong(2)) == (us(1, 0), us(1, 10), us(1, 30)))
+  }
+
   test("streamingDedup drops later copies within the watermark horizon") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, Long, String)]

@@ -477,6 +477,51 @@ object ScaleProbe {
       } finally query.stop()
     }
 
+    /** Feeds nKeys funnels (each completing view→click inside the
+      * horizon) then advances the watermark past every funnel's
+      * horizon and nudges twice; returns (state rows at peak, state
+      * rows after eviction — floor is the nudge keys). Same bounding
+      * argument as gap sessions: the attribution window makes funnel
+      * state O(keys inside the horizon), never O(events).
+      */
+    def funnelState(tag: String, nKeys: Int, nEvents: Int): (Long, Long) = {
+      val ms = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+      val qn = s"fnprobe_$tag"
+      val query = graft.streaming.StreamingOps.streamingFunnel(
+        ms.toDF().toDF("ts", "user_id", "event_id", "event_type"),
+        "user_id", "event_id", "ts", "event_type", Seq("view", "click"),
+        horizonUs = 600L * 1000000L, watermarkDelay = "1 second")
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .start()
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.currentTimeMillis + 120000
+        while (spark.table(qn).count() < n &&
+          System.currentTimeMillis < deadline) Thread.sleep(50)
+      }
+      def stateRows: Long = Option(query.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      try {
+        val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        def ts(offMs: Long) = new java.sql.Timestamp(t0 + offMs)
+        // nEvents alternating view/click per key, all within the
+        // horizon: every key's funnel advances exactly twice
+        val batch = (0 until nEvents).map { i =>
+          val key = (i % nKeys).toLong
+          val typ = if ((i / nKeys) % 2 == 0) "view" else "click"
+          (ts(i / nKeys * 100L), key, i.toLong, typ)
+        }
+        ms.addData(batch)
+        awaitRows(2L * nKeys)
+        val peak = stateRows
+        ms.addData(Seq((ts(3600000L), -1L, 900000001L, "view")))
+        awaitRows(2L * nKeys + 1)
+        ms.addData(Seq((ts(3600001L), -2L, 900000002L, "view")))
+        awaitRows(2L * nKeys + 2)
+        Thread.sleep(300)
+        (peak, stateRows)
+      } finally query.stop()
+    }
+
     val allDocs = docs0.select(col("doc_id"), col("text"))
       .orderBy("doc_id").limit(4000)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
@@ -502,6 +547,11 @@ object ScaleProbe {
       "gap sessions, FIXED 1k keys (events=20k·f)" ->
         factors.map(f => {
           val (peak, after) = gapSessState(s"gsfix$f", 1000, 20000 * f)
+          f"$peak%d rows, after eviction $after%d"
+        }),
+      "funnel, keys grow with input (events=20k·f, keys=1k·f)" ->
+        factors.map(f => {
+          val (peak, after) = funnelState(s"fngrow$f", 1000 * f, 20000 * f)
           f"$peak%d rows, after eviction $after%d"
         }),
       "incremental dedup, planted duplicate replay (500·f docs, 500 distinct)" ->
@@ -532,7 +582,11 @@ object ScaleProbe {
     sb.append("pair per key, evicted by EVENT-TIME timeout once the ")
     sb.append("watermark passes lastTs + gap — eviction is semantics-")
     sb.append("preserving because any later event necessarily opens a new ")
-    sb.append("session (the post-eviction floor is the 2 nudge keys). The ")
+    sb.append("session (the post-eviction floor is the 2 nudge keys). ")
+    sb.append("streamingFunnel state (24 bytes/key) evicts on the same ")
+    sb.append("argument once the watermark passes firstStage + the ")
+    sb.append("attribution horizon — no event can legally advance an ")
+    sb.append("expired funnel. The ")
     sb.append("incremental-dedup index is intentionally unbounded-by-time ")
     sb.append("but bounded PER DOC: under planted duplicate replay the ")
     sb.append("index stays flat (~500 rows) while fed events grow 8x; on a ")

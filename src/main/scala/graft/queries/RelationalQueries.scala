@@ -1964,6 +1964,49 @@ object RelationalQueries {
         UNION ALL SELECT 'click', (SELECT count(*) FROM c)
         UNION ALL SELECT 'purchase', (SELECT count(*) FROM p)""")),
 
+    QueryDef("q_funnel_windowed",
+      // q_funnel with an ATTRIBUTION WINDOW — the batch form of
+      // streamingFunnel's semantics (conversion only counts within
+      // `horizon` of the user's FIRST view), declared under the
+      // oracle gate so the batch and streaming twins share one
+      // pinned rule. Same shrinking-frontier shape as q_funnel: each
+      // stage semi-joins the next event type against the previous
+      // frontier, with the horizon predicate applied at every stage
+      // (pushed into the join filter, so out-of-window events drop
+      // BEFORE the aggregate). Exact integer micros end to end.
+      (s, dir) => {
+        val horizonUs = 7L * 86400L * 1000000L // 7-day attribution
+        val ev = t(s, dir, "events").select("user_id", "ts", "event_type")
+        val v = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t0"))
+        val c = ev.where(col("event_type") === "click")
+          .join(v, "user_id")
+          .where(col("ts") > col("t0") && col("ts") - col("t0") <= horizonUs)
+          .groupBy("user_id").agg(min("ts").as("t1"), min("t0").as("t0"))
+        val p = ev.where(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .where(col("ts") > col("t1") && col("ts") - col("t0") <= horizonUs)
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        def cnt(name: String, df: DataFrame) =
+          df.agg(lit(name).as("stage"), count(lit(1)).as("users"))
+        cnt("view", v).union(cnt("click", c)).union(cnt("purchase", p))
+      },
+      Some("""WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+          c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1, min(v.t0) AS t0
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t0
+              AND epoch_us(e.ts) - v.t0 <= 604800000000
+            GROUP BY e.user_id),
+          p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t1
+              AND epoch_us(e.ts) - c.t0 <= 604800000000
+            GROUP BY e.user_id)
+        SELECT 'view' AS stage, (SELECT count(*) FROM v) AS users
+        UNION ALL SELECT 'click', (SELECT count(*) FROM c)
+        UNION ALL SELECT 'purchase', (SELECT count(*) FROM p)""")),
+
     QueryDef("q_cohort_retention",
       // cohort retention: customers bucketed by first-order month,
       // counted by months-since-cohort offset. Months are exact

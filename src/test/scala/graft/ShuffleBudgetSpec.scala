@@ -114,7 +114,12 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("q_cohort_retention", 3,
       "first-order min per customer, cohort join reuse, distinct-count cell"),
     ("q_skew_report", 3,
-      "one checkpointed (key,count) partial agg per key space; raw tables never re-shuffle"))
+      "one checkpointed (key,count) partial agg per key space; raw tables never re-shuffle"),
+    // staged frontiers: per-type filter + agg per stage, frontier
+    // joins broadcast as they shrink (AQE)
+    ("q_funnel", 8, "3 stage aggs + the count union; frontiers shrink"),
+    ("q_funnel_windowed", 8,
+      "same staged shape; the horizon predicate rides the stage joins"))
 
   budgets.foreach { case (name, maxShuffles, why) =>
     test(s"$name stays within its shuffle budget ($maxShuffles): $why") {

@@ -1965,11 +1965,16 @@ object RelationalQueries {
         UNION ALL SELECT 'purchase', (SELECT count(*) FROM p)""")),
 
     QueryDef("q_funnel_windowed",
-      // q_funnel with an ATTRIBUTION WINDOW — the batch form of
-      // streamingFunnel's semantics (conversion only counts within
-      // `horizon` of the user's FIRST view), declared under the
-      // oracle gate so the batch and streaming twins share one
-      // pinned rule. Same shrinking-frontier shape as q_funnel: each
+      // q_funnel with an ATTRIBUTION WINDOW — conversion only counts
+      // within `horizon` of the user's FIRST view. This is FIRST-TOUCH
+      // attribution: every stage anchors to the user's first view EVER
+      // and never restarts, whereas the streaming twin
+      // (StreamingOps.streamingFunnel) restarts a fresh funnel after
+      // horizon expiry — the restart is what makes its state
+      // evictable. The two agree exactly on single-attempt keys
+      // (parity pinned in StreamingOpsSpec, incl. a multi-attempt user
+      // demonstrating the documented divergence).
+      // Same shrinking-frontier shape as q_funnel: each
       // stage semi-joins the next event type against the previous
       // frontier, with the horizon predicate applied at every stage
       // (pushed into the join filter, so out-of-window events drop

@@ -239,7 +239,19 @@ object StreamingOps {
     * dropping the 24-byte (firstTs, lastTs, stageIdx) state is
     * semantics-preserving (the [[streamingGapSessionize]] argument;
     * an unwindowed funnel would pin state per key forever). A key's
-    * next attempt after expiry starts a fresh funnel at stage 0.
+    * next attempt after expiry starts a fresh funnel at stage 0 —
+    * UNCONDITIONALLY, whether the prior funnel completed or stalled,
+    * so output depends only on event times, never on micro-batch /
+    * timeout-sweep timing.
+    *
+    * Semantics note vs the batch `q_funnel_windowed`: the batch query
+    * is FIRST-TOUCH attribution — every stage anchors to the key's
+    * first stage-0 event ever and never restarts — while this
+    * streaming form restarts a fresh funnel after horizon expiry
+    * (restarting is what makes state evictable). For single-attempt
+    * keys the two agree exactly (pinned in StreamingOpsSpec); a key
+    * with a second attempt past the horizon counts again here and
+    * not in the batch query. The divergence is deliberate and tested.
     *
     * Emits one row per stage ADVANCE (append mode):
     * key, stage_idx (0-based), ts_us of the advancing event. Within a
@@ -281,9 +293,13 @@ object StreamingOps {
               state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0))
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
             sorted.foreach { case (_, ts, typ) =>
-              // a funnel past its horizon restarts on the next stage-0 event
-              if (first != Long.MinValue && ts - first > horizonUs &&
-                  done < stages.size) {
+              // a funnel past its horizon restarts on the next event —
+              // INCLUDING a completed funnel, so a key's second attempt
+              // starts at stage 0 deterministically whether the event
+              // arrives before or after the timeout sweep evicts the
+              // state (the advance condition below still prevents
+              // re-advancing a completed funnel WITHIN the horizon)
+              if (first != Long.MinValue && ts - first > horizonUs) {
                 first = Long.MinValue; last = Long.MinValue; done = 0
               }
               if (done < stages.size && stageIdx.get(typ).contains(done) &&

@@ -348,6 +348,60 @@ class StreamingOpsSpec extends SparkSuite {
       batchStages.getLong(2)) == (us(1, 0), us(1, 10), us(1, 30)))
   }
 
+  test("streamingFunnel: a COMPLETED funnel restarts at stage 0 past the horizon") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val stream = ms.toDF().toDF("ts", "user_id", "event_id", "event_type")
+    val hourUs = 3600L * 1000000L
+    val horizonUs = 2 * hourUs
+    val out = StreamingOps.streamingFunnel(stream, "user_id", "event_id",
+      "ts", "event_type", Seq("view", "click", "purchase"),
+      horizonUs = horizonUs, watermarkDelay = "10 minutes")
+    val query = out.writeStream.outputMode("append")
+      .format("memory").queryName("sfunnel_restart").start()
+
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def us(h: Int, m: Int) = t(h, m).getTime * 1000L
+    try {
+      // the user COMPLETES the funnel inside the horizon...
+      ms.addData(
+        (t(1, 0), 1L, 1L, "view"), (t(1, 10), 1L, 2L, "click"),
+        (t(1, 30), 1L, 3L, "purchase"))
+      query.processAllAvailable()
+      // ...then attempts again past the 2h horizon of the first view.
+      // The completed funnel's state is still LIVE here (the watermark
+      // — max ts 01:30 minus 10 min — never reached the 03:00 timeout
+      // before these events arrive), so the restart must happen ON the
+      // event, not depend on whether the timeout sweep evicted first.
+      ms.addData((t(5, 0), 1L, 4L, "view"), (t(5, 20), 1L, 5L, "click"))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.table("sfunnel_restart").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      (1L, 0L, us(1, 0)), (1L, 1L, us(1, 10)), (1L, 2L, us(1, 30)),
+      (1L, 0L, us(5, 0)), (1L, 1L, us(5, 20)) // fresh second attempt
+    ), s"unexpected funnel advances: $rows")
+
+    // Documented batch divergence (first-touch attribution): the
+    // q_funnel_windowed rule anchors every stage to the first view
+    // EVER, so this multi-attempt user advances each stage at most
+    // once — the 05:20 click is past the horizon of the 01:00 anchor
+    // and is ignored, while the stream counted a second attempt.
+    val ev = Seq((us(1, 0), 1L, "view"), (us(1, 10), 1L, "click"),
+      (us(1, 30), 1L, "purchase"), (us(5, 0), 1L, "view"),
+      (us(5, 20), 1L, "click")).toDF("tsu", "user_id", "event_type")
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tsu").as("t0"))
+    val c = ev.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("tsu") > col("t0") && col("tsu") - col("t0") <= horizonUs)
+      .groupBy("user_id").agg(min("tsu").as("t1"))
+    assert(c.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, us(1, 10))))
+    assert(rows.count(_._2 == 0L) == 2 && rows.count(_._2 == 1L) == 2)
+  }
+
   test("streamingDedup drops later copies within the watermark horizon") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, Long, String)]

@@ -11,6 +11,15 @@ import org.apache.spark.sql.SparkSession
   * projection-heavy queries (fingerprints, simhash) are actually
   * measured. Queries run in sorted name order for run-to-run
   * comparability.
+  *
+  * Self-diagnosing: every run records, alongside wall time, the JVM
+  * process CPU delta (local[N] executors run in-process, so this is
+  * the query's whole compute), the GC time delta, and the host 1-min
+  * load average sampled at run start. A slow row with cpu tracking its
+  * idle-band cpu but inflated wall indicts ambient host load; cpu
+  * growing with wall (or gc exploding) indicts the code — adjudicable
+  * from the artifact alone, no idle re-run needed. Idle-band
+  * reference diags are recorded in BASELINE.md.
   */
 object Bench {
 
@@ -37,6 +46,30 @@ object Bench {
     "graph_bfs", "graph_sssp", "q_incremental_agg", "q_sketch_union",
     "q_drift_bins", "q_concurrency", "sample_pps")
 
+  /** One measured run: wall seconds, process-CPU seconds consumed,
+    * GC seconds accrued, and the host 1-min loadavg at run START
+    * (start, not end, so the sample reflects the environment the run
+    * launched into, before the run's own threads join the load).
+    */
+  final case class RunDiag(wall: Double, cpu: Double, gc: Double, load: Double)
+
+  private val osBean = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.asInstanceOf[com.sun.management.OperatingSystemMXBean]
+  private def processCpuSec: Double = osBean.getProcessCpuTime / 1e9
+  private def gcSec: Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ >= 0).sum / 1e3
+  }
+
+  // Locale.ROOT: the f interpolator uses the JVM default locale,
+  // which renders a comma decimal separator under e.g. de_DE and
+  // breaks the JSON parse this line exists to enable
+  private def s3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+    Double.box(v))
+  private def s2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f",
+    Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,6 +84,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val loadStart = osBean.getSystemLoadAverage
+
     // Warmup: scan the big table and exercise codegen + shuffle paths.
     Tables(spark, sfDir, "lineitem").count()
     spark.range(1000000L).selectExpr("sum(id * 2)").collect()
@@ -59,21 +94,25 @@ object Bench {
     // compilation and cold page cache, so the median reports
     // steady-state cost — and unlike best-of-N, a retry-masked lucky
     // minimum cannot flatter a flaky query.
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): RunDiag = {
+      val load0 = osBean.getSystemLoadAverage
+      val cpu0 = processCpuSec
+      val gc0 = gcSec
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
         // loud failure: a silently-dropped query would flatter `total`
         System.err.println(s"[bench] $name FAILED: $e")
-        return -1.0
+        return RunDiag(-1.0, -1.0, -1.0, load0)
       }
-      (System.nanoTime() - t0) / 1e9
+      RunDiag((System.nanoTime() - t0) / 1e9, processCpuSec - cpu0,
+        gcSec - gc0, load0)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a failed first run means a near-certain failed repeat —
       // don't pay (and multi-log) the failure again
       val runs = Iterator.continually(once(name, fn))
-        .take(3).takeWhile(_ >= 0).toSeq
+        .take(3).takeWhile(_.wall >= 0).toSeq
       // benchmark hygiene: iterative operators localCheckpoint their
       // per-round state, and those blocks persist for the JVM
       // lifetime — across 140+ queries x 3 runs the accumulated
@@ -81,15 +120,31 @@ object Bench {
       // Each query is measured from a clean storage slate.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      name -> (if (runs.size < 3) -1.0 else runs.sorted.apply(1))
+      // the reported row is the run with MEDIAN wall time, carrying
+      // ITS OWN cpu/gc/load — a coherent (wall, cpu, gc, load) tuple,
+      // not a mix of runs
+      val median =
+        if (runs.size < 3) RunDiag(-1.0, -1.0, -1.0,
+          runs.headOption.map(_.load).getOrElse(-1.0))
+        else runs.sortBy(_.wall).apply(1)
+      (name, median, runs)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def runJson(r: RunDiag) =
+      s"[${s3(r.wall)},${s2(r.cpu)},${s2(r.gc)},${s2(r.load)}]"
+    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + m.wall }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // full per-run detail: name -> [[wall,cpu,gc,load] x up-to-3]
+    val runsJson = results.map { case (k, _, rs) =>
+      "\"" + k + "\":" + rs.map(runJson).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.wall).filter(_ >= 0).sum
+    val cpuTotal = results.flatMap(_._3).map(_.cpu).filter(_ >= 0).sum
+    val gcTotal = results.flatMap(_._3).map(_.gc).filter(_ >= 0).sum
+    val loadEnd = osBean.getSystemLoadAverage
     // failed > 0 is the machine-readable marker that `total` is missing
     // those queries' time (each also reports -1 in `queries`)
-    val failed = results.count(_._2 < 0)
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    val failed = results.count(_._2.wall < 0)
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"cpu_sec_all_runs":${s2(cpuTotal)},"gc_sec_all_runs":${s2(gcTotal)},"load_start":${s2(loadStart)},"load_end":${s2(loadEnd)},"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
     // The full per-query map is persisted to a file; stdout carries a
     // COMPACT line instead. The consumer captures only the last ~2000
     // chars of stdout, and the full 130+-query map (~4 KB) overflows
@@ -102,16 +157,18 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val byName = results.toMap
-    // Locale.ROOT: the f interpolator uses the JVM default locale,
-    // which renders a comma decimal separator under e.g. de_DE and
-    // breaks the JSON parse this line exists to enable
-    def s3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
-      Double.box(v))
+    val byName = results.map { case (k, m, _) => k -> m }.toMap
     val headlineQs = headline.filter(byName.contains).map { n =>
-      "\"" + n + "\":" + s3(byName(n))
+      "\"" + n + "\":" + s3(byName(n).wall)
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"failed":$failed,"queries":$headlineQs,"full":"$out","sf":"$sfDir"}"""
+    // Inline self-diagnosis for the HEAVIEST rows (the ones judged
+    // against idle bands): median-run [wall, cpu, gc, loadavg] for the
+    // top 6 by wall. Bounded so the compact line stays inside the
+    // consumer's 2000-char stdout window.
+    val diag = results.filter(_._2.wall >= 0).sortBy(-_._2.wall).take(6)
+      .map { case (k, m, _) => "\"" + k + "\":" + runJson(m) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"failed":$failed,"load":[${s2(loadStart)},${s2(loadEnd)}],"diag_wcgl":$diag,"queries":$headlineQs,"full":"$out","sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }

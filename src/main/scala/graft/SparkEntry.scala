@@ -1,14 +1,15 @@
 package graft
 
 import graft.operators.{GroupedTopN, TopNConfig}
-import graft.queries.{PipelineQueries, RelationalQueries}
+import graft.queries.{PipelineQueries, RelationalQueries, StreamingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def allQueryDefs = RelationalQueries.all ++ PipelineQueries.all
+  private def allQueryDefs =
+    RelationalQueries.all ++ PipelineQueries.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Top-3 customers per nation by account balance, with nation names —

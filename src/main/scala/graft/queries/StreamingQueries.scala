@@ -1,0 +1,163 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+/** Bounded stream-replay queries — the streaming operators run under
+  * the driver's independent DuckDB oracle gate, not just the builder's
+  * own specs.
+  *
+  * Each query replays the events fixture through a REAL Structured
+  * Streaming query (file source -> stateful operator -> memory sink,
+  * `processAllAvailable`, stop), then returns the sink's contents as a
+  * batch DataFrame whose oracle is the operator's already-green batch
+  * twin rule. The reference registers its aggregator for streaming
+  * hosts (`data-integrations/topn pom.xml:39-42` — the host applies
+  * the batch operator per window); these rows certify the analogous
+  * batch/stream parity claim for this engine's stateful operators.
+  *
+  * Scale posture: the memory sink is the bounded-replay HARNESS, not
+  * the production path — a real deployment writes the same stream to a
+  * parquet/Delta sink and state stays watermark-bounded either way
+  * (StreamingOps scaladocs). Driver memory here holds O(query output)
+  * rows at test SF (~MBs), never unbounded state. The single-file
+  * fixture replays as one micro-batch, so these rows pin the
+  * within-batch semantics; multi-batch incremental state, eviction,
+  * and restart behavior are pinned in StreamingOpsSpec.
+  */
+object StreamingQueries {
+
+  /** Unique memory-sink names: Verify and Bench invoke the same query
+    * several times in one JVM, and memory sinks are registered as
+    * session temp views.
+    */
+  private val seq = new AtomicLong()
+
+  /** The streaming twin of Tables.normalizeEventTs: surface the
+    * fixture's `ts` as a TimestampType column (watermarks reject NTZ
+    * and raw longs) with the raw stored micros preserved — sessions
+    * pin UTC, so the NTZ cast is value-identical and
+    * `unix_micros(ts)` downstream equals DuckDB's `epoch_us(ts)`.
+    */
+  private def tsToTimestamp(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => // raw INT64 nanos fixture form
+        df.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")))
+      case TimestampType => df
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported fixture type $other")
+    }
+
+  /** File-source replay of the events fixture (the fixture is a single
+    * FILE, so the stream reads the parent dir glob-filtered to it).
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    tsToTimestamp(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+  }
+
+  /** Run `streamed` to completion into a memory sink and return the
+    * sink table. Bounded by construction: the file source replays the
+    * fixture once; processAllAvailable drains it and stop() ends the
+    * query before the result is read.
+    */
+  private def replayToTable(streamed: DataFrame, prefix: String): DataFrame = {
+    val name = s"${prefix}_${seq.incrementAndGet()}"
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    streamed.sparkSession.table(name)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("stream_sessionize_replay",
+      // streamingGapSessionize over the replayed events stream: every
+      // event tagged with its gap-session's start micros. The oracle
+      // is the batch lag/cumsum island rule (the q_sessionize family)
+      // re-keyed to emit session START instead of index — the exact
+      // parity StreamingOps.streamingGapSessionize's scaladoc claims
+      // (start is self-identifying, index is rank-recoverable). FULL
+      // per-event equality, not an aggregate: every (event -> session)
+      // assignment must agree with the independent engine.
+      (s, dir) => {
+        val gapUs = 30L * 60 * 1000000L
+        val out = StreamingOps.streamingGapSessionize(
+          eventsStream(s, dir), "user_id", "event_id", "ts",
+          gapUs, watermarkDelay = "1 hour")
+        replayToTable(out, "graft_sess_replay")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+          m AS (SELECT user_id, event_id, tsu,
+              CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id
+                  ORDER BY tsu, event_id) > 1800000000
+                THEN 1 ELSE 0 END AS brk
+            FROM e),
+          g AS (SELECT user_id, event_id, tsu,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+            FROM m)
+        SELECT user_id, event_id, tsu AS ts_us,
+          min(tsu) OVER (PARTITION BY user_id, sidx) AS session_start_us
+        FROM g""")),
+
+    QueryDef("stream_funnel_replay",
+      // streamingFunnel over the replayed events stream, reduced to
+      // per-stage user counts on each user's FIRST attempt — the
+      // subset where the restarting streaming semantics provably
+      // coincide with the batch first-touch rule (any event that
+      // could reset the funnel before a within-horizon advance would
+      // itself be past the horizon, so no reset can precede a
+      // counted advance; the divergent multi-attempt behavior is
+      // deliberate and pinned in StreamingOpsSpec). The oracle is
+      // q_funnel_windowed's oracle VERBATIM — one pinned rule, two
+      // execution models, one independent referee.
+      (s, dir) => {
+        val horizonUs = 7L * 86400L * 1000000L
+        val stages = Seq("view", "click", "purchase")
+        val adv = replayToTable(
+          StreamingOps.streamingFunnel(eventsStream(s, dir), "user_id",
+            "event_id", "ts", "event_type", stages,
+            horizonUs, watermarkDelay = "1 hour"),
+          "graft_funnel_replay")
+        val firstAttempt = adv
+          .withColumn("first_start",
+            min(col("funnel_start_us")).over(Window.partitionBy("user_id")))
+          .where(col("funnel_start_us") === col("first_start"))
+        firstAttempt
+          .groupBy("stage_idx")
+          .agg(countDistinct(col("user_id")).as("users"))
+          .select(
+            element_at(array(stages.map(lit): _*),
+              col("stage_idx").cast("int") + 1).as("stage"),
+            col("users"))
+      },
+      Some("""WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+          c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t1, min(v.t0) AS t0
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t0
+              AND epoch_us(e.ts) - v.t0 <= 604800000000
+            GROUP BY e.user_id),
+          p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t1
+              AND epoch_us(e.ts) - c.t0 <= 604800000000
+            GROUP BY e.user_id)
+        SELECT 'view' AS stage, (SELECT count(*) FROM v) AS users
+        UNION ALL SELECT 'click', (SELECT count(*) FROM c)
+        UNION ALL SELECT 'purchase', (SELECT count(*) FROM p)"""))
+  )
+}

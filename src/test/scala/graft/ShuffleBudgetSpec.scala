@@ -119,7 +119,123 @@ class ShuffleBudgetSpec extends SparkSuite {
     // joins broadcast as they shrink (AQE)
     ("q_funnel", 8, "3 stage aggs + the count union; frontiers shrink"),
     ("q_funnel_windowed", 8,
-      "same staged shape; the horizon predicate rides the stage joins"))
+      "same staged shape; the horizon predicate rides the stage joins"),
+    // ---- full-registry extension (round 11): every remaining query
+    // pinned at its observed floor under the suite config. Grouped by
+    // family; the number is the semantic minimum the plan achieves
+    // today, so ANY added exchange fails loudly.
+    // zero-shuffle projections / pushed-filter scans / broadcast-only
+    ("topn_nulls_kept", 0, "TakeOrderedAndProject, NULLs ride the ordering"),
+    ("topn_qty_float", 0, "TakeOrderedAndProject"),
+    ("topn_size_int", 0, "TakeOrderedAndProject"),
+    ("sample_bottomk", 0, "ascending TakeOrderedAndProject"),
+    ("text_redact", 0, "regexp projection, no grouping"),
+    ("text_repetition", 0, "per-row n-gram arithmetic"),
+    ("q_regexp_extract", 0, "regexp projection over pushed rlike filter"),
+    ("q_scalar_funcs", 0, "pure scalar projection"),
+    ("q_unpivot", 0, "unpivot is a narrow Expand, no exchange"),
+    ("q_spatial_radius", 0, "cell-bucketed self-join broadcasts at suite SF"),
+    ("q_not_in_nullaware", 0, "null-aware anti join broadcasts the subquery"),
+    ("q_bucket_pruned", 0, "bucket pruning: scan + filter only"),
+    ("fuzzy_join_parts", 0, "length/prefix-banded candidates broadcast at suite SF"),
+    ("neardup_embedding", 0, "size-guarded all-pairs baseline broadcasts one side"),
+    ("dedup_clusters", 0, "post-cut final plan (keep-one projection); " +
+      "rounds are lineage-cut, structure pinned via dedup_keep_best/minhash"),
+    ("dedup_clusters_exact", 0, "post-cut final plan, as dedup_clusters"),
+    ("stream_sessionize_replay", 0,
+      "memory-sink read back: sessionization state work happened in the " +
+        "stream (one user-key shuffle there), the replay table scans flat"),
+    // one exchange: a single grouped/window/top-k stage
+    ("q_locf", 1, "last-value window over one entity-key shuffle"),
+    ("q_posexplode", 1, "generator is narrow; one final agg exchange"),
+    ("q_listagg", 1, "sorted collect_list partial-agg'd, one exchange"),
+    ("q_bitwise_agg", 1, "bit_and/or/xor fold map-side, one exchange"),
+    ("q_bool_agg", 1, "bool_and/or fold map-side, one exchange"),
+    ("q_array_lambda", 1, "lambda projections narrow; one final agg"),
+    ("q_sql_surface", 1, "one grouped aggregate behind the SQL text"),
+    ("q_salted_join", 1, "salt splits the hot key; ONE exchange (no " +
+      "pre-agg shuffle), dims broadcast"),
+    ("q_bucketed_join", 1, "bucketed sides join shuffle-free; one final agg"),
+    ("q_partition_pruned", 1, "pruned scan + one grouped agg"),
+    ("q_zorder_layout", 1, "one range exchange on the interleaved key"),
+    ("text_pack", 1, "greedy pack windows per shard: one shard exchange"),
+    ("sample_shard_shuffle", 1, "one hash-shard exchange (the POINT is " +
+      "exactly one full redistribution)"),
+    ("sample_group_bottomk", 1, "per-group rank window, one exchange"),
+    ("mm_phash_pairs", 1, "dHash band equi-join broadcasts; one pair agg"),
+    ("neardup_embedding_lsh", 1, "hyperplane-bucket join; one exchange"),
+    ("dedup_minhash", 1, "banded equi-join + exact verify, one exchange"),
+    ("dedup_simhash_pairs", 1, "16-bit band join + hamming verify, one exchange"),
+    ("dedup_keep_best", 1, "component join broadcasts; one survivor window"),
+    ("dedup_cross_split", 1, "train fingerprints broadcast; one exchange"),
+    ("ann_ivf_search", 1, "frozen centroids broadcast; one top-k exchange"),
+    ("ann_ivf_topk", 1, "in-query fit collects k x d sums; probe join " +
+      "broadcasts centroids, one top-k exchange"),
+    ("ann_ivf_filtered", 1, "pre-filter rides the probed cells; one exchange"),
+    ("pq_ann_search", 1, "codebooks broadcast, ADC scan + one top-k exchange"),
+    ("pq_ann_topk", 1, "as pq_ann_search with in-query fit"),
+    ("ivfpq_ann_search", 1, "coarse probe + residual ADC; one exchange"),
+    ("ivfpq_ann_topk", 1, "as ivfpq_ann_search with in-query fit"),
+    // two exchanges: two genuinely different keys / 2-phase algorithms
+    ("ann_lsh_topk", 2, "bucket-collision join + per-query top-k window"),
+    ("ann_lsh_multiprobe", 2, "probed buckets explode + per-query top-k"),
+    ("q_map_funcs", 2, "map explode then re-key: two distinct key spaces"),
+    ("q_hist_quantiles", 2, "bin counts then per-key cumulative window"),
+    ("q_weighted_quantiles", 2, "weighted bins then cumulative window"),
+    ("q_group_regression", 2, "per-day pre-agg then per-priority sums"),
+    ("q_setops_all", 2, "EXCEPT ALL/INTERSECT ALL count-matching phases"),
+    ("q_snapshot_diff", 2, "two snapshot scans hash once each; " +
+      "full-outer on the key, never re-shuffled"),
+    ("dedup_semantic", 2, "two-level cell assignment is projection; " +
+      "in-cell pair join + survivor agg"),
+    ("dedup_semantic_flat", 2, "flat-kmeans baseline, same pair/agg shape"),
+    ("dedup_semantic_search", 2, "frozen-model variant, same shape"),
+    ("dedup_ngram_decontam", 2, "ngram hash equi-join + per-doc overlap agg"),
+    ("stream_funnel_replay", 2,
+      "memory-sink read + first-attempt window + stage-count agg"),
+    // three exchanges
+    ("q_cms_freq", 3, "CMS build folds to depth x width cells + probe phases"),
+    ("q_cms_merge", 3, "two shard sketches merge + probe"),
+    ("q_incremental_agg", 3, "base + delta partials merge on the group key"),
+    ("q_concurrency", 3, "event endpoints, running-sum window, interval agg"),
+    ("q_hist_merge", 3, "two shard histograms + merged quantile window"),
+    ("text_rarity", 3, "token df counts, doc re-key, rarity agg"),
+    ("sample_pps", 3, "range-sharded prefix sums: shard totals, " +
+      "cumulative broadcast back, threshold filter — the scale-safe " +
+      "alternative to one global window"),
+    ("dedup_word_jaccard", 3, "token exchange, pair agg, df-cap gate"),
+    ("dedup_substring_spans", 3, "shingle hash join + span merge phases"),
+    ("dedup_winnow", 3, "winnowed fingerprints join + span agg"),
+    ("hybrid_rrf", 3, "BM25 leg + ANN leg each rank once, k-row fusion"),
+    // four+: multi-phase pipelines whose stages are semantically distinct
+    ("q_outliers", 4, "segment stats, totals join, flag filter, final agg"),
+    ("q_sketch_union", 4, "per-shard HLL partials + union rollup phases"),
+    ("q_cms_heavy_hitters", 4, "CMS build + candidate gate + exact verify"),
+    ("q_data_quality", 8, "per-column profile: one Expand scan + " +
+      "per-metric phases over bounded stats relations"),
+    ("q_drift_bins", 6, "ref + cur histograms (2 scans x bin agg) + " +
+      "crossed totals + per-bin compare"),
+    ("dedup_bloom_decontam", 4, "bloom trains in one 2-phase agg; " +
+      "broadcast gate at the scan, survivor count"),
+    ("dedup_incremental", 4, "index band join + agreement agg + admit union"),
+    ("dedup_prefix_jaccard", 8, "Bayardo prefix-filter: token df ranks, " +
+      "prefix explode, candidate join, exact verify phases"),
+    ("text_pmi", 5, "unigram counts, bigram counts, crossed totals"),
+    ("text_sparse_topk", 4, "tf-idf weights, posting join, per-query top-k"),
+    ("pipeline_funnel_counts", 14, "5-stage funnel: per-stage filter+agg " +
+      "frontiers (shrinking), counts union — stages are semantically serial"),
+    // graph queries: these are POST-LINEAGE-CUT final plans (the
+    // per-round exchange structure is pinned as stages-per-round in
+    // IterativeShuffleSpec; pagerank keeps 3 uncut rounds in-plan)
+    ("graph_pagerank", 10, "3 uncut rounds x (contrib agg + rank join) + " +
+      "edge/degree/nodes setup; edges pre-partitioned once"),
+    ("graph_pagerank_seeded", 10, "same shape, teleport mass on seeds"),
+    ("graph_bfs", 0, "post-cut final plan: reached union scans cuts"),
+    ("graph_sssp", 0, "post-cut final plan: min-cost union scans cuts"),
+    ("graph_kcore", 1, "post-cut: final degree count over surviving edges"),
+    ("graph_communities", 0, "post-cut final plan over label cuts"),
+    ("graph_triangles", 6, "degree-ordered wedges: degree agg, wedge " +
+      "join, closure semi-join, per-node counts"))
 
   budgets.foreach { case (name, maxShuffles, why) =>
     test(s"$name stays within its shuffle budget ($maxShuffles): $why") {

@@ -45,10 +45,24 @@ object IvfAnn {
     *   and adds nothing. Falls back to the full corpus when the sample
     *   is below ~64 training points per centroid (tiny inputs).
     */
+  /** @param maxTrainPerCentroid hard CAP on training points per
+    *   centroid (FAISS-style practice caps the k-means training set at
+    *   a few hundred points per centroid — more adds nothing to
+    *   centroid quality). Together with the 64-per-centroid floor this
+    *   brackets the training set in [64k, 256k] points REGARDLESS of
+    *   corpus size, which is what makes index training a
+    *   corpus-independent, per-index-lifetime fixed cost at 100 TB
+    *   (measured as the flat fit curve in SCALEPROBE.md). The cap
+    *   binds only above ~maxTrainPerCentroid*k/trainFraction corpus
+    *   rows, so test-SF corpora train identically with or without it.
+    */
   final case class Params(k: Int = 16, iterations: Int = 5, nprobe: Int = 3,
-                          trainFraction: Double = 0.25) {
+                          trainFraction: Double = 0.25,
+                          maxTrainPerCentroid: Int = 256) {
     require(trainFraction > 0.0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
+    require(maxTrainPerCentroid >= 64,
+      s"maxTrainPerCentroid must be >= the 64-point floor, got $maxTrainPerCentroid")
   }
 
   /** score of assigning vector v to centroid c under L2:
@@ -79,14 +93,24 @@ object IvfAnn {
     val sampled =
       if (p.trainFraction >= 1.0) all
       else all.where(Sampling.hashGate(col("id"), p.trainFraction))
-    // fall back to the full corpus when the sample is below the useful
-    // k-means training minimum (~64 points per centroid, the
-    // conventional IVF training floor) — tiny corpora train on
-    // everything, large corpora on the sample, and the crossover is
-    // where sampling starts to actually save work
+    // bracket the training set between the useful k-means minimum
+    // (~64 points per centroid, the conventional IVF training floor —
+    // tiny corpora train on everything) and the per-centroid CAP
+    // (points beyond a few hundred per centroid add nothing): the
+    // training cost is corpus-independent above the cap crossover,
+    // which is what keeps a 100 TB index fit at fixed k a fixed cost.
+    // The tighter cap gate is a SUBSET of the trainFraction gate
+    // (hashGate is monotone in fraction), so capping only shrinks the
+    // deterministic sample, never reshuffles its membership.
     val vecs = {
+      val n = sampled.count() // one cheap aggregate job per fit
+      val capRows = p.maxTrainPerCentroid.toLong * p.k
       val chosen =
-        if ((sampled eq all) || sampled.count() >= 64L * p.k) sampled else all
+        if (!(sampled eq all) && n < 64L * p.k) all
+        else if (n > capRows) {
+          val f0 = if (sampled eq all) 1.0 else p.trainFraction
+          all.where(Sampling.hashGate(col("id"), f0 * capRows.toDouble / n))
+        } else sampled
       chosen.localCheckpoint(eager = false) // one materialization, reused per iteration
     }
     var centroids = vecs.orderBy(col("id")).limit(p.k)

@@ -55,12 +55,24 @@ object PqAnn {
     *   Falls back to the full corpus below ~64 training points per
     *   centroid, the same floor as [[IvfAnn.Params.trainFraction]].
     */
+  /** @param maxTrainPerCentroid hard CAP on training points per
+    *   subspace centroid — with the 64-point floor this brackets the
+    *   Lloyd training set in [64*ksub, 256*ksub] points regardless of
+    *   corpus size (the [[IvfAnn.Params.maxTrainPerCentroid]]
+    *   argument; measured flat in SCALEPROBE.md), so codebook
+    *   training is a per-index-lifetime fixed cost at any corpus
+    *   scale. Binds only above ~cap/trainFraction corpus rows, so
+    *   test-SF corpora train identically with or without it.
+    */
   final case class Params(m: Int = 8, ksub: Int = 16, iterations: Int = 3,
-                          trainFraction: Double = 0.25) {
+                          trainFraction: Double = 0.25,
+                          maxTrainPerCentroid: Int = 256) {
     require(m >= 1 && ksub >= 2 && ksub <= 16,
       s"need 1 <= m and 2 <= ksub <= 16 (4-bit packed codes), got m=$m ksub=$ksub")
     require(trainFraction > 0.0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
+    require(maxTrainPerCentroid >= 64,
+      s"maxTrainPerCentroid must be >= the 64-point floor, got $maxTrainPerCentroid")
   }
 
   /** v / |v| as a double array column; null-safe only for nonzero
@@ -122,8 +134,18 @@ object PqAnn {
       val sampled =
         if (p.trainFraction >= 1.0) all
         else all.where(Sampling.hashGate(col("id"), p.trainFraction))
+      // floor/cap bracket as in IvfAnn.fitCentroids: [64, cap] points
+      // per subspace centroid, so Lloyd passes are corpus-independent
+      // above the cap crossover (the tighter gate is a subset — the
+      // deterministic sample shrinks, membership never reshuffles)
+      val n = sampled.count() // one cheap aggregate job per fit
+      val capRows = p.maxTrainPerCentroid.toLong * p.ksub
       val chosen =
-        if ((sampled eq all) || sampled.count() >= 64L * p.ksub) sampled else all
+        if (!(sampled eq all) && n < 64L * p.ksub) all
+        else if (n > capRows) {
+          val f0 = if (sampled eq all) 1.0 else p.trainFraction
+          all.where(Sampling.hashGate(col("id"), f0 * capRows.toDouble / n))
+        } else sampled
       chosen.localCheckpoint(eager = false) // reused across iterations
     }
     // init: subvectors of the ksub lowest-id vectors, per subspace

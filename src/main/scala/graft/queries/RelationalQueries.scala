@@ -504,7 +504,14 @@ object RelationalQueries {
         def keyStats(df: DataFrame, keyRef: String, key: String): DataFrame = {
           val counts = df.groupBy(col(key).as("k"))
             .agg(count(lit(1)).as("cnt"))
-            .localCheckpoint(eager = false) // feeds top-1 AND the totals
+            // share-the-scan OPTIMIZATION, not a correctness cut: the
+            // counts relation feeds top-1 AND the totals, and without
+            // the cut each consumer would recompute the grouped count.
+            // Removing it changes cost, never results — unlike
+            // PrefixSum.cumulative's cut (PrefixSum.scala), where the
+            // checkpoint pins one shard assignment and removal would
+            // be a correctness bug. Keep the two conventions distinct.
+            .localCheckpoint(eager = false)
           val top = counts.orderBy(col("cnt").desc, col("k").asc).limit(1)
             .select(col("k").as("hot_key"), col("cnt").as("hot_cnt"))
           val tot = counts.agg(count(lit(1)).as("n_keys"),

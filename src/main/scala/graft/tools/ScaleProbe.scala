@@ -196,6 +196,40 @@ object ScaleProbe {
               k = 5, nprobe = p.nprobe).count()
           }
         },
+        "PQ codebook fit (m=8, ksub=16, capped train sample)" -> {
+          // the per-index-lifetime training claim measured as a growth
+          // curve: Lloyd passes run over the hash-sampled training set,
+          // which the [64, 256]-points-per-centroid bracket caps at
+          // 4096 points regardless of corpus size — fit seconds must
+          // FLATTEN once the cap binds (sample = min(0.25 * corpus,
+          // 4096): 1250 @1x, 2500 @2x, 4096 @4x and 8x)
+          val emb = scaled(emb0, Seq("vec_id"), factor)
+          time {
+            PqAnn.fitCodebooks(emb, "vec_id", "embedding")
+              .map(_.length.toLong).sum
+          }
+        },
+        "IVF-PQ fit incl. corpus encode (coarse 16 + residual PQ)" -> {
+          // full index build: BOTH trainers (cap-bounded as above) PLUS
+          // the one unavoidable O(corpus) pass (normalize + coarse-cell
+          // assign + residual encode) — expected ~linear from that scan
+          // with the training term flat, i.e. the slope IS the encode
+          val emb = scaled(emb0, Seq("vec_id"), factor)
+          time {
+            IvfPqAnn.fitIndex(emb, "vec_id", "embedding").indexed.count()
+          }
+        },
+        "PQ loaded-index search top-5 (10 queries)" -> {
+          // serving path against a persisted index: ADC scan over the
+          // packed codes + one top-k exchange, fit+save untimed
+          val emb = scaled(emb0, Seq("vec_id"), factor)
+          val path = s"$idxRoot/pq_${factor}_$factor0"
+          PqAnn.save(PqAnn.fitIndex(emb, "vec_id", "embedding"), path)
+          val idx = PqAnn.load(spark, path)
+          time {
+            PqAnn.searchTopK(emb0.where(col("vec_id") < 10), idx, k = 5).count()
+          }
+        },
         "BFS 3 hops, 3 seeds per copy (trade graph, disjoint copies)" -> {
           // seeds replicated into every remapped copy, so the frontier
           // spans all copies and linear wall time is the correct

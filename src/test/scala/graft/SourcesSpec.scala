@@ -181,6 +181,22 @@ class SourcesSpec extends SparkSuite {
           "o_orderdate)").as("us"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(back == expected, "nanos-long date column did not normalize to micros NTZ")
+
+    // magnitude plausibility on the REAL fixture: normalized date
+    // columns must land in 1990–2100. normalizeDateCol assumes a
+    // LongType date column is NANOS-since-epoch; a future fixture
+    // shipping raw INT64 MICROS would be divided by 1000 again and
+    // silently collapse to ~1970 — this names the drifted column
+    // instead of hash-failing every orders/lineitem query.
+    Seq("orders" -> "o_orderdate", "lineitem" -> "l_shipdate").foreach {
+      case (tbl, c) =>
+        val yr = Tables(spark, sf("sf0.001"), tbl)
+          .agg(min(year(col(c))).as("lo"), max(year(col(c))).as("hi")).head()
+        assert(yr.getInt(0) >= 1990 && yr.getInt(1) <= 2100,
+          s"$tbl.$c normalizes to years ${yr.getInt(0)}..${yr.getInt(1)} — " +
+            "outside the 1990–2100 plausibility window; the fixture's " +
+            "physical date encoding drifted (raw micros misread as nanos?)")
+    }
   }
 
   test("fixture schema contract: every table surfaces the names+types the engine depends on") {

@@ -48,10 +48,25 @@ class BoundedWindowSpec extends SparkSuite {
     * TakeOrderedAndProject (it reports no numOutputRows) — those sites
     * assert on the final count instead.
     */
-  private def inputRows(w: WindowExec): Long =
-    allNodes(w.child).iterator
+  private def inputRows(w: WindowExec): Long = {
+    // prefer the bounding AGGREGATE's own metric (the node the bound
+    // argument is actually about); fall back to the first
+    // metric-bearing descendant. headOption + an explicit failure
+    // message, so a Spark upgrade that renames the metric or reshapes
+    // the subtree fails with the bound diagnostic instead of an
+    // opaque NoSuchElementException.
+    val nodes = allNodes(w.child)
+    val metric = nodes.filter(isAggregate).iterator
       .flatMap(_.metrics.get("numOutputRows").map(_.value))
-      .next()
+      .nextOption()
+      .orElse(nodes.iterator
+        .flatMap(_.metrics.get("numOutputRows").map(_.value))
+        .nextOption())
+    assert(metric.isDefined,
+      s"no numOutputRows metric found under the global window — " +
+        s"cannot verify the input-cardinality bound; subtree:\n${w.child}")
+    metric.get
+  }
 
   private def isAggregate(p: SparkPlan): Boolean = p match {
     case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true

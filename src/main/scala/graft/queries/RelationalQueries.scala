@@ -209,6 +209,25 @@ object RelationalQueries {
               ORDER BY o_totalprice DESC NULLS LAST) AS rn
           FROM orders) WHERE rn <= 3""")),
 
+    QueryDef("grouped_topn_ties",
+      // TIE-DENSE grouped top-N: l_quantity has ~50 distinct values,
+      // so top-3 per return flag is all ties at the max quantity and
+      // the selected row SET is determined ENTIRELY by the documented
+      // tiebreaker extension (SURVEY §2.1 quirk 1 — the reference's
+      // contract is tie-agnostic, `TopNTest.java:124` compares sets;
+      // this engine declares (l_orderkey, l_linenumber) ascending and
+      // the oracle hash-match certifies that exact rule as data).
+      (s, dir) => GroupedTopN.transform(
+        TopNConfig("l_quantity", 3), Seq("l_returnflag"),
+        Seq("l_orderkey", "l_linenumber"))(
+        t(s, dir, "lineitem")
+          .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")),
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity FROM (
+          SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+            row_number() OVER (PARTITION BY l_returnflag
+              ORDER BY l_quantity DESC NULLS LAST, l_orderkey, l_linenumber) AS rn
+          FROM lineitem) WHERE rn <= 3""")),
+
     // ---- aggregation: hash agg with partial/final, grouping ----
 
     QueryDef("q1_agg",
@@ -2459,6 +2478,55 @@ object RelationalQueries {
           max(CAST(round(o_totalprice * 100) AS BIGINT)) AS agg_max,
           CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
             / CAST(count(*) AS DOUBLE) AS agg_avg
-        FROM orders GROUP BY 1"""))
+        FROM orders GROUP BY 1""")),
+
+    QueryDef("q_cdc_merge",
+      // CDC MERGE — the third member of the CDC family (q_snapshot_diff
+      // derives a changelog, q_latest_by_key compacts one, this APPLIES
+      // one to a persisted base): two chained daily merges of a
+      // deterministic changelog (updates, inserts-by-resurrection,
+      // deletes) against an orders snapshot. The operator's scale
+      // contract — untouched base rows bypass the latest-wins window
+      // via an anti join against the broadcast-sized touched-key set —
+      // is pinned structurally in CdcMergeSpec; here the chained result
+      // is certified against the one-shot latest-wins rule in DuckDB
+      // (chained == one-shot is the closure property that makes daily
+      // incremental merging correct).
+      (s, dir) => {
+        val base = t(s, dir, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          AggFunctions.cents(col("o_totalprice")).as("total_cents"),
+          lit(0L).as("version"), lit("U").as("op"))
+        val day1 = base.where(col("k") % 7 === 0 && col("k") % 13 =!= 0)
+          .select(col("k"), lit("X").as("status"),
+            (col("total_cents") + 500L).as("total_cents"),
+            lit(1L).as("version"), lit("U").as("op"))
+          .unionByName(base.where(col("k") % 13 === 0)
+            .select(col("k"), lit("").as("status"),
+              lit(0L).as("total_cents"),
+              lit(1L).as("version"), lit("D").as("op")))
+        val day2 = base.where(col("k") % 26 === 0)
+          .select(col("k"), lit("R").as("status"),
+            lit(777L).as("total_cents"),
+            lit(2L).as("version"), lit("U").as("op"))
+        CdcMerge.merge(CdcMerge.merge(base, day1, Seq("k")), day2, Seq("k"))
+          .select("k", "status", "total_cents")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+              0 AS version, 'U' AS op FROM orders),
+          d1 AS (SELECT k, 'X' AS status,
+                total_cents + 500 AS total_cents, 1 AS version, 'U' AS op
+              FROM base WHERE k % 7 = 0 AND k % 13 <> 0
+            UNION ALL SELECT k, '', 0, 1, 'D' FROM base WHERE k % 13 = 0),
+          d2 AS (SELECT k, 'R' AS status, 777 AS total_cents,
+              2 AS version, 'U' AS op FROM base WHERE k % 26 = 0),
+          u AS (SELECT * FROM base UNION ALL SELECT * FROM d1
+            UNION ALL SELECT * FROM d2),
+          r AS (SELECT *, row_number() OVER (PARTITION BY k
+              ORDER BY version DESC, op ASC) AS rn FROM u)
+        SELECT k, status, CAST(total_cents AS BIGINT) AS total_cents
+        FROM r WHERE rn = 1 AND op <> 'D'"""))
   )
 }

@@ -235,7 +235,13 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("graph_kcore", 1, "post-cut: final degree count over surviving edges"),
     ("graph_communities", 0, "post-cut final plan over label cuts"),
     ("graph_triangles", 6, "degree-ordered wedges: degree agg, wedge " +
-      "join, closure semi-join, per-node counts"))
+      "join, closure semi-join, per-node counts"),
+    ("grouped_topn_ties", 1, "WindowGroupLimit partials, one window " +
+      "shuffle — ties resolved in-window by the declared tiebreakers"),
+    ("q_cdc_merge", 11, "two chained merges x (touched-key distinct + " +
+      "latest-wins window + planning-time join exchanges that AQE " +
+      "broadcasts at runtime); the untouched-base bypass is pinned by " +
+      "window-input metric in CdcMergeSpec"))
 
   budgets.foreach { case (name, maxShuffles, why) =>
     test(s"$name stays within its shuffle budget ($maxShuffles): $why") {

@@ -1692,6 +1692,132 @@ object PipelineQueries {
           true AS approx_within_bound
         FROM orders GROUP BY 1""")),
 
+    QueryDef("q_kmv_intersect_gate",
+      // KMV bottom-k sketch SET INTERSECTION — the op HLL merge can't
+      // do (q_sketch_union unions losslessly; intersection via
+      // inclusion–exclusion compounds error per term). Two overlapping
+      // customer activity windows are sketched independently (k=256
+      // smallest distinct hashes each — the archived-sketch shape: at
+      // 100 TB each day's key stream folds to a <=k-value blob and any
+      // later A∩B never rescans raw keys); the intersection estimate
+      // comes from the pooled sketch's union sample (KmvSketch.scala).
+      // Gate follows the q_sketch_distinct convention: the estimate is
+      // estimator-internal, the DECLARED surface is the exact anchors
+      // plus estimate-within-bound BOOLEAN — bound 0.15×|A∪B| vs the
+      // estimator's ~1/sqrt(k)≈6% one-sigma error of the union, so the
+      // flag is deterministically TRUE unless the estimator drifts.
+      // The exact columns are the oracle anchor, not the production
+      // path — production keeps only the sketches
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        def keys(lo: String, hi: String) = o
+          .where(col("o_orderdate").between(lo, hi))
+          .select(col("o_custkey"))
+        val a = keys("1996-01-01", "1996-12-31")
+        val b = keys("1996-07-01", "1997-06-30")
+        val k = 256
+        val (_, estInter) = KmvSketch.intersectEstimate(
+          KmvSketch.sketch(a, col("o_custkey"), k),
+          KmvSketch.sketch(b, col("o_custkey"), k), k)
+        val ad = a.distinct()
+        val bd = b.distinct()
+        val exactA = ad.count()
+        val exactB = bd.count()
+        val exactI = ad.intersect(bd).count()
+        val exactU = exactA + exactB - exactI
+        val inBound = math.abs(estInter - exactI) <= 0.15 * exactU
+        val s2 = s
+        import s2.implicits._
+        Seq((exactA, exactB, exactI, exactU, inBound)).toDF(
+          "exact_a", "exact_b", "exact_inter", "exact_union",
+          "kmv_in_bound")
+      },
+      Some("""WITH a AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'),
+        b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate BETWEEN DATE '1996-07-01' AND DATE '1997-06-30'),
+        i AS (SELECT count(*) AS n
+          FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+      SELECT (SELECT count(*) FROM a) AS exact_a,
+        (SELECT count(*) FROM b) AS exact_b,
+        i.n AS exact_inter,
+        (SELECT count(*) FROM a) + (SELECT count(*) FROM b) - i.n
+          AS exact_union,
+        true AS kmv_in_bound
+      FROM i""")),
+
+    QueryDef("q_embed_covariance",
+      // distributed covariance over the embedding space — the PCA /
+      // whitening prelude of embedding pipelines (redundant-dimension
+      // audit before SemDedup-style clustering): top-10 most-coupled
+      // dimension pairs by |cov|. One scan; each row fans out to its
+      // d(d-1)/2 upper-triangle products via two generators, partial
+      // aggregation folds them per partition, and the exchange moves
+      // only (#partitions × d²) sum rows (EmbedStats.scala — the PqAnn
+      // training-sums shape). Hash-exact across engines because every
+      // product of float-widened doubles is EXACT, quantized to an
+      // integer and summed in DECIMAL (order-independent), and the
+      // final double formula is stated identically on both sides
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val dims = EmbedStats.dimSums(emb)
+        EmbedStats.pairSums(emb)
+          .join(broadcast(dims.select(col("i"), col("sx").as("sxi"),
+            col("n").as("ni"))), Seq("i"))
+          .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxj"),
+            col("n").as("nj"))), Seq("j"))
+          .select(col("i"), col("j"),
+            EmbedStats.covCol(col("sxy"), col("n"), col("sxi"), col("ni"),
+              col("sxj"), col("nj")).as("cov"))
+          .orderBy(abs(col("cov")).desc, col("i"), col("j"))
+          .limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id,
+            CAST(unnest(embedding) AS DOUBLE) AS x,
+            CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS i
+          FROM embeddings),
+        p AS (SELECT a.i AS i, b.i AS j,
+            sum(CAST(floor(a.x * b.x * 16777216.0 + 0.5) AS HUGEINT)) AS sxy,
+            count(*) AS n
+          FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i > a.i
+          GROUP BY 1, 2),
+        m AS (SELECT i, sum(CAST(floor(x * 16777216.0 + 0.5) AS HUGEINT))
+            AS sx, count(*) AS n1 FROM e GROUP BY 1)
+      SELECT p.i, p.j,
+        CAST(p.sxy AS DOUBLE) / 16777216.0 / p.n
+          - (CAST(ma.sx AS DOUBLE) / 16777216.0 / ma.n1)
+            * (CAST(mb.sx AS DOUBLE) / 16777216.0 / mb.n1) AS cov
+      FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+      ORDER BY abs(cov) DESC, p.i, p.j LIMIT 10""")),
+
+    QueryDef("q_embed_pca_gate",
+      // leading principal component by POWER ITERATION on the
+      // driver-side d×d covariance (collected as d² aggregated sums —
+      // the bounded ANN-training collect, never corpus rows; the
+      // distributed cost is the same one-scan pair-sum aggregation as
+      // q_embed_covariance). The eigenpair itself is
+      // floating-point-iterative and so estimator-internal; the
+      // DECLARED surface is the q_sketch_distinct gate convention:
+      // dimensionality plus two mathematical invariants the solve must
+      // satisfy — the relative residual ‖Av−λv‖/λ within tolerance
+      // (convergence) and λ₁ ≥ max_i var_i (Rayleigh bound: for a
+      // symmetric matrix the top eigenvalue dominates every diagonal
+      // entry). A broken covariance or a non-converged solve flips a
+      // flag and fails the oracle hash
+      (s, dir) => {
+        val a = EmbedStats.covMatrix(t(s, dir, "embeddings"))
+        val (lambda, v) = EmbedStats.topEigen(a)
+        val res = EmbedStats.residual(a, lambda, v)
+        val maxVar = (0 until a.length).map(i => a(i)(i)).max
+        val s2 = s
+        import s2.implicits._
+        Seq((a.length.toLong, res <= 1e-6, lambda >= maxVar - 1e-9))
+          .toDF("d", "residual_ok", "eig_dominates_var")
+      },
+      Some("""SELECT CAST(max(len(embedding)) AS BIGINT) AS d,
+        true AS residual_ok, true AS eig_dominates_var
+      FROM embeddings""")),
+
     QueryDef("dedup_bloom_decontam",
       // decontamination via bloom broadcast: build the filter over the
       // TEST split's fingerprints (bounded: <= bits positions), gate

@@ -241,7 +241,15 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("q_cdc_merge", 11, "two chained merges x (touched-key distinct + " +
       "latest-wins window + planning-time join exchanges that AQE " +
       "broadcasts at runtime); the untouched-base bypass is pinned by " +
-      "window-input metric in CdcMergeSpec"))
+      "window-input metric in CdcMergeSpec"),
+    ("q_kmv_intersect_gate", 0, "returned plan is the literal gate row; " +
+      "the sketch builds (distinct-hash agg + TakeOrdered) and exact " +
+      "anchors run as bounded driver actions during build"),
+    ("q_embed_covariance", 3, "pair-sum agg exchange + one dim-sum agg " +
+      "exchange inside each broadcast side; top-10 is TakeOrdered, " +
+      "no sort shuffle"),
+    ("q_embed_pca_gate", 0, "returned plan is the literal gate row; " +
+      "covariance sums collect d^2 aggregated rows during build"))
 
   budgets.foreach { case (name, maxShuffles, why) =>
     test(s"$name stays within its shuffle budget ($maxShuffles): $why") {

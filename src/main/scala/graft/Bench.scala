@@ -47,11 +47,34 @@ object Bench {
     "q_drift_bins", "q_concurrency", "sample_pps")
 
   /** One measured run: wall seconds, process-CPU seconds consumed,
-    * GC seconds accrued, and the host 1-min loadavg at run START
+    * GC seconds accrued, the host 1-min loadavg at run START
     * (start, not end, so the sample reflects the environment the run
-    * launched into, before the run's own threads join the load).
+    * launched into, before the run's own threads join the load), and
+    * hypervisor CPU-steal seconds accrued host-wide during the run
+    * (this box is a VM; steal is time the guest was runnable but the
+    * host ran something else — the one signal that cleanly separates
+    * "the host throttled us" from "the code did more work": wall≫cpu
+    * with steal↑ indicts the host, cpu↑ with steal≈0 indicts the JVM).
     */
-  final case class RunDiag(wall: Double, cpu: Double, gc: Double, load: Double)
+  final case class RunDiag(wall: Double, cpu: Double, gc: Double,
+                           load: Double, steal: Double,
+                           tasks: Long = -1, taskTime: Double = -1.0)
+
+  /** Scheduler-level counters: completed task count and summed task
+    * run time since registration. Task count separates the two ways a
+    * run can be slow on identical code: MORE tasks than the idle band
+    * means the engine re-executed work (a lineage re-run, a lost
+    * cache); the SAME task count with inflated per-task time means the
+    * execution environment (JIT state, host) ran the same work slowly.
+    */
+  private final class TaskCounter extends org.apache.spark.scheduler.SparkListener {
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val taskTimeMs = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      if (t.taskInfo != null) taskTimeMs.addAndGet(t.taskInfo.duration): Unit
+    }
+  }
 
   private val osBean = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.asInstanceOf[com.sun.management.OperatingSystemMXBean]
@@ -62,6 +85,16 @@ object Bench {
       .asScala.map(_.getCollectionTime).filter(_ >= 0).sum / 1e3
   }
 
+  /** Host-wide CPU steal ticks (field 8 of /proc/stat's cpu line) in
+    * seconds; -1 where unreadable (non-Linux).
+    */
+  private def stealSec: Double =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+")
+      cpu(8).toDouble / 100.0
+    } catch { case _: Throwable => -1.0 }
+
   // Locale.ROOT: the f interpolator uses the JVM default locale,
   // which renders a comma decimal separator under e.g. de_DE and
   // breaks the JSON parse this line exists to enable
@@ -70,7 +103,23 @@ object Bench {
   private def s2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f",
     Double.box(v))
 
+  /** Sweep a stale tmpfs scratch dir (build.sbt points spark.local.dir
+    * at /dev/shm — see the env-hardening note there): Spark deletes its
+    * per-app subdir on clean exit, but a killed run would leak tmpfs
+    * pages until reboot. Only touches the configured graft dir.
+    */
+  private def sweepScratch(): Unit =
+    sys.props.get("spark.local.dir").filter(_.contains("graft-scratch"))
+      .foreach { dir =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }
+
   def main(args: Array[String]): Unit = {
+    sweepScratch()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -94,21 +143,50 @@ object Bench {
     // compilation and cold page cache, so the median reports
     // steady-state cost — and unlike best-of-N, a retry-masked lucky
     // minimum cannot flatter a flaky query.
+    val taskCounter = new TaskCounter
+    spark.sparkContext.addSparkListener(taskCounter)
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): RunDiag = {
       val load0 = osBean.getSystemLoadAverage
       val cpu0 = processCpuSec
       val gc0 = gcSec
+      val st0 = stealSec
+      val tk0 = taskCounter.tasks.get()
+      val tt0 = taskCounter.taskTimeMs.get()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
         // loud failure: a silently-dropped query would flatter `total`
         System.err.println(s"[bench] $name FAILED: $e")
-        return RunDiag(-1.0, -1.0, -1.0, load0)
+        return RunDiag(-1.0, -1.0, -1.0, load0, -1.0)
       }
       RunDiag((System.nanoTime() - t0) / 1e9, processCpuSec - cpu0,
-        gcSec - gc0, load0)
+        gcSec - gc0, load0,
+        if (st0 < 0) -1.0 else math.max(0.0, stealSec - st0),
+        taskCounter.tasks.get() - tk0,
+        (taskCounter.taskTimeMs.get() - tt0) / 1e3)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // CANARY: a fixed ~100 ms in-memory probe (codegen'd range sum, no
+    // scan, no shuffle) measured after every query. Its cost is
+    // constant by construction, so its time series separates the two
+    // failure modes a slow row can have: a canary that drifts upward
+    // through the run means the JVM/host has degraded (accumulated
+    // state, throttling) and the neighboring rows are inflated by
+    // environment; a flat canary around a slow row means that query's
+    // own plan did the work. ~0.1 s x 161 queries ≈ 16 s of overhead,
+    // priced into the idle band.
+    def canary(): (Double, Double) = {
+      val cpu0 = processCpuSec
+      val t0 = System.nanoTime()
+      spark.range(20000000L).selectExpr("sum(id * 7)").collect()
+      ((System.nanoTime() - t0) / 1e9, processCpuSec - cpu0)
+    }
+    // local-iteration filter (comma-separated names or prefixes); the
+    // driver never sets it, so driver runs always cover the registry
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(p => n == p || n.startsWith(p)))
+    }
+    val results = selected.map { case (name, fn) =>
       // a failed first run means a near-certain failed repeat —
       // don't pay (and multi-log) the failure again
       val runs = Iterator.continually(once(name, fn))
@@ -120,22 +198,28 @@ object Bench {
       // Each query is measured from a clean storage slate.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      val can = canary()
       // the reported row is the run with MEDIAN wall time, carrying
-      // ITS OWN cpu/gc/load — a coherent (wall, cpu, gc, load) tuple,
-      // not a mix of runs
+      // ITS OWN cpu/gc/load/steal — a coherent tuple, not a mix of runs
       val median =
         if (runs.size < 3) RunDiag(-1.0, -1.0, -1.0,
-          runs.headOption.map(_.load).getOrElse(-1.0))
+          runs.headOption.map(_.load).getOrElse(-1.0), -1.0)
         else runs.sortBy(_.wall).apply(1)
-      (name, median, runs)
+      (name, median, runs, can)
     }
     def runJson(r: RunDiag) =
-      s"[${s3(r.wall)},${s2(r.cpu)},${s2(r.gc)},${s2(r.load)}]"
-    val qs = results.map { case (k, m, _) => "\"" + k + "\":" + m.wall }
+      s"[${s3(r.wall)},${s2(r.cpu)},${s2(r.gc)},${s2(r.load)},${s2(r.steal)},${r.tasks},${s2(r.taskTime)}]"
+    val qs = results.map { case (k, m, _, _) => "\"" + k + "\":" + m.wall }
       .mkString("{", ",", "}")
-    // full per-run detail: name -> [[wall,cpu,gc,load] x up-to-3]
-    val runsJson = results.map { case (k, _, rs) =>
+    // full per-run detail: name -> [[wall,cpu,gc,load,steal] x up-to-3]
+    val runsJson = results.map { case (k, _, rs, _) =>
       "\"" + k + "\":" + rs.map(runJson).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // canary series: name -> [wall, cpu] of the fixed probe run after
+    // that query — read it as a time series over the alphabetical run
+    // order
+    val canaryJson = results.map { case (k, _, _, c) =>
+      "\"" + k + "\":[" + s3(c._1) + "," + s2(c._2) + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.wall).filter(_ >= 0).sum
     val cpuTotal = results.flatMap(_._3).map(_.cpu).filter(_ >= 0).sum
@@ -144,7 +228,7 @@ object Bench {
     // failed > 0 is the machine-readable marker that `total` is missing
     // those queries' time (each also reports -1 in `queries`)
     val failed = results.count(_._2.wall < 0)
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"cpu_sec_all_runs":${s2(cpuTotal)},"gc_sec_all_runs":${s2(gcTotal)},"load_start":${s2(loadStart)},"load_end":${s2(loadEnd)},"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"cpu_sec_all_runs":${s2(cpuTotal)},"gc_sec_all_runs":${s2(gcTotal)},"load_start":${s2(loadStart)},"load_end":${s2(loadEnd)},"queries":$qs,"runs":$runsJson,"canary":$canaryJson,"sf":"$sfDir"}"""
     // The full per-query map is persisted to a file; stdout carries a
     // COMPACT line instead. The consumer captures only the last ~2000
     // chars of stdout, and the full 130+-query map (~4 KB) overflows
@@ -157,16 +241,16 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val byName = results.map { case (k, m, _) => k -> m }.toMap
+    val byName = results.map { case (k, m, _, _) => k -> m }.toMap
     val headlineQs = headline.filter(byName.contains).map { n =>
       "\"" + n + "\":" + s3(byName(n).wall)
     }.mkString("{", ",", "}")
     // Inline self-diagnosis for the HEAVIEST rows (the ones judged
-    // against idle bands): median-run [wall, cpu, gc, loadavg] for the
-    // top 6 by wall. Bounded so the compact line stays inside the
-    // consumer's 2000-char stdout window.
+    // against idle bands): median-run [wall, cpu, gc, loadavg, steal]
+    // for the top 6 by wall. Bounded so the compact line stays inside
+    // the consumer's 2000-char stdout window.
     val diag = results.filter(_._2.wall >= 0).sortBy(-_._2.wall).take(6)
-      .map { case (k, m, _) => "\"" + k + "\":" + runJson(m) }
+      .map { case (k, m, _, _) => "\"" + k + "\":" + runJson(m) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"failed":$failed,"load":[${s2(loadStart)},${s2(loadEnd)}],"diag_wcgl":$diag,"queries":$headlineQs,"full":"$out","sf":"$sfDir"}"""
     println(line)

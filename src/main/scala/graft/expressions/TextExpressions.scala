@@ -180,6 +180,18 @@ object VectorDot {
   def apply(a: Column, b: Column): Column = GraftExpressions.vectorDot(a, b)
 }
 
+/** Codegen'd nearest-centroid assignment over a plan-constant codebook
+  * (argmax of x·c − |c|²/2, ties to the largest id) — replaces
+  * literal-unrolled argmax folds whose giant generated methods made
+  * quantizer training driver-bound and JIT-unstable.
+  */
+object CentroidArgmax {
+  def apply(x: Column, centroids: Array[Array[Double]]): Column =
+    GraftExpressions.centroidArgmax(x, centroids, centroids.indices.toArray)
+  def apply(x: Column, centroids: Array[Array[Double]], ids: Array[Int]): Column =
+    GraftExpressions.centroidArgmax(x, centroids, ids)
+}
+
 /** Codegen'd word n-gram shingle hashes, array<bigint> in [0, 2^31-1). */
 object WordShingleHashes {
   def apply(c: Column, n: Int): Column = GraftExpressions.wordShingleHashes(c, n)

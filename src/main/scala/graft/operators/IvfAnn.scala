@@ -72,10 +72,13 @@ object IvfAnn {
     VectorFunctions.dot(vec, array(centroid.toIndexedSeq.map(lit): _*)) -
       lit(centroid.map(x => x * x).sum / 2.0)
 
+  /** Ties to the highest cell; compact loop codegen over the
+    * plan-constant centroid table (see CentroidArgmaxExpr — the
+    * literal-unrolled fold it replaces was the ANN trainers' chronic
+    * driver-time flakiness).
+    */
   private def argmaxCell(vec: Column, centroids: Array[Array[Double]]): Column =
-    array_max(array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-      struct(cellScore(vec, c).as("score"), lit(i).as("cell"))
-    }: _*)).getField("cell")
+    graft.expressions.CentroidArgmax(vec, centroids)
 
   /** Lloyd's k-means over a deterministic hash-sample of the corpus;
     * returns k centroids (driver-side metadata).

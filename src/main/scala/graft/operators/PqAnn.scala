@@ -90,16 +90,15 @@ object PqAnn {
     slice(vn, sub * dsub + 1, dsub)
 
   /** argmax_c (dot(x, c) - |c|^2/2) over the subspace codebook — ties
-    * to the HIGHEST cell (array_max over struct is lexicographic),
-    * mirrored by the oracle's high-to-low CASE ladder.
+    * to the HIGHEST cell, mirrored by the oracle's high-to-low CASE
+    * ladder. [[graft.expressions.CentroidArgmax]] (codebook as a plan
+    * reference object, loop codegen) — the literal-unrolled
+    * array_max(struct…) fold this replaces rebuilt a 1000+-node tree
+    * per Lloyd iteration and generated JIT-hostile huge methods
+    * (BASELINE.md round-11: the chronic ANN-trainer flakiness).
     */
   private def argmaxCell(x: Column, codebook: Array[Array[Double]]): Column =
-    array_max(array(codebook.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-      struct(
-        (VectorFunctions.dot(x, array(c.toIndexedSeq.map(lit): _*)) -
-          lit(c.map(d => d * d).sum / 2.0)).as("score"),
-        lit(i).as("cell"))
-    }: _*)).getField("cell")
+    graft.expressions.CentroidArgmax(x, codebook)
 
   /** Per-subspace k-means codebooks, all subspaces trained together:
     * each Lloyd pass is ONE job over (id, sub, subvector) rows with a

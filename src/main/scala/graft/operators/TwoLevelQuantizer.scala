@@ -80,14 +80,13 @@ object TwoLevelQuantizer {
     Grouping(keep.map(supers).toArray, keep.map(members).toArray)
   }
 
-  private def cellScore(vec: Column, c: Array[Double]): Column =
-    graft.functions.VectorFunctions.dot(vec,
-      array(c.toIndexedSeq.map(lit): _*)) - lit(c.map(x => x * x).sum / 2.0)
-
+  /** Ties break to the higher candidate id; compact loop codegen over
+    * the plan-constant candidate table (CentroidArgmaxExpr) instead of
+    * a literal-unrolled array_max(struct…) fold.
+    */
   private def argmaxOver(vec: Column, cands: Seq[(Array[Double], Int)]): Column =
-    array_max(array(cands.map { case (c, idx) =>
-      struct(cellScore(vec, c).as("score"), lit(idx).as("cell"))
-    }: _*)).getField("cell")
+    graft.expressions.CentroidArgmax(vec,
+      cands.map(_._1).toArray, cands.map(_._2).toArray)
 
   /** Nearest super-cell id for `vec` (O(superK) dots). */
   def superExpr(vec: Column, g: Grouping): Column =

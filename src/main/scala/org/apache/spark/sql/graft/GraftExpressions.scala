@@ -98,6 +98,119 @@ object VectorDotExpr {
   }
 }
 
+/** Nearest-centroid assignment: cell id of argmax_c (x·centroid_c −
+  * |centroid_c|²/2) over a PLAN-CONSTANT codebook, ties to the LARGEST
+  * id — exactly the `array_max(array(struct(score, cell)…))` fold it
+  * replaces (lexicographic max of (score, id)), with the same
+  * left-to-right double dot product and the same `Σd²/2` half-norm
+  * fold, so winners are bit-identical.
+  *
+  * Why an expression and not literal unrolling: a k-means assignment
+  * inlined as k×dim literals builds a 1000+-node Catalyst tree PER
+  * ITERATION of a Lloyd fit (fresh literals each round → no plan or
+  * codegen cache hit), and the generated projection method blows past
+  * the JIT's huge-method limit — whether it runs compiled or
+  * interpreted became a per-run coin flip, measured as the chronic
+  * 5-25× wall/cpu variance of the quantized-ANN trainers (same task
+  * COUNT, inflated driver time — see BASELINE.md round-11). Here the
+  * codebook rides along as a reference object and the generated code
+  * is a 10-line loop: milliseconds to plan, JIT-compilable, and
+  * independent of k×dim.
+  */
+case class CentroidArgmaxExpr(child: Expression,
+                              centroids: Array[Array[Double]],
+                              ids: Array[Int])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(centroids.nonEmpty && centroids.length == ids.length,
+    s"argmax over ${centroids.length} centroids with ${ids.length} ids")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "centroid_argmax"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Σd²/2 per centroid, same fold as the literal form's
+    * `c.map(d => d*d).sum / 2.0`.
+    */
+  private lazy val halfNorms: Array[Double] =
+    centroids.map(c => c.map(d => d * d).sum / 2.0)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val lf = elemIsFloat
+    CentroidArgmaxExpr.assign(x, lf, centroids, halfNorms, ids)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val halves = ctx.addReferenceObj("halfNorms", halfNorms, "double[]")
+    val idArr = ctx.addReferenceObj("ids", ids, "int[]")
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val score = ctx.freshName("score")
+      val best = ctx.freshName("best")
+      val bestId = ctx.freshName("bestId")
+      val cent = ctx.freshName("cent")
+      s"""
+        double $best = Double.NEGATIVE_INFINITY;
+        int $bestId = Integer.MIN_VALUE;
+        for (int $c = 0; $c < $cents.length; $c++) {
+          double[] $cent = $cents[$c];
+          int __n = org.apache.spark.sql.graft.VectorDotExpr.checkedLength(
+            $a.numElements(), $cent.length);
+          double $acc = 0.0;
+          for (int $i = 0; $i < __n; $i++) {
+            $acc += (double)$a.$get($i) * $cent[$i];
+          }
+          double $score = $acc - $halves[$c];
+          if ($score > $best || ($score == $best && $idArr[$c] > $bestId)) {
+            $best = $score; $bestId = $idArr[$c];
+          }
+        }
+        ${ev.value} = $bestId;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidArgmaxExpr =
+    copy(child = newChild)
+}
+
+object CentroidArgmaxExpr {
+  /** Interpreted path, shared so eval and tests agree with codegen. */
+  def assign(x: ArrayData, elemIsFloat: Boolean,
+             centroids: Array[Array[Double]], halfNorms: Array[Double],
+             ids: Array[Int]): Int = {
+    var best = Double.NegativeInfinity
+    var bestId = Int.MinValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = VectorDotExpr.checkedLength(x.numElements(), cent.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        acc += xv * cent(i)
+        i += 1
+      }
+      val score = acc - halfNorms(c)
+      if (score > best || (score == best && ids(c) > bestId)) {
+        best = score
+        bestId = ids(c)
+      }
+      c += 1
+    }
+    bestId
+  }
+}
+
 /** array<bigint> of word n-gram shingle hashes in [0, 2^31-1) —
   * single-pass kernel, see [[graft.expressions.TextHashing]].
   */
@@ -325,4 +438,8 @@ object GraftExpressions {
   def interleaveBits(x: Column, y: Column): Column =
     ExpressionUtils.column(InterleaveBitsExpr(
       ExpressionUtils.expression(x), ExpressionUtils.expression(y)))
+  def centroidArgmax(x: Column, centroids: Array[Array[Double]],
+                     ids: Array[Int]): Column =
+    ExpressionUtils.column(CentroidArgmaxExpr(
+      ExpressionUtils.expression(x), centroids, ids))
 }

@@ -27,15 +27,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 48g on the 128 GiB / local[32] box: at 8g the 32 concurrent tasks
-  // starve Spark's unified memory region, and the iterative operators
-  // (graph rounds, checkpointed frontiers) degrade nondeterministically
-  // — spill/eviction cascades inflate CPU 5-10x on random runs
-  // (measured: graph family 53.7 s at 8g vs 29.0 s at 48g, sf0.1,
-  // same code, per-run cpu≈wall×cores in the bench diagnostics). The
-  // memory-per-task ratio, not the literal heap size, is what a real
-  // executor deployment must preserve.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 24g on the 128 GiB / local[32] box: at 8g the 32 concurrent tasks
+  // starve Spark's unified memory region and the iterative operators
+  // degrade (graph slice 53.7 s at 8g vs 29-40 s at 24-48g, same
+  // code); above ~24g this guest pays the HOST's slow page-supply
+  // path for every fresh page (two-tier supply, measured: faulting 9g
+  // takes 3 s, 18g takes 36 s, 36g takes 364 s), so a bigger heap
+  // costs more than it buys. The memory-per-task ratio, not the
+  // literal heap size, is what a real executor deployment must
+  // preserve.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 // Pin the run-task heap: fault every page once at startup and never
 // grow/uncommit after.
@@ -47,15 +48,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // Spark-free with an allocate/touch/free loop; pure-CPU and pure-I/O
 // stress stay clean). The JVM's default grow/uncommit heap plus
 // disk-backed shuffle scratch is exactly that churn. So: pin the heap
-// (Xms=Xmx) and fault every page once up front (AlwaysPreTouch) so
-// heap pages are never returned to the host, and keep shuffle scratch
-// on tmpfs so scratch I/O never cycles host page cache. Cluster
-// equivalents: fixed executor memory (the norm) and NVMe/ramdisk
-// shuffle dirs. Measured on the graph+text bench slice, same code:
-// 147.2 s (churny default) -> 52.2 s (pinned heap) -> 36.4 s (+tmpfs),
-// with the 10-30x per-run outliers gone.
+// size (Xms=Xmx — G1 never uncommits below Xms, so warm heap pages
+// are never returned to the host and re-faulted) and keep shuffle
+// scratch on tmpfs so scratch I/O never cycles host page cache.
+// Deliberately NOT AlwaysPreTouch: the JVM's contended pre-touch hits
+// the host's slow page-supply path at ~90 MB/s (measured 9 min wall /
+// 200 min sys for 48 GiB PER JVM START); graft.Bench instead faults
+// the heap in a parallel warmup routine (~36 s at 24g), and the other
+// mains touch only their real working set lazily.
+// Cluster equivalents are standard practice: fixed executor heap,
+// NVMe/ramdisk shuffle dirs. Measured on the graph+text bench slice,
+// same code: 147.2 s (churny default) -> 52.2 s (pinned heap) ->
+// 36.4 s (+tmpfs), with the 10-30x per-run outliers gone.
 Compile / run / javaOptions ++= Seq(
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  "-XX:+AlwaysPreTouch",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-Dspark.local.dir=/dev/shm/graft-scratch",
 )

@@ -118,8 +118,42 @@ object Bench {
         rm(new java.io.File(dir))
       }
 
+  /** Fault ~75% of the pinned heap up front, in parallel. The heap is
+    * Xms-pinned (build.sbt) so G1 never uncommits it, but pages still
+    * fault lazily as G1 cycles eden through fresh regions — on this
+    * box host page supply is slow and bursty (BASELINE.md round-11),
+    * so lazy faulting drips machine-wide stall windows through the
+    * MEASURED run. Touching the heap here moves that one-off cost into
+    * warmup. Parallel byte-array touch measured ~4 GB/s on this host
+    * vs ~90 MB/s for the JVM's contended AlwaysPreTouch path, which is
+    * why this is a warmup routine and not a JVM flag.
+    */
+  private def faultHeap(): Unit = {
+    val chunk = 128 * 1024 * 1024
+    val n = (Runtime.getRuntime.maxMemory * 0.75 / chunk).toInt
+    val next = new java.util.concurrent.atomic.AtomicInteger
+    val keep = new java.util.concurrent.ConcurrentLinkedQueue[Array[Byte]]
+    val threads = (1 to 8).map { _ =>
+      val t = new Thread(() => {
+        while (next.getAndIncrement() < n) {
+          val a = new Array[Byte](chunk)
+          var off = 0
+          while (off < a.length) { a(off) = 1; off += 4096 }
+          keep.add(a)
+        }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    keep.clear()
+  }
+
   def main(args: Array[String]): Unit = {
     sweepScratch()
+    val tFault = System.nanoTime()
+    faultHeap()
+    System.err.println(
+      f"[bench] heap faulted in ${(System.nanoTime() - tFault) / 1e9}%.1f s")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

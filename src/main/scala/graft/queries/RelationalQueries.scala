@@ -670,6 +670,61 @@ object RelationalQueries {
             ON p.user_id = c.user_id AND c.event_type = 'click' AND c.ts < p.ts
           WHERE p.event_type = 'purchase') WHERE rn = 1""")),
 
+    // Forward as-of: each purchase picks the user's EARLIEST strictly
+    // later click (pandas merge_asof direction="forward"). Same
+    // one-shuffle union+window plan as q_asof_join — the oracle's
+    // theta-join form is what the operator exists to avoid at scale.
+    QueryDef("q_asof_forward",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        AsOfJoin.firstAfter(purchases, clicks,
+            keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+            valueCol = "event_id", outCol = "next_click")
+          .select("event_id", "user_id", "next_click")
+      },
+      Some("""SELECT event_id, user_id, next_click FROM (
+          SELECT p.event_id AS event_id, p.user_id AS user_id,
+            c.event_id AS next_click,
+            row_number() OVER (PARTITION BY p.event_id
+              ORDER BY c.ts ASC, c.event_id DESC) AS rn
+          FROM events p LEFT JOIN events c
+            ON p.user_id = c.user_id AND c.event_type = 'click' AND c.ts > p.ts
+          WHERE p.event_type = 'purchase') WHERE rn = 1""")),
+
+    // Nearest as-of with a 6-hour tolerance: each purchase picks the
+    // user's click closest in |time|, exact-time matches allowed,
+    // distance ties broken toward the earlier click, equal-time clicks
+    // toward the greater event_id (merge_asof direction="nearest",
+    // tolerance=6h). Purchases with no click in tolerance keep NULL.
+    QueryDef("q_asof_nearest",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        AsOfJoin.nearest(purchases, clicks,
+            keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+            valueCol = "event_id", outCol = "near_click",
+            toleranceMicros = Some(6L * 3600 * 1000000))
+          .select("event_id", "user_id", "near_click")
+      },
+      Some("""SELECT event_id, user_id, near_click FROM (
+          SELECT p.event_id AS event_id, p.user_id AS user_id,
+            c.event_id AS near_click,
+            row_number() OVER (PARTITION BY p.event_id
+              ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+                CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END ASC,
+                c.event_id DESC) AS rn
+          FROM events p LEFT JOIN events c
+            ON p.user_id = c.user_id AND c.event_type = 'click'
+              AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 21600000000
+          WHERE p.event_type = 'purchase') WHERE rn = 1""")),
+
     // ---- window functions: ranking, analytic, frames ----
 
     QueryDef("q_window_funcs",

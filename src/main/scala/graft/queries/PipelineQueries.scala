@@ -970,6 +970,33 @@ object PipelineQueries {
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY text""")),
 
+    // Paragraph-grain exact dedup (C4 repeated-line removal at a fixed
+    // 15-word grain): each distinct chunk survives once corpus-wide,
+    // first occurrence by (doc_id, idx) wins, texts are rebuilt from
+    // the surviving chunks. The oracle ranks by the chunk STRING —
+    // the Spark plan ranks by a 64-bit chunk hash and never shuffles
+    // text (ChunkDedup scaladoc); equal output certifies the hash plan.
+    QueryDef("dedup_paragraph",
+      (s, dir) => ChunkDedup.cleanDocs(
+        t(s, dir, "documents"), "doc_id", "text", chunkWords = 15),
+      Some("""WITH chunked AS (
+          SELECT doc_id,
+            [{'i': i, 'p': array_to_string(w[(i*15+1):(i*15+15)], ' ')}
+               FOR i IN range(CAST(ceil(len(w)/15.0) AS BIGINT))] AS chunks
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        paras AS (
+          SELECT doc_id, u.z.i AS idx, u.z.p AS p
+          FROM chunked, unnest(chunks) u(z)),
+        kept AS (
+          SELECT doc_id, idx, p,
+            row_number() OVER (PARTITION BY p ORDER BY doc_id, idx) AS rn
+          FROM paras)
+        SELECT doc_id,
+          string_agg(CASE WHEN rn=1 THEN p END, ' ' ORDER BY idx) AS clean_text,
+          CAST(count(*) FILTER (WHERE rn=1) AS BIGINT) AS kept_chunks,
+          CAST(count(*) AS BIGINT) AS total_chunks
+        FROM kept GROUP BY doc_id""")),
+
     QueryDef("dedup_minhash",
       // top LSH candidate pairs by verified exact Jaccard; threshold 0
       // keeps the ranking interesting on a corpus with no planted dups.

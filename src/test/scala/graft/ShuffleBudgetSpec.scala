@@ -62,6 +62,10 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("q_histogram", 1, "integer bucketing folds map-side, one exchange"),
     ("dedup_exact", 1, "hash-grouped on content hash, payload never re-shuffled"),
     ("q_asof_join", 1, "union+window form: ONE shuffle replaces a range join"),
+    ("q_asof_forward", 1, "same union+window shape, following frame"),
+    ("q_asof_nearest", 1, "backward+forward passes share ONE key exchange"),
+    ("dedup_paragraph", 4, "chunk-hash agg + keep-list agg + doc_id co-partition " +
+      "(2 sides); text only in the last"),
     // join families (counted at the suite's SF/config: small sides
     // broadcast, so the budget also guards the broadcast decision)
     ("q_semi_join", 0, "EXISTS side broadcasts; fact side never moves"),

@@ -1202,6 +1202,31 @@ object PipelineQueries {
           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
         WHERE rn <= 5""")),
 
+    // Int8 scalar quantization (SQ8): brute-force shape, 4x fewer
+    // bytes — the first compression rung before PQ/IVF-PQ. Scores are
+    // sums of exact sub-2^53 integers, so the double cosine is
+    // bit-identical across engines and the oracle is fully static.
+    QueryDef("embed_sq8_topk",
+      (s, dir) => ScalarQuant.topKByQuantizedCosine(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 7, k = 20),
+      Some("""WITH s AS (
+          SELECT max(abs(CAST(u.x AS DOUBLE))) AS m
+          FROM (SELECT unnest(embedding) AS x FROM embeddings) u),
+        qz AS (
+          SELECT e.vec_id,
+            list_transform(e.embedding,
+              x -> floor(CAST(x AS DOUBLE) * 127.0 / s.m + 0.5)) AS qv
+          FROM embeddings e, s)
+        SELECT c.vec_id,
+          list_dot_product(c.qv, q.qv) /
+            (sqrt(list_dot_product(c.qv, c.qv)) *
+             sqrt(list_dot_product(q.qv, q.qv))) AS qcos
+        FROM qz c, qz q
+        WHERE q.vec_id = 7 AND c.vec_id <> 7
+          AND list_dot_product(c.qv, c.qv) > 0
+          AND list_dot_product(q.qv, q.qv) > 0
+        ORDER BY qcos DESC, c.vec_id LIMIT 20""")),
+
     QueryDef("ann_lsh_topk",
       (s, dir) => {
         val e = t(s, dir, "embeddings")

@@ -169,7 +169,8 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("mm_phash_pairs", 1, "dHash band equi-join broadcasts; one pair agg"),
     ("neardup_embedding_lsh", 1, "hyperplane-bucket join; one exchange"),
     ("dedup_minhash", 1, "banded equi-join + exact verify, one exchange"),
-    ("embed_sq8_topk", 0, "scale+query broadcast into a TakeOrderedAndProject scan"),
+    ("embed_sq8_topk", 2, "two 1-row fit all-reduces (corpus + query quantize " +
+      "paths); the corpus itself only feeds scans + TakeOrderedAndProject"),
     ("dedup_simhash_pairs", 1, "16-bit band join + hamming verify, one exchange"),
     ("dedup_keep_best", 1, "component join broadcasts; one survivor window"),
     ("dedup_cross_split", 1, "train fingerprints broadcast; one exchange"),

@@ -73,9 +73,10 @@ object StreamingQueries {
     * fixture once; processAllAvailable drains it and stop() ends the
     * query before the result is read.
     */
-  private def replayToTable(streamed: DataFrame, prefix: String): DataFrame = {
+  private def replayToTable(streamed: DataFrame, prefix: String,
+                            mode: String = "append"): DataFrame = {
     val name = s"${prefix}_${seq.incrementAndGet()}"
-    val q = streamed.writeStream.outputMode("append")
+    val q = streamed.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     streamed.sparkSession.table(name)
@@ -158,6 +159,36 @@ object StreamingQueries {
             GROUP BY e.user_id)
         SELECT 'view' AS stage, (SELECT count(*) FROM v) AS users
         UNION ALL SELECT 'click', (SELECT count(*) FROM c)
-        UNION ALL SELECT 'purchase', (SELECT count(*) FROM p)"""))
+        UNION ALL SELECT 'purchase', (SELECT count(*) FROM p)""")),
+
+    QueryDef("stream_topn_replay",
+      // statefulTopK over the replayed events stream: per event_type,
+      // the top-5 events by (value, event_id). This is the reference's
+      // own streaming claim made testable — TopN registered for
+      // `cdap-data-streams` hosts (data-integrations/topn
+      // pom.xml:39-42) means "the batch top-N rule applied to the
+      // stream"; here the streaming heap state must converge to
+      // exactly the batch top-N the DuckDB oracle computes. The value
+      // is a (value, event_id) pair so the heap's order, the emitted
+      // rows, and the oracle's tiebreaker are all total.
+      (s, dir) => {
+        import s.implicits._
+        val typed = eventsStream(s, dir)
+          .select(col("event_type"), col("value"), col("event_id"))
+          .as[(String, Double, Long)]
+          .map { case (et, v, id) => (et, (v, id)) }
+        val sunk = replayToTable(
+          StreamingOps.statefulTopK(typed, k = 5).toDF(),
+          "graft_topn_replay", mode = "update")
+        sunk.select(
+          col("_1").as("event_type"),
+          col("_2._1").as("value"),
+          col("_2._2").as("event_id"))
+      },
+      Some("""SELECT event_type, value, event_id FROM (
+          SELECT event_type, value, event_id,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY value DESC, event_id DESC) AS rn
+          FROM events) WHERE rn <= 5"""))
   )
 }

@@ -507,6 +507,38 @@ object RelationalQueries {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_name""")),
 
+    QueryDef("q_runtime_bloom_join",
+      // RUNTIME-FILTERED big-big join: Catalyst's InjectRuntimeFilter
+      // builds a bloom filter from the selective (filtered) orders
+      // side and pushes `might_contain(l_orderkey)` into the lineitem
+      // scan — at 100 TB this drops most of the fact-table rows
+      // BEFORE the join shuffle instead of after it. Broadcast is
+      // disabled to reproduce the big-big regime where the rewrite
+      // matters (a broadcastable dim needs no bloom). The overrides
+      // live in a child session (`newSession`) so the registry's
+      // other queries keep their plans. PlanShapeSpec pins the
+      // might_contain injection; the oracle is the plain join+agg.
+      (s, dir) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s2.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        val o = t(s2, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        val l = t(s2, dir, "lineitem")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            AggFunctions.moneySum(col("l_extendedprice")).as("revenue"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+          sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag""")),
+
     QueryDef("q_skew_report",
       // SKEW DIAGNOSTICS — the report an operator runs BEFORE choosing
       // a join strategy at 100 TB (salt? AQE skew split? broadcast?):

@@ -121,18 +121,17 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("runtime bloom-filter join pruning injects a bloom filter on the big side") {
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "50MB")
-    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-    import org.apache.spark.sql.functions.col
-    val li = Tables(s2, dir, "lineitem")
-    val p = Tables(s2, dir, "part").where(col("p_size") > 40)
-    val plan = li.join(p, li("l_partkey") === p("p_partkey"))
+    // the declared q_runtime_bloom_join query itself (child session
+    // with the big-big regime confs) must carry the injected filter
+    val plan = SparkEntry.queries("q_runtime_bloom_join")(spark, dir)
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilter"),
       s"expected runtime bloom filter in optimized plan:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"expected might_contain pushed to the application side:\n$plan")
+    // and the isolation contract holds: the parent session's conf is
+    // untouched by building the query
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
   }
 
   test("AQE splits a skewed sort-merge join at runtime (skew=true in final plan)") {

@@ -64,6 +64,8 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("q_asof_join", 1, "union+window form: ONE shuffle replaces a range join"),
     ("q_asof_forward", 1, "same union+window shape, following frame"),
     ("q_asof_nearest", 1, "backward+forward passes share ONE key exchange"),
+    ("q_runtime_bloom_join", 5, "big-big SMJ (2) + final agg (1) + the bloom " +
+      "build/exchange pair — the price of pruning the fact scan pre-shuffle"),
     ("dedup_paragraph", 4, "chunk-hash agg + keep-list agg + doc_id co-partition " +
       "(2 sides); text only in the last"),
     // join families (counted at the suite's SF/config: small sides

@@ -1108,6 +1108,33 @@ object PipelineQueries {
         SELECT i.a, i.b, i.inter, ca.n + cb.n - i.inter AS uni
         FROM i JOIN c ca ON ca.doc_id = i.a JOIN c cb ON cb.doc_id = i.b""")),
 
+    // Sorted-neighborhood (merge/purge) near-dup: the third blocking
+    // family next to MinHash bands and prefix filtering — O(n*window)
+    // candidates from rank adjacency in text sort order, exact
+    // integer Jaccard verify at tau >= 1/2. The oracle replays the
+    // global rank with a plain row_number window; the Spark side gets
+    // the SAME ranks from the range-sharded PrefixSum (no single-task
+    // sort) — equal pair sets certify the distributed rank.
+    QueryDef("dedup_sorted_neighborhood",
+      (s, dir) => SortedNeighborhood.nearDupPairs(
+        t(s, dir, "documents"), "doc_id", "text", window = 4),
+      Some("""WITH r AS (
+          SELECT doc_id, text,
+            row_number() OVER (ORDER BY text, doc_id) AS rnk
+          FROM documents),
+        cand AS (
+          SELECT a.doc_id AS a, b.doc_id AS b,
+            list_distinct(string_split(a.text, ' ')) AS ta,
+            list_distinct(string_split(b.text, ' ')) AS tb
+          FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4),
+        j AS (
+          SELECT CASE WHEN a < b THEN a ELSE b END AS a,
+                 CASE WHEN a < b THEN b ELSE a END AS b,
+            CAST(len(list_intersect(ta, tb)) AS BIGINT) AS inter,
+            CAST(len(ta) + len(tb) - len(list_intersect(ta, tb)) AS BIGINT) AS uni
+          FROM cand)
+        SELECT a, b, inter, uni FROM j WHERE inter * 2 >= uni""")),
+
     QueryDef("neardup_embedding",
       // embedding-cosine near-dup, exact baseline: top-20 most similar
       // pairs via the GUARDED all-pairs operator (refuses inputs above

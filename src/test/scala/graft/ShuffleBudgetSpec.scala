@@ -173,6 +173,8 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("dedup_minhash", 1, "banded equi-join + exact verify, one exchange"),
     ("embed_sq8_topk", 2, "two 1-row fit all-reduces (corpus + query quantize " +
       "paths); the corpus itself only feeds scans + TakeOrderedAndProject"),
+    ("dedup_sorted_neighborhood", 8, "PrefixSum range pair (2) + rank equi-join " +
+      "(2, id/rank rows only) + two text fetch joins (<=4 sides)"),
     ("dedup_simhash_pairs", 1, "16-bit band join + hamming verify, one exchange"),
     ("dedup_keep_best", 1, "component join broadcasts; one survivor window"),
     ("dedup_cross_split", 1, "train fingerprints broadcast; one exchange"),

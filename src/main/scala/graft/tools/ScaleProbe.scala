@@ -281,6 +281,28 @@ object ScaleProbe {
               batches.map(IncrementalAgg.partial(_, Seq("pri"), "cents")),
               Seq("pri")).count()
           }
+        },
+        "paragraph dedup rebuild (duplicate-heavy)" -> time {
+          // scaled() replicates every text, so EVERY chunk occurs
+          // `factor` times: the min-struct winner agg combines
+          // map-side and the distinct-chunk relation stays FIXED
+          // while input grows — time must track the scans (linear),
+          // never the duplicate multiplicity
+          ChunkDedup.cleanDocs(docs, "doc_id", "text").count()
+        },
+        "sorted-neighborhood pairs w=4 (duplicate-heavy)" -> time {
+          // replicated texts sort adjacent, so candidate volume is
+          // exactly n*w and verified pairs grow ~linearly with n —
+          // the O(n*window) bound measured under maximal adjacency
+          SortedNeighborhood.nearDupPairs(docs, "doc_id", "text",
+            window = 4).count()
+        },
+        "SQ8 quantized brute top-20 (one query)" -> {
+          val emb = scaled(emb0, Seq("vec_id"), factor)
+          time {
+            ScalarQuant.topKByQuantizedCosine(
+              emb, "vec_id", "embedding", 7L, 20).count()
+          }
         })
       (factor0, probes)
     }
@@ -349,7 +371,19 @@ object ScaleProbe {
     sb.append("groups x batches rows at every factor. The prefix-sum row ")
     sb.append("is the no-global-window claim measured: cum work is one ")
     sb.append("range exchange + per-shard windows, so time tracks rows ")
-    sb.append("(4.8M at 8x) with no single-task sort cliff.\n")
+    sb.append("(4.8M at 8x) with no single-task sort cliff. The ")
+    sb.append("paragraph-dedup row is duplicate-maximal (every chunk ")
+    sb.append("occurs `factor` times): the distinct-chunk winner relation ")
+    sb.append("stays fixed while inputs grow, so linear time certifies the ")
+    sb.append("map-side-combined hash plan — a chunk-keyed text shuffle ")
+    sb.append("would grow with the duplicate product. The ")
+    sb.append("sorted-neighborhood row measures the O(n*window) candidate ")
+    sb.append("bound under maximal adjacency (replicated texts sort next ")
+    sb.append("to each other); pairs and time must both track n, never ")
+    sb.append("n^2. The SQ8 row is a single-query quantized brute scan — ")
+    sb.append("time tracks corpus bytes (the 4x-compression claim's scan ")
+    sb.append("denominator), with the 1-row scale fit re-paid per run ")
+    sb.append("here; a deployment fits once per corpus version.\n")
 
     // ---- streaming state growth: state must track KEYS, not events ----
     sb.append(streamingStateSection(spark, docs0, idxRoot))

@@ -71,15 +71,58 @@ object StreamingQueries {
   /** Run `streamed` to completion into a memory sink and return the
     * sink table. Bounded by construction: the file source replays the
     * fixture once; processAllAvailable drains it and stop() ends the
-    * query before the result is read.
+    * query before the result is read. `expectMinBatches` makes a
+    * multi-batch replay self-checking: if the source ever coalesced
+    * the split files back into one trigger, the query fails loudly
+    * instead of silently proving only within-batch semantics.
     */
   private def replayToTable(streamed: DataFrame, prefix: String,
-                            mode: String = "append"): DataFrame = {
+                            mode: String = "append",
+                            expectMinBatches: Int = 1): DataFrame = {
     val name = s"${prefix}_${seq.incrementAndGet()}"
     val q = streamed.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= expectMinBatches,
+        s"$name: expected >= $expectMinBatches data micro-batches, " +
+          s"got $dataBatches — the replay did not exercise " +
+          "cross-batch state merging")
+    } finally q.stop()
     streamed.sparkSession.table(name)
+  }
+
+  /** Multi-batch form of [[eventsStream]]: the fixture is split into
+    * `parts` parquet files (by event_id hash — any split is legal for
+    * the update-mode replays, whose FINAL state is order-independent
+    * by construction) in a per-JVM temp dir, and the file source
+    * feeds them one per trigger. This is what turns the replay rows
+    * from "within one micro-batch" evidence into real cross-batch
+    * incremental-state evidence under the oracle gate.
+    */
+  private val splitCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+  private def eventsMultiBatchStream(s: SparkSession, dir: String,
+                                     parts: Int): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val splitDir = splitCache.getOrElseUpdate((dir, parts), {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_stream_split").toString
+      val base = s.read.parquet(s"$dir/events.parquet")
+      // one write per split (not repartition-by-hash-of-pmod, which
+      // can collide two splits into one file): exactly `parts`
+      // non-empty files, so the maxFilesPerTrigger=1 source must run
+      // `parts` data batches — which the require() below pins
+      for (p <- 0 until parts)
+        base.where(pmod(col("event_id"), lit(parts.toLong)) === p)
+          .coalesce(1).write.mode("append").parquet(out)
+      out
+    })
+    val schema = s.read.parquet(splitDir).schema
+    tsToTimestamp(
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(splitDir))
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -171,24 +214,72 @@ object StreamingQueries {
       // exactly the batch top-N the DuckDB oracle computes. The value
       // is a (value, event_id) pair so the heap's order, the emitted
       // rows, and the oracle's tiebreaker are all total.
+      // MULTI-BATCH replay (4 micro-batches, self-checked): the final
+      // top-5 must be reached by cross-batch heap merging. The memory
+      // sink keeps update-mode emissions from every batch, so the
+      // true final state is recovered by re-ranking the emitted rows:
+      // a true top-5 row always survives into the final heap and was
+      // emitted at its arrival batch, and no emitted row outranks a
+      // final-state row — so top-5 over DISTINCT emissions IS the
+      // final state, independent of file order.
       (s, dir) => {
         import s.implicits._
-        val typed = eventsStream(s, dir)
+        val typed = eventsMultiBatchStream(s, dir, parts = 4)
           .select(col("event_type"), col("value"), col("event_id"))
           .as[(String, Double, Long)]
           .map { case (et, v, id) => (et, (v, id)) }
         val sunk = replayToTable(
           StreamingOps.statefulTopK(typed, k = 5).toDF(),
-          "graft_topn_replay", mode = "update")
+          "graft_topn_replay", mode = "update", expectMinBatches = 4)
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id").desc)
         sunk.select(
-          col("_1").as("event_type"),
-          col("_2._1").as("value"),
-          col("_2._2").as("event_id"))
+            col("_1").as("event_type"),
+            col("_2._1").as("value"),
+            col("_2._2").as("event_id"))
+          .distinct()
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= 5)
+          .drop("__rn")
       },
       Some("""SELECT event_type, value, event_id FROM (
           SELECT event_type, value, event_id,
             row_number() OVER (PARTITION BY event_type
               ORDER BY value DESC, event_id DESC) AS rn
-          FROM events) WHERE rn <= 5"""))
+          FROM events) WHERE rn <= 5""")),
+
+    QueryDef("stream_latest_by_key_replay",
+      // streamingLatestByKey over the replayed events stream: the
+      // streaming CDC/upsert view (one latest row per user under
+      // (ts, event_id) order, out-of-order arrivals lose by max) must
+      // materialize exactly the batch latest-by-key compaction the
+      // oracle computes. Complements stream_topn_replay: that one
+      // pins flatMapGroupsWithState heaps, this pins the
+      // mapGroupsWithState single-value state path.
+      // MULTI-BATCH replay: the CDC view's final row per key is the
+      // max over that key's update-mode emissions (the latest-by-key
+      // value is monotone under merge, so re-maxing the sink recovers
+      // exactly the final state regardless of batch split/order).
+      (s, dir) => {
+        import s.implicits._
+        val typed = eventsMultiBatchStream(s, dir, parts = 4)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"))
+          .as[(Long, Long, Long)]
+          .map { case (u, t, id) => (u, (t, id)) }
+        val sunk = replayToTable(
+          StreamingOps.streamingLatestByKey(typed).toDF(),
+          "graft_latest_replay", mode = "update", expectMinBatches = 4)
+        sunk.groupBy(col("_1").as("user_id"))
+          .agg(max(col("_2")).as("__latest"))
+          .select(col("user_id"),
+            col("__latest._1").as("ts_us"),
+            col("__latest._2").as("event_id"))
+      },
+      Some("""SELECT user_id, ts_us, event_id FROM (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1"""))
   )
 }

@@ -54,6 +54,25 @@ class ScalarQuantSpec extends SparkSuite {
     assert(out.values.forall(v => math.abs(v - expected) < 1e-15), out)
   }
 
+  test("high-similarity regime: every planted near-copy is the SQ8 top-1") {
+    // RecallSpec's planted pattern: 20 seeded gaussian base vectors +
+    // 20 near-copies at cosine >= 0.999 — int8 quantization must not
+    // lose a 0.999-cosine neighbor (the regime dedup cares about)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 20).flatMap { i =>
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val dup = v.map(x => x + (rnd.nextGaussian() * 0.02).toFloat)
+      Seq((i.toLong, v), (i.toLong + 1000L, dup))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    for (i <- 0 until 20) {
+      val top1 = ScalarQuant.topKByQuantizedCosine(
+        df, "vec_id", "embedding", i.toLong, 1).collect().head.getLong(0)
+      assert(top1 == i.toLong + 1000L,
+        s"query $i: expected planted copy ${i + 1000}, got $top1")
+    }
+  }
+
   test("plan: corpus never shuffles — scale and query broadcast into " +
       "a TakeOrderedAndProject scan") {
     val df = ScalarQuant.topKByQuantizedCosine(emb, "vec_id", "embedding", 7L, 20)

@@ -184,6 +184,16 @@ object PipelineQueries {
         path)
       IvfAnn.load(s, path)
     })
+  private val sq8IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ScalarQuant.Index]()
+  private def sq8IndexFor(s: SparkSession, dir: String): ScalarQuant.Index =
+    sq8IndexCache.computeIfAbsent(dir, _ => {
+      val path = s"$indexRoot/sq8_${math.abs(dir.hashCode)}"
+      ScalarQuant.save(
+        ScalarQuant.fitIndex(t(s, dir, "embeddings"), "vec_id", "embedding"),
+        path)
+      ScalarQuant.load(s, path)
+    })
   private val ivfPqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfPqAnn.Index]()
   private def ivfPqIndexFor(s: SparkSession, dir: String): IvfPqAnn.Index =
@@ -1236,6 +1246,35 @@ object PipelineQueries {
     QueryDef("embed_sq8_topk",
       (s, dir) => ScalarQuant.topKByQuantizedCosine(
         t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 7, k = 20),
+      Some("""WITH s AS (
+          SELECT max(abs(CAST(u.x AS DOUBLE))) AS m
+          FROM (SELECT unnest(embedding) AS x FROM embeddings) u),
+        qz AS (
+          SELECT e.vec_id,
+            list_transform(e.embedding,
+              x -> floor(CAST(x AS DOUBLE) * 127.0 / s.m + 0.5)) AS qv
+          FROM embeddings e, s)
+        SELECT c.vec_id,
+          list_dot_product(c.qv, q.qv) /
+            (sqrt(list_dot_product(c.qv, c.qv)) *
+             sqrt(list_dot_product(q.qv, q.qv))) AS qcos
+        FROM qz c, qz q
+        WHERE q.vec_id = 7 AND c.vec_id <> 7
+          AND list_dot_product(c.qv, c.qv) > 0
+          AND list_dot_product(q.qv, q.qv) > 0
+        ORDER BY qcos DESC, c.vec_id LIMIT 20""")),
+
+    // Amortized SQ8: search the PERSISTED int8 index (array<tinyint>
+    // parquet + the scale scalar — the actual 4x storage form); no
+    // corpus fit, no float vectors read. Shares embed_sq8_topk's
+    // static oracle: levels round-trip byte->double exactly, so
+    // fit->save->load->search must hash-match fit->search.
+    QueryDef("embed_sq8_search",
+      (s, dir) => {
+        val q = t(s, dir, "embeddings").where(col("vec_id") === 7)
+        ScalarQuant.searchTopK(q, sq8IndexFor(s, dir), k = 20)
+          .select(col("nid").as("vec_id"), col("qcos"))
+      },
       Some("""WITH s AS (
           SELECT max(abs(CAST(u.x AS DOUBLE))) AS m
           FROM (SELECT unnest(embedding) AS x FROM embeddings) u),

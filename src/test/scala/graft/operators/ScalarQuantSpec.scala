@@ -73,6 +73,27 @@ class ScalarQuantSpec extends SparkSuite {
     }
   }
 
+  test("persisted index stores REAL int8 levels and searches " +
+      "bit-identically to the in-query path") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sq8_spec").toString
+    ScalarQuant.save(
+      ScalarQuant.fitIndex(emb, "vec_id", "embedding"), path)
+    val loaded = ScalarQuant.load(spark, path)
+    // 4x storage claim is structural: the on-disk level column is tinyint
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    assert(loaded.quantized.schema("qv").dataType == ArrayType(ByteType),
+      loaded.quantized.schema.treeString)
+    val q = emb.where(org.apache.spark.sql.functions.col("vec_id") === 7)
+    val viaIndex = ScalarQuant.searchTopK(q, loaded, k = 20)
+      .select("nid", "qcos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = ScalarQuant.topKByQuantizedCosine(
+        emb, "vec_id", "embedding", 7L, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaIndex == direct) // bit-equal doubles, not approx
+  }
+
   test("plan: corpus never shuffles — scale and query broadcast into " +
       "a TakeOrderedAndProject scan") {
     val df = ScalarQuant.topKByQuantizedCosine(emb, "vec_id", "embedding", 7L, 20)

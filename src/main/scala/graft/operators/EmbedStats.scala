@@ -79,6 +79,32 @@ object EmbedStats {
     sxy.cast("double") / Scale / n -
       (sxi.cast("double") / Scale / ni) * (sxj.cast("double") / Scale / nj)
 
+  /** Per-class first/second-moment stats: (label, i, sx, sxx, n) in
+    * the same quantized-DECIMAL domain — the classification-dataset
+    * diagnostic (class centroids + per-dimension dispersion) behind
+    * nearest-class-mean baselines and class-balance audits. One scan,
+    * partial-agg'd to labels×d sum rows; at 100 TB only the scan
+    * grows. Output stays PER-DIMENSION (no cross-dim double sums), so
+    * every value is bit-identical across engines and partitionings.
+    */
+  def labelDimStats(embeddings: DataFrame, labelCol: String): DataFrame =
+    embeddings.select(col(labelCol).cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("label"), col("i").cast("long").as("i"),
+        col("xf").cast("double").as("x"))
+      .groupBy("label", "i")
+      .agg(sum(q(col("x"))).as("sx"),
+        sum(q(col("x") * col("x"))).as("sxx"),
+        count(lit(1)).as("n"))
+
+  /** mean = sx/S/n with the exact division order the oracle states. */
+  def meanCol(sx: Column, n: Column): Column =
+    sx.cast("double") / Scale / n
+
+  /** var = sxx/S/n − mean² — same left-associated IEEE ops as SQL. */
+  def varCol(sxx: Column, sx: Column, n: Column): Column =
+    sxx.cast("double") / Scale / n - meanCol(sx, n) * meanCol(sx, n)
+
   /** Full covariance matrix on the driver — d² doubles, the bounded
     * ANN-training-sums collect, never corpus rows.
     */

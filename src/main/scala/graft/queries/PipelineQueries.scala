@@ -1864,6 +1864,36 @@ object PipelineQueries {
         true AS kmv_in_bound
       FROM i""")),
 
+    // Per-class embedding centroids + per-dimension dispersion — the
+    // labeled-dataset diagnostic (nearest-class-mean baseline, class
+    // imbalance / collapsed-class audit). Same quantized-DECIMAL
+    // exactness contract as q_embed_covariance; output stays
+    // per-(label, dim) so no cross-dim double summation order exists.
+    QueryDef("q_label_centroids",
+      (s, dir) => {
+        val st = EmbedStats.labelDimStats(t(s, dir, "embeddings"), "label")
+        st.select(col("label"), col("i"),
+          EmbedStats.meanCol(col("sx"), col("n")).as("mean_x"),
+          EmbedStats.varCol(col("sxx"), col("sx"), col("n")).as("var_x"))
+      },
+      Some("""WITH e AS (
+          SELECT label, u.z.i AS i, CAST(u.z.x AS DOUBLE) AS x
+          FROM (SELECT label,
+              [{'i': i, 'x': embedding[i+1]} FOR i IN range(len(embedding))] AS zz
+            FROM embeddings), unnest(zz) u(z)),
+        st AS (
+          SELECT label, i,
+            sum(CAST(floor(x*16777216.0+0.5) AS DECIMAL(38,0))) AS sx,
+            sum(CAST(floor(x*x*16777216.0+0.5) AS DECIMAL(38,0))) AS sxx,
+            count(*) AS n
+          FROM e GROUP BY label, i)
+        SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+          CAST(sx AS DOUBLE)/16777216.0/n AS mean_x,
+          CAST(sxx AS DOUBLE)/16777216.0/n
+            - (CAST(sx AS DOUBLE)/16777216.0/n)
+              * (CAST(sx AS DOUBLE)/16777216.0/n) AS var_x
+        FROM st""")),
+
     QueryDef("q_embed_covariance",
       // distributed covariance over the embedding space — the PCA /
       // whitening prelude of embedding pipelines (redundant-dimension

@@ -175,6 +175,10 @@ class ShuffleBudgetSpec extends SparkSuite {
       "paths); the corpus itself only feeds scans + TakeOrderedAndProject"),
     ("dedup_sorted_neighborhood", 8, "PrefixSum range pair (2) + rank equi-join " +
       "(2, id/rank rows only) + two text fetch joins (<=4 sides)"),
+    ("embed_sq8_search", 2, "loaded-index scan + broadcast query; one exchange " +
+      "pair for the per-query WindowGroupLimit rank"),
+    ("q_label_centroids", 1, "one partial-agg'd exchange of labels x d quantized " +
+      "sum rows — the scan is the only thing that grows"),
     ("dedup_simhash_pairs", 1, "16-bit band join + hamming verify, one exchange"),
     ("dedup_keep_best", 1, "component join broadcasts; one survivor window"),
     ("dedup_cross_split", 1, "train fingerprints broadcast; one exchange"),

@@ -56,6 +56,29 @@ class EmbedStatsSpec extends SparkSuite {
     assert(EmbedStats.residual(a, lambda, v) < 1e-8)
   }
 
+  test("labelDimStats: per-class centroid and variance on a controlled set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // label 0: dim0 values {1, 3} -> mean 2, var 1; dim1 {0, 0} -> 0, 0
+    // label 1: single vector -> mean = value, var 0
+    val df = Seq(
+      (0, Array(1.0f, 0.0f)),
+      (0, Array(3.0f, 0.0f)),
+      (1, Array(-2.0f, 0.5f))
+    ).toDF("label", "embedding")
+    val out = EmbedStats.labelDimStats(df, "label")
+      .select(col("label"), col("i"),
+        EmbedStats.meanCol(col("sx"), col("n")).as("m"),
+        EmbedStats.varCol(col("sxx"), col("sx"), col("n")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out((0L, 0L)) == ((2.0, 1.0)))
+    assert(out((0L, 1L)) == ((0.0, 0.0)))
+    assert(out((1L, 0L)) == ((-2.0, 0.0)))
+    assert(out((1L, 1L)) == ((0.5, 0.0)))
+  }
+
   test("Rayleigh bound holds on real fixture covariance: λ1 >= max var") {
     val a = EmbedStats.covMatrix(
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))

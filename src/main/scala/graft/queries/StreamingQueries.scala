@@ -102,19 +102,21 @@ object StreamingQueries {
     * incremental-state evidence under the oracle gate.
     */
   private val splitCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
   private def eventsMultiBatchStream(s: SparkSession, dir: String,
-                                     parts: Int): DataFrame = {
+                                     parts: Int, copies: Int = 1): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val splitDir = splitCache.getOrElseUpdate((dir, parts), {
+    val splitDir = splitCache.getOrElseUpdate((dir, parts, copies), {
       val out = java.nio.file.Files
         .createTempDirectory("graft_stream_split").toString
       val base = s.read.parquet(s"$dir/events.parquet")
       // one write per split (not repartition-by-hash-of-pmod, which
-      // can collide two splits into one file): exactly `parts`
+      // can collide two splits into one file): exactly parts*copies
       // non-empty files, so the maxFilesPerTrigger=1 source must run
-      // `parts` data batches — which the require() below pins
-      for (p <- 0 until parts)
+      // that many data batches — which the require() below pins.
+      // copies > 1 plants every event in `copies` DIFFERENT batches
+      // (the cross-batch duplicate stress for streaming dedup).
+      for (_ <- 0 until copies; p <- 0 until parts)
         base.where(pmod(col("event_id"), lit(parts.toLong)) === p)
           .coalesce(1).write.mode("append").parquet(out)
       out
@@ -280,6 +282,28 @@ object StreamingQueries {
           SELECT user_id, epoch_us(ts) AS ts_us, event_id,
             row_number() OVER (PARTITION BY user_id
               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-          FROM events) WHERE rn = 1"""))
+          FROM events) WHERE rn = 1""")),
+
+    QueryDef("stream_dedup_replay",
+      // streamingDedup under CROSS-BATCH duplicate stress: every
+      // event is planted in TWO different micro-batches (8 batches,
+      // self-checked), and dropDuplicatesWithinWatermark must emit
+      // each exactly once — dedup state carried across batches, not
+      // within one. The watermark delay exceeds the fixture's time
+      // span, so no state evicts mid-replay and the output is the
+      // exact distinct set the oracle computes.
+      (s, dir) => {
+        val deduped = StreamingOps.streamingDedup(
+          eventsMultiBatchStream(s, dir, parts = 4, copies = 2),
+          tsCol = "ts", contentCol = "event_id",
+          watermarkDelay = "3650 days")
+        replayToTable(deduped, "graft_dedup_replay",
+            expectMinBatches = 8)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("event_type"), col("value"))
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          event_type, value FROM events"""))
   )
 }

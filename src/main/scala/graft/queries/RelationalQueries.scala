@@ -352,6 +352,24 @@ object RelationalQueries {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")),
 
+    // Multi-granularity time rollup: hourly AND daily event totals
+    // from ONE scan — GROUPING SETS plans a single Expand over the
+    // fact rows with partial aggregation below the exchange, where
+    // two separate queries would scan the 100 TB fact table twice.
+    QueryDef("q_time_rollup",
+      (s, dir) => t(s, dir, "events")
+        .select(expr("ts div 86400000000").as("day"),
+          expr("ts div 3600000000").as("hour"), col("value"))
+        .groupingSets(Seq(Seq(col("day")), Seq(col("hour"))),
+          col("day"), col("hour"))
+        .agg(count(lit(1)).as("n"),
+          AggFunctions.moneySum(col("value")).as("sum_value")),
+      Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+            epoch_us(ts) // 3600000000 AS hour, value FROM events)
+        SELECT day, hour, count(*) AS n,
+          sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM e GROUP BY GROUPING SETS ((day), (hour))""")),
+
     // ---- joins: broadcast inner, semi, anti, outer, range ----
 
     QueryDef("q_full_outer_join",

@@ -44,7 +44,11 @@ object Bench {
     "graph_pagerank", "graph_triangles", "graph_kcore", "graph_communities",
     "mm_features", "mm_phash_pairs", "sample_stratified",
     "graph_bfs", "graph_sssp", "q_incremental_agg", "q_sketch_union",
-    "q_drift_bins", "q_concurrency", "sample_pps")
+    "q_drift_bins", "q_concurrency", "sample_pps",
+    // round-12 family representatives (appended — earlier rows keep
+    // their positions diffable across rounds)
+    "dedup_paragraph", "dedup_sorted_neighborhood", "embed_sq8_topk",
+    "q_asof_nearest", "q_runtime_bloom_join", "q_label_centroids")
 
   /** One measured run: wall seconds, process-CPU seconds consumed,
     * GC seconds accrued, the host 1-min loadavg at run START

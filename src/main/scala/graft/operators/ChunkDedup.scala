@@ -53,31 +53,55 @@ object ChunkDedup {
     val id = col(idCol)
     val text = col(textCol)
 
-    // 1. light rows: (id, idx, chunk hash) — the text stays at the scan
+    // The (id, idx) winner is packed into ONE long — `min(long)` is a
+    // codegen'd HashAggregate with map-side combine, where
+    // `min(struct(id, idx))` planned as a SortAggregate that SORTS
+    // every chunk row by hash twice (partial + final). Bounds: idx <
+    // 2^24 chunks per doc (16M chunks = quarter-billion words — no
+    // real document) and id < 2^39; both are enforced loudly below,
+    // not assumed.
+    val IdxSpace = 1L << 24
+    val MaxId = (Long.MaxValue / IdxSpace) - 1 // 2^39 - 1
+    def packed(i: Column): Column =
+      when(id.between(0, MaxId) && i < IdxSpace, id * IdxSpace + i)
+        .otherwise(raise_error(concat(
+          lit(s"ChunkDedup: id must be in [0, $MaxId] and chunk count " +
+            s"< $IdxSpace; got id="), id, lit(" idx="), i)).cast(LongType))
+
+    // 1. light rows: (chunk hash, packed winner key) — the text stays
+    //    at the scan
     val paras = df.select(
-      id,
-      posexplode(transform(
-        sequence(lit(0L), nChunks(text) - 1),
-        i => hashOf(chunkAt(text, i)))).as(Seq("idx", "h")))
+        id,
+        posexplode(transform(
+          sequence(lit(0L), nChunks(text) - 1),
+          i => hashOf(chunkAt(text, i)))).as(Seq("idx", "h")))
+      .select(col("h"), packed(col("idx")).as("p"))
 
     // 2. first occurrence per distinct chunk, folded to keep-lists
     val keep = paras
       .groupBy(col("h"))
-      .agg(min(struct(id.as("d"), col("idx").as("i"))).as("w"))
-      .select(col("w.d").as(idCol), col("w.i").as("idx"))
+      .agg(min(col("p")).as("w"))
+      .select(expr(s"w div $IdxSpace").as(idCol),
+        pmod(col("w"), lit(IdxSpace)).cast("int").as("idx"))
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("idx"))).as("__graft_keep"))
 
-    // 3. single id-partitioned join; kept chunks re-derived locally
+    // 3. single id-partitioned join; kept chunks re-derived locally —
+    //    the word array is materialized ONCE per row (not re-split
+    //    inside every lambda element)
     df.join(keep, Seq(idCol), "left")
+      .withColumn("__graft_w", words(text))
       .select(
         id,
         when(col("__graft_keep").isNotNull,
           array_join(
-            transform(col("__graft_keep"), i => chunkAt(text, i)), " "))
+            transform(col("__graft_keep"), i =>
+              array_join(slice(col("__graft_w"),
+                (i * cw + 1).cast("int"), lit(cw)), " ")), " "))
           .as("clean_text"),
         coalesce(size(col("__graft_keep")), lit(0)).cast(LongType)
           .as("kept_chunks"),
-        nChunks(text).as("total_chunks"))
+        ceil(size(col("__graft_w")) / lit(cw.toDouble)).cast(LongType)
+          .as("total_chunks"))
   }
 }

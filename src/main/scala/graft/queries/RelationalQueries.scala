@@ -394,6 +394,117 @@ object RelationalQueries {
            WHERE s_acctbal < -500 GROUP BY 1) s
           ON c.k = s.k""")),
 
+    // ---- classic TPC-H query shapes (Q3/Q5/Q10 adapted to the
+    // fixture's columns) — the "a reference user can run their
+    // analytics verbatim" surface: multi-join star plans where
+    // Catalyst broadcast-plans the dims and AQE sizes the fact joins;
+    // every revenue is the exact integer cents x (100 - discount
+    // cents) product, so doubles hash-match across engines ----
+
+    QueryDef("q_tpch_q3",
+      // shipping-priority shape: unshipped BUILDING orders at the
+      // cutoff, top 10 by discounted lineitem revenue
+      (s, dir) => {
+        val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders")
+          .where(col("o_orderdate") < lit("1998-07-01").cast("date"))
+        val l = t(s, dir, "lineitem")
+          .where(col("l_shipdate") > lit("1998-07-01").cast("date"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(AggFunctions.moneySumDiscounted(
+            col("l_extendedprice"), col("l_discount")).as("revenue"))
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+          sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+            AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE '1998-07-01'
+          AND l_shipdate > DATE '1998-07-01'
+        GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    QueryDef("q_tpch_q5",
+      // local-supplier volume: revenue per ASIA nation in 1997 where
+      // the supplying and buying nations coincide — the 6-table snow-
+      // flake with region/nation broadcast and the c/s nation-equality
+      // constraint threaded through the fact joins
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1997-01-01").cast("date") &&
+            col("o_orderdate") < lit("1998-01-01").cast("date"))
+        val l = t(s, dir, "lineitem")
+        val sup = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+            c("c_nationkey") === sup("s_nationkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(AggFunctions.moneySumDiscounted(
+            col("l_extendedprice"), col("l_discount")).as("revenue"))
+      },
+      Some("""SELECT n_name,
+          sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+            AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+            AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= DATE '1997-01-01'
+          AND o_orderdate < DATE '1998-01-01'
+        GROUP BY n_name""")),
+
+    QueryDef("q_tpch_q10",
+      // returned-item reporting: top 20 customers by lost revenue in
+      // 1997Q4 (returnflag = 'R'), with their nation
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1997-10-01").cast("date") &&
+            col("o_orderdate") < lit("1998-01-01").cast("date"))
+        val l = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        val n = t(s, dir, "nation")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"))
+          .agg(AggFunctions.moneySumDiscounted(
+            col("l_extendedprice"), col("l_discount")).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+          sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+            AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= DATE '1997-10-01'
+          AND o_orderdate < DATE '1998-01-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
     QueryDef("q_join_revenue",
       (s, dir) => {
         val c = t(s, dir, "customer")

@@ -179,6 +179,14 @@ class ShuffleBudgetSpec extends SparkSuite {
       "pair for the per-query WindowGroupLimit rank"),
     ("q_label_centroids", 1, "one partial-agg'd exchange of labels x d quantized " +
       "sum rows — the scan is the only thing that grows"),
+    ("q_time_rollup", 1, "GROUPING SETS = one Expand + partial agg below ONE " +
+      "exchange; two granularities, one fact scan"),
+    ("q_tpch_q3", 6, "two fact-side join exchanges x2 sides + grouped agg pair; " +
+      "top-10 is TakeOrdered, not a sort"),
+    ("q_tpch_q5", 8, "three fact joins (supplier side co-keyed) + agg; region/" +
+      "nation broadcast — never exchanged"),
+    ("q_tpch_q10", 6, "two fact joins + grouped agg pair; nation broadcast; " +
+      "top-20 is TakeOrdered"),
     ("dedup_simhash_pairs", 1, "16-bit band join + hamming verify, one exchange"),
     ("dedup_keep_best", 1, "component join broadcasts; one survivor window"),
     ("dedup_cross_split", 1, "train fingerprints broadcast; one exchange"),

@@ -505,6 +505,123 @@ object RelationalQueries {
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
+    QueryDef("q_tpch_q6",
+      // forecast-revenue-change shape: pure scan-side filter + one
+      // global agg — the query whose 100 TB cost is BANDWIDTH, with
+      // every predicate pushed to parquet. Discount compared in exact
+      // cents, revenue = cents x cents at scale 1e4.
+      (s, dir) => t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate") < lit("1998-01-01").cast("date") &&
+          AggFunctions.cents(col("l_discount")).between(5, 7) &&
+          col("l_quantity") < 24)
+        .agg((sum(AggFunctions.cents(col("l_extendedprice")) *
+          AggFunctions.cents(col("l_discount"))) / 10000.0).as("revenue")),
+      Some("""SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1998-01-01'
+          AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+          AND l_quantity < 24""")),
+
+    QueryDef("q_tpch_q7",
+      // volume-shipping shape: bilateral trade between two nations by
+      // ship year — the two-aliased-dimension join (nation joined
+      // TWICE under different roles) with an OR-of-pairs predicate
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val sup = t(s, dir, "supplier")
+        val n1 = t(s, dir, "nation").select(
+          col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+        val n2 = t(s, dir, "nation").select(
+          col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n1), sup("s_nationkey") === col("n1_key"))
+          .join(broadcast(n2), c("c_nationkey") === col("n2_key"))
+          .where((col("supp_nation") === "NATION_1" &&
+              col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" &&
+              col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast(LongType).as("l_year"))
+          .agg(AggFunctions.moneySumDiscounted(
+            col("l_extendedprice"), col("l_discount")).as("revenue"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+            AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)""")),
+
+    QueryDef("q_tpch_q14",
+      // promo-revenue shape: conditional share of one month's revenue.
+      // Both integer sums ride ONE scan-side join; the percentage is
+      // the only floating division and is stated identically in SQL.
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1997-09-01").cast("date") &&
+            col("l_shipdate") < lit("1997-10-01").cast("date"))
+        val p = t(s, dir, "part")
+        val rev = AggFunctions.cents(col("l_extendedprice")) *
+          (lit(100L) - AggFunctions.cents(col("l_discount")))
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .agg((lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
+              .cast("double") /
+            sum(rev).cast("double")).as("promo_pct"))
+      },
+      Some("""SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+            THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT))
+            ELSE 0 END) AS DOUBLE)
+          / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+          AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1997-09-01'
+          AND l_shipdate < DATE '1997-10-01'""")),
+
+    QueryDef("q_tpch_q18",
+      // large-volume-customer shape: group-HAVING over the fact table
+      // feeding a join back to its dimensions — top 50 orders whose
+      // total quantity exceeds 200 units
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+          .where(col("sum_qty") > 200)
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        big.join(o, big("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
+          .limit(50)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey,
+          CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, sum_qty
+        FROM (SELECT l_orderkey,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 200) big
+        JOIN orders ON big.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY sum_qty DESC, o_orderkey LIMIT 50""")),
+
     QueryDef("q_join_revenue",
       (s, dir) => {
         val c = t(s, dir, "customer")

@@ -187,6 +187,14 @@ class ShuffleBudgetSpec extends SparkSuite {
       "nation broadcast — never exchanged"),
     ("q_tpch_q10", 6, "two fact joins + grouped agg pair; nation broadcast; " +
       "top-20 is TakeOrdered"),
+    ("q_tpch_q6", 1, "pushed scan filters; the single exchange is the 1-row " +
+      "global-aggregate all-reduce"),
+    ("q_tpch_q7", 8, "three fact joins + grouped agg pair; both nation roles " +
+      "broadcast"),
+    ("q_tpch_q14", 2, "one part join (sides) + 1-row conditional agg; at scale " +
+      "part broadcasts and this drops to the agg pair"),
+    ("q_tpch_q18", 6, "orderkey pre-agg (HAVING shrinks the fact side) + two " +
+      "dimension joins; top-50 is TakeOrdered"),
     ("dedup_simhash_pairs", 1, "16-bit band join + hamming verify, one exchange"),
     ("dedup_keep_best", 1, "component join broadcasts; one survivor window"),
     ("dedup_cross_split", 1, "train fingerprints broadcast; one exchange"),

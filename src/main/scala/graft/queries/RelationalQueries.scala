@@ -622,6 +622,124 @@ object RelationalQueries {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY sum_qty DESC, o_orderkey LIMIT 50""")),
 
+    QueryDef("q_tpch_q13",
+      // customer-distribution shape: LEFT join preserving order-less
+      // customers, then a distribution OVER the aggregate — the
+      // double-grouping plan (per-customer count, then histogram of
+      // counts; the second agg's input is already one row per
+      // customer, so the big exchange happens once)
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+        GROUP BY c_count""")),
+
+    QueryDef("q_tpch_q15",
+      // top-supplier shape: a revenue view consumed twice — once per
+      // supplier, once for its max — with the tie-complete equality
+      // on EXACT integer cents (a double-revenue max could drop tied
+      // winners on rounding; integers cannot)
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+            col("l_shipdate") < lit("1997-04-01").cast("date"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(AggFunctions.cents(col("l_extendedprice")) *
+            (lit(100L) - AggFunctions.cents(col("l_discount"))))
+            .as("rev_i"))
+        val top = rev.agg(max(col("rev_i")).as("max_i"))
+        t(s, dir, "supplier")
+          .join(rev, col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(top), col("rev_i") === col("max_i"))
+          .select(col("s_suppkey"), col("s_name"),
+            (col("rev_i") / 10000.0).as("total_revenue"))
+      },
+      Some("""WITH rev AS (
+          SELECT l_suppkey,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+              AS rev_i
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1997-01-01'
+            AND l_shipdate < DATE '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, rev_i / 10000.0 AS total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE rev_i = (SELECT max(rev_i) FROM rev)""")),
+
+    QueryDef("q_tpch_q17",
+      // small-quantity-order shape: per-part average threaded back as
+      // a CROSS-MULTIPLIED integer predicate (qty < avg/5 stated as
+      // 5*qty*cnt < sum — no floating average anywhere), Brand#1 only
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val p = t(s, dir, "part").where(col("p_brand") === "Brand#1")
+        val stats = l.groupBy(col("l_partkey").as("sp_key"))
+          .agg(sum(col("l_quantity").cast(LongType)).as("sum_q"),
+            count(lit(1)).as("cnt_q"))
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .join(stats, l("l_partkey") === col("sp_key"))
+          .where(col("l_quantity").cast(LongType) * 5 * col("cnt_q") <
+            col("sum_q"))
+          .agg((sum(AggFunctions.cents(col("l_extendedprice")))
+            / 100.0 / 7.0).as("avg_yearly"))
+      },
+      Some("""WITH stats AS (
+          SELECT l_partkey AS sp_key,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+            count(*) AS cnt_q
+          FROM lineitem GROUP BY l_partkey)
+        SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            / 100.0 / 7.0 AS avg_yearly
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN stats ON l_partkey = sp_key
+        WHERE p_brand = 'Brand#1'
+          AND CAST(l_quantity AS BIGINT) * 5 * cnt_q < sum_q""")),
+
+    QueryDef("q_tpch_q22",
+      // global-customer-sentiment shape: a scalar aggregate (average
+      // positive balance, kept as an exact cents cross-multiplication)
+      // gates an anti-join — customers above the average with no
+      // RECENT orders (1999+; at fixture SF nearly every customer has
+      // SOME order, so the classic no-orders-ever form is empty),
+      // grouped by nation
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1999-01-01").cast("date"))
+        val posAvg = c.where(col("c_acctbal") > 0)
+          .agg(sum(AggFunctions.cents(col("c_acctbal"))).as("sum_pos"),
+            count(lit(1)).as("n_pos"))
+        c.crossJoin(broadcast(posAvg))
+          .where(AggFunctions.cents(col("c_acctbal")) * col("n_pos") >
+            col("sum_pos"))
+          .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").cast(LongType).as("cntrycode"))
+          .agg(count(lit(1)).as("numcust"),
+            AggFunctions.moneySum(col("c_acctbal")).as("totacctbal"))
+      },
+      Some("""WITH pa AS (
+          SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+              AS sum_pos, count(*) AS n_pos
+          FROM customer WHERE c_acctbal > 0)
+        SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+          count(*) AS numcust,
+          sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+        FROM customer, pa
+        WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_pos
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            AND o_orderdate >= DATE '1999-01-01')
+        GROUP BY CAST(c_nationkey AS BIGINT)""")),
+
     QueryDef("q_join_revenue",
       (s, dir) => {
         val c = t(s, dir, "customer")

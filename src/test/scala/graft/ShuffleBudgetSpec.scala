@@ -195,6 +195,13 @@ class ShuffleBudgetSpec extends SparkSuite {
       "part broadcasts and this drops to the agg pair"),
     ("q_tpch_q18", 6, "orderkey pre-agg (HAVING shrinks the fact side) + two " +
       "dimension joins; top-50 is TakeOrdered"),
+    ("q_tpch_q13", 4, "left-join sides + per-customer count; the count " +
+      "histogram re-aggregates one-row-per-customer input"),
+    ("q_tpch_q15", 4, "per-supplier revenue agg pair + supplier join; the max " +
+      "is a broadcast 1-row relation"),
+    ("q_tpch_q17", 7, "per-part stats agg + two fact-side joins; the avg " +
+      "threshold rides the join as cross-multiplied integers"),
+    ("q_tpch_q22", 3, "1-row average broadcast; anti-join sides + nation agg"),
     ("dedup_simhash_pairs", 1, "16-bit band join + hamming verify, one exchange"),
     ("dedup_keep_best", 1, "component join broadcasts; one survivor window"),
     ("dedup_cross_split", 1, "train fingerprints broadcast; one exchange"),

@@ -622,6 +622,55 @@ object RelationalQueries {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY sum_qty DESC, o_orderkey LIMIT 50""")),
 
+    QueryDef("q_tpch_q8",
+      // national-market-share shape: NATION_3's share of ASIA-region
+      // PROMO revenue per order year — the conditional-sum-over-
+      // snowflake plan where the share numerator rides the same scan
+      // as the denominator and the only floating op is one division
+      // of two exact-integer-derived doubles per year
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val sup = t(s, dir, "supplier")
+        val p = t(s, dir, "part").where(col("p_type") === "PROMO")
+        val n1 = t(s, dir, "nation").select(
+          col("n_nationkey").as("cn_key"), col("n_regionkey"))
+        val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+        val n2 = t(s, dir, "nation").select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val rev = AggFunctions.cents(col("l_extendedprice")) *
+          (lit(100L) - AggFunctions.cents(col("l_discount")))
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n1), c("c_nationkey") === col("cn_key"))
+          .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+          .join(broadcast(n2), sup("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+          .agg((sum(when(col("supp_nation") === "NATION_3", rev)
+              .otherwise(0L)).cast("double") /
+            sum(rev).cast("double")).as("mkt_share"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+              THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+              ELSE 0 END) AS DOUBLE)
+            / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+            AS mkt_share
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        GROUP BY CAST(year(o_orderdate) AS BIGINT)""")),
+
     QueryDef("q_tpch_q13",
       // customer-distribution shape: LEFT join preserving order-less
       // customers, then a distribution OVER the aggregate — the

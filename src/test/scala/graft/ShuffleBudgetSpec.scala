@@ -202,6 +202,8 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("q_tpch_q17", 7, "per-part stats agg + two fact-side joins; the avg " +
       "threshold rides the join as cross-multiplied integers"),
     ("q_tpch_q22", 3, "1-row average broadcast; anti-join sides + nation agg"),
+    ("q_tpch_q8", 8, "four fact-side joins + year agg pair; all three dim " +
+      "roles broadcast — share numerator rides the denominator's scan"),
     ("dedup_simhash_pairs", 1, "16-bit band join + hamming verify, one exchange"),
     ("dedup_keep_best", 1, "component join broadcasts; one survivor window"),
     ("dedup_cross_split", 1, "train fingerprints broadcast; one exchange"),

@@ -304,6 +304,39 @@ object StreamingQueries {
             col("event_type"), col("value"))
       },
       Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-          event_type, value FROM events"""))
+          event_type, value FROM events""")),
+
+    QueryDef("stream_interval_join_replay",
+      // STREAM-STREAM inner interval join over two independent
+      // multi-batch replays of the fixture (each side progresses
+      // through its own 4 file-batches, so pairs routinely meet
+      // ACROSS batch boundaries): every purchase matched to the
+      // user's clicks in the preceding 6 hours. Inner-join emission
+      // is arrival-order-independent, which is exactly what lets the
+      // batch oracle referee a nondeterministically interleaved
+      // replay. The replay watermark is effectively unbounded (no
+      // mid-replay eviction); a live deployment uses a tight delay
+      // and the same BETWEEN constraint bounds per-side state.
+      (s, dir) => {
+        val p = eventsMultiBatchStream(s, dir, parts = 4)
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"))
+        val c = eventsMultiBatchStream(s, dir, parts = 4)
+          .where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"),
+            col("event_id").as("click_id"))
+        val joined = StreamingOps.streamingIntervalJoin(
+          p, c, keyCol = "user_id", leftTs = "p_ts", rightTs = "c_ts",
+          lookbackUs = 6L * 3600 * 1000000, watermarkDelay = "3650 days")
+        replayToTable(joined, "graft_ssjoin_replay", expectMinBatches = 4)
+          .select(col("purchase_id"), col("click_id"), col("user_id"))
+      },
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+          p.user_id AS user_id
+        FROM events p JOIN events c ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND epoch_us(c.ts) >= epoch_us(p.ts) - 21600000000
+          AND epoch_us(c.ts) <= epoch_us(p.ts)"""))
   )
 }

@@ -63,6 +63,45 @@ object StreamingOps {
       .groupBy(window(col(tsCol), windowDuration), col("event_type"))
       .agg(count(lit(1)).as("n"), min(col("value")).as("mn"), max(col("value")).as("mx"))
 
+  /** Stream-STREAM inner interval join: each left event matches the
+    * right events with the same key whose time falls in
+    * `[leftTs - lookbackUs, leftTs]` — the streaming form of the
+    * batch `q_interval_join` family (attribution: purchases joined to
+    * the clicks that preceded them). Both sides carry watermarks and
+    * the time-range predicate, which is what lets the engine compute
+    * a state-retention bound per side (Spark derives "right rows
+    * older than watermark − lookback can never match" from the
+    * BETWEEN constraint and evicts them): state is
+    * O(events inside the lookback + delay horizon), not the stream.
+    *
+    * Requirements: `keyCol` has the same name on both sides; every
+    * OTHER column name must be disjoint (loudly checked) so the
+    * output can carry both payloads unambiguously. Inner join only —
+    * matches emit as soon as both rows have arrived, so a bounded
+    * replay's output is independent of batch interleaving (the
+    * property the multi-batch oracle replay certifies).
+    */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame,
+                            keyCol: String, leftTs: String, rightTs: String,
+                            lookbackUs: Long,
+                            watermarkDelay: String): DataFrame = {
+    require(lookbackUs >= 0, s"lookbackUs must be >= 0, got $lookbackUs")
+    val overlap = (left.columns.toSet - keyCol)
+      .intersect(right.columns.toSet - keyCol)
+    require(overlap.isEmpty,
+      s"streamingIntervalJoin: non-key columns must be disjoint, both " +
+        s"sides carry ${overlap.mkString(", ")}")
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+      .withColumnRenamed(keyCol, "__graft_rk")
+    l.join(r,
+        col(keyCol) === col("__graft_rk") &&
+          col(rightTs) >= col(leftTs) -
+            expr(s"INTERVAL $lookbackUs MICROSECOND") &&
+          col(rightTs) <= col(leftTs))
+      .drop("__graft_rk")
+  }
+
   /** Sliding (hopping) variant of [[windowedEventAgg]]: each event
     * lands in `windowDuration / slideDuration` overlapping windows
     * (the same constant-fan-out Expand as the batch `q_hop_window`).

@@ -288,7 +288,18 @@ class ShuffleBudgetSpec extends SparkSuite {
       "exchange inside each broadcast side; top-10 is TakeOrdered, " +
       "no sort shuffle"),
     ("q_embed_pca_gate", 0, "returned plan is the literal gate row; " +
-      "covariance sums collect d^2 aggregated rows during build"))
+      "covariance sums collect d^2 aggregated rows during build"),
+    // remaining stream replays: the streaming state work happens inside
+    // the replay (pinned by the replay's own self-checks); the budget
+    // pins the POST-SINK recovery plan over the memory table
+    ("stream_topn_replay", 2, "memory-sink read + distinct over " +
+      "emissions + per-type rank window (update-mode recovery)"),
+    ("stream_latest_by_key_replay", 1, "memory-sink read + one " +
+      "user-key agg picking the last upsert emission"),
+    ("stream_dedup_replay", 0, "memory-sink read back flat: dedup " +
+      "state work happened in the stream (one event-id shuffle there)"),
+    ("stream_interval_join_replay", 0, "memory-sink read back flat: " +
+      "the stream-stream join shuffled per side inside the replay"))
 
   budgets.foreach { case (name, maxShuffles, why) =>
     test(s"$name stays within its shuffle budget ($maxShuffles): $why") {

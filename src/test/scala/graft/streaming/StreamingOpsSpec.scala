@@ -733,4 +733,54 @@ class StreamingOpsSpec extends SparkSuite {
     assert(admitted(0L) == Set(10L), s"batch 0: ${admitted.toMap}")
     assert(admitted(1L) == Set(12L), s"batch 1: ${admitted.toMap}")
   }
+
+  test("streamingIntervalJoin: lookback window, key isolation, " +
+      "cross-batch matching") {
+    implicit val ctx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val lms = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rms = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = StreamingOps.streamingIntervalJoin(
+      lms.toDF().toDF("k", "p_ts", "pid"),
+      rms.toDF().toDF("k", "c_ts", "cid"),
+      keyCol = "k", leftTs = "p_ts", rightTs = "c_ts",
+      lookbackUs = 10L * 60 * 1000000, // 10 minutes
+      watermarkDelay = "1 hour")
+    val q = joined.select("pid", "cid").writeStream
+      .outputMode("append").format("memory")
+      .queryName("ssj_spec").start()
+    try {
+      // batch 1: clicks only — nothing can match yet
+      rms.addData((1L, ts(0), 100L), (1L, ts(55), 101L), (2L, ts(58), 200L))
+      q.processAllAvailable()
+      assert(spark.table("ssj_spec").count() == 0)
+      // batch 2: purchases arrive LATER than their clicks (cross-batch):
+      // k=1 @60 matches click 101 (5 min back) but not 100 (60 min) and
+      // not k=2's 200 (key isolation); k=3 @60 matches nothing
+      lms.addData((1L, ts(60), 1000L), (3L, ts(60), 3000L))
+      q.processAllAvailable()
+      val got = spark.table("ssj_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1000L, 101L)), got)
+      // batch 3: a right row arriving after its purchase still matches
+      // (inner-join emission is arrival-order independent)
+      rms.addData((3L, ts(52), 300L))
+      q.processAllAvailable()
+      val got2 = spark.table("ssj_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2 == Set((1000L, 101L), (3000L, 300L)), got2)
+    } finally q.stop()
+  }
+
+  test("streamingIntervalJoin refuses overlapping non-key column names") {
+    implicit val ctx = spark.sqlContext
+    val lms = MemoryStream[(Long, java.sql.Timestamp)]
+    val rms = MemoryStream[(Long, java.sql.Timestamp)]
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.streamingIntervalJoin(
+        lms.toDF().toDF("k", "ts"), rms.toDF().toDF("k", "ts"),
+        "k", "ts", "ts", 1000000L, "1 hour")
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
 }

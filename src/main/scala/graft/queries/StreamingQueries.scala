@@ -127,6 +127,59 @@ object StreamingQueries {
         .option("maxFilesPerTrigger", "1").parquet(splitDir))
   }
 
+  /** [[eventsMultiBatchStream]] plus a LAST sentinel file carrying one
+    * far-future purchase and one far-future click on reserved negative
+    * user ids (`advanceUs` past the fixture's max ts). The file source
+    * replays oldest-modified first, so the sentinels arrive in the
+    * final micro-batch and push both sides' watermarks past every real
+    * event — which is what lets a bounded left-outer stream-stream
+    * join flush ALL its unmatched-left state before the sink is read
+    * (see streamingIntervalJoin's scaladoc). The recovery filters the
+    * sentinels out by `user_id < 0`.
+    */
+  private val sentinelSplitCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), String]
+  private def eventsMultiBatchStreamWithSentinels(
+      s: SparkSession, dir: String, parts: Int,
+      advanceUs: Long): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val splitDir = sentinelSplitCache.getOrElseUpdate((dir, parts, advanceUs), {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_stream_split_sent").toString
+      val base = s.read.parquet(s"$dir/events.parquet")
+      for (p <- 0 until parts)
+        base.where(pmod(col("event_id"), lit(parts.toLong)) === p)
+          .coalesce(1).write.mode("append").parquet(out)
+      val maxMicros = tsToTimestamp(base)
+        .agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val sentTs = base.schema("ts").dataType match {
+        case LongType => lit((maxMicros + advanceUs) * 1000L) // raw nanos
+        case TimestampType => timestamp_micros(lit(maxMicros + advanceUs))
+        case TimestampNTZType =>
+          timestamp_micros(lit(maxMicros + advanceUs)).cast(TimestampNTZType)
+        case other => throw new IllegalArgumentException(
+          s"events.ts: unsupported fixture type $other")
+      }
+      base.where(col("event_type").isin("purchase", "click"))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type")).orderBy(col("event_id"))))
+        .where(col("__rn") === 1).drop("__rn")
+        // distinct negative keys so the two sentinels cannot join
+        .withColumn("user_id",
+          when(col("event_type") === "purchase", lit(-1L)).otherwise(lit(-2L)))
+        .withColumn("event_id",
+          when(col("event_type") === "purchase", lit(-1L)).otherwise(lit(-2L)))
+        .withColumn("ts", sentTs)
+        .coalesce(1).write.mode("append").parquet(out)
+      out
+    })
+    val schema = s.read.parquet(splitDir).schema
+    tsToTimestamp(
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(splitDir))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("stream_sessionize_replay",
@@ -336,6 +389,46 @@ object StreamingQueries {
           p.user_id AS user_id
         FROM events p JOIN events c ON p.user_id = c.user_id
           AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND epoch_us(c.ts) >= epoch_us(p.ts) - 21600000000
+          AND epoch_us(c.ts) <= epoch_us(p.ts)""")),
+
+    QueryDef("stream_interval_join_outer_replay",
+      // LEFT-OUTER stream-stream interval join: every purchase, with
+      // its preceding-6h clicks or NULL if none. The streaming engine
+      // may emit an unmatched-left row ONLY once the watermark proves
+      // no matching click can still arrive, so recovering the complete
+      // left-outer relation from a bounded replay requires pushing the
+      // final watermark past the last real purchase: the split dir
+      // ends with a sentinel file (far-future purchase+click on
+      // reserved negative user ids, 180 days past the fixture; the
+      // 90-day watermark delay keeps every real event live during the
+      // replay and the sentinels land 90 days PAST the real max).
+      // The oracle is the plain batch LEFT JOIN — equality certifies
+      // both the eager matched emission and the watermark-gated
+      // unmatched flush.
+      (s, dir) => {
+        val adv = 180L * 24 * 3600 * 1000000
+        val p = eventsMultiBatchStreamWithSentinels(s, dir, parts = 4, adv)
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"))
+        val c = eventsMultiBatchStreamWithSentinels(s, dir, parts = 4, adv)
+          .where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"),
+            col("event_id").as("click_id"))
+        val joined = StreamingOps.streamingIntervalJoin(
+          p, c, keyCol = "user_id", leftTs = "p_ts", rightTs = "c_ts",
+          lookbackUs = 6L * 3600 * 1000000, watermarkDelay = "90 days",
+          joinType = "left_outer")
+        replayToTable(joined, "graft_ssloj_replay", expectMinBatches = 4)
+          .where(col("user_id") >= 0)
+          .select(col("purchase_id"), col("click_id"), col("user_id"))
+      },
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+          p.user_id AS user_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
           AND epoch_us(c.ts) >= epoch_us(p.ts) - 21600000000
           AND epoch_us(c.ts) <= epoch_us(p.ts)"""))
   )

@@ -76,16 +76,29 @@ object StreamingOps {
     *
     * Requirements: `keyCol` has the same name on both sides; every
     * OTHER column name must be disjoint (loudly checked) so the
-    * output can carry both payloads unambiguously. Inner join only —
-    * matches emit as soon as both rows have arrived, so a bounded
-    * replay's output is independent of batch interleaving (the
-    * property the multi-batch oracle replay certifies).
+    * output can carry both payloads unambiguously.
+    *
+    * `joinType`: "inner" (default) emits a match as soon as both rows
+    * have arrived, so a bounded replay's output is independent of
+    * batch interleaving (the property the multi-batch oracle replay
+    * certifies). "left_outer" additionally emits each UNMATCHED left
+    * row with null right columns — but only once the watermark passes
+    * its `leftTs` (before that, a matching right row could still
+    * arrive); un-flushed left rows at end-of-stream stay in state, so
+    * a bounded replay must push the final watermark past the last
+    * real left event (far-future sentinel rows) to recover the full
+    * left-outer relation. This deferral is not a harness artifact:
+    * it is exactly the incremental-correctness contract any
+    * streaming outer join must satisfy.
     */
   def streamingIntervalJoin(left: DataFrame, right: DataFrame,
                             keyCol: String, leftTs: String, rightTs: String,
                             lookbackUs: Long,
-                            watermarkDelay: String): DataFrame = {
+                            watermarkDelay: String,
+                            joinType: String = "inner"): DataFrame = {
     require(lookbackUs >= 0, s"lookbackUs must be >= 0, got $lookbackUs")
+    require(Set("inner", "left_outer")(joinType),
+      s"streamingIntervalJoin supports inner | left_outer, got $joinType")
     val overlap = (left.columns.toSet - keyCol)
       .intersect(right.columns.toSet - keyCol)
     require(overlap.isEmpty,
@@ -98,7 +111,8 @@ object StreamingOps {
         col(keyCol) === col("__graft_rk") &&
           col(rightTs) >= col(leftTs) -
             expr(s"INTERVAL $lookbackUs MICROSECOND") &&
-          col(rightTs) <= col(leftTs))
+          col(rightTs) <= col(leftTs),
+        joinType)
       .drop("__graft_rk")
   }
 

@@ -299,7 +299,10 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("stream_dedup_replay", 0, "memory-sink read back flat: dedup " +
       "state work happened in the stream (one event-id shuffle there)"),
     ("stream_interval_join_replay", 0, "memory-sink read back flat: " +
-      "the stream-stream join shuffled per side inside the replay"))
+      "the stream-stream join shuffled per side inside the replay"),
+    ("stream_interval_join_outer_replay", 0, "memory-sink read back " +
+      "flat: sentinel filter is a pushed predicate, join state " +
+      "work happened in the stream"))
 
   budgets.foreach { case (name, maxShuffles, why) =>
     test(s"$name stays within its shuffle budget ($maxShuffles): $why") {

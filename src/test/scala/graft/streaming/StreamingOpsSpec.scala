@@ -772,6 +772,43 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamingIntervalJoin left_outer: matches emit eagerly, " +
+      "unmatched lefts flush only when the watermark passes them") {
+    implicit val ctx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val lms = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rms = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = StreamingOps.streamingIntervalJoin(
+      lms.toDF().toDF("k", "p_ts", "pid"),
+      rms.toDF().toDF("k", "c_ts", "cid"),
+      keyCol = "k", leftTs = "p_ts", rightTs = "c_ts",
+      lookbackUs = 10L * 60 * 1000000,
+      watermarkDelay = "5 minutes", joinType = "left_outer")
+    val q = joined.select("pid", "cid").writeStream
+      .outputMode("append").format("memory")
+      .queryName("ssloj_spec").start()
+    def rows() = spark.table("ssloj_spec").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    try {
+      // k=1 purchase has a click 5 min back (matches); k=2 has none
+      rms.addData((1L, ts(55), 101L))
+      lms.addData((1L, ts(60), 1000L), (2L, ts(60), 2000L))
+      q.processAllAvailable()
+      // the match emits eagerly; the unmatched k=2 purchase must NOT
+      // emit yet — watermark (60-5=55) has not passed p_ts=60
+      assert(rows() == Set((1000L, 101L)), rows())
+      // far-future rows push both watermarks past 60: the engine can
+      // now prove no click for k=2 can arrive, so the outer row flushes
+      // (distinct keys so the sentinels cannot match each other; the
+      // left sentinel itself flushes as an outer row once seen past)
+      lms.addData((8L, ts(1000), 9000L))
+      rms.addData((9L, ts(1000), 9001L))
+      q.processAllAvailable()
+      assert(rows() == Set((1000L, 101L), (2000L, -1L)), rows())
+    } finally q.stop()
+  }
+
   test("streamingIntervalJoin refuses overlapping non-key column names") {
     implicit val ctx = spark.sqlContext
     val lms = MemoryStream[(Long, java.sql.Timestamp)]

@@ -303,6 +303,52 @@ object StreamingQueries {
               ORDER BY value DESC, event_id DESC) AS rn
           FROM events) WHERE rn <= 5""")),
 
+    QueryDef("stream_topn_tws_replay",
+      // stream_topn_replay's rule on the transformWithState API
+      // (Spark 4.x state v2, RocksDB-backed ValueState heaps): the
+      // SAME 4-batch replay, the SAME batch oracle — green means the
+      // two stateful APIs (flatMapGroupsWithState in
+      // stream_topn_replay, state-v2 here) are interchangeable
+      // implementations of one pinned top-K rule, certified by the
+      // independent referee rather than a builder-side diff. The
+      // RocksDB provider conf is scoped to the replay and restored
+      // (state-v2 requires it; the other replays run the default
+      // HDFS-backed store).
+      (s, dir) => {
+        import s.implicits._
+        val typed = eventsMultiBatchStream(s, dir, parts = 4)
+          .select(col("event_type"), col("value"), col("event_id"))
+          .as[(String, Double, Long)]
+          .map { case (et, v, id) => (et, (v, id)) }
+        val confKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(confKey)
+        val sunk = try {
+          s.conf.set(confKey, "org.apache.spark.sql.execution." +
+            "streaming.state.RocksDBStateStoreProvider")
+          replayToTable(
+            StreamingOps.statefulTopKTws(typed, k = 5).toDF(),
+            "graft_topn_tws_replay", mode = "update", expectMinBatches = 4)
+        } finally prev match {
+          case Some(v) => s.conf.set(confKey, v)
+          case None => s.conf.unset(confKey)
+        }
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id").desc)
+        sunk.select(
+            col("_1").as("event_type"),
+            col("_2._1").as("value"),
+            col("_2._2").as("event_id"))
+          .distinct()
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= 5)
+          .drop("__rn")
+      },
+      Some("""SELECT event_type, value, event_id FROM (
+          SELECT event_type, value, event_id,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY value DESC, event_id DESC) AS rn
+          FROM events) WHERE rn <= 5""")),
+
     QueryDef("stream_latest_by_key_replay",
       // streamingLatestByKey over the replayed events stream: the
       // streaming CDC/upsert view (one latest row per user under

@@ -409,6 +409,48 @@ object StreamingOps {
           merged.iterator.map(v => (key, v))
       }
 
+  /** [[statefulTopK]] re-expressed on `transformWithState` — Spark's
+    * current arbitrary-state API (4.x "state v2"): the per-key bounded
+    * heap lives in a named `ValueState` on the RocksDB state store
+    * (required by the API; set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `RocksDBStateStoreProvider` before starting the query). Same
+    * contract as statefulTopK — O(K) state per key, update-mode
+    * emission of the key's refreshed top-K on every batch that touches
+    * it — so the two APIs are interchangeable and the replay oracle
+    * certifies them against the same batch rule. The v2 API is what a
+    * production deployment should prefer: per-state TTL, typed
+    * composite state (value/list/map), timers, and state schema
+    * evolution come with it.
+    */
+  def statefulTopKTws(ds: Dataset[(String, (Double, Long))],
+                      k: Int): Dataset[(String, (Double, Long))] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(
+        new TopKTwsProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
+
+  private class TopKTwsProcessor(k: Int) extends StatefulProcessor[
+      String, (String, (Double, Long)), (String, (Double, Long))] {
+    import implicits._
+    @transient private var heap: ValueState[List[(Double, Long)]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      heap = getHandle
+        .getValueState[List[(Double, Long)]]("topk", TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[(String, (Double, Long))],
+        timerValues: TimerValues): Iterator[(String, (Double, Long))] = {
+      val cur = if (heap.exists()) heap.get() else Nil
+      val merged = (cur ++ rows.map(_._2))
+        .sorted(Ordering[(Double, Long)].reverse).take(k)
+      heap.update(merged)
+      merged.iterator.map(v => (key, v))
+    }
+  }
+
   /** Streaming CDC/upsert materialization — the streaming analog of
     * the batch `q_latest_by_key` compaction: GroupState holds the
     * single LATEST value per key under `ord` (order by event time with

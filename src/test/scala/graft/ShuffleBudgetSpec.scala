@@ -302,7 +302,9 @@ class ShuffleBudgetSpec extends SparkSuite {
       "the stream-stream join shuffled per side inside the replay"),
     ("stream_interval_join_outer_replay", 0, "memory-sink read back " +
       "flat: sentinel filter is a pushed predicate, join state " +
-      "work happened in the stream"))
+      "work happened in the stream"),
+    ("stream_topn_tws_replay", 2, "same recovery plan as " +
+      "stream_topn_replay: distinct over emissions + rank window"))
 
   budgets.foreach { case (name, maxShuffles, why) =>
     test(s"$name stays within its shuffle budget ($maxShuffles): $why") {

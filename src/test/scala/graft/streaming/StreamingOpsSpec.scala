@@ -772,6 +772,42 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("statefulTopKTws: cross-batch heap merge on the state-v2 API " +
+      "(transformWithState, RocksDB store)") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(String, (Double, Long))]
+      val q = StreamingOps.statefulTopKTws(ms.toDS(), k = 2).toDF()
+        .select(col("_1").as("t"), col("_2._1").as("v"), col("_2._2").as("id"))
+        .writeStream.outputMode("update").format("memory")
+        .queryName("tws_topk_spec").start()
+      try {
+        ms.addData(("a", (1.0, 10L)), ("a", (5.0, 11L)), ("b", (2.0, 20L)))
+        q.processAllAvailable()
+        // batch 2 must merge against batch 1's persisted heap: 3.0
+        // displaces 1.0 for key a; 9.0 joins b's heap
+        ms.addData(("a", (3.0, 12L)), ("b", (9.0, 21L)))
+        q.processAllAvailable()
+        val fin = spark.table("tws_topk_spec")
+          .select("t", "v", "id").distinct().collect()
+          .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+          .groupBy(_._1).map { case (t, rows) =>
+            t -> rows.map(r => (r._2, r._3)).sorted(
+              Ordering[(Double, Long)].reverse).take(2).toSet
+          }
+        assert(fin("a") == Set((5.0, 11L), (3.0, 12L)), fin)
+        assert(fin("b") == Set((9.0, 21L), (2.0, 20L)), fin)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streamingIntervalJoin left_outer: matches emit eagerly, " +
       "unmatched lefts flush only when the watermark passes them") {
     implicit val ctx = spark.sqlContext

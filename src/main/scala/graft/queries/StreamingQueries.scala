@@ -2,6 +2,7 @@ package graft.queries
 
 import java.util.concurrent.atomic.AtomicLong
 
+import graft.Tables
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -437,6 +438,71 @@ object StreamingQueries {
           AND p.event_type = 'purchase' AND c.event_type = 'click'
           AND epoch_us(c.ts) >= epoch_us(p.ts) - 21600000000
           AND epoch_us(c.ts) <= epoch_us(p.ts)""")),
+
+    QueryDef("stream_static_enrich_replay",
+      // STREAM-STATIC enrichment join: each streamed event broadcast-
+      // joined to the static customer dimension (user_id = c_custkey,
+      // every event matches at fixture cardinalities). Stateless —
+      // the static side needs no watermark and holds no state; at
+      // scale the dimension broadcasts once per micro-batch plan and
+      // the stream is never shuffled. The 4-batch replay certifies
+      // that per-batch enrichment over the whole replay equals the
+      // batch join (trivial for a stateless op — which is the claim:
+      // enrichment commutes with micro-batching).
+      (s, dir) => {
+        val dim = Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val enriched = eventsMultiBatchStream(s, dir, parts = 4)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"),
+            col("event_type"), col("c_mktsegment"))
+        replayToTable(enriched, "graft_enrich_replay",
+          expectMinBatches = 4)
+      },
+      Some("""SELECT e.event_id, e.user_id, e.event_type,
+          c.c_mktsegment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey""")),
+
+    QueryDef("stream_join_agg_replay",
+      // CHAINED stateful operators in ONE streaming query: the
+      // stream-stream interval join feeding a tumbling 1-day
+      // event-time aggregation (daily purchase-with-preceding-click
+      // pair counts). This pins Spark's cross-operator watermark
+      // propagation: the day windows may close only once the
+      // watermark — delayed by the join's own state-retention
+      // accounting — passes their end, so append-mode emission from
+      // the SECOND stateful operator requires the sentinel-driven
+      // final watermark push (the sentinels never join, so they
+      // advance time without contributing pairs). Oracle is the
+      // batch join + date_trunc grouping.
+      (s, dir) => {
+        val adv = 180L * 24 * 3600 * 1000000
+        val p = eventsMultiBatchStreamWithSentinels(s, dir, parts = 4, adv)
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"),
+            col("event_id").as("purchase_id"))
+        val c = eventsMultiBatchStreamWithSentinels(s, dir, parts = 4, adv)
+          .where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"),
+            col("event_id").as("click_id"))
+        val joined = StreamingOps.streamingIntervalJoin(
+          p, c, keyCol = "user_id", leftTs = "p_ts", rightTs = "c_ts",
+          lookbackUs = 6L * 3600 * 1000000, watermarkDelay = "90 days")
+        val daily = joined
+          .groupBy(window(col("p_ts"), "1 day"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .select(unix_micros(col("window.start")).as("day_start_us"),
+            col("n_pairs"))
+        replayToTable(daily, "graft_ssjagg_replay", expectMinBatches = 4)
+      },
+      Some("""SELECT epoch_us(date_trunc('day', p.ts)) AS day_start_us,
+          count(*) AS n_pairs
+        FROM events p JOIN events c ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND epoch_us(c.ts) >= epoch_us(p.ts) - 21600000000
+          AND epoch_us(c.ts) <= epoch_us(p.ts)
+        GROUP BY 1""")),
 
     QueryDef("stream_interval_join_outer_replay",
       // LEFT-OUTER stream-stream interval join: every purchase, with

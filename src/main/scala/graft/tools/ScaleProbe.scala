@@ -590,6 +590,51 @@ object ScaleProbe {
       } finally query.stop()
     }
 
+    /** Feeds a time-ordered two-sided stream (200 keys; rights at
+      * 1/s/key, lefts at 0.2/s/key) through streamingIntervalJoin
+      * (5 s lookback, 10 s watermark delay) in `nBatches` batches of a
+      * FIXED 15 s time width each — growing the factor extends the
+      * stream's TIME SPAN at constant rate, which is the claim under
+      * test: join state must track the retention horizon
+      * (lookback + delay), never the stream length. Returns
+      * (state rows after the final batch, events fed).
+      */
+    def ssJoinState(tag: String, nBatches: Int): (Long, Long) = {
+      val lms = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val rms = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val qn = s"ssjprobe_$tag"
+      val query = graft.streaming.StreamingOps.streamingIntervalJoin(
+        lms.toDF().toDF("k", "p_ts", "pid"),
+        rms.toDF().toDF("k", "c_ts", "cid"),
+        keyCol = "k", leftTs = "p_ts", rightTs = "c_ts",
+        lookbackUs = 5L * 1000000, watermarkDelay = "10 seconds")
+        .select(col("pid"), col("cid"))
+        .writeStream.outputMode("append").format("memory").queryName(qn)
+        .start()
+      def stateRows: Long = Option(query.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+      var fed = 0L
+      try {
+        val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        val nKeys = 200
+        def ts(offS: Long) = new java.sql.Timestamp(t0 + offS * 1000L)
+        for (b <- 0 until nBatches) {
+          val start = b * 15L
+          val rights = for (s <- 0 until 15; key <- 0 until nKeys)
+            yield (key.toLong, ts(start + s),
+              b * 1000000L + s * 1000L + key)
+          val lefts = for (s <- 0 until 15 by 5; key <- 0 until nKeys)
+            yield (key.toLong, ts(start + s),
+              500000000L + b * 1000000L + s * 1000L + key)
+          rms.addData(rights)
+          lms.addData(lefts)
+          fed += rights.size + lefts.size
+          query.processAllAvailable()
+        }
+        (stateRows, fed)
+      } finally query.stop()
+    }
+
     val allDocs = docs0.select(col("doc_id"), col("text"))
       .orderBy("doc_id").limit(4000)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
@@ -621,6 +666,11 @@ object ScaleProbe {
         factors.map(f => {
           val (peak, after) = funnelState(s"fngrow$f", 1000 * f, 20000 * f)
           f"$peak%d rows, after eviction $after%d"
+        }),
+      "interval join, FIXED 200 keys + rate, span grows (15s·8·f)" ->
+        factors.map(f => {
+          val (state, fed) = ssJoinState(s"ssj$f", 8 * f)
+          f"$state%d state rows / $fed%d fed"
         }),
       "incremental dedup, planted duplicate replay (500·f docs, 500 distinct)" ->
         factors.map(f => {
@@ -654,7 +704,13 @@ object ScaleProbe {
     sb.append("streamingFunnel state (24 bytes/key) evicts on the same ")
     sb.append("argument once the watermark passes firstStage + the ")
     sb.append("attribution horizon — no event can legally advance an ")
-    sb.append("expired funnel. The ")
+    sb.append("expired funnel. The interval-join probe feeds a ")
+    sb.append("FIXED-rate two-sided stream whose time span grows with the ")
+    sb.append("factor: the engine derives per-side retention from the ")
+    sb.append("BETWEEN constraint (rows older than watermark - lookback ")
+    sb.append("can never match), so state must plateau at ")
+    sb.append("~rate x (lookback + delay + trailing-batch width) while fed ")
+    sb.append("events grow 8x. The ")
     sb.append("incremental-dedup index is intentionally unbounded-by-time ")
     sb.append("but bounded PER DOC: under planted duplicate replay the ")
     sb.append("index stays flat (~500 rows) while fed events grow 8x; on a ")

@@ -304,7 +304,12 @@ class ShuffleBudgetSpec extends SparkSuite {
       "flat: sentinel filter is a pushed predicate, join state " +
       "work happened in the stream"),
     ("stream_topn_tws_replay", 2, "same recovery plan as " +
-      "stream_topn_replay: distinct over emissions + rank window"))
+      "stream_topn_replay: distinct over emissions + rank window"),
+    ("stream_static_enrich_replay", 0, "memory-sink read back flat: " +
+      "the dimension broadcast per micro-batch, the stream never " +
+      "shuffled"),
+    ("stream_join_agg_replay", 0, "memory-sink read back flat: join " +
+      "and day-window agg state work happened in the stream"))
 
   budgets.foreach { case (name, maxShuffles, why) =>
     test(s"$name stays within its shuffle budget ($maxShuffles): $why") {

@@ -439,6 +439,48 @@ object StreamingQueries {
           AND epoch_us(c.ts) >= epoch_us(p.ts) - 21600000000
           AND epoch_us(c.ts) <= epoch_us(p.ts)""")),
 
+    QueryDef("stream_session_window_replay",
+      // NATIVE session_window aggregation ON A STREAM — Spark's
+      // merging-session state path (q_session_window's exact rule,
+      // same 30-min gap, same oracle SQL shape). The 4-batch split is
+      // by event_id hash, so one user-session's events are scattered
+      // ACROSS batches and the state store must MERGE partial
+      // sessions incrementally — the capability this replay pins.
+      // Append-mode emission happens only once the watermark passes a
+      // session's end+gap, so the sentinel file closes every real
+      // session before the sink is read (sentinel sessions filtered
+      // by the reserved negative user ids).
+      (s, dir) => {
+        val adv = 180L * 24 * 3600 * 1000000
+        val sess = eventsMultiBatchStreamWithSentinels(s, dir,
+            parts = 4, adv)
+          .withWatermark("ts", "90 days")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("value")).as("mn"), max(col("value")).as("mx"))
+          .select(col("user_id"),
+            unix_micros(col("sw.start")).as("session_start"),
+            unix_micros(col("sw.end")).as("session_end"),
+            col("n_events"), col("mn"), col("mx"))
+        replayToTable(sess, "graft_sesswin_replay", expectMinBatches = 4)
+          .where(col("user_id") >= 0)
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events),
+          m AS (SELECT user_id, tsu, value,
+              CASE WHEN lag(tsu) OVER w IS NULL
+                   OR tsu - lag(tsu) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS brk
+            FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+          g AS (SELECT user_id, tsu, value,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY tsu
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM m)
+        SELECT user_id, CAST(min(tsu) AS BIGINT) AS session_start,
+          CAST(max(tsu) + 1800000000 AS BIGINT) AS session_end,
+          count(*) AS n_events, min(value) AS mn, max(value) AS mx
+        FROM g GROUP BY user_id, sid""")),
+
     QueryDef("stream_static_enrich_replay",
       // STREAM-STATIC enrichment join: each streamed event broadcast-
       // joined to the static customer dimension (user_id = c_custkey,

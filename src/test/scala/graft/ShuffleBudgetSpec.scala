@@ -309,7 +309,9 @@ class ShuffleBudgetSpec extends SparkSuite {
       "the dimension broadcast per micro-batch, the stream never " +
       "shuffled"),
     ("stream_join_agg_replay", 0, "memory-sink read back flat: join " +
-      "and day-window agg state work happened in the stream"))
+      "and day-window agg state work happened in the stream"),
+    ("stream_session_window_replay", 0, "memory-sink read back flat: " +
+      "session merging happened in the stream's state store"))
 
   budgets.foreach { case (name, maxShuffles, why) =>
     test(s"$name stays within its shuffle budget ($maxShuffles): $why") {

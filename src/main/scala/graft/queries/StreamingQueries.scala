@@ -77,12 +77,29 @@ object StreamingQueries {
     * the split files back into one trigger, the query fails loudly
     * instead of silently proving only within-batch semantics.
     */
+  /** `shufflePartitions`: stateful streaming queries materialize one
+    * state-store instance per shuffle partition per stateful operator
+    * per micro-batch — at the fixture's event volume the batch
+    * default of 32 is ~4x more store instances than the data needs,
+    * and store open/commit overhead dominates the replay. Sizing
+    * state partitions to load is the production norm (the setting is
+    * per-query and checkpoint-pinned in a real deployment); the
+    * result is partition-count-independent, which the oracle
+    * certifies. Scoped to the query start and restored.
+    */
   private def replayToTable(streamed: DataFrame, prefix: String,
                             mode: String = "append",
-                            expectMinBatches: Int = 1): DataFrame = {
+                            expectMinBatches: Int = 1,
+                            shufflePartitions: Option[Int] = None): DataFrame = {
     val name = s"${prefix}_${seq.incrementAndGet()}"
-    val q = streamed.writeStream.outputMode(mode)
-      .format("memory").queryName(name).start()
+    val s = streamed.sparkSession
+    val confKey = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(confKey)
+    val q = try {
+      shufflePartitions.foreach(n => s.conf.set(confKey, n.toString))
+      streamed.writeStream.outputMode(mode)
+        .format("memory").queryName(name).start()
+    } finally s.conf.set(confKey, prev)
     try {
       q.processAllAvailable()
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
@@ -429,7 +446,8 @@ object StreamingQueries {
         val joined = StreamingOps.streamingIntervalJoin(
           p, c, keyCol = "user_id", leftTs = "p_ts", rightTs = "c_ts",
           lookbackUs = 6L * 3600 * 1000000, watermarkDelay = "3650 days")
-        replayToTable(joined, "graft_ssjoin_replay", expectMinBatches = 4)
+        replayToTable(joined, "graft_ssjoin_replay", expectMinBatches = 4,
+          shufflePartitions = Some(8))
           .select(col("purchase_id"), col("click_id"), col("user_id"))
       },
       Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
@@ -463,7 +481,8 @@ object StreamingQueries {
             unix_micros(col("sw.start")).as("session_start"),
             unix_micros(col("sw.end")).as("session_end"),
             col("n_events"), col("mn"), col("mx"))
-        replayToTable(sess, "graft_sesswin_replay", expectMinBatches = 4)
+        replayToTable(sess, "graft_sesswin_replay", expectMinBatches = 4,
+          shufflePartitions = Some(8))
           .where(col("user_id") >= 0)
       },
       Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events),
@@ -536,7 +555,8 @@ object StreamingQueries {
           .agg(count(lit(1)).as("n_pairs"))
           .select(unix_micros(col("window.start")).as("day_start_us"),
             col("n_pairs"))
-        replayToTable(daily, "graft_ssjagg_replay", expectMinBatches = 4)
+        replayToTable(daily, "graft_ssjagg_replay", expectMinBatches = 4,
+          shufflePartitions = Some(8))
       },
       Some("""SELECT epoch_us(date_trunc('day', p.ts)) AS day_start_us,
           count(*) AS n_pairs
@@ -574,7 +594,8 @@ object StreamingQueries {
           p, c, keyCol = "user_id", leftTs = "p_ts", rightTs = "c_ts",
           lookbackUs = 6L * 3600 * 1000000, watermarkDelay = "90 days",
           joinType = "left_outer")
-        replayToTable(joined, "graft_ssloj_replay", expectMinBatches = 4)
+        replayToTable(joined, "graft_ssloj_replay", expectMinBatches = 4,
+          shufflePartitions = Some(8))
           .where(col("user_id") >= 0)
           .select(col("purchase_id"), col("click_id"), col("user_id"))
       },

@@ -64,6 +64,68 @@ object IncrementalDedup {
   def appended(index: DataFrame, survivorIndex: DataFrame): DataFrame =
     index.unionByName(survivorIndex)
 
+  /** Merge two fingerprint indexes built from different corpus
+    * splits: `primary` survives whole; `secondary` rows that are
+    * exact (same content hash) or near (band collision + >= minAgree
+    * signature components) duplicates of a PRIMARY row are dropped.
+    * The compaction shape of a sharded ingest — two crawls indexed
+    * independently, merged without ever touching document text: the
+    * decision runs entirely on the ~0.5 KB/doc fingerprints, so
+    * compacting two billion-doc indexes moves gigabytes, not the
+    * corpus. (Secondary-vs-secondary duplicates are NOT resolved
+    * here — each input is assumed internally deduplicated by its own
+    * admission path; this mirrors [[filterNew]]'s batch contract.)
+    *
+    * Same candidate discipline as [[filterNew]]: exact check is a
+    * hash-only semi-join, near-dup candidates come from the band
+    * equi-join with the loud `maxBucket` cap on the primary side.
+    */
+  def compact(primary: DataFrame, secondary: DataFrame, idCol: String,
+              minAgree: Int, p: MinHashLSH.Params = MinHashLSH.Params(),
+              maxBucket: Option[Long] = None): DataFrame = {
+    require(minAgree >= 1 && minAgree <= p.numHashes,
+      s"minAgree must be in 1..${p.numHashes}, got $minAgree")
+    // read by the exact join, the band join, and the agreement join
+    val sec = secondary.localCheckpoint(eager = false)
+    val exactDup = sec
+      .join(primary.select(col("xh")).distinct(), Seq("xh"), "left_semi")
+      .select(col(idCol))
+    val pBands = {
+      val banded = MinHashLSH.bandKeys(
+        primary.where(col("sig").isNotNull).select(col(idCol), col("sig")),
+        idCol, p)
+      maxBucket match {
+        case None => banded
+        case Some(cap) =>
+          val oversized = banded.groupBy("band", "key")
+            .agg(count(lit(1)).as("__n")).where(col("__n") > cap)
+            .select("band", "key")
+            .localCheckpoint(eager = false)
+          val nOver = oversized.count() // eager by design: truncation must be LOUD
+          if (nOver > 0) System.err.println(
+            s"[graft] IncrementalDedup.compact: dropping $nOver primary bucket(s) " +
+              s"larger than $cap ids — near-dups hiding in them are KEPT (recall loss)")
+          banded.join(oversized, Seq("band", "key"), "left_anti")
+      }
+    }
+    val sBands = MinHashLSH.bandKeys(
+      sec.where(col("sig").isNotNull).select(col(idCol), col("sig")), idCol, p)
+    val cands = sBands.as("l").join(pBands.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .select(col(s"l.$idCol").as("sid"), col(s"r.$idCol").as("pid"))
+      .distinct()
+    val agreeMatches = size(filter(
+      zip_with(col("ss"), col("sp"), (x, y) => x === y), b => b))
+    val nearDup = cands
+      .join(sec.select(col(idCol).as("sid"), col("sig").as("ss")), Seq("sid"))
+      .join(primary.select(col(idCol).as("pid"), col("sig").as("sp")), Seq("pid"))
+      .where(agreeMatches >= minAgree)
+      .select(col("sid").as(idCol))
+    val survivors = sec.join(
+      exactDup.unionByName(nearDup).distinct(), Seq(idCol), "left_anti")
+    primary.unionByName(survivors)
+  }
+
   /** Batch rows that are neither exact nor near duplicates of the
     * indexed corpus (within-batch duplicates are NOT resolved here —
     * that is [[ExactDedup]] / [[MinHashLSH]]'s one-shot job).

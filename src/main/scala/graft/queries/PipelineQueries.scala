@@ -685,6 +685,39 @@ object PipelineQueries {
       AND doc_id NOT IN (SELECT bid FROM exa)"""
   }
 
+  /** Oracle for dedup_index_compact: replays the two-index merge —
+    * the same signature/banding/agreement machinery as
+    * [[incrementalDedupOracle]], but the decision set is "which
+    * SECONDARY-split doc survives against the PRIMARY split", and
+    * every primary doc survives unconditionally.
+    */
+  private def indexCompactOracle(primaryPct: Int, minAgree: Int): String = {
+    val p = MinHashLSH.Params()
+    val agreeSum = (0 until p.numHashes)
+      .map(i => s"CASE WHEN l.m$i = r.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    def isPri(ref: String) =
+      s"(((($ref) % 1000003) * 2654435761) % 100 < $primaryPct)"
+    s"""WITH ${minhashSigCtes(materializeSg = true)},
+      cand AS (SELECT DISTINCT l.doc_id AS sid, r.doc_id AS pid
+        FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+        WHERE NOT ${isPri("l.doc_id")} AND ${isPri("r.doc_id")}),
+      near AS (SELECT DISTINCT cand.sid FROM cand
+        JOIN sg l ON l.doc_id = cand.sid
+        JOIN sg r ON r.doc_id = cand.pid
+        WHERE $agreeSum >= $minAgree),
+      exa AS (SELECT DISTINCT b.doc_id AS sid FROM documents b
+        JOIN documents o ON o.text = b.text
+        WHERE NOT ${isPri("b.doc_id")} AND ${isPri("o.doc_id")})
+    SELECT doc_id,
+        CASE WHEN ${isPri("doc_id")} THEN 'primary' ELSE 'secondary' END
+          AS origin
+      FROM documents
+      WHERE ${isPri("doc_id")}
+        OR (doc_id NOT IN (SELECT sid FROM near)
+          AND doc_id NOT IN (SELECT sid FROM exa))"""
+  }
+
   /** MinHash edges (jaccard >= 0.8) closed into connected components
     * via a recursive CTE — `comp(node, cluster)`. Shared by the
     * dedup_clusters and dedup_keep_best oracles.
@@ -1647,6 +1680,60 @@ object PipelineQueries {
           FROM s JOIN d USING (w))
         WHERE rn <= 3""")),
 
+    QueryDef("text_zipf_octaves",
+      // corpus power-law diagnostics: the vocabulary bucketed by
+      // frequency-rank OCTAVE (terms ranked 1, 2-3, 4-7, 8-15, ...),
+      // with term count, total token mass, and the mass ratio to the
+      // next octave — for a Zipf law with exponent s the ratio is
+      // ~2^(1-s) per octave, so the column IS the exponent profile
+      // without a single per-row log (the PMI discipline: exact
+      // integer sums, one IEEE division at the end). The octave
+      // index itself is integer arithmetic — length(bin(rank)) - 1 —
+      // never a floating log2 that could round differently across
+      // engines. Rank is a DISTRIBUTED prefix count (PrefixSum range
+      // shards; ordering (-count, term) is the required non-null
+      // total order), not a single-task global window: the
+      // vocabulary-sized rank stage survives a 100x corpus, where
+      // Heaps' law grows the vocabulary sublinearly but far past one
+      // task's memory
+      (s, dir) => {
+        val counts = t(s, dir, "documents")
+          .select(explode(TF.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+          .select(col("tok"), col("c"),
+            (-col("c")).as("negc"), lit(1L).as("one"))
+        val ranked = PrefixSum.cumulative(counts, Seq("negc", "tok"), "one")
+        // checkpoint: per feeds BOTH join sides (itself + the shifted
+        // copy) — share-the-scan over a <= 64-row relation (octaves of
+        // a 2^64 rank space), NOT a correctness cut; without it each
+        // side replans the whole ranked pipeline
+        val per = ranked
+          .select(col("c"),
+            (length(bin(col("cum"))) - 1).cast("long").as("octave"))
+          .groupBy("octave")
+          .agg(count(lit(1)).as("n_terms"), sum("c").as("tot_freq"))
+          .localCheckpoint(eager = false)
+        val nxt = per.select((col("octave") - 1).as("octave"),
+          col("tot_freq").as("next_freq"))
+        per.join(nxt, Seq("octave"), "left")
+          .select(col("octave"), col("n_terms"), col("tot_freq"),
+            (col("tot_freq").cast("double") / col("next_freq"))
+              .as("decay_ratio"))
+      },
+      Some("""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+          cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+          rk AS (SELECT c, row_number()
+              OVER (ORDER BY c DESC, tok ASC) AS rank FROM cnt),
+          oct AS (SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS octave, c
+            FROM rk),
+          per AS (SELECT octave, CAST(count(*) AS BIGINT) AS n_terms,
+              CAST(sum(c) AS BIGINT) AS tot_freq
+            FROM oct GROUP BY octave)
+        SELECT p.octave, p.n_terms, p.tot_freq,
+            CAST(p.tot_freq AS DOUBLE) / nx.tot_freq AS decay_ratio
+          FROM per p LEFT JOIN per nx ON nx.octave = p.octave + 1""")),
+
     QueryDef("text_bm25",
       // Okapi BM25 keyword retrieval: top 25 documents for a fixed
       // 3-term query, scored in ONE projection-only corpus scan (tf
@@ -2526,6 +2613,31 @@ object PipelineQueries {
           .select(col("doc_id"), col("lang"), col("n_chars"))
       },
       Some(incrementalDedupOracle(oldPct = 60, minAgree = 45))),
+
+    QueryDef("dedup_index_compact",
+      // fingerprint-index COMPACTION: two corpus splits indexed
+      // independently (the sharded-crawl shape), merged into one
+      // index without touching document text — the primary split
+      // survives whole, a secondary doc is dropped when it
+      // exact-matches a primary content hash or agrees on >= 45/64
+      // signature components with a band-collision candidate. The
+      // decision runs on ~0.5 KB/doc fingerprints only, so
+      // compacting two billion-doc indexes moves the index, never
+      // the corpus (IncrementalDedup.compact — filterNew's admission
+      // arithmetic applied index-vs-index). Output is the surviving
+      // id set with its split of origin; the index payload (xh, sig)
+      // is hash-typed and certified by IncrementalDedupSpec instead
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val isPri =
+          pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100)) < 50
+        val ia = IncrementalDedup.fitIndex(docs.where(isPri), "doc_id", "text")
+        val ib = IncrementalDedup.fitIndex(docs.where(!isPri), "doc_id", "text")
+        IncrementalDedup.compact(ia, ib, "doc_id", minAgree = 45)
+          .select(col("doc_id"),
+            when(isPri, "primary").otherwise("secondary").as("origin"))
+      },
+      Some(indexCompactOracle(primaryPct = 50, minAgree = 45))),
 
     QueryDef("dedup_ngram_decontam",
       // GPT-3-style exact n-gram decontamination (Brown 2020 appx C;

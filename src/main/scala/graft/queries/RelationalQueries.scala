@@ -2871,6 +2871,76 @@ object RelationalQueries {
           ${Sssp.oracleSqlBody(seeds = Seq(1L, 2L, 3L), rounds = 4)}
         SELECT node, cost FROM sssp""")),
 
+    QueryDef("graph_ancestors",
+      // recursive-hierarchy closure (the WITH RECURSIVE surface Spark
+      // lacks natively): every (node, ancestor, depth) pair of the
+      // part-key binary forest (parent = key div 2 — an arithmetic
+      // hierarchy both engines derive identically; key contiguity
+      // 0..N-1 makes every chain's intermediate nodes real rows, so
+      // the oracle's arithmetic recursion and the operator's
+      // edge-join recursion walk the same chains). Path DOUBLING:
+      // 5 join rounds cover depth <= 32 where naive parent-chasing
+      // needs 32 — O(log depth) shuffle rounds, each new pair
+      // produced exactly once via the exact-horizon decomposition
+      // (operators.TransitiveClosure), so no dedup shuffle exists to
+      // lose. The oracle caps its recursion at the same horizon, so
+      // the row sets are identical BY CONSTRUCTION, not by the data
+      // happening to be shallow
+      (s, dir) => {
+        val e = t(s, dir, "part").where(col("p_partkey") >= 1)
+          .select(col("p_partkey").as("node"),
+            expr("p_partkey div 2").as("anc"))
+        TransitiveClosure.ancestors(e, "node", "anc", doublingRounds = 5)
+      },
+      Some("""WITH RECURSIVE anc AS (
+          SELECT p_partkey AS node, p_partkey // 2 AS anc,
+              CAST(1 AS BIGINT) AS depth
+            FROM part WHERE p_partkey >= 1
+          UNION ALL
+          SELECT a.node, a.anc // 2 AS anc, a.depth + 1
+            FROM anc a WHERE a.anc >= 1 AND a.depth < 32)
+        SELECT node, anc, depth FROM anc""")),
+
+    QueryDef("q_k_anonymity",
+      // privacy-audit primitive for release pipelines: equivalence
+      // classes over the quasi-identifier pair (nation, market
+      // segment), k = 5. Classes at or above k report as-is; below-k
+      // classes are GENERALIZED one level (segment -> '*') and
+      // re-counted per nation, with a still_risky flag when even the
+      // generalized class stays under k (full k-anonymity would
+      // recurse up the hierarchy; one audited level is the report
+      // shape). All counts exact BIGINT. The class relation is
+      // checkpointed as a share-the-scan optimization (the
+      // q_skew_report convention, NOT a correctness cut): both the
+      // pass-through branch and the generalization branch read the
+      // |classes|-row aggregate, never the customer table twice
+      (s, dir) => {
+        val cls = t(s, dir, "customer")
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(eager = false)
+        val ok = cls.where(col("n") >= 5L)
+          .select(col("c_nationkey"), col("c_mktsegment").as("segment"),
+            col("n"), lit(false).as("generalized"))
+        val generalized = cls.where(col("n") < 5L)
+          .groupBy("c_nationkey").agg(sum("n").as("n"))
+          .select(col("c_nationkey"), lit("*").as("segment"),
+            col("n"), lit(true).as("generalized"))
+        ok.unionByName(generalized)
+          .withColumn("still_risky", col("n") < 5L)
+      },
+      Some("""WITH cls AS (SELECT c_nationkey, c_mktsegment,
+              CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1, 2)
+          SELECT c_nationkey, c_mktsegment AS segment, n,
+              false AS generalized, n < 5 AS still_risky
+            FROM cls WHERE n >= 5
+          UNION ALL
+          SELECT c_nationkey, '*' AS segment,
+              CAST(sum(n) AS BIGINT) AS n, true AS generalized,
+              CAST(sum(n) AS BIGINT) < 5 AS still_risky
+            FROM cls WHERE n < 5 GROUP BY 1""")),
+
     QueryDef("q_concurrency",
       // interval-concurrency sweep: open order lines per day — +1
       // when the order is placed, -1 when the line ships (interval

@@ -249,4 +249,42 @@ class GoldenValuesSpec extends SparkSuite {
       ("orders_key_unique", 1500L, 0L)),
       s"quality contract drifted: ${rows.toSeq}")
   }
+
+  test("q_k_anonymity at sf0.001 exercises BOTH branches: 25 generalized " +
+      "classes, 8 still risky after one generalization level") {
+    // the driver's sf0.01 gate sees only pass-through classes (every
+    // class >= k there), so the generalization arithmetic is pinned
+    // HERE at the scale where it fires
+    val rows = SparkEntry.queries("q_k_anonymity")(spark, dir).collect()
+    assert(rows.length == 28)
+    val gen = rows.filter(_.getAs[Boolean]("generalized"))
+    assert(gen.length == 25) // every nation has at least one sub-k class
+    val risky = gen.filter(_.getAs[Boolean]("still_risky"))
+      .map(_.getAs[Int]("c_nationkey")).toSet
+    assert(risky == Set(0, 6, 7, 8, 10, 12, 22, 23),
+      s"still-risky nations drifted: $risky")
+    val n7 = gen.find(_.getAs[Int]("c_nationkey") == 7).get
+    assert(n7.getAs[Long]("n") == 3L && n7.getAs[String]("segment") == "*")
+  }
+
+  test("text_zipf_octaves at sf0.001 is pinned: 31-term vocabulary, " +
+      "~halving mass per octave") {
+    val rows = SparkEntry.queries("text_zipf_octaves")(spark, dir)
+      .orderBy("octave").collect()
+      .map(r => (r.getAs[Long]("octave"), r.getAs[Long]("n_terms"),
+        r.getAs[Long]("tot_freq")))
+    assert(rows.toSeq == Seq((0L, 1L, 984L), (1L, 2L, 1954L),
+      (2L, 4L, 3865L), (3L, 8L, 7511L), (4L, 16L, 13625L)),
+      s"octave profile drifted: ${rows.toSeq}")
+  }
+
+  test("graph_ancestors at sf0.001: 1345 pairs, deepest chain 8") {
+    val rows = SparkEntry.queries("graph_ancestors")(spark, dir).collect()
+    assert(rows.length == 1345)
+    assert(rows.map(_.getAs[Long]("depth")).max == 8L)
+    // node 199's chain: 99, 49, 24, 12, 6, 3, 1, 0
+    val chain = rows.filter(_.getAs[Long]("node") == 199L)
+      .sortBy(_.getAs[Long]("depth")).map(_.getAs[Long]("anc")).toSeq
+    assert(chain == Seq(99L, 49L, 24L, 12L, 6L, 3L, 1L, 0L))
+  }
 }

@@ -257,6 +257,18 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("dedup_bloom_decontam", 4, "bloom trains in one 2-phase agg; " +
       "broadcast gate at the scan, survivor count"),
     ("dedup_incremental", 4, "index band join + agreement agg + admit union"),
+    ("dedup_index_compact", 4, "same admission arithmetic index-vs-index: " +
+      "primary-hash distinct + band join + agreement agg + survivor union; " +
+      "fingerprints shuffle, text never exists in the plan"),
+    ("graph_ancestors", 0, "post-cut final plan: the pair relation scans " +
+      "its last doubling-round cut; per-round cost is one equi-join " +
+      "(exact-horizon split needs no dedup shuffle)"),
+    ("q_k_anonymity", 1, "one class agg on the quasi-identifier pair; the " +
+      "generalization branch re-aggregates the checkpointed |classes|-row " +
+      "relation, never the customer scan"),
+    ("text_zipf_octaves", 0, "post-cut final plan: octave join over the " +
+      "checkpointed <= 64-row per-octave agg; rank/agg exchanges live " +
+      "behind the PrefixSum and per cuts"),
     ("dedup_prefix_jaccard", 8, "Bayardo prefix-filter: token df ranks, " +
       "prefix explode, candidate join, exact verify phases"),
     ("text_pmi", 5, "unigram counts, bigram counts, crossed totals"),

@@ -58,6 +58,33 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("compact: primary survives whole; secondary exact/near dups drop, " +
+      "fresh secondary rows survive; compaction is idempotent") {
+    val base = mkDoc(7, words = 80)
+    val words = base.split(" ")
+    val nearCopy = words.zipWithIndex
+      .map { case (w, i) => if (i % 40 == 3) "CHANGED" + i else w }.mkString(" ")
+    val primary = IncrementalDedup.fitIndex(
+      Seq((1L, base), (2L, mkDoc(2)), (3L, "tiny doc")).toDF("doc_id", "text"),
+      "doc_id", "text", P)
+    val secondary = IncrementalDedup.fitIndex(Seq(
+        (10L, base),       // exact twin of primary 1
+        (11L, nearCopy),   // near twin of primary 1
+        (12L, "tiny doc"), // exact twin of the short (NULL-sig) doc
+        (13L, mkDoc(99))   // fresh
+      ).toDF("doc_id", "text"), "doc_id", "text", P)
+    val merged = IncrementalDedup.compact(primary, secondary, "doc_id",
+      minAgree = 40, P)
+    assert(merged.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 13L))
+    // survivors keep their index payload verbatim: re-compacting the
+    // merged index against the same secondary changes nothing
+    val again = IncrementalDedup.compact(merged, secondary, "doc_id",
+      minAgree = 40, P)
+    assert(again.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 13L))
+  }
+
   test("appended survivors are rejected on the next ingest of the same batch") {
     val idx = IncrementalDedup.fitIndex(oldDocs, "doc_id", "text", P)
     val batch = Seq((11L, mkDoc(99))).toDF("doc_id", "text")

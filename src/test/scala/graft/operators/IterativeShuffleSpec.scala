@@ -117,4 +117,15 @@ class IterativeShuffleSpec extends SparkSuite {
       "exchange, edges stay put") { r =>
     LabelPropagation.communities(edges, "s", "d", rounds = r).count(): Unit
   }
+
+  pinMarginal("transitive closure", 2, 6, 4,
+    "one far-vs-pairs equi-join per doubling round (exact-horizon " +
+      "split: NO distinct stage exists to regress); a chain deep " +
+      "enough that every probed round still finds work") { r =>
+    import spark.implicits._
+    // chain of 70: depths up to 64 = 2^6, so rounds 2..6 all jump
+    val chain = (1L until 70L).map(k => (k + 1, k)).toDF("n", "p")
+    TransitiveClosure.ancestors(chain, "n", "p", doublingRounds = r)
+      .count(): Unit
+  }
 }

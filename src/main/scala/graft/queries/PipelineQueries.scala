@@ -1734,6 +1734,123 @@ object PipelineQueries {
             CAST(p.tot_freq AS DOUBLE) / nx.tot_freq AS decay_ratio
           FROM per p LEFT JOIN per nx ON nx.octave = p.octave + 1""")),
 
+    QueryDef("text_lm_surprisal",
+      // CCNet-style LM quality scoring: fit a bigram LM on the
+      // trusted target slice (lang = 'en'), score EVERY document by
+      // quantized surprisal — in-domain docs score low, out-of-domain
+      // high, and a pipeline keeps the low tail. The score is integer
+      // bits (floor-log2 of the exact add-one-smoothed odds via
+      // `length(bin(den div num))`), never a libm `ln` whose last ulp
+      // differs across engines; mean_bits is the single IEEE division
+      // of exact integers. Scale shape: model tables are
+      // vocabulary-sized (AQE-broadcast here, (token,count)-pair
+      // shuffles at 100 TB); the corpus passes once as narrow
+      // (id, w1, w2) rows and rolls up with map-side partials
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = NgramLm.fit(docs.where(col("lang") === "en"), "text")
+        NgramLm.score(docs, "doc_id", "text", model, carry = Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("n_bigrams"),
+            col("oov_bigrams"), col("total_bits"), NgramLm.meanBits)
+      },
+      Some("""WITH sp AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+            FROM documents),
+          tgt AS (SELECT t FROM sp WHERE lang = 'en'),
+          tb AS (SELECT string_split(bg, ' ')[1] AS w1,
+              string_split(bg, ' ')[2] AS w2
+            FROM (SELECT unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i + 1])) AS bg
+              FROM tgt WHERE len(t) >= 2)),
+          big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM tb GROUP BY 1, 2),
+          uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+            FROM big GROUP BY 1),
+          v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+            FROM (SELECT unnest(t) AS tok FROM tgt)),
+          db AS (SELECT doc_id, lang, string_split(bg, ' ')[1] AS w1,
+              string_split(bg, ' ')[2] AS w2
+            FROM (SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i + 1])) AS bg
+              FROM sp WHERE len(t) >= 2)),
+          sc AS (SELECT d.doc_id, d.lang,
+              CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS oovf,
+              CAST(length(bin((COALESCE(u.c1, 0) + v.vocab)
+                // (COALESCE(b.c12, 0) + 1))) - 1 AS BIGINT) AS bits
+            FROM db d LEFT JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+              LEFT JOIN uni u ON d.w1 = u.w1
+              CROSS JOIN v)
+        SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+            CAST(sum(oovf) AS BIGINT) AS oov_bigrams,
+            CAST(sum(bits) AS BIGINT) AS total_bits,
+            CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits
+          FROM sc GROUP BY doc_id, lang""")),
+
+    QueryDef("sample_lm_contrast",
+      // DSIR-shaped contrastive data selection: importance weight =
+      // log p_target(doc) − log p_source(doc), realized as
+      // source-model surprisal bits minus target-model surprisal bits
+      // (target LM fit on lang = 'en', source LM on the whole
+      // corpus). The top slice by weight is the "looks most like the
+      // target relative to the generic pool" selection a pretraining
+      // mix draws. EVERY output column is an exact integer — the
+      // weight never leaves the quantized-bits domain — so the top-50
+      // cut (tie-broken by doc_id) is bit-stable across engines. Scale
+      // shape: two vocabulary-sized models scored in one corpus pass
+      // each, joined per doc_id; TakeOrderedAndProject ends the plan
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tgt = NgramLm.fit(docs.where(col("lang") === "en"), "text")
+        val src = NgramLm.fit(docs, "text")
+        val ts = NgramLm.score(docs, "doc_id", "text", tgt, carry = Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("n_bigrams"),
+            col("total_bits").as("tgt_bits"))
+        val ss = NgramLm.score(docs, "doc_id", "text", src)
+          .select(col("doc_id"), col("total_bits").as("src_bits"))
+        ts.join(ss, Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("n_bigrams"),
+            (col("src_bits") - col("tgt_bits")).as("weight_bits"))
+          .orderBy(col("weight_bits").desc, col("doc_id").asc)
+          .limit(50)
+      },
+      Some("""WITH sp AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+            FROM documents),
+          db AS (SELECT doc_id, lang, string_split(bg, ' ')[1] AS w1,
+              string_split(bg, ' ')[2] AS w2
+            FROM (SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i + 1])) AS bg
+              FROM sp WHERE len(t) >= 2)),
+          tbig AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM db WHERE lang = 'en' GROUP BY 1, 2),
+          tuni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+            FROM tbig GROUP BY 1),
+          tv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+            FROM (SELECT unnest(t) AS tok FROM sp WHERE lang = 'en')),
+          sbig AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM db GROUP BY 1, 2),
+          suni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+            FROM sbig GROUP BY 1),
+          sv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+            FROM (SELECT unnest(t) AS tok FROM sp)),
+          sc AS (SELECT d.doc_id, d.lang,
+              CAST(length(bin((COALESCE(tu.c1, 0) + tv.vocab)
+                // (COALESCE(tb.c12, 0) + 1))) - 1 AS BIGINT) AS tbits,
+              CAST(length(bin((COALESCE(su.c1, 0) + sv.vocab)
+                // (COALESCE(sb.c12, 0) + 1))) - 1 AS BIGINT) AS sbits
+            FROM db d
+              LEFT JOIN tbig tb ON d.w1 = tb.w1 AND d.w2 = tb.w2
+              LEFT JOIN tuni tu ON d.w1 = tu.w1
+              LEFT JOIN sbig sb ON d.w1 = sb.w1 AND d.w2 = sb.w2
+              LEFT JOIN suni su ON d.w1 = su.w1
+              CROSS JOIN tv CROSS JOIN sv),
+          agg AS (SELECT doc_id, lang,
+              CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(sum(sbits) - sum(tbits) AS BIGINT) AS weight_bits
+            FROM sc GROUP BY doc_id, lang)
+        SELECT doc_id, lang, n_bigrams, weight_bits FROM (
+          SELECT *, row_number()
+              OVER (ORDER BY weight_bits DESC, doc_id ASC) AS rn
+            FROM agg) WHERE rn <= 50""")),
+
     QueryDef("text_bm25",
       // Okapi BM25 keyword retrieval: top 25 documents for a fixed
       // 3-term query, scored in ONE projection-only corpus scan (tf

@@ -2184,6 +2184,116 @@ object RelationalQueries {
             AS rn FROM c)
         SELECT path, n FROM r WHERE rn <= 20""")),
 
+    QueryDef("q_journey_transitions",
+      // first-order Markov transition matrix over user journeys: for
+      // each (from_type, to_type) adjacent-event pair, the transition
+      // count and row-normalized probability — q_journey_paths mines
+      // whole paths, this is the model a next-step predictor or a
+      // synthetic-session generator consumes. lead() per user key is
+      // one user-partitioned window (state bounded per user); the
+      // |types|^2-row transition table then re-aggregates at
+      // negligible cost, and prob is one IEEE division of exact
+      // integer counts. The transition table feeds both the row
+      // totals and the final join, so it is lazily checkpointed —
+      // share-the-scan over a tiny relation, NOT a correctness cut
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val cnt = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("from_type"))
+          .withColumn("to_type", lead(col("from_type"), 1).over(w))
+          .where(col("to_type").isNotNull)
+          .groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("transitions"))
+          .localCheckpoint(eager = false)
+        val tot = cnt.groupBy("from_type")
+          .agg(sum("transitions").as("tot"))
+        cnt.join(tot, Seq("from_type"))
+          .select(col("from_type"), col("to_type"), col("transitions"),
+            (col("transitions").cast("double") / col("tot")).as("prob"))
+      },
+      Some("""WITH tr AS (SELECT event_type AS from_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS to_type
+          FROM events),
+        cnt AS (SELECT from_type, to_type,
+            CAST(count(*) AS BIGINT) AS transitions
+          FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT from_type, CAST(sum(transitions) AS BIGINT) AS tot
+          FROM cnt GROUP BY 1)
+        SELECT c.from_type, c.to_type, c.transitions,
+            CAST(c.transitions AS DOUBLE) / t.tot AS prob
+          FROM cnt c JOIN tot t USING (from_type)""")),
+
+    QueryDef("q_market_basket",
+      // association mining over order baskets: top 15 part pairs by
+      // lift = P(p1,p2) / (P(p1)·P(p2)), with co-occurrence support —
+      // the recommender / cross-sell staple. The baskets fold ONCE on
+      // the order key (array_sort(collect_set) — set semantics dedup
+      // repeated parts, the sort makes accumulation order immaterial
+      // so the map-side partial agg survives); pairs are then
+      // generated NARROWLY inside each basket row (index-slice
+      // lambda, p1 < p2 by the sorted order), never by a self-join —
+      // the basket relation is shuffled once, not three times. The
+      // per-row pair list is quadratic in basket size, which the
+      // fixture bounds at 7 lineitems/order; a heavy-tailed catalog
+      // would cap or re-block giant baskets (the HammingBands cap
+      // pattern). Part frequencies are a vocabulary-sized relation
+      // joined twice (AQE broadcasts), the order count a 1-row
+      // broadcast. Lift is computed as ONE IEEE division of two exact
+      // sub-2^53 integer products (c12·N / (c1·c2) — the text_pmi
+      // trick), so the double hash-matches and the (lift, p1, p2)
+      // order is engine-stable
+      (s, dir) => {
+        val baskets = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .groupBy("ok").agg(array_sort(collect_set(col("pk"))).as("items"))
+          .localCheckpoint(eager = false) // feeds pairs + freq + the
+          // order count — share one basket fold, NOT a correctness cut
+        val orders = baskets.agg(count(lit(1)).as("n_orders"))
+        val freq = baskets.select(explode(col("items")).as("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("cf"))
+        val pairExpr = expr(
+          "flatten(transform(items, (x, i) -> " +
+            "transform(slice(items, i + 2, size(items)), " +
+            "y -> struct(x AS p1, y AS p2))))")
+        baskets.where(size(col("items")) >= 2)
+          .select(explode(pairExpr).as("pr"))
+          .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+          .groupBy("p1", "p2").agg(count(lit(1)).as("c12"))
+          .where(col("c12") >= 2)
+          .join(freq.select(col("pk").as("p1"), col("cf").as("c1")), Seq("p1"))
+          .join(freq.select(col("pk").as("p2"), col("cf").as("c2")), Seq("p2"))
+          .crossJoin(orders)
+          .select(col("p1"), col("p2"), col("c12"), col("c1"), col("c2"),
+            ((col("c12") * col("n_orders")).cast("double") /
+              (col("c1") * col("c2"))).as("lift"))
+          .orderBy(col("lift").desc, col("p1").asc, col("p2").asc)
+          .limit(15)
+      },
+      Some("""WITH basket AS (SELECT DISTINCT l_orderkey AS ok,
+            l_partkey AS pk FROM lineitem),
+        n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
+          FROM basket),
+        freq AS (SELECT pk, CAST(count(*) AS BIGINT) AS cf
+          FROM basket GROUP BY 1),
+        pairs AS (SELECT a.pk AS p1, b.pk AS p2,
+            CAST(count(*) AS BIGINT) AS c12
+          FROM basket a JOIN basket b
+            ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        lifted AS (SELECT p.p1, p.p2, p.c12, f1.cf AS c1, f2.cf AS c2,
+            CAST(p.c12 * n.n_orders AS DOUBLE) / (f1.cf * f2.cf) AS lift
+          FROM pairs p
+            JOIN freq f1 ON p.p1 = f1.pk
+            JOIN freq f2 ON p.p2 = f2.pk
+            CROSS JOIN n)
+        SELECT p1, p2, c12, c1, c2, lift FROM (
+          SELECT *, row_number()
+              OVER (ORDER BY lift DESC, p1 ASC, p2 ASC) AS rn
+            FROM lifted) WHERE rn <= 15""")),
+
     QueryDef("q_locf",
       // time-series imputation by last-observation-carried-forward:
       // click rows' masked values are forward-filled from the user's

@@ -269,6 +269,16 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("text_zipf_octaves", 0, "post-cut final plan: octave join over the " +
       "checkpointed <= 64-row per-octave agg; rank/agg exchanges live " +
       "behind the PrefixSum and per cuts"),
+    ("text_lm_surprisal", 2, "one model-fit bigram agg + one per-doc " +
+      "rollup; context re-agg rides the checkpointed vocabulary-sized " +
+      "bigram table and the scoring joins broadcast it"),
+    ("sample_lm_contrast", 5, "two model fits + two per-doc rollups + " +
+      "the doc_id join of the two score relations; TakeOrdered ends it"),
+    ("q_journey_transitions", 1, "one user-key window exchange; the " +
+      "|types|^2 transition matrix re-aggs ride its checkpoint"),
+    ("q_market_basket", 4, "one basket fold on the order key (pairs are " +
+      "generated narrowly inside each basket row — no self-join) + pair " +
+      "agg + part-frequency agg + the 1-row order count"),
     ("dedup_prefix_jaccard", 8, "Bayardo prefix-filter: token df ranks, " +
       "prefix explode, candidate join, exact verify phases"),
     ("text_pmi", 5, "unigram counts, bigram counts, crossed totals"),

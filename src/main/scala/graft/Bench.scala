@@ -48,7 +48,8 @@ object Bench {
     // round-12 family representatives (appended — earlier rows keep
     // their positions diffable across rounds)
     "dedup_paragraph", "dedup_sorted_neighborhood", "embed_sq8_topk",
-    "q_asof_nearest", "q_runtime_bloom_join", "q_label_centroids")
+    "q_asof_nearest", "q_runtime_bloom_join", "q_label_centroids",
+    "text_lm_surprisal", "q_market_basket")
 
   /** One measured run: wall seconds, process-CPU seconds consumed,
     * GC seconds accrued, the host 1-min loadavg at run START

@@ -605,6 +605,84 @@ object StreamingQueries {
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id
           AND epoch_us(c.ts) >= epoch_us(p.ts) - 21600000000
-          AND epoch_us(c.ts) <= epoch_us(p.ts)"""))
+          AND epoch_us(c.ts) <= epoch_us(p.ts)""")),
+
+    QueryDef("stream_recovery_replay",
+      // CHECKPOINT RECOVERY under the oracle gate: the same per-type
+      // counting aggregation runs as TWO separate StreamingQuery
+      // incarnations sharing ONE checkpoint. Run 1 ingests half the
+      // fixture's split files and is stopped; run 2 is a fresh query
+      // object on the same checkpoint that must recover the source
+      // offsets (skip the already-committed files) AND the state
+      // store (resume the counts), then ingest the remaining files.
+      // Both failure modes are caught by the batch oracle: lost state
+      // undercounts (run 2 would restart from zero), replayed offsets
+      // overcount (files 0-1 would be ingested twice). The recovery
+      // fold (max per monotone column over the unioned update-mode
+      // emissions) is idempotent, so even a re-emitted last batch
+      // after an unclean stop could not corrupt the result — the
+      // production sink contract, certified here. An in-code require
+      // makes the evidence airtight beyond the oracle: some key's
+      // run-2 emission must reach the full total (its final state
+      // includes recovered counts, not just run 2's own half) while
+      // run 1's emission for that key stopped short.
+      (s, dir) => {
+        import java.nio.file.Files
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val stage = Files.createTempDirectory("graft_recovery_stage").toString
+        val ckpt = Files.createTempDirectory("graft_recovery_ckpt").toString
+        val base = s.read.parquet(s"$dir/events.parquet")
+        def writeParts(ps: Range): Unit = ps.foreach(p =>
+          base.where(pmod(col("event_id"), lit(4L)) === p)
+            .coalesce(1).write.mode("append").parquet(stage))
+        writeParts(0 until 2)
+        val schema = s.read.parquet(stage).schema
+        // the memory sink refuses checkpoint recovery by design, so the
+        // emissions land via foreachBatch (the restart-capable sink
+        // surface) into one parquet dir per incarnation
+        def runOnce(sinkDir: String): DataFrame = {
+          val counted = tsToTimestamp(
+            s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(stage))
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              max(unix_micros(col("ts"))).as("last_ts_us"))
+          val q = counted.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], _: Long) =>
+              batch.write.mode("append").parquet(sinkDir): Unit
+            }
+            .start()
+          try {
+            q.processAllAvailable()
+            require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+              s"$sinkDir: expected >= 2 data micro-batches")
+          } finally q.stop()
+          s.read.parquet(sinkDir)
+        }
+        def recovered(sink: DataFrame): Map[String, Long] =
+          sink.groupBy("event_type").agg(max("n_events").as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val run1 = runOnce(
+          Files.createTempDirectory("graft_recovery_sink_a").toString)
+        writeParts(2 until 4)
+        val run2 = runOnce(
+          Files.createTempDirectory("graft_recovery_sink_b").toString)
+        val totals = base.groupBy("event_type").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val r1 = recovered(run1); val r2 = recovered(run2)
+        require(totals.exists { case (t, n) =>
+            r2.getOrElse(t, -1L) == n && r1.getOrElse(t, 0L) < n },
+          s"no key proves state carry-over (run1 $r1, run2 $r2, " +
+            s"totals $totals) — the restart proved nothing")
+        run1.union(run2)
+          .groupBy("event_type")
+          .agg(max("n_events").as("n_events"),
+            max("last_ts_us").as("last_ts_us"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          max(epoch_us(ts)) AS last_ts_us
+        FROM events GROUP BY event_type"""))
   )
 }

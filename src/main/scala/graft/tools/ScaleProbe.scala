@@ -336,6 +336,18 @@ object ScaleProbe {
             IncrementalDedup.compact(pri, sec, "doc_id",
               minAgree = 45).count()
           }
+        },
+        "bigram-LM surprisal scoring (fixed model)" -> {
+          // model fit ONCE on the base corpus (the per-corpus-version
+          // deployment shape); the scored corpus is `factor`
+          // id-remapped copies, so scoring time must track corpus
+          // volume linearly — superlinear time would mean the
+          // vocabulary-sized model joins stopped broadcasting or the
+          // per-doc rollup lost its map-side partial
+          val model = NgramLm.fit(docs0, "text")
+          time {
+            NgramLm.score(docs, "doc_id", "text", model).count()
+          }
         })
       (factor0, probes)
     }
@@ -427,7 +439,12 @@ object ScaleProbe {
     sb.append("secondary: survivors stay exactly |primary| while exact ")
     sb.append("collisions and band-bucket sizes grow with factor — time ")
     sb.append("must track the secondary fingerprint volume, never the ")
-    sb.append("candidate product.\n")
+    sb.append("candidate product. The LM-surprisal row scores `factor` ")
+    sb.append("corpus copies under a model fitted ONCE on the base corpus ")
+    sb.append("(the per-corpus-version deployment shape): time must track ")
+    sb.append("scored volume linearly, with the vocabulary-sized model ")
+    sb.append("joins broadcast and the per-doc rollup partial-aggregating ")
+    sb.append("map-side.\n")
 
     // ---- streaming state growth: state must track KEYS, not events ----
     sb.append(streamingStateSection(spark, docs0, idxRoot))

@@ -278,6 +278,60 @@ class GoldenValuesSpec extends SparkSuite {
       s"octave profile drifted: ${rows.toSeq}")
   }
 
+  test("text_lm_surprisal at sf0.001 is pinned, and the en-fitted LM " +
+      "scores en docs lowest") {
+    val rows = SparkEntry.queries("text_lm_surprisal")(spark, dir).collect()
+    assert(rows.length == 500)
+    assert(rows.map(_.getAs[Long]("n_bigrams")).sum == 27439L)
+    assert(rows.map(_.getAs[Long]("oov_bigrams")).sum == 7L)
+    assert(rows.map(_.getAs[Long]("total_bits")).sum == 121328L)
+    // the quality-filter signal: the target language's corpus-mean
+    // surprisal is strictly the lowest of the five languages
+    val byLang = rows.groupBy(_.getAs[String]("lang")).map { case (l, rs) =>
+      l -> rs.map(_.getAs[Long]("total_bits")).sum.toDouble /
+        rs.map(_.getAs[Long]("n_bigrams")).sum
+    }
+    assert(byLang("en") == byLang.values.min,
+      s"en should score lowest under the en LM: $byLang")
+  }
+
+  test("sample_lm_contrast at sf0.001 selects the target domain: " +
+      "46 of the top-50 are en") {
+    val rows = SparkEntry.queries("sample_lm_contrast")(spark, dir).collect()
+    assert(rows.length == 50)
+    assert(rows.count(_.getAs[String]("lang") == "en") == 46)
+    val top = rows.maxBy(r => (r.getAs[Long]("weight_bits"),
+      -r.getAs[Long]("doc_id")))
+    assert(top.getAs[Long]("doc_id") == 133L &&
+      top.getAs[Long]("weight_bits") == 9L)
+  }
+
+  test("q_market_basket at sf0.001 is pinned: top pair (51, 159), " +
+      "support 4, lift > 11") {
+    val rows = SparkEntry.queries("q_market_basket")(spark, dir).collect()
+    assert(rows.length == 15)
+    val h = rows.head
+    assert(h.getAs[Long]("p1") == 51L && h.getAs[Long]("p2") == 159L &&
+      h.getAs[Long]("c12") == 4L && h.getAs[Long]("c1") == 21L &&
+      h.getAs[Long]("c2") == 25L)
+    assert(h.getAs[Double]("lift") > 11.2 && h.getAs[Double]("lift") < 11.3)
+  }
+
+  test("q_journey_transitions at sf0.001: 25 cells over 985 " +
+      "transitions; rows normalize to 1") {
+    val rows = SparkEntry.queries("q_journey_transitions")(spark, dir).collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.getAs[Long]("transitions")).sum == 985L)
+    val top = rows.maxBy(r => (r.getAs[Long]("transitions"),
+      r.getAs[String]("from_type")))
+    assert(top.getAs[String]("from_type") == "error" &&
+      top.getAs[String]("to_type") == "click" &&
+      top.getAs[Long]("transitions") == 49L)
+    val rowSums = rows.groupBy(_.getAs[String]("from_type"))
+      .values.map(_.map(_.getAs[Double]("prob")).sum)
+    rowSums.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+  }
+
   test("graph_ancestors at sf0.001: 1345 pairs, deepest chain 8") {
     val rows = SparkEntry.queries("graph_ancestors")(spark, dir).collect()
     assert(rows.length == 1345)

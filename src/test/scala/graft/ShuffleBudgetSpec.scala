@@ -333,7 +333,10 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("stream_join_agg_replay", 0, "memory-sink read back flat: join " +
       "and day-window agg state work happened in the stream"),
     ("stream_session_window_replay", 0, "memory-sink read back flat: " +
-      "session merging happened in the stream's state store"))
+      "session merging happened in the stream's state store"),
+    ("stream_recovery_replay", 1, "recovery fold: one event_type agg " +
+      "over the two incarnations' unioned foreachBatch emissions; " +
+      "counting state work happened in the (restarted) stream"))
 
   budgets.foreach { case (name, maxShuffles, why) =>
     test(s"$name stays within its shuffle budget ($maxShuffles): $why") {

@@ -74,6 +74,27 @@ object NgramLm {
     Model(bigrams, contexts, vocab)
   }
 
+  /** Persist / reload a fitted model — the deployment lifecycle the
+    * scaladoc promises (fit once per corpus version, reuse across
+    * scoring runs), same parquet-index convention as the ANN indexes.
+    * Counts are exact integers, so a reloaded model scores bit-equal
+    * to the freshly fitted one (pinned in NgramLmSpec).
+    */
+  def save(model: Model, path: String): Unit = {
+    val spark = model.bigrams.sparkSession
+    import spark.implicits._
+    model.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    model.contexts.write.mode("overwrite").parquet(s"$path/contexts")
+    Seq(Tuple1(model.vocab)).toDF("vocab")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model =
+    Model(
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/contexts"),
+      spark.read.parquet(s"$path/meta").head().getLong(0))
+
   /** Per-document quantized surprisal under `model`: bigram count,
     * out-of-model bigram count, and total surprisal bits. Unseen
     * contexts smooth to 1/V (c1 = 0), unseen bigrams to

@@ -52,6 +52,22 @@ class NgramLmSpec extends SparkSuite {
     assert(bits(100L) < bits(200L))
   }
 
+  test("save/load round trip scores bit-equal to the fitted model") {
+    val corpus = (1L to 30L).map(i => (i, s"w${i % 4} w${i % 6} w${i % 3}"))
+      .toDF("doc_id", "text")
+    val m = NgramLm.fit(corpus, "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lm_model").toString
+    NgramLm.save(m, path)
+    val m2 = NgramLm.load(spark, path)
+    assert(m2.vocab === m.vocab)
+    val a = NgramLm.score(corpus, "doc_id", "text", m)
+      .orderBy("doc_id").collect().toSeq
+    val b = NgramLm.score(corpus, "doc_id", "text", m2)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("score partial-aggregates map-side (accumulation-order free)") {
     // same doc content split across partitions must fold identically
     // regardless of partitioning — repartition and compare

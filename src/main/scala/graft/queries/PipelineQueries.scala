@@ -174,13 +174,40 @@ object PipelineQueries {
     */
   private lazy val indexRoot =
     java.nio.file.Files.createTempDirectory("graft_ann_index").toString
+  /** Collision-safe on-disk key for a fixture dir: sanitized path text
+    * plus a 64-bit FNV-1a suffix. `math.abs(dir.hashCode)` was wrong
+    * twice over — abs(Int.MinValue) is negative, and two dirs sharing
+    * a 32-bit hash would silently share one persisted index.
+    */
+  private def dirKey(dir: String): String = {
+    var h = -3750763034362895579L // FNV-1a 64 offset basis
+    dir.foreach { c => h ^= c.toLong; h *= 1099511628211L }
+    dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(40) +
+      "_" + java.lang.Long.toHexString(h)
+  }
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfAnn.Index]()
   private def ivfIndexFor(s: SparkSession, dir: String): IvfAnn.Index =
     ivfIndexCache.computeIfAbsent(dir, _ => {
-      val path = s"$indexRoot/ivf_${math.abs(dir.hashCode)}"
+      val path = s"$indexRoot/ivf_${dirKey(dir)}"
       IvfAnn.save(
         IvfAnn.fitIndex(t(s, dir, "embeddings"), "vec_id", "embedding", ivfParams),
+        path)
+      IvfAnn.load(s, path)
+    })
+  /** metaCols variant for filtered search: the label rides the index
+    * rows, so `ann_ivf_filtered` pays fit+save+load once per JVM like
+    * every other amortized `*_search` path (it used to re-train
+    * in-query — 5.3 s of k-means per run for a 0.6 s search).
+    */
+  private val ivfMetaIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfAnn.Index]()
+  private def ivfMetaIndexFor(s: SparkSession, dir: String): IvfAnn.Index =
+    ivfMetaIndexCache.computeIfAbsent(dir, _ => {
+      val path = s"$indexRoot/ivfmeta_${dirKey(dir)}"
+      IvfAnn.save(
+        IvfAnn.fitIndex(t(s, dir, "embeddings"), "vec_id", "embedding",
+          ivfParams, metaCols = Seq("label")),
         path)
       IvfAnn.load(s, path)
     })
@@ -188,7 +215,7 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[String, ScalarQuant.Index]()
   private def sq8IndexFor(s: SparkSession, dir: String): ScalarQuant.Index =
     sq8IndexCache.computeIfAbsent(dir, _ => {
-      val path = s"$indexRoot/sq8_${math.abs(dir.hashCode)}"
+      val path = s"$indexRoot/sq8_${dirKey(dir)}"
       ScalarQuant.save(
         ScalarQuant.fitIndex(t(s, dir, "embeddings"), "vec_id", "embedding"),
         path)
@@ -198,7 +225,7 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[String, IvfPqAnn.Index]()
   private def ivfPqIndexFor(s: SparkSession, dir: String): IvfPqAnn.Index =
     ivfPqIndexCache.computeIfAbsent(dir, _ => {
-      val path = s"$indexRoot/ivfpq_${math.abs(dir.hashCode)}"
+      val path = s"$indexRoot/ivfpq_${dirKey(dir)}"
       IvfPqAnn.save(
         IvfPqAnn.fitIndex(t(s, dir, "embeddings"), "vec_id", "embedding",
           ivfPqParams),
@@ -209,7 +236,7 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[String, PqAnn.Index]()
   private def pqIndexFor(s: SparkSession, dir: String): PqAnn.Index =
     pqIndexCache.computeIfAbsent(dir, _ => {
-      val path = s"$indexRoot/pq_${math.abs(dir.hashCode)}"
+      val path = s"$indexRoot/pq_${dirKey(dir)}"
       PqAnn.save(
         PqAnn.fitIndex(t(s, dir, "embeddings"), "vec_id", "embedding", pqParams),
         path)
@@ -219,7 +246,7 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[String, SemDedup.Model]()
   private def semModelFor(s: SparkSession, dir: String): SemDedup.Model =
     semModelCache.computeIfAbsent(dir, _ => {
-      val path = s"$indexRoot/sem_${math.abs(dir.hashCode)}"
+      val path = s"$indexRoot/sem_${dirKey(dir)}"
       SemDedup.save(SemDedup.fitModel(
         t(s, dir, "embeddings"), "vec_id", "embedding", semDedup2Params), s, path)
       SemDedup.load(s, path)
@@ -1396,11 +1423,12 @@ object PipelineQueries {
       // index (fitIndex metaCols) so filtering costs no extra join;
       // same deterministic training as ann_ivf_topk, so the oracle
       // inlines identical centroids and threads the label through
-      // the replay
+      // the replay. The index is fit+saved+loaded once per JVM
+      // (ivfMetaIndexFor) — the amortized serving shape, same as
+      // ann_ivf_search.
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val idx = IvfAnn.fitIndex(e, "vec_id", "embedding", ivfParams,
-          metaCols = Seq("label"))
+        val idx = ivfMetaIndexFor(s, dir)
         IvfAnn.searchTopK(e.where(col("vec_id") < 10), idx, k = 5,
             nprobe = ivfParams.nprobe, queryMetaCols = Seq("label"),
             candidateFilter = Some(col("label") === col("q_label")))

@@ -119,6 +119,34 @@ object StreamingQueries {
     * from "within one micro-batch" evidence into real cross-batch
     * incremental-state evidence under the oracle gate.
     */
+  /** Stamps strictly increasing mtimes on files written since the
+    * last call. FileStreamSource ingests oldest-modified first; on a
+    * coarse-mtime filesystem two writes can TIE, letting a later
+    * split (worst case: the watermark sentinel) be ingested early and
+    * jump the watermark past real events — an intermittent
+    * append-mode/outer-join data drop. Explicit stamping makes the
+    * ingestion order a property of the builder, not of FS timer
+    * resolution. The base is a fixed past epoch: only order matters
+    * to the source, and a fixed base keeps the replays deterministic.
+    */
+  private final class MtimeSequencer(dirPath: String) {
+    private val seen = scala.collection.mutable.HashSet.empty[String]
+    private var seq = 0L
+    def stamp(): Unit = {
+      val fresh = new java.io.File(dirPath).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+          !seen.contains(f.getName))
+        .sortBy(_.getName)
+      fresh.foreach { f =>
+        seq += 1
+        java.nio.file.Files.setLastModifiedTime(f.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1600000000000L + seq * 2000L))
+        seen += f.getName
+      }
+    }
+  }
+
   private val splitCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
   private def eventsMultiBatchStream(s: SparkSession, dir: String,
@@ -134,9 +162,12 @@ object StreamingQueries {
       // that many data batches — which the require() below pins.
       // copies > 1 plants every event in `copies` DIFFERENT batches
       // (the cross-batch duplicate stress for streaming dedup).
-      for (_ <- 0 until copies; p <- 0 until parts)
+      val mt = new MtimeSequencer(out)
+      for (_ <- 0 until copies; p <- 0 until parts) {
         base.where(pmod(col("event_id"), lit(parts.toLong)) === p)
           .coalesce(1).write.mode("append").parquet(out)
+        mt.stamp() // strictly increasing mtime per split — see MtimeSequencer
+      }
       out
     })
     val schema = s.read.parquet(splitDir).schema
@@ -165,9 +196,12 @@ object StreamingQueries {
       val out = java.nio.file.Files
         .createTempDirectory("graft_stream_split_sent").toString
       val base = s.read.parquet(s"$dir/events.parquet")
-      for (p <- 0 until parts)
+      val mt = new MtimeSequencer(out)
+      for (p <- 0 until parts) {
         base.where(pmod(col("event_id"), lit(parts.toLong)) === p)
           .coalesce(1).write.mode("append").parquet(out)
+        mt.stamp()
+      }
       val maxMicros = tsToTimestamp(base)
         .agg(max(unix_micros(col("ts")))).head.getLong(0)
       val sentTs = base.schema("ts").dataType match {
@@ -190,6 +224,7 @@ object StreamingQueries {
           when(col("event_type") === "purchase", lit(-1L)).otherwise(lit(-2L)))
         .withColumn("ts", sentTs)
         .coalesce(1).write.mode("append").parquet(out)
+      mt.stamp() // the sentinel MUST carry the latest mtime of all
       out
     })
     val schema = s.read.parquet(splitDir).schema
@@ -632,9 +667,12 @@ object StreamingQueries {
         val stage = Files.createTempDirectory("graft_recovery_stage").toString
         val ckpt = Files.createTempDirectory("graft_recovery_ckpt").toString
         val base = s.read.parquet(s"$dir/events.parquet")
-        def writeParts(ps: Range): Unit = ps.foreach(p =>
+        val mt = new MtimeSequencer(stage)
+        def writeParts(ps: Range): Unit = ps.foreach { p =>
           base.where(pmod(col("event_id"), lit(4L)) === p)
-            .coalesce(1).write.mode("append").parquet(stage))
+            .coalesce(1).write.mode("append").parquet(stage)
+          mt.stamp()
+        }
         writeParts(0 until 2)
         val schema = s.read.parquet(stage).schema
         // the memory sink refuses checkpoint recovery by design, so the

@@ -6,9 +6,9 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.functions._
 
-/** The repo has exactly four deliberate SINGLE-PARTITION windows
-  * (`Window.orderBy` with no partitionBy — the shape that is an
-  * anti-pattern over raw data because one task sorts everything).
+/** NUMERIC bounds for the four library-operator SINGLE-PARTITION
+  * windows (`Window.orderBy` with no partitionBy — the shape that is
+  * an anti-pattern over raw data because one task sorts everything).
   * Each is safe only because its INPUT cardinality is bounded by
   * construction — by k, by a value range, or by the shard count,
   * never by data volume. This spec pins those bounds structurally
@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
   * a refactor that accidentally feeds raw data into one of them fails
   * here instead of becoming a 100 TB single-task sort.
   *
-  * Sites: Bm25.topK (≤ k), HybridRetrieval.rrf2 (≤ topK),
-  * Skyline.frontier (≤ |distinct x| ≤ value range),
-  * PrefixSum.cumulative offsets (≤ shards).
+  * Library sites pinned here: Bm25.topK (≤ k), HybridRetrieval.rrf2
+  * (≤ topK), Skyline.frontier (≤ |distinct x| ≤ value range),
+  * PrefixSum.cumulative offsets (≤ shards). These four are NOT the
+  * only global windows in the repo — query-level sites (e.g. the
+  * histogram/quantile queries' windows over ~100-bucket relations)
+  * exist too; [[graft.GlobalWindowSweepSpec]] sweeps ALL of them,
+  * registry-wide, for structural boundedness, so new sites cannot
+  * appear unpinned.
   */
 class BoundedWindowSpec extends SparkSuite {
 

@@ -41,6 +41,123 @@ object RelationalQueries {
       s2
     }
 
+  // ---- derived TPC-H fixture columns ------------------------------
+  // The driver fixture carries no partsupp table and no commit/
+  // receipt-date / container / shipmode / shipinstruct / mfgr columns,
+  // which blocked 9 of the 22 classic TPC-H shapes. Rather than skip
+  // them, the missing attributes are DERIVED deterministically from
+  // the columns the fixture does carry — pure positive-integer
+  // arithmetic on the keys (identical semantics in Spark and DuckDB,
+  // so the oracle replays the derivation bit-exactly via the CTE
+  // fragments below) — and partsupp is the distinct (l_partkey,
+  // l_suppkey) projection of lineitem, which guarantees referential
+  // integrity with the fact table by construction (every lineitem
+  // pair exists in partsupp, as in real TPC-H). At 100 TB these would
+  // be real columns/tables; the queries' join/agg shapes are what is
+  // being exercised, and those are unchanged.
+
+  /** partsupp derived from lineitem: one row per distinct
+    * (l_partkey, l_suppkey) pair; availqty and supplycost are key
+    * hashes (supplycost kept as exact integer CENTS, `ps_supplycost_i`,
+    * so min-equality joins and value sums never touch floating point).
+    */
+  private def partsuppD(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_availqty",
+        (col("ps_partkey") * 17 + col("ps_suppkey") * 31) % 9999 + 1)
+      .withColumn("ps_supplycost_i",
+        (col("ps_partkey") * 293 + col("ps_suppkey") * 107) % 100000 + 100)
+
+  /** The partsupp CTE fragment replayed by the DuckDB oracles —
+    * byte-for-byte the same integer arithmetic as [[partsuppD]].
+    */
+  private val psCte: String =
+    """partsupp AS (
+       SELECT ps_partkey, ps_suppkey,
+         (ps_partkey * 17 + ps_suppkey * 31) % 9999 + 1 AS ps_availqty,
+         (ps_partkey * 293 + ps_suppkey * 107) % 100000 + 100
+           AS ps_supplycost_i
+       FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+               l_suppkey AS ps_suppkey FROM lineitem))"""
+
+  private val shipmodes =
+    Seq("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB")
+  private val shipinstructs =
+    Seq("DELIVER IN PERSON", "COLLECT COD", "NONE", "TAKE BACK RETURN")
+  private val containers = Seq(
+    "SM CASE", "SM BOX", "SM PACK", "SM PKG", "MED BAG", "MED BOX",
+    "MED PKG", "MED PACK", "LG CASE", "LG BOX", "LG PACK", "LG PKG")
+
+  /** lineitem plus derived l_commitdate / l_receiptdate / l_shipmode /
+    * l_shipinstruct. Dates are day offsets from l_shipdate keyed on
+    * the row's own keys: commit in [-30, +30] (so ship-before-commit
+    * and late-delivery predicates both select real subsets), receipt
+    * in [+1, +30].
+    */
+  private def lineitemD(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("l_commitdate",
+        date_add(col("l_shipdate").cast("date"),
+          ((col("l_orderkey") * 3 + col("l_linenumber") * 7) % 61 - 30)
+            .cast("int")))
+      .withColumn("l_receiptdate",
+        date_add(col("l_shipdate").cast("date"),
+          ((col("l_partkey") * 5 + col("l_linenumber") * 11) % 30 + 1)
+            .cast("int")))
+      .withColumn("l_shipmode",
+        element_at(array(shipmodes.map(lit): _*),
+          ((col("l_orderkey") + col("l_linenumber")) % 7 + 1).cast("int")))
+      .withColumn("l_shipinstruct",
+        element_at(array(shipinstructs.map(lit): _*),
+          ((col("l_partkey") + col("l_suppkey")) % 4 + 1).cast("int")))
+
+  /** The lineitem-extension CTE (`lx`) for the oracles — same
+    * derivations as [[lineitemD]]. DuckDB DATE + INTEGER adds days,
+    * matching Spark's `date_add`.
+    */
+  private val lxCte: String =
+    """lx AS (
+       SELECT l.*,
+         CAST(l_shipdate AS DATE)
+           + CAST((l_orderkey * 3 + l_linenumber * 7) % 61 - 30 AS INTEGER)
+           AS l_commitdate,
+         CAST(l_shipdate AS DATE)
+           + CAST((l_partkey * 5 + l_linenumber * 11) % 30 + 1 AS INTEGER)
+           AS l_receiptdate,
+         CASE (l_orderkey + l_linenumber) % 7
+           WHEN 0 THEN 'REG AIR' WHEN 1 THEN 'AIR' WHEN 2 THEN 'RAIL'
+           WHEN 3 THEN 'SHIP' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'MAIL'
+           ELSE 'FOB' END AS l_shipmode,
+         CASE (l_partkey + l_suppkey) % 4
+           WHEN 0 THEN 'DELIVER IN PERSON' WHEN 1 THEN 'COLLECT COD'
+           WHEN 2 THEN 'NONE' ELSE 'TAKE BACK RETURN' END AS l_shipinstruct
+       FROM lineitem l)"""
+
+  /** part plus derived p_container / p_mfgr. */
+  private def partD(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .withColumn("p_container",
+        element_at(array(containers.map(lit): _*),
+          (col("p_partkey") % 12 + 1).cast("int")))
+      .withColumn("p_mfgr",
+        concat(lit("Manufacturer#"), (col("p_partkey") % 5 + 1).cast("string")))
+
+  /** The part-extension CTE (`px`) for the oracles. */
+  private val pxCte: String =
+    """px AS (
+       SELECT p.*,
+         CASE p_partkey % 12
+           WHEN 0 THEN 'SM CASE' WHEN 1 THEN 'SM BOX' WHEN 2 THEN 'SM PACK'
+           WHEN 3 THEN 'SM PKG' WHEN 4 THEN 'MED BAG' WHEN 5 THEN 'MED BOX'
+           WHEN 6 THEN 'MED PKG' WHEN 7 THEN 'MED PACK' WHEN 8 THEN 'LG CASE'
+           WHEN 9 THEN 'LG BOX' WHEN 10 THEN 'LG PACK' ELSE 'LG PKG'
+         END AS p_container,
+         'Manufacturer#' || CAST(p_partkey % 5 + 1 AS VARCHAR) AS p_mfgr
+       FROM part p)"""
+
   /** Per-JVM BUCKETED copies of orders/lineitem (8 buckets on the join
     * key, sorted within buckets): written once per sf dir via
     * `bucketBy(...).saveAsTable`, so a declared query can prove the
@@ -811,6 +928,376 @@ object RelationalQueries {
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
             AND o_orderdate >= DATE '1999-01-01')
         GROUP BY CAST(c_nationkey AS BIGINT)""")),
+
+    QueryDef("q_tpch_q2",
+      // minimum-cost-supplier shape: for each qualifying part, the
+      // ASIA supplier(s) offering the region-minimum supply cost —
+      // the correlated-min subquery decorrelated into a per-part min
+      // aggregate joined back on (partkey, EXACT integer cost), so
+      // cost ties keep every tied supplier (a double-min could drop
+      // them on rounding). Region-filtered suppliers broadcast; the
+      // min relation is partkey-keyed like the offers, so the
+      // back-join co-partitions.
+      (s, dir) => {
+        val p = partD(s, dir)
+          .where(col("p_size") === 15 && col("p_type") === "STANDARD")
+          .select(col("p_partkey"), col("p_mfgr"))
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region").where(col("r_name") === "ASIA")
+        val asiaSup = t(s, dir, "supplier")
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+            col("n_name"))
+        val offers = partsuppD(s, dir)
+          .join(broadcast(asiaSup), col("ps_suppkey") === col("s_suppkey"))
+        val minCost = offers.groupBy(col("ps_partkey").as("mc_key"))
+          .agg(min(col("ps_supplycost_i")).as("min_cost_i"))
+        offers
+          .join(minCost, col("ps_partkey") === col("mc_key") &&
+            col("ps_supplycost_i") === col("min_cost_i"))
+          .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_mfgr"),
+            (col("ps_supplycost_i") / 100.0).as("ps_supplycost"))
+          .orderBy(col("s_acctbal").desc, col("n_name").asc,
+            col("s_name").asc, col("p_partkey").asc)
+          .limit(100)
+      },
+      Some(s"""WITH $psCte, $pxCte,
+        asia AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'),
+        offers AS (SELECT * FROM partsupp JOIN asia ON ps_suppkey = s_suppkey),
+        mc AS (SELECT ps_partkey AS mc_key, min(ps_supplycost_i) AS min_cost_i
+          FROM offers GROUP BY 1)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_mfgr,
+          ps_supplycost_i / 100.0 AS ps_supplycost
+        FROM offers JOIN mc ON ps_partkey = mc_key
+            AND ps_supplycost_i = min_cost_i
+          JOIN px ON ps_partkey = p_partkey
+        WHERE p_size = 15 AND p_type = 'STANDARD'
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")),
+
+    QueryDef("q_tpch_q4",
+      // order-priority-checking shape: orders in one quarter with at
+      // least one LATE lineitem (commitdate < receiptdate), counted by
+      // priority — the canonical EXISTS-decorrelated-to-semi-join.
+      // The late filter applies BEFORE the semi join, so only late
+      // orderkeys shuffle.
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1997-07-01").cast("date") &&
+            col("o_orderdate") < lit("1997-10-01").cast("date"))
+        val late = lineitemD(s, dir)
+          .where(col("l_commitdate") < col("l_receiptdate"))
+          .select(col("l_orderkey"))
+        o.join(late, o("o_orderkey") === late("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some(s"""WITH $lxCte
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= DATE '1997-07-01'
+          AND o_orderdate < DATE '1997-10-01'
+          AND EXISTS (SELECT 1 FROM lx WHERE l_orderkey = o_orderkey
+            AND l_commitdate < l_receiptdate)
+        GROUP BY o_orderpriority""")),
+
+    QueryDef("q_tpch_q9",
+      // product-type-profit shape: profit by supplier nation and order
+      // year over '%red%' parts — the 6-table join whose profit is
+      // revenue minus supply cost. Both terms are EXACT integers at
+      // scale 1e4 (cents x (100-cents) and cents x quantity x 100), so
+      // one subtraction and one final division keep the double
+      // hash-exact. partsupp joins the fact on its natural composite
+      // key; nation broadcasts.
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val p = t(s, dir, "part").where(col("p_name").like("%red%"))
+          .select(col("p_partkey"))
+        val ps = partsuppD(s, dir)
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+        val sup = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .join(ps, l("l_partkey") === ps("ps_partkey") &&
+            l("l_suppkey") === ps("ps_suppkey"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast(LongType).as("o_year"))
+          .agg((sum(AggFunctions.cents(col("l_extendedprice")) *
+              (lit(100L) - AggFunctions.cents(col("l_discount"))) -
+              col("ps_supplycost_i") * col("l_quantity").cast(LongType) * 100L)
+            / 10000.0).as("sum_profit"))
+      },
+      Some(s"""WITH $psCte
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT))
+            - ps_supplycost_i * CAST(l_quantity AS BIGINT) * 100)
+            / 10000.0 AS sum_profit
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)""")),
+
+    QueryDef("q_tpch_q11",
+      // important-stock shape: per-part inventory value in one nation,
+      // kept when above a fraction of the nation total. Value is an
+      // exact integer (cost cents x availqty); the 0.0001 threshold is
+      // a cross-multiplied integer comparison (value_i * 10000 >
+      // total_i) against a 1-row broadcast total — no floating
+      // threshold anywhere.
+      (s, dir) => {
+        val n = t(s, dir, "nation").where(col("n_name") === "NATION_3")
+        val natSup = t(s, dir, "supplier")
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val natPs = partsuppD(s, dir)
+          .join(broadcast(natSup), col("ps_suppkey") === col("s_suppkey"))
+          .withColumn("v_i", col("ps_supplycost_i") * col("ps_availqty"))
+        val total = natPs.agg(sum(col("v_i")).as("total_i"))
+        natPs.groupBy(col("ps_partkey"))
+          .agg(sum(col("v_i")).as("value_i"))
+          .crossJoin(broadcast(total))
+          .where(col("value_i") * 10000L > col("total_i"))
+          .select(col("ps_partkey"), (col("value_i") / 100.0).as("value"))
+      },
+      Some(s"""WITH $psCte,
+        nat_ps AS (SELECT ps_partkey,
+            ps_supplycost_i * ps_availqty AS v_i
+          FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3'),
+        tot AS (SELECT CAST(sum(v_i) AS BIGINT) AS total_i FROM nat_ps)
+        SELECT ps_partkey, value_i / 100.0 AS value
+        FROM (SELECT ps_partkey, CAST(sum(v_i) AS BIGINT) AS value_i
+            FROM nat_ps GROUP BY 1), tot
+        WHERE value_i * 10000 > total_i""")),
+
+    QueryDef("q_tpch_q12",
+      // shipmode-priority shape: late-but-committed lineitems received
+      // in 1998 by MAIL/SHIP, split into high/low order-priority
+      // counts — conditional aggregation over one fact join, with all
+      // three derived-date predicates pushed to the scan side.
+      (s, dir) => {
+        val l = lineitemD(s, dir)
+          .where(col("l_shipmode").isin("MAIL", "SHIP") &&
+            col("l_commitdate") < col("l_receiptdate") &&
+            col("l_shipdate").cast("date") < col("l_commitdate") &&
+            col("l_receiptdate") >= lit("1998-01-01").cast("date") &&
+            col("l_receiptdate") < lit("1999-01-01").cast("date"))
+        val o = t(s, dir, "orders")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("l_shipmode"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+              .otherwise(1L)).as("low_line_count"))
+      },
+      Some(s"""WITH $lxCte
+        SELECT l_shipmode,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lx JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipmode IN ('MAIL', 'SHIP')
+          AND l_commitdate < l_receiptdate
+          AND CAST(l_shipdate AS DATE) < l_commitdate
+          AND l_receiptdate >= DATE '1998-01-01'
+          AND l_receiptdate < DATE '1999-01-01'
+        GROUP BY l_shipmode""")),
+
+    QueryDef("q_tpch_q16",
+      // parts/supplier-relationship shape: distinct supplier count per
+      // (brand, type, size) bucket, excluding one brand, one type
+      // family, and a keyed "complaints" supplier list (the fixture
+      // has no s_comment; the exclusion predicate is s_suppkey%10=3,
+      // keeping the NOT-IN-subquery shape). The exclusion anti-joins
+      // BEFORE the part join, so excluded suppliers never reach the
+      // wide relation.
+      (s, dir) => {
+        val p = t(s, dir, "part")
+          .where(col("p_brand") =!= "Brand#3" &&
+            !col("p_type").like("PROMO%") &&
+            col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size"))
+        val complaints = t(s, dir, "supplier")
+          .where(col("s_suppkey") % 10 === 3).select(col("s_suppkey"))
+        partsuppD(s, dir)
+          .join(broadcast(complaints),
+            col("ps_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      },
+      Some(s"""WITH $psCte
+        SELECT p_brand, p_type, p_size,
+          count(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM partsupp JOIN part ON ps_partkey = p_partkey
+        WHERE p_brand <> 'Brand#3'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+            WHERE s_suppkey % 10 = 3)
+        GROUP BY p_brand, p_type, p_size""")),
+
+    QueryDef("q_tpch_q19",
+      // discounted-revenue shape: the OR-of-three-bracketed-ANDs
+      // predicate (brand x container-class x quantity band x size
+      // band) over one part join, with the shared shipmode/instruct
+      // conjuncts factored out so they push to the lineitem scan.
+      // Catalyst keeps the disjunction as a single post-join filter —
+      // one fact pass, no union-of-three-scans blowup.
+      (s, dir) => {
+        val l = lineitemD(s, dir)
+          .where(col("l_shipmode").isin("AIR", "REG AIR") &&
+            col("l_shipinstruct") === "DELIVER IN PERSON")
+        val p = partD(s, dir)
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .where(
+            (col("p_brand") === "Brand#1" &&
+              col("p_container").isin("SM CASE", "SM BOX", "SM PACK", "SM PKG") &&
+              col("l_quantity").between(1, 11) &&
+              col("p_size").between(1, 5)) ||
+            (col("p_brand") === "Brand#2" &&
+              col("p_container").isin("MED BAG", "MED BOX", "MED PKG", "MED PACK") &&
+              col("l_quantity").between(10, 20) &&
+              col("p_size").between(1, 10)) ||
+            (col("p_brand") === "Brand#3" &&
+              col("p_container").isin("LG CASE", "LG BOX", "LG PACK", "LG PKG") &&
+              col("l_quantity").between(20, 30) &&
+              col("p_size").between(1, 15)))
+          .agg(AggFunctions.moneySumDiscounted(
+            col("l_extendedprice"), col("l_discount")).as("revenue"))
+      },
+      Some(s"""WITH $lxCte, $pxCte
+        SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+            AS revenue
+        FROM lx JOIN px ON l_partkey = p_partkey
+        WHERE l_shipmode IN ('AIR', 'REG AIR')
+          AND l_shipinstruct = 'DELIVER IN PERSON'
+          AND ((p_brand = 'Brand#1'
+              AND p_container IN ('SM CASE', 'SM BOX', 'SM PACK', 'SM PKG')
+              AND l_quantity BETWEEN 1 AND 11
+              AND p_size BETWEEN 1 AND 5)
+            OR (p_brand = 'Brand#2'
+              AND p_container IN ('MED BAG', 'MED BOX', 'MED PKG', 'MED PACK')
+              AND l_quantity BETWEEN 10 AND 20
+              AND p_size BETWEEN 1 AND 10)
+            OR (p_brand = 'Brand#3'
+              AND p_container IN ('LG CASE', 'LG BOX', 'LG PACK', 'LG PKG')
+              AND l_quantity BETWEEN 20 AND 30
+              AND p_size BETWEEN 1 AND 15))""")),
+
+    QueryDef("q_tpch_q20",
+      // potential-part-promotion shape: NATION_5 suppliers whose
+      // available quantity of a '%red%' part exceeds half of what they
+      // shipped of it in 1997 — two chained semi-joins with the
+      // half-of-sum threshold cross-multiplied to exact integers
+      // (2*availqty > sum_qty). The shipped aggregate is keyed on the
+      // same composite key as partsupp, so the threshold join
+      // co-partitions.
+      (s, dir) => {
+        val redParts = t(s, dir, "part")
+          .where(col("p_name").like("%red%")).select(col("p_partkey"))
+        val shipped = t(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+            col("l_shipdate") < lit("1998-01-01").cast("date"))
+          .groupBy(col("l_partkey").as("sq_pk"), col("l_suppkey").as("sq_sk"))
+          .agg(sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+        val qualifying = partsuppD(s, dir)
+          .join(broadcast(redParts),
+            col("ps_partkey") === col("p_partkey"), "left_semi")
+          .join(shipped, col("ps_partkey") === col("sq_pk") &&
+            col("ps_suppkey") === col("sq_sk"))
+          .where(col("ps_availqty") * 2L > col("sum_qty"))
+          .select(col("ps_suppkey")).distinct()
+        val n = t(s, dir, "nation").where(col("n_name") === "NATION_5")
+        t(s, dir, "supplier")
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(qualifying),
+            col("s_suppkey") === col("ps_suppkey"), "left_semi")
+          .select(col("s_name"), col("s_acctbal"))
+      },
+      Some(s"""WITH $psCte,
+        shipped AS (SELECT l_partkey AS sq_pk, l_suppkey AS sq_sk,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1997-01-01'
+            AND l_shipdate < DATE '1998-01-01'
+          GROUP BY 1, 2)
+        SELECT s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+          AND s_suppkey IN (SELECT ps_suppkey
+            FROM partsupp JOIN shipped
+              ON ps_partkey = sq_pk AND ps_suppkey = sq_sk
+            WHERE ps_availqty * 2 > sum_qty
+              AND ps_partkey IN (SELECT p_partkey FROM part
+                WHERE p_name LIKE '%red%'))""")),
+
+    QueryDef("q_tpch_q21",
+      // suppliers-who-kept-orders-waiting shape: for 'F' orders with
+      // multiple suppliers, the SOLE late supplier's lineitems,
+      // counted per NATION_1 supplier. The classic double-correlated
+      // EXISTS/NOT-EXISTS pair is re-expressed as ONE per-order
+      // aggregate (distinct suppliers, distinct LATE suppliers): l1
+      // qualifies iff n_supp >= 2 and n_late_supp == 1 — identical
+      // row-level semantics (proven by the classic-form oracle below)
+      // with two fact self-joins replaced by one aggregate join, the
+      // shape that survives 100 TB.
+      (s, dir) => {
+        val l = lineitemD(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_receiptdate") > col("l_commitdate")).as("late"))
+        val perOrder = l.groupBy(col("l_orderkey").as("po_ok"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(col("late"), col("l_suppkey")))
+              .as("n_late_supp"))
+        val fOrders = t(s, dir, "orders")
+          .where(col("o_orderstatus") === "F").select(col("o_orderkey"))
+        val n = t(s, dir, "nation").where(col("n_name") === "NATION_1")
+        val sup = t(s, dir, "supplier")
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"))
+        l.where(col("late"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .join(perOrder, col("l_orderkey") === col("po_ok"))
+          .where(col("n_supp") >= 2 && col("n_late_supp") === 1)
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name").asc)
+          .limit(100)
+      },
+      Some(s"""WITH $lxCte
+        SELECT s_name, count(*) AS numwait
+        FROM lx l1 JOIN orders ON l1.l_orderkey = o_orderkey
+          JOIN supplier ON l1.l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND n_name = 'NATION_1'
+          AND l1.l_receiptdate > l1.l_commitdate
+          AND EXISTS (SELECT 1 FROM lx l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lx l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_receiptdate > l3.l_commitdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 100""")),
 
     QueryDef("q_join_revenue",
       (s, dir) => {

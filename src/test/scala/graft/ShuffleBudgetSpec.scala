@@ -204,6 +204,28 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("q_tpch_q22", 3, "1-row average broadcast; anti-join sides + nation agg"),
     ("q_tpch_q8", 8, "four fact-side joins + year agg pair; all three dim " +
       "roles broadcast — share numerator rides the denominator's scan"),
+    // round-13 derived-fixture TPC-H shapes: partsupp is a distinct
+    // projection of lineitem (one exchange) that broadcasts at suite
+    // SF; at scale it would be a real (bucketed) table and that
+    // exchange disappears
+    ("q_tpch_q2", 5, "partsupp distinct + per-part min agg pair + the " +
+      "min-equality back-join sides; dims and parts broadcast"),
+    ("q_tpch_q4", 1, "late keys broadcast into the semi join; the one " +
+      "exchange is the priority agg"),
+    ("q_tpch_q9", 2, "partsupp distinct + nation/year agg; all joins " +
+      "broadcast at suite SF"),
+    ("q_tpch_q11", 4, "partsupp distinct + per-part value agg pair + the " +
+      "1-row nation total; threshold is a broadcast cross-multiply"),
+    ("q_tpch_q12", 1, "derived-date filters ride the scan; orders " +
+      "broadcast; one shipmode agg exchange"),
+    ("q_tpch_q16", 3, "partsupp distinct + the countDistinct expand pair; " +
+      "complaints anti-join and part both broadcast"),
+    ("q_tpch_q19", 1, "part broadcast, OR-of-brackets is one post-join " +
+      "filter; single 1-row agg exchange"),
+    ("q_tpch_q20", 3, "shipped (pk,sk) agg + partsupp distinct co-keyed " +
+      "join + qualifying distinct; supplier side all-broadcast"),
+    ("q_tpch_q21", 3, "per-order supplier-count agg + orderkey co-join + " +
+      "final s_name agg; the two classic self-joins are gone"),
     ("dedup_simhash_pairs", 1, "16-bit band join + hamming verify, one exchange"),
     ("dedup_keep_best", 1, "component join broadcasts; one survivor window"),
     ("dedup_cross_split", 1, "train fingerprints broadcast; one exchange"),
@@ -344,5 +366,15 @@ class ShuffleBudgetSpec extends SparkSuite {
       assert(n <= maxShuffles,
         s"$name plans $n shuffles, budget $maxShuffles — $why")
     }
+  }
+
+  test("every declared query has a shuffle budget (completeness)") {
+    val budgeted = budgets.map(_._1).toSet
+    val missing = SparkEntry.queries.keySet -- budgeted
+    val stale = budgeted -- SparkEntry.queries.keySet
+    assert(missing.isEmpty && stale.isEmpty,
+      s"unbudgeted queries: ${missing.toSeq.sorted.mkString(", ")}; " +
+        s"budgets for queries that no longer exist: " +
+        s"${stale.toSeq.sorted.mkString(", ")}")
   }
 }

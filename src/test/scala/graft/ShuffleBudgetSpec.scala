@@ -354,6 +354,8 @@ class ShuffleBudgetSpec extends SparkSuite {
       "shuffled"),
     ("stream_join_agg_replay", 0, "memory-sink read back flat: join " +
       "and day-window agg state work happened in the stream"),
+    ("stream_join_agg_rocksdb_replay", 0, "same chained-stateful plan " +
+      "on the RocksDB provider; provider choice never adds exchanges"),
     ("stream_session_window_replay", 0, "memory-sink read back flat: " +
       "session merging happened in the stream's state store"),
     ("stream_recovery_replay", 1, "recovery fold: one event_type agg " +

@@ -49,7 +49,9 @@ object Bench {
     // their positions diffable across rounds)
     "dedup_paragraph", "dedup_sorted_neighborhood", "embed_sq8_topk",
     "q_asof_nearest", "q_runtime_bloom_join", "q_label_centroids",
-    "text_lm_surprisal", "q_market_basket")
+    "text_lm_surprisal", "q_market_basket",
+    // round-13 family representatives
+    "q_tpch_q9", "q_tpch_q21")
 
   /** One measured run: wall seconds, process-CPU seconds consumed,
     * GC seconds accrued, the host 1-min loadavg at run START

@@ -102,37 +102,70 @@ object MinHashLSH {
     * and the banding is portable SQL (see the dedup_minhash oracle,
     * which replays it verbatim in DuckDB).
     */
-  /** @param maxBucket optional per-bucket candidate cap (SCALE.md known
-    *   cliff #2): a pathological corpus where huge sets of documents
-    *   share a band signature (e.g. boilerplate-dominated crawls) makes
-    *   candidate pairs quadratic in bucket size. With a cap, buckets
-    *   holding more than `maxBucket` ids are EXCLUDED from the
-    *   self-join (their pairs are lost — recall loss is explicit and
-    *   logged loudly with the number of dropped buckets, paid for by
-    *   one extra bounded aggregation over the banded rows). Default
-    *   None preserves exact banding semantics.
+  /** @param maxBucket optional per-bucket candidate bound (SCALE.md
+    *   known cliff #2): a pathological corpus where huge sets of
+    *   documents share a band signature (boilerplate-dominated crawls)
+    *   makes candidate pairs quadratic in bucket size. Buckets holding
+    *   more than `maxBucket` ids are SPLIT, not dropped (round-13
+    *   upgrade — the old behavior lost every pair inside them):
+    *    - rows with IDENTICAL full signatures are connected by a
+    *      min-id STAR (linear edges; transitive closure recovers the
+    *      clique, and a boilerplate flood is exactly this case —
+    *      enumerating its n²/2 true pairs is the blowup the cap
+    *      exists to prevent);
+    *    - one representative per distinct signature then self-joins
+    *      within `ceil(reps/cap)` fingerprint sub-buckets (expected
+    *      sub-bucket size ≈ cap, so hot-bucket work is ~reps·cap,
+    *      linear in the bucket).
+    *   Residual recall loss is only for DISTINCT-signature pairs that
+    *   land in different sub-buckets AND agree on no other band; the
+    *   split is logged loudly. Default None preserves exact banding
+    *   semantics (and exact pair enumeration).
     */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String, p: Params = Params(),
                      maxBucket: Option[Long] = None): DataFrame = {
     val banded = bandKeys(signatures(df, idCol, textCol, p), idCol, p)
-    val capped = maxBucket match {
-      case None => banded
+    def selfJoin(rows: DataFrame, keys: Seq[String], id: String): DataFrame =
+      rows.as("l").join(rows.as("r"),
+          keys.map(k => col(s"l.$k") === col(s"r.$k"))
+            .reduce(_ && _) && col(s"l.$id") < col(s"r.$id"))
+        .select(col(s"l.$id").as("a"), col(s"r.$id").as("b"))
+    maxBucket match {
+      case None =>
+        selfJoin(banded, Seq("band", "key"), idCol).distinct()
       case Some(cap) =>
         val oversized = banded.groupBy("band", "key")
           .agg(count(lit(1)).as("__n")).where(col("__n") > cap)
-          .select("band", "key")
-          .localCheckpoint(eager = false) // read by the count + the anti-join
-        val nOver = oversized.count() // eager by design: truncation must be LOUD
-        if (nOver > 0) System.err.println(
-          s"[graft] MinHashLSH.candidatePairs: dropping $nOver bucket(s) larger than " +
-            s"$cap ids — near-dup pairs inside them are NOT reported (recall loss)")
-        banded.join(oversized, Seq("band", "key"), "left_anti")
+          .localCheckpoint(eager = false) // read by the count + both joins
+        val nOver = oversized.count() // eager by design: the split must be LOUD
+        if (nOver == 0)
+          return selfJoin(banded, Seq("band", "key"), idCol).distinct()
+        System.err.println(
+          s"[graft] MinHashLSH.candidatePairs: splitting $nOver bucket(s) larger " +
+            s"than $cap ids — identical-signature groups keep star connectivity; " +
+            "distinct-signature pairs may land in different sub-buckets " +
+            "(bounded residual recall loss, was total loss before round 13)")
+        val cold = banded
+          .join(oversized.select("band", "key"), Seq("band", "key"), "left_anti")
+        val coldPairs = selfJoin(cold, Seq("band", "key"), idCol)
+        val hot = banded.join(oversized.select("band", "key"), Seq("band", "key"))
+        // star edges inside identical-signature groups: min id is the hub
+        val hubs = hot.groupBy("band", "key", "sigfp")
+          .agg(min(col(idCol)).as("hub"))
+          .localCheckpoint(eager = false) // read by the star join + rep pairs
+        val starPairs = hot.join(hubs, Seq("band", "key", "sigfp"))
+          .where(col(idCol) =!= col("hub"))
+          .select(col("hub").as("a"), col(idCol).as("b"))
+        // one representative per distinct signature, sub-bucketed so
+        // each sub-bucket self-join stays ~cap wide
+        val reps = hubs
+          .join(hubs.groupBy("band", "key").agg(count(lit(1)).as("__nr")),
+            Seq("band", "key"))
+          .withColumn("__sub", pmod(col("sigfp"),
+            expr(s"greatest(1L, (__nr + ${cap - 1}) div $cap)")))
+        val repPairs = selfJoin(reps, Seq("band", "key", "__sub"), "hub")
+        coldPairs.union(starPairs).union(repPairs).distinct()
     }
-    capped.as("l").join(capped.as("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-          col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
-      .distinct()
   }
 
   /** Exploded (id, band, key) rows from a signature frame — the raw
@@ -149,8 +182,15 @@ object MinHashLSH {
       struct(lit(b).as("band"),
         struct(rowCols.zipWithIndex.map { case (c, i) => c.as(s"r$i") }: _*).as("key"))
     }
-    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    // sigfp: 8-byte fingerprint of the FULL signature, carried so the
+    // hot-bucket split in [[candidatePairs]] can keep identical
+    // documents together (identical text => identical signature =>
+    // identical fingerprint) while spreading distinct signatures
+    // across sub-buckets
+    sig.select(col(idCol), xxhash64(col("sig")).as("sigfp"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("sigfp"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
       .localCheckpoint(eager = false)
   }
 

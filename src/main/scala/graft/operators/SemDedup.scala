@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
   *  - the cell assignment is computed once and localCheckpoint'd,
   *    since both sides of the self-join and the survivor anti-join
   *    read it;
-  *  - `maxCluster` caps degenerate cells (a boilerplate-heavy corpus
-  *    can collapse into one giant cluster): oversized cells skip pair
-  *    generation — their rows all SURVIVE (dedup recall loss, never
-  *    data loss) — and the drop is logged loudly, the same contract
-  *    as MinHashLSH's `maxBucket`.
+  *  - `maxCluster` bounds degenerate cells (a boilerplate-heavy
+  *    corpus can collapse into one giant cluster): oversized cells
+  *    are SPLIT into fingerprint sub-cells (identical vectors still
+  *    meet and dedup; only distinct near-dup pairs straddling
+  *    sub-cells are kept — bounded residual recall loss, logged
+  *    loudly), the same split-not-drop contract as MinHashLSH's
+  *    `maxBucket`.
   *
   * Determinism: centroid training is exactly deterministic (fixed-
   * point DECIMAL sums — see IvfAnn), assignment ties break to the
@@ -43,8 +45,9 @@ object SemDedup {
     *   in cosine concentration (the paper sweeps 0.95-0.999 for CLIP;
     *   the synthetic fixture corpus needs far lower — its max pairwise
     *   cosine is ~0.5).
-    * @param maxCluster upper bound on cluster size eligible for pair
-    *   generation; None = no cap.
+    * @param maxCluster cell size above which pair generation splits
+    *   the cell into ceil(n/maxCluster) fingerprint sub-cells (see
+    *   droppedIds); None = no bound, exact in-cell semantics.
     * @param twoLevel use the [[TwoLevelQuantizer]] for cell
     *   assignment: O(sqrt(k)·d) per row instead of O(k·d) — the
     *   measured fix for flat assignment's superlinearity once k is
@@ -154,24 +157,46 @@ object SemDedup {
     * survivor, the same rule as ExactDedup/NearDupClusters).
     */
   private def droppedIds(assigned: DataFrame, p: Params): DataFrame = {
-    val eligible = p.maxCluster match {
-      case None => assigned
+    // over-cap cells are SPLIT into fingerprint sub-cells, not skipped
+    // (round-13 upgrade — skipping kept every row of a hot cell, i.e.
+    // zero dedup inside exactly the boilerplate floods that need it
+    // most). Bitwise-identical embeddings share a fingerprint, so
+    // exact duplicates always meet; distinct-but-close vectors may
+    // land in different sub-cells (bounded residual recall loss, was
+    // total loss). Sub-cell count ceil(n/cap) keeps each pair join
+    // ~cap wide, so hot-cell work is ~n·cap — linear in the cell.
+    def pairsOn(rows: DataFrame, keys: Seq[String]): DataFrame =
+      rows.as("a").join(rows.as("b"),
+          keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+            col("b.id") < col("a.id"))
+        .where(VectorFunctions.cosine(col("a.v"), col("b.v")) >= p.tau)
+        .select(col("a.id").as("id"))
+        .distinct()
+    p.maxCluster match {
+      case None => pairsOn(assigned, Seq("cell"))
       case Some(cap) =>
         val oversized = assigned.groupBy("cell")
           .agg(count(lit(1)).as("__n")).where(col("__n") > cap)
-          .select("cell")
-          .localCheckpoint(eager = false) // read by the count + the anti-join
-        val nOver = oversized.count() // eager by design: truncation must be LOUD
-        if (nOver > 0) System.err.println(
-          s"[graft] SemDedup: $nOver cluster(s) larger than $cap skip pair " +
-            "generation — their rows all survive (dedup recall loss)")
-        assigned.join(oversized, Seq("cell"), "left_anti")
+          .localCheckpoint(eager = false) // read by the count + the join
+        val nOver = oversized.count() // eager by design: the split must be LOUD
+        if (nOver == 0)
+          // healthy corpus: keep the EXACT in-cell plan (and its
+          // broadcastable pair join) — the split machinery only
+          // engages when a hot cell actually exists
+          return pairsOn(assigned, Seq("cell"))
+        System.err.println(
+          s"[graft] SemDedup: splitting $nOver cluster(s) larger than $cap " +
+            "into fingerprint sub-cells — identical vectors still dedup; " +
+            "distinct near-dup pairs across sub-cells are kept " +
+            "(bounded residual recall loss, was total loss before round 13)")
+        val keyed = assigned
+          .join(broadcast(oversized.select("cell", "__n")), Seq("cell"), "left")
+          .withColumn("__sub", when(col("__n").isNull, lit(0L))
+            .otherwise(pmod(xxhash64(col("v")),
+              expr(s"greatest(1L, (__n + ${cap - 1}) div $cap)"))))
+          .drop("__n")
+        pairsOn(keyed, Seq("cell", "__sub"))
     }
-    eligible.as("a").join(eligible.as("b"),
-        col("a.cell") === col("b.cell") && col("b.id") < col("a.id"))
-      .where(VectorFunctions.cosine(col("a.v"), col("b.v")) >= p.tau)
-      .select(col("a.id").as("id"))
-      .distinct()
   }
 
   /** Surviving rows after semantic dedup: (idCol, cell), one row per

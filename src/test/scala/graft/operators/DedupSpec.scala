@@ -85,14 +85,21 @@ class DedupSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
   }
 
-  test("minhash bucket cap: oversized buckets are dropped, generous cap is a no-op") {
+  test("minhash bucket cap: oversized buckets SPLIT — identical docs keep star connectivity") {
     // 12 identical documents: every band bucket holds all 12 ids, so the
     // uncapped candidate set is the full 12-choose-2
     val df = docs((1L to 12L).map(i => i -> base): _*)
     assert(MinHashLSH.candidatePairs(df, "doc_id", "text").count() == 66L)
-    // cap below the bucket size: the pathological bucket is excluded
-    assert(MinHashLSH.candidatePairs(df, "doc_id", "text",
-      maxBucket = Some(5L)).count() == 0L)
+    // cap below the bucket size: the hot bucket splits — the
+    // identical-signature group is connected by a min-id star (11
+    // edges), so downstream clustering recovers the full 12-clique
+    // that the pre-round-13 drop-the-bucket behavior lost entirely,
+    // while pair enumeration stays LINEAR in the bucket
+    val capped = MinHashLSH.candidatePairs(df, "doc_id", "text",
+      maxBucket = Some(5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == (2L to 12L).map(i => (1L, i)).toSet,
+      s"expected the 11-edge min-id star, got ${capped.size} pairs")
     // cap above it: exact semantics preserved
     assert(MinHashLSH.candidatePairs(df, "doc_id", "text",
       maxBucket = Some(100L)).count() == 66L)

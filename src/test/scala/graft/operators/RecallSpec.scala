@@ -133,6 +133,42 @@ class RecallSpec extends SparkSuite {
       s"MinHash candidate recall regressed: ${recall(cand, exact)}")
   }
 
+  test("MinHash hot-bucket split keeps the recall floor under maxBucket (planted flood)") {
+    import spark.implicits._
+    val p = MinHashLSH.Params()
+    val sub = docs.where(col("doc_id") < 200).select("doc_id", "text")
+    // a 50-doc identical boilerplate flood on reserved ids: every band
+    // bucket it forms holds all 50 ids, far over the cap
+    val boiler = "breaking news subscribe to our newsletter for daily " +
+      "updates terms of service privacy policy all rights reserved"
+    val flood = (10000L until 10050L).map(i => (i, boiler))
+      .toDF("doc_id", "text")
+    val cand = MinHashLSH
+      .candidatePairs(sub.union(flood), "doc_id", "text", p,
+        maxBucket = Some(10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (a) the flood clique stays CONNECTED — min-id star edges reach
+    // every flood doc (the pre-round-13 drop lost all of them)
+    assert((10001L until 10050L).forall(i => cand.contains((10000L, i))),
+      "flood star connectivity broken under the cap")
+    // (b) cold-bucket planted near-dups keep the same recall floor as
+    // the uncapped run: every exact shingle-Jaccard >= 0.8 pair among
+    // the real docs is still a candidate
+    val sh = sub.select(col("doc_id"),
+      array_distinct(graft.expressions.WordShingleHashes(
+        col("text"), p.shingleSize)).as("sh"))
+    val exact = pairSet(sh.as("x")
+      .join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(array_union(col("x.sh"), col("y.sh")))).as("j"))
+      .where(col("j") >= 0.8).select(col("x.doc_id"), col("y.doc_id")))
+    assert(exact.size >= 3, s"vacuous baseline: ${exact.size} exact pairs")
+    val cold = cand.filter(t => t._1 < 10000L && t._2 < 10000L)
+    assert(recall(cold, exact) >= 0.95,
+      s"cold-bucket recall regressed under the cap: ${recall(cold, exact)}")
+  }
+
   test("SimHash band join is EXHAUSTIVE to hamming 3 (recall 1.0 vs brute force)") {
     // the 4x16-bit pigeonhole guarantee, verified empirically: the band
     // join must return exactly the brute-force hamming <= 3 pair set

@@ -33,16 +33,43 @@ class SemDedupSpec extends SparkSuite {
     assert(kept == fixture.count())
   }
 
-  test("maxCluster cap: oversized cells skip pair generation, rows survive") {
-    // cap below the x-axis group size (3 members: 1,4,5) -> its
-    // near-dups are NOT dropped; the 2-member y-axis cell still
-    // dedups to its min id
-    val keptCapped = SemDedup.survivors(fixture,
+  test("maxCluster split: identical vectors in an over-cap cell still dedup to min id") {
+    // 4 BITWISE-identical x-axis vectors + the axis seeds; cap 2
+    // forces the x-cell (size 4) to split into fingerprint sub-cells.
+    // Identical vectors share a fingerprint, so the whole identical
+    // group stays together and 6/7/8 drop — the recall floor the
+    // pre-round-13 skip-the-cell behavior lost (it kept every row of
+    // exactly the boilerplate floods that need dedup most).
+    val dupFixture = vecsDF(Seq(
+      1L -> Seq(1f, 0f, 0f), 2L -> Seq(0f, 1f, 0f), 3L -> Seq(0f, 0f, 1f),
+      6L -> Seq(1f, 0f, 0f), 7L -> Seq(1f, 0f, 0f), 8L -> Seq(1f, 0f, 0f)))
+    val kept = SemDedup.survivors(dupFixture,
         p = p.copy(maxCluster = Some(2L)))
       .select("vec_id").as[Long].collect().sorted
-    assert(keptCapped.contains(1L) && keptCapped.contains(4L) &&
-      keptCapped.contains(5L), s"capped cell must survive whole: ${keptCapped.mkString(",")}")
-    assert(!keptCapped.contains(11L), "uncapped cell must still dedup")
+    assert(kept.contains(1L), "min-id canonical survivor must remain")
+    assert(!kept.contains(6L) && !kept.contains(7L) && !kept.contains(8L),
+      s"identical over-cap vectors must still dedup, kept: ${kept.mkString(",")}")
+    // under-cap cells keep exact semantics: the 2-member y-axis cell
+    // still dedups to its min id
+    assert(kept.contains(2L) && kept.contains(3L))
+  }
+
+  test("maxCluster split is deterministic and no worse than the exact run") {
+    // distinct-but-close vectors in an over-cap cell may straddle
+    // sub-cells (bounded residual recall loss) — but the survivor set
+    // must stay a pure function of the data, and every id dropped by
+    // the split run must also be dropped by the exact (uncapped) run
+    val exact = SemDedup.survivors(fixture, p = p)
+      .select("vec_id").as[Long].collect().toSet
+    val split1 = SemDedup.survivors(fixture.repartition(1),
+      p = p.copy(maxCluster = Some(2L)))
+      .select("vec_id").as[Long].collect().toSet
+    val split5 = SemDedup.survivors(fixture.repartition(5),
+      p = p.copy(maxCluster = Some(2L)))
+      .select("vec_id").as[Long].collect().toSet
+    assert(split1 == split5, "split survivors depend on partitioning")
+    assert(exact.subsetOf(split1),
+      "the split run dropped an id the exact run kept")
   }
 
   test("deterministic under repartitioning") {

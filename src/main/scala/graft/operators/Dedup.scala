@@ -124,7 +124,8 @@ object MinHashLSH {
     */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String, p: Params = Params(),
                      maxBucket: Option[Long] = None): DataFrame = {
-    val banded = bandKeys(signatures(df, idCol, textCol, p), idCol, p)
+    val banded = bandKeys(signatures(df, idCol, textCol, p), idCol, p,
+      withSigFp = maxBucket.isDefined)
     def selfJoin(rows: DataFrame, keys: Seq[String], id: String): DataFrame =
       rows.as("l").join(rows.as("r"),
           keys.map(k => col(s"l.$k") === col(s"r.$k"))
@@ -175,22 +176,29 @@ object MinHashLSH {
     * banding at least twice.
     */
   private[operators] def bandKeys(sig: DataFrame, idCol: String,
-                                  p: Params): DataFrame = {
+                                  p: Params,
+                                  withSigFp: Boolean = false): DataFrame = {
     val bandStructs = (0 until p.bands).map { b =>
       val rowCols = (0 until p.rowsPerBand)
         .map(r => element_at(col("sig"), b * p.rowsPerBand + r + 1))
       struct(lit(b).as("band"),
         struct(rowCols.zipWithIndex.map { case (c, i) => c.as(s"r$i") }: _*).as("key"))
     }
-    // sigfp: 8-byte fingerprint of the FULL signature, carried so the
-    // hot-bucket split in [[candidatePairs]] can keep identical
-    // documents together (identical text => identical signature =>
-    // identical fingerprint) while spreading distinct signatures
-    // across sub-buckets
-    sig.select(col(idCol), xxhash64(col("sig")).as("sigfp"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col("sigfp"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    // sigfp (opt-in): 8-byte fingerprint of the FULL signature,
+    // carried so the hot-bucket split in [[candidatePairs]] can keep
+    // identical documents together (identical text => identical
+    // signature => identical fingerprint) while spreading distinct
+    // signatures across sub-buckets. Opt-in because the column rides
+    // the localCheckpoint (pruning cannot reach below it) and costs
+    // ~50% on the uncapped path, which never reads it.
+    val head =
+      if (withSigFp) Seq(col(idCol), xxhash64(col("sig")).as("sigfp"))
+      else Seq(col(idCol))
+    val headNames =
+      if (withSigFp) Seq(col(idCol), col("sigfp")) else Seq(col(idCol))
+    sig.select(head :+ explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(headNames ++
+        Seq(col("bk.band").as("band"), col("bk.key").as("key")): _*)
       .localCheckpoint(eager = false)
   }
 

@@ -631,7 +631,8 @@ object PipelineQueries {
     * cross_split / dedup_incremental), so the FNV fold, permutation
     * constants and band layout cannot desynchronize between them.
     */
-  private def minhashSigCtes(materializeSg: Boolean = false): String = {
+  private def minhashSigCtes(materializeSg: Boolean = false,
+                             source: String = "documents"): String = {
     val p = MinHashLSH.Params()
     val perms = graft.expressions.TextHashing.minhashPerms(p.seed, p.numHashes)
     // fold n token hashes into one shingle hash: h = (h xor t) * prime
@@ -649,7 +650,7 @@ object PipelineQueries {
       (0 until p.rowsPerBand).map(r => s"m${b * p.rowsPerBand + r}").mkString("[", ", ", "]")
     }.mkString("[", ", ", "]")
     val sgMat = if (materializeSg) " MATERIALIZED" else ""
-    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $source
           WHERE len(string_split(text, ' ')) >= ${p.shingleSize}),
       tt AS (SELECT doc_id, list_transform(toks, w -> ${fnvSql("w")}) AS th FROM d),
       sgl AS (SELECT doc_id,
@@ -678,6 +679,60 @@ object PipelineQueries {
         SELECT a, b, inter, uni, CAST(inter AS DOUBLE) / uni AS jaccard,
           row_number() OVER (ORDER BY CAST(inter AS DOUBLE) / uni DESC, a, b) AS rn
         FROM ver) WHERE rn <= 20"""
+
+  /** Identical boilerplate used by dedup_minhash_split's planted flood
+    * (must carry >= shingleSize tokens).
+    */
+  private val splitBoiler: String =
+    "subscribe to our newsletter for daily updates all rights reserved"
+  private val splitCap = 50L
+  private val splitFlood = 100L
+
+  /** Oracle for dedup_minhash_split: replays the HOT-BUCKET SPLIT
+    * semantics of [[MinHashLSH.candidatePairs]] under `maxBucket` —
+    * cold buckets self-join exactly; hot buckets contribute min-id
+    * STAR edges per identical-full-signature group. The planted flood
+    * is `splitFlood` IDENTICAL docs (one signature per hot bucket), so
+    * representative sub-bucket pairs are empty BY CONSTRUCTION and the
+    * whole split output is replayable without Spark's xxhash64; if a
+    * real bucket ever exceeded the cap with >1 distinct signature,
+    * Spark would emit rep pairs the oracle does not — a loud hash
+    * mismatch, not silent drift. The m-columns form the full-signature
+    * grouping key (`lsig`).
+    */
+  private def minhashSplitOracle: String = {
+    val p = MinHashLSH.Params()
+    val lsig = (0 until p.numHashes).map(i => s"m$i").mkString("[", ", ", "]")
+    s"""WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 300
+        UNION ALL
+        SELECT 1000000 + i AS doc_id, '$splitBoiler' AS text
+        FROM range($splitFlood) t(i)),
+      ${minhashSigCtes(materializeSg = true, source = "corpus")},
+      sizes AS (SELECT band, key, count(*) AS n FROM bk GROUP BY 1, 2),
+      cold AS (SELECT l.doc_id AS a, r.doc_id AS b
+        FROM bk l JOIN bk r ON l.band = r.band AND l.key = r.key
+          AND l.doc_id < r.doc_id
+        JOIN sizes s ON l.band = s.band AND l.key = s.key
+        WHERE s.n <= $splitCap),
+      hotsig AS (SELECT bk.doc_id, bk.band, bk.key, $lsig AS lsig
+        FROM bk JOIN sizes s ON bk.band = s.band AND bk.key = s.key
+          JOIN sg ON bk.doc_id = sg.doc_id
+        WHERE s.n > $splitCap),
+      hub AS (SELECT band, key, lsig, min(doc_id) AS hub
+        FROM hotsig GROUP BY 1, 2, 3),
+      star AS (SELECT h2.hub AS a, h.doc_id AS b
+        FROM hotsig h JOIN hub h2
+          ON h.band = h2.band AND h.key = h2.key AND h.lsig = h2.lsig
+        WHERE h.doc_id <> h2.hub),
+      allp AS (SELECT DISTINCT a, b FROM
+        (SELECT a, b FROM cold UNION ALL SELECT a, b FROM star))
+      SELECT count(*) AS n_pairs,
+        CAST(sum(CASE WHEN b >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_flood_edges,
+        CAST(sum(a) AS BIGINT) AS sum_a, CAST(sum(b) AS BIGINT) AS sum_b
+      FROM allp"""
+  }
 
   /** Oracle for dedup_incremental: replays the fingerprint-index
     * admission decision — signatures + raw-tuple banding exactly as
@@ -1077,6 +1132,32 @@ object PipelineQueries {
           t(s, dir, "documents"), "doc_id", "text", threshold = 0.0)
         .orderBy(col("jaccard").desc, col("a"), col("b")).limit(20),
       Some(minhashOracle)),
+
+    QueryDef("dedup_minhash_split",
+      // the HOT-BUCKET SPLIT path itself under the oracle gate: a
+      // planted flood of identical boilerplate (100 docs, every band
+      // bucket far over the 50-id cap) beside 300 real docs. The
+      // split must (a) keep the real docs' cold buckets EXACT, and
+      // (b) connect the flood by min-id star edges instead of
+      // dropping it. Output is a one-row checksum (pair count, flood
+      // edge count, id sums) so the whole pair SET is hash-pinned;
+      // the DuckDB oracle replays cold join + per-signature star
+      // (see minhashSplitOracle for why rep sub-bucket pairs are
+      // provably empty here)
+      (s, dir) => {
+        val real = t(s, dir, "documents").where(col("doc_id") < 300)
+          .select(col("doc_id"), col("text"))
+        val flood = s.range(splitFlood)
+          .select((col("id") + 1000000L).as("doc_id"),
+            lit(splitBoiler).as("text"))
+        MinHashLSH.candidatePairs(real.union(flood), "doc_id", "text",
+            MinHashLSH.Params(), maxBucket = Some(splitCap))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("b") >= 1000000L, 1L).otherwise(0L))
+              .as("n_flood_edges"),
+            sum(col("a")).as("sum_a"), sum(col("b")).as("sum_b"))
+      },
+      Some(minhashSplitOracle)),
 
     QueryDef("dedup_simhash",
       (s, dir) => t(s, dir, "documents").where(col("doc_id") < 200)

@@ -226,6 +226,9 @@ class ShuffleBudgetSpec extends SparkSuite {
       "join + qualifying distinct; supplier side all-broadcast"),
     ("q_tpch_q21", 3, "per-order supplier-count agg + orderkey co-join + " +
       "final s_name agg; the two classic self-joins are gone"),
+    ("dedup_minhash_split", 10, "the deliberate hot-bucket stress: cold " +
+      "self-join + per-signature star hubs + rep sub-bucketing + the " +
+      "checksum agg — each stage key-partitioned once; hot rows only"),
     ("dedup_simhash_pairs", 1, "16-bit band join + hamming verify, one exchange"),
     ("dedup_keep_best", 1, "component join broadcasts; one survivor window"),
     ("dedup_cross_split", 1, "train fingerprints broadcast; one exchange"),

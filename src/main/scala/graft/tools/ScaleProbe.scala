@@ -73,6 +73,21 @@ object ScaleProbe {
         "minhash candidate pairs" -> time {
           MinHashLSH.candidatePairs(docs, "doc_id", "text").count()
         },
+        "minhash hot-bucket split (identical flood, cap=50)" -> {
+          // the quadratic cliff the round-13 split bounds: an all-
+          // identical corpus puts every doc in every band bucket.
+          // Uncapped pairs would be (n choose 2) ~ factor^2; the split
+          // emits the n-1 min-id star, so TIME and PAIRS must both
+          // stay ~linear in the flood size
+          val flood = spark.range(1000L * factor).select(
+            col("id").as("doc_id"),
+            lit("subscribe to our newsletter for daily updates all " +
+              "rights reserved").as("text"))
+          time {
+            MinHashLSH.candidatePairs(flood, "doc_id", "text",
+              maxBucket = Some(50L)).count()
+          }
+        },
         "simhash signatures" -> time {
           docs.select(SimHash.simhash(col("text"))).agg(count(lit(1)))
             .collect().head.getLong(0)
@@ -374,7 +389,15 @@ object ScaleProbe {
       }
       sb.append(s"| $op | " + cells.mkString(" | ") + " |\n")
     }
-    sb.append("\nNotes: the flat semantic-dedup row is BASELINE-ONLY — the ")
+    sb.append("\nNotes: the hot-bucket-split row is the round-13 bounded-")
+    sb.append("blowup claim measured: an ALL-identical flood makes every ")
+    sb.append("band bucket hold the whole corpus, where uncapped pair ")
+    sb.append("enumeration is (n choose 2) ~ factor^2; under maxBucket=50 ")
+    sb.append("the split emits the n-1 min-id star instead, so reported ")
+    sb.append("pairs equal flood-1 and wall time must track factor, not ")
+    sb.append("factor^2 (the pre-round-13 drop behavior reported 0 pairs ")
+    sb.append("here — total recall loss). ")
+    sb.append("The flat semantic-dedup row is BASELINE-ONLY — the ")
     sb.append("flagship dedup_semantic query ships the two-level plan; the ")
     sb.append("flat row grows SUPERLINEARLY by ")
     sb.append("design of the probe — k is sized to the corpus (~N/1000 ")

@@ -1,0 +1,345 @@
+package graft.lake
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+/** Append-only transaction log for [[LakeTable]] — the minimal
+  * lakehouse commit protocol (the Delta/Iceberg idea re-built from
+  * first principles, no external format dependency):
+  *
+  *  - a table is a directory; its STATE is the replay of numbered
+  *    commit files under `_log/` (`%020d.json`, one JSON action per
+  *    line); data files under `data/` are immutable and only ever
+  *    referenced, never mutated;
+  *  - a commit is ATOMIC: actions are staged to a hidden temp file and
+  *    `rename`d to the next version number. Rename-if-absent is atomic
+  *    on HDFS and local FS, so two racing writers get exactly one
+  *    winner; the loser re-reads the log and retries (optimistic
+  *    concurrency). On S3-like stores this would sit behind a
+  *    commit-coordinator/conditional-put — the protocol is unchanged;
+  *  - appends never conflict (they reference only new files); REWRITE
+  *    commits (delete/merge/compact/overwrite) declare the files they
+  *    remove and are re-validated against the winning snapshot after a
+  *    lost race — if a removed file is no longer live, the commit
+  *    aborts with a conflict instead of resurrecting data;
+  *  - every `checkpointInterval`-th commit also writes a CHECKPOINT
+  *    (full file list + schema), so snapshot reconstruction is
+  *    O(interval) commit reads from the latest checkpoint, not O(all
+  *    commits since table creation) — at 100 TB with years of commits
+  *    the checkpoint IS the log-replay scalability story (same role as
+  *    `_last_checkpoint` in public lakehouse formats);
+  *  - each ADD carries per-file row count, byte size, and min/max/null
+  *    stats for the table's declared stats columns — the file-skipping
+  *    index [[LakeTable.scanPruned]] prunes with, which is what
+  *    replaces directory partitioning in this design (finer-grained,
+  *    works for any clustered column, no small-partition explosion).
+  *
+  * The log is driver-side JSON: commit files are KB-sized (bounded by
+  * files-per-commit, not rows), and snapshot state is the file list —
+  * ~100 bytes/file, so even a 10^6-file / 100 TB table replays from a
+  * checkpoint in MBs of driver memory.
+  */
+object LakeLog {
+
+  /** Per-file column stats carried by an [[Add]]; values are
+    * normalized to Long / Double / String (see
+    * [[LakeTable.normalizeStat]]) so pruning comparisons are
+    * engine-independent.
+    */
+  final case class Stats(rows: Long, bytes: Long,
+                         min: Map[String, Any], max: Map[String, Any],
+                         nulls: Map[String, Long])
+
+  sealed trait Action
+  /** `path` is table-root-relative, immutable once referenced. */
+  final case class Add(path: String, stats: Stats) extends Action
+  final case class Remove(path: String) extends Action
+  /** One per commit: operation tag for history/audit, the table schema
+    * (DDL), declared stats columns, the table's cluster column
+    * (rewrites re-cluster by it so the skipping layout survives
+    * maintenance), and an optional (appId, batchId) idempotence token
+    * for exactly-once streaming appends.
+    */
+  final case class Meta(op: String, schemaDdl: String,
+                        statsCols: Seq[String],
+                        appId: Option[String], batchId: Option[Long],
+                        ts: Long,
+                        clusterBy: Option[String] = None) extends Action
+
+  /** Fully-replayed table state at `version`. */
+  final case class Snapshot(version: Long, schemaDdl: String,
+                            statsCols: Seq[String], files: Seq[Add],
+                            committedBatches: Map[String, Long],
+                            clusterBy: Option[String]) {
+    def filePaths: Set[String] = files.map(_.path).toSet
+  }
+
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
+  val checkpointInterval = 10
+
+  def logDir(root: Path): Path = new Path(root, "_log")
+  def dataDir(root: Path): Path = new Path(root, "data")
+  private def commitPath(root: Path, v: Long): Path =
+    new Path(logDir(root), f"$v%020d.json")
+  private def checkpointPath(root: Path, v: Long): Path =
+    new Path(logDir(root), f"$v%020d.checkpoint.json")
+
+  def fileSystem(root: Path, conf: Configuration): FileSystem =
+    root.getFileSystem(conf)
+
+  // ---- JSON (de)serialization -------------------------------------
+
+  private def statToJson(v: Any): JValue = v match {
+    case l: Long    => JLong(l)
+    case i: Int     => JLong(i.toLong)
+    case d: Double  => JDouble(d)
+    case f: Float   => JDouble(f.toDouble)
+    case s: String  => JString(s)
+    case null       => JNull
+    case other => throw new IllegalArgumentException(
+      s"unsupported stat value type ${other.getClass}: $other")
+  }
+
+  private def statFromJson(v: JValue): Any = v match {
+    case JLong(l)    => l
+    case JInt(i)     => i.toLong
+    case JDouble(d)  => d
+    case JDecimal(d) => d.toDouble
+    case JString(s)  => s
+    case JNull       => null
+    case other => throw new IllegalArgumentException(s"bad stat json: $other")
+  }
+
+  def actionToJson(a: Action): JValue = a match {
+    case Add(p, st) =>
+      ("a" -> "add") ~ ("f" -> p) ~ ("rows" -> st.rows) ~
+        ("bytes" -> st.bytes) ~
+        ("min" -> JObject(st.min.toList.sortBy(_._1)
+          .map { case (k, v) => k -> statToJson(v) })) ~
+        ("max" -> JObject(st.max.toList.sortBy(_._1)
+          .map { case (k, v) => k -> statToJson(v) })) ~
+        ("nulls" -> JObject(st.nulls.toList.sortBy(_._1)
+          .map { case (k, v) => k -> JLong(v) }))
+    case Remove(p) => ("a" -> "rm") ~ ("f" -> p)
+    case Meta(op, ddl, statsCols, appId, batchId, ts, clusterBy) =>
+      ("a" -> "meta") ~ ("op" -> op) ~ ("schema" -> ddl) ~
+        ("statsCols" -> statsCols) ~ ("appId" -> appId) ~
+        ("batchId" -> batchId) ~ ("ts" -> ts) ~ ("clusterBy" -> clusterBy)
+  }
+
+  def actionFromJson(j: JValue): Action = {
+    def str(k: String): String =
+      (j \ k) match { case JString(s) => s; case o => throw new
+          IllegalArgumentException(s"missing/bad '$k' in $j: $o") }
+    def lng(j2: JValue): Long = j2 match {
+      case JLong(l) => l; case JInt(i) => i.toLong
+      case o => throw new IllegalArgumentException(s"bad long: $o")
+    }
+    (j \ "a") match {
+      case JString("add") =>
+        def statMap(k: String): Map[String, Any] = (j \ k) match {
+          case JObject(fs) => fs.map { case (c, v) => c -> statFromJson(v) }.toMap
+          case _           => Map.empty
+        }
+        val nulls = (j \ "nulls") match {
+          case JObject(fs) => fs.map { case (c, v) => c -> lng(v) }.toMap
+          case _           => Map.empty[String, Long]
+        }
+        Add(str("f"), Stats(lng(j \ "rows"), lng(j \ "bytes"),
+          statMap("min"), statMap("max"), nulls))
+      case JString("rm") => Remove(str("f"))
+      case JString("meta") =>
+        val appId = (j \ "appId") match {
+          case JString(s) => Some(s); case _ => None
+        }
+        val batchId = (j \ "batchId") match {
+          case JLong(l) => Some(l); case JInt(i) => Some(i.toLong)
+          case _        => None
+        }
+        val statsCols = (j \ "statsCols") match {
+          case JArray(xs) => xs.collect { case JString(s) => s }
+          case _          => Nil
+        }
+        val clusterBy = (j \ "clusterBy") match {
+          case JString(s) => Some(s); case _ => None
+        }
+        Meta(str("op"), str("schema"), statsCols, appId, batchId,
+          lng(j \ "ts"), clusterBy)
+      case o => throw new IllegalArgumentException(s"unknown action: $o")
+    }
+  }
+
+  // ---- Log IO ------------------------------------------------------
+
+  private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, false)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](64 * 1024)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
+
+  def readCommit(fs: FileSystem, root: Path, v: Long): Seq[Action] =
+    readString(fs, commitPath(root, v)).linesIterator
+      .filter(_.nonEmpty).map(l => actionFromJson(JsonMethods.parse(l)))
+      .toSeq
+
+  /** Committed versions in ascending order (empty = no table). */
+  def versions(fs: FileSystem, root: Path): Seq[Long] = {
+    val dir = logDir(root)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json") &&
+        !n.startsWith("."))
+      .map(n => n.stripSuffix(".json").toLong).sorted.toSeq
+  }
+
+  def latestVersion(fs: FileSystem, root: Path): Option[Long] =
+    versions(fs, root).lastOption
+
+  /** Atomic commit attempt at exactly `v`: stage + rename-if-absent.
+    * Returns false when some other writer won `v`.
+    */
+  def tryCommit(fs: FileSystem, root: Path, v: Long,
+                actions: Seq[Action]): Boolean = {
+    val dir = logDir(root)
+    fs.mkdirs(dir)
+    val target = commitPath(root, v)
+    if (fs.exists(target)) return false
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    writeString(fs, tmp, actions.map(a =>
+      JsonMethods.compact(JsonMethods.render(actionToJson(a)))).mkString("\n"))
+    val won = try fs.rename(tmp, target) && fs.exists(target)
+    catch { case _: java.io.IOException => false }
+    if (!won && fs.exists(tmp)) fs.delete(tmp, false)
+    won
+  }
+
+  /** Commit `actions` at the next free version, retrying lost races.
+    * `removedFiles` + `baseVersion` are the rewrite conflict guard:
+    * `baseVersion` is the snapshot version the caller computed its
+    * rewrite against; whenever the log has advanced past it (a
+    * concurrent commit landed — before our first attempt or by
+    * winning a rename race), the files this commit removes must still
+    * be live in the current snapshot, otherwise a concurrent rewrite
+    * already superseded them and blindly committing would
+    * resurrect/drop rows — abort loudly. Writes a checkpoint every
+    * [[checkpointInterval]] commits. Returns the committed version.
+    */
+  def commit(fs: FileSystem, root: Path, actions: Seq[Action],
+             removedFiles: Set[String] = Set.empty,
+             baseVersion: Long = -1L,
+             maxRetries: Int = 50): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = latestVersion(fs, root).map(_ + 1).getOrElse(0L)
+      if (removedFiles.nonEmpty && v != baseVersion + 1) {
+        val live = snapshot(fs, root, None).filePaths
+        val gone = removedFiles -- live
+        if (gone.nonEmpty) throw new ConcurrentCommitException(
+          s"rewrite lost race: files no longer live: ${gone.take(3)}…")
+      }
+      if (tryCommit(fs, root, v, actions)) {
+        if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(fs, root, v)
+        return v
+      }
+      attempt += 1
+    }
+    throw new ConcurrentCommitException(
+      s"gave up after $maxRetries contended commit attempts at $root")
+  }
+
+  private def writeCheckpoint(fs: FileSystem, root: Path, v: Long): Unit = {
+    val snap = replay(fs, root, v, fromCheckpoint = false)
+    val body =
+      (Meta("checkpoint", snap.schemaDdl, snap.statsCols, None, None,
+        System.currentTimeMillis(), snap.clusterBy) +:
+        snap.committedBatches.toSeq.sortBy(_._1).map { case (app, b) =>
+          Meta("batchmark", snap.schemaDdl, Nil, Some(app), Some(b), 0L)
+        }) ++ snap.files
+    val p = checkpointPath(root, v)
+    if (!fs.exists(p)) {
+      val tmp = new Path(logDir(root), s".tmp-${java.util.UUID.randomUUID()}")
+      writeString(fs, tmp, body.map(a =>
+        JsonMethods.compact(JsonMethods.render(actionToJson(a)))).mkString("\n"))
+      fs.rename(tmp, p)
+    }
+  }
+
+  private def latestCheckpointAtOrBefore(fs: FileSystem, root: Path,
+                                         v: Long): Option[Long] = {
+    val dir = logDir(root)
+    if (!fs.exists(dir)) return None
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint.json"))
+      .map(_.stripSuffix(".checkpoint.json").toLong)
+      .filter(_ <= v).sorted.lastOption
+  }
+
+  /** Table state at `asOf` (default: latest). Replays from the newest
+    * checkpoint at or before the target version.
+    */
+  def snapshot(fs: FileSystem, root: Path, asOf: Option[Long]): Snapshot = {
+    val vs = versions(fs, root)
+    require(vs.nonEmpty, s"no lake table at $root")
+    val target = asOf.getOrElse(vs.last)
+    require(vs.contains(target),
+      s"version $target not in log (have ${vs.headOption}..${vs.lastOption})")
+    replay(fs, root, target, fromCheckpoint = true)
+  }
+
+  private def replay(fs: FileSystem, root: Path, target: Long,
+                     fromCheckpoint: Boolean): Snapshot = {
+    val files = mutable.LinkedHashMap[String, Add]()
+    var schemaDdl = ""
+    var statsCols: Seq[String] = Nil
+    var clusterBy: Option[String] = None
+    val batches = mutable.Map[String, Long]()
+    val start = if (fromCheckpoint) {
+      latestCheckpointAtOrBefore(fs, root, target) match {
+        case Some(cv) =>
+          readString(fs, checkpointPath(root, cv)).linesIterator
+            .filter(_.nonEmpty)
+            .map(l => actionFromJson(JsonMethods.parse(l))).foreach {
+              case a: Add => files(a.path) = a
+              case Meta("checkpoint", ddl, sc, _, _, _, cb) =>
+                schemaDdl = ddl; statsCols = sc; clusterBy = cb
+              case Meta("batchmark", _, _, Some(app), Some(b), _, _) =>
+                batches(app) = b
+              case _ => ()
+            }
+          cv + 1
+        case None => 0L
+      }
+    } else 0L
+    (start to target).foreach { v =>
+      readCommit(fs, root, v).foreach {
+        case a: Add    => files(a.path) = a
+        case Remove(p) => files.remove(p)
+        case Meta(_, ddl, sc, appId, batchId, _, cb) =>
+          if (ddl.nonEmpty) { schemaDdl = ddl }
+          if (sc.nonEmpty) { statsCols = sc }
+          if (cb.nonEmpty) { clusterBy = cb }
+          for (app <- appId; b <- batchId)
+            batches(app) = math.max(b, batches.getOrElse(app, Long.MinValue))
+      }
+    }
+    Snapshot(target, schemaDdl, statsCols, files.values.toSeq, batches.toMap,
+      clusterBy)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** Exactly-once Structured-Streaming sink into a [[LakeTable]] via
+  * `foreachBatch`.
+  *
+  * Spark's foreachBatch contract is AT-LEAST-once: after a failure the
+  * restarted query replays the last unacknowledged micro-batch with
+  * the SAME `batchId`. The log makes the append idempotent: every
+  * streaming commit carries its `(appId, batchId)` token in the commit
+  * Meta, the snapshot exposes the highest committed batch per app, and
+  * [[addBatch]] skips any batch at or below it. Duplicate delivery
+  * therefore becomes a no-op COMMIT-level check — not a row-level
+  * dedup — which is the same transactional-sink design public
+  * lakehouse formats use for their streaming writers.
+  *
+  * The skip re-check runs inside [[LakeLog.commit]]'s optimistic
+  * retry loop indirectly: a racing duplicate of the SAME app can slip
+  * past the first snapshot read, but both then race the rename and
+  * the loser's retry re-reads the log — [[addBatch]] re-validates
+  * before each attempt by looping on commit conflicts.
+  */
+object LakeSink {
+
+  /** Append `df` as streaming batch `batchId` of `appId`. Returns
+    * true if committed, false if this (or a later) batch was already
+    * committed for `appId` (replay after recovery — skipped).
+    */
+  def addBatch(root: String, appId: String, batchId: Long, df: DataFrame,
+               nFiles: Int = 2): Boolean = {
+    val spark = df.sparkSession
+    val rootP = new Path(root)
+    val fs = LakeLog.fileSystem(rootP, spark.sparkContext.hadoopConfiguration)
+    val committed = LakeLog.snapshot(fs, rootP, None)
+      .committedBatches.getOrElse(appId, Long.MinValue)
+    if (batchId <= committed) return false
+    LakeTable.append(spark, root, df, nFiles = nFiles,
+      appId = Some(appId), batchId = Some(batchId))
+    true
+  }
+
+  /** Ready-made `foreachBatch` function:
+    * `stream.writeStream.foreachBatch(LakeSink.writer(root, appId))`.
+    */
+  def writer(root: String, appId: String,
+             nFiles: Int = 2): (DataFrame, Long) => Unit =
+    (df, batchId) => { addBatch(root, appId, batchId, df, nFiles); () }
+}

@@ -1,0 +1,538 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import LakeLog._
+
+/** Transactional copy-on-write table over parquet + [[LakeLog]] — the
+  * lakehouse operations a 100 TB training-data pipeline leans on:
+  *
+  *  - `create` / `append` / `overwrite`: staged parquet writes; each
+  *    commit's files land under a fresh `data/<uuid>/` directory, so
+  *    uncommitted files are invisible (readers only see what the log
+  *    references) and a failed writer leaves garbage, never corruption;
+  *  - `scan` / `scanAsOf`: snapshot-isolated reads — a reader pins a
+  *    version's file list and is immune to concurrent rewrites (TIME
+  *    TRAVEL is the same call with an explicit version);
+  *  - `scanPruned`: file skipping on the per-file min/max stats the
+  *    log carries — the scan-layer pruning that replaces directory
+  *    partitioning (see [[LakeLog]]); returns how many files were
+  *    skipped so specs and operators can assert the pruning actually
+  *    happened;
+  *  - `deleteWhere` / `merge`: COPY-ON-WRITE row-level mutation.
+  *    Stats-prune candidate files first, rewrite only those, commit
+  *    remove+add atomically. The untouched majority of a 100 TB table
+  *    is never read, never rewritten, never shuffled — candidate
+  *    selection is the whole economics of row-level ops at scale;
+  *  - `merge` is SQL MERGE latest-wins: a keyed changelog of upserts
+  *    ('U') and deletes ('D') with a monotone per-key version column
+  *    resolves per key (ties: 'D' wins, matching
+  *    [[graft.operators.CdcMerge]]), then candidates = files whose key
+  *    range overlaps the changelog's [min,max] key — files outside the
+  *    range provably contain no changed key and are skipped;
+  *  - `compact`: bin-pack files smaller than a threshold into
+  *    ~target-sized files as a normal rewrite commit — readers never
+  *    see a half-compacted table (contrast
+  *    [[graft.operators.Compaction]], which rewrites a bare directory
+  *    in place with no isolation);
+  *  - `vacuum`: physically delete data files referenced by no retained
+  *    version (time travel older than the retention floor then fails
+  *    at read — the standard lakehouse contract).
+  *
+  * Everything data-sized runs as Spark jobs over the referenced
+  * parquet; the driver only touches the KB-sized log.
+  */
+object LakeTable {
+
+  /** Inclusive-bounds range predicate on one column, the unit of both
+    * file skipping and the row filter (`None` = unbounded side).
+    * Stats/pruning columns are restricted to integral, floating and
+    * string types — encode dates as ISO strings or epoch ints, as the
+    * fixture tables do.
+    */
+  final case class ColRange(column: String, lo: Option[Any], hi: Option[Any])
+
+  final case class PruneReport(filesTotal: Int, filesRead: Int) {
+    def filesSkipped: Int = filesTotal - filesRead
+  }
+  final case class RewriteReport(version: Long, filesRewritten: Int,
+                                 filesAdded: Int, filesUntouched: Int)
+  final case class VacuumReport(filesDeleted: Int, bytesDeleted: Long)
+
+  private def fs(spark: SparkSession, root: Path) =
+    LakeLog.fileSystem(root, spark.sparkContext.hadoopConfiguration)
+
+  private def now(): Long = System.currentTimeMillis()
+
+  // ---- staged writes with stats ------------------------------------
+
+  /** Normalize a collected stats value to the Long/Double/String
+    * domain [[LakeLog.Stats]] serializes.
+    */
+  private[lake] def normalizeStat(v: Any): Any = v match {
+    case null                 => null
+    case l: java.lang.Long    => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case s: java.lang.Short   => s.longValue()
+    case b: java.lang.Byte    => b.longValue()
+    case d: java.lang.Double  => d.doubleValue()
+    case f: java.lang.Float   => f.doubleValue()
+    case s: String            => s
+    case other => throw new IllegalArgumentException(
+      s"unsupported stats column value ${other.getClass}")
+  }
+
+  private def requireStatsColsSupported(schema: StructType,
+                                        statsCols: Seq[String]): Unit =
+    statsCols.foreach { c =>
+      val f = schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"stats column '$c' not in schema"))
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | StringType => ()
+        case dt => throw new IllegalArgumentException(
+          s"stats column '$c' has unsupported type $dt — use integral/" +
+            "floating/string (encode dates as ISO strings or epoch ints)")
+      }
+    }
+
+  /** Write `df` as `nFiles` parquet files under a fresh per-commit
+    * `data/<uuid>/` staging directory and return their Add actions
+    * with measured per-file stats. `clusterBy` range-partitions and
+    * sorts so each file covers a contiguous value range (tight,
+    * disjoint min/max — the layout that makes skipping bite; same
+    * idea as [[graft.operators.Compaction]]'s range-clustered mode).
+    * Stats come from ONE distributed pass grouped by
+    * `input_file_name()`, not a per-file job loop.
+    */
+  private def writeDataFiles(spark: SparkSession, root: Path, df: DataFrame,
+                             statsCols: Seq[String], nFiles: Int,
+                             clusterBy: Option[String]): Seq[Add] = {
+    require(nFiles > 0, "nFiles must be positive")
+    requireStatsColsSupported(df.schema, statsCols)
+    val sub = s"data/${java.util.UUID.randomUUID()}"
+    val outDir = new Path(root, sub)
+    val arranged = clusterBy match {
+      case Some(c) =>
+        df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
+      case None => df.repartition(nFiles)
+    }
+    arranged.write.parquet(outDir.toString)
+
+    val hfs = fs(spark, root)
+    val parts = hfs.listStatus(outDir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+
+    val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap { c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+    }
+    val statRows = spark.read.parquet(outDir.toString)
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+
+    val adds = statRows.map { r =>
+      val name = r.getAs[String]("__file")
+      val mins = statsCols.map(c =>
+        c -> normalizeStat(r.getAs[Any](s"__min_$c"))).filter(_._2 != null).toMap
+      val maxs = statsCols.map(c =>
+        c -> normalizeStat(r.getAs[Any](s"__max_$c"))).filter(_._2 != null).toMap
+      val nulls = statsCols.map(c => c -> r.getAs[Long](s"__nulls_$c")).toMap
+      Add(s"$sub/$name",
+        Stats(r.getAs[Long]("__rows"), parts.getOrElse(name, 0L), mins, maxs,
+          nulls))
+    }.toSeq.sortBy(_.path)
+    // files written but empty (possible under repartitionByRange skew)
+    // are not referenced; leave them for vacuum
+    adds
+  }
+
+  // ---- create / append / overwrite ---------------------------------
+
+  def create(spark: SparkSession, root: String, df: DataFrame,
+             statsCols: Seq[String], nFiles: Int = 8,
+             clusterBy: Option[String] = None): Long = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    require(LakeLog.latestVersion(f, rootP).isEmpty,
+      s"lake table already exists at $root")
+    val adds = writeDataFiles(spark, rootP, df, statsCols, nFiles, clusterBy)
+    LakeLog.commit(f, rootP,
+      Meta("create", df.schema.toDDL, statsCols, None, None, now(),
+        clusterBy) +: adds)
+  }
+
+  private def requireSameSchema(existing: String, df: DataFrame): Unit = {
+    val want = StructType.fromDDL(existing)
+    val got = df.schema
+    require(want.fields.map(fd => (fd.name, fd.dataType)).toSeq ==
+      got.fields.map(fd => (fd.name, fd.dataType)).toSeq,
+      s"schema mismatch: table has $want, append has $got")
+  }
+
+  def append(spark: SparkSession, root: String, df: DataFrame,
+             nFiles: Int = 4, clusterBy: Option[String] = None,
+             appId: Option[String] = None,
+             batchId: Option[Long] = None): Long = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    requireSameSchema(snap.schemaDdl, df)
+    val adds = writeDataFiles(spark, rootP, df, snap.statsCols, nFiles,
+      clusterBy.orElse(snap.clusterBy))
+    LakeLog.commit(f, rootP,
+      Meta("append", snap.schemaDdl, snap.statsCols, appId, batchId,
+        now()) +: adds)
+  }
+
+  def overwrite(spark: SparkSession, root: String, df: DataFrame,
+                nFiles: Int = 8, clusterBy: Option[String] = None): Long = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    requireSameSchema(snap.schemaDdl, df)
+    val adds = writeDataFiles(spark, rootP, df, snap.statsCols, nFiles,
+      clusterBy.orElse(snap.clusterBy))
+    LakeLog.commit(f, rootP,
+      (Meta("overwrite", snap.schemaDdl, snap.statsCols, None, None, now()) +:
+        snap.files.map(a => Remove(a.path))) ++ adds,
+      removedFiles = snap.filePaths, baseVersion = snap.version)
+  }
+
+  // ---- reads --------------------------------------------------------
+
+  private def readFiles(spark: SparkSession, root: Path, schemaDdl: String,
+                        paths: Seq[String]): DataFrame = {
+    val schema = StructType.fromDDL(schemaDdl)
+    if (paths.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else
+      spark.read.schema(schema)
+        .parquet(paths.map(p => new Path(root, p).toString): _*)
+  }
+
+  def scan(spark: SparkSession, root: String): DataFrame =
+    scanAsOf(spark, root, None)
+
+  def scanAsOf(spark: SparkSession, root: String,
+               asOf: Option[Long]): DataFrame = {
+    val rootP = new Path(root)
+    val snap = LakeLog.snapshot(fs(spark, rootP), rootP, asOf)
+    readFiles(spark, rootP, snap.schemaDdl, snap.files.map(_.path))
+  }
+
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    LakeLog.latestVersion(fs(spark, new Path(root)), new Path(root))
+
+  /** Engine-independent ordering for stats/bound comparisons: numbers
+    * by numeric value (exact — longs via BigDecimal, no 2^53 clip),
+    * strings lexicographically. Mixed number/string never compares
+    * (caller treats as unprunable).
+    */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x, y) =>
+      def dec(v: Any): Option[BigDecimal] = v match {
+        case l: Long   => Some(BigDecimal(l))
+        case i: Int    => Some(BigDecimal(i))
+        case d: Double => Some(BigDecimal(d))
+        case f: Float  => Some(BigDecimal(f.toDouble))
+        case _         => None
+      }
+      for (dx <- dec(x); dy <- dec(y)) yield dx.compare(dy)
+  }
+
+  /** Could any row of a file with stats `st` satisfy `r`? Missing
+    * stats ⇒ unprunable ⇒ keep. A range predicate is null-rejecting,
+    * but an all-null file publishes no min/max and is kept anyway —
+    * the row filter still drops its rows, so pruning is only ever an
+    * optimization, never a semantics change.
+    */
+  private[lake] def mayMatch(st: Stats, r: ColRange): Boolean = {
+    val aboveLo = r.lo.forall(lo => st.max.get(r.column) match {
+      case Some(mx) => cmp(mx, lo).forall(_ >= 0)
+      case None     => true
+    })
+    val belowHi = r.hi.forall(hi => st.min.get(r.column) match {
+      case Some(mn) => cmp(mn, hi).forall(_ <= 0)
+      case None     => true
+    })
+    aboveLo && belowHi
+  }
+
+  /** Interval stab over sorted starts + running max of ends: indices
+    * of every [mins(i), maxs(i)] containing `k`. `prefMax(i)` is
+    * max(maxs(0..i)) — the walk-left stop condition when ranges
+    * overlap arbitrarily.
+    */
+  private def stab[T](mins: Array[T], maxs: Array[T], prefMax: Array[T],
+                      k: T)(implicit ord: Ordering[T]): Seq[Int] = {
+    var lo = 0
+    var hi = mins.length - 1
+    var last = -1
+    while (lo <= hi) {
+      val m = (lo + hi) >>> 1
+      if (ord.lteq(mins(m), k)) { last = m; lo = m + 1 } else hi = m - 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = last
+    while (i >= 0 && ord.gteq(prefMax(i), k)) {
+      if (ord.gteq(maxs(i), k)) out += i
+      i -= 1
+    }
+    out.toSeq
+  }
+
+  /** Partition `files` into (candidates, untouched) for a changelog
+    * whose distinct keys are `changedKeys`: a file is a candidate iff
+    * some key stabs its [min,max] `keyCol` range (files without key
+    * stats are always candidates). One distributed pass over the keys,
+    * each binary-searched against the task-broadcast sorted range
+    * index; the collected result is bounded by the FILE count, never
+    * the key count. Third element: whether the changelog had any key
+    * at all (false ⇒ a guaranteed no-op merge).
+    */
+  private def touchedFiles(spark: SparkSession, files: Seq[Add],
+                           keyCol: String, keyType: DataType,
+                           changedKeys: DataFrame):
+      (Seq[Add], Seq[Add], Boolean) = {
+    val (statted, unstatted) = files.partition(a =>
+      a.stats.min.contains(keyCol) && a.stats.max.contains(keyCol))
+
+    def run[T: Ordering: scala.reflect.ClassTag](
+        toT: Any => T,
+        mkUdf: (Array[T], Array[T], Array[T]) => Column): Set[Int] = {
+      val order = statted.indices.sortBy(i => toT(statted(i).stats.min(keyCol)))
+      val mins = order.map(i => toT(statted(i).stats.min(keyCol))).toArray
+      val maxs = order.map(i => toT(statted(i).stats.max(keyCol))).toArray
+      val pref = maxs.clone()
+      (1 until pref.length).foreach { i =>
+        if (implicitly[Ordering[T]].lt(pref(i), pref(i - 1)))
+          pref(i) = pref(i - 1)
+      }
+      val matched = changedKeys
+        .select(explode(mkUdf(mins, maxs, pref)).as("__i"))
+        .distinct().collect().map(_.getInt(0))
+      matched.map(order).toSet
+    }
+
+    val touched: Set[Int] =
+      if (statted.isEmpty) Set.empty
+      else keyType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          run[Long](v => v.asInstanceOf[Long],
+            (mn, mx, pf) => udf((k: Long) => stab(mn, mx, pf, k))
+              .apply(col(keyCol).cast(LongType)))
+        case FloatType | DoubleType =>
+          run[Double](v => v.asInstanceOf[Double],
+            (mn, mx, pf) => udf((k: Double) => stab(mn, mx, pf, k))
+              .apply(col(keyCol).cast(DoubleType)))
+        case StringType =>
+          run[String](v => v.asInstanceOf[String],
+            (mn, mx, pf) => udf((k: String) => stab(mn, mx, pf, k))
+              .apply(col(keyCol)))
+        case dt => throw new IllegalArgumentException(
+          s"merge key '$keyCol' has unsupported type $dt")
+      }
+
+    val hasKeys = touched.nonEmpty || !changedKeys.isEmpty
+    val cands = statted.zipWithIndex.collect {
+      case (a, i) if touched(i) => a
+    } ++ (if (hasKeys) unstatted else Nil)
+    val candSet = cands.map(_.path).toSet
+    (cands, files.filterNot(a => candSet(a.path)), hasKeys)
+  }
+
+  private def rangeFilter(ranges: Seq[ColRange]): Column =
+    ranges.flatMap { r =>
+      r.lo.map(lo => col(r.column) >= lit(lo)).toSeq ++
+        r.hi.map(hi => col(r.column) <= lit(hi)).toSeq
+    }.reduceOption(_ && _).getOrElse(lit(true))
+
+  /** Rows satisfying the conjunction of `ranges`, reading only files
+    * whose stats admit a match. The row filter is applied on top (a
+    * kept file holds matching and non-matching rows), and Spark
+    * additionally pushes it into the parquet scan for row-group-level
+    * pruning inside each kept file — stats skipping and predicate
+    * pushdown compose.
+    */
+  def scanPruned(spark: SparkSession, root: String, ranges: Seq[ColRange],
+                 asOf: Option[Long] = None): (DataFrame, PruneReport) = {
+    val rootP = new Path(root)
+    val snap = LakeLog.snapshot(fs(spark, rootP), rootP, asOf)
+    val kept = snap.files.filter(a => ranges.forall(r => mayMatch(a.stats, r)))
+    val df = readFiles(spark, rootP, snap.schemaDdl, kept.map(_.path))
+      .where(rangeFilter(ranges))
+    (df, PruneReport(snap.files.size, kept.size))
+  }
+
+  // ---- copy-on-write row-level ops ----------------------------------
+
+  /** Delete rows satisfying ALL `ranges`. Only stats-candidate files
+    * are read and rewritten; a candidate whose every row matches
+    * simply disappears (no empty rewrite).
+    */
+  def deleteWhere(spark: SparkSession, root: String,
+                  ranges: Seq[ColRange]): RewriteReport = {
+    require(ranges.nonEmpty, "refusing a full-table delete via empty ranges" +
+      " — use overwrite with an empty frame if that is really intended")
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    val (cands, untouched) =
+      snap.files.partition(a => ranges.forall(r => mayMatch(a.stats, r)))
+    if (cands.isEmpty)
+      return RewriteReport(snap.version, 0, 0, untouched.size)
+    val survivors = readFiles(spark, rootP, snap.schemaDdl, cands.map(_.path))
+      .where(!rangeFilter(ranges))
+    val nOut = math.max(1, cands.size / 2)
+    val adds = writeDataFiles(spark, rootP, survivors, snap.statsCols, nOut,
+      snap.clusterBy).filter(_.stats.rows > 0)
+    val v = LakeLog.commit(f, rootP,
+      (Meta("delete", snap.schemaDdl, snap.statsCols, None, None, now()) +:
+        cands.map(a => Remove(a.path))) ++ adds,
+      removedFiles = cands.map(_.path).toSet, baseVersion = snap.version)
+    RewriteReport(v, cands.size, adds.size, untouched.size)
+  }
+
+  /** SQL MERGE, latest-wins: `changes` carries the table's columns
+    * plus `versionCol` (monotone per key) and `opCol` ('U' upsert /
+    * 'D' delete). Per key the highest version wins; version ties
+    * resolve to 'D' (the conservative reading, same rule as
+    * [[graft.operators.CdcMerge]]). Candidate files are selected by
+    * PER-FILE key membership: every changelog key is binary-searched
+    * against the (broadcast) sorted per-file [min,max] key ranges —
+    * O(|changes|·log|files|) work, interval-stab via sorted starts +
+    * running max — so a file is rewritten only when some changed key
+    * can actually live in it. On a clustered table this keeps
+    * untouched key regions untouched even when the changelog spans
+    * the whole key domain, where a single global [min,max] check
+    * would mark every file a candidate. Winning upserts REPLACE the
+    * whole row (full-row upsert, not per-column patch).
+    */
+  def merge(spark: SparkSession, root: String, changes: DataFrame,
+            keyCol: String, versionCol: String = "version",
+            opCol: String = "op"): RewriteReport = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    val tableCols = StructType.fromDDL(snap.schemaDdl).fieldNames.toSeq
+    require(changes.columns.toSet == (tableCols :+ versionCol :+ opCol).toSet,
+      s"changes must carry table columns $tableCols + $versionCol + $opCol," +
+        s" got ${changes.columns.toSeq}")
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col(opCol).asc)
+    val winners = changes
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .drop("__rn")
+    val upserts = winners.where(col(opCol) =!= lit("D"))
+      .select(tableCols.map(col): _*)
+    val changedKeys = winners.select(col(keyCol)).distinct()
+
+    val keyType = StructType.fromDDL(snap.schemaDdl)
+      .find(_.name == keyCol).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(s"merge key '$keyCol' not in schema"))
+    val (cands, untouched, hasKeys) =
+      touchedFiles(spark, snap.files, keyCol, keyType, changedKeys)
+    if (!hasKeys)
+      return RewriteReport(snap.version, 0, 0, snap.files.size)
+
+    val base = readFiles(spark, rootP, snap.schemaDdl, cands.map(_.path))
+    // broadcast the changed-key set: a daily changelog is dwarfed by
+    // the base table, and the anti join then never shuffles the base
+    val merged = base.join(broadcast(changedKeys), Seq(keyCol), "left_anti")
+      .unionByName(upserts)
+    val nOut = math.max(1, cands.size)
+    val adds = writeDataFiles(spark, rootP, merged, snap.statsCols, nOut,
+      snap.clusterBy).filter(_.stats.rows > 0)
+    val v = LakeLog.commit(f, rootP,
+      (Meta("merge", snap.schemaDdl, snap.statsCols, None, None, now()) +:
+        cands.map(a => Remove(a.path))) ++ adds,
+      removedFiles = cands.map(_.path).toSet, baseVersion = snap.version)
+    RewriteReport(v, cands.size, adds.size, untouched.size)
+  }
+
+  /** Bin-pack every live file smaller than `smallBytes` into
+    * ~`targetBytes` outputs (measured input bytes, like
+    * [[graft.operators.Compaction]]) as one atomic rewrite commit.
+    */
+  def compact(spark: SparkSession, root: String, smallBytes: Long,
+              targetBytes: Long): RewriteReport = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    val (smalls, untouched) = snap.files.partition(_.stats.bytes < smallBytes)
+    if (smalls.size < 2)
+      return RewriteReport(snap.version, 0, 0, snap.files.size)
+    val totalBytes = smalls.map(_.stats.bytes).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val packed = readFiles(spark, rootP, snap.schemaDdl, smalls.map(_.path))
+    val adds = writeDataFiles(spark, rootP, packed, snap.statsCols, nOut,
+      snap.clusterBy).filter(_.stats.rows > 0)
+    val v = LakeLog.commit(f, rootP,
+      (Meta("compact", snap.schemaDdl, snap.statsCols, None, None, now()) +:
+        smalls.map(a => Remove(a.path))) ++ adds,
+      removedFiles = smalls.map(_.path).toSet, baseVersion = snap.version)
+    RewriteReport(v, smalls.size, adds.size, untouched.size)
+  }
+
+  // ---- maintenance ---------------------------------------------------
+
+  /** Physically delete data files referenced by NO version >=
+    * `keepFromVersion` (plus stray staging files no version ever
+    * referenced). Time travel to versions older than the floor may
+    * fail afterwards — that is the retention contract.
+    */
+  def vacuum(spark: SparkSession, root: String,
+             keepFromVersion: Long): VacuumReport = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val vs = LakeLog.versions(f, rootP)
+    require(vs.nonEmpty, s"no lake table at $root")
+    val retained = vs.filter(_ >= keepFromVersion)
+    require(retained.nonEmpty, s"keepFromVersion=$keepFromVersion retains no" +
+      s" version (have ${vs.head}..${vs.last})")
+    val live: Set[String] =
+      retained.flatMap(v => LakeLog.snapshot(f, rootP, Some(v)).filePaths).toSet
+    val dd = LakeLog.dataDir(rootP)
+    if (!f.exists(dd)) return VacuumReport(0, 0L)
+    var files = 0
+    var bytes = 0L
+    f.listStatus(dd).foreach { sub =>
+      f.listStatus(sub.getPath).foreach { st =>
+        val rel = s"data/${sub.getPath.getName}/${st.getPath.getName}"
+        if (!live.contains(rel) && !st.getPath.getName.startsWith("_")) {
+          bytes += st.getLen
+          files += 1
+          f.delete(st.getPath, false)
+        }
+      }
+      if (f.listStatus(sub.getPath).isEmpty) f.delete(sub.getPath, true)
+    }
+    VacuumReport(files, bytes)
+  }
+
+  /** Commit history as a DataFrame: (version, op, files_added,
+    * files_removed, rows_added) — the audit surface.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val rows = LakeLog.versions(f, rootP).map { v =>
+      val as = LakeLog.readCommit(f, rootP, v)
+      val op = as.collectFirst { case m: Meta => m.op }.getOrElse("")
+      val adds = as.collect { case a: Add => a }
+      val rms = as.count { case _: Remove => true; case _ => false }
+      (v, op, adds.size.toLong, rms.toLong, adds.map(_.stats.rows).sum)
+    }
+    import spark.implicits._
+    rows.toDF("version", "op", "files_added", "files_removed", "rows_added")
+  }
+}

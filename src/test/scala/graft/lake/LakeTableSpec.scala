@@ -1,0 +1,266 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class LakeTableSpec extends SparkSuite {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_lake").resolve("tbl").toString
+
+  private def seed(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i =>
+      (i.toLong, s"name_$i", (i % 7).toLong, i * 10L)).toDF(
+      "id", "name", "grp", "amount")
+  }
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("create + scan round-trips rows and schema") {
+    val root = freshRoot()
+    val v = LakeTable.create(spark, root, seed(100), Seq("id", "grp"),
+      nFiles = 4, clusterBy = Some("id"))
+    assert(v == 0L)
+    val back = LakeTable.scan(spark, root)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "grp", "amount"))
+    assert(ids(back) == (0L until 100L))
+  }
+
+  test("append adds rows; time travel pins the old version") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(50), Seq("id"))
+    val v1 = LakeTable.append(spark, root, seed(80).where(col("id") >= 50))
+    assert(v1 == 1L)
+    assert(ids(LakeTable.scan(spark, root)) == (0L until 80L))
+    assert(ids(LakeTable.scanAsOf(spark, root, Some(0L))) == (0L until 50L))
+  }
+
+  test("append refuses a different schema") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(10), Seq("id"))
+    val bad = seed(5).withColumn("extra", lit(1))
+    intercept[IllegalArgumentException] {
+      LakeTable.append(spark, root, bad)
+    }
+  }
+
+  test("scanPruned skips non-overlapping files and filters rows") {
+    val root = freshRoot()
+    // clusterBy id → 8 files with disjoint contiguous id ranges
+    LakeTable.create(spark, root, seed(800), Seq("id"), nFiles = 8,
+      clusterBy = Some("id"))
+    val (df, rep) = LakeTable.scanPruned(spark, root,
+      Seq(LakeTable.ColRange("id", Some(100L), Some(199L))))
+    assert(ids(df) == (100L to 199L))
+    assert(rep.filesTotal == 8)
+    assert(rep.filesRead <= 2, s"expected <=2 files read, got $rep")
+  }
+
+  test("string stats prune too") {
+    val root = freshRoot()
+    LakeTable.create(spark, root,
+      seed(400).withColumn("name", format_string("name_%04d", col("id"))),
+      Seq("name"), nFiles = 4, clusterBy = Some("name"))
+    val (df, rep) = LakeTable.scanPruned(spark, root,
+      Seq(LakeTable.ColRange("name", Some("name_0390"), Some("name_0399"))))
+    assert(df.count() == 10)
+    assert(rep.filesSkipped >= 2, s"expected skipping, got $rep")
+  }
+
+  test("deleteWhere rewrites only candidate files") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(800), Seq("id"), nFiles = 8,
+      clusterBy = Some("id"))
+    val rep = LakeTable.deleteWhere(spark, root,
+      Seq(LakeTable.ColRange("id", Some(0L), Some(99L))))
+    assert(rep.filesUntouched >= 6,
+      s"untouched files should dominate, got $rep")
+    assert(rep.filesRewritten <= 2)
+    assert(ids(LakeTable.scan(spark, root)) == (100L until 800L))
+    // deleted rows still visible in the pre-delete version
+    assert(ids(LakeTable.scanAsOf(spark, root, Some(0L))) == (0L until 800L))
+  }
+
+  test("merge applies upserts, deletes, inserts; D wins version ties") {
+    import spark.implicits._
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(100), Seq("id"), nFiles = 4,
+      clusterBy = Some("id"))
+    val changes = Seq(
+      // upsert existing key 10 (version 2 beats version 1)
+      (10L, "old", 0L, 0L, 1L, "U"),
+      (10L, "newer", 0L, 111L, 2L, "U"),
+      // delete key 20
+      (20L, "x", 0L, 0L, 1L, "D"),
+      // tie on key 30: U and D at version 5 → D wins
+      (30L, "tie", 0L, 0L, 5L, "U"),
+      (30L, "tie", 0L, 0L, 5L, "D"),
+      // brand-new key 500
+      (500L, "fresh", 3L, 42L, 1L, "U")
+    ).toDF("id", "name", "grp", "amount", "version", "op")
+    val rep = LakeTable.merge(spark, root, changes, "id")
+    assert(rep.filesRewritten >= 1)
+    val out = LakeTable.scan(spark, root)
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(!byId.contains(20L) && !byId.contains(30L))
+    assert(byId(10L).getString(1) == "newer" && byId(10L).getLong(3) == 111L)
+    assert(byId(500L).getString(1) == "fresh")
+    assert(out.count() == 100 - 2 + 1)
+  }
+
+  test("merge prunes files outside the changelog key range") {
+    import spark.implicits._
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(800), Seq("id"), nFiles = 8,
+      clusterBy = Some("id"))
+    val changes = Seq((5L, "upd", 0L, 1L, 1L, "U"),
+      (90L, "upd", 6L, 2L, 1L, "D"))
+      .toDF("id", "name", "grp", "amount", "version", "op")
+    val rep = LakeTable.merge(spark, root, changes, "id")
+    assert(rep.filesUntouched >= 6, s"key-range pruning failed: $rep")
+    assert(LakeTable.scan(spark, root).count() == 799)
+  }
+
+  test("merge with a domain-spanning changelog leaves middle files alone") {
+    import spark.implicits._
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(800), Seq("id"), nFiles = 8,
+      clusterBy = Some("id"))
+    // keys at both EXTREMES of the domain: a global [min,max] check
+    // would mark all 8 files candidates; per-file stabbing keeps the
+    // middle 6 untouched
+    val changes = Seq((1L, "lo", 0L, 0L, 1L, "U"),
+      (799L, "hi", 1L, 0L, 1L, "U"))
+      .toDF("id", "name", "grp", "amount", "version", "op")
+    val rep = LakeTable.merge(spark, root, changes, "id")
+    assert(rep.filesUntouched >= 6, s"per-file candidacy failed: $rep")
+    assert(ids(LakeTable.scan(spark, root)) == (0L until 800L))
+  }
+
+  test("cluster layout survives a rewrite, so pruning keeps biting") {
+    import spark.implicits._
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(800), Seq("id"), nFiles = 8,
+      clusterBy = Some("id"))
+    val changes = (0L until 800L by 50L).map(k =>
+      (k, "touched", 0L, 1L, 1L, "U"))
+      .toDF("id", "name", "grp", "amount", "version", "op")
+    LakeTable.merge(spark, root, changes, "id") // touches every file
+    val (df, rep) = LakeTable.scanPruned(spark, root,
+      Seq(LakeTable.ColRange("id", Some(100L), Some(199L))))
+    assert(df.count() == 100)
+    assert(rep.filesSkipped >= rep.filesTotal / 2,
+      s"post-merge layout lost its clustering: $rep")
+  }
+
+  test("compact bin-packs small files atomically, content unchanged") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(50), Seq("id"), nFiles = 1)
+    (0 until 6).foreach { i =>
+      LakeTable.append(spark, root,
+        seed(800).where(col("id") === lit(50L + i)), nFiles = 1)
+    }
+    val before = ids(LakeTable.scan(spark, root))
+    val rep = LakeTable.compact(spark, root, smallBytes = 4096,
+      targetBytes = 1 << 20)
+    assert(rep.filesRewritten >= 6)
+    assert(rep.filesAdded == 1)
+    assert(ids(LakeTable.scan(spark, root)) == before)
+  }
+
+  test("checkpoint kicks in and snapshots stay correct past it") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(10), Seq("id"), nFiles = 1)
+    (1 to 12).foreach { i =>
+      LakeTable.append(spark, root,
+        seed(200).where(col("id") === lit(9L + i)), nFiles = 1)
+    }
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val cps = fs.listStatus(new Path(root, "_log")).map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint.json"))
+    assert(cps.nonEmpty, "expected a checkpoint after >10 commits")
+    assert(ids(LakeTable.scan(spark, root)) == (0L until 22L))
+    assert(ids(LakeTable.scanAsOf(spark, root, Some(5L))) == (0L until 15L))
+  }
+
+  test("vacuum deletes unreferenced files; old versions become unreadable") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(100), Seq("id"), nFiles = 2)
+    LakeTable.deleteWhere(spark, root,
+      Seq(LakeTable.ColRange("id", Some(0L), Some(49L))))
+    val rep = LakeTable.vacuum(spark, root, keepFromVersion = 1L)
+    assert(rep.filesDeleted >= 1)
+    assert(ids(LakeTable.scan(spark, root)) == (50L until 100L))
+    intercept[Exception] {
+      LakeTable.scanAsOf(spark, root, Some(0L)).collect()
+    }
+  }
+
+  test("concurrent appends both land, on distinct versions") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(10), Seq("id"), nFiles = 1)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = List(
+      Future(LakeTable.append(spark, root,
+        seed(100).where(col("id") >= 10 && col("id") < 20), nFiles = 1)),
+      Future(LakeTable.append(spark, root,
+        seed(100).where(col("id") >= 20 && col("id") < 30), nFiles = 1)))
+    val vs = Await.result(Future.sequence(fs), 120.seconds)
+    assert(vs.toSet.size == 2, s"expected distinct versions, got $vs")
+    assert(ids(LakeTable.scan(spark, root)) == (0L until 30L))
+  }
+
+  test("a rewrite that lost its files to a competing commit aborts") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(10), Seq("id"), nFiles = 1)
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = LakeLog.snapshot(fs, rootP, None)
+    val victim = snap.files.head.path
+    // competing rewrite wins version 1 and removes the victim file
+    assert(LakeLog.tryCommit(fs, rootP, 1L, Seq(
+      LakeLog.Meta("delete", snap.schemaDdl, snap.statsCols, None, None, 0L),
+      LakeLog.Remove(victim))))
+    // our rewrite targeted version 1 too; its retry must notice the
+    // victim is gone and abort instead of resurrecting it
+    intercept[LakeLog.ConcurrentCommitException] {
+      LakeLog.commit(fs, rootP, Seq(
+        LakeLog.Meta("delete", snap.schemaDdl, snap.statsCols, None, None, 0L),
+        LakeLog.Remove(victim)), removedFiles = Set(victim))
+    }
+  }
+
+  test("LakeSink replays of the same batch are no-ops") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(10), Seq("id"), nFiles = 1)
+    val b1 = seed(100).where(col("id") >= 10 && col("id") < 20)
+    assert(LakeSink.addBatch(root, "appA", 0L, b1))
+    assert(!LakeSink.addBatch(root, "appA", 0L, b1), "replay must skip")
+    assert(LakeSink.addBatch(root, "appA", 1L,
+      seed(100).where(col("id") >= 20 && col("id") < 25)))
+    // a different app's batch 0 is independent
+    assert(LakeSink.addBatch(root, "appB", 0L,
+      seed(100).where(col("id") >= 25 && col("id") < 30)))
+    assert(ids(LakeTable.scan(spark, root)) == (0L until 30L))
+  }
+
+  test("history records one row per commit with op tags") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(20), Seq("id"))
+    LakeTable.append(spark, root, seed(30).where(col("id") >= 20))
+    LakeTable.deleteWhere(spark, root,
+      Seq(LakeTable.ColRange("id", Some(0L), Some(4L))))
+    val h = LakeTable.history(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h == Map(0L -> "create", 1L -> "append", 2L -> "delete"))
+  }
+}

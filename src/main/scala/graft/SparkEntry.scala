@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{GroupedTopN, TopNConfig}
-import graft.queries.{PipelineQueries, RelationalQueries, StreamingQueries}
+import graft.queries.{LakeQueries, PipelineQueries, RelationalQueries, StreamingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def allQueryDefs =
-    RelationalQueries.all ++ PipelineQueries.all ++ StreamingQueries.all
+    RelationalQueries.all ++ PipelineQueries.all ++ StreamingQueries.all ++
+      LakeQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Top-3 customers per nation by account balance, with nation names —

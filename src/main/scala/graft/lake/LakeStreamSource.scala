@@ -1,0 +1,138 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming SOURCE that tails a [[LakeTable]]'s commit
+  * log: `spark.readStream.format("graft-lake").load(tableRoot)`.
+  *
+  * The lake log gives the stream exactly the offset semantics a
+  * Kafka-shaped source needs, for free:
+  *
+  *  - an OFFSET is a log version — monotone, dense, durable;
+  *  - a micro-batch (start, end] is the set of files ADDED by commits
+  *    start+1..end, read as one bounded parquet scan — commit
+  *    atomicity means a batch can never see half an append;
+  *  - offsets are checkpointed by the engine, so a restarted query
+  *    resumes at committed+1 and replays nothing (the consumer-group
+  *    resume contract) — certified under the oracle gate by
+  *    `stream_lake_pipeline_replay` (a lake-to-lake pipeline with a
+  *    restart between drains);
+  *  - `maxVersionsPerTrigger` caps how many commits one micro-batch
+  *    may cover (Kafka's `maxOffsetsPerTrigger` shape) — a cold
+  *    start on a long-lived table becomes a sequence of bounded
+  *    batches instead of one table-sized scan;
+  *  - combined with [[LakeSink]] on the write side, a lake-to-lake
+  *    pipeline is exactly-once END TO END: the source never re-emits
+  *    a committed file, the sink never re-commits a delivered batch.
+  *
+  * Tailing is APPEND-tailing: a commit carrying Remove actions
+  * (merge/delete/compact/overwrite rewrites) is not expressible as an
+  * append-only stream — the source fails loudly on it unless
+  * `ignoreChanges=true`, which re-emits the rewritten files (possible
+  * duplicates, the standard lakehouse-streaming caveat, documented
+  * rather than silent). `startingVersion` bounds the cold start (the
+  * default 0 replays the whole table first batch).
+  */
+class LakeStreamSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-lake source needs .load(<table root>) or option(\"path\",...)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]):
+      (String, StructType) = {
+    val root = new Path(rootOf(parameters))
+    val fs = LakeLog.fileSystem(root,
+      sqlContext.sparkContext.hadoopConfiguration)
+    (shortName(),
+      StructType.fromDDL(LakeLog.snapshot(fs, root, None).schemaDdl))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new LakeStreamSource(sqlContext, rootOf(parameters),
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      parameters.get("ignoreChanges").exists(_.toBoolean),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong))
+}
+
+class LakeStreamSource(sqlContext: SQLContext, root: String,
+                       startingVersion: Long, ignoreChanges: Boolean,
+                       maxVersionsPerTrigger: Option[Long] = None)
+    extends Source {
+
+  require(maxVersionsPerTrigger.forall(_ > 0),
+    s"maxVersionsPerTrigger must be positive, got $maxVersionsPerTrigger")
+
+  private val rootP = new Path(root)
+  private val fs = LakeLog.fileSystem(rootP,
+    sqlContext.sparkContext.hadoopConfiguration)
+
+  override val schema: StructType =
+    StructType.fromDDL(LakeLog.snapshot(fs, rootP, None).schemaDdl)
+
+  /** Highest version already planned into a batch (from this
+    * incarnation's getOffset calls, or the checkpoint via getBatch on
+    * restart) — the floor the per-trigger cap steps from. Engine
+    * calls are single-threaded per query, but `@volatile` keeps the
+    * read in getOffset sound if the driver rotates threads.
+    */
+  @volatile private var plannedThrough: Long = startingVersion - 1
+
+  override def getOffset: Option[Offset] =
+    LakeLog.latestVersion(fs, rootP).map { latest =>
+      val capped = maxVersionsPerTrigger
+        .fold(latest)(m => math.min(latest, plannedThrough + m))
+      plannedThrough = math.max(plannedThrough, capped)
+      LongOffset(capped)
+    }
+
+  /** Offsets arrive as LongOffset (live) or SerializedOffset (from a
+    * restart's checkpoint); both round-trip through json.
+    */
+  private def versionOf(o: Offset): Long = o.json.trim.toLong
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf(_) + 1).getOrElse(startingVersion)
+    val to = versionOf(end)
+    // restart path: the checkpointed end offset seeds the cap floor
+    plannedThrough = math.max(plannedThrough, to)
+    val paths = (from to to).flatMap { v =>
+      val actions = LakeLog.readCommit(fs, rootP, v)
+      val op = actions.collectFirst { case m: LakeLog.Meta => m.op }
+        .getOrElse("?")
+      val hasRemoves = actions.exists {
+        case _: LakeLog.Remove => true; case _ => false
+      }
+      if (hasRemoves && !ignoreChanges)
+        throw new IllegalStateException(
+          s"lake commit $v is a rewrite ($op): an append-only stream " +
+            "cannot express it — set ignoreChanges=true to re-emit the " +
+            "rewritten files (may duplicate rows downstream)")
+      actions.collect { case a: LakeLog.Add => new Path(rootP, a.path).toString }
+    }
+    val session = sqlContext.sparkSession
+    val batch =
+      if (paths.isEmpty)
+        session.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          schema)
+      else session.read.schema(schema).parquet(paths: _*)
+    // v1 source contract: the returned frame must be tagged streaming
+    org.apache.spark.sql.graft.StreamingFrames.asStreaming(batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"LakeStreamSource[$root]"
+}

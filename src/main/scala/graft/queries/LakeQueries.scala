@@ -1,0 +1,283 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.Tables
+import graft.lake.{LakeSink, LakeTable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated queries for the [[graft.lake]] transactional table
+  * format. Each query reads a lake whose FULL maintenance chain —
+  * create, append, MERGE, copy-on-write delete, compaction, vacuum,
+  * exactly-once sink replay — was applied up front from deterministic
+  * key arithmetic over the `orders` fixture; the DuckDB oracles
+  * recompute the same end state directly from the parquet with plain
+  * SQL. Equality therefore certifies the log replay, snapshot
+  * isolation, stats-pruned rewrites and idempotent sink TOGETHER,
+  * end-to-end, not just per-op in unit tests.
+  *
+  * The chains are built once per (JVM, fixture dir) and memoized like
+  * the ANN index caches — the bench's median-of-3 then measures the
+  * amortized READ cost, which is what a deployed lakehouse pays.
+  */
+object LakeQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private lazy val lakeRoot =
+    java.nio.file.Files.createTempDirectory("graft_lake_q").toString
+  private def dirKey(dir: String): String = {
+    var h = -3750763034362895579L // FNV-1a 64 offset basis
+    dir.foreach { c => h ^= c.toLong; h *= 1099511628211L }
+    dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(40) +
+      "_" + java.lang.Long.toHexString(h)
+  }
+
+  /** Seed: orders keys < 4000 as (o_orderkey, o_custkey,
+    * o_orderstatus, o_cents) — money in exact integer cents.
+    */
+  private def seed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").where(col("o_orderkey") < 4000)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("o_cents"))
+
+  /** Main chain: v0 create(even keys, clustered by key) → v1
+    * append(odd keys) → v2 merge(upsert k%7, delete k%13 — version
+    * ties favor D — plus 50 fresh inserts) → v3 delete keys
+    * [1000,1999] → v4 compact into 3 clustered files.
+    */
+  private val chainCache = new ConcurrentHashMap[String, String]()
+  private[graft] def chainFor(s: SparkSession, dir: String): String =
+    chainCache.computeIfAbsent(dir, _ => {
+      val root = s"$lakeRoot/chain_${dirKey(dir)}"
+      val sd = seed(s, dir)
+      LakeTable.create(s, root, sd.where(col("o_orderkey") % 2 === 0),
+        Seq("o_orderkey"), nFiles = 8, clusterBy = Some("o_orderkey"))
+      LakeTable.append(s, root, sd.where(col("o_orderkey") % 2 === 1),
+        nFiles = 8)
+      val ups = sd.where(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_cents", col("o_cents") + 7)
+        .withColumn("version", lit(1L)).withColumn("op", lit("U"))
+      val dels = sd.where(col("o_orderkey") % 13 === 0)
+        .withColumn("version", lit(2L)).withColumn("op", lit("D"))
+      val ins = s.range(50).select(
+        (col("id") + 4000).as("o_orderkey"),
+        ((col("id") + 4000) % 100).as("o_custkey"),
+        lit("N").as("o_orderstatus"),
+        ((col("id") + 4000) * 3).as("o_cents"),
+        lit(1L).as("version"), lit("U").as("op"))
+      LakeTable.merge(s, root, ups.unionByName(dels).unionByName(ins),
+        "o_orderkey")
+      LakeTable.deleteWhere(s, root,
+        Seq(LakeTable.ColRange("o_orderkey", Some(1000L), Some(1999L))))
+      val liveBytes = LakeTable.snapshot(s, root).files.map(_.stats.bytes).sum
+      LakeTable.compact(s, root, smallBytes = Long.MaxValue,
+        targetBytes = math.max(1L, liveBytes / 3))
+      root
+    })
+
+  /** Sink chain: exactly-once streaming appends — batch 0, a REPLAY
+    * of batch 0 (must be skipped), batch 1 — then compaction and a
+    * vacuum that retains only the compacted version, so the final
+    * read also proves vacuum deleted nothing live.
+    */
+  private val sinkCache = new ConcurrentHashMap[String, String]()
+  private def sinkFor(s: SparkSession, dir: String): String =
+    sinkCache.computeIfAbsent(dir, _ => {
+      val root = s"$lakeRoot/sink_${dirKey(dir)}"
+      val sd = seed(s, dir)
+      LakeTable.create(s, root, sd.where(col("o_orderkey") < 0),
+        Seq("o_orderkey"), nFiles = 1)
+      val b0 = sd.where(col("o_orderkey") < 500)
+      val b1 = sd.where(col("o_orderkey") >= 500 && col("o_orderkey") < 1000)
+      LakeSink.addBatch(root, "lakeq", 0L, b0)
+      LakeSink.addBatch(root, "lakeq", 0L, b0) // recovery replay: no-op
+      LakeSink.addBatch(root, "lakeq", 1L, b1)
+      LakeTable.compact(s, root, smallBytes = Long.MaxValue,
+        targetBytes = Long.MaxValue)
+      val compacted = LakeTable.latestVersion(s, root).get
+      LakeTable.vacuum(s, root, keepFromVersion = compacted)
+      root
+    })
+
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Tail replay: a fresh lake is created with keys [0,400) and then
+    * appended twice WHILE a `graft-lake` stream is draining it into a
+    * memory sink — each commit must arrive as its own micro-batch
+    * (required >= 3 data batches), proving the log-version offset
+    * iteration, not just a one-shot read.
+    */
+  private def tailReplay(s: SparkSession, dir: String): DataFrame = {
+    val n = seq.incrementAndGet()
+    val root = s"$lakeRoot/tail_${dirKey(dir)}_$n"
+    val sd = seed(s, dir)
+    LakeTable.create(s, root, sd.where(col("o_orderkey") < 400),
+      Seq("o_orderkey"), nFiles = 1)
+    val name = s"lake_tail_replay_$n"
+    val q = s.readStream.format("graft-lake").load(root)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      q.processAllAvailable()
+      LakeTable.append(s, root,
+        sd.where(col("o_orderkey") >= 400 && col("o_orderkey") < 700),
+        nFiles = 1)
+      q.processAllAvailable()
+      LakeTable.append(s, root,
+        sd.where(col("o_orderkey") >= 700 && col("o_orderkey") < 1000),
+        nFiles = 1)
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= 3,
+        s"$name: expected >= 3 data micro-batches, got $dataBatches — " +
+          "appends did not arrive as separate triggers")
+    } finally q.stop()
+    s.table(name).orderBy("o_orderkey")
+  }
+
+  /** Exactly-once lake-to-lake pipeline with a RESTART in the middle:
+    * incarnation 1 drains keys [0,400) from the source lake through
+    * [[LakeSink]] into a destination lake; more data is appended; a
+    * SECOND incarnation on the same checkpoint drains the rest. The
+    * source must resume at its committed log version (no re-emit) and
+    * the sink must dedup replayed batch ids — any failure in either
+    * direction shows up as missing or duplicated rows against the
+    * oracle.
+    */
+  private def pipelineReplay(s: SparkSession, dir: String): DataFrame = {
+    val n = seq.incrementAndGet()
+    val src = s"$lakeRoot/pipe_src_${dirKey(dir)}_$n"
+    val dst = s"$lakeRoot/pipe_dst_${dirKey(dir)}_$n"
+    val ckpt = s"$lakeRoot/pipe_ckpt_${dirKey(dir)}_$n"
+    val sd = seed(s, dir)
+    LakeTable.create(s, src, sd.where(col("o_orderkey") < 400),
+      Seq("o_orderkey"), nFiles = 1)
+    LakeTable.create(s, dst, sd.where(col("o_orderkey") < 0),
+      Seq("o_orderkey"), nFiles = 1)
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-lake").load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(graft.lake.LakeSink.writer(dst, "pipe")).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    LakeTable.append(s, src,
+      sd.where(col("o_orderkey") >= 400 && col("o_orderkey") < 700),
+      nFiles = 1)
+    drain()
+    LakeTable.scan(s, dst).orderBy("o_orderkey")
+  }
+
+  /** DuckDB CTE reproducing [[chainFor]]'s end state from `orders`. */
+  private val chainSql = """
+    WITH sd AS (
+      SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS s,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 4000),
+    ins AS (
+      SELECT 4000 + i AS k, (4000 + i) % 100 AS c, 'N' AS s,
+             (4000 + i) * 3 AS cents
+      FROM range(50) t(i)),
+    merged AS (
+      SELECT k, c, CASE WHEN k % 7 = 0 THEN 'X' ELSE s END AS s,
+             CASE WHEN k % 7 = 0 THEN cents + 7 ELSE cents END AS cents
+      FROM sd WHERE k % 13 <> 0
+      UNION ALL
+      SELECT k, c, s, cents FROM ins),
+    final AS (
+      SELECT * FROM merged WHERE k NOT BETWEEN 1000 AND 1999)
+  """
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("lake_read_latest",
+      (s, dir) => LakeTable.scan(s, chainFor(s, dir))
+        .orderBy("o_orderkey"),
+      Some(chainSql + """
+        SELECT k AS o_orderkey, c AS o_custkey, s AS o_orderstatus,
+               cents AS o_cents
+        FROM final ORDER BY o_orderkey""")),
+
+    QueryDef("lake_time_travel",
+      (s, dir) => LakeTable.scanAsOf(s, chainFor(s, dir), Some(0L))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders WHERE o_orderkey < 4000 AND o_orderkey % 2 = 0
+        ORDER BY o_orderkey""")),
+
+    QueryDef("lake_skip_scan",
+      (s, dir) => LakeTable.scanPruned(s, chainFor(s, dir),
+        Seq(LakeTable.ColRange("o_orderkey", Some(2000L), Some(2399L))))._1
+        .orderBy("o_orderkey"),
+      Some(chainSql + """
+        SELECT k AS o_orderkey, c AS o_custkey, s AS o_orderstatus,
+               cents AS o_cents
+        FROM final WHERE k BETWEEN 2000 AND 2399 ORDER BY o_orderkey""")),
+
+    QueryDef("lake_history",
+      (s, dir) => LakeTable.history(s, chainFor(s, dir))
+        .select(col("version"), col("op")).orderBy("version"),
+      Some("""
+        SELECT CAST(v AS BIGINT) AS version, op
+        FROM (VALUES (0, 'create'), (1, 'append'), (2, 'merge'),
+                     (3, 'delete'), (4, 'compact')) AS t(v, op)
+        ORDER BY version""")),
+
+    QueryDef("lake_cdf",
+      // change-data-feed over (v1, v4]: the merge (v2) arrives as
+      // delete(old)+insert(new) pairs plus pure inserts/deletes, the
+      // copy-on-write delete (v3) as deletes only (copied survivors
+      // cancel in the multiset diff), the compaction (v4) as nothing
+      // (layout-only). The oracle re-derives every row change from
+      // the same key arithmetic — reconstruction-from-file-log
+      // certified row-exact.
+      (s, dir) => LakeTable.scanChanges(s, chainFor(s, dir), 1L, 4L)
+        .orderBy("_commit_version", "_change_type", "o_orderkey"),
+      Some(chainSql + """
+        , cdf AS (
+          SELECT k, c, s, cents, 'delete' AS ct, 2 AS cv
+          FROM sd WHERE k % 7 = 0 OR k % 13 = 0
+          UNION ALL
+          SELECT k, c, 'X', cents + 7, 'insert', 2
+          FROM sd WHERE k % 7 = 0 AND k % 13 <> 0
+          UNION ALL
+          SELECT k, c, s, cents, 'insert', 2 FROM ins
+          UNION ALL
+          SELECT k, c, s, cents, 'delete', 3
+          FROM merged WHERE k BETWEEN 1000 AND 1999)
+        SELECT k AS o_orderkey, c AS o_custkey, s AS o_orderstatus,
+               cents AS o_cents, ct AS _change_type,
+               CAST(cv AS BIGINT) AS _commit_version
+        FROM cdf ORDER BY _commit_version, _change_type, o_orderkey""")),
+
+    QueryDef("lake_sink_replay",
+      (s, dir) => LakeTable.scan(s, sinkFor(s, dir))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders WHERE o_orderkey < 1000
+        ORDER BY o_orderkey""")),
+
+    QueryDef("stream_lake_tail_replay",
+      (s, dir) => tailReplay(s, dir),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders WHERE o_orderkey < 1000
+        ORDER BY o_orderkey""")),
+
+    QueryDef("stream_lake_pipeline_replay",
+      (s, dir) => pipelineReplay(s, dir),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders WHERE o_orderkey < 700
+        ORDER BY o_orderkey"""))
+  )
+}

@@ -352,6 +352,22 @@ class ShuffleBudgetSpec extends SparkSuite {
       "work happened in the stream"),
     ("stream_topn_tws_replay", 2, "same recovery plan as " +
       "stream_topn_replay: distinct over emissions + rank window"),
+    // lake queries: reads over log-pinned parquet file lists — the
+    // one exchange each is the deterministic output ordering; the
+    // maintenance chain (merge/delete/compact) ran at build time as
+    // its own bounded jobs
+    ("lake_read_latest", 1, "snapshot file-list scan + output ordering"),
+    ("lake_time_travel", 1, "version-0 snapshot scan + output ordering"),
+    ("lake_skip_scan", 1, "stats-pruned file subset scan + output ordering"),
+    ("lake_history", 1, "KB-sized driver-side log relation, ordered"),
+    ("lake_cdf", 5, "one exceptAll aggregate per side per rewrite " +
+      "commit (2 rewrites x 2 sides, each bounded by the commit's " +
+      "touched files, never the table) + output ordering"),
+    ("lake_sink_replay", 1, "idempotent-append table scan + output ordering"),
+    ("stream_lake_tail_replay", 1, "memory-sink read back + output " +
+      "ordering; the log-tail batches were bounded parquet scans"),
+    ("stream_lake_pipeline_replay", 1, "destination lake scan + output " +
+      "ordering; source offsets and sink batch ids did the dedup work"),
     ("stream_static_enrich_replay", 0, "memory-sink read back flat: " +
       "the dimension broadcast per micro-batch, the stream never " +
       "shuffled"),

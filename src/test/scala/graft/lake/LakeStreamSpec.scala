@@ -1,0 +1,137 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+class LakeStreamSpec extends SparkSuite {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_lakestream").resolve("tbl").toString
+
+  private def seed(lo: Int, hi: Int): DataFrame = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"n_$i")).toDF("id", "name")
+  }
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("tailing a lake emits each append as its own micro-batch") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 1)
+    val q = spark.readStream.format("graft-lake").load(root)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lake_tail_t1").start()
+    try {
+      q.processAllAvailable()
+      LakeTable.append(spark, root, seed(100, 150), nFiles = 1)
+      q.processAllAvailable()
+      LakeTable.append(spark, root, seed(150, 180), nFiles = 1)
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3,
+        s"expected >=3 data micro-batches, got $dataBatches")
+    } finally q.stop()
+    assert(ids(spark.table("lake_tail_t1")) == (0L until 180L))
+  }
+
+  test("a restarted query resumes at the committed log version") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("lake_ckpt").toString
+    LakeTable.create(spark, root, seed(0, 50), Seq("id"), nFiles = 1)
+    // memory sink refuses checkpoint recovery; foreachBatch into a
+    // per-incarnation buffer is the recoverable-sink harness
+    def run(buf: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
+      val q = spark.readStream.format("graft-lake").load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          buf.synchronized { buf ++= ids(df) }; ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val first = scala.collection.mutable.ArrayBuffer.empty[Long]
+    run(first)
+    assert(first.sorted.toSeq == (0L until 50L))
+
+    LakeTable.append(spark, root, seed(50, 80), nFiles = 1)
+    val second = scala.collection.mutable.ArrayBuffer.empty[Long]
+    run(second)
+    assert(second.sorted.toSeq == (50L until 80L),
+      "restart must resume at committed offset, not replay the table")
+  }
+
+  test("a rewrite commit fails the tail unless ignoreChanges is set") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 2,
+      clusterBy = Some("id"))
+    LakeTable.deleteWhere(spark, root,
+      Seq(LakeTable.ColRange("id", Some(0L), Some(9L))))
+
+    val strict = spark.readStream.format("graft-lake")
+      .option("startingVersion", "1").load(root)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lake_strict").start()
+    val ex = intercept[StreamingQueryException] {
+      try strict.processAllAvailable() finally strict.stop()
+    }
+    assert(ex.getMessage.contains("rewrite") ||
+      Option(ex.getCause).exists(_.getMessage.contains("rewrite")))
+
+    val loose = spark.readStream.format("graft-lake")
+      .option("startingVersion", "1").option("ignoreChanges", "true")
+      .load(root)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lake_loose").start()
+    try loose.processAllAvailable() finally loose.stop()
+    // startingVersion=1 replays only the delete commit, so exactly
+    // its REWRITTEN files arrive: the survivors of the deleted file
+    // (the untouched 50..99 file belongs to the skipped commit 0)
+    assert(ids(spark.table("lake_loose")) == (10L until 50L))
+  }
+
+  test("maxVersionsPerTrigger paces a cold start into bounded batches") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 20), Seq("id"), nFiles = 1)
+    (1 to 5).foreach { i =>
+      LakeTable.append(spark, root, seed(20 * i, 20 * (i + 1)), nFiles = 1)
+    }
+    // 6 commits (v0..v5) already in the log; cap 2 versions/batch →
+    // the cold start must arrive as >=3 bounded micro-batches
+    val q = spark.readStream.format("graft-lake")
+      .option("maxVersionsPerTrigger", "2").load(root)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lake_paced").start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(dataBatches.length >= 3,
+        s"expected >=3 paced micro-batches, got ${dataBatches.length}")
+      assert(dataBatches.forall(_.numInputRows <= 40),
+        "a paced batch must cover at most 2 commits (40 rows)")
+    } finally q.stop()
+    assert(ids(spark.table("lake_paced")) == (0L until 120L))
+  }
+
+  test("lake-to-lake via LakeSink is exactly-once end to end") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    val ckpt = Files.createTempDirectory("lake_l2l").toString
+    LakeTable.create(spark, src, seed(0, 60), Seq("id"), nFiles = 1)
+    LakeTable.create(spark, dst, seed(0, 0), Seq("id"), nFiles = 1)
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-lake").load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(LakeSink.writer(dst, "l2l")).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    LakeTable.append(spark, src, seed(60, 90), nFiles = 1)
+    run() // second incarnation: resumes source offset, sink dedups batches
+    assert(ids(LakeTable.scan(spark, dst)) == (0L until 90L))
+  }
+}

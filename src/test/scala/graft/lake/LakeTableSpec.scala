@@ -22,6 +22,36 @@ class LakeTableSpec extends SparkSuite {
   private def ids(df: DataFrame): Seq[Long] =
     df.select("id").collect().map(_.getLong(0)).sorted.toSeq
 
+  test("scanChanges reconstructs row-level CDC from the file log") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(40), Seq("id"), nFiles = 2,
+      clusterBy = Some("id"))
+    LakeTable.append(spark, root, seed(60).where(col("id") >= 40),
+      nFiles = 1) // v1: pure inserts
+    LakeTable.deleteWhere(spark, root,
+      Seq(LakeTable.ColRange("id", Some(10L), Some(19L)))) // v2: deletes
+    LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+      targetBytes = Long.MaxValue) // v3: layout-only, must emit nothing
+
+    val all = LakeTable.scanChanges(spark, root, 0L, 3L)
+    def part(tpe: String, v: Long): Seq[Long] =
+      ids(all.where(col("_change_type") === tpe &&
+        col("_commit_version") === v))
+    assert(part("insert", 1L) == (40L until 60L))
+    assert(part("delete", 2L) == (10L until 20L),
+      "copy-on-write survivors must cancel in the multiset diff")
+    assert(part("insert", 2L).isEmpty)
+    assert(all.where(col("_commit_version") === 3L).count() == 0,
+      "compaction is dataChange=false — no CDC rows, nothing read")
+    // an empty range yields an empty frame with the CDC schema
+    val none = LakeTable.scanChanges(spark, root, 3L, 3L)
+    assert(none.count() == 0 &&
+      none.columns.contains("_change_type"))
+    intercept[IllegalArgumentException] {
+      LakeTable.scanChanges(spark, root, 0L, 99L)
+    }
+  }
+
   test("create + scan round-trips rows and schema") {
     val root = freshRoot()
     val v = LakeTable.create(spark, root, seed(100), Seq("id", "grp"),

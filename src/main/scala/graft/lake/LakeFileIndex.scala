@@ -1,0 +1,113 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
+  Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
+  Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex,
+  FileStatusWithMetadata, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** [[FileIndex]] over a [[LakeLog.Snapshot]] — the piece that puts
+  * the lake's per-file min/max stats INSIDE Spark's native parquet
+  * scan planning (the Delta `TahoeFileIndex` idea): `spark.read
+  * .format("graft-lake")` plans a stock `FileScan parquet` whose
+  * file list is the snapshot (never a directory listing — vacuumed
+  * or not-yet-committed files are invisible by construction), and
+  * `listFiles` re-prunes that list against the pushed data filters,
+  * so version isolation, stats skipping, parquet row-group pushdown
+  * and whole-stage codegen all compose in ONE stock scan node.
+  *
+  * File sizes come from the commit log's recorded stats — planning
+  * makes ZERO filesystem calls per file, which at a 10^6-file table
+  * is the difference between instant planning and a namenode storm.
+  */
+final class LakeFileIndex(spark: SparkSession, root: Path,
+                          snap: LakeLog.Snapshot) extends FileIndex {
+
+  private val statsByPath: Map[String, LakeLog.Stats] =
+    snap.files.map(f => f.path -> f.stats).toMap
+
+  private def abs(rel: String): Path = new Path(root, rel)
+
+  // log-recorded length; mtime 0 is fine — nothing downstream of a
+  // snapshot read keys on it
+  private def status(f: LakeLog.Add): FileStatus =
+    new FileStatus(f.stats.bytes, false, 1, 128L * 1024 * 1024, 0L, abs(f.path))
+
+  override def rootPaths: Seq[Path] = Seq(root)
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def sizeInBytes: Long = snap.files.map(_.stats.bytes).sum
+
+  override def inputFiles: Array[String] =
+    snap.files.map(f => abs(f.path).toString).toArray
+
+  override def refresh(): Unit = () // snapshot = immutable version pin
+
+  /** Pushed data filters → per-column bounds → stats pruning. Only
+    * conjuncts shaped `col <op> literal` on a stats column prune;
+    * everything else is ignored here and still applied row-level by
+    * the scan's own filters — pruning is an optimization, never a
+    * semantics change (same contract as [[LakeTable.scanPruned]]).
+    */
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]):
+      Seq[PartitionDirectory] = {
+    val ranges = dataFilters.flatMap(LakeFileIndex.toRanges)
+      .filter(r => snap.statsCols.contains(r.column))
+    val kept = snap.files.filter(f =>
+      ranges.forall(r => LakeTable.mayMatch(f.stats, r)))
+    Seq(PartitionDirectory(InternalRow.empty,
+      kept.map(f => FileStatusWithMetadata(status(f)))))
+  }
+
+  /** Stats of one committed file, for tests/tooling. */
+  def statsOf(relPath: String): Option[LakeLog.Stats] =
+    statsByPath.get(relPath)
+}
+
+object LakeFileIndex {
+
+  private def lit(l: Literal): Option[Any] = l.value match {
+    case null           => None
+    case u: UTF8String  => Some(u.toString)
+    case other          =>
+      try Some(LakeTable.normalizeStat(other)) catch {
+        case _: IllegalArgumentException => None // unprunable type
+      }
+  }
+
+  /** Catalyst conjunct → [[LakeTable.ColRange]]s (empty = no pruning
+    * power). Attribute-on-either-side comparisons and nested Ands.
+    */
+  private[lake] def toRanges(e: Expression): Seq[LakeTable.ColRange] =
+    e match {
+      case And(l, r) => toRanges(l) ++ toRanges(r)
+      case EqualTo(a: Attribute, l: Literal) =>
+        lit(l).toSeq.map(v => LakeTable.ColRange(a.name, Some(v), Some(v)))
+      case EqualTo(l: Literal, a: Attribute) =>
+        lit(l).toSeq.map(v => LakeTable.ColRange(a.name, Some(v), Some(v)))
+      case GreaterThan(a: Attribute, l: Literal) =>
+        lit(l).toSeq.map(v => LakeTable.ColRange(a.name, Some(v), None))
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        lit(l).toSeq.map(v => LakeTable.ColRange(a.name, Some(v), None))
+      case LessThan(a: Attribute, l: Literal) =>
+        lit(l).toSeq.map(v => LakeTable.ColRange(a.name, None, Some(v)))
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        lit(l).toSeq.map(v => LakeTable.ColRange(a.name, None, Some(v)))
+      case GreaterThan(l: Literal, a: Attribute) =>
+        lit(l).toSeq.map(v => LakeTable.ColRange(a.name, None, Some(v)))
+      case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+        lit(l).toSeq.map(v => LakeTable.ColRange(a.name, None, Some(v)))
+      case LessThan(l: Literal, a: Attribute) =>
+        lit(l).toSeq.map(v => LakeTable.ColRange(a.name, Some(v), None))
+      case LessThanOrEqual(l: Literal, a: Attribute) =>
+        lit(l).toSeq.map(v => LakeTable.ColRange(a.name, Some(v), None))
+      case _ => Seq.empty
+    }
+}

@@ -2,9 +2,12 @@ package graft.lake
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
+  RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming SOURCE that tails a [[LakeTable]]'s commit
@@ -39,9 +42,36 @@ import org.apache.spark.sql.types.StructType
   * default 0 replays the whole table first batch).
   */
 class LakeStreamSourceProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
+
+  /** BATCH read — `spark.read.format("graft-lake").load(root)`, with
+    * `option("versionAsOf", v)` time travel. Returns a stock
+    * [[HadoopFsRelation]] whose file list is a [[LakeFileIndex]] over
+    * the pinned snapshot: the plan is a native vectorized
+    * `FileScan parquet` (whole-stage codegen, row-group pushdown)
+    * whose candidate files were stats-pruned by the commit log's
+    * min/max index — SQL-surface reads get snapshot isolation AND
+    * file skipping without any custom scan node.
+    */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]):
+      BaseRelation = {
+    val session = sqlContext.sparkSession
+    val root = new Path(rootOf(parameters))
+    val fs = LakeLog.fileSystem(root,
+      session.sparkContext.hadoopConfiguration)
+    val snap = LakeLog.snapshot(fs, root,
+      parameters.get("versionAsOf").map(_.toLong))
+    HadoopFsRelation(
+      location = new LakeFileIndex(session, root, snap),
+      partitionSchema = new StructType(),
+      dataSchema = StructType.fromDDL(snap.schemaDdl),
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(session)
+  }
 
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(

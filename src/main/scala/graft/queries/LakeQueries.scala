@@ -228,6 +228,20 @@ object LakeQueries {
                      (3, 'delete'), (4, 'compact')) AS t(v, op)
         ORDER BY version""")),
 
+    QueryDef("lake_sql_read",
+      // the FORMAT surface: spark.read.format("graft-lake") over the
+      // maintained chain with a pushed range filter — snapshot file
+      // list + LakeFileIndex stats pruning + native parquet row-group
+      // pushdown all inside one stock FileScan (vs lake_skip_scan,
+      // which exercises the explicit scanPruned API)
+      (s, dir) => s.read.format("graft-lake").load(chainFor(s, dir))
+        .where(col("o_orderkey") >= 2400 && col("o_orderkey") <= 2799)
+        .orderBy("o_orderkey"),
+      Some(chainSql + """
+        SELECT k AS o_orderkey, c AS o_custkey, s AS o_orderstatus,
+               cents AS o_cents
+        FROM final WHERE k BETWEEN 2400 AND 2799 ORDER BY o_orderkey""")),
+
     QueryDef("lake_cdf",
       // change-data-feed over (v1, v4]: the merge (v2) arrives as
       // delete(old)+insert(new) pairs plus pure inserts/deletes, the

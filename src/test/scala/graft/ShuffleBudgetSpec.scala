@@ -360,6 +360,8 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("lake_time_travel", 1, "version-0 snapshot scan + output ordering"),
     ("lake_skip_scan", 1, "stats-pruned file subset scan + output ordering"),
     ("lake_history", 1, "KB-sized driver-side log relation, ordered"),
+    ("lake_sql_read", 1, "format-surface snapshot scan (stats-pruned " +
+      "stock parquet FileScan) + output ordering"),
     ("lake_cdf", 5, "one exceptAll aggregate per side per rewrite " +
       "commit (2 rewrites x 2 sides, each bounded by the commit's " +
       "touched files, never the table) + output ordering"),

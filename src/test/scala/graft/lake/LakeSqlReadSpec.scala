@@ -1,0 +1,96 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** `spark.read.format("graft-lake")` — the batch relation backed by
+  * [[LakeFileIndex]]: stock parquet scan, snapshot file list, stats
+  * pruning driven by the PUSHED filters (not a side-channel API).
+  */
+class LakeSqlReadSpec extends SparkSuite {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_lakesql").resolve("tbl").toString
+
+  private def seed(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"name_$i", i * 10L))
+      .toDF("id", "name", "amount")
+  }
+
+  private def scanOf(df: DataFrame): FileSourceScanExec = {
+    df.collect() // execute so scan metrics are populated
+    df.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+  }
+
+  test("format read matches the API scan and plans a stock parquet scan") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(500), Seq("id"), nFiles = 8,
+      clusterBy = Some("id"))
+    val viaFormat = spark.read.format("graft-lake").load(root)
+    assert(viaFormat.count() == 500)
+    // same names/types; nullability may differ (DDL non-null flags
+    // survive the format path, the API scan normalizes to nullable)
+    assert(viaFormat.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      LakeTable.scan(spark, root).schema.fields
+        .map(f => (f.name, f.dataType)).toSeq)
+    val scan = scanOf(viaFormat.where(col("id") >= 100))
+    assert(scan.metadata.get("Format").exists(_.toLowerCase.contains("parquet")),
+      "batch relation must plan Spark's native parquet scan")
+  }
+
+  test("pushed range filters skip files via the log's min/max stats") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(800), Seq("id"), nFiles = 8,
+      clusterBy = Some("id"))
+    val pruned = spark.read.format("graft-lake").load(root)
+      .where(col("id") >= 100L && col("id") < 200L)
+    val scan = scanOf(pruned)
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles <= 3, s"expected <=3 of 8 clustered files, read $numFiles")
+    assert(pruned.count() == 100)
+    // a filter on a non-stats column must not prune (only row-filter)
+    val unpruned = scanOf(spark.read.format("graft-lake").load(root)
+      .where(col("name") === "name_7"))
+    assert(unpruned.metrics("numFiles").value == 8)
+  }
+
+  test("versionAsOf pins the snapshot; stray data files stay invisible") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(100), Seq("id"), nFiles = 1)
+    LakeTable.append(spark, root, seed(150).where(col("id") >= 100),
+      nFiles = 1)
+    val v0 = spark.read.format("graft-lake")
+      .option("versionAsOf", "0").load(root)
+    assert(v0.count() == 100)
+    // an uncommitted file in data/ is not part of any snapshot
+    seed(10).write.mode("append")
+      .parquet(new org.apache.hadoop.fs.Path(root, "data/stray").toString)
+    assert(spark.read.format("graft-lake").load(root).count() == 150,
+      "reads must come from the commit log, not directory listing")
+  }
+
+  test("filter-to-range extraction covers both operand orders") {
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val id = Symbol("id").long
+    def one(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      LakeFileIndex.toRanges(e)
+    assert(one(id === Literal(5L)) ==
+      Seq(LakeTable.ColRange("id", Some(5L), Some(5L))))
+    assert(one(id >= Literal(5L)) ==
+      Seq(LakeTable.ColRange("id", Some(5L), None)))
+    assert(one(Literal(5L) >= id) ==
+      Seq(LakeTable.ColRange("id", None, Some(5L))))
+    assert(one((id >= Literal(2L)) && (id < Literal(9L))) ==
+      Seq(LakeTable.ColRange("id", Some(2L), None),
+        LakeTable.ColRange("id", None, Some(9L))))
+    assert(one(id.isNotNull).isEmpty)
+  }
+}

@@ -126,11 +126,27 @@ object RandomHyperplaneLSH {
                    p: Params = Params(), extraProbes: Int): DataFrame = {
     require(extraProbes >= 0 && extraProbes <= p.planesPerTable,
       s"extraProbes must be in [0, ${p.planesPerTable}], got $extraProbes")
+    if (extraProbes == 0) return buckets(df, idCol, vecCol, p)
     val v = col(vecCol)
+    // Two-layer projection, deliberately: layer 1 computes each
+    // plane dot EXACTLY ONCE into per-table arrays; layer 2 derives
+    // base bucket, margin ranking, and flips from cheap element_at
+    // references. Inlining the dots into every consumer (the old
+    // shape) tripled a literal-heavy tree of tables x planes x dim
+    // nodes and cost ~8 s of DRIVER planning/codegen per run at the
+    // default params — 7 tasks, 2.8 s of task time, 13 CPU-s on the
+    // driver. CollapseProject keeps the layers apart because merging
+    // would duplicate non-cheap expressions.
+    val dotCols = planes(p).zipWithIndex.map { case (ps, t) =>
+      array(ps.map(plane =>
+        VectorFunctions.dot(v, array(plane.toIndexedSeq.map(lit): _*))): _*)
+        .as(s"__dots_$t")
+    }
+    val withDots = df.select(col(idCol) +: dotCols: _*)
     val powers = array((0 until p.planesPerTable).map(b => lit(1L << b)): _*)
-    val tableStructs = planes(p).zipWithIndex.flatMap { case (ps, t) =>
-      val dots = ps.map(plane =>
-        VectorFunctions.dot(v, array(plane.toIndexedSeq.map(lit): _*)))
+    val tableStructs = (0 until p.tables).flatMap { t =>
+      val dots = (0 until p.planesPerTable).map(b =>
+        element_at(col(s"__dots_$t"), b + 1))
       val base = dots.zipWithIndex.map { case (d, b) =>
         when(d >= 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
@@ -145,7 +161,7 @@ object RandomHyperplaneLSH {
       }
       (base +: flips).map(bkt => struct(lit(t).as("table"), bkt.as("bucket")))
     }
-    df.select(col(idCol), explode(array(tableStructs: _*)).as("tb"))
+    withDots.select(col(idCol), explode(array(tableStructs: _*)).as("tb"))
       .select(col(idCol), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 

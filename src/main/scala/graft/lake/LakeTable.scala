@@ -176,18 +176,45 @@ object LakeTable {
       s"schema mismatch: table has $want, append has $got")
   }
 
+  /** ADDITIVE schema evolution: incoming columns that already exist
+    * must keep their exact type (no widening/renames — those are
+    * rewrites, not appends); genuinely new columns join the table
+    * schema as nullable, AFTER the existing columns. Incoming may
+    * also OMIT existing columns — parquet reads fill them with null.
+    * Readers resolve columns by name, so nothing old is rewritten:
+    * old files simply lack the new column and read as null, the
+    * standard lakehouse evolution contract.
+    */
+  private def evolvedSchemaDdl(existing: String, df: DataFrame): String = {
+    val table = StructType.fromDDL(existing)
+    df.schema.fields.foreach { fd =>
+      table.fields.find(_.name == fd.name).foreach { t =>
+        require(t.dataType == fd.dataType,
+          s"mergeSchema is additive-only: column ${fd.name} has type " +
+            s"${t.dataType} in the table but ${fd.dataType} in the append")
+      }
+    }
+    val fresh = df.schema.fields
+      .filterNot(fd => table.fieldNames.contains(fd.name))
+      .map(_.copy(nullable = true))
+    StructType(table.fields ++ fresh).toDDL
+  }
+
   def append(spark: SparkSession, root: String, df: DataFrame,
              nFiles: Int = 4, clusterBy: Option[String] = None,
              appId: Option[String] = None,
-             batchId: Option[Long] = None): Long = {
+             batchId: Option[Long] = None,
+             mergeSchema: Boolean = false): Long = {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val snap = LakeLog.snapshot(f, rootP, None)
-    requireSameSchema(snap.schemaDdl, df)
+    val ddl =
+      if (mergeSchema) evolvedSchemaDdl(snap.schemaDdl, df)
+      else { requireSameSchema(snap.schemaDdl, df); snap.schemaDdl }
     val adds = writeDataFiles(spark, rootP, df, snap.statsCols, nFiles,
       clusterBy.orElse(snap.clusterBy))
     LakeLog.commit(f, rootP,
-      Meta("append", snap.schemaDdl, snap.statsCols, appId, batchId,
+      Meta("append", ddl, snap.statsCols, appId, batchId,
         now()) +: adds)
   }
 

@@ -103,6 +103,26 @@ object LakeQueries {
       root
     })
 
+  /** Evolution chain: v0 create (o_orderkey, o_cents) for keys
+    * < 1500 → v1 mergeSchema append of keys [1500, 3000) carrying the
+    * NEW o_orderstatus column. Latest reads must back-fill the
+    * pre-evolution rows with null status.
+    */
+  private val evoCache = new ConcurrentHashMap[String, String]()
+  private def evoFor(s: SparkSession, dir: String): String =
+    evoCache.computeIfAbsent(dir, _ => {
+      val root = s"$lakeRoot/evo_${dirKey(dir)}"
+      val sd = seed(s, dir)
+      LakeTable.create(s, root,
+        sd.where(col("o_orderkey") < 1500).select("o_orderkey", "o_cents"),
+        Seq("o_orderkey"), nFiles = 2, clusterBy = Some("o_orderkey"))
+      LakeTable.append(s, root,
+        sd.where(col("o_orderkey") >= 1500 && col("o_orderkey") < 3000)
+          .select("o_orderkey", "o_cents", "o_orderstatus"),
+        nFiles = 2, mergeSchema = true)
+      root
+    })
+
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Tail replay: a fresh lake is created with keys [0,400) and then
@@ -241,6 +261,21 @@ object LakeQueries {
         SELECT k AS o_orderkey, c AS o_custkey, s AS o_orderstatus,
                cents AS o_cents
         FROM final WHERE k BETWEEN 2400 AND 2799 ORDER BY o_orderkey""")),
+
+    QueryDef("lake_schema_evolution",
+      // additive evolution under the oracle: a mergeSchema append adds
+      // o_orderstatus mid-table; the latest read must surface the old
+      // files with NULL status and the new files with their values,
+      // by-name column resolution, nothing rewritten
+      (s, dir) => LakeTable.scan(s, evoFor(s, dir))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents,
+               CASE WHEN o_orderkey < 1500 THEN NULL
+                    ELSE o_orderstatus END AS o_orderstatus
+        FROM orders WHERE o_orderkey < 3000
+        ORDER BY o_orderkey""")),
 
     QueryDef("lake_cdf",
       // change-data-feed over (v1, v4]: the merge (v2) arrives as

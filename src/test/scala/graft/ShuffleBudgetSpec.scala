@@ -362,6 +362,9 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("lake_history", 1, "KB-sized driver-side log relation, ordered"),
     ("lake_sql_read", 1, "format-surface snapshot scan (stats-pruned " +
       "stock parquet FileScan) + output ordering"),
+    ("lake_schema_evolution", 1, "post-evolution snapshot scan " +
+      "(by-name column resolution, old files null-filled) + output " +
+      "ordering"),
     ("lake_cdf", 5, "one exceptAll aggregate per side per rewrite " +
       "commit (2 rewrites x 2 sides, each bounded by the commit's " +
       "touched files, never the table) + output ordering"),

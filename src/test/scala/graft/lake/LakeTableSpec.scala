@@ -22,6 +22,41 @@ class LakeTableSpec extends SparkSuite {
   private def ids(df: DataFrame): Seq[Long] =
     df.select("id").collect().map(_.getLong(0)).sorted.toSeq
 
+  test("mergeSchema append evolves additively; old files read as null") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(50), Seq("id"), nFiles = 1)
+    // a new column arrives without mergeSchema: loud refusal
+    val widened = seed(80).where(col("id") >= 50)
+      .withColumn("lang", concat(lit("l"), col("id") % 3))
+    intercept[IllegalArgumentException] {
+      LakeTable.append(spark, root, widened, nFiles = 1)
+    }
+    LakeTable.append(spark, root, widened, nFiles = 1, mergeSchema = true)
+    val latest = LakeTable.scan(spark, root)
+    assert(latest.schema.fieldNames.toSeq ==
+      Seq("id", "name", "grp", "amount", "lang"))
+    assert(latest.where(col("id") < 50 && col("lang").isNull).count() == 50,
+      "pre-evolution files must read the new column as null")
+    assert(latest.where(col("id") >= 50 && col("lang").isNotNull)
+      .count() == 30)
+    // time travel keeps the pre-evolution schema
+    assert(LakeTable.scanAsOf(spark, root, Some(0L))
+      .schema.fieldNames.toSeq == Seq("id", "name", "grp", "amount"))
+    // a type CHANGE is never mergeable
+    intercept[IllegalArgumentException] {
+      LakeTable.append(spark, root,
+        seed(90).where(col("id") >= 80)
+          .withColumn("amount", col("amount").cast("string")),
+        nFiles = 1, mergeSchema = true)
+    }
+    // an append OMITTING an existing column back-fills null
+    LakeTable.append(spark, root,
+      widened.where(col("id") >= 75).drop("name"),
+      nFiles = 1, mergeSchema = true)
+    assert(LakeTable.scan(spark, root)
+      .where(col("id") >= 75 && col("name").isNull).count() == 5)
+  }
+
   test("scanChanges reconstructs row-level CDC from the file log") {
     val root = freshRoot()
     LakeTable.create(spark, root, seed(40), Seq("id"), nFiles = 2,

@@ -117,6 +117,19 @@ object LakeTable {
     val sub = s"data/${java.util.UUID.randomUUID()}"
     val outDir = new Path(root, sub)
     val arranged = clusterBy match {
+      case Some(z) if z.startsWith("z:") =>
+        // multi-dimensional layout: Morton-interleave the two recorded
+        // columns so every file carries tight min/max bounds on BOTH —
+        // predicates on either dimension prune. Rewrites re-enter here
+        // with the same recorded spec, so maintenance preserves it.
+        // The interleave kernel is unsigned-32-bit; values outside
+        // [0, 2^31) become NULL here so ZOrder.layout's own guard
+        // fails LOUDLY instead of wrapping into a wrong (but silent)
+        // curve position.
+        val Array(a, b) = z.stripPrefix("z:").split(",")
+        def dim(c: String) =
+          when(col(c).between(0, Int.MaxValue), col(c)).cast("int")
+        graft.operators.ZOrder.layout(df, dim(a), dim(b), nFiles)
       case Some(c) =>
         df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
       case None => df.repartition(nFiles)
@@ -154,6 +167,15 @@ object LakeTable {
   }
 
   // ---- create / append / overwrite ---------------------------------
+
+  /** Cluster-spec for 2-D z-order layout, usable anywhere a
+    * `clusterBy` column name is: `create(..., clusterBy =
+    * Some(LakeTable.zCluster("x", "y")))`. Both columns must be
+    * non-negative integers (ZOrder.layout's guarded domain) and
+    * should also be stats columns so the skipping index sees the
+    * per-file bounds the layout tightened.
+    */
+  def zCluster(x: String, y: String): String = s"z:$x,$y"
 
   def create(spark: SparkSession, root: String, df: DataFrame,
              statsCols: Seq[String], nFiles: Int = 8,

@@ -123,6 +123,22 @@ object LakeQueries {
       root
     })
 
+  /** Z-order chain: orders keys < 4000 laid out on the Morton curve
+    * of (o_custkey, o_orderkey) — a predicate on EITHER column
+    * prunes files (LakeSqlReadSpec pins the file counts; this
+    * query pins the row-level correctness of a custkey-range read
+    * the key-sorted layout could not have pruned).
+    */
+  private val zCache = new ConcurrentHashMap[String, String]()
+  private def zFor(s: SparkSession, dir: String): String =
+    zCache.computeIfAbsent(dir, _ => {
+      val root = s"$lakeRoot/zord_${dirKey(dir)}"
+      LakeTable.create(s, root, seed(s, dir), Seq("o_custkey", "o_orderkey"),
+        nFiles = 16,
+        clusterBy = Some(LakeTable.zCluster("o_custkey", "o_orderkey")))
+      root
+    })
+
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Tail replay: a fresh lake is created with keys [0,400) and then
@@ -275,6 +291,17 @@ object LakeQueries {
                CASE WHEN o_orderkey < 1500 THEN NULL
                     ELSE o_orderstatus END AS o_orderstatus
         FROM orders WHERE o_orderkey < 3000
+        ORDER BY o_orderkey""")),
+
+    QueryDef("lake_zorder_scan",
+      (s, dir) => s.read.format("graft-lake").load(zFor(s, dir))
+        .where(col("o_custkey") >= 40 && col("o_custkey") <= 79)
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders
+        WHERE o_orderkey < 4000 AND o_custkey BETWEEN 40 AND 79
         ORDER BY o_orderkey""")),
 
     QueryDef("lake_cdf",

@@ -76,6 +76,42 @@ class LakeSqlReadSpec extends SparkSuite {
       "reads must come from the commit log, not directory listing")
   }
 
+  test("z-ordered lake files prune on EITHER clustered dimension") {
+    import spark.implicits._
+    val root = freshRoot()
+    // two independent dims: a single-column sort could prune only one
+    val df = (0 until 4096).map { i =>
+      val x = (i * 2654435761L % 64).toInt  // scrambled so x,y are
+      val y = (i * 40503 % 64)              // uncorrelated with row order
+      (i.toLong, x.toLong, y.toLong)
+    }.toDF("id", "x", "y")
+    LakeTable.create(spark, root, df, Seq("x", "y"), nFiles = 16,
+      clusterBy = Some(LakeTable.zCluster("x", "y")))
+    def filesRead(dfq: org.apache.spark.sql.DataFrame): Long = {
+      dfq.collect()
+      dfq.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.get
+    }
+    val base = spark.read.format("graft-lake").load(root)
+    val onX = filesRead(base.where(col("x") >= 8 && col("x") < 16))
+    val onY = filesRead(base.where(col("y") >= 8 && col("y") < 16))
+    assert(onX <= 8, s"x-range read $onX of 16 z-ordered files")
+    assert(onY <= 8, s"y-range read $onY of 16 z-ordered files")
+    // correctness against the raw frame
+    assert(base.where(col("x") >= 8 && col("x") < 16).count() ==
+      df.where(col("x") >= 8 && col("x") < 16).count())
+    // maintenance preserves the layout: compact, then pruning still bites
+    LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+      targetBytes = LakeTable.snapshot(spark, root).files
+        .map(_.stats.bytes).sum / 8)
+    val after = spark.read.format("graft-lake").load(root)
+    val onYAfter = filesRead(after.where(col("y") >= 8 && col("y") < 16))
+    val total = LakeTable.snapshot(spark, root).files.size
+    assert(onYAfter < total,
+      s"compaction must re-z-order: read $onYAfter of $total files")
+  }
+
   test("filter-to-range extraction covers both operand orders") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -47,4 +47,37 @@ object LakeSink {
   def writer(root: String, appId: String,
              nFiles: Int = 2): (DataFrame, Long) => Unit =
     (df, batchId) => { addBatch(root, appId, batchId, df, nFiles); () }
+
+  /** MERGE streaming batch `batchId` of `appId` into the table —
+    * the CDC-apply sink: each micro-batch of change rows (table
+    * columns + version + op) upserts/deletes by `keyCol` under
+    * [[LakeTable.merge]]'s latest-wins rule, with the same
+    * commit-level (appId, batchId) idempotence as [[addBatch]]: a
+    * replayed micro-batch after recovery is skipped whole, so
+    * at-least-once delivery becomes an exactly-once table.
+    */
+  def mergeBatch(root: String, appId: String, batchId: Long,
+                 changes: DataFrame, keyCol: String,
+                 versionCol: String = "version",
+                 opCol: String = "op"): Boolean = {
+    val spark = changes.sparkSession
+    val rootP = new Path(root)
+    val fs = LakeLog.fileSystem(rootP, spark.sparkContext.hadoopConfiguration)
+    val committed = LakeLog.snapshot(fs, rootP, None)
+      .committedBatches.getOrElse(appId, Long.MinValue)
+    if (batchId <= committed) return false
+    LakeTable.merge(spark, root, changes, keyCol, versionCol, opCol,
+      appId = Some(appId), batchId = Some(batchId))
+    true
+  }
+
+  /** Ready-made CDC-apply `foreachBatch` function:
+    * `cdcStream.writeStream.foreachBatch(LakeSink.mergeWriter(root,
+    * appId, "id"))`.
+    */
+  def mergeWriter(root: String, appId: String, keyCol: String,
+                  versionCol: String = "version",
+                  opCol: String = "op"): (DataFrame, Long) => Unit =
+    (df, batchId) =>
+      { mergeBatch(root, appId, batchId, df, keyCol, versionCol, opCol); () }
 }

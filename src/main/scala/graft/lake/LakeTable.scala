@@ -474,7 +474,8 @@ object LakeTable {
     */
   def merge(spark: SparkSession, root: String, changes: DataFrame,
             keyCol: String, versionCol: String = "version",
-            opCol: String = "op"): RewriteReport = {
+            opCol: String = "op", appId: Option[String] = None,
+            batchId: Option[Long] = None): RewriteReport = {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val snap = LakeLog.snapshot(f, rootP, None)
@@ -509,8 +510,8 @@ object LakeTable {
     val adds = writeDataFiles(spark, rootP, merged, snap.statsCols, nOut,
       snap.clusterBy).filter(_.stats.rows > 0)
     val v = LakeLog.commit(f, rootP,
-      (Meta("merge", snap.schemaDdl, snap.statsCols, None, None, now()) +:
-        cands.map(a => Remove(a.path))) ++ adds,
+      (Meta("merge", snap.schemaDdl, snap.statsCols, appId, batchId,
+        now()) +: cands.map(a => Remove(a.path))) ++ adds,
       removedFiles = cands.map(_.path).toSet, baseVersion = snap.version)
     RewriteReport(v, cands.size, adds.size, untouched.size)
   }

@@ -208,6 +208,50 @@ object LakeQueries {
     LakeTable.scan(s, dst).orderBy("o_orderkey")
   }
 
+  /** CDC-apply pipeline with a RESTART: a source lake of CHANGE rows
+    * (upserts v1 for keys < 500) is drained through
+    * [[LakeSink.mergeWriter]] into a destination table seeded with
+    * keys < 1000; then a second change commit lands (upserts v2 for
+    * [250, 750) plus deletes v3 for k%10==0) and a SECOND incarnation
+    * on the same checkpoint drains it. The destination must show the
+    * latest-wins fold of BOTH batches applied exactly once — a
+    * replayed merge would double-apply (cents drift), a lost one
+    * would leave stale rows; either fails the oracle.
+    */
+  private def upsertReplay(s: SparkSession, dir: String): DataFrame = {
+    val n = seq.incrementAndGet()
+    val src = s"$lakeRoot/ups_src_${dirKey(dir)}_$n"
+    val dst = s"$lakeRoot/ups_dst_${dirKey(dir)}_$n"
+    val ckpt = s"$lakeRoot/ups_ckpt_${dirKey(dir)}_$n"
+    val sd = seed(s, dir)
+    def changes(df: org.apache.spark.sql.DataFrame, v: Long, op: String,
+                dCents: Long, status: String) =
+      df.withColumn("o_orderstatus", lit(status))
+        .withColumn("o_cents", col("o_cents") + dCents)
+        .withColumn("version", lit(v)).withColumn("op", lit(op))
+    val batchA = changes(sd.where(col("o_orderkey") < 500), 1L, "U", 1L, "A")
+    LakeTable.create(s, src, batchA, Seq("o_orderkey"), nFiles = 1)
+    LakeTable.create(s, dst, sd.where(col("o_orderkey") < 1000),
+      Seq("o_orderkey"), nFiles = 2, clusterBy = Some("o_orderkey"))
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-lake").load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(LakeSink.mergeWriter(dst, "ups", "o_orderkey"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    val batchB = changes(
+        sd.where(col("o_orderkey") >= 250 && col("o_orderkey") < 750),
+        2L, "U", 2L, "B")
+      .unionByName(changes(
+        sd.where(col("o_orderkey") < 1000 && col("o_orderkey") % 10 === 0),
+        3L, "D", 0L, "X"))
+    LakeTable.append(s, src, batchB, nFiles = 1)
+    drain()
+    LakeTable.scan(s, dst).orderBy("o_orderkey")
+  }
+
   /** DuckDB CTE reproducing [[chainFor]]'s end state from `orders`. */
   private val chainSql = """
     WITH sd AS (
@@ -354,6 +398,21 @@ object LakeQueries {
         SELECT o_orderkey, o_custkey, o_orderstatus,
                CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
         FROM orders WHERE o_orderkey < 700
+        ORDER BY o_orderkey""")),
+
+    QueryDef("stream_lake_upsert_replay",
+      (s, dir) => upsertReplay(s, dir),
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey BETWEEN 250 AND 749 THEN 'B'
+                    WHEN o_orderkey < 250 THEN 'A'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) +
+               CASE WHEN o_orderkey BETWEEN 250 AND 749 THEN 2
+                    WHEN o_orderkey < 250 THEN 1
+                    ELSE 0 END AS o_cents
+        FROM orders
+        WHERE o_orderkey < 1000 AND o_orderkey % 10 <> 0
         ORDER BY o_orderkey"""))
   )
 }

@@ -375,6 +375,9 @@ class ShuffleBudgetSpec extends SparkSuite {
       "ordering; the log-tail batches were bounded parquet scans"),
     ("stream_lake_pipeline_replay", 1, "destination lake scan + output " +
       "ordering; source offsets and sink batch ids did the dedup work"),
+    ("stream_lake_upsert_replay", 1, "destination lake scan + output " +
+      "ordering; the per-batch merges ran at build time as bounded " +
+      "candidate-file rewrites"),
     ("stream_static_enrich_replay", 0, "memory-sink read back flat: " +
       "the dimension broadcast per micro-batch, the stream never " +
       "shuffled"),

@@ -116,6 +116,29 @@ class LakeStreamSpec extends SparkSuite {
     assert(ids(spark.table("lake_paced")) == (0L until 120L))
   }
 
+  test("merge-sink batches are idempotent and latest-wins") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 2,
+      clusterBy = Some("id"))
+    import spark.implicits._
+    def change(lo: Int, hi: Int, v: Long, op: String): DataFrame =
+      (lo until hi).map(i => (i.toLong, s"v${v}_$i", v, op))
+        .toDF("id", "name", "version", "op")
+    val b0 = change(0, 30, 1L, "U")
+    assert(LakeSink.mergeBatch(root, "cdc", 0L, b0, "id"))
+    assert(!LakeSink.mergeBatch(root, "cdc", 0L, b0, "id"),
+      "a replayed merge batch must be skipped whole")
+    val b1 = change(20, 40, 2L, "U")
+      .unionByName(change(0, 10, 3L, "D"))
+    assert(LakeSink.mergeBatch(root, "cdc", 1L, b1, "id"))
+    val out = LakeTable.scan(spark, root)
+    assert(out.count() == 90) // 100 - 10 deleted
+    assert(out.where(col("id") === 25).select("name").head().getString(0)
+      == "v2_25", "batch-1 upsert must win over batch-0")
+    assert(out.where(col("id") === 15).select("name").head().getString(0)
+      == "v1_15", "batch-0 upsert must survive where batch-1 silent")
+  }
+
   test("lake-to-lake via LakeSink is exactly-once end to end") {
     val src = freshRoot()
     val dst = freshRoot()

@@ -40,6 +40,17 @@ import org.apache.spark.sql.types.StructType
   * duplicates, the standard lakehouse-streaming caveat, documented
   * rather than silent). `startingVersion` bounds the cold start (the
   * default 0 replays the whole table first batch).
+  *
+  * `readChangeFeed=true` switches the source to CHANGE-tailing: each
+  * micro-batch carries the row-level delta of its commits — the data
+  * columns plus `_change_type` ('insert' | 'delete') and
+  * `_commit_version` — reconstructed per commit by
+  * [[LakeTable.scanChanges]]'s multiset-diff technique, so rewrites
+  * (merge/delete) stream as exact delete+insert pairs instead of
+  * failing, and layout-only compactions stream as nothing. Cost per
+  * batch is bounded by the files its commits TOUCHED, never the
+  * table — the CDC-consumer contract Delta's `readChangeFeed` gives,
+  * here computed on demand with no stored change files.
   */
 class LakeStreamSourceProvider extends StreamSourceProvider
     with RelationProvider with DataSourceRegister {
@@ -84,9 +95,13 @@ class LakeStreamSourceProvider extends StreamSourceProvider
     val root = new Path(rootOf(parameters))
     val fs = LakeLog.fileSystem(root,
       sqlContext.sparkContext.hadoopConfiguration)
+    val base = StructType.fromDDL(LakeLog.snapshot(fs, root, None).schemaDdl)
     (shortName(),
-      StructType.fromDDL(LakeLog.snapshot(fs, root, None).schemaDdl))
+      if (cdfOf(parameters)) LakeStreamSource.withCdfColumns(base) else base)
   }
+
+  private def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
@@ -94,12 +109,21 @@ class LakeStreamSourceProvider extends StreamSourceProvider
     new LakeStreamSource(sqlContext, rootOf(parameters),
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
       parameters.get("ignoreChanges").exists(_.toBoolean),
-      parameters.get("maxVersionsPerTrigger").map(_.toLong))
+      parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      readChangeFeed = cdfOf(parameters))
+}
+
+object LakeStreamSource {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  private[lake] def withCdfColumns(base: StructType): StructType =
+    base.add("_change_type", StringType, nullable = false)
+      .add("_commit_version", LongType, nullable = false)
 }
 
 class LakeStreamSource(sqlContext: SQLContext, root: String,
                        startingVersion: Long, ignoreChanges: Boolean,
-                       maxVersionsPerTrigger: Option[Long] = None)
+                       maxVersionsPerTrigger: Option[Long] = None,
+                       readChangeFeed: Boolean = false)
     extends Source {
 
   require(maxVersionsPerTrigger.forall(_ > 0),
@@ -109,8 +133,14 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
   private val fs = LakeLog.fileSystem(rootP,
     sqlContext.sparkContext.hadoopConfiguration)
 
-  override val schema: StructType =
-    StructType.fromDDL(LakeLog.snapshot(fs, rootP, None).schemaDdl)
+  /** Data schema pinned at query start; CDF batches tag it per row. */
+  private val schemaDdl: String =
+    LakeLog.snapshot(fs, rootP, None).schemaDdl
+
+  override val schema: StructType = {
+    val base = StructType.fromDDL(schemaDdl)
+    if (readChangeFeed) LakeStreamSource.withCdfColumns(base) else base
+  }
 
   /** Highest version already planned into a batch (from this
     * incarnation's getOffset calls, or the checkpoint via getBatch on
@@ -138,6 +168,14 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
     val to = versionOf(end)
     // restart path: the checkpointed end offset seeds the cap floor
     plannedThrough = math.max(plannedThrough, to)
+    val session = sqlContext.sparkSession
+    if (readChangeFeed) {
+      val frames = LakeTable.changeFrames(session, rootP, schemaDdl, from, to)
+      val batch =
+        if (frames.isEmpty) LakeTable.emptyChanges(session, rootP, schemaDdl)
+        else frames.reduce(_.unionByName(_))
+      return org.apache.spark.sql.graft.StreamingFrames.asStreaming(batch)
+    }
     val paths = (from to to).flatMap { v =>
       val actions = LakeLog.readCommit(fs, rootP, v)
       val op = actions.collectFirst { case m: LakeLog.Meta => m.op }
@@ -152,7 +190,6 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
             "rewritten files (may duplicate rows downstream)")
       actions.collect { case a: LakeLog.Add => new Path(rootP, a.path).toString }
     }
-    val session = sqlContext.sparkSession
     val batch =
       if (paths.isEmpty)
         session.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),

@@ -601,7 +601,6 @@ object LakeTable {
     */
   def scanChanges(spark: SparkSession, root: String,
                   fromVersion: Long, toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val latest = LakeLog.latestVersion(f, rootP).getOrElse(
@@ -609,28 +608,47 @@ object LakeTable {
     require(fromVersion >= 0 && fromVersion <= toVersion && toVersion <= latest,
       s"bad change range ($fromVersion, $toVersion]: table has 0..$latest")
     val schemaDdl = LakeLog.snapshot(f, rootP, Some(toVersion)).schemaDdl
-    def tagged(df: DataFrame, tpe: String, v: Long): DataFrame =
-      df.withColumn("_change_type", lit(tpe))
-        .withColumn("_commit_version", lit(v))
-    val perCommit = ((fromVersion + 1) to toVersion).flatMap { v =>
+    val perCommit = changeFrames(spark, rootP, schemaDdl,
+      fromVersion + 1, toVersion)
+    if (perCommit.isEmpty) emptyChanges(spark, rootP, schemaDdl)
+    else perCommit.reduce(_.unionByName(_))
+  }
+
+  private def taggedChanges(df: DataFrame, tpe: String, v: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    df.withColumn("_change_type", lit(tpe))
+      .withColumn("_commit_version", lit(v))
+  }
+
+  private[lake] def emptyChanges(spark: SparkSession, rootP: Path,
+                                 schemaDdl: String): DataFrame =
+    taggedChanges(readFiles(spark, rootP, schemaDdl, Nil), "insert", 0L)
+      .limit(0)
+
+  /** One tagged change frame per data-changing commit in
+    * `[from, to]` — the shared reconstruction behind [[scanChanges]]
+    * and the `readChangeFeed` streaming source.
+    */
+  private[lake] def changeFrames(spark: SparkSession, rootP: Path,
+                                 schemaDdl: String, from: Long,
+                                 to: Long): Seq[DataFrame] = {
+    val f = fs(spark, rootP)
+    (from to to).flatMap { v =>
       val actions = LakeLog.readCommit(f, rootP, v)
       val op = actions.collectFirst { case m: Meta => m.op }.getOrElse("")
       val adds = actions.collect { case a: Add => a.path }
       val rms = actions.collect { case r: LakeLog.Remove => r.path }
       if (op == "compact") Seq.empty // layout-only: dataChange=false
       else if (rms.isEmpty)
-        Seq(tagged(readFiles(spark, rootP, schemaDdl, adds), "insert", v))
+        Seq(taggedChanges(readFiles(spark, rootP, schemaDdl, adds),
+          "insert", v))
       else {
         val added = readFiles(spark, rootP, schemaDdl, adds)
         val removed = readFiles(spark, rootP, schemaDdl, rms)
-        Seq(tagged(added.exceptAll(removed), "insert", v),
-          tagged(removed.exceptAll(added), "delete", v))
+        Seq(taggedChanges(added.exceptAll(removed), "insert", v),
+          taggedChanges(removed.exceptAll(added), "delete", v))
       }
     }
-    if (perCommit.isEmpty)
-      tagged(readFiles(spark, rootP, schemaDdl, Nil), "insert", 0L)
-        .limit(0)
-    else perCommit.reduce(_.unionByName(_))
   }
 
   /** Commit history as a DataFrame: (version, op, files_added,

@@ -252,6 +252,52 @@ object LakeQueries {
     LakeTable.scan(s, dst).orderBy("o_orderkey")
   }
 
+  /** Change-feed tail: a `graft-lake` stream with `readChangeFeed`
+    * drains a table WHILE it is created, appended, copy-on-write
+    * deleted, and compacted — each commit must arrive as its own
+    * micro-batch of tagged row changes (insert rows for appends,
+    * delete rows for the rewrite, NOTHING for the layout-only
+    * compaction), proving the CDC-consumer contract end to end: a
+    * downstream system can follow the table's row-level history from
+    * the log alone, no stored change files, cost bounded per batch by
+    * the commit's touched files.
+    */
+  private def cdfReplay(s: SparkSession, dir: String): DataFrame = {
+    val n = seq.incrementAndGet()
+    val root = s"$lakeRoot/cdf_${dirKey(dir)}_$n"
+    val sd = seed(s, dir)
+    LakeTable.create(s, root, sd.where(col("o_orderkey") < 400),
+      Seq("o_orderkey"), nFiles = 2, clusterBy = Some("o_orderkey"))
+    val name = s"lake_cdf_replay_$n"
+    val q = s.readStream.format("graft-lake")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      q.processAllAvailable()
+      LakeTable.append(s, root,
+        sd.where(col("o_orderkey") >= 400 && col("o_orderkey") < 700),
+        nFiles = 1)
+      q.processAllAvailable()
+      LakeTable.deleteWhere(s, root,
+        Seq(LakeTable.ColRange("o_orderkey", Some(100L), Some(199L))))
+      q.processAllAvailable()
+      val preCompact = q.recentProgress.map(_.numInputRows).sum
+      LakeTable.compact(s, root, smallBytes = Long.MaxValue,
+        targetBytes = Long.MaxValue)
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= 3,
+        s"$name: expected >= 3 data micro-batches, got $dataBatches")
+      val postCompact = q.recentProgress.map(_.numInputRows).sum
+      require(postCompact == preCompact,
+        s"$name: layout-only compaction leaked ${postCompact - preCompact} " +
+          "change rows into the feed")
+    } finally q.stop()
+    s.table(name)
+      .orderBy("_commit_version", "_change_type", "o_orderkey")
+  }
+
   /** DuckDB CTE reproducing [[chainFor]]'s end state from `orders`. */
   private val chainSql = """
     WITH sd AS (
@@ -399,6 +445,27 @@ object LakeQueries {
                CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
         FROM orders WHERE o_orderkey < 700
         ORDER BY o_orderkey""")),
+
+    QueryDef("stream_lake_cdf_replay",
+      (s, dir) => cdfReplay(s, dir),
+      Some("""
+        WITH sd AS (
+          SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS s,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        cdf AS (
+          SELECT k, c, s, cents, 'insert' AS ct, 0 AS cv
+          FROM sd WHERE k < 400
+          UNION ALL
+          SELECT k, c, s, cents, 'insert', 1
+          FROM sd WHERE k >= 400 AND k < 700
+          UNION ALL
+          SELECT k, c, s, cents, 'delete', 2
+          FROM sd WHERE k BETWEEN 100 AND 199)
+        SELECT k AS o_orderkey, c AS o_custkey, s AS o_orderstatus,
+               cents AS o_cents, ct AS _change_type,
+               CAST(cv AS BIGINT) AS _commit_version
+        FROM cdf ORDER BY _commit_version, _change_type, o_orderkey""")),
 
     QueryDef("stream_lake_upsert_replay",
       (s, dir) => upsertReplay(s, dir),

@@ -378,6 +378,10 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("stream_lake_upsert_replay", 1, "destination lake scan + output " +
       "ordering; the per-batch merges ran at build time as bounded " +
       "candidate-file rewrites"),
+    ("stream_lake_cdf_replay", 1, "memory-sink read back + output " +
+      "ordering; per-batch change reconstruction (exceptAll over the " +
+      "commit's touched files) happened inside the stream's bounded " +
+      "micro-batches"),
     ("stream_static_enrich_replay", 0, "memory-sink read back flat: " +
       "the dimension broadcast per micro-batch, the stream never " +
       "shuffled"),

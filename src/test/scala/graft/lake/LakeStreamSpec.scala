@@ -116,6 +116,40 @@ class LakeStreamSpec extends SparkSuite {
     assert(ids(spark.table("lake_paced")) == (0L until 120L))
   }
 
+  test("readChangeFeed streams rewrites as tagged deletes, compaction as nothing") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 2,
+      clusterBy = Some("id"))
+    val q = spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lake_cdf_t1").start()
+    try {
+      q.processAllAvailable()
+      LakeTable.append(spark, root, seed(100, 130), nFiles = 1)
+      q.processAllAvailable()
+      // copy-on-write rewrite: survivors of the rewritten file cancel
+      // in the multiset diff, only the 10 deleted rows stream out
+      LakeTable.deleteWhere(spark, root,
+        Seq(LakeTable.ColRange("id", Some(0L), Some(9L))))
+      q.processAllAvailable()
+      val preCompact = q.recentProgress.map(_.numInputRows).sum
+      LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+        targetBytes = Long.MaxValue)
+      q.processAllAvailable()
+      assert(q.recentProgress.map(_.numInputRows).sum == preCompact,
+        "layout-only compaction must stream no change rows")
+    } finally q.stop()
+    val out = spark.table("lake_cdf_t1")
+    def part(ct: String, cv: Long): Seq[Long] =
+      ids(out.where(col("_change_type") === ct &&
+        col("_commit_version") === cv))
+    assert(part("insert", 0L) == (0L until 100L))
+    assert(part("insert", 1L) == (100L until 130L))
+    assert(part("delete", 2L) == (0L until 10L))
+    assert(out.count() == 140, "no other change rows may appear")
+  }
+
   test("merge-sink batches are idempotent and latest-wins") {
     val root = freshRoot()
     LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 2,

@@ -55,9 +55,23 @@ object LakeLog {
                          min: Map[String, Any], max: Map[String, Any],
                          nulls: Map[String, Long])
 
+  /** Deletion-vector descriptor: `path` is the root-relative parquet
+    * dataset of (file, pos) deleted-row positions this file's DV lives
+    * in (one dataset per merge-on-read commit, possibly shared by
+    * several files), `rows` how many of its positions belong to this
+    * file. A DV'd file's live rows are the file minus its positions —
+    * applied at read, physically purged by the next rewrite that
+    * touches the file.
+    */
+  final case class Dv(path: String, rows: Long)
+
   sealed trait Action
-  /** `path` is table-root-relative, immutable once referenced. */
-  final case class Add(path: String, stats: Stats) extends Action
+  /** `path` is table-root-relative, immutable once referenced.
+    * Re-adding the same path (with a new `dv`) supersedes the prior
+    * Add in replay — the merge-on-read delete commit shape.
+    */
+  final case class Add(path: String, stats: Stats,
+                       dv: Option[Dv] = None) extends Action
   final case class Remove(path: String) extends Action
   /** One per commit: operation tag for history/audit, the table schema
     * (DDL), declared stats columns, the table's cluster column
@@ -118,8 +132,8 @@ object LakeLog {
   }
 
   def actionToJson(a: Action): JValue = a match {
-    case Add(p, st) =>
-      ("a" -> "add") ~ ("f" -> p) ~ ("rows" -> st.rows) ~
+    case Add(p, st, dv) =>
+      val base = ("a" -> "add") ~ ("f" -> p) ~ ("rows" -> st.rows) ~
         ("bytes" -> st.bytes) ~
         ("min" -> JObject(st.min.toList.sortBy(_._1)
           .map { case (k, v) => k -> statToJson(v) })) ~
@@ -127,6 +141,7 @@ object LakeLog {
           .map { case (k, v) => k -> statToJson(v) })) ~
         ("nulls" -> JObject(st.nulls.toList.sortBy(_._1)
           .map { case (k, v) => k -> JLong(v) }))
+      dv.fold(base)(d => base ~ ("dvf" -> d.path) ~ ("dvRows" -> d.rows))
     case Remove(p) => ("a" -> "rm") ~ ("f" -> p)
     case Meta(op, ddl, statsCols, appId, batchId, ts, clusterBy) =>
       ("a" -> "meta") ~ ("op" -> op) ~ ("schema" -> ddl) ~
@@ -152,8 +167,12 @@ object LakeLog {
           case JObject(fs) => fs.map { case (c, v) => c -> lng(v) }.toMap
           case _           => Map.empty[String, Long]
         }
+        val dv = (j \ "dvf") match {
+          case JString(p) => Some(Dv(p, lng(j \ "dvRows")))
+          case _          => None
+        }
         Add(str("f"), Stats(lng(j \ "rows"), lng(j \ "bytes"),
-          statMap("min"), statMap("max"), nulls))
+          statMap("min"), statMap("max"), nulls), dv)
       case JString("rm") => Remove(str("f"))
       case JString("meta") =>
         val appId = (j \ "appId") match {
@@ -231,28 +250,33 @@ object LakeLog {
   }
 
   /** Commit `actions` at the next free version, retrying lost races.
-    * `removedFiles` + `baseVersion` are the rewrite conflict guard:
+    * `guardFiles` + `baseVersion` are the rewrite conflict guard:
     * `baseVersion` is the snapshot version the caller computed its
     * rewrite against; whenever the log has advanced past it (a
     * concurrent commit landed — before our first attempt or by
-    * winning a rename race), the files this commit removes must still
-    * be live in the current snapshot, otherwise a concurrent rewrite
-    * already superseded them and blindly committing would
-    * resurrect/drop rows — abort loudly. Writes a checkpoint every
+    * winning a rename race), every file this commit supersedes
+    * (removes OR re-adds with a new deletion vector) must still be
+    * present in the current snapshot EXACTLY as the caller read it —
+    * same stats, same DV. Liveness alone is not enough: a concurrent
+    * merge-on-read delete leaves the path live but re-points its DV,
+    * and a rewrite that read the old DV would resurrect those rows.
+    * Any mismatch aborts loudly. Writes a checkpoint every
     * [[checkpointInterval]] commits. Returns the committed version.
     */
   def commit(fs: FileSystem, root: Path, actions: Seq[Action],
-             removedFiles: Set[String] = Set.empty,
+             guardFiles: Seq[Add] = Nil,
              baseVersion: Long = -1L,
              maxRetries: Int = 50): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val v = latestVersion(fs, root).map(_ + 1).getOrElse(0L)
-      if (removedFiles.nonEmpty && v != baseVersion + 1) {
-        val live = snapshot(fs, root, None).filePaths
-        val gone = removedFiles -- live
-        if (gone.nonEmpty) throw new ConcurrentCommitException(
-          s"rewrite lost race: files no longer live: ${gone.take(3)}…")
+      if (guardFiles.nonEmpty && v != baseVersion + 1) {
+        val live = snapshot(fs, root, None).files
+          .map(a => a.path -> a).toMap
+        val stale = guardFiles.filter(g => !live.get(g.path).contains(g))
+        if (stale.nonEmpty) throw new ConcurrentCommitException(
+          "rewrite lost race: files removed or re-pointed by a " +
+            s"concurrent commit: ${stale.map(_.path).take(3)}…")
       }
       if (tryCommit(fs, root, v, actions)) {
         if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(fs, root, v)

@@ -1,0 +1,78 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** Batch-read relation for a snapshot that carries deletion vectors.
+  *
+  * A DV'd file's live rows are no longer "the parquet file" — they
+  * are the file minus its recorded positions — so the stock
+  * `HadoopFsRelation` fast path (which hands Spark raw file splits)
+  * can't serve it. This `PrunedFilteredScan` keeps the format surface
+  * working instead: `buildScan` stats-prunes the snapshot's file list
+  * against the pushed filters (same [[LakeTable.mayMatch]] index as
+  * the fast path), reads the survivors DV-aware via
+  * [[LakeTable.readAdds]] (clean files on a plain parquet scan, DV'd
+  * files through the row-index anti-join), and re-applies the
+  * translatable filters INSIDE the inner plan so parquet row-group
+  * pushdown still bites. Spark re-applies every filter above the
+  * scan (`unhandledFilters` default), so pruning here is only ever an
+  * optimization.
+  *
+  * Tables without DVs never see this class — the provider only
+  * falls back here when the snapshot actually has one, so the
+  * clean-table read keeps the native vectorized `FileScan parquet`
+  * with whole-stage codegen.
+  */
+private[lake] final class LakeMorRelation(spark: SparkSession, root: Path,
+                                          snap: LakeLog.Snapshot)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override val schema: StructType = StructType.fromDDL(snap.schemaDdl)
+
+  override def sizeInBytes: Long = snap.files.map(_.stats.bytes).sum
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val ranges = filters.flatMap(LakeMorRelation.toRanges)
+      .filter(r => snap.statsCols.contains(r.column))
+    val kept = snap.files.filter(a =>
+      ranges.forall(r => LakeTable.mayMatch(a.stats, r)))
+    val df = LakeTable.readAdds(spark, root, snap.schemaDdl, kept)
+      .where(LakeTable.rangeFilter(ranges.toSeq))
+    df.select(requiredColumns.toSeq.map(col): _*).rdd
+  }
+}
+
+private[lake] object LakeMorRelation {
+
+  /** `sources.Filter` → stats-prunable ranges (the data-source-API
+    * twin of [[LakeFileIndex.toRanges]], which walks Catalyst
+    * expressions instead). Untranslatable filters simply don't prune.
+    */
+  private def norm(v: Any): Option[Any] =
+    try Option(v).map(LakeTable.normalizeStat) catch {
+      case _: IllegalArgumentException => None
+    }
+
+  private[lake] def toRanges(f: Filter): Seq[LakeTable.ColRange] = f match {
+    case And(l, r) => toRanges(l) ++ toRanges(r)
+    case EqualTo(c, v) =>
+      norm(v).toSeq.map(x => LakeTable.ColRange(c, Some(x), Some(x)))
+    case GreaterThan(c, v) =>
+      norm(v).toSeq.map(x => LakeTable.ColRange(c, Some(x), None))
+    case GreaterThanOrEqual(c, v) =>
+      norm(v).toSeq.map(x => LakeTable.ColRange(c, Some(x), None))
+    case LessThan(c, v) =>
+      norm(v).toSeq.map(x => LakeTable.ColRange(c, None, Some(x)))
+    case LessThanOrEqual(c, v) =>
+      norm(v).toSeq.map(x => LakeTable.ColRange(c, None, Some(x)))
+    case _ => Seq.empty
+  }
+}

@@ -75,7 +75,12 @@ class LakeStreamSourceProvider extends StreamSourceProvider
       session.sparkContext.hadoopConfiguration)
     val snap = LakeLog.snapshot(fs, root,
       parameters.get("versionAsOf").map(_.toLong))
-    HadoopFsRelation(
+    if (snap.files.exists(_.dv.nonEmpty))
+      // deletion vectors pending: serve through the DV-applying
+      // relation (stats pruning + inner pushdown preserved); clean
+      // snapshots keep the native FileScan fast path below
+      new LakeMorRelation(session, root, snap)
+    else HadoopFsRelation(
       location = new LakeFileIndex(session, root, snap),
       partitionSchema = new StructType(),
       dataSchema = StructType.fromDDL(snap.schemaDdl),
@@ -176,25 +181,24 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
         else frames.reduce(_.unionByName(_))
       return org.apache.spark.sql.graft.StreamingFrames.asStreaming(batch)
     }
-    val paths = (from to to).flatMap { v =>
+    val adds = (from to to).flatMap { v =>
       val actions = LakeLog.readCommit(fs, rootP, v)
       val op = actions.collectFirst { case m: LakeLog.Meta => m.op }
         .getOrElse("?")
-      val hasRemoves = actions.exists {
+      val rewrites = actions.exists {
         case _: LakeLog.Remove => true; case _ => false
-      }
-      if (hasRemoves && !ignoreChanges)
+      } || op == "mordelete" // re-points live files: not an append
+      if (rewrites && !ignoreChanges)
         throw new IllegalStateException(
           s"lake commit $v is a rewrite ($op): an append-only stream " +
             "cannot express it — set ignoreChanges=true to re-emit the " +
-            "rewritten files (may duplicate rows downstream)")
-      actions.collect { case a: LakeLog.Add => new Path(rootP, a.path).toString }
+            "rewritten files' live rows (may duplicate rows downstream)")
+      actions.collect { case a: LakeLog.Add => a }
     }
-    val batch =
-      if (paths.isEmpty)
-        session.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          schema)
-      else session.read.schema(schema).parquet(paths: _*)
+    // DV-aware: a re-emitted MOR-deleted file contributes its LIVE
+    // rows (pure appends carry no DV, so the common path is the same
+    // single multi-path parquet scan as before)
+    val batch = LakeTable.readAdds(session, rootP, schemaDdl, adds)
     // v1 source contract: the returned frame must be tagged streaming
     org.apache.spark.sql.graft.StreamingFrames.asStreaming(batch)
   }

@@ -251,7 +251,7 @@ object LakeTable {
     LakeLog.commit(f, rootP,
       (Meta("overwrite", snap.schemaDdl, snap.statsCols, None, None, now()) +:
         snap.files.map(a => Remove(a.path))) ++ adds,
-      removedFiles = snap.filePaths, baseVersion = snap.version)
+      guardFiles = snap.files, baseVersion = snap.version)
   }
 
   // ---- reads --------------------------------------------------------
@@ -266,6 +266,131 @@ object LakeTable {
         .parquet(paths.map(p => new Path(root, p).toString): _*)
   }
 
+  // ---- deletion vectors (merge-on-read) -----------------------------
+
+  private val dvSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  /** Root-relative "data/<uuid>/<name>" of the file a row came from —
+    * the identity DV rows are keyed by (the uuid staging dir makes the
+    * last three path segments unique for the table's lifetime).
+    */
+  private def fileRelPath: Column =
+    concat_ws("/", slice(split(col("_metadata.file_path"), "/"), -3, 3))
+
+  private def readDvRows(spark: SparkSession, root: Path,
+                         dvPaths: Seq[String]): DataFrame =
+    if (dvPaths.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), dvSchema)
+    else spark.read.schema(dvSchema)
+      .parquet(dvPaths.distinct.map(p => new Path(root, p).toString): _*)
+
+  /** Plain multi-path parquet read PLUS the file identity and the
+    * parquet-native row index (`_metadata.row_index` — the physical
+    * position in the file, stable under any pushed filter) — the
+    * coordinates deletion vectors address rows by.
+    */
+  private def readFilesWithPos(spark: SparkSession, root: Path,
+                               schemaDdl: String,
+                               paths: Seq[String]): DataFrame = {
+    val schema = StructType.fromDDL(schemaDdl)
+    if (paths.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        schema.add("__file", StringType).add("__pos", LongType))
+    else spark.read.schema(schema)
+      .parquet(paths.map(p => new Path(root, p).toString): _*)
+      .withColumn("__file", fileRelPath)
+      .withColumn("__pos", col("_metadata.row_index"))
+  }
+
+  /** Snapshot read honoring deletion vectors. Files without a DV keep
+    * the plain multi-path parquet scan (zero overhead — the common
+    * case); DV'd files anti-join their recorded (file, pos) rows on
+    * the parquet row index. The DV side is a real file relation with
+    * known (KB-to-MB) size, so Spark broadcasts it when small — the
+    * 100 TB read cost of a merge-on-read delete is one broadcast
+    * anti-join over only the DV'd files, the untouched majority stays
+    * on the stock scan path.
+    */
+  private[lake] def readAdds(spark: SparkSession, root: Path,
+                             schemaDdl: String, adds: Seq[Add]): DataFrame = {
+    val (dvd, clean) = adds.partition(_.dv.nonEmpty)
+    val base = readFiles(spark, root, schemaDdl, clean.map(_.path))
+    if (dvd.isEmpty) base
+    else {
+      val cols = StructType.fromDDL(schemaDdl).fieldNames.toSeq.map(col)
+      val dels = readDvRows(spark, root, dvd.flatMap(_.dv).map(_.path))
+      val withPos = readFilesWithPos(spark, root, schemaDdl, dvd.map(_.path))
+      val live = withPos
+        .join(dels,
+          withPos("__file") === dels("file") && withPos("__pos") === dels("pos"),
+          "left_anti")
+        .select(cols: _*)
+      base.unionByName(live)
+    }
+  }
+
+  /** Merge-on-read DELETE: instead of rewriting candidate files,
+    * record the matching rows' (file, position) coordinates in a
+    * deletion-vector sidecar dataset and RE-ADD the files pointing at
+    * it — the commit moves KBs of positions, not the files' data.
+    * This is the delete shape for wide files at 100 TB, where
+    * copy-on-write pays a full file rewrite for one dead row; the
+    * debt is settled by the next rewrite that touches the file
+    * (compact / COW delete / merge all read DV-aware and write purged
+    * files). Cumulative: a second MOR delete on the same file carries
+    * the prior positions forward into the new sidecar, so a file
+    * always references exactly ONE DV dataset. Positions are computed
+    * over LIVE rows only (already-deleted positions never recount).
+    * Concurrency: the commit guards the exact Add (stats + DV) of
+    * every re-pointed file — racing rewrites or MOR deletes conflict
+    * loudly instead of losing deletions.
+    */
+  def deleteWhereMor(spark: SparkSession, root: String,
+                     ranges: Seq[ColRange]): RewriteReport = {
+    require(ranges.nonEmpty, "refusing a full-table delete via empty ranges" +
+      " — use overwrite with an empty frame if that is really intended")
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    val (cands, untouched) =
+      snap.files.partition(a => ranges.forall(r => mayMatch(a.stats, r)))
+    if (cands.isEmpty)
+      return RewriteReport(snap.version, 0, 0, untouched.size)
+    val candPaths = cands.map(_.path)
+    val oldDels = readDvRows(spark, rootP, cands.flatMap(_.dv).map(_.path))
+      .where(col("file").isin(candPaths: _*))
+    val withPos = readFilesWithPos(spark, rootP, snap.schemaDdl, candPaths)
+    val newDel = withPos
+      .join(oldDels,
+        withPos("__file") === oldDels("file") && withPos("__pos") === oldDels("pos"),
+        "left_anti")
+      .where(rangeFilter(ranges))
+      .select(col("__file").as("file"), col("__pos").as("pos"))
+    // one candidate scan total: write new + carried-forward positions
+    // first, then read the KB-sized sidecar back for per-file counts
+    val dvSub = s"dv/${java.util.UUID.randomUUID()}"
+    val dvDir = new Path(rootP, dvSub).toString
+    newDel.unionByName(oldDels)
+      .repartition(math.max(1, cands.size / 8)).write.parquet(dvDir)
+    val counts = spark.read.schema(dvSchema).parquet(dvDir)
+      .groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val touched = cands.filter(a =>
+      counts.getOrElse(a.path, 0L) > a.dv.map(_.rows).getOrElse(0L))
+    if (touched.isEmpty) // no live row matched; sidecar garbage → vacuum
+      return RewriteReport(snap.version, 0, 0, snap.files.size)
+    val readds = touched.map(a =>
+      a.copy(dv = Some(Dv(dvSub, counts(a.path)))))
+    val v = LakeLog.commit(f, rootP,
+      Meta("mordelete", snap.schemaDdl, snap.statsCols, None, None,
+        now()) +: readds,
+      guardFiles = touched, baseVersion = snap.version)
+    RewriteReport(v, touched.size, readds.size,
+      snap.files.size - touched.size)
+  }
+
   def scan(spark: SparkSession, root: String): DataFrame =
     scanAsOf(spark, root, None)
 
@@ -273,7 +398,7 @@ object LakeTable {
                asOf: Option[Long]): DataFrame = {
     val rootP = new Path(root)
     val snap = LakeLog.snapshot(fs(spark, rootP), rootP, asOf)
-    readFiles(spark, rootP, snap.schemaDdl, snap.files.map(_.path))
+    readAdds(spark, rootP, snap.schemaDdl, snap.files)
   }
 
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
@@ -405,7 +530,7 @@ object LakeTable {
     (cands, files.filterNot(a => candSet(a.path)), hasKeys)
   }
 
-  private def rangeFilter(ranges: Seq[ColRange]): Column =
+  private[lake] def rangeFilter(ranges: Seq[ColRange]): Column =
     ranges.flatMap { r =>
       r.lo.map(lo => col(r.column) >= lit(lo)).toSeq ++
         r.hi.map(hi => col(r.column) <= lit(hi)).toSeq
@@ -423,7 +548,7 @@ object LakeTable {
     val rootP = new Path(root)
     val snap = LakeLog.snapshot(fs(spark, rootP), rootP, asOf)
     val kept = snap.files.filter(a => ranges.forall(r => mayMatch(a.stats, r)))
-    val df = readFiles(spark, rootP, snap.schemaDdl, kept.map(_.path))
+    val df = readAdds(spark, rootP, snap.schemaDdl, kept)
       .where(rangeFilter(ranges))
     (df, PruneReport(snap.files.size, kept.size))
   }
@@ -445,7 +570,7 @@ object LakeTable {
       snap.files.partition(a => ranges.forall(r => mayMatch(a.stats, r)))
     if (cands.isEmpty)
       return RewriteReport(snap.version, 0, 0, untouched.size)
-    val survivors = readFiles(spark, rootP, snap.schemaDdl, cands.map(_.path))
+    val survivors = readAdds(spark, rootP, snap.schemaDdl, cands)
       .where(!rangeFilter(ranges))
     val nOut = math.max(1, cands.size / 2)
     val adds = writeDataFiles(spark, rootP, survivors, snap.statsCols, nOut,
@@ -453,7 +578,7 @@ object LakeTable {
     val v = LakeLog.commit(f, rootP,
       (Meta("delete", snap.schemaDdl, snap.statsCols, None, None, now()) +:
         cands.map(a => Remove(a.path))) ++ adds,
-      removedFiles = cands.map(_.path).toSet, baseVersion = snap.version)
+      guardFiles = cands, baseVersion = snap.version)
     RewriteReport(v, cands.size, adds.size, untouched.size)
   }
 
@@ -501,7 +626,7 @@ object LakeTable {
     if (!hasKeys)
       return RewriteReport(snap.version, 0, 0, snap.files.size)
 
-    val base = readFiles(spark, rootP, snap.schemaDdl, cands.map(_.path))
+    val base = readAdds(spark, rootP, snap.schemaDdl, cands)
     // broadcast the changed-key set: a daily changelog is dwarfed by
     // the base table, and the anti join then never shuffles the base
     val merged = base.join(broadcast(changedKeys), Seq(keyCol), "left_anti")
@@ -512,7 +637,7 @@ object LakeTable {
     val v = LakeLog.commit(f, rootP,
       (Meta("merge", snap.schemaDdl, snap.statsCols, appId, batchId,
         now()) +: cands.map(a => Remove(a.path))) ++ adds,
-      removedFiles = cands.map(_.path).toSet, baseVersion = snap.version)
+      guardFiles = cands, baseVersion = snap.version)
     RewriteReport(v, cands.size, adds.size, untouched.size)
   }
 
@@ -530,13 +655,16 @@ object LakeTable {
       return RewriteReport(snap.version, 0, 0, snap.files.size)
     val totalBytes = smalls.map(_.stats.bytes).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val packed = readFiles(spark, rootP, snap.schemaDdl, smalls.map(_.path))
+    // DV-aware read: compaction PURGES deletion vectors — the packed
+    // outputs are the files' live rows, written clean (still
+    // dataChange=false: the live-row multiset is unchanged)
+    val packed = readAdds(spark, rootP, snap.schemaDdl, smalls)
     val adds = writeDataFiles(spark, rootP, packed, snap.statsCols, nOut,
       snap.clusterBy).filter(_.stats.rows > 0)
     val v = LakeLog.commit(f, rootP,
       (Meta("compact", snap.schemaDdl, snap.statsCols, None, None, now()) +:
         smalls.map(a => Remove(a.path))) ++ adds,
-      removedFiles = smalls.map(_.path).toSet, baseVersion = snap.version)
+      guardFiles = smalls, baseVersion = snap.version)
     RewriteReport(v, smalls.size, adds.size, untouched.size)
   }
 
@@ -556,8 +684,8 @@ object LakeTable {
     val retained = vs.filter(_ >= keepFromVersion)
     require(retained.nonEmpty, s"keepFromVersion=$keepFromVersion retains no" +
       s" version (have ${vs.head}..${vs.last})")
-    val live: Set[String] =
-      retained.flatMap(v => LakeLog.snapshot(f, rootP, Some(v)).filePaths).toSet
+    val snaps = retained.map(v => LakeLog.snapshot(f, rootP, Some(v)))
+    val live: Set[String] = snaps.flatMap(_.filePaths).toSet
     val dd = LakeLog.dataDir(rootP)
     if (!f.exists(dd)) return VacuumReport(0, 0L)
     var files = 0
@@ -572,6 +700,20 @@ object LakeTable {
         }
       }
       if (f.listStatus(sub.getPath).isEmpty) f.delete(sub.getPath, true)
+    }
+    // deletion-vector sidecars: a dv/<uuid> dataset is live while any
+    // retained version's Add still points at it
+    val liveDv: Set[String] =
+      snaps.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet
+    val dvd = new Path(rootP, "dv")
+    if (f.exists(dvd)) f.listStatus(dvd).foreach { sub =>
+      if (!liveDv.contains(s"dv/${sub.getPath.getName}")) {
+        f.listStatus(sub.getPath).filterNot(_.isDirectory).foreach { st =>
+          bytes += st.getLen
+          files += 1
+        }
+        f.delete(sub.getPath, true)
+      }
     }
     VacuumReport(files, bytes)
   }
@@ -636,15 +778,42 @@ object LakeTable {
     (from to to).flatMap { v =>
       val actions = LakeLog.readCommit(f, rootP, v)
       val op = actions.collectFirst { case m: Meta => m.op }.getOrElse("")
-      val adds = actions.collect { case a: Add => a.path }
+      val adds = actions.collect { case a: Add => a }
       val rms = actions.collect { case r: LakeLog.Remove => r.path }
       if (op == "compact") Seq.empty // layout-only: dataChange=false
+      else if (op == "mordelete") {
+        // a MOR delete re-points files at a new DV; the row delta is
+        // exactly the NEW positions minus the previous snapshot's —
+        // read only the re-pointed files, at only those positions
+        val prev = LakeLog.snapshot(f, rootP, Some(v - 1)).files
+          .filter(a => adds.exists(_.path == a.path))
+        val paths = adds.map(_.path)
+        val newDels = readDvRows(spark, rootP, adds.flatMap(_.dv).map(_.path))
+          .where(col("file").isin(paths: _*))
+        val oldDels = readDvRows(spark, rootP, prev.flatMap(_.dv).map(_.path))
+          .where(col("file").isin(paths: _*))
+        val delta = newDels.exceptAll(oldDels)
+        val withPos = readFilesWithPos(spark, rootP, schemaDdl, paths)
+        val rows = withPos
+          .join(delta,
+            withPos("__file") === delta("file") &&
+              withPos("__pos") === delta("pos"),
+            "left_semi")
+          .drop("__file", "__pos")
+        Seq(taggedChanges(rows, "delete", v))
+      }
       else if (rms.isEmpty)
-        Seq(taggedChanges(readFiles(spark, rootP, schemaDdl, adds),
+        Seq(taggedChanges(readAdds(spark, rootP, schemaDdl, adds),
           "insert", v))
       else {
-        val added = readFiles(spark, rootP, schemaDdl, adds)
-        val removed = readFiles(spark, rootP, schemaDdl, rms)
+        // the REMOVED side must be read through the previous
+        // snapshot's Adds (their deletion vectors included) — raw
+        // file reads would count already-MOR-deleted rows as deleted
+        // again by this rewrite
+        val prev = LakeLog.snapshot(f, rootP, Some(v - 1)).files
+          .filter(a => rms.contains(a.path))
+        val added = readAdds(spark, rootP, schemaDdl, adds)
+        val removed = readAdds(spark, rootP, schemaDdl, prev)
         Seq(taggedChanges(added.exceptAll(removed), "insert", v),
           taggedChanges(removed.exceptAll(added), "delete", v))
       }

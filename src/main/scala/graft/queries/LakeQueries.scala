@@ -139,6 +139,24 @@ object LakeQueries {
       root
     })
 
+  /** Merge-on-read chain: create (8 key-clustered files) → MOR delete
+    * [500,999] → MOR delete [800,1299] (overlap: positions carry
+    * forward cumulatively, never recount). NO data file is rewritten
+    * — every read below must apply the deletion-vector sidecar.
+    */
+  private val morCache = new ConcurrentHashMap[String, String]()
+  private def morFor(s: SparkSession, dir: String): String =
+    morCache.computeIfAbsent(dir, _ => {
+      val root = s"$lakeRoot/mor_${dirKey(dir)}"
+      LakeTable.create(s, root, seed(s, dir), Seq("o_orderkey"),
+        nFiles = 8, clusterBy = Some("o_orderkey"))
+      LakeTable.deleteWhereMor(s, root,
+        Seq(LakeTable.ColRange("o_orderkey", Some(500L), Some(999L))))
+      LakeTable.deleteWhereMor(s, root,
+        Seq(LakeTable.ColRange("o_orderkey", Some(800L), Some(1299L))))
+      root
+    })
+
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Tail replay: a fresh lake is created with keys [0,400) and then
@@ -420,6 +438,56 @@ object LakeQueries {
                cents AS o_cents, ct AS _change_type,
                CAST(cv AS BIGINT) AS _commit_version
         FROM cdf ORDER BY _commit_version, _change_type, o_orderkey""")),
+
+    QueryDef("lake_mor_delete",
+      // merge-on-read delete under the oracle: both deletions exist
+      // ONLY as deletion-vector sidecars (no data file was rewritten)
+      // — the scan's row-index anti-join must hide exactly the
+      // cumulative dead positions
+      (s, dir) => LakeTable.scan(s, morFor(s, dir))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders
+        WHERE o_orderkey < 4000 AND o_orderkey NOT BETWEEN 500 AND 1299
+        ORDER BY o_orderkey""")),
+
+    QueryDef("lake_mor_sql_read",
+      // the FORMAT surface over a DV'd snapshot: the provider falls
+      // back to the DV-applying relation, which must still stats-prune
+      // the pushed range AND hide the dead positions
+      (s, dir) => s.read.format("graft-lake").load(morFor(s, dir))
+        .where(col("o_orderkey") >= 400 && col("o_orderkey") <= 1500)
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders
+        WHERE (o_orderkey BETWEEN 400 AND 499
+               OR o_orderkey BETWEEN 1300 AND 1500)
+        ORDER BY o_orderkey""")),
+
+    QueryDef("lake_mor_cdf",
+      // CDF over MOR commits: each version's delta is its NEW dead
+      // positions only — the overlap [800,999] died in v1 and must
+      // not re-appear in v2
+      (s, dir) => LakeTable.scanChanges(s, morFor(s, dir), 0L, 2L)
+        .orderBy("_commit_version", "o_orderkey"),
+      Some("""
+        WITH cdf AS (
+          SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS s,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 1 AS cv
+          FROM orders WHERE o_orderkey BETWEEN 500 AND 999
+          UNION ALL
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS BIGINT), 2
+          FROM orders WHERE o_orderkey BETWEEN 1000 AND 1299)
+        SELECT k AS o_orderkey, c AS o_custkey, s AS o_orderstatus,
+               cents AS o_cents, 'delete' AS _change_type,
+               CAST(cv AS BIGINT) AS _commit_version
+        FROM cdf ORDER BY _commit_version, o_orderkey""")),
 
     QueryDef("lake_sink_replay",
       (s, dir) => LakeTable.scan(s, sinkFor(s, dir))

@@ -370,6 +370,16 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("lake_cdf", 5, "one exceptAll aggregate per side per rewrite " +
       "commit (2 rewrites x 2 sides, each bounded by the commit's " +
       "touched files, never the table) + output ordering"),
+    ("lake_mor_delete", 1, "clean files on the stock scan, DV'd files " +
+      "through a BROADCAST row-index anti-join (the sidecar is a KB-" +
+      "sized file relation with known size) — the one exchange is the " +
+      "output ordering"),
+    ("lake_mor_sql_read", 1, "DV-applying relation runs its anti-join " +
+      "inside buildScan (broadcast, no exchange); the one exchange is " +
+      "the output ordering"),
+    ("lake_mor_cdf", 5, "per MOR commit one exceptAll aggregate over " +
+      "the KB-sized position sidecars (new minus prior DV) feeding a " +
+      "broadcast semi join on the touched files + output ordering"),
     ("lake_sink_replay", 1, "idempotent-append table scan + output ordering"),
     ("stream_lake_tail_replay", 1, "memory-sink read back + output " +
       "ordering; the log-tail batches were bounded parquet scans"),

@@ -1,0 +1,213 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read deletion vectors: `deleteWhereMor` records deleted
+  * positions in a sidecar instead of rewriting files; every read and
+  * every later rewrite must apply them.
+  */
+class LakeDvSpec extends SparkSuite {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_lakedv").resolve("tbl").toString
+
+  private def seed(lo: Int, hi: Int): DataFrame = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"n_$i")).toDF("id", "name")
+  }
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  private def range(lo: Long, hi: Long) =
+    Seq(LakeTable.ColRange("id", Some(lo), Some(hi)))
+
+  private def dataFileCount(root: String): Int = {
+    val dd = new java.io.File(new java.net.URI(s"file:$root/data").getPath)
+    if (!dd.exists()) 0
+    else dd.listFiles().flatMap(_.listFiles())
+      .count(_.getName.endsWith(".parquet"))
+  }
+
+  test("MOR delete hides rows without touching data files") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 2,
+      clusterBy = Some("id"))
+    val before = dataFileCount(root)
+    val rep = LakeTable.deleteWhereMor(spark, root, range(10, 19))
+    assert(rep.filesRewritten == 1, "only the [0,49] file is re-pointed")
+    assert(dataFileCount(root) == before,
+      "merge-on-read must write NO data files")
+    assert(ids(LakeTable.scan(spark, root)) ==
+      ((0L until 10L) ++ (20L until 100L)))
+    // time travel to v0 still sees everything (DV is v1 state)
+    assert(ids(LakeTable.scanAsOf(spark, root, Some(0L))) == (0L until 100L))
+    val snap = LakeTable.snapshot(spark, root)
+    val dvd = snap.files.filter(_.dv.nonEmpty)
+    assert(dvd.size == 1 && dvd.head.dv.get.rows == 10)
+  }
+
+  test("a second MOR delete carries prior positions forward (one DV per file)") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 2,
+      clusterBy = Some("id"))
+    LakeTable.deleteWhereMor(spark, root, range(10, 19))
+    LakeTable.deleteWhereMor(spark, root, range(15, 24)) // overlaps: 15-19 already dead
+    assert(ids(LakeTable.scan(spark, root)) ==
+      ((0L until 10L) ++ (25L until 100L)))
+    val dvd = LakeTable.snapshot(spark, root).files.filter(_.dv.nonEmpty)
+    assert(dvd.size == 1 && dvd.head.dv.get.rows == 15,
+      "cumulative DV counts live deletions only, never recounts")
+  }
+
+  test("rewrites purge DVs: compact, COW delete and merge all apply them") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 2,
+      clusterBy = Some("id"))
+    LakeTable.deleteWhereMor(spark, root, range(0, 4))
+    // compaction reads DV-aware and writes clean files
+    LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+      targetBytes = Long.MaxValue)
+    assert(LakeTable.snapshot(spark, root).files.forall(_.dv.isEmpty),
+      "compaction must purge deletion vectors")
+    assert(ids(LakeTable.scan(spark, root)) == (5L until 100L))
+
+    LakeTable.deleteWhereMor(spark, root, range(10, 14))
+    // COW delete on an overlapping file must not resurrect 10..14
+    LakeTable.deleteWhere(spark, root, range(20, 24))
+    assert(ids(LakeTable.scan(spark, root)) ==
+      ((5L until 10L) ++ (15L until 20L) ++ (25L until 100L)))
+
+    LakeTable.deleteWhereMor(spark, root, range(30, 34))
+    import spark.implicits._
+    val upsert = Seq((31L, "fresh", 1L, "U"), (90L, "fresh", 1L, "U"))
+      .toDF("id", "name", "version", "op")
+    LakeTable.merge(spark, root, upsert, "id")
+    val out = LakeTable.scan(spark, root)
+    assert(ids(out) == ((5L until 10L) ++ (15L until 20L) ++ (25L until 30L)
+      :+ 31L) ++ (35L until 100L),
+      "merge must apply the DV (30..34 stay dead) and upsert 31 fresh")
+    assert(out.where(col("id") === 31L).select("name").head().getString(0)
+      == "fresh")
+  }
+
+  test("vacuum deletes DV sidecars no retained version references") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 1)
+    LakeTable.deleteWhereMor(spark, root, range(0, 9))   // dv A
+    LakeTable.deleteWhereMor(spark, root, range(10, 19)) // dv B supersedes A
+    val keepAll = LakeTable.vacuum(spark, root, keepFromVersion = 0L)
+    assert(keepAll.filesDeleted == 0, "both DVs still referenced somewhere")
+    val rep = LakeTable.vacuum(spark, root, keepFromVersion = 2L)
+    assert(rep.filesDeleted > 0, "dv A is unreferenced past v1")
+    assert(ids(LakeTable.scan(spark, root)) == (20L until 100L))
+  }
+
+  test("CDF reports MOR deletes as delete rows, incrementally") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 1)
+    LakeTable.deleteWhereMor(spark, root, range(0, 9))   // v1
+    LakeTable.deleteWhereMor(spark, root, range(5, 14))  // v2: only 5 new
+    val ch = LakeTable.scanChanges(spark, root, 0L, 2L)
+    assert(ch.where(col("_change_type") =!= "delete").count() == 0)
+    assert(ids(ch.where(col("_commit_version") === 1L)) == (0L until 10L))
+    assert(ids(ch.where(col("_commit_version") === 2L)) == (10L until 15L),
+      "already-dead 5..9 must not re-appear in v2's delta")
+    // a COW rewrite after the MOR delete must not re-report dead rows
+    LakeTable.deleteWhere(spark, root, range(20, 29)) // v3 rewrites the file
+    val ch3 = LakeTable.scanChanges(spark, root, 2L, 3L)
+    assert(ids(ch3.where(col("_change_type") === "delete")) == (20L until 30L))
+  }
+
+  test("format read applies DVs (filters still prune and push)") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 2,
+      clusterBy = Some("id"))
+    LakeTable.deleteWhereMor(spark, root, range(10, 19))
+    val df = spark.read.format("graft-lake").load(root)
+      .where(col("id") >= 5 && col("id") <= 30)
+    assert(ids(df) == ((5L until 10L) ++ (20L until 31L)))
+    // count(*) (zero required columns) also works through the relation
+    assert(spark.read.format("graft-lake").load(root).count() == 90)
+    // pre-DV time travel keeps the native fast path
+    val v0 = spark.read.format("graft-lake").option("versionAsOf", "0")
+      .load(root)
+    assert(v0.count() == 100)
+    assert(v0.queryExecution.executedPlan.toString.contains("FileScan"),
+      "clean snapshots must stay on the native FileScan path")
+  }
+
+  test("scanPruned composes with DVs") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 4,
+      clusterBy = Some("id"))
+    LakeTable.deleteWhereMor(spark, root, range(30, 39))
+    val (df, rep) = LakeTable.scanPruned(spark, root, range(26, 60))
+    assert(rep.filesRead < rep.filesTotal, "stats pruning still bites")
+    assert(ids(df) == ((26L until 30L) ++ (40L until 61L)))
+  }
+
+  test("append tail treats a MOR delete as a rewrite; ignoreChanges re-emits live rows") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 50), Seq("id"), nFiles = 1)
+    LakeTable.deleteWhereMor(spark, root, range(0, 9))
+    val strict = spark.readStream.format("graft-lake")
+      .option("startingVersion", "1").load(root)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dv_strict").start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try strict.processAllAvailable() finally strict.stop()
+    }
+    assert(ex.getMessage.contains("rewrite") ||
+      Option(ex.getCause).exists(_.getMessage.contains("rewrite")))
+
+    val loose = spark.readStream.format("graft-lake")
+      .option("startingVersion", "1").option("ignoreChanges", "true")
+      .load(root)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dv_loose").start()
+    try loose.processAllAvailable() finally loose.stop()
+    assert(ids(spark.table("dv_loose")) == (10L until 50L),
+      "re-emitted file must carry live rows only, not the DV'd ones")
+  }
+
+  test("readChangeFeed streams a MOR delete as its delta") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 50), Seq("id"), nFiles = 1)
+    val q = spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dv_cdf").start()
+    try {
+      q.processAllAvailable()
+      LakeTable.deleteWhereMor(spark, root, range(0, 4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dv_cdf")
+    assert(ids(out.where(col("_change_type") === "delete")) == (0L until 5L))
+    assert(out.count() == 55)
+  }
+
+  test("the commit guard conflicts on a concurrently re-pointed DV") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 1)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val f = LakeLog.fileSystem(rootP,
+      spark.sparkContext.hadoopConfiguration)
+    val stale = LakeLog.snapshot(f, rootP, None) // v0 view
+    // a competing MOR delete re-points the file's DV...
+    LakeTable.deleteWhereMor(spark, root, range(0, 9))
+    // ...so a rewrite computed against the stale snapshot must abort
+    // loudly (liveness alone would let it resurrect rows 0..9)
+    intercept[LakeLog.ConcurrentCommitException] {
+      LakeLog.commit(f, rootP,
+        Seq(LakeLog.Meta("delete", stale.schemaDdl, stale.statsCols,
+          None, None, 0L)) ++ stale.files.map(a => LakeLog.Remove(a.path)),
+        guardFiles = stale.files, baseVersion = stale.version)
+    }
+  }
+}

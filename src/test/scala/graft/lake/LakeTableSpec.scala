@@ -290,17 +290,17 @@ class LakeTableSpec extends SparkSuite {
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val snap = LakeLog.snapshot(fs, rootP, None)
-    val victim = snap.files.head.path
+    val victim = snap.files.head
     // competing rewrite wins version 1 and removes the victim file
     assert(LakeLog.tryCommit(fs, rootP, 1L, Seq(
       LakeLog.Meta("delete", snap.schemaDdl, snap.statsCols, None, None, 0L),
-      LakeLog.Remove(victim))))
+      LakeLog.Remove(victim.path))))
     // our rewrite targeted version 1 too; its retry must notice the
     // victim is gone and abort instead of resurrecting it
     intercept[LakeLog.ConcurrentCommitException] {
       LakeLog.commit(fs, rootP, Seq(
         LakeLog.Meta("delete", snap.schemaDdl, snap.statsCols, None, None, 0L),
-        LakeLog.Remove(victim)), removedFiles = Set(victim))
+        LakeLog.Remove(victim.path)), guardFiles = Seq(victim))
     }
   }
 

@@ -231,6 +231,24 @@ object LakeLog {
   def latestVersion(fs: FileSystem, root: Path): Option[Long] =
     versions(fs, root).lastOption
 
+  /** Latest version whose commit timestamp (the Meta `ts`, driver
+    * wall-clock at commit build time) is <= `tsMillis` — the
+    * `timestampAsOf` resolution rule. Commit timestamps are read
+    * newest-first so resolution touches O(answer distance from HEAD)
+    * commit files, not the whole log.
+    */
+  def versionAtTimestamp(fs: FileSystem, root: Path, tsMillis: Long): Long = {
+    val vs = versions(fs, root)
+    require(vs.nonEmpty, s"no lake table at $root")
+    def tsOf(v: Long): Long =
+      readCommit(fs, root, v).collectFirst { case m: Meta => m.ts }
+        .getOrElse(Long.MaxValue)
+    vs.reverseIterator.find(v => tsOf(v) <= tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version at or before timestamp $tsMillis " +
+          s"(earliest commit is at ${tsOf(vs.head)})"))
+  }
+
   /** Atomic commit attempt at exactly `v`: stage + rename-if-absent.
     * Returns false when some other writer won `v`.
     */

@@ -73,8 +73,12 @@ class LakeStreamSourceProvider extends StreamSourceProvider
     val root = new Path(rootOf(parameters))
     val fs = LakeLog.fileSystem(root,
       session.sparkContext.hadoopConfiguration)
-    val snap = LakeLog.snapshot(fs, root,
-      parameters.get("versionAsOf").map(_.toLong))
+    val byVersion = parameters.get("versionAsOf").map(_.toLong)
+    val byTs = parameters.get("timestampAsOf").map(t =>
+      LakeLog.versionAtTimestamp(fs, root, t.toLong))
+    require(byVersion.isEmpty || byTs.isEmpty,
+      "set either versionAsOf or timestampAsOf, not both")
+    val snap = LakeLog.snapshot(fs, root, byVersion.orElse(byTs))
     if (snap.files.exists(_.dv.nonEmpty))
       // deletion vectors pending: serve through the DV-applying
       // relation (stats pruning + inner pushdown preserved); clean

@@ -401,6 +401,16 @@ object LakeTable {
     readAdds(spark, rootP, snap.schemaDdl, snap.files)
   }
 
+  /** Time travel by wall clock: the snapshot a reader at `tsMillis`
+    * would have pinned (latest commit at or before it).
+    */
+  def scanAsOfTimestamp(spark: SparkSession, root: String,
+                        tsMillis: Long): DataFrame = {
+    val rootP = new Path(root)
+    val v = LakeLog.versionAtTimestamp(fs(spark, rootP), rootP, tsMillis)
+    scanAsOf(spark, root, Some(v))
+  }
+
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     LakeLog.latestVersion(fs(spark, new Path(root)), new Path(root))
 
@@ -668,6 +678,29 @@ object LakeTable {
     RewriteReport(v, smalls.size, adds.size, untouched.size)
   }
 
+  /** Re-cluster the table's live rows onto a NEW layout (plain
+    * column order or [[zCluster]]) in one atomic rewrite — the
+    * `OPTIMIZE ... ZORDER BY` / `ALTER TABLE CLUSTER BY` shape. The
+    * commit records the new spec in its Meta, so every LATER
+    * write/rewrite re-enters the new layout, and it is LAYOUT-ONLY
+    * (row multiset unchanged; pending deletion vectors are purged
+    * into the rewrite): CDF skips it unread, exactly like `compact`.
+    */
+  def recluster(spark: SparkSession, root: String, clusterBy: String,
+                nFiles: Int = 8): RewriteReport = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    val rows = readAdds(spark, rootP, snap.schemaDdl, snap.files)
+    val adds = writeDataFiles(spark, rootP, rows, snap.statsCols, nFiles,
+      Some(clusterBy)).filter(_.stats.rows > 0)
+    val v = LakeLog.commit(f, rootP,
+      (Meta("recluster", snap.schemaDdl, snap.statsCols, None, None, now(),
+        Some(clusterBy)) +: snap.files.map(a => Remove(a.path))) ++ adds,
+      guardFiles = snap.files, baseVersion = snap.version)
+    RewriteReport(v, snap.files.size, adds.size, 0)
+  }
+
   // ---- maintenance ---------------------------------------------------
 
   /** Physically delete data files referenced by NO version >=
@@ -780,7 +813,8 @@ object LakeTable {
       val op = actions.collectFirst { case m: Meta => m.op }.getOrElse("")
       val adds = actions.collect { case a: Add => a }
       val rms = actions.collect { case r: LakeLog.Remove => r.path }
-      if (op == "compact") Seq.empty // layout-only: dataChange=false
+      if (op == "compact" || op == "recluster")
+        Seq.empty // layout-only: dataChange=false
       else if (op == "mordelete") {
         // a MOR delete re-points files at a new DV; the row delta is
         // exactly the NEW positions minus the previous snapshot's —

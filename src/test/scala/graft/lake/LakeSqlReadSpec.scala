@@ -112,6 +112,64 @@ class LakeSqlReadSpec extends SparkSuite {
       s"compaction must re-z-order: read $onYAfter of $total files")
   }
 
+  test("recluster swaps the layout atomically; later writes inherit it") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(512), Seq("id", "amount"),
+      nFiles = 8, clusterBy = Some("id"))
+    // pending MOR deletions must be purged into the rewrite
+    LakeTable.deleteWhereMor(spark, root,
+      Seq(LakeTable.ColRange("id", Some(0L), Some(9L))))
+    val rep = LakeTable.recluster(spark, root,
+      LakeTable.zCluster("id", "amount"), nFiles = 16)
+    assert(rep.filesRewritten == 8 && rep.filesAdded >= 8)
+    val snap = LakeTable.snapshot(spark, root)
+    assert(snap.clusterBy.contains("z:id,amount"),
+      "the new spec must be recorded so later writes re-enter it")
+    assert(snap.files.forall(_.dv.isEmpty), "recluster purges DVs")
+    def filesRead(dfq: DataFrame): Long = {
+      dfq.collect()
+      dfq.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.getOrElse(fail("no FileSourceScanExec"))
+    }
+    val base = spark.read.format("graft-lake").load(root)
+    assert(base.count() == 502)
+    // the old key-sorted layout could not prune on amount; z can
+    val onAmount = filesRead(
+      base.where(col("amount") >= 1000 && col("amount") < 2000))
+    assert(onAmount < 16, s"amount-range read $onAmount of 16 files")
+    // layout-only: the recluster version contributes no change rows
+    val v = LakeTable.latestVersion(spark, root).get
+    assert(LakeTable.scanChanges(spark, root, v - 1, v).count() == 0)
+  }
+
+  test("timestampAsOf resolves the wall-clock snapshot") {
+    val root = freshRoot()
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val f = LakeLog.fileSystem(rootP,
+      spark.sparkContext.hadoopConfiguration)
+    LakeTable.create(spark, root, seed(100), Seq("id"), nFiles = 1)
+    Thread.sleep(5) // distinct commit timestamps
+    LakeTable.append(spark, root, seed(150).where(col("id") >= 100),
+      nFiles = 1)
+    def tsOf(v: Long): Long = LakeLog.readCommit(f, rootP, v)
+      .collectFirst { case m: LakeLog.Meta => m.ts }.get
+    assert(LakeLog.versionAtTimestamp(f, rootP, tsOf(0L)) == 0L)
+    assert(LakeLog.versionAtTimestamp(f, rootP, tsOf(1L)) == 1L)
+    assert(LakeTable.scanAsOfTimestamp(spark, root, tsOf(0L)).count() == 100)
+    assert(spark.read.format("graft-lake")
+      .option("timestampAsOf", tsOf(0L).toString).load(root).count() == 100)
+    assert(spark.read.format("graft-lake")
+      .option("timestampAsOf", tsOf(1L).toString).load(root).count() == 150)
+    intercept[IllegalArgumentException] {
+      LakeLog.versionAtTimestamp(f, rootP, tsOf(0L) - 1)
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-lake").option("versionAsOf", "0")
+        .option("timestampAsOf", tsOf(0L).toString).load(root).count()
+    }
+  }
+
   test("filter-to-range extraction covers both operand orders") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.expressions.Literal

@@ -272,12 +272,21 @@ object LakeTable {
     StructField("file", StringType, nullable = false),
     StructField("pos", LongType, nullable = false)))
 
-  /** Root-relative "data/<uuid>/<name>" of the file a row came from —
-    * the identity DV rows are keyed by (the uuid staging dir makes the
-    * last three path segments unique for the table's lifetime).
+  /** "data/<uuid>/<name>" of the file a row came from — the identity
+    * DV rows are keyed by (the uuid staging dir makes the last three
+    * path segments unique). Deliberately root-AGNOSTIC: a shallow
+    * clone references source files by absolute path, and their id
+    * stays the same three segments, so inherited deletion vectors
+    * keep matching.
     */
   private def fileRelPath: Column =
     concat_ws("/", slice(split(col("_metadata.file_path"), "/"), -3, 3))
+
+  /** The same identity computed from an Add's recorded path (relative
+    * for own files, absolute for clone-inherited ones).
+    */
+  private def fileId(path: String): String =
+    path.split('/').takeRight(3).mkString("/")
 
   private def readDvRows(spark: SparkSession, root: Path,
                          dvPaths: Seq[String]): DataFrame =
@@ -358,10 +367,11 @@ object LakeTable {
       snap.files.partition(a => ranges.forall(r => mayMatch(a.stats, r)))
     if (cands.isEmpty)
       return RewriteReport(snap.version, 0, 0, untouched.size)
-    val candPaths = cands.map(_.path)
+    val candIds = cands.map(a => fileId(a.path))
     val oldDels = readDvRows(spark, rootP, cands.flatMap(_.dv).map(_.path))
-      .where(col("file").isin(candPaths: _*))
-    val withPos = readFilesWithPos(spark, rootP, snap.schemaDdl, candPaths)
+      .where(col("file").isin(candIds: _*))
+    val withPos = readFilesWithPos(spark, rootP, snap.schemaDdl,
+      cands.map(_.path))
     val newDel = withPos
       .join(oldDels,
         withPos("__file") === oldDels("file") && withPos("__pos") === oldDels("pos"),
@@ -378,11 +388,11 @@ object LakeTable {
       .groupBy("file").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val touched = cands.filter(a =>
-      counts.getOrElse(a.path, 0L) > a.dv.map(_.rows).getOrElse(0L))
+      counts.getOrElse(fileId(a.path), 0L) > a.dv.map(_.rows).getOrElse(0L))
     if (touched.isEmpty) // no live row matched; sidecar garbage → vacuum
       return RewriteReport(snap.version, 0, 0, snap.files.size)
     val readds = touched.map(a =>
-      a.copy(dv = Some(Dv(dvSub, counts(a.path)))))
+      a.copy(dv = Some(Dv(dvSub, counts(fileId(a.path))))))
     val v = LakeLog.commit(f, rootP,
       Meta("mordelete", snap.schemaDdl, snap.statsCols, None, None,
         now()) +: readds,
@@ -399,6 +409,37 @@ object LakeTable {
     val rootP = new Path(root)
     val snap = LakeLog.snapshot(fs(spark, rootP), rootP, asOf)
     readAdds(spark, rootP, snap.schemaDdl, snap.files)
+  }
+
+  /** ZERO-COPY shallow clone: `dst`'s v0 commit REFERENCES `src`'s
+    * data files (and their deletion-vector sidecars) by absolute
+    * path — no data moves, the clone of a 100 TB table is one
+    * KB-sized commit. The clone then lives its own life: appends land
+    * under its own root; rewrites (COW delete / merge / compact /
+    * recluster) read the referenced files and write local ones, so
+    * the clone progressively localizes exactly the regions it
+    * touches; MOR deletes sidecar locally against the inherited
+    * files. The source never learns about the clone — the standard
+    * shallow-clone caveat applies: VACUUMING THE SOURCE can delete
+    * files a clone still references (its reads then fail loudly at
+    * scan time). Use a clone for experiments/branches, compact it to
+    * localize before vacuuming the source.
+    */
+  def shallowClone(spark: SparkSession, src: String, dst: String,
+                   asOf: Option[Long] = None): Long = {
+    val srcP = new Path(src)
+    val dstP = new Path(dst)
+    val f = fs(spark, dstP)
+    require(LakeLog.latestVersion(f, dstP).isEmpty,
+      s"lake table already exists at $dst")
+    val snap = LakeLog.snapshot(fs(spark, srcP), srcP, asOf)
+    def absolutize(p: String): String =
+      new Path(srcP, p).toString // absolute child stays absolute
+    val adds = snap.files.map(a => a.copy(path = absolutize(a.path),
+      dv = a.dv.map(d => d.copy(path = absolutize(d.path)))))
+    LakeLog.commit(f, dstP,
+      Meta("clone", snap.schemaDdl, snap.statsCols, None, None, now(),
+        snap.clusterBy) +: adds)
   }
 
   /** Time travel by wall clock: the snapshot a reader at `tsMillis`
@@ -821,13 +862,14 @@ object LakeTable {
         // read only the re-pointed files, at only those positions
         val prev = LakeLog.snapshot(f, rootP, Some(v - 1)).files
           .filter(a => adds.exists(_.path == a.path))
-        val paths = adds.map(_.path)
+        val ids = adds.map(a => fileId(a.path))
         val newDels = readDvRows(spark, rootP, adds.flatMap(_.dv).map(_.path))
-          .where(col("file").isin(paths: _*))
+          .where(col("file").isin(ids: _*))
         val oldDels = readDvRows(spark, rootP, prev.flatMap(_.dv).map(_.path))
-          .where(col("file").isin(paths: _*))
+          .where(col("file").isin(ids: _*))
         val delta = newDels.exceptAll(oldDels)
-        val withPos = readFilesWithPos(spark, rootP, schemaDdl, paths)
+        val withPos = readFilesWithPos(spark, rootP, schemaDdl,
+          adds.map(_.path))
         val rows = withPos
           .join(delta,
             withPos("__file") === delta("file") &&

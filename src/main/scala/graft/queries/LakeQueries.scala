@@ -157,6 +157,22 @@ object LakeQueries {
       root
     })
 
+  /** Zero-copy clone of the maintained chain, then a MOR delete of
+    * [2000,2499] applied ONLY to the clone — the branch-and-edit
+    * shape. `lake_read_latest` keeps certifying the SOURCE's end
+    * state on the same run, so source/clone independence itself sits
+    * under the oracle.
+    */
+  private val cloneCache = new ConcurrentHashMap[String, String]()
+  private def cloneFor(s: SparkSession, dir: String): String =
+    cloneCache.computeIfAbsent(dir, _ => {
+      val root = s"$lakeRoot/clone_${dirKey(dir)}"
+      LakeTable.shallowClone(s, chainFor(s, dir), root)
+      LakeTable.deleteWhereMor(s, root,
+        Seq(LakeTable.ColRange("o_orderkey", Some(2000L), Some(2499L))))
+      root
+    })
+
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Tail replay: a fresh lake is created with keys [0,400) and then
@@ -438,6 +454,18 @@ object LakeQueries {
                cents AS o_cents, ct AS _change_type,
                CAST(cv AS BIGINT) AS _commit_version
         FROM cdf ORDER BY _commit_version, _change_type, o_orderkey""")),
+
+    QueryDef("lake_clone_read",
+      // shallow clone + clone-local MOR delete: the scan reads the
+      // SOURCE's data files by reference, minus the clone's own
+      // deletion vector over them
+      (s, dir) => LakeTable.scan(s, cloneFor(s, dir))
+        .orderBy("o_orderkey"),
+      Some(chainSql + """
+        SELECT k AS o_orderkey, c AS o_custkey, s AS o_orderstatus,
+               cents AS o_cents
+        FROM final WHERE k NOT BETWEEN 2000 AND 2499
+        ORDER BY o_orderkey""")),
 
     QueryDef("lake_mor_delete",
       // merge-on-read delete under the oracle: both deletions exist

@@ -89,12 +89,37 @@ object LakeLog {
   final case class Snapshot(version: Long, schemaDdl: String,
                             statsCols: Seq[String], files: Seq[Add],
                             committedBatches: Map[String, Long],
-                            clusterBy: Option[String]) {
+                            clusterBy: Option[String],
+                            features: Set[String] = Set.empty,
+                            constraints: Map[String, String] = Map.empty) {
     def filePaths: Set[String] = files.map(_.path).toSet
   }
 
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
+
+  final class UnsupportedFeatureException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Reader-feature flags THIS build understands. A commit that
+    * introduces semantics an older reader would silently get WRONG
+    * (not merely miss) must stamp a `feature` action; replay fails
+    * loudly on flags outside this set instead of mis-reading the
+    * table — e.g. a pre-deletion-vector reader scanning a DV'd table
+    * would resurrect every deleted row. The format-evolution
+    * contract public lakehouse formats carry as (minReaderVersion,
+    * readerFeatures).
+    */
+  val supportedFeatures: Set[String] =
+    Set("deletion-vectors", "absolute-paths", "check-constraints")
+
+  /** Marks the table as requiring readers that understand `name`. */
+  final case class Feature(name: String) extends Action
+
+  /** CHECK constraint on the table (empty `expr` drops it). Writers
+    * must reject incoming rows that violate any active constraint.
+    */
+  final case class Constraint(name: String, expr: String) extends Action
 
   val checkpointInterval = 10
 
@@ -143,6 +168,9 @@ object LakeLog {
           .map { case (k, v) => k -> JLong(v) }))
       dv.fold(base)(d => base ~ ("dvf" -> d.path) ~ ("dvRows" -> d.rows))
     case Remove(p) => ("a" -> "rm") ~ ("f" -> p)
+    case Feature(n) => ("a" -> "feature") ~ ("name" -> n)
+    case Constraint(n, e) =>
+      ("a" -> "constraint") ~ ("name" -> n) ~ ("expr" -> e)
     case Meta(op, ddl, statsCols, appId, batchId, ts, clusterBy) =>
       ("a" -> "meta") ~ ("op" -> op) ~ ("schema" -> ddl) ~
         ("statsCols" -> statsCols) ~ ("appId" -> appId) ~
@@ -174,6 +202,8 @@ object LakeLog {
         Add(str("f"), Stats(lng(j \ "rows"), lng(j \ "bytes"),
           statMap("min"), statMap("max"), nulls), dv)
       case JString("rm") => Remove(str("f"))
+      case JString("feature") => Feature(str("name"))
+      case JString("constraint") => Constraint(str("name"), str("expr"))
       case JString("meta") =>
         val appId = (j \ "appId") match {
           case JString(s) => Some(s); case _ => None
@@ -311,9 +341,13 @@ object LakeLog {
     val body =
       (Meta("checkpoint", snap.schemaDdl, snap.statsCols, None, None,
         System.currentTimeMillis(), snap.clusterBy) +:
-        snap.committedBatches.toSeq.sortBy(_._1).map { case (app, b) =>
-          Meta("batchmark", snap.schemaDdl, Nil, Some(app), Some(b), 0L)
-        }) ++ snap.files
+        (snap.features.toSeq.sorted.map(Feature(_)) ++
+          snap.constraints.toSeq.sortBy(_._1).map {
+            case (n, e) => Constraint(n, e)
+          } ++
+          snap.committedBatches.toSeq.sortBy(_._1).map { case (app, b) =>
+            Meta("batchmark", snap.schemaDdl, Nil, Some(app), Some(b), 0L)
+          })) ++ snap.files
     val p = checkpointPath(root, v)
     if (!fs.exists(p)) {
       val tmp = new Path(logDir(root), s".tmp-${java.util.UUID.randomUUID()}")
@@ -352,36 +386,48 @@ object LakeLog {
     var statsCols: Seq[String] = Nil
     var clusterBy: Option[String] = None
     val batches = mutable.Map[String, Long]()
+    val features = mutable.Set[String]()
+    val constraints = mutable.LinkedHashMap[String, String]()
+    def one(a: Action): Unit = a match {
+      case a: Add    => files(a.path) = a
+      case Remove(p) => files.remove(p)
+      case Feature(n) =>
+        if (!supportedFeatures.contains(n))
+          throw new UnsupportedFeatureException(
+            s"table at $root requires reader feature '$n' this build " +
+              s"does not understand (supported: " +
+              s"${supportedFeatures.toSeq.sorted.mkString(", ")}) — " +
+              "refusing to mis-read it")
+        features += n
+      case Constraint(n, e) =>
+        if (e.isEmpty) constraints.remove(n) else constraints(n) = e
+      case Meta(_, ddl, sc, appId, batchId, _, cb) =>
+        if (ddl.nonEmpty) { schemaDdl = ddl }
+        if (sc.nonEmpty) { statsCols = sc }
+        if (cb.nonEmpty) { clusterBy = cb }
+        for (app <- appId; b <- batchId)
+          batches(app) = math.max(b, batches.getOrElse(app, Long.MinValue))
+    }
     val start = if (fromCheckpoint) {
       latestCheckpointAtOrBefore(fs, root, target) match {
         case Some(cv) =>
           readString(fs, checkpointPath(root, cv)).linesIterator
             .filter(_.nonEmpty)
             .map(l => actionFromJson(JsonMethods.parse(l))).foreach {
-              case a: Add => files(a.path) = a
               case Meta("checkpoint", ddl, sc, _, _, _, cb) =>
                 schemaDdl = ddl; statsCols = sc; clusterBy = cb
               case Meta("batchmark", _, _, Some(app), Some(b), _, _) =>
                 batches(app) = b
-              case _ => ()
+              case other => one(other)
             }
           cv + 1
         case None => 0L
       }
     } else 0L
     (start to target).foreach { v =>
-      readCommit(fs, root, v).foreach {
-        case a: Add    => files(a.path) = a
-        case Remove(p) => files.remove(p)
-        case Meta(_, ddl, sc, appId, batchId, _, cb) =>
-          if (ddl.nonEmpty) { schemaDdl = ddl }
-          if (sc.nonEmpty) { statsCols = sc }
-          if (cb.nonEmpty) { clusterBy = cb }
-          for (app <- appId; b <- batchId)
-            batches(app) = math.max(b, batches.getOrElse(app, Long.MinValue))
-      }
+      readCommit(fs, root, v).foreach(one)
     }
     Snapshot(target, schemaDdl, statsCols, files.values.toSeq, batches.toMap,
-      clusterBy)
+      clusterBy, features.toSet, constraints.toMap)
   }
 }

@@ -233,6 +233,9 @@ object LakeTable {
     val ddl =
       if (mergeSchema) evolvedSchemaDdl(snap.schemaDdl, df)
       else { requireSameSchema(snap.schemaDdl, df); snap.schemaDdl }
+    // CHECK the batch exactly as readers will see it (omitted
+    // evolution columns read as null, and NULL passes a SQL CHECK)
+    enforceConstraints(padToSchema(df, ddl), snap.constraints, "append")
     val adds = writeDataFiles(spark, rootP, df, snap.statsCols, nFiles,
       clusterBy.orElse(snap.clusterBy))
     LakeLog.commit(f, rootP,
@@ -246,6 +249,7 @@ object LakeTable {
     val f = fs(spark, rootP)
     val snap = LakeLog.snapshot(f, rootP, None)
     requireSameSchema(snap.schemaDdl, df)
+    enforceConstraints(df, snap.constraints, "overwrite")
     val adds = writeDataFiles(spark, rootP, df, snap.statsCols, nFiles,
       clusterBy.orElse(snap.clusterBy))
     LakeLog.commit(f, rootP,
@@ -394,8 +398,8 @@ object LakeTable {
     val readds = touched.map(a =>
       a.copy(dv = Some(Dv(dvSub, counts(fileId(a.path))))))
     val v = LakeLog.commit(f, rootP,
-      Meta("mordelete", snap.schemaDdl, snap.statsCols, None, None,
-        now()) +: readds,
+      (Meta("mordelete", snap.schemaDdl, snap.statsCols, None, None,
+        now()) +: LakeLog.Feature("deletion-vectors") +: readds),
       guardFiles = touched, baseVersion = snap.version)
     RewriteReport(v, touched.size, readds.size,
       snap.files.size - touched.size)
@@ -437,9 +441,98 @@ object LakeTable {
       new Path(srcP, p).toString // absolute child stays absolute
     val adds = snap.files.map(a => a.copy(path = absolutize(a.path),
       dv = a.dv.map(d => d.copy(path = absolutize(d.path)))))
+    // the clone inherits the source's reader features and CHECK
+    // constraints, and requires absolute-path support itself
+    val carried = (snap.features + "absolute-paths").toSeq.sorted
+      .map(LakeLog.Feature(_)) ++
+      snap.constraints.toSeq.sortBy(_._1)
+        .map { case (n, e) => LakeLog.Constraint(n, e) }
     LakeLog.commit(f, dstP,
-      Meta("clone", snap.schemaDdl, snap.statsCols, None, None, now(),
-        snap.clusterBy) +: adds)
+      (Meta("clone", snap.schemaDdl, snap.statsCols, None, None, now(),
+        snap.clusterBy) +: carried) ++ adds)
+  }
+
+  // ---- CHECK constraints ---------------------------------------------
+
+  /** Project `df` onto the table schema, null-filling omitted
+    * columns — the view readers will see.
+    */
+  private def padToSchema(df: DataFrame, ddl: String): DataFrame = {
+    val want = StructType.fromDDL(ddl)
+    df.select(want.fields.toSeq.map { fd =>
+      if (df.columns.contains(fd.name)) col(fd.name)
+      else lit(null).cast(fd.dataType).as(fd.name)
+    }: _*)
+  }
+
+  /** True SQL-CHECK violation test: a row violates when the
+    * expression evaluates to FALSE (NULL passes, per the SQL CHECK
+    * contract).
+    */
+  private def violates(e: String): Column =
+    !coalesce(expr(e).cast("boolean"), lit(true))
+
+  /** Refuse `df` (about to be written by `op`) if any row violates an
+    * active constraint — ONE pass over the incoming batch, first
+    * violation short-circuits, the failing constraint(s) named.
+    */
+  private def enforceConstraints(df: DataFrame,
+                                 cs: Map[String, String],
+                                 op: String): Unit = {
+    if (cs.isEmpty) return
+    val checks = cs.toSeq.sortBy(_._1)
+    val flagged = df.select(checks.map { case (n, e) =>
+      violates(e).as(n) }: _*)
+    val bad = flagged
+      .where(checks.map(c => col(s"`${c._1}`")).reduce(_ || _))
+      .limit(1).collect()
+    if (bad.nonEmpty) {
+      val names = checks.zipWithIndex
+        .collect { case ((n, e), i) if bad.head.getBoolean(i) => s"$n ($e)" }
+      throw new IllegalArgumentException(
+        s"$op rejected: incoming rows violate CHECK constraint(s) " +
+          names.mkString(", "))
+    }
+  }
+
+  /** Add (or replace) a CHECK constraint. EXISTING rows are validated
+    * first — a table can never hold data its active constraints
+    * reject; every later append/overwrite/merge-upsert batch is
+    * gated by one extra predicate pass before its commit. NULL
+    * results pass (SQL CHECK semantics). Caveat shared with public
+    * formats: an append racing the ADD itself is not re-validated.
+    */
+  def addConstraint(spark: SparkSession, root: String,
+                    name: String, checkExpr: String): Long = {
+    require(name.nonEmpty && checkExpr.nonEmpty,
+      "constraint needs a name and a non-empty CHECK expression")
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    val existing = readAdds(spark, rootP, snap.schemaDdl, snap.files)
+      .where(violates(checkExpr)).limit(1).count()
+    require(existing == 0,
+      s"cannot add CHECK constraint '$name' ($checkExpr): existing rows " +
+        "violate it")
+    LakeLog.commit(f, rootP, Seq(
+      Meta("add constraint", snap.schemaDdl, snap.statsCols, None, None,
+        now()),
+      LakeLog.Feature("check-constraints"),
+      LakeLog.Constraint(name, checkExpr)))
+  }
+
+  def dropConstraint(spark: SparkSession, root: String,
+                     name: String): Long = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    require(snap.constraints.contains(name),
+      s"no CHECK constraint '$name' " +
+        s"(have: ${snap.constraints.keys.toSeq.sorted.mkString(", ")})")
+    LakeLog.commit(f, rootP, Seq(
+      Meta("drop constraint", snap.schemaDdl, snap.statsCols, None, None,
+        now()),
+      LakeLog.Constraint(name, "")))
   }
 
   /** Time travel by wall clock: the snapshot a reader at `tsMillis`
@@ -667,6 +760,7 @@ object LakeTable {
       .drop("__rn")
     val upserts = winners.where(col(opCol) =!= lit("D"))
       .select(tableCols.map(col): _*)
+    enforceConstraints(upserts, snap.constraints, "merge upsert")
     val changedKeys = winners.select(col(keyCol)).distinct()
 
     val keyType = StructType.fromDDL(snap.schemaDdl)

@@ -1,0 +1,166 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reader-feature protocol flags and CHECK constraints — the two
+  * guards that make the log safe to EVOLVE: old readers fail loudly
+  * instead of mis-reading new semantics, and writers cannot land rows
+  * the table's contract rejects.
+  */
+class LakeGuardSpec extends SparkSuite {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_lakeguard").resolve("tbl").toString
+
+  private def seed(lo: Int, hi: Int): DataFrame = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"n_$i", i * 10L))
+      .toDF("id", "name", "amount")
+  }
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("addConstraint validates existing rows first") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 2)
+    intercept[IllegalArgumentException] {
+      LakeTable.addConstraint(spark, root, "big", "id >= 50")
+    }
+    LakeTable.addConstraint(spark, root, "nonneg", "amount >= 0")
+    assert(LakeTable.snapshot(spark, root).constraints ==
+      Map("nonneg" -> "amount >= 0"))
+  }
+
+  test("appends, overwrites and merge upserts are gated; deletes are not") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 2)
+    LakeTable.addConstraint(spark, root, "nonneg", "amount >= 0")
+    val vBefore = LakeTable.latestVersion(spark, root).get
+
+    import spark.implicits._
+    val bad = Seq((200L, "bad", -5L)).toDF("id", "name", "amount")
+    val ex = intercept[IllegalArgumentException] {
+      LakeTable.append(spark, root, bad, nFiles = 1)
+    }
+    assert(ex.getMessage.contains("nonneg"))
+    assert(LakeTable.latestVersion(spark, root).get == vBefore,
+      "a refused append must not commit")
+
+    intercept[IllegalArgumentException] {
+      LakeTable.overwrite(spark, root, bad)
+    }
+
+    val badUpsert = Seq((5L, "bad", -5L, 1L, "U"))
+      .toDF("id", "name", "amount", "version", "op")
+    intercept[IllegalArgumentException] {
+      LakeTable.merge(spark, root, badUpsert, "id")
+    }
+    // a delete row's payload is never written — not gated
+    val del = Seq((5L, "x", -5L, 1L, "D"))
+      .toDF("id", "name", "amount", "version", "op")
+    LakeTable.merge(spark, root, del, "id")
+    assert(!ids(LakeTable.scan(spark, root)).contains(5L))
+
+    LakeTable.append(spark, root, seed(100, 110), nFiles = 1)
+    assert(LakeTable.scan(spark, root).count() == 109)
+  }
+
+  test("NULL passes a CHECK (SQL semantics); evolution appends stay legal") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 50), Seq("id"), nFiles = 1)
+    LakeTable.addConstraint(spark, root, "nonneg", "amount >= 0")
+    import spark.implicits._
+    // an append omitting the constrained column reads as NULL → passes
+    val partial = Seq((100L, "late")).toDF("id", "name")
+    LakeTable.append(spark, root, partial, nFiles = 1, mergeSchema = true)
+    assert(LakeTable.scan(spark, root).count() == 51)
+  }
+
+  test("dropConstraint lifts the gate; unknown names refuse") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 10), Seq("id"), nFiles = 1)
+    LakeTable.addConstraint(spark, root, "nonneg", "amount >= 0")
+    intercept[IllegalArgumentException] {
+      LakeTable.dropConstraint(spark, root, "nope")
+    }
+    LakeTable.dropConstraint(spark, root, "nonneg")
+    import spark.implicits._
+    LakeTable.append(spark, root,
+      Seq((99L, "neg", -1L)).toDF("id", "name", "amount"), nFiles = 1)
+    assert(LakeTable.scan(spark, root).count() == 11)
+  }
+
+  test("a table requiring an unknown reader feature refuses to be read") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 10), Seq("id"), nFiles = 1)
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val f = LakeLog.fileSystem(rootP,
+      spark.sparkContext.hadoopConfiguration)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    LakeLog.commit(f, rootP, Seq(
+      LakeLog.Meta("upgrade", snap.schemaDdl, snap.statsCols, None, None, 0L),
+      LakeLog.Feature("time-crystals")))
+    val ex = intercept[LakeLog.UnsupportedFeatureException] {
+      LakeTable.scan(spark, root)
+    }
+    assert(ex.getMessage.contains("time-crystals"))
+    // older versions (before the flag) stay readable
+    assert(LakeTable.scanAsOf(spark, root, Some(0L)).count() == 10)
+  }
+
+  test("MOR deletes stamp the deletion-vectors feature") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 10), Seq("id"), nFiles = 1)
+    LakeTable.deleteWhereMor(spark, root,
+      Seq(LakeTable.ColRange("id", Some(0L), Some(1L))))
+    assert(LakeTable.snapshot(spark, root).features
+      .contains("deletion-vectors"))
+  }
+
+  test("clones inherit features and constraints") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    LakeTable.create(spark, src, seed(0, 10), Seq("id"), nFiles = 1)
+    LakeTable.addConstraint(spark, src, "nonneg", "amount >= 0")
+    LakeTable.shallowClone(spark, src, dst)
+    val snap = LakeTable.snapshot(spark, dst)
+    assert(snap.features.contains("absolute-paths") &&
+      snap.features.contains("check-constraints"))
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      LakeTable.append(spark, dst,
+        Seq((99L, "neg", -1L)).toDF("id", "name", "amount"), nFiles = 1)
+    }
+  }
+
+  test("features and constraints survive checkpoint replay") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 10), Seq("id"), nFiles = 1)
+    LakeTable.addConstraint(spark, root, "nonneg", "amount >= 0")
+    LakeTable.deleteWhereMor(spark, root,
+      Seq(LakeTable.ColRange("id", Some(0L), Some(0L))))
+    // push past the checkpoint interval so the next snapshot replays
+    // from the checkpoint, not the full log
+    (0 until LakeLog.checkpointInterval).foreach { i =>
+      LakeTable.append(spark, root, seed(100 + i, 101 + i), nFiles = 1)
+    }
+    val snap = LakeTable.snapshot(spark, root)
+    assert(snap.version >= LakeLog.checkpointInterval)
+    assert(snap.constraints == Map("nonneg" -> "amount >= 0"),
+      "constraints must be carried by the checkpoint")
+    assert(snap.features.contains("deletion-vectors"),
+      "features must be carried by the checkpoint")
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      LakeTable.append(spark, root,
+        Seq((99L, "neg", -1L)).toDF("id", "name", "amount"), nFiles = 1)
+    }
+    // the DV'd file's vector also survives checkpoint replay
+    assert(!ids(LakeTable.scan(spark, root)).contains(0L))
+  }
+}

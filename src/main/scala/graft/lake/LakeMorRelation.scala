@@ -50,6 +50,33 @@ private[lake] final class LakeMorRelation(spark: SparkSession, root: Path,
   }
 }
 
+/** Batch change-data-feed relation:
+  * `spark.read.format("graft-lake").option("readChangeFeed", true)
+  * .option("startingVersion", v) [.option("endingVersion", w)]` —
+  * the row-level changes of commits `[startingVersion, ending]`
+  * (inclusive, Delta's batch-CDF convention), reconstructed by the
+  * same per-commit frames as [[LakeTable.scanChanges]] and tagged
+  * with `_change_type`/`_commit_version`.
+  */
+private[lake] final class LakeCdfRelation(spark: SparkSession, root: Path,
+                                          from: Long, to: Long,
+                                          dataDdl: String)
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override val schema: StructType =
+    LakeStreamSource.withCdfColumns(StructType.fromDDL(dataDdl))
+
+  override def buildScan(): RDD[Row] = {
+    val frames = LakeTable.changeFrames(spark, root, dataDdl, from, to)
+    val df =
+      if (frames.isEmpty) LakeTable.emptyChanges(spark, root, dataDdl)
+      else frames.reduce(_.unionByName(_))
+    df.rdd
+  }
+}
+
 private[lake] object LakeMorRelation {
 
   /** `sources.Filter` → stats-prunable ranges (the data-source-API

@@ -73,6 +73,17 @@ class LakeStreamSourceProvider extends StreamSourceProvider
     val root = new Path(rootOf(parameters))
     val fs = LakeLog.fileSystem(root,
       session.sparkContext.hadoopConfiguration)
+    if (cdfOf(parameters)) {
+      // batch CDF: [startingVersion, endingVersion], both inclusive
+      val latest = LakeLog.latestVersion(fs, root).getOrElse(
+        throw new IllegalArgumentException(s"no lake table at ${root}"))
+      val from = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+      val to = parameters.get("endingVersion").map(_.toLong).getOrElse(latest)
+      require(from >= 0 && from <= to && to <= latest,
+        s"bad change range [$from, $to]: table has 0..$latest")
+      val ddl = LakeLog.snapshot(fs, root, Some(to)).schemaDdl
+      return new LakeCdfRelation(session, root, from, to, ddl)
+    }
     val byVersion = parameters.get("versionAsOf").map(_.toLong)
     val byTs = parameters.get("timestampAsOf").map(t =>
       LakeLog.versionAtTimestamp(fs, root, t.toLong))

@@ -170,6 +170,31 @@ class LakeSqlReadSpec extends SparkSuite {
     }
   }
 
+  test("batch readChangeFeed on the format surface slices commit ranges") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(50), Seq("id"), nFiles = 1)   // v0
+    LakeTable.append(spark, root, seed(80).where(col("id") >= 50),
+      nFiles = 1)                                                     // v1
+    LakeTable.deleteWhereMor(spark, root,
+      Seq(LakeTable.ColRange("id", Some(0L), Some(4L))))              // v2
+    def cdf(opts: Map[String, String]) = {
+      val r = spark.read.format("graft-lake")
+        .option("readChangeFeed", "true")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(root)
+    }
+    val all = cdf(Map.empty)
+    assert(all.count() == 85)
+    assert(all.where(col("_change_type") === "delete" &&
+      col("_commit_version") === 2).count() == 5)
+    val sliced = cdf(Map("startingVersion" -> "1", "endingVersion" -> "1"))
+    assert(sliced.count() == 30)
+    assert(sliced.where(col("_change_type") === "insert").count() == 30)
+    intercept[IllegalArgumentException] {
+      cdf(Map("startingVersion" -> "5")).count()
+    }
+  }
+
   test("filter-to-range extraction covers both operand orders") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.expressions.Literal

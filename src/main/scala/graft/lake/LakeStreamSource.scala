@@ -26,9 +26,12 @@ import org.apache.spark.sql.types.StructType
   *    `stream_lake_pipeline_replay` (a lake-to-lake pipeline with a
   *    restart between drains);
   *  - `maxVersionsPerTrigger` caps how many commits one micro-batch
-  *    may cover (Kafka's `maxOffsetsPerTrigger` shape) — a cold
-  *    start on a long-lived table becomes a sequence of bounded
-  *    batches instead of one table-sized scan;
+  *    may cover (Kafka's `maxOffsetsPerTrigger` shape) and
+  *    `maxBytesPerTrigger` caps a batch's recorded added-bytes (the
+  *    file-source analog; both compose, bytes computed from the log's
+  *    stats with zero FS calls) — a cold start on a long-lived table
+  *    becomes a sequence of bounded batches instead of one
+  *    table-sized scan;
   *  - combined with [[LakeSink]] on the write side, a lake-to-lake
   *    pipeline is exactly-once END TO END: the source never re-emits
   *    a committed file, the sink never re-commits a delivered batch.
@@ -130,7 +133,8 @@ class LakeStreamSourceProvider extends StreamSourceProvider
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
       parameters.get("ignoreChanges").exists(_.toBoolean),
       parameters.get("maxVersionsPerTrigger").map(_.toLong),
-      readChangeFeed = cdfOf(parameters))
+      readChangeFeed = cdfOf(parameters),
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong))
 }
 
 object LakeStreamSource {
@@ -143,11 +147,14 @@ object LakeStreamSource {
 class LakeStreamSource(sqlContext: SQLContext, root: String,
                        startingVersion: Long, ignoreChanges: Boolean,
                        maxVersionsPerTrigger: Option[Long] = None,
-                       readChangeFeed: Boolean = false)
+                       readChangeFeed: Boolean = false,
+                       maxBytesPerTrigger: Option[Long] = None)
     extends Source {
 
   require(maxVersionsPerTrigger.forall(_ > 0),
     s"maxVersionsPerTrigger must be positive, got $maxVersionsPerTrigger")
+  require(maxBytesPerTrigger.forall(_ > 0),
+    s"maxBytesPerTrigger must be positive, got $maxBytesPerTrigger")
 
   private val rootP = new Path(root)
   private val fs = LakeLog.fileSystem(rootP,
@@ -172,8 +179,27 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
 
   override def getOffset: Option[Offset] =
     LakeLog.latestVersion(fs, rootP).map { latest =>
-      val capped = maxVersionsPerTrigger
+      val vCap = maxVersionsPerTrigger
         .fold(latest)(m => math.min(latest, plannedThrough + m))
+      // byte pacing (the maxBytesPerTrigger analog): accumulate the
+      // commits' recorded added-bytes — KB-sized log reads, no FS
+      // stat calls — and stop BEFORE the commit that would overflow
+      // the cap. Always at least one commit, or a huge single commit
+      // would stall the stream forever.
+      val capped = maxBytesPerTrigger match {
+        case None => vCap
+        case Some(maxB) =>
+          var v = plannedThrough
+          var bytes = 0L
+          var stop = false
+          while (!stop && v < vCap) {
+            val next = LakeLog.readCommit(fs, rootP, v + 1)
+              .collect { case a: LakeLog.Add => a.stats.bytes }.sum
+            if (v > plannedThrough && bytes + next > maxB) stop = true
+            else { v += 1; bytes += next }
+          }
+          v
+      }
       plannedThrough = math.max(plannedThrough, capped)
       LongOffset(capped)
     }

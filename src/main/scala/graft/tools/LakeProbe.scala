@@ -1,0 +1,132 @@
+package graft.tools
+
+import graft.lake.LakeTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured lake economics — the numbers behind SCALE.md's lakehouse
+  * table: copy-on-write vs merge-on-read delete cost, deletion-vector
+  * read overhead, CDC boundedness, and clone cost. Appends a section
+  * to SCALEPROBE.md.
+  *
+  * Usage: `sbt "runMain graft.tools.LakeProbe [sfDir]"`.
+  */
+object LakeProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = java.nio.file.Files.createTempDirectory("graft_lakeprobe")
+      .toString
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("o_cents"))
+
+    def mk(name: String, nFiles: Int): String = {
+      val root = s"$base/$name"
+      LakeTable.create(spark, root, orders, Seq("o_orderkey"),
+        nFiles = nFiles, clusterBy = Some("o_orderkey"))
+      root
+    }
+
+    def time[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    val nRows = orders.count()
+    val nFiles = 32
+    val keyMax = orders.agg(max("o_orderkey")).head().getLong(0)
+    // a range covering ~1/32 of the key space: hits ~1 clustered file
+    val lo = keyMax / 2
+    val hi = lo + keyMax / nFiles / 4
+    def range(l: Long, h: Long) =
+      Seq(LakeTable.ColRange("o_orderkey", Some(l), Some(h)))
+
+    val sb = new StringBuilder
+    sb.append("\n## Lake probe (round 13): COW vs MOR delete, DV ")
+    sb.append("overhead, CDC boundedness\n\n")
+    sb.append(s"$nRows rows, $nFiles key-clustered files, sfDir=$sfDir, ")
+    sb.append("local[8]. Wall seconds, single pass (magnitudes, not ")
+    sb.append("medians).\n\n")
+
+    // 1. one narrow delete: COW rewrites the candidate file(s), MOR
+    //    writes a KB sidecar
+    val cowRoot = mk("cow", nFiles)
+    val morRoot = mk("mor", nFiles)
+    val (tCow, repCow) = time(LakeTable.deleteWhere(spark, cowRoot,
+      range(lo, hi)))
+    val (tMor, repMor) = time(LakeTable.deleteWhereMor(spark, morRoot,
+      range(lo, hi)))
+    def dirBytes(root: String, sub: String): Long = {
+      val d = new java.io.File(s"$root/$sub")
+      if (!d.exists()) 0L
+      else d.listFiles().flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val cowWritten = dirBytes(cowRoot, "data") - dirBytes(morRoot, "data")
+    sb.append("| delete of one clustered key slice | wall s | files ")
+    sb.append("rewritten | bytes written |\n|---|---|---|---|\n")
+    sb.append(f"| copy-on-write `deleteWhere` | $tCow%.2f | " +
+      s"${repCow.filesRewritten} | ~$cowWritten (rewritten data) |\n")
+    sb.append(f"| merge-on-read `deleteWhereMor` | $tMor%.2f | 0 " +
+      s"(${repMor.filesRewritten} re-pointed) | " +
+      s"${dirBytes(morRoot, "dv")} (position sidecar) |\n\n")
+
+    // 2. DV read overhead: clean scan vs scan with every file DV'd
+    val (tClean, cntClean) = time(LakeTable.scan(spark, morRoot)
+      .agg(sum("o_cents")).head().getLong(0))
+    // thin-slice MOR deletes targeting each file -> all files carry DVs
+    val snap = LakeTable.snapshot(spark, morRoot)
+    snap.files.foreach { a =>
+      (a.stats.min.get("o_orderkey"), a.stats.max.get("o_orderkey")) match {
+        case (Some(mn: Long), Some(mx: Long)) if mx > mn =>
+          LakeTable.deleteWhereMor(spark, morRoot, range(mn, mn))
+        case _ => ()
+      }
+    }
+    val dvd = LakeTable.snapshot(spark, morRoot).files.count(_.dv.nonEmpty)
+    val (tDv, dvSum) = time(LakeTable.scan(spark, morRoot)
+      .agg(sum("o_cents")).head().getLong(0))
+    require(cntClean != 0 && dvSum != 0)
+    sb.append(f"Full-scan aggregate: mostly-clean snapshot $tClean%.2f s; ")
+    sb.append(f"with $dvd/$nFiles files DV'd $tDv%.2f s — the broadcast ")
+    sb.append("row-index anti-join is the only plan delta.\n\n")
+
+    // 3. CDC boundedness: last commit's changes vs the whole history
+    val latest = LakeTable.latestVersion(spark, morRoot).get
+    val (tLast, nLast) = time(
+      LakeTable.scanChanges(spark, morRoot, latest - 1, latest).count())
+    val (tAll, nAll) = time(
+      LakeTable.scanChanges(spark, morRoot, 0, latest).count())
+    sb.append(f"CDF: last commit $nLast rows in $tLast%.2f s; full ")
+    sb.append(f"history ($latest commits, $nAll rows) $tAll%.2f s — ")
+    sb.append("cost follows the commits' touched files, not table ")
+    sb.append("age.\n\n")
+
+    // 4. clone cost: driver-only, KB commit
+    val srcSum = LakeTable.scan(spark, morRoot)
+      .agg(sum("o_cents")).head().getLong(0)
+    val (tClone, _) = time(
+      LakeTable.shallowClone(spark, morRoot, s"$base/clone"))
+    val (tCloneScan, cloneSum) = time(LakeTable.scan(spark, s"$base/clone")
+      .agg(sum("o_cents")).head().getLong(0))
+    sb.append(f"Shallow clone of the $nFiles-file table: $tClone%.3f s ")
+    sb.append(f"(one KB commit, zero data); first clone scan ")
+    sb.append(f"$tCloneScan%.2f s, sum matches source: ")
+    sb.append(s"${cloneSum == srcSum}.\n")
+
+    val out = java.nio.file.Paths.get("SCALEPROBE.md")
+    java.nio.file.Files.writeString(out,
+      java.nio.file.Files.readString(out) + sb.toString)
+    println(sb.toString)
+    spark.stop()
+  }
+}

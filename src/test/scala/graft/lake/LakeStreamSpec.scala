@@ -116,6 +116,31 @@ class LakeStreamSpec extends SparkSuite {
     assert(ids(spark.table("lake_paced")) == (0L until 120L))
   }
 
+  test("maxBytesPerTrigger paces a cold start by recorded commit bytes") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 20), Seq("id"), nFiles = 1)
+    (1 to 5).foreach { i =>
+      LakeTable.append(spark, root, seed(20 * i, 20 * (i + 1)), nFiles = 1)
+    }
+    // each commit is one ~KB file; a cap of twice the smallest commit
+    // forces >=3 micro-batches while still letting commits pair up
+    val perCommit = LakeTable.snapshot(spark, root).files
+      .map(_.stats.bytes).min
+    val q = spark.readStream.format("graft-lake")
+      .option("maxBytesPerTrigger", (2 * perCommit).toString).load(root)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lake_bytepaced").start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(dataBatches.length >= 3,
+        s"expected >=3 byte-paced micro-batches, got ${dataBatches.length}")
+      assert(dataBatches.forall(_.numInputRows <= 40),
+        "a byte-paced batch here can cover at most 2 commits (40 rows)")
+    } finally q.stop()
+    assert(ids(spark.table("lake_bytepaced")) == (0L until 120L))
+  }
+
   test("readChangeFeed streams rewrites as tagged deletes, compaction as nothing") {
     val root = freshRoot()
     LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 2,

@@ -118,18 +118,21 @@ object LakeTable {
     val outDir = new Path(root, sub)
     val arranged = clusterBy match {
       case Some(z) if z.startsWith("z:") =>
-        // multi-dimensional layout: Morton-interleave the two recorded
-        // columns so every file carries tight min/max bounds on BOTH —
-        // predicates on either dimension prune. Rewrites re-enter here
-        // with the same recorded spec, so maintenance preserves it.
-        // The interleave kernel is unsigned-32-bit; values outside
-        // [0, 2^31) become NULL here so ZOrder.layout's own guard
-        // fails LOUDLY instead of wrapping into a wrong (but silent)
-        // curve position.
-        val Array(a, b) = z.stripPrefix("z:").split(",")
+        // multi-dimensional layout: Morton-interleave the recorded
+        // columns so every file carries tight min/max bounds on ALL
+        // of them — a predicate on any dimension prunes. Rewrites
+        // re-enter here with the same recorded spec, so maintenance
+        // preserves it. Values outside the curve's guarded domain
+        // become NULL here so the layout's own assert fails LOUDLY
+        // instead of wrapping into a wrong (but silent) position.
+        val dims = z.stripPrefix("z:").split(",").toSeq
         def dim(c: String) =
           when(col(c).between(0, Int.MaxValue), col(c)).cast("int")
-        graft.operators.ZOrder.layout(df, dim(a), dim(b), nFiles)
+        if (dims.size == 2) // 2-D keeps the codegen'd 32-bit kernel
+          graft.operators.ZOrder.layout(df, dim(dims(0)), dim(dims(1)),
+            nFiles)
+        else
+          graft.operators.ZOrder.layoutN(df, dims.map(dim), nFiles)
       case Some(c) =>
         df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
       case None => df.repartition(nFiles)
@@ -168,14 +171,19 @@ object LakeTable {
 
   // ---- create / append / overwrite ---------------------------------
 
-  /** Cluster-spec for 2-D z-order layout, usable anywhere a
-    * `clusterBy` column name is: `create(..., clusterBy =
-    * Some(LakeTable.zCluster("x", "y")))`. Both columns must be
-    * non-negative integers (ZOrder.layout's guarded domain) and
-    * should also be stats columns so the skipping index sees the
-    * per-file bounds the layout tightened.
+  /** Cluster-spec for n-D z-order layout (2-4 columns), usable
+    * anywhere a `clusterBy` column name is: `create(..., clusterBy =
+    * Some(LakeTable.zCluster("x", "y")))`. Columns must be
+    * non-negative integers (the guarded curve domain; with k > 2
+    * columns each must fit in 63/k bits) and should also be stats
+    * columns so the skipping index sees the per-file bounds the
+    * layout tightened.
     */
-  def zCluster(x: String, y: String): String = s"z:$x,$y"
+  def zCluster(cols: String*): String = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"zCluster takes 2-4 columns, got ${cols.size}")
+    s"z:${cols.mkString(",")}"
+  }
 
   def create(spark: SparkSession, root: String, df: DataFrame,
              statsCols: Seq[String], nFiles: Int = 8,

@@ -64,6 +64,76 @@ object ZOrder {
       .drop("__z")
   }
 
+  /** n-DIMENSIONAL Morton key (3+ columns; use [[zvalue]]'s codegen'd
+    * kernel for the 2-D case): round-robin interleave of the low
+    * `bits` bits of each column into one long, built from plain
+    * shift/mask/sum arithmetic so it stays inside whole-stage codegen
+    * with no custom kernel. Each column must fit in `bits` bits —
+    * [[layoutN]] guards that per row. With k columns, bits <= 63/k.
+    */
+  def zvalueN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2, s"need >= 2 columns, got $k")
+    require(bits >= 1 && k * bits <= 63,
+      s"$k columns x $bits bits exceeds the 63-bit key")
+    val terms = for {
+      i <- 0 until bits
+      (c, d) <- cols.zipWithIndex
+    } yield (shiftright(c.cast("long"), i).bitwiseAND(lit(1L))) *
+      lit(1L << (i * k + d))
+    terms.reduce(_ + _)
+  }
+
+  /** n-D clustering for writing — [[layout]]'s shape for 3+ columns:
+    * one range exchange on the interleaved key, per-partition sort,
+    * key dropped. Every column's per-file extent shrinks with file
+    * count, so a predicate on ANY of the k dimensions prunes.
+    *
+    * Columns are RANGE-NORMALIZED before interleaving (one min/max
+    * aggregate over the input, then integer bucket ids of equal
+    * width): raw interleaving lets the largest-magnitude column own
+    * every significant key bit — a (60000-range, 1500-range,
+    * 1024-range) triple would sort purely by the first column and
+    * prune on nothing else. Normalization gives each dimension the
+    * same bit significance regardless of its units, the same reason
+    * public z-order implementations rank-normalize. Negative values
+    * are fine (the bucket id is offset from the observed min); NULLs
+    * fail loudly.
+    */
+  def layoutN(df: DataFrame, cols: Seq[Column], numFiles: Int): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val k = cols.size
+    val bits = math.min(16, 63 / k) // 2^16 buckets/dim is plenty for files
+    val aggs = cols.flatMap(c =>
+      Seq(min(c.cast("long")), max(c.cast("long"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // null min/max = empty input (nothing to scale) or all-null
+    // coordinates (the per-row guard below still fails those loudly)
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val mn = if (row.isNullAt(2 * i)) 0L else row.getLong(2 * i)
+      val mx = if (row.isNullAt(2 * i + 1)) 0L else row.getLong(2 * i + 1)
+      val span = mx - mn
+      require(span >= 0,
+        s"column ${i + 1} range [$mn, $mx] overflows long arithmetic")
+      // power-of-two scaling → the id is one exact shift (Column `/`
+      // would be IEEE double division). Large spans shift RIGHT into
+      // the bucket width; small spans shift LEFT to fill it — without
+      // the scale-up, a small-range column's top bucket bits are
+      // constant zero and the interleave gives it no significant key
+      // bits at all (no file would ever split on it).
+      val shift = (64 - java.lang.Long.numberOfLeadingZeros(span)) - bits
+      val off = c.cast("long") - lit(mn)
+      if (shift >= 0) shiftright(off, shift) else shiftleft(off, -shift)
+    }
+    val guard = assert_true(cols.map(_.isNotNull).reduce(_ && _),
+      lit("ZOrder.layoutN requires non-null coordinates: a NULL " +
+        "produces no curve position to range-partition on"))
+    df.withColumn("__z", when(guard.isNull, zvalueN(scaled, bits)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
   /** DuckDB-expressible Morton formula for oracle generation: the
     * unrolled `Σ ((x>>i)&1)·4^i + ((y>>i)&1)·2·4^i` for inputs known
     * to fit in `bits` bits — integer arithmetic both engines fix

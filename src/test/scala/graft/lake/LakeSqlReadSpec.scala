@@ -170,6 +170,34 @@ class LakeSqlReadSpec extends SparkSuite {
     }
   }
 
+  test("3-D z-order prunes on any of the three dimensions") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = (0 until 4096).map { i =>
+      (i.toLong, (i % 64).toLong, ((i * 7) % 64).toLong, (i / 64).toLong)
+    }.toDF("id", "x", "y", "w")
+    LakeTable.create(spark, root, df, Seq("x", "y", "w"), nFiles = 16,
+      clusterBy = Some(LakeTable.zCluster("x", "y", "w")))
+    def filesRead(dfq: DataFrame): Long = {
+      dfq.collect()
+      dfq.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.getOrElse(fail("no FileSourceScanExec"))
+    }
+    val base = spark.read.format("graft-lake").load(root)
+    Seq("x", "y", "w").foreach { c =>
+      val n = filesRead(base.where(col(c) >= 8 && col(c) < 16))
+      assert(n < 16, s"$c-range read $n of 16 z3-ordered files")
+      assert(base.where(col(c) >= 8 && col(c) < 16).count() ==
+        df.where(col(c) >= 8 && col(c) < 16).count())
+    }
+    // out-of-domain coordinates fail the layout loudly
+    intercept[Exception] {
+      val big = Seq((1L, 1L << 40, 0L, 0L)).toDF("id", "x", "y", "w")
+      LakeTable.append(spark, root, big, nFiles = 1)
+    }
+  }
+
   test("batch readChangeFeed on the format surface slices commit ranges") {
     val root = freshRoot()
     LakeTable.create(spark, root, seed(50), Seq("id"), nFiles = 1)   // v0

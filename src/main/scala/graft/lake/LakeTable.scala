@@ -794,16 +794,60 @@ object LakeTable {
     RewriteReport(v, cands.size, adds.size, untouched.size)
   }
 
+  /** Roll the table BACK to the state of `toVersion` as a NEW commit
+    * (the RESTORE shape): the current snapshot's files are removed,
+    * the target version's re-added — pure log movement, no data
+    * read or written, so restoring a 100 TB table is a KB commit.
+    * History is preserved (the bad commits stay inspectable and the
+    * restore itself is one more auditable version); the restored
+    * files must still exist, so restore only reaches versions vacuum
+    * has retained — the same retention contract as time travel.
+    * Active CHECK constraints and reader features are NOT rolled
+    * back: they are table policy, not data.
+    */
+  def restore(spark: SparkSession, root: String,
+              toVersion: Long): RewriteReport = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val cur = LakeLog.snapshot(f, rootP, None)
+    require(toVersion < cur.version,
+      s"restore target $toVersion is not before current ${cur.version}")
+    val old = LakeLog.snapshot(f, rootP, Some(toVersion))
+    val needed = old.files.map(_.path) ++ old.files.flatMap(_.dv.map(_.path))
+    val missing = needed.filterNot(p => f.exists(new Path(rootP, p)))
+    require(missing.isEmpty,
+      s"cannot restore to $toVersion: ${missing.size} of its files/" +
+        s"sidecars were vacuumed (first: ${missing.headOption})")
+    val keep = old.files.map(a => a.path -> a).toMap
+    val rms = cur.files.filterNot(a => keep.get(a.path).contains(a))
+      .map(a => Remove(a.path))
+    val readds = old.files.filterNot(a =>
+      cur.files.contains(a)) // unchanged files need no action
+    val v = LakeLog.commit(f, rootP,
+      (Meta("restore", old.schemaDdl, old.statsCols, None, None, now(),
+        old.clusterBy) +: rms) ++ readds,
+      guardFiles = cur.files, baseVersion = cur.version)
+    RewriteReport(v, rms.size, readds.size,
+      cur.files.size - rms.size)
+  }
+
   /** Bin-pack every live file smaller than `smallBytes` into
     * ~`targetBytes` outputs (measured input bytes, like
     * [[graft.operators.Compaction]]) as one atomic rewrite commit.
+    * `within` (optional) scopes the pass to files whose stats admit
+    * the ranges — the "OPTIMIZE WHERE" shape: a daily maintenance
+    * job compacts yesterday's key region without touching (or even
+    * listing the stats of) the rest of a 100 TB table.
     */
   def compact(spark: SparkSession, root: String, smallBytes: Long,
-              targetBytes: Long): RewriteReport = {
+              targetBytes: Long,
+              within: Seq[ColRange] = Nil): RewriteReport = {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val snap = LakeLog.snapshot(f, rootP, None)
-    val (smalls, untouched) = snap.files.partition(_.stats.bytes < smallBytes)
+    val (smalls, untouched) = snap.files.partition(a =>
+      a.stats.bytes < smallBytes &&
+        within.forall(r => mayMatch(a.stats, r)))
     if (smalls.size < 2)
       return RewriteReport(snap.version, 0, 0, snap.files.size)
     val totalBytes = smalls.map(_.stats.bytes).sum

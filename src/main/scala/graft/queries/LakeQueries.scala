@@ -173,6 +173,26 @@ object LakeQueries {
       root
     })
 
+  /** Restore chain: create(even keys) → append(odd keys) → COW
+    * delete [1000,1999] → RESTORE to v0. The final read must equal
+    * v0 exactly — proving the rollback commit reproduced the old
+    * file set — while versions 1 and 2 stay in history.
+    */
+  private val restoreCache = new ConcurrentHashMap[String, String]()
+  private def restoreFor(s: SparkSession, dir: String): String =
+    restoreCache.computeIfAbsent(dir, _ => {
+      val root = s"$lakeRoot/restore_${dirKey(dir)}"
+      val sd = seed(s, dir)
+      LakeTable.create(s, root, sd.where(col("o_orderkey") % 2 === 0),
+        Seq("o_orderkey"), nFiles = 4, clusterBy = Some("o_orderkey"))
+      LakeTable.append(s, root, sd.where(col("o_orderkey") % 2 === 1),
+        nFiles = 2)
+      LakeTable.deleteWhere(s, root,
+        Seq(LakeTable.ColRange("o_orderkey", Some(1000L), Some(1999L))))
+      LakeTable.restore(s, root, 0L)
+      root
+    })
+
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Tail replay: a fresh lake is created with keys [0,400) and then
@@ -454,6 +474,18 @@ object LakeQueries {
                cents AS o_cents, ct AS _change_type,
                CAST(cv AS BIGINT) AS _commit_version
         FROM cdf ORDER BY _commit_version, _change_type, o_orderkey""")),
+
+    QueryDef("lake_restore_read",
+      // RESTORE as a new commit: after an append and a copy-on-write
+      // delete, rolling back to v0 must reproduce its rows exactly
+      // (pure log movement — the oracle is v0's own arithmetic)
+      (s, dir) => LakeTable.scan(s, restoreFor(s, dir))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders WHERE o_orderkey < 4000 AND o_orderkey % 2 = 0
+        ORDER BY o_orderkey""")),
 
     QueryDef("lake_clone_read",
       // shallow clone + clone-local MOR delete: the scan reads the

@@ -22,6 +22,51 @@ class LakeTableSpec extends SparkSuite {
   private def ids(df: DataFrame): Seq[Long] =
     df.select("id").collect().map(_.getLong(0)).sorted.toSeq
 
+  test("restore rolls back to an old version as a new auditable commit") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(50), Seq("id"), nFiles = 2)   // v0
+    LakeTable.append(spark, root, seed(80).where(col("id") >= 50),
+      nFiles = 1)                                                     // v1
+    LakeTable.deleteWhere(spark, root,
+      Seq(LakeTable.ColRange("id", Some(0L), Some(9L))))              // v2
+    val rep = LakeTable.restore(spark, root, 0L)                      // v3
+    assert(ids(LakeTable.scan(spark, root)) == (0L until 50L),
+      "restore must reproduce v0's rows exactly")
+    assert(rep.version == 3L, "restore is a NEW commit, not history erasure")
+    // the rolled-back states stay time-travelable
+    assert(ids(LakeTable.scanAsOf(spark, root, Some(2L))) ==
+      (10L until 80L))
+    // CDF reports the restore's row-level effect like any rewrite
+    val ch = LakeTable.scanChanges(spark, root, 2L, 3L)
+    assert(ids(ch.where(col("_change_type") === "insert")) == (0L until 10L))
+    assert(ids(ch.where(col("_change_type") === "delete")) == (50L until 80L))
+    // restore of the current state refuses; vacuumed targets refuse
+    intercept[IllegalArgumentException] {
+      LakeTable.restore(spark, root, 3L)
+    }
+    LakeTable.append(spark, root, seed(90).where(col("id") >= 80),
+      nFiles = 1)                                                     // v4
+    LakeTable.vacuum(spark, root, keepFromVersion = 3L)
+    intercept[IllegalArgumentException] {
+      LakeTable.restore(spark, root, 2L) // v2's rewrite outputs vacuumed
+    }
+    assert(ids(LakeTable.scan(spark, root)) == (0L until 50L) ++ (80L until 90L))
+  }
+
+  test("compact within key ranges scopes the maintenance pass") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(400), Seq("id"), nFiles = 8,
+      clusterBy = Some("id"))
+    val rep = LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+      targetBytes = Long.MaxValue,
+      within = Seq(LakeTable.ColRange("id", Some(0L), Some(99L))))
+    assert(rep.filesRewritten == 2 && rep.filesAdded == 1,
+      s"only the two [0,99] files may compact, got $rep")
+    assert(ids(LakeTable.scan(spark, root)) == (0L until 400L))
+    val total = LakeTable.snapshot(spark, root).files.size
+    assert(total == 7, s"8 files -> 2 packed into 1 -> 7, got $total")
+  }
+
   test("mergeSchema append evolves additively; old files read as null") {
     val root = freshRoot()
     LakeTable.create(spark, root, seed(50), Seq("id"), nFiles = 1)

@@ -80,4 +80,36 @@ object LakeSink {
                   opCol: String = "op"): (DataFrame, Long) => Unit =
     (df, batchId) =>
       { mergeBatch(root, appId, batchId, df, keyCol, versionCol, opCol); () }
+
+  /** TABLE REPLICATION: apply a `readChangeFeed` stream of another
+    * lake into `root`, keyed on `keyCol` —
+    * `src.readStream.format("graft-lake").option("readChangeFeed",
+    * true).load(...).writeStream.foreachBatch(LakeSink.replicator(
+    * dst, appId, "id"))`. The change feed's tagged rows become a
+    * latest-wins changelog: the merge version is
+    * `2·_commit_version + (1 if insert)`, so within one source
+    * commit an UPDATE's insert row outranks its delete row (the
+    * multiset CDC emits updates as same-commit delete+insert pairs;
+    * without the tiebreak the merge's ties-favor-D rule would drop
+    * every updated key), while a later commit always outranks an
+    * earlier one. Combined with the merge sink's (appId, batchId)
+    * idempotence and the source's checkpointed offsets, the replica
+    * converges to the source's latest keyed state EXACTLY ONCE end
+    * to end — restart-safe on both sides, certified under the
+    * oracle by `stream_lake_replicate_replay`.
+    */
+  def replicator(root: String, appId: String,
+                 keyCol: String): (DataFrame, Long) => Unit =
+    (changes, batchId) => {
+      import org.apache.spark.sql.functions._
+      val asChangelog = changes
+        .withColumn("version",
+          col("_commit_version") * 2 +
+            when(col("_change_type") === "insert", 1L).otherwise(0L))
+        .withColumn("op",
+          when(col("_change_type") === "insert", "U").otherwise("D"))
+        .drop("_change_type", "_commit_version")
+      mergeBatch(root, appId, batchId, asChangelog, keyCol)
+      ()
+    }
 }

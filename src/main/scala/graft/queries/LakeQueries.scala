@@ -352,6 +352,52 @@ object LakeQueries {
       .orderBy("_commit_version", "_change_type", "o_orderkey")
   }
 
+  /** Table REPLICATION with a restart: a source lake is mutated —
+    * latest-wins MERGE (updates arrive in the feed as same-commit
+    * delete+insert pairs), a copy-on-write delete, a merge-on-read
+    * delete — while a `readChangeFeed` stream applies the feed into
+    * a replica via [[LakeSink.replicator]]; the stream is drained by
+    * TWO incarnations sharing a checkpoint, with mutations landing
+    * between and after the restart. The replica must converge to the
+    * source's exact latest keyed state: a dropped update (the
+    * same-commit tiebreak), a re-applied batch (idempotence), or a
+    * missed commit (offset resume) each leaves a hash-visible drift.
+    */
+  private def replicateReplay(s: SparkSession, dir: String): DataFrame = {
+    val n = seq.incrementAndGet()
+    val src = s"$lakeRoot/repl_src_${dirKey(dir)}_$n"
+    val dst = s"$lakeRoot/repl_dst_${dirKey(dir)}_$n"
+    val ckpt = s"$lakeRoot/repl_ckpt_${dirKey(dir)}_$n"
+    val sd = seed(s, dir)
+    LakeTable.create(s, src, sd.where(col("o_orderkey") < 1000),
+      Seq("o_orderkey"), nFiles = 2, clusterBy = Some("o_orderkey"))
+    LakeTable.create(s, dst, sd.where(col("o_orderkey") < 0),
+      Seq("o_orderkey"), nFiles = 1, clusterBy = Some("o_orderkey"))
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-lake")
+        .option("readChangeFeed", "true").load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(LakeSink.replicator(dst, "repl", "o_orderkey"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // incarnation 1: the create commit's inserts
+    // UPDATE via latest-wins merge: k%7 rows change status and cents
+    val ups = sd.where(col("o_orderkey") < 1000 &&
+        col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("R"))
+      .withColumn("o_cents", col("o_cents") + 7)
+      .withColumn("version", lit(1L)).withColumn("op", lit("U"))
+    LakeTable.merge(s, src, ups, "o_orderkey")
+    LakeTable.deleteWhere(s, src,
+      Seq(LakeTable.ColRange("o_orderkey", Some(300L), Some(399L))))
+    drain() // incarnation 2 on the same checkpoint
+    LakeTable.deleteWhereMor(s, src,
+      Seq(LakeTable.ColRange("o_orderkey", Some(500L), Some(549L))))
+    drain() // and the MOR delete's delta
+    LakeTable.scan(s, dst).orderBy("o_orderkey")
+  }
+
   /** DuckDB CTE reproducing [[chainFor]]'s end state from `orders`. */
   private val chainSql = """
     WITH sd AS (
@@ -594,6 +640,20 @@ object LakeQueries {
                cents AS o_cents, ct AS _change_type,
                CAST(cv AS BIGINT) AS _commit_version
         FROM cdf ORDER BY _commit_version, _change_type, o_orderkey""")),
+
+    QueryDef("stream_lake_replicate_replay",
+      (s, dir) => replicateReplay(s, dir),
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'R'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) +
+               CASE WHEN o_orderkey % 7 = 0 THEN 7 ELSE 0 END AS o_cents
+        FROM orders
+        WHERE o_orderkey < 1000
+          AND o_orderkey NOT BETWEEN 300 AND 399
+          AND o_orderkey NOT BETWEEN 500 AND 549
+        ORDER BY o_orderkey""")),
 
     QueryDef("stream_lake_upsert_replay",
       (s, dir) => upsertReplay(s, dir),

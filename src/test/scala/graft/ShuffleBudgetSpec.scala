@@ -393,6 +393,9 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("stream_lake_upsert_replay", 1, "destination lake scan + output " +
       "ordering; the per-batch merges ran at build time as bounded " +
       "candidate-file rewrites"),
+    ("stream_lake_replicate_replay", 1, "replica lake scan + output " +
+      "ordering; the CDF reconstruction and per-batch latest-wins " +
+      "merges ran inside the stream as bounded candidate-file work"),
     ("stream_lake_cdf_replay", 1, "memory-sink read back + output " +
       "ordering; per-batch change reconstruction (exceptAll over the " +
       "commit's touched files) happened inside the stream's bounded " +

@@ -192,6 +192,53 @@ class LakeDvSpec extends SparkSuite {
     assert(out.count() == 55)
   }
 
+  test("concurrent MOR deletes on DISJOINT files both commit via retry") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 200), Seq("id"), nFiles = 4,
+      clusterBy = Some("id")) // files ~[0,49][50,99][100,149][150,199]
+    val fs = Seq(
+      Future(LakeTable.deleteWhereMor(spark, root, range(10, 19))),
+      Future(LakeTable.deleteWhereMor(spark, root, range(160, 169))))
+    val reps = Await.result(Future.sequence(fs), 120.seconds)
+    assert(reps.map(_.version).toSet.size == 2,
+      "both writers must land (distinct versions) — their files are disjoint")
+    assert(ids(LakeTable.scan(spark, root)) ==
+      ((0L until 10L) ++ (20L until 160L) ++ (170L until 200L)))
+  }
+
+  test("concurrent MOR deletes on the SAME file: one aborts, no lost rows") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 1)
+    val outcomes = Await.result(Future.sequence(Seq(
+      Future(scala.util.Try(
+        LakeTable.deleteWhereMor(spark, root, range(0, 9)))),
+      Future(scala.util.Try(
+        LakeTable.deleteWhereMor(spark, root, range(20, 29)))))),
+      120.seconds)
+    val oks = outcomes.count(_.isSuccess)
+    val aborted = outcomes.collect {
+      case scala.util.Failure(e) => e
+    }
+    assert(aborted.forall(_.isInstanceOf[LakeLog.ConcurrentCommitException]),
+      s"losers must abort with the conflict error, got $aborted")
+    // whichever committed, its deletions are intact — and nothing else
+    // was lost (the loser's work simply did not happen)
+    val live = ids(LakeTable.scan(spark, root))
+    if (oks == 2) // serial luck: both landed in order
+      assert(live == ((10L until 20L) ++ (30L until 100L)))
+    else {
+      assert(oks == 1)
+      assert(live == ((10L until 100L): Seq[Long]) ||
+        live == ((0L until 20L) ++ (30L until 100L)))
+    }
+  }
+
   test("the commit guard conflicts on a concurrently re-pointed DV") {
     val root = freshRoot()
     LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 1)

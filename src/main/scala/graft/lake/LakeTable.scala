@@ -1042,6 +1042,29 @@ object LakeTable {
     }
   }
 
+  /** DESCRIBE-DETAIL-style one-row summary of the latest snapshot:
+    * version, file/row/byte totals, pending deletion-vector debt,
+    * layout spec, reader features, active constraints — the
+    * dashboard row maintenance tooling keys off.
+    */
+  def detail(spark: SparkSession, root: String): DataFrame = {
+    val snap = LakeLog.snapshot(fs(spark, new Path(root)), new Path(root),
+      None)
+    val dvRows = snap.files.flatMap(_.dv).map(_.rows).sum
+    import spark.implicits._
+    Seq((snap.version, snap.files.size.toLong,
+      snap.files.map(_.stats.rows).sum - dvRows,
+      snap.files.map(_.stats.bytes).sum,
+      snap.files.count(_.dv.nonEmpty).toLong, dvRows,
+      snap.clusterBy.getOrElse(""),
+      snap.features.toSeq.sorted.mkString(","),
+      snap.constraints.toSeq.sorted.map { case (n, e) => s"$n: $e" }
+        .mkString("; ")))
+      .toDF("version", "num_files", "num_rows", "total_bytes",
+        "dv_files", "dv_dead_rows", "cluster_by", "features",
+        "constraints")
+  }
+
   /** Commit history as a DataFrame: (version, op, files_added,
     * files_removed, rows_added) — the audit surface.
     */

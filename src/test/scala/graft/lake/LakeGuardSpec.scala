@@ -138,6 +138,25 @@ class LakeGuardSpec extends SparkSuite {
     }
   }
 
+  test("detail summarizes files, DV debt, layout, features, constraints") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 2,
+      clusterBy = Some("id"))
+    LakeTable.addConstraint(spark, root, "nonneg", "amount >= 0")
+    LakeTable.deleteWhereMor(spark, root,
+      Seq(LakeTable.ColRange("id", Some(0L), Some(9L))))
+    val d = LakeTable.detail(spark, root).head()
+    assert(d.getAs[Long]("version") == 2L)
+    assert(d.getAs[Long]("num_files") == 2L)
+    assert(d.getAs[Long]("num_rows") == 90L, "live rows net of DV debt")
+    assert(d.getAs[Long]("dv_files") == 1L &&
+      d.getAs[Long]("dv_dead_rows") == 10L)
+    assert(d.getAs[String]("cluster_by") == "id")
+    assert(d.getAs[String]("features")
+      .split(",").toSet == Set("check-constraints", "deletion-vectors"))
+    assert(d.getAs[String]("constraints") == "nonneg: amount >= 0")
+  }
+
   test("features and constraints survive checkpoint replay") {
     val root = freshRoot()
     LakeTable.create(spark, root, seed(0, 10), Seq("id"), nFiles = 1)

@@ -242,11 +242,52 @@ object BitKernels {
     x = (x | (x << 1)) & 0x5555555555555555L
     x
   }
+
+  /** Hilbert-curve index of (x, y) on the order-31 curve (coordinates
+    * in [0, 2^31), the same guarded domain as [[interleave]]). The
+    * classic top-down quadrant walk (Hilbert 1891; the xy2d form
+    * popularized by Warren's "Hacker's Delight" and Wikipedia's
+    * public-domain snippet): per level, d accumulates s² quadrant
+    * steps and the coordinate frame is reflected/transposed into the
+    * sub-quadrant's orientation. Unlike Morton, consecutive indexes
+    * are ALWAYS adjacent cells (no quadrant-boundary jumps), so equal
+    * index ranges cover tighter bounding boxes — measurably better
+    * min/max pruning on the same data (HilbertSpec pins adjacency,
+    * bijectivity, and the locality win).
+    */
+  def hilbert(xIn: Int, yIn: Int): Long = {
+    var x = xIn.toLong
+    var y = yIn.toLong
+    var d = 0L
+    var s = 1L << 30
+    while (s > 0) {
+      val rx = if ((x & s) != 0) 1L else 0L
+      val ry = if ((y & s) != 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      // drop the consumed bit, then rotate the frame for the child
+      x &= s - 1
+      y &= s - 1
+      if (ry == 0) {
+        if (rx == 1) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
 }
 
 /** Codegen'd Morton (z-order) bit interleave of two int columns. */
 object InterleaveBits {
   def apply(x: Column, y: Column): Column = GraftExpressions.interleaveBits(x, y)
+}
+
+/** Codegen'd Hilbert-curve index of two int columns. */
+object HilbertIndex {
+  def apply(x: Column, y: Column): Column = GraftExpressions.hilbertIndex(x, y)
 }
 
 /** Media-payload kernels (plain static methods so generated whole-stage

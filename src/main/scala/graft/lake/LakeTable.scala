@@ -133,6 +133,15 @@ object LakeTable {
             nFiles)
         else
           graft.operators.ZOrder.layoutN(df, dims.map(dim), nFiles)
+      case Some(h) if h.startsWith("h:") =>
+        // Hilbert-curve layout: the Morton spec's better-locality
+        // sibling (always-adjacent consecutive cells → tighter
+        // per-file bounding boxes); same guards, same recorded-spec
+        // maintenance contract
+        val Array(a, b) = h.stripPrefix("h:").split(",")
+        def hdim(c: String) =
+          when(col(c).between(0, Int.MaxValue), col(c)).cast("int")
+        graft.operators.ZOrder.hilbertLayout(df, hdim(a), hdim(b), nFiles)
       case Some(c) =>
         df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
       case None => df.repartition(nFiles)
@@ -184,6 +193,13 @@ object LakeTable {
       s"zCluster takes 2-4 columns, got ${cols.size}")
     s"z:${cols.mkString(",")}"
   }
+
+  /** Cluster-spec for 2-D HILBERT-curve layout — [[zCluster]]'s
+    * better-locality sibling (consecutive curve cells are always
+    * adjacent, so per-file bounding boxes are tighter than Morton's
+    * on the same data). Same non-negative-int domain contract.
+    */
+  def hilbertCluster(x: String, y: String): String = s"h:$x,$y"
 
   def create(spark: SparkSession, root: String, df: DataFrame,
              statsCols: Seq[String], nFiles: Int = 8,

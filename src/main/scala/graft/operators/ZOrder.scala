@@ -64,6 +64,30 @@ object ZOrder {
       .drop("__z")
   }
 
+  /** The Hilbert-curve key of two int columns — [[zvalue]]'s
+    * better-locality sibling: consecutive curve indexes are ALWAYS
+    * adjacent cells (Morton jumps at every quadrant boundary), so the
+    * contiguous index ranges a clustered write turns into files cover
+    * tighter (x, y) bounding boxes — strictly better min/max pruning
+    * on the same data and file count. Same guarded non-negative
+    * domain and the same single range exchange as [[layout]].
+    */
+  def hilbertValue(x: Column, y: Column): Column =
+    graft.expressions.HilbertIndex(x, y)
+
+  /** [[layout]] on the Hilbert curve instead of the Morton curve. */
+  def hilbertLayout(df: DataFrame, x: Column, y: Column,
+                    numFiles: Int): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val guard = assert_true(x.isNotNull && y.isNotNull && x >= 0 && y >= 0,
+      lit("ZOrder.hilbertLayout requires non-null, non-negative " +
+        "coordinates (the order-31 curve's guarded domain)"))
+    df.withColumn("__h", when(guard.isNull, hilbertValue(x, y)))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+  }
+
   /** n-DIMENSIONAL Morton key (3+ columns; use [[zvalue]]'s codegen'd
     * kernel for the 2-D case): round-robin interleave of the low
     * `bits` bits of each column into one long, built from plain

@@ -139,6 +139,19 @@ object LakeQueries {
       root
     })
 
+  /** Hilbert twin of [[zFor]]: same data, same dims, the
+    * better-locality curve.
+    */
+  private val hCache = new ConcurrentHashMap[String, String]()
+  private def hFor(s: SparkSession, dir: String): String =
+    hCache.computeIfAbsent(dir, _ => {
+      val root = s"$lakeRoot/hilb_${dirKey(dir)}"
+      LakeTable.create(s, root, seed(s, dir), Seq("o_custkey", "o_orderkey"),
+        nFiles = 16,
+        clusterBy = Some(LakeTable.hilbertCluster("o_custkey", "o_orderkey")))
+      root
+    })
+
   /** Merge-on-read chain: create (8 key-clustered files) → MOR delete
     * [500,999] → MOR delete [800,1299] (overlap: positions carry
     * forward cumulatively, never recount). NO data file is rewritten
@@ -485,6 +498,21 @@ object LakeQueries {
 
     QueryDef("lake_zorder_scan",
       (s, dir) => s.read.format("graft-lake").load(zFor(s, dir))
+        .where(col("o_custkey") >= 40 && col("o_custkey") <= 79)
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders
+        WHERE o_orderkey < 4000 AND o_custkey BETWEEN 40 AND 79
+        ORDER BY o_orderkey""")),
+
+    QueryDef("lake_hilbert_scan",
+      // same read as lake_zorder_scan over the HILBERT-clustered
+      // twin: a custkey-range predicate a key-sorted layout could not
+      // prune; row-exactness certifies the curve's layout is a pure
+      // reorganization (HilbertSpec pins the locality advantage)
+      (s, dir) => s.read.format("graft-lake").load(hFor(s, dir))
         .where(col("o_custkey") >= 40 && col("o_custkey") <= 79)
         .orderBy("o_orderkey"),
       Some("""

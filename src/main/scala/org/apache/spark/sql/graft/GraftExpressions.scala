@@ -319,6 +319,28 @@ case class InterleaveBitsExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Hilbert-curve index of two int columns (order-31 curve, same
+  * guarded non-negative domain as the Morton interleave). Sorting by
+  * it clusters 2-D data with strictly better locality than Morton:
+  * consecutive indexes are always-adjacent cells, so equal index
+  * ranges — and therefore the files a clustered write produces —
+  * cover tighter (x, y) bounding boxes for the same file count.
+  */
+case class HilbertIndexExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_index"
+  override def nullSafeEval(x: Any, y: Any): Any =
+    graft.expressions.BitKernels.hilbert(x.asInstanceOf[Int], y.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, y) => s"graft.expressions.BitKernels.hilbert($x, $y)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertIndexExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Strided byte-subsample of a binary payload: every `stride`-th byte
   * starting at offset 0 — the integer-factor raster/waveform downscale
   * shape on an opaque media column (a real codec would replace the
@@ -382,6 +404,7 @@ object GraftFunctionRegistry {
     "diff_hash64" -> (es => DiffHash64Expr(es(0))),
     "token_count" -> (es => TokenCountExpr(es(0), es(1))),
     "interleave_bits" -> (es => InterleaveBitsExpr(es(0), es(1))),
+    "hilbert_index" -> (es => HilbertIndexExpr(es(0), es(1))),
     "topn_agg" -> (es =>
       TopNAggExpr(es(0), es(1), intArg(es(2), "topn_agg", 3)).toAggregateExpression())
   )
@@ -437,6 +460,9 @@ object GraftExpressions {
       ExpressionUtils.expression(text), ExpressionUtils.expression(term)))
   def interleaveBits(x: Column, y: Column): Column =
     ExpressionUtils.column(InterleaveBitsExpr(
+      ExpressionUtils.expression(x), ExpressionUtils.expression(y)))
+  def hilbertIndex(x: Column, y: Column): Column =
+    ExpressionUtils.column(HilbertIndexExpr(
       ExpressionUtils.expression(x), ExpressionUtils.expression(y)))
   def centroidArgmax(x: Column, centroids: Array[Array[Double]],
                      ids: Array[Int]): Column =

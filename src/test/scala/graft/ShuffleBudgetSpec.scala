@@ -365,6 +365,8 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("lake_schema_evolution", 1, "post-evolution snapshot scan " +
       "(by-name column resolution, old files null-filled) + output " +
       "ordering"),
+    ("lake_hilbert_scan", 1, "Hilbert-pruned file subset scan (either " +
+      "dimension prunes; tighter boxes than Morton) + output ordering"),
     ("lake_zorder_scan", 1, "Morton-pruned file subset scan (either " +
       "dimension prunes) + output ordering"),
     ("lake_cdf", 5, "one exceptAll aggregate per side per rewrite " +

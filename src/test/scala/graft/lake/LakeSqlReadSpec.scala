@@ -170,6 +170,40 @@ class LakeSqlReadSpec extends SparkSuite {
     }
   }
 
+  test("hilbert-clustered lake files prune on either dimension too") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = (0 until 4096).map { i =>
+      val x = (i * 2654435761L % 64).toInt
+      val y = (i * 40503 % 64)
+      (i.toLong, x.toLong, y.toLong)
+    }.toDF("id", "x", "y")
+    LakeTable.create(spark, root, df, Seq("x", "y"), nFiles = 16,
+      clusterBy = Some(LakeTable.hilbertCluster("x", "y")))
+    def filesRead(dfq: DataFrame): Long = {
+      dfq.collect()
+      dfq.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.get
+    }
+    val base = spark.read.format("graft-lake").load(root)
+    val onX = filesRead(base.where(col("x") >= 8 && col("x") < 16))
+    val onY = filesRead(base.where(col("y") >= 8 && col("y") < 16))
+    assert(onX <= 8, s"x-range read $onX of 16 hilbert files")
+    assert(onY <= 8, s"y-range read $onY of 16 hilbert files")
+    assert(base.where(col("x") >= 8 && col("x") < 16).count() ==
+      df.where(col("x") >= 8 && col("x") < 16).count())
+    // the recorded spec survives maintenance like the z layout
+    LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+      targetBytes = LakeTable.snapshot(spark, root).files
+        .map(_.stats.bytes).sum / 8)
+    val total = LakeTable.snapshot(spark, root).files.size
+    val after = filesRead(spark.read.format("graft-lake").load(root)
+      .where(col("y") >= 8 && col("y") < 16))
+    assert(after < total,
+      s"compaction must re-hilbert: read $after of $total files")
+  }
+
   test("3-D z-order prunes on any of the three dimensions") {
     import spark.implicits._
     val root = freshRoot()

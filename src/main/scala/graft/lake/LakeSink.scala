@@ -29,7 +29,7 @@ object LakeSink {
     * committed for `appId` (replay after recovery — skipped).
     */
   def addBatch(root: String, appId: String, batchId: Long, df: DataFrame,
-               nFiles: Int = 2): Boolean = {
+               nFiles: Int = 2, mergeSchema: Boolean = false): Boolean = {
     val spark = df.sparkSession
     val rootP = new Path(root)
     val fs = LakeLog.fileSystem(rootP, spark.sparkContext.hadoopConfiguration)
@@ -37,16 +37,22 @@ object LakeSink {
       .committedBatches.getOrElse(appId, Long.MinValue)
     if (batchId <= committed) return false
     LakeTable.append(spark, root, df, nFiles = nFiles,
-      appId = Some(appId), batchId = Some(batchId))
+      appId = Some(appId), batchId = Some(batchId),
+      mergeSchema = mergeSchema)
     true
   }
 
   /** Ready-made `foreachBatch` function:
     * `stream.writeStream.foreachBatch(LakeSink.writer(root, appId))`.
+    * `mergeSchema = true` lets a restarted producer with ADDITIVELY
+    * evolved events keep appending (same contract as
+    * [[LakeTable.append]]: new columns join as nullable, type changes
+    * refuse loudly).
     */
-  def writer(root: String, appId: String,
-             nFiles: Int = 2): (DataFrame, Long) => Unit =
-    (df, batchId) => { addBatch(root, appId, batchId, df, nFiles); () }
+  def writer(root: String, appId: String, nFiles: Int = 2,
+             mergeSchema: Boolean = false): (DataFrame, Long) => Unit =
+    (df, batchId) =>
+      { addBatch(root, appId, batchId, df, nFiles, mergeSchema); () }
 
   /** MERGE streaming batch `batchId` of `appId` into the table —
     * the CDC-apply sink: each micro-batch of change rows (table

@@ -198,6 +198,26 @@ class LakeStreamSpec extends SparkSuite {
       == "v1_15", "batch-0 upsert must survive where batch-1 silent")
   }
 
+  test("the append sink evolves the table schema when asked") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 20), Seq("id"), nFiles = 1)
+    import spark.implicits._
+    val evolved = (20 until 30)
+      .map(i => (i.toLong, s"n_$i", s"l${i % 3}"))
+      .toDF("id", "name", "lang")
+    // without the flag the sink's append refuses the wider batch
+    intercept[IllegalArgumentException] {
+      LakeSink.addBatch(root, "evo", 0L, evolved)
+    }
+    assert(LakeSink.addBatch(root, "evo", 0L, evolved, mergeSchema = true))
+    assert(!LakeSink.addBatch(root, "evo", 0L, evolved, mergeSchema = true),
+      "idempotence must survive the evolution path")
+    val out = LakeTable.scan(spark, root)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "name", "lang"))
+    assert(out.where(col("id") < 20 && col("lang").isNull).count() == 20)
+    assert(out.count() == 30)
+  }
+
   test("lake-to-lake via LakeSink is exactly-once end to end") {
     val src = freshRoot()
     val dst = freshRoot()

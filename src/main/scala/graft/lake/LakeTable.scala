@@ -429,6 +429,103 @@ object LakeTable {
       snap.files.size - touched.size)
   }
 
+  /** Live rows plus their `(__file, __pos)` coordinates — the
+    * addressing surface for position-level operations: compute any
+    * delete set with arbitrary Spark logic (joins, windows, dedup
+    * ranks) over this frame and hand it to [[deleteAt]]. Coordinates
+    * are only valid against the snapshot they were read from.
+    */
+  def scanWithPos(spark: SparkSession, root: String): DataFrame = {
+    val rootP = new Path(root)
+    val snap = LakeLog.snapshot(fs(spark, rootP), rootP, None)
+    val withPos = readFilesWithPos(spark, rootP, snap.schemaDdl,
+      snap.files.map(_.path))
+    val dvd = snap.files.filter(_.dv.nonEmpty)
+    if (dvd.isEmpty) withPos
+    else {
+      val dels = readDvRows(spark, rootP, dvd.flatMap(_.dv).map(_.path))
+      withPos.join(dels,
+        withPos("__file") === dels("file") && withPos("__pos") === dels("pos"),
+        "left_anti")
+    }
+  }
+
+  /** Merge-on-read delete of EXACTLY the rows addressed by `victims`
+    * (`__file`, `__pos` columns, as emitted by [[scanWithPos]] of the
+    * CURRENT snapshot) — the primitive behind [[deleteWhereMor]] and
+    * [[dedupTable]]: any Spark-computable delete set becomes a
+    * KB-sized sidecar commit, no data rewritten. Victim coordinates
+    * pointing at unknown files fail loudly (stale snapshot);
+    * already-dead positions are dropped, never double-counted. The
+    * commit guards the exact Add of every re-pointed file, so a
+    * racing rewrite aborts this delete instead of losing it.
+    */
+  def deleteAt(spark: SparkSession, root: String,
+               victims: DataFrame): RewriteReport = {
+    require(Set("__file", "__pos").subsetOf(victims.columns.toSet),
+      s"victims needs __file/__pos columns, got ${victims.columns.toSeq}")
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    val vRows = victims
+      .select(col("__file").as("file"), col("__pos").as("pos"))
+    val victimFiles = vRows.select("file").distinct().collect()
+      .map(_.getString(0)).toSet
+    if (victimFiles.isEmpty)
+      return RewriteReport(snap.version, 0, 0, snap.files.size)
+    val byId = snap.files.map(a => fileId(a.path) -> a).toMap
+    val unknown = victimFiles -- byId.keySet
+    require(unknown.isEmpty,
+      s"victim coordinates reference files not in the current snapshot " +
+        s"(stale scanWithPos?): ${unknown.take(3)}")
+    val touched = victimFiles.toSeq.sorted.map(byId)
+    val carried = readDvRows(spark, rootP, touched.flatMap(_.dv).map(_.path))
+      .where(col("file").isin(victimFiles.toSeq: _*))
+    val dvSub = s"dv/${java.util.UUID.randomUUID()}"
+    val dvDir = new Path(rootP, dvSub).toString
+    // already-dead coordinates cancel against the carried positions,
+    // so cumulative per-file counts stay exact for any caller input
+    vRows.exceptAll(carried).unionByName(carried)
+      .repartition(math.max(1, touched.size / 8)).write.parquet(dvDir)
+    val counts = spark.read.schema(dvSchema).parquet(dvDir)
+      .groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val readds = touched.flatMap { a =>
+      val id = fileId(a.path)
+      val total = counts.getOrElse(id, 0L)
+      if (total > a.dv.map(_.rows).getOrElse(0L))
+        Some(a.copy(dv = Some(Dv(dvSub, total))))
+      else None // every victim was already dead: nothing to re-point
+    }
+    if (readds.isEmpty)
+      return RewriteReport(snap.version, 0, 0, snap.files.size)
+    val v = LakeLog.commit(f, rootP,
+      (Meta("mordelete", snap.schemaDdl, snap.statsCols, None, None,
+        now()) +: LakeLog.Feature("deletion-vectors") +: readds),
+      guardFiles = touched, baseVersion = snap.version)
+    RewriteReport(v, readds.size, readds.size,
+      snap.files.size - readds.size)
+  }
+
+  /** Deduplicate the TABLE IN PLACE: for each group of rows sharing
+    * `keys`, keep the one with the smallest `tieBreak` (then smallest
+    * physical coordinates — deterministic for exact ties) and
+    * MOR-delete the rest. A 100 TB corpus drops its duplicates for
+    * the cost of one window pass plus a KB-sized sidecar commit — no
+    * file is rewritten; the next compaction settles the debt.
+    */
+  def dedupTable(spark: SparkSession, root: String, keys: Seq[String],
+                 tieBreak: String): RewriteReport = {
+    require(keys.nonEmpty, "dedupTable needs at least one key column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tieBreak).asc, col("__file").asc, col("__pos").asc)
+    val victims = scanWithPos(spark, root)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > 1)
+      .select(col("__file"), col("__pos"))
+    deleteAt(spark, root, victims)
+  }
+
   def scan(spark: SparkSession, root: String): DataFrame =
     scanAsOf(spark, root, None)
 

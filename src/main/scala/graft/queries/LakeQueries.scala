@@ -206,6 +206,27 @@ object LakeQueries {
       root
     })
 
+  /** In-place dedup chain: the documents fixture plus planted
+    * duplicates (every doc_id % 5 == 0 re-inserted under
+    * doc_id + 10000, same text) written as a 4-file clustered lake,
+    * then `dedupTable(text, min doc_id)` — the duplicates die as
+    * deletion-vector positions, NO data file is rewritten. The read
+    * must equal DuckDB's min-doc_id-per-text fold of the same
+    * planted corpus.
+    */
+  private val dedupCache = new ConcurrentHashMap[String, String]()
+  private def dedupFor(s: SparkSession, dir: String): String =
+    dedupCache.computeIfAbsent(dir, _ => {
+      val root = s"$lakeRoot/dedup_${dirKey(dir)}"
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val planted = docs.where(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      LakeTable.create(s, root, docs.unionByName(planted), Seq("doc_id"),
+        nFiles = 4, clusterBy = Some("doc_id"))
+      LakeTable.dedupTable(s, root, Seq("text"), "doc_id")
+      root
+    })
+
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Tail replay: a fresh lake is created with keys [0,400) and then
@@ -548,6 +569,25 @@ object LakeQueries {
                cents AS o_cents, ct AS _change_type,
                CAST(cv AS BIGINT) AS _commit_version
         FROM cdf ORDER BY _commit_version, _change_type, o_orderkey""")),
+
+    QueryDef("lake_dedup_inplace",
+      // table-level dedup as a sidecar commit: duplicates are gone
+      // from every read, yet no data file was rewritten (the
+      // mordelete history row is pinned in LakeDvSpec)
+      (s, dir) => LakeTable.scan(s, dedupFor(s, dir))
+        .orderBy("doc_id"),
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text, lang FROM documents
+          UNION ALL
+          SELECT doc_id + 10000, text, lang FROM documents
+          WHERE doc_id % 5 = 0),
+        ranked AS (
+          SELECT doc_id, text, lang,
+                 row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM corpus)
+        SELECT doc_id, text, lang FROM ranked WHERE rn = 1
+        ORDER BY doc_id""")),
 
     QueryDef("lake_restore_read",
       // RESTORE as a new commit: after an append and a copy-on-write

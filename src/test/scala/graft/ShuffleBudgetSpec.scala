@@ -372,6 +372,9 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("lake_cdf", 5, "one exceptAll aggregate per side per rewrite " +
       "commit (2 rewrites x 2 sides, each bounded by the commit's " +
       "touched files, never the table) + output ordering"),
+    ("lake_dedup_inplace", 1, "DV-applying scan (broadcast row-index " +
+      "anti-join) + output ordering; the dedup window pass ran at " +
+      "build time as its own bounded job"),
     ("lake_restore_read", 1, "restored-to-v0 snapshot scan (pure log " +
       "movement at restore time) + output ordering"),
     ("lake_clone_read", 1, "clone scan: inherited source files by " +

@@ -192,6 +192,53 @@ class LakeDvSpec extends SparkSuite {
     assert(out.count() == 55)
   }
 
+  test("deleteAt removes exactly the addressed rows; stale coords refuse") {
+    import spark.implicits._
+    val root = freshRoot()
+    LakeTable.create(spark, root,
+      (0 until 100).map(i => (i.toLong, s"n_${i % 40}")).toDF("id", "name"),
+      Seq("id"), nFiles = 2, clusterBy = Some("id"))
+    // arbitrary Spark logic picks the victims: every row whose name
+    // ends in 7, addressed by physical position
+    val victims = LakeTable.scanWithPos(spark, root)
+      .where(col("name").endsWith("7"))
+      .select(col("__file"), col("__pos"))
+    val rep = LakeTable.deleteAt(spark, root, victims)
+    assert(rep.filesRewritten == 2)
+    val live = ids(LakeTable.scan(spark, root))
+    assert(live == (0L until 100L).filterNot(i => (i % 40) % 10 == 7))
+    // re-submitting the SAME victims: all already dead, a no-op
+    val again = LakeTable.deleteAt(spark, root, victims)
+    assert(again.filesRewritten == 0)
+    assert(LakeTable.scan(spark, root).count() == live.size)
+    // coordinates referencing unknown files are a stale snapshot: loud
+    intercept[IllegalArgumentException] {
+      LakeTable.deleteAt(spark, root,
+        Seq(("data/nope/also-nope.parquet", 0L)).toDF("__file", "__pos"))
+    }
+  }
+
+  test("dedupTable drops duplicate rows in place, smallest tieBreak wins") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 3 copies of each of 20 payloads, distinct ids; min id must win
+    val rows = for (c <- 0 until 3; p <- 0 until 20)
+      yield ((c * 100 + p).toLong, s"payload_$p")
+    LakeTable.create(spark, root, rows.toDF("id", "text"), Seq("id"),
+      nFiles = 3, clusterBy = Some("id"))
+    val rep = LakeTable.dedupTable(spark, root, Seq("text"), "id")
+    assert(rep.filesRewritten >= 1)
+    val out = LakeTable.scan(spark, root)
+    assert(out.count() == 20)
+    assert(ids(out) == (0L until 20L), "the smallest id per payload survives")
+    // no data file was written — the dedup is a sidecar commit
+    assert(LakeTable.history(spark, root)
+      .where(col("op") === "mordelete").count() == 1)
+    // idempotent: a second pass finds nothing
+    assert(LakeTable.dedupTable(spark, root, Seq("text"), "id")
+      .filesRewritten == 0)
+  }
+
   test("concurrent MOR deletes on DISJOINT files both commit via retry") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global

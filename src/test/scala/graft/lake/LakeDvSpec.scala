@@ -239,6 +239,39 @@ class LakeDvSpec extends SparkSuite {
       .filesRewritten == 0)
   }
 
+  test("near-dup cleaning composes: MinHash victims die in place") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 30 distinct base texts; ids 100.. are minor-edit copies of the
+    // first 10 (near-dups, not exact) — MinHash must catch them
+    val base = (0 until 30).map { i =>
+      (i.toLong, s"the quick brown fox jumps over dog $i and then " +
+        s"walks through the long meadow grass field number $i today")
+    }
+    val edited = (0 until 10).map { i =>
+      ((100 + i).toLong, s"the quick brown fox jumps over dog $i and then " +
+        s"walks through the long meadow grass field number $i tonight")
+    }
+    LakeTable.create(spark, root, (base ++ edited).toDF("doc_id", "text"),
+      Seq("doc_id"), nFiles = 2, clusterBy = Some("doc_id"))
+    // the near-dup pair set, computed by the LIBRARY operator over the
+    // lake scan; min id survives, so the victim set is the b side of
+    // (min, other) pairs
+    val pairs = graft.operators.MinHashLSH.nearDuplicates(
+      LakeTable.scan(spark, root), "doc_id", "text", threshold = 0.6)
+    val victims = pairs.select(greatest(col("a"), col("b")).as("doc_id"))
+      .distinct()
+    assert(victims.count() == 10, "each edited copy pairs with its base")
+    val withPos = LakeTable.scanWithPos(spark, root)
+    val rep = LakeTable.deleteAt(spark, root,
+      withPos.join(victims, Seq("doc_id"), "left_semi")
+        .select(col("__file"), col("__pos")))
+    assert(rep.filesRewritten == 1, "all edited copies live in the high file")
+    assert(ids(LakeTable.scan(spark, root)
+      .withColumnRenamed("doc_id", "id")) == (0L until 30L),
+      "the corpus keeps exactly the 30 originals, cleaned in place")
+  }
+
   test("concurrent MOR deletes on DISJOINT files both commit via retry") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global

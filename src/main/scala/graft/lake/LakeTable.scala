@@ -128,9 +128,9 @@ object LakeTable {
         val dims = z.stripPrefix("z:").split(",").toSeq
         def dim(c: String) =
           when(col(c).between(0, Int.MaxValue), col(c)).cast("int")
-        if (dims.size == 2) // 2-D keeps the codegen'd 32-bit kernel
-          graft.operators.ZOrder.layout(df, dim(dims(0)), dim(dims(1)),
-            nFiles)
+        if (dims.size == 2) // 2-D: range-normalized codegen'd kernel
+          graft.operators.ZOrder.layoutNormalized(df, dim(dims(0)),
+            dim(dims(1)), nFiles)
         else
           graft.operators.ZOrder.layoutN(df, dims.map(dim), nFiles)
       case Some(h) if h.startsWith("h:") =>

@@ -64,6 +64,53 @@ object ZOrder {
       .drop("__z")
   }
 
+  /** Per-column RANGE NORMALIZATION for curve layouts: one min/max
+    * aggregate over the input, then exact power-of-two shifts map
+    * every column onto equal-width bucket ids in [0, 2^bits). Raw
+    * interleaving lets the largest-magnitude column own every
+    * significant key bit (a (60000, 1500)-range pair sorts purely by
+    * the first column — measured: the small dimension pruned NOTHING
+    * on real orders data until normalized), and small-range columns
+    * additionally need the scale-UP so their top bucket bits carry
+    * signal at all.
+    */
+  private def rangeScaled(df: DataFrame, cols: Seq[Column],
+                          bits: Int): Seq[Column] = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(c.cast("long")), max(c.cast("long"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      val mn = if (row.isNullAt(2 * i)) 0L else row.getLong(2 * i)
+      val mx = if (row.isNullAt(2 * i + 1)) 0L else row.getLong(2 * i + 1)
+      val span = mx - mn
+      require(span >= 0,
+        s"column ${i + 1} range [$mn, $mx] overflows long arithmetic")
+      val shift = (64 - java.lang.Long.numberOfLeadingZeros(span)) - bits
+      val off = c.cast("long") - lit(mn)
+      if (shift >= 0) shiftright(off, shift) else shiftleft(off, -shift)
+    }
+  }
+
+  /** [[layout]] with range normalization — the layout the LAKE's
+    * `z:x,y` spec uses: both columns scaled onto 16-bit bucket ids
+    * (one min/max pass), then the codegen'd 32-bit Morton kernel.
+    * Unequal column magnitudes no longer starve the smaller column
+    * of key bits.
+    */
+  def layoutNormalized(df: DataFrame, x: Column, y: Column,
+                       numFiles: Int): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val scaled = rangeScaled(df, Seq(x, y), 16)
+    val guard = assert_true(x.isNotNull && y.isNotNull && x >= 0 && y >= 0,
+      lit("ZOrder.layoutNormalized requires non-null, non-negative " +
+        "coordinates"))
+    df.withColumn("__z", when(guard.isNull,
+        zvalue(scaled(0).cast("int"), scaled(1).cast("int"))))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
   /** The Hilbert-curve key of two int columns — [[zvalue]]'s
     * better-locality sibling: consecutive curve indexes are ALWAYS
     * adjacent cells (Morton jumps at every quadrant boundary), so the
@@ -75,14 +122,20 @@ object ZOrder {
   def hilbertValue(x: Column, y: Column): Column =
     graft.expressions.HilbertIndex(x, y)
 
-  /** [[layout]] on the Hilbert curve instead of the Morton curve. */
+  /** [[layoutNormalized]] on the Hilbert curve instead of the Morton
+    * curve: both columns range-scaled onto 16-bit bucket ids, then
+    * the codegen'd order-31 kernel (the scaled domain fills the
+    * curve's low block).
+    */
   def hilbertLayout(df: DataFrame, x: Column, y: Column,
                     numFiles: Int): DataFrame = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val scaled = rangeScaled(df, Seq(x, y), 16)
     val guard = assert_true(x.isNotNull && y.isNotNull && x >= 0 && y >= 0,
       lit("ZOrder.hilbertLayout requires non-null, non-negative " +
         "coordinates (the order-31 curve's guarded domain)"))
-    df.withColumn("__h", when(guard.isNull, hilbertValue(x, y)))
+    df.withColumn("__h", when(guard.isNull,
+        hilbertValue(scaled(0).cast("int"), scaled(1).cast("int"))))
       .repartitionByRange(numFiles, col("__h"))
       .sortWithinPartitions("__h")
       .drop("__h")
@@ -128,27 +181,10 @@ object ZOrder {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     val k = cols.size
     val bits = math.min(16, 63 / k) // 2^16 buckets/dim is plenty for files
-    val aggs = cols.flatMap(c =>
-      Seq(min(c.cast("long")), max(c.cast("long"))))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    // null min/max = empty input (nothing to scale) or all-null
-    // coordinates (the per-row guard below still fails those loudly)
-    val scaled = cols.zipWithIndex.map { case (c, i) =>
-      val mn = if (row.isNullAt(2 * i)) 0L else row.getLong(2 * i)
-      val mx = if (row.isNullAt(2 * i + 1)) 0L else row.getLong(2 * i + 1)
-      val span = mx - mn
-      require(span >= 0,
-        s"column ${i + 1} range [$mn, $mx] overflows long arithmetic")
-      // power-of-two scaling → the id is one exact shift (Column `/`
-      // would be IEEE double division). Large spans shift RIGHT into
-      // the bucket width; small spans shift LEFT to fill it — without
-      // the scale-up, a small-range column's top bucket bits are
-      // constant zero and the interleave gives it no significant key
-      // bits at all (no file would ever split on it).
-      val shift = (64 - java.lang.Long.numberOfLeadingZeros(span)) - bits
-      val off = c.cast("long") - lit(mn)
-      if (shift >= 0) shiftright(off, shift) else shiftleft(off, -shift)
-    }
+    // null min/max inside rangeScaled = empty input (nothing to
+    // scale) or all-null coordinates (the per-row guard below still
+    // fails those loudly)
+    val scaled = rangeScaled(df, cols, bits)
     val guard = assert_true(cols.map(_.isNotNull).reduce(_ && _),
       lit("ZOrder.layoutN requires non-null coordinates: a NULL " +
         "produces no curve position to range-partition on"))

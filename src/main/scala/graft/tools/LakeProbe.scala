@@ -111,6 +111,57 @@ object LakeProbe {
     sb.append("cost follows the commits' touched files, not table ")
     sb.append("age.\n\n")
 
+    // 3b. layout shootout: Morton vs Hilbert pruning on the same data
+    val zRoot = s"$base/curve_z"
+    val hRoot = s"$base/curve_h"
+    val dims = orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_cents"))
+    LakeTable.create(spark, zRoot, dims, Seq("o_orderkey", "o_custkey"),
+      nFiles = 16,
+      clusterBy = Some(LakeTable.zCluster("o_custkey", "o_orderkey")))
+    LakeTable.create(spark, hRoot, dims, Seq("o_orderkey", "o_custkey"),
+      nFiles = 16,
+      clusterBy = Some(LakeTable.hilbertCluster("o_custkey", "o_orderkey")))
+    def filesRead(root: String, c: String, lo: Long, hi: Long): Long = {
+      val q = spark.read.format("graft-lake").load(root)
+        .where(col(c) >= lo && col(c) <= hi)
+      q.collect()
+      q.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.getOrElse(-1L)
+    }
+    val ckMax = orders.agg(max("o_custkey")).head().getLong(0)
+    sb.append("Layout shootout (16 files, same data, custkey+orderkey ")
+    sb.append("dims; files read for a ~10% range on each dim):\n\n")
+    sb.append("| dim | morton | hilbert |\n|---|---|---|\n")
+    Seq(("o_custkey", ckMax / 10), ("o_orderkey", keyMax / 10))
+      .foreach { case (c, w) =>
+        val z = filesRead(zRoot, c, 0, w)
+        val h = filesRead(hRoot, c, 0, w)
+        sb.append(s"| $c | $z/16 | $h/16 |\n")
+      }
+    sb.append("\n")
+
+    // 3c. in-place dedup: duplicates die as positions, no data write
+    val ddRoot = s"$base/dedup"
+    val planted = orders.unionByName(
+      orders.where(col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000))
+    LakeTable.create(spark, ddRoot,
+      planted.withColumn("payload",
+        concat(col("o_orderstatus"), lit("_"), col("o_custkey"),
+          lit("_"), col("o_cents"))),
+      Seq("o_orderkey"), nFiles = 16, clusterBy = Some("o_orderkey"))
+    val before = dirBytes(ddRoot, "data")
+    val (tDedup, repD) = time(LakeTable.dedupTable(spark, ddRoot,
+      Seq("payload"), "o_orderkey"))
+    sb.append(f"In-place dedup of the planted-duplicate table " +
+      f"(${planted.count()} rows, 16 files): $tDedup%.2f s, " +
+      s"${repD.filesRewritten} files re-pointed, data bytes written 0 " +
+      s"(sidecar ${dirBytes(ddRoot, "dv")} B; data dir unchanged: " +
+      s"${dirBytes(ddRoot, "data") == before}).\n\n")
+
     // 4. clone cost: driver-only, KB commit
     val srcSum = LakeTable.scan(spark, morRoot)
       .agg(sum("o_cents")).head().getLong(0)
@@ -124,8 +175,13 @@ object LakeProbe {
     sb.append(s"${cloneSum == srcSum}.\n")
 
     val out = java.nio.file.Paths.get("SCALEPROBE.md")
-    java.nio.file.Files.writeString(out,
-      java.nio.file.Files.readString(out) + sb.toString)
+    val marker = "\n## Lake probe (round 13)"
+    val existing = java.nio.file.Files.readString(out)
+    val kept = existing.indexOf(marker) match {
+      case -1 => existing
+      case i  => existing.substring(0, i) // idempotent re-run
+    }
+    java.nio.file.Files.writeString(out, kept + sb.toString)
     println(sb.toString)
     spark.stop()
   }

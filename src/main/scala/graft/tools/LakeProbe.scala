@@ -162,6 +162,20 @@ object LakeProbe {
       s"(sidecar ${dirBytes(ddRoot, "dv")} B; data dir unchanged: " +
       s"${dirBytes(ddRoot, "data") == before}).\n\n")
 
+    // 3d. long-log replay: checkpoints keep snapshot cost O(interval)
+    val llRoot = s"$base/longlog"
+    LakeTable.create(spark, llRoot,
+      orders.limit(200), Seq("o_orderkey"), nFiles = 1)
+    (1 to 100).foreach { i =>
+      LakeTable.append(spark, llRoot, orders.limit(10), nFiles = 1)
+    }
+    val (tSnap, snapV) = time(LakeTable.snapshot(spark, llRoot).version)
+    sb.append(f"Long log: snapshot at v$snapV (101 commits, checkpoints " +
+      f"every ${graft.lake.LakeLog.checkpointInterval}) replays in " +
+      f"$tSnap%.3f s — newest checkpoint + <=" +
+      s"${graft.lake.LakeLog.checkpointInterval} commit reads, " +
+      "independent of table age.\n\n")
+
     // 4. clone cost: driver-only, KB commit
     val srcSum = LakeTable.scan(spark, morRoot)
       .agg(sum("o_cents")).head().getLong(0)

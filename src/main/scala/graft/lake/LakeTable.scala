@@ -526,6 +526,30 @@ object LakeTable {
     deleteAt(spark, root, victims)
   }
 
+  /** [[dedupTable]] for WIDE keys (document text, payload blobs): the
+    * window partitions on `xxhash64(keys)` so only 8-byte
+    * fingerprints shuffle, never the payload — the [[ExactDedup]]
+    * economics applied in place. Safe under collisions: a row is a
+    * victim only when its ACTUAL keys equal the group survivor's
+    * (first_value over the same window, a colliding non-duplicate
+    * survives — bounded recall loss, never a false deletion).
+    */
+  def dedupTableByFingerprint(spark: SparkSession, root: String,
+                              keys: Seq[String],
+                              tieBreak: String): RewriteReport = {
+    require(keys.nonEmpty, "dedupTable needs at least one key column")
+    val w = Window.partitionBy(xxhash64(keys.map(col): _*))
+      .orderBy(col(tieBreak).asc, col("__file").asc, col("__pos").asc)
+    val firsts = keys.map(k => first(col(k)).over(w).as(s"__first_$k"))
+    val sameAsFirst = keys.map(k => col(k) <=> col(s"__first_$k"))
+      .reduce(_ && _)
+    val victims = scanWithPos(spark, root)
+      .select(col("*") +: (row_number().over(w).as("__rn") +: firsts): _*)
+      .where(col("__rn") > 1 && sameAsFirst)
+      .select(col("__file"), col("__pos"))
+    deleteAt(spark, root, victims)
+  }
+
   def scan(spark: SparkSession, root: String): DataFrame =
     scanAsOf(spark, root, None)
 

@@ -239,6 +239,30 @@ class LakeDvSpec extends SparkSuite {
       .filesRewritten == 0)
   }
 
+  test("fingerprint dedup partitions on the 8-byte hash, min id survives") {
+    import spark.implicits._
+    val root = freshRoot()
+    val rows = for (c <- 0 until 2; p <- 0 until 25)
+      yield ((c * 100 + p).toLong, s"wide payload body $p")
+    LakeTable.create(spark, root, rows.toDF("id", "text"), Seq("id"),
+      nFiles = 2, clusterBy = Some("id"))
+    val rep = LakeTable.dedupTableByFingerprint(spark, root,
+      Seq("text"), "id")
+    assert(rep.filesRewritten >= 1)
+    val out = LakeTable.scan(spark, root)
+    assert(out.count() == 25)
+    assert(ids(out) == (0L until 25L), "min id per payload survives")
+    // the window plan partitions on the hash, not the payload
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("text")))
+      .orderBy(col("id"), col("__file"), col("__pos"))
+    val plan = LakeTable.scanWithPos(spark, root)
+      .withColumn("__rn", row_number().over(w))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"),
+      "partitioning must ride the 8-byte fingerprint")
+  }
+
   test("near-dup cleaning composes: MinHash victims die in place") {
     import spark.implicits._
     val root = freshRoot()

@@ -314,17 +314,31 @@ object LakeLog {
   def commit(fs: FileSystem, root: Path, actions: Seq[Action],
              guardFiles: Seq[Add] = Nil,
              baseVersion: Long = -1L,
-             maxRetries: Int = 50): Long = {
+             maxRetries: Int = 50,
+             expectConstraints: Option[Map[String, String]] = None): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val v = latestVersion(fs, root).map(_ + 1).getOrElse(0L)
-      if (guardFiles.nonEmpty && v != baseVersion + 1) {
-        val live = snapshot(fs, root, None).files
-          .map(a => a.path -> a).toMap
-        val stale = guardFiles.filter(g => !live.get(g.path).contains(g))
-        if (stale.nonEmpty) throw new ConcurrentCommitException(
-          "rewrite lost race: files removed or re-pointed by a " +
-            s"concurrent commit: ${stale.map(_.path).take(3)}…")
+      if ((guardFiles.nonEmpty || expectConstraints.nonEmpty) &&
+          v != baseVersion + 1) {
+        val cur = snapshot(fs, root, None)
+        if (guardFiles.nonEmpty) {
+          val live = cur.files.map(a => a.path -> a).toMap
+          val stale = guardFiles.filter(g => !live.get(g.path).contains(g))
+          if (stale.nonEmpty) throw new ConcurrentCommitException(
+            "rewrite lost race: files removed or re-pointed by a " +
+              s"concurrent commit: ${stale.map(_.path).take(3)}…")
+        }
+        // a writer validated its batch against the constraints it
+        // read; if a concurrent ADD/DROP CONSTRAINT landed since,
+        // committing would bypass the new gate — abort, the caller
+        // re-runs against the new table policy
+        expectConstraints.foreach { want =>
+          if (cur.constraints != want) throw new ConcurrentCommitException(
+            "write lost race: table constraints changed while the " +
+              s"batch was being written (validated against $want, " +
+              s"table now has ${cur.constraints}) — re-run the write")
+        }
       }
       if (tryCommit(fs, root, v, actions)) {
         if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(fs, root, v)

@@ -264,7 +264,9 @@ object LakeTable {
       clusterBy.orElse(snap.clusterBy))
     LakeLog.commit(f, rootP,
       Meta("append", ddl, snap.statsCols, appId, batchId,
-        now()) +: adds)
+        now()) +: adds,
+      baseVersion = snap.version,
+      expectConstraints = Some(snap.constraints))
   }
 
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
@@ -279,7 +281,8 @@ object LakeTable {
     LakeLog.commit(f, rootP,
       (Meta("overwrite", snap.schemaDdl, snap.statsCols, None, None, now()) +:
         snap.files.map(a => Remove(a.path))) ++ adds,
-      guardFiles = snap.files, baseVersion = snap.version)
+      guardFiles = snap.files, baseVersion = snap.version,
+      expectConstraints = Some(snap.constraints))
   }
 
   // ---- reads --------------------------------------------------------
@@ -644,8 +647,11 @@ object LakeTable {
     * first — a table can never hold data its active constraints
     * reject; every later append/overwrite/merge-upsert batch is
     * gated by one extra predicate pass before its commit. NULL
-    * results pass (SQL CHECK semantics). Caveat shared with public
-    * formats: an append racing the ADD itself is not re-validated.
+    * results pass (SQL CHECK semantics). RACE-FREE: the commit is
+    * attempted at exactly the validated snapshot's successor version,
+    * so a concurrent write (whose rows validation never saw) forces a
+    * re-snapshot and FULL re-validation — there is no window where a
+    * violating append and the constraint both land.
     */
   def addConstraint(spark: SparkSession, root: String,
                     name: String, checkExpr: String): Long = {
@@ -653,17 +659,24 @@ object LakeTable {
       "constraint needs a name and a non-empty CHECK expression")
     val rootP = new Path(root)
     val f = fs(spark, rootP)
-    val snap = LakeLog.snapshot(f, rootP, None)
-    val existing = readAdds(spark, rootP, snap.schemaDdl, snap.files)
-      .where(violates(checkExpr)).limit(1).count()
-    require(existing == 0,
-      s"cannot add CHECK constraint '$name' ($checkExpr): existing rows " +
-        "violate it")
-    LakeLog.commit(f, rootP, Seq(
-      Meta("add constraint", snap.schemaDdl, snap.statsCols, None, None,
-        now()),
-      LakeLog.Feature("check-constraints"),
-      LakeLog.Constraint(name, checkExpr)))
+    var attempt = 0
+    while (attempt < 20) {
+      val snap = LakeLog.snapshot(f, rootP, None)
+      val existing = readAdds(spark, rootP, snap.schemaDdl, snap.files)
+        .where(violates(checkExpr)).limit(1).count()
+      require(existing == 0,
+        s"cannot add CHECK constraint '$name' ($checkExpr): existing " +
+          "rows violate it")
+      if (LakeLog.tryCommit(f, rootP, snap.version + 1, Seq(
+        Meta("add constraint", snap.schemaDdl, snap.statsCols, None, None,
+          now()),
+        LakeLog.Feature("check-constraints"),
+        LakeLog.Constraint(name, checkExpr))))
+        return snap.version + 1
+      attempt += 1 // lost the version race: re-validate the new state
+    }
+    throw new LakeLog.ConcurrentCommitException(
+      s"gave up adding constraint '$name' after 20 contended attempts")
   }
 
   def dropConstraint(spark: SparkSession, root: String,
@@ -927,7 +940,8 @@ object LakeTable {
     val v = LakeLog.commit(f, rootP,
       (Meta("merge", snap.schemaDdl, snap.statsCols, appId, batchId,
         now()) +: cands.map(a => Remove(a.path))) ++ adds,
-      guardFiles = cands, baseVersion = snap.version)
+      guardFiles = cands, baseVersion = snap.version,
+      expectConstraints = Some(snap.constraints))
     RewriteReport(v, cands.size, adds.size, untouched.size)
   }
 

@@ -138,6 +138,32 @@ class LakeGuardSpec extends SparkSuite {
     }
   }
 
+  test("a violating append can never race past addConstraint") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    import spark.implicits._
+    (0 until 5).foreach { i =>
+      val root = freshRoot()
+      LakeTable.create(spark, root, seed(0, 20), Seq("id"), nFiles = 1)
+      val bad = Seq((100L + i, "neg", -1L)).toDF("id", "name", "amount")
+      val both = Await.result(Future.sequence(Seq(
+        Future(scala.util.Try(
+          LakeTable.addConstraint(spark, root, "nonneg", "amount >= 0"))),
+        Future(scala.util.Try(
+          LakeTable.append(spark, root, bad, nFiles = 1))))), 120.seconds)
+      val constraintOn = LakeTable.snapshot(spark, root)
+        .constraints.contains("nonneg")
+      val violPresent = LakeTable.scan(spark, root)
+        .where(col("amount") < 0).count() > 0
+      assert(!(constraintOn && violPresent),
+        s"round $i: constraint active with a violating row present " +
+          s"(outcomes: $both) — the add/append race leaked")
+      // at least one of the two must have succeeded
+      assert(both.exists(_.isSuccess))
+    }
+  }
+
   test("detail summarizes files, DV debt, layout, features, constraints") {
     val root = freshRoot()
     LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 2,

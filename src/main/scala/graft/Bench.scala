@@ -51,7 +51,9 @@ object Bench {
     "q_asof_nearest", "q_runtime_bloom_join", "q_label_centroids",
     "text_lm_surprisal", "q_market_basket",
     // round-13 family representatives
-    "q_tpch_q9", "q_tpch_q21")
+    "q_tpch_q9", "q_tpch_q21",
+    "lake_read_latest", "lake_mor_delete", "lake_dedup_inplace",
+    "stream_lake_replicate_replay")
 
   /** One measured run: wall seconds, process-CPU seconds consumed,
     * GC seconds accrued, the host 1-min loadavg at run START

@@ -3,7 +3,7 @@ package graft.lake
 import scala.collection.mutable
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileSystem, Options, Path}
 import org.json4s._
 import org.json4s.JsonDSL._
 import org.json4s.jackson.JsonMethods
@@ -281,6 +281,16 @@ object LakeLog {
 
   /** Atomic commit attempt at exactly `v`: stage + rename-if-absent.
     * Returns false when some other writer won `v`.
+    *
+    * The rename goes through `FileContext.rename(..., Options.Rename
+    * .NONE)`, NOT `FileSystem.rename`: on the local filesystem
+    * `FileSystem.rename` bottoms out in POSIX rename(2), which
+    * silently REPLACES an existing destination — two writers racing
+    * the same version could both pass the exists() precheck and both
+    * "win", losing the first commit. `FileContext` with `Rename.NONE`
+    * fails with `FileAlreadyExistsException` when the destination
+    * exists (on local FS and HDFS alike) — the same commit primitive
+    * Delta's log store uses — so exactly one writer per version wins.
     */
   def tryCommit(fs: FileSystem, root: Path, v: Long,
                 actions: Seq[Action]): Boolean = {
@@ -291,8 +301,16 @@ object LakeLog {
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
     writeString(fs, tmp, actions.map(a =>
       JsonMethods.compact(JsonMethods.render(actionToJson(a)))).mkString("\n"))
-    val won = try fs.rename(tmp, target) && fs.exists(target)
-    catch { case _: java.io.IOException => false }
+    val won =
+      try {
+        val fc = FileContext.getFileContext(root.toUri, fs.getConf)
+        fc.rename(fs.makeQualified(tmp), fs.makeQualified(target),
+          Options.Rename.NONE)
+        fs.exists(target)
+      } catch {
+        case _: FileAlreadyExistsException => false // lost the race
+        case _: java.io.IOException        => false
+      }
     if (!won && fs.exists(tmp)) fs.delete(tmp, false)
     won
   }

@@ -1041,49 +1041,92 @@ object LakeTable {
 
   // ---- maintenance ---------------------------------------------------
 
+  /** Safety window below which [[vacuum]] refuses to touch a file:
+    * the staged `data/<uuid>/` files of a concurrent IN-FLIGHT writer
+    * are written BEFORE its commit lands, so by log state alone they
+    * are indistinguishable from garbage — only age separates "about
+    * to be referenced" from "abandoned". 7 days, the same default
+    * retention public lakehouse formats ship with.
+    */
+  val defaultVacuumRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
   /** Physically delete data files referenced by NO version >=
     * `keepFromVersion` (plus stray staging files no version ever
-    * referenced). Time travel to versions older than the floor may
-    * fail afterwards — that is the retention contract.
+    * referenced) — but ONLY files older than `retentionMs`
+    * (default 7 days): younger unreferenced files may belong to an
+    * in-flight writer whose commit has not landed yet, and deleting
+    * them would corrupt that commit the moment it lands. Log versions
+    * are re-listed AFTER the candidate scan, so a commit landing
+    * mid-vacuum is already in the live set when deletions run (its
+    * files are also younger than any sane horizon — two independent
+    * guards). Time travel to versions older than the floor may fail
+    * afterwards — that is the retention contract. Tests and
+    * single-writer maintenance may pass `retentionMs = 0L` (the
+    * moral equivalent of disabling Delta's retention-duration
+    * check) — never do that with concurrent writers.
     */
-  def vacuum(spark: SparkSession, root: String,
-             keepFromVersion: Long): VacuumReport = {
+  def vacuum(spark: SparkSession, root: String, keepFromVersion: Long,
+             retentionMs: Long = defaultVacuumRetentionMs): VacuumReport = {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
+    require(LakeLog.versions(f, rootP).nonEmpty, s"no lake table at $root")
+    val horizon = now() - math.max(0L, retentionMs)
+    // 1. candidate scan FIRST: only files old enough to predate any
+    //    in-flight writer are eligible at all
+    val dd = LakeLog.dataDir(rootP)
+    val dataCands: Seq[(Path, String, Long)] =
+      if (!f.exists(dd)) Nil
+      else f.listStatus(dd).toSeq.flatMap { sub =>
+        f.listStatus(sub.getPath).toSeq.collect {
+          case st if !st.getPath.getName.startsWith("_") &&
+              st.getModificationTime < horizon =>
+            (st.getPath,
+              s"data/${sub.getPath.getName}/${st.getPath.getName}", st.getLen)
+        }
+      }
+    val dvd = new Path(rootP, "dv")
+    val dvCands: Seq[Path] =
+      if (!f.exists(dvd)) Nil
+      else f.listStatus(dvd).toSeq.collect {
+        case sub if sub.getModificationTime < horizon &&
+            f.listStatus(sub.getPath)
+              .forall(_.getModificationTime < horizon) =>
+          sub.getPath
+      }
+    // 2. THEN replay the log: any commit that landed while we listed
+    //    is visible here and protects its files
     val vs = LakeLog.versions(f, rootP)
-    require(vs.nonEmpty, s"no lake table at $root")
     val retained = vs.filter(_ >= keepFromVersion)
     require(retained.nonEmpty, s"keepFromVersion=$keepFromVersion retains no" +
       s" version (have ${vs.head}..${vs.last})")
     val snaps = retained.map(v => LakeLog.snapshot(f, rootP, Some(v)))
     val live: Set[String] = snaps.flatMap(_.filePaths).toSet
-    val dd = LakeLog.dataDir(rootP)
-    if (!f.exists(dd)) return VacuumReport(0, 0L)
+    val liveDv: Set[String] =
+      snaps.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet
     var files = 0
     var bytes = 0L
-    f.listStatus(dd).foreach { sub =>
-      f.listStatus(sub.getPath).foreach { st =>
-        val rel = s"data/${sub.getPath.getName}/${st.getPath.getName}"
-        if (!live.contains(rel) && !st.getPath.getName.startsWith("_")) {
-          bytes += st.getLen
-          files += 1
-          f.delete(st.getPath, false)
-        }
+    dataCands.foreach { case (p, rel, len) =>
+      if (!live.contains(rel)) {
+        bytes += len
+        files += 1
+        f.delete(p, false)
       }
-      if (f.listStatus(sub.getPath).isEmpty) f.delete(sub.getPath, true)
+    }
+    if (f.exists(dd)) f.listStatus(dd).foreach { sub =>
+      // empty staging dirs: only reap past the horizon — a writer
+      // may have mkdir'd but not written yet
+      if (sub.getModificationTime < horizon &&
+          f.listStatus(sub.getPath).isEmpty) f.delete(sub.getPath, true)
     }
     // deletion-vector sidecars: a dv/<uuid> dataset is live while any
     // retained version's Add still points at it
-    val liveDv: Set[String] =
-      snaps.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet
-    val dvd = new Path(rootP, "dv")
-    if (f.exists(dvd)) f.listStatus(dvd).foreach { sub =>
-      if (!liveDv.contains(s"dv/${sub.getPath.getName}")) {
-        f.listStatus(sub.getPath).filterNot(_.isDirectory).foreach { st =>
+    dvCands.foreach { sub =>
+      if (!liveDv.contains(s"dv/${sub.getName}")) {
+        f.listStatus(sub).filterNot(_.isDirectory).foreach { st =>
           bytes += st.getLen
           files += 1
         }
-        f.delete(sub.getPath, true)
+        f.delete(sub, true)
       }
     }
     VacuumReport(files, bytes)

@@ -99,7 +99,8 @@ object LakeQueries {
       LakeTable.compact(s, root, smallBytes = Long.MaxValue,
         targetBytes = Long.MaxValue)
       val compacted = LakeTable.latestVersion(s, root).get
-      LakeTable.vacuum(s, root, keepFromVersion = compacted)
+      LakeTable.vacuum(s, root, keepFromVersion = compacted,
+        retentionMs = 0L)
       root
     })
 

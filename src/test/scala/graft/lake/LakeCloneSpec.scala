@@ -104,11 +104,12 @@ class LakeCloneSpec extends SparkSuite {
     // inherited absolute references age out of retention, but vacuum
     // only walks the clone's OWN directories — source files survive
     val compacted = LakeTable.latestVersion(spark, dst).get
-    LakeTable.vacuum(spark, dst, keepFromVersion = compacted)
+    LakeTable.vacuum(spark, dst, keepFromVersion = compacted,
+      retentionMs = 0L)
     assert(ids(LakeTable.scan(spark, src)) == (0L until 100L),
       "vacuuming a clone must never delete source data")
     // and NOW vacuuming the source is safe for the localized clone
-    LakeTable.vacuum(spark, src, keepFromVersion = 0L)
+    LakeTable.vacuum(spark, src, keepFromVersion = 0L, retentionMs = 0L)
     assert(ids(LakeTable.scan(spark, dst)) == (0L until 100L))
   }
 

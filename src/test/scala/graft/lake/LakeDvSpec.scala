@@ -100,9 +100,11 @@ class LakeDvSpec extends SparkSuite {
     LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 1)
     LakeTable.deleteWhereMor(spark, root, range(0, 9))   // dv A
     LakeTable.deleteWhereMor(spark, root, range(10, 19)) // dv B supersedes A
-    val keepAll = LakeTable.vacuum(spark, root, keepFromVersion = 0L)
+    val keepAll = LakeTable.vacuum(spark, root, keepFromVersion = 0L,
+      retentionMs = 0L)
     assert(keepAll.filesDeleted == 0, "both DVs still referenced somewhere")
-    val rep = LakeTable.vacuum(spark, root, keepFromVersion = 2L)
+    val rep = LakeTable.vacuum(spark, root, keepFromVersion = 2L,
+      retentionMs = 0L)
     assert(rep.filesDeleted > 0, "dv A is unreferenced past v1")
     assert(ids(LakeTable.scan(spark, root)) == (20L until 100L))
   }

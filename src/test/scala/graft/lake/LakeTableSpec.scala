@@ -46,7 +46,7 @@ class LakeTableSpec extends SparkSuite {
     }
     LakeTable.append(spark, root, seed(90).where(col("id") >= 80),
       nFiles = 1)                                                     // v4
-    LakeTable.vacuum(spark, root, keepFromVersion = 3L)
+    LakeTable.vacuum(spark, root, keepFromVersion = 3L, retentionMs = 0L)
     intercept[IllegalArgumentException] {
       LakeTable.restore(spark, root, 2L) // v2's rewrite outputs vacuumed
     }
@@ -305,7 +305,8 @@ class LakeTableSpec extends SparkSuite {
     LakeTable.create(spark, root, seed(100), Seq("id"), nFiles = 2)
     LakeTable.deleteWhere(spark, root,
       Seq(LakeTable.ColRange("id", Some(0L), Some(49L))))
-    val rep = LakeTable.vacuum(spark, root, keepFromVersion = 1L)
+    val rep = LakeTable.vacuum(spark, root, keepFromVersion = 1L,
+      retentionMs = 0L)
     assert(rep.filesDeleted >= 1)
     assert(ids(LakeTable.scan(spark, root)) == (50L until 100L))
     intercept[Exception] {
@@ -327,6 +328,42 @@ class LakeTableSpec extends SparkSuite {
     val vs = Await.result(Future.sequence(fs), 120.seconds)
     assert(vs.toSet.size == 2, s"expected distinct versions, got $vs")
     assert(ids(LakeTable.scan(spark, root)) == (0L until 30L))
+  }
+
+  test("tryCommit loser never overwrites the winner's commit file") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(10), Seq("id"), nFiles = 1)
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = LakeLog.snapshot(fs, rootP, None)
+    val winner = LakeLog.Meta("winner", snap.schemaDdl, snap.statsCols,
+      None, None, 0L)
+    val loser = LakeLog.Meta("loser", snap.schemaDdl, snap.statsCols,
+      None, None, 0L)
+    assert(LakeLog.tryCommit(fs, rootP, 1L, Seq(winner)))
+    // the second writer at v1 must LOSE — and, critically, must not
+    // replace the winner's commit file (POSIX rename(2) would)
+    assert(!LakeLog.tryCommit(fs, rootP, 1L, Seq(loser)))
+    val ops = LakeTable.history(spark, root)
+      .where(col("version") === 1L).select("op")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("winner"), s"winner's commit was clobbered: $ops")
+  }
+
+  test("vacuum retention shields young staged files of in-flight writers") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(100), Seq("id"), nFiles = 2)
+    LakeTable.deleteWhere(spark, root,
+      Seq(LakeTable.ColRange("id", Some(0L), Some(49L))))
+    // default 7-day horizon: every unreferenced file here is seconds
+    // old — exactly what a concurrent writer's staged output looks
+    // like — so nothing may be deleted
+    val rep = LakeTable.vacuum(spark, root, keepFromVersion = 1L)
+    assert(rep.filesDeleted == 0,
+      s"vacuum deleted ${rep.filesDeleted} files younger than retention")
+    // all versions still readable
+    assert(ids(LakeTable.scanAsOf(spark, root, Some(0L))) == (0L until 100L))
+    assert(ids(LakeTable.scan(spark, root)) == (50L until 100L))
   }
 
   test("a rewrite that lost its files to a competing commit aborts") {

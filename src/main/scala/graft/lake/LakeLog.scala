@@ -98,6 +98,13 @@ object LakeLog {
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
 
+  /** Thrown by [[commit]] when `dedupBatch`'s (appId, batchId) token
+    * is already committed — the zombie-writer duplicate delivery a
+    * transactional streaming sink must turn into a no-op.
+    */
+  final class DuplicateBatchException(msg: String)
+    extends RuntimeException(msg)
+
   final class UnsupportedFeatureException(msg: String)
     extends RuntimeException(msg)
 
@@ -333,13 +340,25 @@ object LakeLog {
              guardFiles: Seq[Add] = Nil,
              baseVersion: Long = -1L,
              maxRetries: Int = 50,
-             expectConstraints: Option[Map[String, String]] = None): Long = {
+             expectConstraints: Option[Map[String, String]] = None,
+             dedupBatch: Option[(String, Long)] = None): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val v = latestVersion(fs, root).map(_ + 1).getOrElse(0L)
-      if ((guardFiles.nonEmpty || expectConstraints.nonEmpty) &&
-          v != baseVersion + 1) {
+      if ((guardFiles.nonEmpty || expectConstraints.nonEmpty ||
+           dedupBatch.nonEmpty) && v != baseVersion + 1) {
         val cur = snapshot(fs, root, None)
+        // exactly-once streaming: re-check the (appId, batchId) token
+        // INSIDE the retry loop — a zombie duplicate that slipped past
+        // the caller's first snapshot read races the rename, and the
+        // loser's retry must notice the token landed and abort, not
+        // commit the batch twice
+        dedupBatch.foreach { case (app, b) =>
+          if (cur.committedBatches.getOrElse(app, Long.MinValue) >= b)
+            throw new DuplicateBatchException(
+              s"batch $b of app '$app' already committed (log advanced " +
+                s"to v${cur.version} while this write was in flight)")
+        }
         if (guardFiles.nonEmpty) {
           val live = cur.files.map(a => a.path -> a).toMap
           val stale = guardFiles.filter(g => !live.get(g.path).contains(g))

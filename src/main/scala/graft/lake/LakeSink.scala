@@ -16,11 +16,14 @@ import org.apache.spark.sql.DataFrame
   * dedup — which is the same transactional-sink design public
   * lakehouse formats use for their streaming writers.
   *
-  * The skip re-check runs inside [[LakeLog.commit]]'s optimistic
-  * retry loop indirectly: a racing duplicate of the SAME app can slip
-  * past the first snapshot read, but both then race the rename and
-  * the loser's retry re-reads the log — [[addBatch]] re-validates
-  * before each attempt by looping on commit conflicts.
+  * The skip check runs TWICE: a cheap pre-read here (skips the whole
+  * write for an obvious replay) and again INSIDE [[LakeLog.commit]]'s
+  * optimistic retry loop (`dedupBatch`): two concurrent deliveries of
+  * the same batchId — the zombie-writer scenario — can both pass the
+  * pre-read, but whichever loses the commit race re-reads the
+  * snapshot on retry, finds the token committed, and aborts with
+  * [[LakeLog.DuplicateBatchException]], which is swallowed into the
+  * same `false` as the pre-read skip. The rows land exactly once.
   */
 object LakeSink {
 
@@ -36,10 +39,14 @@ object LakeSink {
     val committed = LakeLog.snapshot(fs, rootP, None)
       .committedBatches.getOrElse(appId, Long.MinValue)
     if (batchId <= committed) return false
-    LakeTable.append(spark, root, df, nFiles = nFiles,
-      appId = Some(appId), batchId = Some(batchId),
-      mergeSchema = mergeSchema)
-    true
+    try {
+      LakeTable.append(spark, root, df, nFiles = nFiles,
+        appId = Some(appId), batchId = Some(batchId),
+        mergeSchema = mergeSchema)
+      true
+    } catch {
+      case _: LakeLog.DuplicateBatchException => false // concurrent replay
+    }
   }
 
   /** Ready-made `foreachBatch` function:
@@ -72,9 +79,13 @@ object LakeSink {
     val committed = LakeLog.snapshot(fs, rootP, None)
       .committedBatches.getOrElse(appId, Long.MinValue)
     if (batchId <= committed) return false
-    LakeTable.merge(spark, root, changes, keyCol, versionCol, opCol,
-      appId = Some(appId), batchId = Some(batchId))
-    true
+    try {
+      LakeTable.merge(spark, root, changes, keyCol, versionCol, opCol,
+        appId = Some(appId), batchId = Some(batchId))
+      true
+    } catch {
+      case _: LakeLog.DuplicateBatchException => false // concurrent replay
+    }
   }
 
   /** Ready-made CDC-apply `foreachBatch` function:

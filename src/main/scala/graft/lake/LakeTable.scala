@@ -246,6 +246,20 @@ object LakeTable {
     StructType(table.fields ++ fresh).toDDL
   }
 
+  /** Refuse a streaming (appId, batchId) token the snapshot already
+    * holds — the write-side half of exactly-once (the commit-time
+    * half is [[LakeLog.commit]]'s `dedupBatch` re-check, which
+    * catches tokens landing between this read and the commit).
+    */
+  private def requireFreshBatch(snap: LakeLog.Snapshot,
+                                appId: Option[String],
+                                batchId: Option[Long]): Unit =
+    for (app <- appId; b <- batchId)
+      if (snap.committedBatches.getOrElse(app, Long.MinValue) >= b)
+        throw new LakeLog.DuplicateBatchException(
+          s"batch $b of app '$app' already committed at table version " +
+            s"${snap.version}")
+
   def append(spark: SparkSession, root: String, df: DataFrame,
              nFiles: Int = 4, clusterBy: Option[String] = None,
              appId: Option[String] = None,
@@ -254,19 +268,27 @@ object LakeTable {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val snap = LakeLog.snapshot(f, rootP, None)
+    requireFreshBatch(snap, appId, batchId)
     val ddl =
       if (mergeSchema) evolvedSchemaDdl(snap.schemaDdl, df)
       else { requireSameSchema(snap.schemaDdl, df); snap.schemaDdl }
     // CHECK the batch exactly as readers will see it (omitted
     // evolution columns read as null, and NULL passes a SQL CHECK)
     enforceConstraints(padToSchema(df, ddl), snap.constraints, "append")
-    val adds = writeDataFiles(spark, rootP, df, snap.statsCols, nFiles,
+    // a mergeSchema append may OMIT existing columns — including stats
+    // columns. Files written without a column carry no min/max for it
+    // (mayMatch treats missing stats as "may match", the conservative
+    // read that is also exactly right: the column is all-null there),
+    // so only measure stats for columns the batch actually has
+    val fileStatsCols = snap.statsCols.filter(df.columns.contains)
+    val adds = writeDataFiles(spark, rootP, df, fileStatsCols, nFiles,
       clusterBy.orElse(snap.clusterBy))
     LakeLog.commit(f, rootP,
       Meta("append", ddl, snap.statsCols, appId, batchId,
         now()) +: adds,
       baseVersion = snap.version,
-      expectConstraints = Some(snap.constraints))
+      expectConstraints = Some(snap.constraints),
+      dedupBatch = appId.zip(batchId))
   }
 
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
@@ -470,8 +492,12 @@ object LakeTable {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val snap = LakeLog.snapshot(f, rootP, None)
+    // dedupe caller coordinates: a victim passed twice must count
+    // once, both against Dv.rows and in the change feed (exceptAll/
+    // unionByName below are multiset ops, so duplicates would survive)
     val vRows = victims
       .select(col("__file").as("file"), col("__pos").as("pos"))
+      .distinct()
     val victimFiles = vRows.select("file").distinct().collect()
       .map(_.getString(0)).toSet
     if (victimFiles.isEmpty)
@@ -906,6 +932,7 @@ object LakeTable {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val snap = LakeLog.snapshot(f, rootP, None)
+    requireFreshBatch(snap, appId, batchId)
     val tableCols = StructType.fromDDL(snap.schemaDdl).fieldNames.toSeq
     require(changes.columns.toSet == (tableCols :+ versionCol :+ opCol).toSet,
       s"changes must carry table columns $tableCols + $versionCol + $opCol," +
@@ -941,7 +968,8 @@ object LakeTable {
       (Meta("merge", snap.schemaDdl, snap.statsCols, appId, batchId,
         now()) +: cands.map(a => Remove(a.path))) ++ adds,
       guardFiles = cands, baseVersion = snap.version,
-      expectConstraints = Some(snap.constraints))
+      expectConstraints = Some(snap.constraints),
+      dedupBatch = appId.zip(batchId))
     RewriteReport(v, cands.size, adds.size, untouched.size)
   }
 

@@ -400,6 +400,65 @@ class LakeTableSpec extends SparkSuite {
     assert(ids(LakeTable.scan(spark, root)) == (0L until 30L))
   }
 
+  test("a duplicate (appId, batchId) is refused at write AND commit time") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(10), Seq("id"), nFiles = 1)
+    assert(LakeSink.addBatch(root, "app", 0L,
+      seed(100).where(col("id") >= 10 && col("id") < 20)))
+    // write-side: direct API use with a spent token throws
+    intercept[LakeLog.DuplicateBatchException] {
+      LakeTable.append(spark, root,
+        seed(100).where(col("id") >= 10 && col("id") < 20),
+        appId = Some("app"), batchId = Some(0L))
+    }
+    // commit-side: token lands AFTER the writer's snapshot read — the
+    // retry-loop re-check must abort instead of committing twice
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = LakeLog.snapshot(fs, rootP, None)
+    assert(LakeLog.tryCommit(fs, rootP, snap.version + 1, Seq(
+      LakeLog.Meta("append", snap.schemaDdl, snap.statsCols,
+        Some("app"), Some(1L), 0L))))
+    intercept[LakeLog.DuplicateBatchException] {
+      LakeLog.commit(fs, rootP, Seq(
+        LakeLog.Meta("append", snap.schemaDdl, snap.statsCols,
+          Some("app"), Some(1L), 0L)),
+        baseVersion = snap.version, dedupBatch = Some(("app", 1L)))
+    }
+    assert(ids(LakeTable.scan(spark, root)) == (0L until 20L),
+      "duplicate batch must not land twice")
+  }
+
+  test("mergeSchema append may omit a stats column") {
+    val root = freshRoot()
+    LakeTable.create(spark, root,
+      seed(50).withColumn("tag", col("id") * 10), Seq("id", "tag"),
+      nFiles = 1)
+    // incoming batch lacks 'tag' entirely — files it writes carry no
+    // tag stats, readers see null, pruning keeps them conservatively
+    LakeTable.append(spark, root,
+      seed(100).where(col("id") >= 50), nFiles = 1, mergeSchema = true)
+    assert(ids(LakeTable.scan(spark, root)) == (0L until 100L))
+    val (df, rep) = LakeTable.scanPruned(spark, root,
+      Seq(LakeTable.ColRange("tag", Some(0L), Some(90L))))
+    assert(ids(df) == (0L until 10L))
+    assert(rep.filesRead == 2, "stat-less file must be kept (may match)")
+  }
+
+  test("deleteAt counts a victim passed twice exactly once") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(100), Seq("id"), nFiles = 1)
+    val victims = LakeTable.scanWithPos(spark, root)
+      .where(col("id") < 5).select("__file", "__pos")
+    LakeTable.deleteAt(spark, root, victims.unionAll(victims))
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvRows = LakeLog.snapshot(fs, rootP, None)
+      .files.flatMap(_.dv).map(_.rows).sum
+    assert(dvRows == 5L, s"expected 5 dv rows, got $dvRows")
+    assert(ids(LakeTable.scan(spark, root)) == (5L until 100L))
+  }
+
   test("history records one row per commit with op tags") {
     val root = freshRoot()
     LakeTable.create(spark, root, seed(20), Seq("id"))

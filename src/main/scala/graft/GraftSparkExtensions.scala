@@ -10,6 +10,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * per-session [[GraftFunctions.register]].
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     org.apache.spark.sql.graft.GraftFunctionRegistry.injectInto(e)
+    // DV-aware lake reads on native scan nodes (plan upgrade only —
+    // the V1 relation fallback keeps non-extended sessions correct)
+    e.injectPostHocResolutionRule(s => new graft.lake.LakeMorExpansion(s))
+  }
 }

@@ -26,10 +26,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * is the difference between instant planning and a namenode storm.
   */
 final class LakeFileIndex(spark: SparkSession, root: Path,
-                          snap: LakeLog.Snapshot) extends FileIndex {
+                          snap: LakeLog.Snapshot,
+                          subset: Option[Seq[LakeLog.Add]] = None)
+    extends FileIndex {
+
+  // an index may cover a SUBSET of the snapshot (the DV-aware read
+  // plans the clean and DV'd files as two separate native scans)
+  private val files: Seq[LakeLog.Add] = subset.getOrElse(snap.files)
 
   private val statsByPath: Map[String, LakeLog.Stats] =
-    snap.files.map(f => f.path -> f.stats).toMap
+    files.map(f => f.path -> f.stats).toMap
 
   private def abs(rel: String): Path = new Path(root, rel)
 
@@ -42,10 +48,10 @@ final class LakeFileIndex(spark: SparkSession, root: Path,
 
   override def partitionSchema: StructType = new StructType()
 
-  override def sizeInBytes: Long = snap.files.map(_.stats.bytes).sum
+  override def sizeInBytes: Long = files.map(_.stats.bytes).sum
 
   override def inputFiles: Array[String] =
-    snap.files.map(f => abs(f.path).toString).toArray
+    files.map(f => abs(f.path).toString).toArray
 
   override def refresh(): Unit = () // snapshot = immutable version pin
 
@@ -60,7 +66,7 @@ final class LakeFileIndex(spark: SparkSession, root: Path,
       Seq[PartitionDirectory] = {
     val ranges = dataFilters.flatMap(LakeFileIndex.toRanges)
       .filter(r => snap.statsCols.contains(r.column))
-    val kept = snap.files.filter(f =>
+    val kept = files.filter(f =>
       ranges.forall(r => LakeTable.mayMatch(f.stats, r)))
     Seq(PartitionDirectory(InternalRow.empty,
       kept.map(f => FileStatusWithMetadata(status(f)))))

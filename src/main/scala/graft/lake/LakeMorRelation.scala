@@ -28,8 +28,9 @@ import org.apache.spark.sql.types.StructType
   * clean-table read keeps the native vectorized `FileScan parquet`
   * with whole-stage codegen.
   */
-private[lake] final class LakeMorRelation(spark: SparkSession, root: Path,
-                                          snap: LakeLog.Snapshot)
+private[lake] final class LakeMorRelation(spark: SparkSession,
+                                          private[lake] val root: Path,
+                                          private[lake] val snap: LakeLog.Snapshot)
     extends BaseRelation with PrunedFilteredScan {
 
   override def sqlContext: SQLContext = spark.sqlContext
@@ -58,9 +59,11 @@ private[lake] final class LakeMorRelation(spark: SparkSession, root: Path,
   * same per-commit frames as [[LakeTable.scanChanges]] and tagged
   * with `_change_type`/`_commit_version`.
   */
-private[lake] final class LakeCdfRelation(spark: SparkSession, root: Path,
-                                          from: Long, to: Long,
-                                          dataDdl: String)
+private[lake] final class LakeCdfRelation(spark: SparkSession,
+                                          private[lake] val root: Path,
+                                          private[lake] val from: Long,
+                                          private[lake] val to: Long,
+                                          private[lake] val dataDdl: String)
     extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = spark.sqlContext

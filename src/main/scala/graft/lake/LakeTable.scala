@@ -393,6 +393,58 @@ object LakeTable {
     }
   }
 
+  /** DV-honoring snapshot read on NATIVE scan nodes — the plan the
+    * [[LakeMorExpansion]] analyzer rule splices in for a format read
+    * of a deletion-vector'd snapshot. Same semantics as [[readAdds]],
+    * different physics: both branches scan through a [[LakeFileIndex]]
+    * `HadoopFsRelation` (stats skipping from the commit log, zero
+    * planning FS calls, vectorized parquet + whole-stage codegen),
+    * the DV'd branch adds `_metadata.row_index` and anti-joins the
+    * KB-sized sidecar (auto-broadcast). Pushed filters flow through
+    * the union and the anti-join's left side into BOTH file indexes,
+    * so file skipping and row-group pushdown survive DVs — the steady
+    * state of an in-place-deduped corpus table stays on the fast path.
+    */
+  private[lake] def morScanIndexed(spark: SparkSession, root: Path,
+                                   snap: LakeLog.Snapshot): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val (dvd, clean) = snap.files.partition(_.dv.nonEmpty)
+    val cols = StructType.fromDDL(snap.schemaDdl).fieldNames.toSeq.map(col)
+    def indexed(files: Seq[Add]): DataFrame =
+      spark.baseRelationToDataFrame(HadoopFsRelation(
+        location = new LakeFileIndex(spark, root, snap, Some(files)),
+        partitionSchema = new StructType(),
+        dataSchema = StructType.fromDDL(snap.schemaDdl),
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat,
+        options = Map.empty)(spark))
+    if (dvd.isEmpty) return indexed(clean)
+    val dels = readDvRows(spark, root, dvd.flatMap(_.dv).map(_.path))
+    val withPos = indexed(dvd)
+      .withColumn("__file", fileRelPath)
+      .withColumn("__pos", col("_metadata.row_index"))
+    val live = withPos
+      .join(dels,
+        withPos("__file") === dels("file") && withPos("__pos") === dels("pos"),
+        "left_anti")
+      .select(cols: _*)
+    if (clean.isEmpty) live else indexed(clean).unionByName(live)
+  }
+
+  /** Batch change feed `[from, to]` as one frame — the plan
+    * [[LakeMorExpansion]] splices in for `readChangeFeed` format
+    * reads (the [[LakeCdfRelation]] fallback reaches the same rows
+    * through `RDD[Row]`).
+    */
+  private[lake] def cdfFrame(spark: SparkSession, root: Path,
+                             dataDdl: String, from: Long,
+                             to: Long): DataFrame = {
+    val frames = changeFrames(spark, root, dataDdl, from, to)
+    if (frames.isEmpty) emptyChanges(spark, root, dataDdl)
+    else frames.reduce(_.unionByName(_))
+  }
+
   /** Merge-on-read DELETE: instead of rewriting candidate files,
     * record the matching rows' (file, position) coordinates in a
     * deletion-vector sidecar dataset and RE-ADD the files pointing at

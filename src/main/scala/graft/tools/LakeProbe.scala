@@ -51,7 +51,7 @@ object LakeProbe {
       Seq(LakeTable.ColRange("o_orderkey", Some(l), Some(h)))
 
     val sb = new StringBuilder
-    sb.append("\n## Lake probe (round 13): COW vs MOR delete, DV ")
+    sb.append("\n## Lake probe (round 14): COW vs MOR delete, DV ")
     sb.append("overhead, CDC boundedness\n\n")
     sb.append(s"$nRows rows, $nFiles key-clustered files, sfDir=$sfDir, ")
     sb.append("local[8]. Wall seconds, single pass (magnitudes, not ")
@@ -186,10 +186,34 @@ object LakeProbe {
     sb.append(f"Shallow clone of the $nFiles-file table: $tClone%.3f s ")
     sb.append(f"(one KB commit, zero data); first clone scan ")
     sb.append(f"$tCloneScan%.2f s, sum matches source: ")
-    sb.append(s"${cloneSum == srcSum}.\n")
+    sb.append(s"${cloneSum == srcSum}.\n\n")
+
+    // 5. DV'd FORMAT read: V1 fallback (this session has no
+    //    extensions -> PrunedFilteredScan RDD[Row]) vs the
+    //    LakeMorExpansion native plan (fresh session WITH extensions)
+    def formatSum(s: SparkSession): Long =
+      s.read.format("graft-lake").load(morRoot)
+        .agg(sum("o_cents")).head().getLong(0)
+    val (tFallback, fbSum) = time(formatSum(spark))
+    spark.stop()
+    val spark2 = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark2.sparkContext.setLogLevel("ERROR")
+    formatSum(spark2) // warm the new context once
+    val (tNative, ntSum) = time(formatSum(spark2))
+    require(fbSum == ntSum, "fallback and native plans must agree")
+    sb.append(f"DV'd-snapshot FORMAT read ($dvd/$nFiles files DV'd): ")
+    sb.append(f"V1 `PrunedFilteredScan` fallback $tFallback%.2f s vs ")
+    sb.append(f"LakeMorExpansion native scan $tNative%.2f s — same rows, ")
+    sb.append("vectorized parquet + codegen'd broadcast anti-join ")
+    sb.append("replaces the RDD[Row] bridge.\n")
 
     val out = java.nio.file.Paths.get("SCALEPROBE.md")
-    val marker = "\n## Lake probe (round 13)"
+    val marker = "\n## Lake probe (round 1"
     val existing = java.nio.file.Files.readString(out)
     val kept = existing.indexOf(marker) match {
       case -1 => existing
@@ -197,6 +221,6 @@ object LakeProbe {
     }
     java.nio.file.Files.writeString(out, kept + sb.toString)
     println(sb.toString)
-    spark.stop()
+    spark2.stop()
   }
 }

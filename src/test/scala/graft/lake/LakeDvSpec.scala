@@ -143,6 +143,79 @@ class LakeDvSpec extends SparkSuite {
       "clean snapshots must stay on the native FileScan path")
   }
 
+  // the FINAL adaptive plan (collect the df first) — AQE's root node
+  // and the result stage are traversal boundaries, not tree parents
+  private def finalPlan(df: DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        unwrap(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        unwrap(q.plan)
+      case other => other
+    }
+    unwrap(df.queryExecution.executedPlan)
+  }
+
+  test("DV'd format read stays on the native vectorized scan (codegen)") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 2,
+      clusterBy = Some("id"))
+    LakeTable.deleteWhereMor(spark, root, range(10, 19))
+    val df = spark.read.format("graft-lake").load(root)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      ((0L until 10L) ++ (20L until 100L)))
+    val plan = finalPlan(df).toString
+    assert(!plan.contains("LakeMorRelation"),
+      "the expansion rule must replace the V1 fallback relation")
+    assert(plan.contains("Batched: true"),
+      "both branches must keep the vectorized parquet reader")
+    val stages = finalPlan(df).collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(stages.nonEmpty,
+      "the DV-applying plan must stay inside whole-stage codegen")
+    assert(stages.exists(_.toString.contains("BroadcastHashJoin")),
+      "the sidecar anti-join itself must be codegen'd")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "the sidecar must apply as a broadcast anti-join")
+
+    // filters push into the native scans AND stats-prune whole files:
+    // id>=60 lands entirely in the clean [50,99] file, so the DV'd
+    // branch's file index prunes to zero files
+    val filtered = df.where(col("id") >= 60)
+    assert(filtered.collect().map(_.getLong(0)).sorted.toSeq ==
+      (60L until 100L))
+    val scans = finalPlan(filtered).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.exists(_.metadata.get("PushedFilters")
+        .exists(_.contains("GreaterThanOrEqual(id,60)"))),
+      "range predicate must reach the parquet scan")
+    val dataScans = scans.filterNot(
+      _.schema.fieldNames.contains("file")) // exclude the dv sidecar scan
+    assert(dataScans.map(_.metrics("numFiles").value).sum == 1,
+      "stats skipping must prune the DV'd file out of an id>=60 read")
+
+    // self-join: each occurrence expands with fresh ids
+    val joined = df.as("l").join(df.as("r"), "id")
+    assert(joined.count() == 90)
+  }
+
+  test("batch CDF read avoids the RDD[Row] scan under extensions") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 50), Seq("id"), nFiles = 1)
+    LakeTable.deleteWhereMor(spark, root, range(0, 4))
+    val cdf = spark.read.format("graft-lake")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(root)
+    assert(cdf.count() == 55)
+    assert(ids(cdf.where(col("_change_type") === "delete")) == (0L until 5L))
+    assert(!cdf.queryExecution.executedPlan.toString.contains("LakeCdfRelation"),
+      "the expansion rule must replace the V1 CDF relation")
+  }
+
   test("scanPruned composes with DVs") {
     val root = freshRoot()
     LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 4,

@@ -1,0 +1,385 @@
+package graft.lake
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException,
+  NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange,
+  SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table,
+  TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
+  SupportsOverwrite, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.sources.{AlwaysTrue, And, EqualTo, Filter,
+  GreaterThan, GreaterThanOrEqual, InsertableRelation, IsNotNull, LessThan,
+  LessThanOrEqual}
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType,
+  IntegerType, LongType, ShortType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource-V2 `TableCatalog` over a warehouse directory of
+  * [[LakeTable]]s — the SQL-text surface of the lake:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.lake", "graft.lake.LakeCatalog")
+  *   spark.conf.set("spark.sql.catalog.lake.warehouse", "/data/lake")
+  *   CREATE TABLE lake.corpus.docs (id BIGINT, text STRING)
+  *     TBLPROPERTIES (statsCols = 'id', clusterBy = 'id')
+  *   INSERT INTO lake.corpus.docs SELECT ...
+  *   SELECT * FROM lake.corpus.docs VERSION AS OF 3
+  *   DELETE FROM lake.corpus.docs WHERE id BETWEEN 10 AND 99
+  *   ALTER TABLE lake.corpus.docs ADD COLUMNS (lang STRING)
+  * }}}
+  *
+  * An identifier `ns1.ns2.t` maps to `<warehouse>/ns1/ns2/t`; a table
+  * is any such directory holding a [[LakeLog]]. Namespaces are plain
+  * directories. `CREATE TABLE` honors three table properties:
+  * `statsCols` (comma list; default = every column of a
+  * stats-supported type), `clusterBy` (a column, or the `z:`/`h:`
+  * curve specs [[LakeTable.zCluster]] emits), and `nFiles`.
+  *
+  * Reads: `loadTable` pins a snapshot (and `VERSION AS OF` /
+  * `TIMESTAMP AS OF` resolve through the log), then the
+  * [[LakeMorExpansion]] rule replaces the analyzed
+  * `DataSourceV2Relation` with the native vectorized scan —
+  * stats-pruned [[LakeFileIndex]], deletion vectors applied as the
+  * codegen'd broadcast anti-join. SQL reads therefore REQUIRE
+  * `spark.sql.extensions=graft.GraftSparkExtensions`; the scan
+  * builder refuses loudly otherwise rather than shipping a second,
+  * slower read implementation.
+  *
+  * Writes ride the V1 fallback ([[TableCapability.V1_BATCH_WRITE]]):
+  * `INSERT INTO` → [[LakeTable.append]] (one transactional commit),
+  * `INSERT OVERWRITE` → [[LakeTable.overwrite]]. `DELETE FROM` plans
+  * through [[SupportsDelete]] when the predicate translates EXACTLY
+  * to the lake's conjunctive ranges (else the catalog refuses — a
+  * partial translation would delete MORE rows than asked).
+  */
+class LakeCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs = LakeLog.fileSystem(warehouse,
+    spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.warehouse")
+    warehouse = new Path(w)
+  }
+
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): Path =
+    (ident.namespace() :+ ident.name())
+      .foldLeft(warehouse)((p, seg) => new Path(p, seg))
+
+  private def isTable(p: Path): Boolean =
+    fs.exists(LakeLog.logDir(p))
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(rootOf(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(warehouse)((p, s) => new Path(p, s))
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      name() +: namespace.toSeq)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(isTable)
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    loadAsOf(ident, None)
+
+  /** `VERSION AS OF <v>` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAsOf(ident, Some(version.toLong))
+
+  /** `TIMESTAMP AS OF <ts>` time travel (micros since epoch). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    loadAsOf(ident,
+      Some(LakeLog.versionAtTimestamp(fs, root, timestamp / 1000L)))
+  }
+
+  private def loadAsOf(ident: Identifier, version: Option[Long]): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    new LakeTableV2(spark, root,
+      (name() +: ident.namespace() :+ ident.name()).mkString("."), version)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-lake tables use stats-based file skipping instead of " +
+        "directory partitioning — declare clusterBy/statsCols table " +
+        "properties (see LakeTable) rather than PARTITIONED BY")
+    val root = rootOf(ident)
+    if (isTable(root)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala
+    val statsCols = props.get("statsCols") match {
+      case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => schema.fields.collect {
+        case f if statsSupported(f) => f.name
+      }.toSeq
+    }
+    val empty = spark.createDataFrame(
+      new util.ArrayList[org.apache.spark.sql.Row](), schema)
+    LakeTable.create(spark, root.toString, empty, statsCols,
+      nFiles = props.get("nFiles").map(_.toInt).getOrElse(1),
+      clusterBy = props.get("clusterBy"))
+    loadTable(ident)
+  }
+
+  private def statsSupported(f: StructField): Boolean = f.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType => true
+    case _ => false
+  }
+
+  /** `ALTER TABLE ... ADD COLUMNS` → [[LakeTable.addColumns]] (a
+    * metadata-only additive-evolution commit). Every other change is
+    * a rewrite in this format and refused loudly.
+    */
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"nested column ${a.fieldNames().mkString(".")} not supported")
+        StructField(a.fieldNames().head, a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft-lake evolution is additive; $other needs a table rewrite")
+    }
+    LakeTable.addColumns(spark, root.toString, adds)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    isTable(root) && fs.delete(root, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    val from = rootOf(oldIdent)
+    val to = rootOf(newIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    if (fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    require(fs.rename(from, to), s"rename $from -> $to failed")
+  }
+
+  // ---- namespaces = warehouse subdirectories ------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(warehouse)) Array.empty
+    else fs.listStatus(warehouse).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTable).map(p => Array(p.getName))
+
+  override def listNamespaces(namespace: Array[String]):
+      Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = namespace.foldLeft(warehouse)((p, s) => new Path(p, s))
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      name() +: namespace.toSeq)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTable).map(p => namespace :+ p.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = namespace.foldLeft(warehouse)((p, s) => new Path(p, s))
+    namespace.isEmpty || (fs.exists(dir) && !isTable(dir))
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]):
+      util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val dir = namespace.foldLeft(warehouse)((p, s) => new Path(p, s))
+    if (fs.exists(dir))
+      throw new NamespaceAlreadyExistsException(
+        (name() +: namespace.toSeq).toArray)
+    require(fs.mkdirs(dir), s"mkdirs $dir failed")
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft-lake namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val dir = namespace.foldLeft(warehouse)((p, s) => new Path(p, s))
+    if (!fs.exists(dir)) return false
+    if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new IllegalStateException(s"namespace $dir not empty")
+    fs.delete(dir, true)
+  }
+}
+
+/** The catalog's table handle: a root + an optional pinned version.
+  * Reads are spliced to the native plan by [[LakeMorExpansion]];
+  * writes ride the V1 `InsertableRelation` fallback into
+  * [[LakeTable.append]]/[[LakeTable.overwrite]]; `DELETE FROM` maps
+  * exactly-translatable predicates onto [[LakeTable.deleteWhere]].
+  */
+private[lake] class LakeTableV2(spark: SparkSession,
+                                private[lake] val root: Path,
+                                ident: String,
+                                private[lake] val versionAsOf: Option[Long])
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def fs = LakeLog.fileSystem(root,
+    spark.sparkContext.hadoopConfiguration)
+
+  /** Snapshot pinned at load time — one query, one version. */
+  private[lake] lazy val snap: LakeLog.Snapshot =
+    LakeLog.snapshot(fs, root, versionAsOf)
+
+  override def name(): String = ident
+
+  override def schema(): StructType = StructType.fromDDL(snap.schemaDdl)
+
+  override def version(): String =
+    versionAsOf.map(_.toString).getOrElse(snap.version.toString)
+
+  override def properties(): util.Map[String, String] =
+    Map("provider" -> "graft-lake", "location" -> root.toString).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  /** Read-position relations never reach scan EXECUTION — the
+    * [[LakeMorExpansion]] rule replaces them during analysis. The
+    * optimizer still builds a scan for DML targets (`DELETE FROM`
+    * pushdown bookkeeping runs before the metadata-only-delete
+    * conversion), so the scan must construct; only `toBatch` — which
+    * fires solely when the extension rule is missing — refuses.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap):
+      ScanBuilder = () => new org.apache.spark.sql.connector.read.Scan {
+    override def readSchema(): StructType = LakeTableV2.this.schema()
+    override def toBatch: org.apache.spark.sql.connector.read.Batch =
+      throw new UnsupportedOperationException(
+        "graft-lake catalog reads plan through the LakeMorExpansion rule " +
+          "— run with spark.sql.extensions=graft.GraftSparkExtensions")
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionAsOf.isEmpty, "cannot write to a time-travel snapshot")
+    new WriteBuilder with SupportsTruncate with SupportsOverwrite {
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        require(filters.forall(_.isInstanceOf[AlwaysTrue]),
+          "graft-lake supports INSERT OVERWRITE of the whole table only " +
+            "(filtered overwrite = deleteWhere + append as two commits)")
+        overwriteAll = true; this
+      }
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                overwrite: Boolean): Unit = {
+              if (overwriteAll)
+                LakeTable.overwrite(spark, root.toString, data)
+              else LakeTable.append(spark, root.toString, data)
+              ()
+            }
+          }
+      }
+    }
+  }
+
+  // ---- DELETE FROM ---------------------------------------------------
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    LakeTableV2.translateAll(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val ranges = LakeTableV2.translateAll(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE predicate ${filters.mkString(" AND ")} does not " +
+          "translate exactly to column ranges"))
+    if (ranges.isEmpty) { // unconditional DELETE / TRUNCATE
+      val empty = spark.createDataFrame(
+        new util.ArrayList[org.apache.spark.sql.Row](), schema())
+      LakeTable.overwrite(spark, root.toString, empty)
+    } else LakeTable.deleteWhere(spark, root.toString, ranges): Unit
+  }
+}
+
+private[lake] object LakeTableV2 {
+
+  /** STRICT translation of a DELETE predicate to conjunctive
+    * [[LakeTable.ColRange]]s: every conjunct must translate or the
+    * whole predicate is refused (None) — a dropped conjunct would
+    * widen the delete. `IsNotNull` conjuncts are sound to absorb:
+    * ranges are null-rejecting already, and deleting "WHERE x IS NOT
+    * NULL AND lo <= x <= hi" deletes the same rows with or without
+    * the null guard.
+    */
+  private[lake] def translateAll(filters: Array[Filter]):
+      Option[Seq[LakeTable.ColRange]] = {
+    val parts = filters.filterNot(_.isInstanceOf[AlwaysTrue]).map(one)
+    if (parts.exists(_.isEmpty)) None
+    else {
+      val ranges = parts.flatMap(_.get).toSeq
+      // a bare IS NOT NULL (no range on the same column) has no range
+      // form — (None, None) would match nulls too via lit(true)
+      val guarded = ranges.filter(r => r.lo.isEmpty && r.hi.isEmpty)
+        .map(_.column)
+        .forall(c => ranges.exists(r =>
+          r.column == c && (r.lo.nonEmpty || r.hi.nonEmpty)))
+      if (guarded) Some(ranges.filter(r => r.lo.nonEmpty || r.hi.nonEmpty))
+      else None
+    }
+  }
+
+  private def norm(v: Any): Option[Any] =
+    try Option(v).map(LakeTable.normalizeStat) catch {
+      case _: IllegalArgumentException => None
+    }
+
+  private def one(f: Filter): Option[Seq[LakeTable.ColRange]] = f match {
+    case And(l, r) => for (a <- one(l); b <- one(r)) yield a ++ b
+    case EqualTo(c, v) =>
+      norm(v).map(x => Seq(LakeTable.ColRange(c, Some(x), Some(x))))
+    case GreaterThan(c, v) => // ranges are inclusive: refuse strict
+      norm(v).collect { case x: Long =>
+        Seq(LakeTable.ColRange(c, Some(x + 1L), None)) }
+    case GreaterThanOrEqual(c, v) =>
+      norm(v).map(x => Seq(LakeTable.ColRange(c, Some(x), None)))
+    case LessThan(c, v) =>
+      norm(v).collect { case x: Long =>
+        Seq(LakeTable.ColRange(c, None, Some(x - 1L))) }
+    case LessThanOrEqual(c, v) =>
+      norm(v).map(x => Seq(LakeTable.ColRange(c, None, Some(x))))
+    case IsNotNull(c) => // sound only beside a range on c: see above
+      Some(Seq(LakeTable.ColRange(c, None, None)))
+    case _ => None
+  }
+}

@@ -2,9 +2,12 @@ package graft.lake
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.NamedExpression
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
+  LogicalPlan, Project, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 /** Analyzer (post-hoc resolution) rule that rewrites a format read of
   * a deletion-vector'd snapshot — `LogicalRelation(LakeMorRelation)` —
@@ -27,21 +30,41 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   */
 final class LakeMorExpansion(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def splice(l: LogicalRelation, df: DataFrame): LogicalPlan = {
+  private def splice(out: Seq[NamedExpression], df: DataFrame): LogicalPlan = {
     val expanded = df.queryExecution.analyzed
     val byName = expanded.output.map(a => a.name -> a).toMap
-    Project(l.output.map(o =>
+    Project(out.map(o =>
       Alias(byName(o.name), o.name)(exprId = o.exprId)), expanded)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // write/DML targets keep their V2 relation node: AppendData /
+    // OverwriteByExpression resolve against it (V1 write fallback) and
+    // DeleteFromTable plans through SupportsDelete — only relations in
+    // READ position become scans
+    val writeTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    def protect(target: LogicalPlan): Unit = target.foreach {
+      case r: DataSourceV2Relation => writeTargets.add(r): Unit
+      case _ => () // the target may be wrapped (SubqueryAlias etc.)
+    }
+    plan.foreach {
+      case c: V2WriteCommand => protect(c.table)
+      case d: DeleteFromTable => protect(d.table)
+      case _ => ()
+    }
     plan.transformUpWithSubqueries {
       case l: LogicalRelation if l.relation.isInstanceOf[LakeMorRelation] =>
         val rel = l.relation.asInstanceOf[LakeMorRelation]
-        splice(l, LakeTable.morScanIndexed(spark, rel.root, rel.snap))
+        splice(l.output, LakeTable.morScanIndexed(spark, rel.root, rel.snap))
       case l: LogicalRelation if l.relation.isInstanceOf[LakeCdfRelation] =>
         val rel = l.relation.asInstanceOf[LakeCdfRelation]
-        splice(l,
+        splice(l.output,
           LakeTable.cdfFrame(spark, rel.root, rel.dataDdl, rel.from, rel.to))
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[LakeTableV2] && !writeTargets.contains(r) =>
+        val t = r.table.asInstanceOf[LakeTableV2]
+        splice(r.output, LakeTable.morScanIndexed(spark, t.root, t.snap))
     }
+  }
 }

@@ -291,6 +291,31 @@ object LakeTable {
       dedupBatch = appId.zip(batchId))
   }
 
+  /** Metadata-only ADDITIVE evolution — `ALTER TABLE ... ADD COLUMNS`:
+    * the new columns join the schema as nullable, AFTER the existing
+    * ones; no file moves, existing files read the columns as null
+    * (the same by-name back-fill contract as a mergeSchema append).
+    * Duplicate names are refused; constraints/clusterBy/statsCols are
+    * untouched (a Meta-only commit never resets cumulative actions).
+    */
+  def addColumns(spark: SparkSession, root: String,
+                 cols: Seq[StructField]): Long = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    val existing = StructType.fromDDL(snap.schemaDdl)
+    val clash = cols.map(_.name).filter(n =>
+      existing.fieldNames.contains(n))
+    require(clash.isEmpty,
+      s"column(s) ${clash.mkString(", ")} already exist — evolution is " +
+        "additive (no renames/retypes without a rewrite)")
+    val ddl = StructType(existing.fields ++
+      cols.map(_.copy(nullable = true))).toDDL
+    LakeLog.commit(f, rootP,
+      Seq(Meta("altertable", ddl, snap.statsCols, None, None, now())))
+  }
+
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
                 nFiles: Int = 8, clusterBy: Option[String] = None): Long = {
     val rootP = new Path(root)

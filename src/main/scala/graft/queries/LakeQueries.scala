@@ -453,7 +453,63 @@ object LakeQueries {
       SELECT * FROM merged WHERE k NOT BETWEEN 1000 AND 1999)
   """
 
+  /** Catalog chain: the maintenance story as PURE SQL TEXT through
+    * the DSv2 catalog ([[graft.lake.LakeCatalog]]) — CREATE NAMESPACE,
+    * CREATE TABLE with lake properties, INSERT INTO from a view of
+    * the seed, DELETE FROM a key range, ALTER TABLE ADD COLUMNS, and
+    * a post-evolution INSERT. Returns the catalog-qualified
+    * identifier; every statement committed through the same LakeLog
+    * transaction machinery as the library calls.
+    */
+  private val catCache = new ConcurrentHashMap[String, String]()
+  private def catFor(s: SparkSession, dir: String): String =
+    catCache.computeIfAbsent(dir, _ => {
+      val key = dirKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+      val cat = s"glq_$key"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$lakeRoot/cat_$key")
+      val ident = s"$cat.core.ord"
+      seed(s, dir).createOrReplaceTempView(s"lakeq_seed_$key")
+      s.sql(s"CREATE NAMESPACE $cat.core")
+      s.sql(s"CREATE TABLE $ident (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderstatus STRING, o_cents BIGINT) " +
+        "TBLPROPERTIES (clusterBy = 'o_orderkey', nFiles = '4')")
+      s.sql(s"INSERT INTO $ident SELECT * FROM lakeq_seed_$key")
+      s.sql(s"DELETE FROM $ident WHERE o_orderkey BETWEEN 1000 AND 1999")
+      s.sql(s"ALTER TABLE $ident ADD COLUMNS (flag STRING)")
+      s.sql(s"INSERT INTO $ident SELECT o_orderkey + 10000, o_custkey, " +
+        "o_orderstatus, o_cents, 'late' " +
+        s"FROM lakeq_seed_$key WHERE o_orderkey < 500")
+      ident
+    })
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("lake_catalog_sql",
+      // the SQL-catalog surface end to end: a table a user only ever
+      // touched through spark.sql — created, loaded, range-deleted,
+      // evolved and re-inserted as SQL text — must read back exactly
+      // the state the oracle recomputes from the raw parquet; the
+      // SELECT itself resolves by identifier and plans the native
+      // stats-pruned scan via LakeMorExpansion
+      (s, dir) => {
+        val ident = catFor(s, dir)
+        s.sql("SELECT o_orderkey, o_custkey, o_orderstatus, o_cents, " +
+          s"flag FROM $ident WHERE o_orderkey >= 500 ORDER BY o_orderkey")
+      },
+      Some("""
+        WITH seed AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+          FROM orders WHERE o_orderkey < 4000),
+        final AS (
+          SELECT *, CAST(NULL AS VARCHAR) AS flag FROM seed
+          WHERE o_orderkey NOT BETWEEN 1000 AND 1999
+          UNION ALL
+          SELECT o_orderkey + 10000, o_custkey, o_orderstatus, o_cents,
+                 'late' AS flag
+          FROM seed WHERE o_orderkey < 500)
+        SELECT * FROM final WHERE o_orderkey >= 500
+        ORDER BY o_orderkey""")),
+
     QueryDef("lake_read_latest",
       (s, dir) => LakeTable.scan(s, chainFor(s, dir))
         .orderBy("o_orderkey"),

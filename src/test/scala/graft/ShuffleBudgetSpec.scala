@@ -362,6 +362,10 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("lake_history", 1, "KB-sized driver-side log relation, ordered"),
     ("lake_sql_read", 1, "format-surface snapshot scan (stats-pruned " +
       "stock parquet FileScan) + output ordering"),
+    ("lake_catalog_sql", 1, "DSv2-catalog identifier read spliced to " +
+      "the native snapshot scan; the SQL DML chain (INSERT/DELETE/" +
+      "ALTER) committed at build time as its own bounded jobs — the " +
+      "one exchange is the output ordering"),
     ("lake_schema_evolution", 1, "post-evolution snapshot scan " +
       "(by-name column resolution, old files null-filled) + output " +
       "ordering"),

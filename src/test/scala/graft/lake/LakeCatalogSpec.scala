@@ -1,0 +1,141 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.spark.sql.{AnalysisException, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The DSv2 catalog surface: lake tables addressable by identifier,
+  * maintained with plain SQL text — CREATE/CTAS/INSERT/INSERT
+  * OVERWRITE/DELETE/ALTER ADD COLUMNS/time travel/SHOW/DROP — all
+  * committing through the same [[LakeLog]] transaction machinery as
+  * the library API, and all reads planned by [[LakeMorExpansion]]
+  * onto the native vectorized scan.
+  */
+class LakeCatalogSpec extends SparkSuite {
+
+  private val cat = "glake"
+  private lazy val warehouse = {
+    val w = Files.createTempDirectory("graft_cat").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    w
+  }
+
+  private def sql(q: String): DataFrame = { warehouse; spark.sql(q) }
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("CREATE TABLE + INSERT INTO + SELECT round-trips as pure SQL") {
+    sql(s"CREATE NAMESPACE $cat.core")
+    sql(s"CREATE TABLE $cat.core.t (id BIGINT, name STRING) " +
+      "TBLPROPERTIES (clusterBy = 'id')")
+    sql(s"INSERT INTO $cat.core.t SELECT id, concat('n_', id) " +
+      "FROM range(100)")
+    assert(ids(sql(s"SELECT * FROM $cat.core.t")) == (0L until 100L))
+    // reads are native scans, not the refusing DSv2 ScanBuilder
+    val plan = sql(s"SELECT * FROM $cat.core.t WHERE id >= 90")
+    assert(ids(plan) == (90L until 100L))
+    assert(plan.queryExecution.executedPlan.toString.contains("LakeFileIndex"),
+      "catalog reads must plan onto the snapshot file index")
+    // a second INSERT is a second commit
+    sql(s"INSERT INTO $cat.core.t SELECT id + 100, concat('n_', id + 100) " +
+      "FROM range(20)")
+    assert(sql(s"SELECT count(*) AS c FROM $cat.core.t").head().getLong(0)
+      == 120)
+  }
+
+  test("DELETE FROM translates exactly or refuses; time travel by version") {
+    sql(s"CREATE TABLE $cat.core.d (id BIGINT, v BIGINT)")       // v0
+    sql(s"INSERT INTO $cat.core.d SELECT id, id * 2 FROM range(50)") // v1
+    sql(s"DELETE FROM $cat.core.d WHERE id BETWEEN 10 AND 19")   // v2
+    assert(ids(sql(s"SELECT * FROM $cat.core.d")) ==
+      ((0L until 10L) ++ (20L until 50L)))
+    // equality + strict bounds (integral widening to inclusive ranges)
+    sql(s"DELETE FROM $cat.core.d WHERE id > 47")                // v3
+    assert(ids(sql(s"SELECT * FROM $cat.core.d")) ==
+      ((0L until 10L) ++ (20L until 48L)))
+    // a predicate that does NOT translate exactly must refuse, not
+    // delete a superset
+    val e = intercept[AnalysisException] {
+      sql(s"DELETE FROM $cat.core.d WHERE id % 2 = 0")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"))
+    assert(ids(sql(s"SELECT * FROM $cat.core.d")) ==
+      ((0L until 10L) ++ (20L until 48L)), "refused DELETE changed rows")
+    // time travel reads the pre-delete snapshots
+    assert(ids(sql(s"SELECT * FROM $cat.core.d VERSION AS OF 1")) ==
+      (0L until 50L))
+    assert(ids(sql(s"SELECT * FROM $cat.core.d VERSION AS OF 2")) ==
+      ((0L until 10L) ++ (20L until 50L)))
+  }
+
+  test("INSERT OVERWRITE replaces the table in one commit") {
+    sql(s"CREATE TABLE $cat.core.o (id BIGINT, v BIGINT)")
+    sql(s"INSERT INTO $cat.core.o SELECT id, id FROM range(30)")
+    sql(s"INSERT OVERWRITE $cat.core.o SELECT id + 100, id FROM range(5)")
+    assert(ids(sql(s"SELECT * FROM $cat.core.o")) == (100L until 105L))
+    // the overwrite is one version: v0 create, v1 insert, v2 overwrite
+    assert(ids(sql(s"SELECT * FROM $cat.core.o VERSION AS OF 1")) ==
+      (0L until 30L))
+  }
+
+  test("CTAS, SHOW TABLES, DROP TABLE") {
+    sql(s"CREATE TABLE $cat.core.src AS " +
+      "SELECT id, id * 3 AS v FROM range(40)")
+    assert(ids(sql(s"SELECT * FROM $cat.core.src")) == (0L until 40L))
+    val shown = sql(s"SHOW TABLES IN $cat.core").collect()
+      .map(_.getString(1)).toSet
+    assert(shown.contains("src"))
+    sql(s"DROP TABLE $cat.core.src")
+    assert(!sql(s"SHOW TABLES IN $cat.core").collect()
+      .map(_.getString(1)).contains("src"))
+    intercept[AnalysisException] { sql(s"SELECT * FROM $cat.core.src") }
+  }
+
+  test("ALTER TABLE ADD COLUMNS is a metadata-only evolution commit") {
+    sql(s"CREATE TABLE $cat.core.ev (id BIGINT)")
+    sql(s"INSERT INTO $cat.core.ev SELECT id FROM range(10)")
+    sql(s"ALTER TABLE $cat.core.ev ADD COLUMNS (lang STRING)")
+    // old rows read null for the new column; new rows carry values
+    sql(s"INSERT INTO $cat.core.ev SELECT id + 10, 'en' FROM range(5)")
+    val out = sql(s"SELECT id, lang FROM $cat.core.ev ORDER BY id").collect()
+    assert(out.length == 15)
+    assert(out.take(10).forall(_.isNullAt(1)), "pre-evolution rows are null")
+    assert(out.drop(10).forall(_.getString(1) == "en"))
+    // non-additive changes refuse
+    intercept[Exception] {
+      sql(s"ALTER TABLE $cat.core.ev RENAME COLUMN lang TO language")
+    }
+  }
+
+  test("SQL DML interoperates with the library API on the same table") {
+    sql(s"CREATE TABLE $cat.core.x (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES (clusterBy = 'id', nFiles = '2')")
+    sql(s"INSERT INTO $cat.core.x SELECT id, id FROM range(60)")
+    val root = s"$warehouse/core/x"
+    // library-side MOR delete → SQL read applies the deletion vector
+    LakeTable.deleteWhereMor(spark, root,
+      Seq(LakeTable.ColRange("id", Some(0L), Some(9L))))
+    assert(ids(sql(s"SELECT * FROM $cat.core.x")) == (10L until 60L))
+    // and the DV'd SQL read still plans the native anti-join scan
+    val df = sql(s"SELECT * FROM $cat.core.x WHERE id <= 20")
+    assert(ids(df) == (10L until 21L))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LakeFileIndex") && !p.contains("LakeMorRelation"))
+    // SQL-side delete → library read agrees
+    sql(s"DELETE FROM $cat.core.x WHERE id >= 50")
+    assert(ids(LakeTable.scan(spark, root)) == (10L until 50L))
+  }
+
+  test("writing to a time-travel snapshot refuses") {
+    sql(s"CREATE TABLE $cat.core.tt (id BIGINT)")
+    sql(s"INSERT INTO $cat.core.tt SELECT id FROM range(5)")
+    val e = intercept[Exception] {
+      sql(s"INSERT INTO $cat.core.tt VERSION AS OF 0 SELECT id FROM range(5)")
+    }
+    assert(e.getMessage.nonEmpty)
+  }
+}

@@ -387,10 +387,26 @@ object LakeLog {
       s"gave up after $maxRetries contended commit attempts at $root")
   }
 
+  /** Max file actions inlined in (or sharded into) one checkpoint
+    * part. Below this, the checkpoint is ONE manifest file exactly as
+    * before; above it, Add actions shard into `<v>.checkpoint.<i>.part`
+    * files (~10 MB each at ~100 B/file) written BEFORE the manifest —
+    * manifest presence marks the checkpoint complete, and no single
+    * driver-side string ever holds the whole 10^6-file table. Part
+    * files deliberately do not end in `.json`, so the version listing
+    * ignores them by construction.
+    */
+  private[lake] val checkpointPartRows = 100000
+
+  private def checkpointPartPath(root: Path, v: Long, i: Int): Path =
+    new Path(logDir(root), f"$v%020d.checkpoint.$i.part")
+
   private def writeCheckpoint(fs: FileSystem, root: Path, v: Long): Unit = {
-    val snap = replay(fs, root, v, fromCheckpoint = false)
-    val body =
-      (Meta("checkpoint", snap.schemaDdl, snap.statsCols, None, None,
+    // incremental: replay from the PREVIOUS checkpoint, not version 0
+    // — checkpoint cost is O(interval + files), never O(history)
+    val snap = replay(fs, root, v, fromCheckpoint = true)
+    val header =
+      Meta("checkpoint", snap.schemaDdl, snap.statsCols, None, None,
         System.currentTimeMillis(), snap.clusterBy) +:
         (snap.features.toSeq.sorted.map(Feature(_)) ++
           snap.constraints.toSeq.sortBy(_._1).map {
@@ -398,13 +414,28 @@ object LakeLog {
           } ++
           snap.committedBatches.toSeq.sortBy(_._1).map { case (app, b) =>
             Meta("batchmark", snap.schemaDdl, Nil, Some(app), Some(b), 0L)
-          })) ++ snap.files
+          })
     val p = checkpointPath(root, v)
-    if (!fs.exists(p)) {
+    if (fs.exists(p)) return
+    def render(as: Seq[Action]): String = as.map(a =>
+      JsonMethods.compact(JsonMethods.render(actionToJson(a)))).mkString("\n")
+    def put(target: Path, body: String): Unit = {
       val tmp = new Path(logDir(root), s".tmp-${java.util.UUID.randomUUID()}")
-      writeString(fs, tmp, body.map(a =>
-        JsonMethods.compact(JsonMethods.render(actionToJson(a)))).mkString("\n"))
-      fs.rename(tmp, p)
+      writeString(fs, tmp, body)
+      fs.rename(tmp, target): Unit
+    }
+    if (snap.files.size <= checkpointPartRows)
+      put(p, render(header ++ snap.files))
+    else {
+      val parts = snap.files.grouped(checkpointPartRows).toSeq
+      parts.zipWithIndex.foreach { case (fsPart, i) =>
+        put(checkpointPartPath(root, v, i), render(fsPart))
+      }
+      // parts-count marker rides a Meta (batchId = count), so the
+      // manifest stays a plain action stream for old readers of
+      // single-file checkpoints
+      put(p, render(header :+
+        Meta("checkpointparts", "", Nil, None, Some(parts.size.toLong), 0L)))
     }
   }
 
@@ -462,6 +493,7 @@ object LakeLog {
     val start = if (fromCheckpoint) {
       latestCheckpointAtOrBefore(fs, root, target) match {
         case Some(cv) =>
+          var nParts = 0L
           readString(fs, checkpointPath(root, cv)).linesIterator
             .filter(_.nonEmpty)
             .map(l => actionFromJson(JsonMethods.parse(l))).foreach {
@@ -469,8 +501,15 @@ object LakeLog {
                 schemaDdl = ddl; statsCols = sc; clusterBy = cb
               case Meta("batchmark", _, _, Some(app), Some(b), _, _) =>
                 batches(app) = b
+              case Meta("checkpointparts", _, _, _, Some(n), _, _) =>
+                nParts = n
               case other => one(other)
             }
+          (0L until nParts).foreach { i =>
+            readString(fs, checkpointPartPath(root, cv, i.toInt))
+              .linesIterator.filter(_.nonEmpty)
+              .map(l => actionFromJson(JsonMethods.parse(l))).foreach(one)
+          }
           cv + 1
         case None => 0L
       }

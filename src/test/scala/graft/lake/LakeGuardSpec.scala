@@ -208,4 +208,46 @@ class LakeGuardSpec extends SparkSuite {
     // the DV'd file's vector also survives checkpoint replay
     assert(!ids(LakeTable.scan(spark, root)).contains(0L))
   }
+  test("a 10^5-file checkpoint shards into parts and replays exactly") {
+    val root = freshRoot()
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = LakeLog.fileSystem(rootP,
+      spark.sparkContext.hadoopConfiguration)
+    // fabricate a wide table purely in the log: snapshot replay and
+    // checkpointing never touch data bytes, so the Adds need no files
+    def fakeAdds(lo: Int, n: Int): Seq[LakeLog.Add] =
+      (lo until lo + n).map { i =>
+        LakeLog.Add(f"data/sim/f$i%07d.parquet",
+          LakeLog.Stats(100L, 1000L, Map("id" -> i.toLong),
+            Map("id" -> (i + 99).toLong), Map("id" -> 0L)))
+      }
+    val ddl = "id BIGINT"
+    val perCommit = 15000
+    (0 to 10).foreach { v =>
+      LakeLog.commit(fs, rootP,
+        LakeLog.Meta("append", ddl, Seq("id"), None, None, 0L) +:
+          fakeAdds(v * perCommit, perCommit))
+    }
+    // v10 checkpointed 11 * 15k = 165k files -> 2 parts + manifest
+    val names = fs.listStatus(LakeLog.logDir(rootP))
+      .map(_.getPath.getName).toSeq
+    assert(names.contains("00000000000000000010.checkpoint.json"))
+    val parts = names.filter(_.endsWith(".part"))
+    assert(parts.size == 2, s"expected 2 shards, got $parts")
+    // part files must not register as log versions
+    assert(LakeLog.versions(fs, rootP) == (0L to 10L))
+    // checkpoint replay reproduces the full file list bit-for-bit
+    val viaCp = LakeLog.snapshot(fs, rootP, None)
+    assert(viaCp.files.size == 11 * perCommit)
+    // force a raw replay (no checkpoint) and compare
+    (names.filter(n => n.contains(".checkpoint"))).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(LakeLog.logDir(rootP), n),
+        false)
+    }
+    val raw = LakeLog.snapshot(fs, rootP, None)
+    assert(raw.files == viaCp.files,
+      "sharded-checkpoint replay must equal the raw commit replay")
+    assert(raw.schemaDdl == viaCp.schemaDdl &&
+      raw.statsCols == viaCp.statsCols)
+  }
 }

@@ -158,12 +158,11 @@ object MinHashLSH {
           .where(col(idCol) =!= col("hub"))
           .select(col("hub").as("a"), col(idCol).as("b"))
         // one representative per distinct signature, sub-bucketed so
-        // each sub-bucket self-join stays ~cap wide
-        val reps = hubs
-          .join(hubs.groupBy("band", "key").agg(count(lit(1)).as("__nr")),
-            Seq("band", "key"))
-          .withColumn("__sub", pmod(col("sigfp"),
-            expr(s"greatest(1L, (__nr + ${cap - 1}) div $cap)")))
+        // each sub-bucket self-join stays ~cap wide — RECURSIVELY: a
+        // skewed first-level draw re-splits with a depth-salted hash
+        // instead of re-creating the quadratic join one level down
+        val reps = HotSplit.subSplit(hubs, Seq("band", "key"),
+          col("sigfp"), cap, "MinHashLSH.candidatePairs")
         val repPairs = selfJoin(reps, Seq("band", "key", "__sub"), "hub")
         coldPairs.union(starPairs).union(repPairs).distinct()
     }

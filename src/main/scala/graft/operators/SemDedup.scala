@@ -186,16 +186,37 @@ object SemDedup {
           return pairsOn(assigned, Seq("cell"))
         System.err.println(
           s"[graft] SemDedup: splitting $nOver cluster(s) larger than $cap " +
-            "into fingerprint sub-cells — identical vectors still dedup; " +
-            "distinct near-dup pairs across sub-cells are kept " +
-            "(bounded residual recall loss, was total loss before round 13)")
-        val keyed = assigned
-          .join(broadcast(oversized.select("cell", "__n")), Seq("cell"), "left")
-          .withColumn("__sub", when(col("__n").isNull, lit(0L))
-            .otherwise(pmod(xxhash64(col("v")),
-              expr(s"greatest(1L, (__n + ${cap - 1}) div $cap)"))))
-          .drop("__n")
-        pairsOn(keyed, Seq("cell", "__sub"))
+            "— identical vectors dedup via a LINEAR min-id star (a " +
+            "boilerplate flood shares one fingerprint, so any sub-cell " +
+            "containing it would re-create the quadratic join); distinct-" +
+            "vector representatives self-join inside recursively capped " +
+            "sub-cells (bounded residual recall loss across sub-cells)")
+        val cold = assigned
+          .join(broadcast(oversized.select("cell")), Seq("cell"), "left_anti")
+        val coldDropped = pairsOn(cold, Seq("cell"))
+        val hot = assigned
+          .join(broadcast(oversized.select("cell")), Seq("cell"))
+          .withColumn("__fp", xxhash64(col("v")))
+          .localCheckpoint(eager = false) // hubs + the star join read it
+        val hubs = hot.groupBy("cell", "__fp")
+          .agg(min(col("id")).as("id"), first(col("v")).as("v"))
+          .localCheckpoint(eager = false) // star join + rep split read it
+        // min-id star: each identical-fingerprint member checks ONE
+        // pair (itself vs its hub) — linear in the flood; the cosine
+        // guard keeps admission bit-identical to the exact in-cell
+        // join (fingerprint equality means identical vector bytes,
+        // barring a 2^-64 collision the guard then rejects)
+        val starDropped = hot
+          .join(hubs.select(col("cell"), col("__fp"),
+            col("id").as("__hub"), col("v").as("__hubv")),
+            Seq("cell", "__fp"))
+          .where(col("id") =!= col("__hub") &&
+            VectorFunctions.cosine(col("v"), col("__hubv")) >= p.tau)
+          .select(col("id"))
+        val reps = HotSplit.subSplit(hubs, Seq("cell"), col("__fp"), cap,
+          "SemDedup")
+        val repDropped = pairsOn(reps, Seq("cell", "__sub"))
+        coldDropped.union(starDropped).union(repDropped).distinct()
     }
   }
 

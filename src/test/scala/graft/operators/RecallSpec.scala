@@ -169,6 +169,51 @@ class RecallSpec extends SparkSuite {
       s"cold-bucket recall regressed under the cap: ${recall(cold, exact)}")
   }
 
+  test("MinHash two-level flood: variant groups star-connect, reps stay capped") {
+    import spark.implicits._
+    val p = MinHashLSH.Params()
+    val sub = docs.where(col("doc_id") < 200).select("doc_id", "text")
+    // 30 boilerplate VARIANTS x 6 identical copies each: every band
+    // bucket holds 180 ids (>> cap 10) with 30 DISTINCT signatures, so
+    // the rep sub-split engages — and with expected sub width == cap,
+    // a skewed draw forces the recursive level the round-13 one-shot
+    // split lacked
+    val flood = (0 until 30).flatMap { v =>
+      (0 until 6).map { c =>
+        ((20000 + v * 100 + c).toLong,
+          s"breaking news variant number $v subscribe to our newsletter " +
+            "for daily updates terms of service all rights reserved")
+      }
+    }.toDF("doc_id", "text")
+    val cand = MinHashLSH
+      .candidatePairs(sub.union(flood), "doc_id", "text", p,
+        maxBucket = Some(10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (a) every identical-copy group keeps min-id star connectivity
+    (0 until 30).foreach { v =>
+      val hub = (20000 + v * 100).toLong
+      (1 until 6).foreach { c =>
+        assert(cand.contains((hub, hub + c)),
+          s"variant $v copy $c lost its star edge under the cap")
+      }
+    }
+    // (b) the real docs' cold-bucket recall floor is untouched
+    val sh = sub.select(col("doc_id"),
+      array_distinct(graft.expressions.WordShingleHashes(
+        col("text"), p.shingleSize)).as("sh"))
+    val exact = pairSet(sh.as("x")
+      .join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(array_union(col("x.sh"), col("y.sh")))).as("j"))
+      .where(col("j") >= 0.8).select(col("x.doc_id"), col("y.doc_id")))
+    assert(exact.size >= 3, s"vacuous baseline: ${exact.size} exact pairs")
+    val cold = cand.filter(t => t._1 < 20000L && t._2 < 20000L)
+    assert(recall(cold, exact) >= 0.95,
+      s"cold-bucket recall regressed under the two-level flood: " +
+        s"${recall(cold, exact)}")
+  }
+
   test("SimHash band join is EXHAUSTIVE to hamming 3 (recall 1.0 vs brute force)") {
     // the 4x16-bit pigeonhole guarantee, verified empirically: the band
     // join must return exactly the brute-force hamming <= 3 pair set

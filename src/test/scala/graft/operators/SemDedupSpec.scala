@@ -107,4 +107,45 @@ class SemDedupSpec extends SparkSuite {
       assert(a.sameElements(b))
     }
   }
+  test("two-level flood: a 60-copy identical flood dedups via the star in linear work") {
+    // the round-13 one-level split put ALL identical vectors in ONE
+    // fingerprint sub-cell (same hash, same pmod), re-creating the
+    // quadratic join the cap exists to prevent; the star connects the
+    // flood to its min id with 59 comparisons instead of 1770 pairs
+    val flood = (100L until 160L).map(i => i -> Seq(1f, 0f, 0f))
+    val near = Seq(50L -> Seq(0.999f, 0.01f, 0f),
+      51L -> Seq(0.998f, 0.02f, 0f))
+    val seeds = Seq(1L -> Seq(1f, 0f, 0f), 2L -> Seq(0f, 1f, 0f),
+      3L -> Seq(0f, 0f, 1f))
+    val kept = SemDedup.survivors(vecsDF(seeds ++ near ++ flood),
+        p = p.copy(maxCluster = Some(5L)))
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.contains(1L), "flood hub (min id of the identical group)")
+    assert((100L until 160L).forall(i => !kept.contains(i)),
+      s"every flood copy must drop via the star, kept: ${kept.mkString(",")}")
+    assert(kept.contains(2L) && kept.contains(3L), "other cells untouched")
+  }
+
+  test("recursive rep split keeps every sub-cell bounded (HotSplit unit)") {
+    import org.apache.spark.sql.functions.{col, max => fmax, count => fcount, lit, length}
+    // 5000 distinct salts under one key at cap 50: the level-1 draw
+    // (nsub = 100, expected 50/sub) leaves some sub-buckets over the
+    // cap; recursion must refine exactly those until all fit
+    val rows = spark.range(5000).select(col("id"))
+    val split = HotSplit.subSplit(rows, Seq.empty, col("id"), 50L,
+      "HotSplitSpec")
+    val sizes = split.groupBy("__sub").agg(fcount(lit(1)).as("n"))
+    assert(sizes.agg(fmax(col("n"))).head().getLong(0) <= 50L,
+      "a sub-bucket exceeds the cap after recursion")
+    assert(split.count() == 5000, "rows must be partitioned, never lost")
+    // recursion actually engaged: some path has depth >= 2
+    assert(split.where(length(col("__sub")) -
+        length(regexp_replace(col("__sub"), "/", "")) >= 2).count() > 0,
+      "expected at least one depth-2 refinement on this fixture")
+    // deterministic: a second run produces the identical partition
+    val again = HotSplit.subSplit(rows, Seq.empty, col("id"), 50L,
+      "HotSplitSpec")
+    assert(split.exceptAll(again).count() == 0 &&
+      again.exceptAll(split).count() == 0)
+  }
 }

@@ -151,23 +151,36 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     case _ => false
   }
 
-  /** `ALTER TABLE ... ADD COLUMNS` → [[LakeTable.addColumns]] (a
-    * metadata-only additive-evolution commit). Every other change is
-    * a rewrite in this format and refused loudly.
+  /** `ALTER TABLE ... ADD COLUMNS` → [[LakeTable.addColumns]];
+    * `RENAME COLUMN` / `DROP COLUMN` → the column-mapping metadata
+    * commits ([[LakeTable.renameColumn]]/[[LakeTable.dropColumn]] —
+    * files never move). Anything else is a rewrite in this format and
+    * refused loudly.
     */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
+    def single(names: Array[String]): String = {
+      require(names.length == 1,
+        s"nested column ${names.mkString(".")} not supported")
+      names.head
+    }
+    val adds = changes.flatMap {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
-          s"nested column ${a.fieldNames().mkString(".")} not supported")
-        StructField(a.fieldNames().head, a.dataType(), nullable = true)
+        Some(StructField(single(a.fieldNames()), a.dataType(),
+          nullable = true))
+      case r: TableChange.RenameColumn =>
+        LakeTable.renameColumn(spark, root.toString,
+          single(r.fieldNames()), r.newName())
+        None
+      case d: TableChange.DeleteColumn =>
+        LakeTable.dropColumn(spark, root.toString, single(d.fieldNames()))
+        None
       case other => throw new UnsupportedOperationException(
         s"graft-lake evolution is additive; $other needs a table rewrite")
     }
-    LakeTable.addColumns(spark, root.toString, adds)
+    if (adds.nonEmpty) LakeTable.addColumns(spark, root.toString, adds)
     loadTable(ident)
   }
 

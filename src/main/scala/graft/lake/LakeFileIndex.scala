@@ -64,8 +64,12 @@ final class LakeFileIndex(spark: SparkSession, root: Path,
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]):
       Seq[PartitionDirectory] = {
+    // under column mapping the scan schema (and thus every pushed
+    // filter) uses PHYSICAL names — the same names stats are keyed by
+    val statKeys = snap.statsCols
+      .map(c => snap.colMap.getOrElse(c, c)).toSet
     val ranges = dataFilters.flatMap(LakeFileIndex.toRanges)
-      .filter(r => snap.statsCols.contains(r.column))
+      .filter(r => statKeys.contains(r.column))
     val kept = files.filter(f =>
       ranges.forall(r => LakeTable.mayMatch(f.stats, r)))
     Seq(PartitionDirectory(InternalRow.empty,

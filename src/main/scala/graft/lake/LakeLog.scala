@@ -83,7 +83,9 @@ object LakeLog {
                         statsCols: Seq[String],
                         appId: Option[String], batchId: Option[Long],
                         ts: Long,
-                        clusterBy: Option[String] = None) extends Action
+                        clusterBy: Option[String] = None,
+                        colMap: Map[String, String] = Map.empty)
+      extends Action
 
   /** Fully-replayed table state at `version`. */
   final case class Snapshot(version: Long, schemaDdl: String,
@@ -91,7 +93,16 @@ object LakeLog {
                             committedBatches: Map[String, Long],
                             clusterBy: Option[String],
                             features: Set[String] = Set.empty,
-                            constraints: Map[String, String] = Map.empty) {
+                            constraints: Map[String, String] = Map.empty,
+                            /** logical column name -> PHYSICAL name in
+                              * the parquet files; complete (one entry
+                              * per column) once the column-mapping
+                              * feature is active, empty before. Renames
+                              * and drops are then metadata commits —
+                              * files are addressed by their original
+                              * physical names forever.
+                              */
+                            colMap: Map[String, String] = Map.empty) {
     def filePaths: Set[String] = files.map(_.path).toSet
   }
 
@@ -118,7 +129,8 @@ object LakeLog {
     * readerFeatures).
     */
   val supportedFeatures: Set[String] =
-    Set("deletion-vectors", "absolute-paths", "check-constraints")
+    Set("deletion-vectors", "absolute-paths", "check-constraints",
+      "type-widening", "column-mapping")
 
   /** Marks the table as requiring readers that understand `name`. */
   final case class Feature(name: String) extends Action
@@ -178,10 +190,13 @@ object LakeLog {
     case Feature(n) => ("a" -> "feature") ~ ("name" -> n)
     case Constraint(n, e) =>
       ("a" -> "constraint") ~ ("name" -> n) ~ ("expr" -> e)
-    case Meta(op, ddl, statsCols, appId, batchId, ts, clusterBy) =>
-      ("a" -> "meta") ~ ("op" -> op) ~ ("schema" -> ddl) ~
+    case Meta(op, ddl, statsCols, appId, batchId, ts, clusterBy, colMap) =>
+      val base = ("a" -> "meta") ~ ("op" -> op) ~ ("schema" -> ddl) ~
         ("statsCols" -> statsCols) ~ ("appId" -> appId) ~
         ("batchId" -> batchId) ~ ("ts" -> ts) ~ ("clusterBy" -> clusterBy)
+      if (colMap.isEmpty) base
+      else base ~ ("colMap" -> JObject(colMap.toList.sortBy(_._1)
+        .map { case (k, v) => k -> JString(v) }))
   }
 
   def actionFromJson(j: JValue): Action = {
@@ -226,8 +241,14 @@ object LakeLog {
         val clusterBy = (j \ "clusterBy") match {
           case JString(s) => Some(s); case _ => None
         }
+        val colMap = (j \ "colMap") match {
+          case JObject(fs) => fs.collect {
+            case (k, JString(v)) => k -> v
+          }.toMap
+          case _ => Map.empty[String, String]
+        }
         Meta(str("op"), str("schema"), statsCols, appId, batchId,
-          lng(j \ "ts"), clusterBy)
+          lng(j \ "ts"), clusterBy, colMap)
       case o => throw new IllegalArgumentException(s"unknown action: $o")
     }
   }
@@ -407,7 +428,7 @@ object LakeLog {
     val snap = replay(fs, root, v, fromCheckpoint = true)
     val header =
       Meta("checkpoint", snap.schemaDdl, snap.statsCols, None, None,
-        System.currentTimeMillis(), snap.clusterBy) +:
+        System.currentTimeMillis(), snap.clusterBy, snap.colMap) +:
         (snap.features.toSeq.sorted.map(Feature(_)) ++
           snap.constraints.toSeq.sortBy(_._1).map {
             case (n, e) => Constraint(n, e)
@@ -467,6 +488,7 @@ object LakeLog {
     var schemaDdl = ""
     var statsCols: Seq[String] = Nil
     var clusterBy: Option[String] = None
+    var colMap: Map[String, String] = Map.empty
     val batches = mutable.Map[String, Long]()
     val features = mutable.Set[String]()
     val constraints = mutable.LinkedHashMap[String, String]()
@@ -483,10 +505,13 @@ object LakeLog {
         features += n
       case Constraint(n, e) =>
         if (e.isEmpty) constraints.remove(n) else constraints(n) = e
-      case Meta(_, ddl, sc, appId, batchId, _, cb) =>
+      case Meta(_, ddl, sc, appId, batchId, _, cb, cm) =>
         if (ddl.nonEmpty) { schemaDdl = ddl }
         if (sc.nonEmpty) { statsCols = sc }
         if (cb.nonEmpty) { clusterBy = cb }
+        // complete-once-active: a schema commit under column mapping
+        // always carries the FULL logical->physical map
+        if (cm.nonEmpty) { colMap = cm }
         for (app <- appId; b <- batchId)
           batches(app) = math.max(b, batches.getOrElse(app, Long.MinValue))
     }
@@ -497,11 +522,12 @@ object LakeLog {
           readString(fs, checkpointPath(root, cv)).linesIterator
             .filter(_.nonEmpty)
             .map(l => actionFromJson(JsonMethods.parse(l))).foreach {
-              case Meta("checkpoint", ddl, sc, _, _, _, cb) =>
+              case Meta("checkpoint", ddl, sc, _, _, _, cb, cm) =>
                 schemaDdl = ddl; statsCols = sc; clusterBy = cb
-              case Meta("batchmark", _, _, Some(app), Some(b), _, _) =>
+                colMap = cm
+              case Meta("batchmark", _, _, Some(app), Some(b), _, _, _) =>
                 batches(app) = b
-              case Meta("checkpointparts", _, _, _, Some(n), _, _) =>
+              case Meta("checkpointparts", _, _, _, Some(n), _, _, _) =>
                 nParts = n
               case other => one(other)
             }
@@ -518,6 +544,6 @@ object LakeLog {
       readCommit(fs, root, v).foreach(one)
     }
     Snapshot(target, schemaDdl, statsCols, files.values.toSeq, batches.toMap,
-      clusterBy, features.toSet, constraints.toMap)
+      clusterBy, features.toSet, constraints.toMap, colMap)
   }
 }

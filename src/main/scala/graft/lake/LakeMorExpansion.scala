@@ -60,7 +60,8 @@ final class LakeMorExpansion(spark: SparkSession) extends Rule[LogicalPlan] {
       case l: LogicalRelation if l.relation.isInstanceOf[LakeCdfRelation] =>
         val rel = l.relation.asInstanceOf[LakeCdfRelation]
         splice(l.output,
-          LakeTable.cdfFrame(spark, rel.root, rel.dataDdl, rel.from, rel.to))
+          LakeTable.cdfFrame(spark, rel.root, rel.dataDdl, rel.from, rel.to,
+            rel.colMap))
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[LakeTableV2] && !writeTargets.contains(r) =>
         val t = r.table.asInstanceOf[LakeTableV2]

@@ -43,9 +43,11 @@ private[lake] final class LakeMorRelation(spark: SparkSession,
                          filters: Array[Filter]): RDD[Row] = {
     val ranges = filters.flatMap(LakeMorRelation.toRanges)
       .filter(r => snap.statsCols.contains(r.column))
+    val pr = LakeTable.physRanges(ranges.toSeq, snap.colMap)
     val kept = snap.files.filter(a =>
-      ranges.forall(r => LakeTable.mayMatch(a.stats, r)))
-    val df = LakeTable.readAdds(spark, root, snap.schemaDdl, kept)
+      pr.forall(r => LakeTable.mayMatch(a.stats, r)))
+    val df = LakeTable.readAdds(spark, root, snap.schemaDdl, kept,
+        snap.colMap)
       .where(LakeTable.rangeFilter(ranges.toSeq))
     df.select(requiredColumns.toSeq.map(col): _*).rdd
   }
@@ -63,7 +65,9 @@ private[lake] final class LakeCdfRelation(spark: SparkSession,
                                           private[lake] val root: Path,
                                           private[lake] val from: Long,
                                           private[lake] val to: Long,
-                                          private[lake] val dataDdl: String)
+                                          private[lake] val dataDdl: String,
+                                          private[lake] val colMap:
+                                            Map[String, String] = Map.empty)
     extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = spark.sqlContext
@@ -72,7 +76,8 @@ private[lake] final class LakeCdfRelation(spark: SparkSession,
     LakeStreamSource.withCdfColumns(StructType.fromDDL(dataDdl))
 
   override def buildScan(): RDD[Row] = {
-    val frames = LakeTable.changeFrames(spark, root, dataDdl, from, to)
+    val frames = LakeTable.changeFrames(spark, root, dataDdl, from, to,
+      colMap)
     val df =
       if (frames.isEmpty) LakeTable.emptyChanges(spark, root, dataDdl)
       else frames.reduce(_.unionByName(_))

@@ -84,8 +84,9 @@ class LakeStreamSourceProvider extends StreamSourceProvider
       val to = parameters.get("endingVersion").map(_.toLong).getOrElse(latest)
       require(from >= 0 && from <= to && to <= latest,
         s"bad change range [$from, $to]: table has 0..$latest")
-      val ddl = LakeLog.snapshot(fs, root, Some(to)).schemaDdl
-      return new LakeCdfRelation(session, root, from, to, ddl)
+      val toSnap = LakeLog.snapshot(fs, root, Some(to))
+      return new LakeCdfRelation(session, root, from, to, toSnap.schemaDdl,
+        toSnap.colMap)
     }
     val byVersion = parameters.get("versionAsOf").map(_.toLong)
     val byTs = parameters.get("timestampAsOf").map(t =>
@@ -160,9 +161,12 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
   private val fs = LakeLog.fileSystem(rootP,
     sqlContext.sparkContext.hadoopConfiguration)
 
-  /** Data schema pinned at query start; CDF batches tag it per row. */
-  private val schemaDdl: String =
-    LakeLog.snapshot(fs, rootP, None).schemaDdl
+  /** Data schema (and column mapping) pinned at query start; CDF
+    * batches tag it per row.
+    */
+  private val startSnap = LakeLog.snapshot(fs, rootP, None)
+  private val schemaDdl: String = startSnap.schemaDdl
+  private val colMap: Map[String, String] = startSnap.colMap
 
   override val schema: StructType = {
     val base = StructType.fromDDL(schemaDdl)
@@ -216,7 +220,8 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
     plannedThrough = math.max(plannedThrough, to)
     val session = sqlContext.sparkSession
     if (readChangeFeed) {
-      val frames = LakeTable.changeFrames(session, rootP, schemaDdl, from, to)
+      val frames = LakeTable.changeFrames(session, rootP, schemaDdl, from,
+        to, colMap)
       val batch =
         if (frames.isEmpty) LakeTable.emptyChanges(session, rootP, schemaDdl)
         else frames.reduce(_.unionByName(_))
@@ -239,7 +244,7 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
     // DV-aware: a re-emitted MOR-deleted file contributes its LIVE
     // rows (pure appends carry no DV, so the common path is the same
     // single multi-path parquet scan as before)
-    val batch = LakeTable.readAdds(session, rootP, schemaDdl, adds)
+    val batch = LakeTable.readAdds(session, rootP, schemaDdl, adds, colMap)
     // v1 source contract: the returned frame must be tagged streaming
     org.apache.spark.sql.graft.StreamingFrames.asStreaming(batch)
   }

@@ -111,9 +111,12 @@ object LakeTable {
     */
   private def writeDataFiles(spark: SparkSession, root: Path, df: DataFrame,
                              statsCols: Seq[String], nFiles: Int,
-                             clusterBy: Option[String]): Seq[Add] = {
+                             clusterBy: Option[String],
+                             colMap: Map[String, String] = Map.empty)
+      : Seq[Add] = {
     require(nFiles > 0, "nFiles must be positive")
     requireStatsColsSupported(df.schema, statsCols)
+    def phys(c: String): String = colMap.getOrElse(c, c)
     val sub = s"data/${java.util.UUID.randomUUID()}"
     val outDir = new Path(root, sub)
     val arranged = clusterBy match {
@@ -146,16 +149,26 @@ object LakeTable {
         df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
       case None => df.repartition(nFiles)
     }
-    arranged.write.parquet(outDir.toString)
+    // column mapping: files always carry PHYSICAL names, so renames
+    // never touch data; the alias projection after the range/sort
+    // arrangement preserves the clustered layout
+    val physDf =
+      if (colMap.isEmpty) arranged
+      else arranged.select(df.columns.map(c => col(c).as(phys(c))).toSeq: _*)
+    physDf.write.parquet(outDir.toString)
 
     val hfs = fs(spark, root)
     val parts = hfs.listStatus(outDir)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(st => st.getPath.getName -> st.getLen).toMap
 
+    // stats are measured on the written (physical-name) files and
+    // recorded under the PHYSICAL name — the same key pre-mapping
+    // files used — so lookups translate once via the snapshot's
+    // mapping and a rename never invalidates the skipping index
     val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap { c =>
-      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+      Seq(min(col(phys(c))).as(s"__min_$c"), max(col(phys(c))).as(s"__max_$c"),
+        sum(when(col(phys(c)).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
     }
     val statRows = spark.read.parquet(outDir.toString)
       .groupBy(element_at(split(input_file_name(), "/"), -1).as("__file"))
@@ -164,11 +177,17 @@ object LakeTable {
 
     val adds = statRows.map { r =>
       val name = r.getAs[String]("__file")
+      // stats keys = the FILE's column names (physical): lookups
+      // translate logical ranges via the snapshot's mapping, so a
+      // rename never invalidates existing files' skipping index
       val mins = statsCols.map(c =>
-        c -> normalizeStat(r.getAs[Any](s"__min_$c"))).filter(_._2 != null).toMap
+        phys(c) -> normalizeStat(r.getAs[Any](s"__min_$c")))
+        .filter(_._2 != null).toMap
       val maxs = statsCols.map(c =>
-        c -> normalizeStat(r.getAs[Any](s"__max_$c"))).filter(_._2 != null).toMap
-      val nulls = statsCols.map(c => c -> r.getAs[Long](s"__nulls_$c")).toMap
+        phys(c) -> normalizeStat(r.getAs[Any](s"__max_$c")))
+        .filter(_._2 != null).toMap
+      val nulls = statsCols.map(c =>
+        phys(c) -> r.getAs[Long](s"__nulls_$c")).toMap
       Add(s"$sub/$name",
         Stats(r.getAs[Long]("__rows"), parts.getOrElse(name, 0L), mins, maxs,
           nulls))
@@ -231,19 +250,48 @@ object LakeTable {
     * old files simply lack the new column and read as null, the
     * standard lakehouse evolution contract.
     */
-  private def evolvedSchemaDdl(existing: String, df: DataFrame): String = {
+  /** The wider of two types when one losslessly contains the other
+    * WITHIN a family (byte<short<int<long; float<double) — the
+    * parquet vectorized reader upcasts narrow file columns under the
+    * widened read schema, so widening is a metadata-only evolution.
+    * Cross-family changes (int -> double) are value-rewriting and
+    * refused.
+    */
+  private def widenedType(a: DataType, b: DataType): Option[DataType] = {
+    val ints: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    val floats: Seq[DataType] = Seq(FloatType, DoubleType)
+    Seq(ints, floats).collectFirst {
+      case fam if fam.contains(a) && fam.contains(b) =>
+        fam(math.max(fam.indexOf(a), fam.indexOf(b)))
+    }
+  }
+
+  private def evolvedSchemaDdl(existing: String, df: DataFrame,
+                               widen: Boolean = false): String = {
     val table = StructType.fromDDL(existing)
-    df.schema.fields.foreach { fd =>
-      table.fields.find(_.name == fd.name).foreach { t =>
-        require(t.dataType == fd.dataType,
-          s"mergeSchema is additive-only: column ${fd.name} has type " +
-            s"${t.dataType} in the table but ${fd.dataType} in the append")
+    val updated = table.fields.map { t =>
+      df.schema.fields.find(_.name == t.name) match {
+        case Some(fd) if fd.dataType == t.dataType => t
+        case Some(fd) if widen =>
+          val w = widenedType(t.dataType, fd.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"column ${t.name}: ${t.dataType} -> ${fd.dataType} is not " +
+                "a lossless in-family widening (byte<short<int<long, " +
+                "float<double) — that change is a table rewrite"))
+          t.copy(dataType = w)
+        case Some(fd) =>
+          throw new IllegalArgumentException(
+            s"mergeSchema is additive-only: column ${t.name} has type " +
+              s"${t.dataType} in the table but ${fd.dataType} in the " +
+              "append (pass widenTypes=true for lossless in-family " +
+              "widening)")
+        case None => t
       }
     }
     val fresh = df.schema.fields
       .filterNot(fd => table.fieldNames.contains(fd.name))
       .map(_.copy(nullable = true))
-    StructType(table.fields ++ fresh).toDDL
+    StructType(updated ++ fresh).toDDL
   }
 
   /** Refuse a streaming (appId, batchId) token the snapshot already
@@ -264,28 +312,53 @@ object LakeTable {
              nFiles: Int = 4, clusterBy: Option[String] = None,
              appId: Option[String] = None,
              batchId: Option[Long] = None,
-             mergeSchema: Boolean = false): Long = {
+             mergeSchema: Boolean = false,
+             widenTypes: Boolean = false): Long = {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val snap = LakeLog.snapshot(f, rootP, None)
     requireFreshBatch(snap, appId, batchId)
     val ddl =
-      if (mergeSchema) evolvedSchemaDdl(snap.schemaDdl, df)
+      if (mergeSchema) evolvedSchemaDdl(snap.schemaDdl, df, widenTypes)
       else { requireSameSchema(snap.schemaDdl, df); snap.schemaDdl }
+    // widening (int->long, float->double, opt-in): old files read
+    // through the widened schema via the parquet reader's upcast —
+    // nothing rewritten; the incoming batch is cast UP to the evolved
+    // types (it may itself be the narrow side of the widening)
+    val evolved = StructType.fromDDL(ddl)
+    val dfw =
+      if (!widenTypes) df
+      else df.select(df.columns.map { c =>
+        val want = evolved(c).dataType
+        if (df.schema(c).dataType == want) col(c) else col(c).cast(want)
+      }: _*)
+    val widenedCols = StructType.fromDDL(snap.schemaDdl).fields
+      .filter(t => evolved.fieldNames.contains(t.name) &&
+        evolved(t.name).dataType != t.dataType).map(_.name)
+    // mapping active: evolution columns need fresh physical names
+    // (never reuse a dropped column's slot)
+    val oldNames = StructType.fromDDL(snap.schemaDdl).fieldNames.toSet
+    val evoMap =
+      if (snap.colMap.isEmpty) Map.empty[String, String]
+      else snap.colMap ++ evolved.fieldNames.filterNot(oldNames.contains)
+        .map(n => n -> freshPhysical())
     // CHECK the batch exactly as readers will see it (omitted
     // evolution columns read as null, and NULL passes a SQL CHECK)
-    enforceConstraints(padToSchema(df, ddl), snap.constraints, "append")
+    enforceConstraints(padToSchema(dfw, ddl), snap.constraints, "append")
     // a mergeSchema append may OMIT existing columns — including stats
     // columns. Files written without a column carry no min/max for it
     // (mayMatch treats missing stats as "may match", the conservative
     // read that is also exactly right: the column is all-null there),
     // so only measure stats for columns the batch actually has
-    val fileStatsCols = snap.statsCols.filter(df.columns.contains)
-    val adds = writeDataFiles(spark, rootP, df, fileStatsCols, nFiles,
-      clusterBy.orElse(snap.clusterBy))
+    val fileStatsCols = snap.statsCols.filter(dfw.columns.contains)
+    val effMap = if (evoMap.isEmpty) snap.colMap else evoMap
+    val adds = writeDataFiles(spark, rootP, dfw, fileStatsCols, nFiles,
+      clusterBy.orElse(snap.clusterBy), effMap)
     LakeLog.commit(f, rootP,
-      Meta("append", ddl, snap.statsCols, appId, batchId,
-        now()) +: adds,
+      (Meta("append", ddl, snap.statsCols, appId, batchId,
+        now(), colMap = effMap) +:
+        (if (widenedCols.isEmpty) Nil
+         else Seq(LakeLog.Feature("type-widening")))) ++ adds,
       baseVersion = snap.version,
       expectConstraints = Some(snap.constraints),
       dedupBatch = appId.zip(batchId))
@@ -312,8 +385,101 @@ object LakeTable {
         "additive (no renames/retypes without a rewrite)")
     val ddl = StructType(existing.fields ++
       cols.map(_.copy(nullable = true))).toDDL
+    // under column mapping, a NEW column must never reuse a dropped
+    // column's physical name (old files' orphaned values would
+    // resurrect into it) — fresh columns get uuid physical names
+    val colMap =
+      if (snap.colMap.isEmpty) Map.empty[String, String]
+      else snap.colMap ++ cols.map(c => c.name -> freshPhysical())
     LakeLog.commit(f, rootP,
-      Seq(Meta("altertable", ddl, snap.statsCols, None, None, now())))
+      Seq(Meta("altertable", ddl, snap.statsCols, None, None, now(),
+        colMap = colMap)))
+  }
+
+  private def freshPhysical(): String =
+    s"col-${java.util.UUID.randomUUID()}"
+
+  /** RENAME COLUMN as a metadata-only commit (the Delta column-mapping
+    * idea): files keep their physical column names forever and the
+    * log maps logical -> physical, so a rename moves ZERO data. The
+    * first rename activates the mapping (a complete logical->physical
+    * map plus the `column-mapping` reader feature — old readers
+    * refuse loudly instead of null-filling the renamed column).
+    * Refused while a CHECK constraint or the cluster spec references
+    * the column (their expressions are stored as SQL text).
+    */
+  def renameColumn(spark: SparkSession, root: String,
+                   from: String, to: String): Long = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    require(schema.fieldNames.contains(from), s"no column '$from'")
+    require(!schema.fieldNames.contains(to), s"column '$to' already exists")
+    requireUnreferenced(snap, from, "rename")
+    val fullMap = schema.fieldNames.map(n =>
+      n -> snap.colMap.getOrElse(n, n)).toMap
+    val colMap = (fullMap - from) + (to -> fullMap(from))
+    val ddl = StructType(schema.fields.map(fd =>
+      if (fd.name == from) fd.copy(name = to) else fd)).toDDL
+    val statsCols = snap.statsCols.map(c => if (c == from) to else c)
+    val clusterBy = snap.clusterBy.map(renameInClusterSpec(_, from, to))
+    LakeLog.commit(f, rootP,
+      Seq(Meta("renamecolumn", ddl, statsCols, None, None, now(),
+        clusterBy, colMap), LakeLog.Feature("column-mapping")))
+  }
+
+  /** DROP COLUMN as a metadata-only commit: the physical column stays
+    * in the files, invisible behind the mapping; later re-adds of the
+    * same logical name get a fresh physical name (see [[addColumns]]).
+    */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    require(schema.fieldNames.contains(name), s"no column '$name'")
+    require(schema.fields.length > 1, "cannot drop the only column")
+    requireUnreferenced(snap, name, "drop")
+    snap.clusterBy.foreach { spec =>
+      val dims =
+        if (spec.startsWith("z:") || spec.startsWith("h:"))
+          spec.drop(2).split(",").toSeq
+        else Seq(spec)
+      require(!dims.contains(name),
+        s"cannot drop column '$name': the cluster spec '$spec' " +
+          "references it — recluster first")
+    }
+    val colMap = schema.fieldNames.filterNot(_ == name).map(n =>
+      n -> snap.colMap.getOrElse(n, n)).toMap
+    val ddl = StructType(schema.fields.filterNot(_.name == name)).toDDL
+    val statsCols = snap.statsCols.filterNot(_ == name)
+    LakeLog.commit(f, rootP,
+      Seq(Meta("dropcolumn", ddl, statsCols, None, None, now(),
+        colMap = colMap), LakeLog.Feature("column-mapping")))
+  }
+
+  /** A rename/drop under a referencing CHECK constraint or cluster
+    * spec would silently break stored SQL text — refuse loudly.
+    */
+  private def requireUnreferenced(snap: LakeLog.Snapshot, name: String,
+                                  what: String): Unit = {
+    val word = ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+    snap.constraints.foreach { case (n, e) =>
+      require(word.findFirstIn(e).isEmpty,
+        s"cannot $what column '$name': CHECK constraint '$n' ($e) " +
+          "references it — drop the constraint first")
+    }
+  }
+
+  private def renameInClusterSpec(spec: String, from: String,
+                                  to: String): String = {
+    def ren(c: String) = if (c == from) to else c
+    if (spec.startsWith("z:"))
+      "z:" + spec.stripPrefix("z:").split(",").map(ren).mkString(",")
+    else if (spec.startsWith("h:"))
+      "h:" + spec.stripPrefix("h:").split(",").map(ren).mkString(",")
+    else ren(spec)
   }
 
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
@@ -324,7 +490,7 @@ object LakeTable {
     requireSameSchema(snap.schemaDdl, df)
     enforceConstraints(df, snap.constraints, "overwrite")
     val adds = writeDataFiles(spark, rootP, df, snap.statsCols, nFiles,
-      clusterBy.orElse(snap.clusterBy))
+      clusterBy.orElse(snap.clusterBy), snap.colMap)
     LakeLog.commit(f, rootP,
       (Meta("overwrite", snap.schemaDdl, snap.statsCols, None, None, now()) +:
         snap.files.map(a => Remove(a.path))) ++ adds,
@@ -334,14 +500,36 @@ object LakeTable {
 
   // ---- reads --------------------------------------------------------
 
+  /** Physical StructType for reading files of a column-mapped table:
+    * same fields/types, names swapped logical -> physical.
+    */
+  private def physicalSchema(schema: StructType,
+                             colMap: Map[String, String]): StructType =
+    StructType(schema.fields.map(f =>
+      f.copy(name = colMap.getOrElse(f.name, f.name))))
+
+  /** logical-name projection of a physical-name frame. */
+  private def toLogical(df: DataFrame, schema: StructType,
+                        colMap: Map[String, String],
+                        extra: Seq[String] = Nil): DataFrame =
+    df.select(schema.fields.map(f =>
+      col(colMap.getOrElse(f.name, f.name)).as(f.name)).toSeq ++
+      extra.map(col): _*)
+
   private def readFiles(spark: SparkSession, root: Path, schemaDdl: String,
-                        paths: Seq[String]): DataFrame = {
+                        paths: Seq[String],
+                        colMap: Map[String, String] = Map.empty): DataFrame = {
     val schema = StructType.fromDDL(schemaDdl)
     if (paths.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-    else
-      spark.read.schema(schema)
+    else {
+      val raw = spark.read.schema(physicalSchema(schema, colMap))
         .parquet(paths.map(p => new Path(root, p).toString): _*)
+      // column mapping: files carry PHYSICAL names (stable across
+      // renames/drops); project back to the logical view. Inactive
+      // mapping keeps the exact unprojected plan.
+      if (colMap.isEmpty) raw else toLogical(raw, schema, colMap)
+    }
   }
 
   // ---- deletion vectors (merge-on-read) -----------------------------
@@ -380,15 +568,21 @@ object LakeTable {
     */
   private def readFilesWithPos(spark: SparkSession, root: Path,
                                schemaDdl: String,
-                               paths: Seq[String]): DataFrame = {
+                               paths: Seq[String],
+                               colMap: Map[String, String] = Map.empty)
+      : DataFrame = {
     val schema = StructType.fromDDL(schemaDdl)
     if (paths.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](),
         schema.add("__file", StringType).add("__pos", LongType))
-    else spark.read.schema(schema)
-      .parquet(paths.map(p => new Path(root, p).toString): _*)
-      .withColumn("__file", fileRelPath)
-      .withColumn("__pos", col("_metadata.row_index"))
+    else {
+      val raw = spark.read.schema(physicalSchema(schema, colMap))
+        .parquet(paths.map(p => new Path(root, p).toString): _*)
+        .withColumn("__file", fileRelPath)
+        .withColumn("__pos", col("_metadata.row_index"))
+      if (colMap.isEmpty) raw
+      else toLogical(raw, schema, colMap, extra = Seq("__file", "__pos"))
+    }
   }
 
   /** Snapshot read honoring deletion vectors. Files without a DV keep
@@ -401,14 +595,17 @@ object LakeTable {
     * on the stock scan path.
     */
   private[lake] def readAdds(spark: SparkSession, root: Path,
-                             schemaDdl: String, adds: Seq[Add]): DataFrame = {
+                             schemaDdl: String, adds: Seq[Add],
+                             colMap: Map[String, String] = Map.empty)
+      : DataFrame = {
     val (dvd, clean) = adds.partition(_.dv.nonEmpty)
-    val base = readFiles(spark, root, schemaDdl, clean.map(_.path))
+    val base = readFiles(spark, root, schemaDdl, clean.map(_.path), colMap)
     if (dvd.isEmpty) base
     else {
       val cols = StructType.fromDDL(schemaDdl).fieldNames.toSeq.map(col)
       val dels = readDvRows(spark, root, dvd.flatMap(_.dv).map(_.path))
-      val withPos = readFilesWithPos(spark, root, schemaDdl, dvd.map(_.path))
+      val withPos = readFilesWithPos(spark, root, schemaDdl, dvd.map(_.path),
+        colMap)
       val live = withPos
         .join(dels,
           withPos("__file") === dels("file") && withPos("__pos") === dels("pos"),
@@ -435,20 +632,37 @@ object LakeTable {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val (dvd, clean) = snap.files.partition(_.dv.nonEmpty)
-    val cols = StructType.fromDDL(snap.schemaDdl).fieldNames.toSeq.map(col)
-    def indexed(files: Seq[Add]): DataFrame =
-      spark.baseRelationToDataFrame(HadoopFsRelation(
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val cols = schema.fieldNames.toSeq.map(col)
+    // files carry PHYSICAL names; the logical projection sits above
+    // the native scan (identity when mapping is inactive), and pushed
+    // filters rewrite through the aliases into the file index
+    def indexed(files: Seq[Add]): DataFrame = {
+      val raw = spark.baseRelationToDataFrame(HadoopFsRelation(
         location = new LakeFileIndex(spark, root, snap, Some(files)),
         partitionSchema = new StructType(),
-        dataSchema = StructType.fromDDL(snap.schemaDdl),
+        dataSchema = physicalSchema(schema, snap.colMap),
         bucketSpec = None,
         fileFormat = new ParquetFileFormat,
         options = Map.empty)(spark))
+      if (snap.colMap.isEmpty) raw else toLogical(raw, schema, snap.colMap)
+    }
+    def indexedWithPos(files: Seq[Add]): DataFrame = {
+      val raw = spark.baseRelationToDataFrame(HadoopFsRelation(
+        location = new LakeFileIndex(spark, root, snap, Some(files)),
+        partitionSchema = new StructType(),
+        dataSchema = physicalSchema(schema, snap.colMap),
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat,
+        options = Map.empty)(spark))
+        .withColumn("__file", fileRelPath)
+        .withColumn("__pos", col("_metadata.row_index"))
+      if (snap.colMap.isEmpty) raw
+      else toLogical(raw, schema, snap.colMap, extra = Seq("__file", "__pos"))
+    }
     if (dvd.isEmpty) return indexed(clean)
     val dels = readDvRows(spark, root, dvd.flatMap(_.dv).map(_.path))
-    val withPos = indexed(dvd)
-      .withColumn("__file", fileRelPath)
-      .withColumn("__pos", col("_metadata.row_index"))
+    val withPos = indexedWithPos(dvd)
     val live = withPos
       .join(dels,
         withPos("__file") === dels("file") && withPos("__pos") === dels("pos"),
@@ -464,8 +678,10 @@ object LakeTable {
     */
   private[lake] def cdfFrame(spark: SparkSession, root: Path,
                              dataDdl: String, from: Long,
-                             to: Long): DataFrame = {
-    val frames = changeFrames(spark, root, dataDdl, from, to)
+                             to: Long,
+                             colMap: Map[String, String] = Map.empty)
+      : DataFrame = {
+    val frames = changeFrames(spark, root, dataDdl, from, to, colMap)
     if (frames.isEmpty) emptyChanges(spark, root, dataDdl)
     else frames.reduce(_.unionByName(_))
   }
@@ -493,15 +709,16 @@ object LakeTable {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val snap = LakeLog.snapshot(f, rootP, None)
+    val pr = physRanges(ranges, snap.colMap)
     val (cands, untouched) =
-      snap.files.partition(a => ranges.forall(r => mayMatch(a.stats, r)))
+      snap.files.partition(a => pr.forall(r => mayMatch(a.stats, r)))
     if (cands.isEmpty)
       return RewriteReport(snap.version, 0, 0, untouched.size)
     val candIds = cands.map(a => fileId(a.path))
     val oldDels = readDvRows(spark, rootP, cands.flatMap(_.dv).map(_.path))
       .where(col("file").isin(candIds: _*))
     val withPos = readFilesWithPos(spark, rootP, snap.schemaDdl,
-      cands.map(_.path))
+      cands.map(_.path), snap.colMap)
     val newDel = withPos
       .join(oldDels,
         withPos("__file") === oldDels("file") && withPos("__pos") === oldDels("pos"),
@@ -541,7 +758,7 @@ object LakeTable {
     val rootP = new Path(root)
     val snap = LakeLog.snapshot(fs(spark, rootP), rootP, None)
     val withPos = readFilesWithPos(spark, rootP, snap.schemaDdl,
-      snap.files.map(_.path))
+      snap.files.map(_.path), snap.colMap)
     val dvd = snap.files.filter(_.dv.nonEmpty)
     if (dvd.isEmpty) withPos
     else {
@@ -663,7 +880,7 @@ object LakeTable {
                asOf: Option[Long]): DataFrame = {
     val rootP = new Path(root)
     val snap = LakeLog.snapshot(fs(spark, rootP), rootP, asOf)
-    readAdds(spark, rootP, snap.schemaDdl, snap.files)
+    readAdds(spark, rootP, snap.schemaDdl, snap.files, snap.colMap)
   }
 
   /** ZERO-COPY shallow clone: `dst`'s v0 commit REFERENCES `src`'s
@@ -700,7 +917,7 @@ object LakeTable {
         .map { case (n, e) => LakeLog.Constraint(n, e) }
     LakeLog.commit(f, dstP,
       (Meta("clone", snap.schemaDdl, snap.statsCols, None, None, now(),
-        snap.clusterBy) +: carried) ++ adds)
+        snap.clusterBy, snap.colMap) +: carried) ++ adds)
   }
 
   // ---- CHECK constraints ---------------------------------------------
@@ -765,7 +982,8 @@ object LakeTable {
     var attempt = 0
     while (attempt < 20) {
       val snap = LakeLog.snapshot(f, rootP, None)
-      val existing = readAdds(spark, rootP, snap.schemaDdl, snap.files)
+      val existing = readAdds(spark, rootP, snap.schemaDdl, snap.files,
+          snap.colMap)
         .where(violates(checkExpr)).limit(1).count()
       require(existing == 0,
         s"cannot add CHECK constraint '$name' ($checkExpr): existing " +
@@ -840,6 +1058,16 @@ object LakeTable {
     * the row filter still drops its rows, so pruning is only ever an
     * optimization, never a semantics change.
     */
+  /** Stats maps are keyed by the FILE's column names (= physical
+    * names under column mapping; pre-mapping files used the logical
+    * name, which IS the physical name). Callers holding logical-name
+    * ranges translate before probing.
+    */
+  private[lake] def physRanges(ranges: Seq[ColRange],
+                               colMap: Map[String, String]): Seq[ColRange] =
+    if (colMap.isEmpty) ranges
+    else ranges.map(r => r.copy(column = colMap.getOrElse(r.column, r.column)))
+
   private[lake] def mayMatch(st: Stats, r: ColRange): Boolean = {
     val aboveLo = r.lo.forall(lo => st.max.get(r.column) match {
       case Some(mx) => cmp(mx, lo).forall(_ >= 0)
@@ -886,17 +1114,18 @@ object LakeTable {
     */
   private def touchedFiles(spark: SparkSession, files: Seq[Add],
                            keyCol: String, keyType: DataType,
-                           changedKeys: DataFrame):
-      (Seq[Add], Seq[Add], Boolean) = {
+                           changedKeys: DataFrame,
+                           statsKey: String): (Seq[Add], Seq[Add], Boolean) = {
     val (statted, unstatted) = files.partition(a =>
-      a.stats.min.contains(keyCol) && a.stats.max.contains(keyCol))
+      a.stats.min.contains(statsKey) && a.stats.max.contains(statsKey))
 
     def run[T: Ordering: scala.reflect.ClassTag](
         toT: Any => T,
         mkUdf: (Array[T], Array[T], Array[T]) => Column): Set[Int] = {
-      val order = statted.indices.sortBy(i => toT(statted(i).stats.min(keyCol)))
-      val mins = order.map(i => toT(statted(i).stats.min(keyCol))).toArray
-      val maxs = order.map(i => toT(statted(i).stats.max(keyCol))).toArray
+      val order = statted.indices
+        .sortBy(i => toT(statted(i).stats.min(statsKey)))
+      val mins = order.map(i => toT(statted(i).stats.min(statsKey))).toArray
+      val maxs = order.map(i => toT(statted(i).stats.max(statsKey))).toArray
       val pref = maxs.clone()
       (1 until pref.length).foreach { i =>
         if (implicitly[Ordering[T]].lt(pref(i), pref(i - 1)))
@@ -952,8 +1181,9 @@ object LakeTable {
                  asOf: Option[Long] = None): (DataFrame, PruneReport) = {
     val rootP = new Path(root)
     val snap = LakeLog.snapshot(fs(spark, rootP), rootP, asOf)
-    val kept = snap.files.filter(a => ranges.forall(r => mayMatch(a.stats, r)))
-    val df = readAdds(spark, rootP, snap.schemaDdl, kept)
+    val pr = physRanges(ranges, snap.colMap)
+    val kept = snap.files.filter(a => pr.forall(r => mayMatch(a.stats, r)))
+    val df = readAdds(spark, rootP, snap.schemaDdl, kept, snap.colMap)
       .where(rangeFilter(ranges))
     (df, PruneReport(snap.files.size, kept.size))
   }
@@ -971,15 +1201,16 @@ object LakeTable {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val snap = LakeLog.snapshot(f, rootP, None)
+    val pr = physRanges(ranges, snap.colMap)
     val (cands, untouched) =
-      snap.files.partition(a => ranges.forall(r => mayMatch(a.stats, r)))
+      snap.files.partition(a => pr.forall(r => mayMatch(a.stats, r)))
     if (cands.isEmpty)
       return RewriteReport(snap.version, 0, 0, untouched.size)
-    val survivors = readAdds(spark, rootP, snap.schemaDdl, cands)
-      .where(!rangeFilter(ranges))
+    val survivors = readAdds(spark, rootP, snap.schemaDdl, cands,
+      snap.colMap).where(!rangeFilter(ranges))
     val nOut = math.max(1, cands.size / 2)
     val adds = writeDataFiles(spark, rootP, survivors, snap.statsCols, nOut,
-      snap.clusterBy).filter(_.stats.rows > 0)
+      snap.clusterBy, snap.colMap).filter(_.stats.rows > 0)
     val v = LakeLog.commit(f, rootP,
       (Meta("delete", snap.schemaDdl, snap.statsCols, None, None, now()) +:
         cands.map(a => Remove(a.path))) ++ adds,
@@ -1029,18 +1260,19 @@ object LakeTable {
       .find(_.name == keyCol).map(_.dataType).getOrElse(
         throw new IllegalArgumentException(s"merge key '$keyCol' not in schema"))
     val (cands, untouched, hasKeys) =
-      touchedFiles(spark, snap.files, keyCol, keyType, changedKeys)
+      touchedFiles(spark, snap.files, keyCol, keyType, changedKeys,
+        snap.colMap.getOrElse(keyCol, keyCol))
     if (!hasKeys)
       return RewriteReport(snap.version, 0, 0, snap.files.size)
 
-    val base = readAdds(spark, rootP, snap.schemaDdl, cands)
+    val base = readAdds(spark, rootP, snap.schemaDdl, cands, snap.colMap)
     // broadcast the changed-key set: a daily changelog is dwarfed by
     // the base table, and the anti join then never shuffles the base
     val merged = base.join(broadcast(changedKeys), Seq(keyCol), "left_anti")
       .unionByName(upserts)
     val nOut = math.max(1, cands.size)
     val adds = writeDataFiles(spark, rootP, merged, snap.statsCols, nOut,
-      snap.clusterBy).filter(_.stats.rows > 0)
+      snap.clusterBy, snap.colMap).filter(_.stats.rows > 0)
     val v = LakeLog.commit(f, rootP,
       (Meta("merge", snap.schemaDdl, snap.statsCols, appId, batchId,
         now()) +: cands.map(a => Remove(a.path))) ++ adds,
@@ -1101,9 +1333,10 @@ object LakeTable {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val snap = LakeLog.snapshot(f, rootP, None)
+    val withinP = physRanges(within, snap.colMap)
     val (smalls, untouched) = snap.files.partition(a =>
       a.stats.bytes < smallBytes &&
-        within.forall(r => mayMatch(a.stats, r)))
+        withinP.forall(r => mayMatch(a.stats, r)))
     if (smalls.size < 2)
       return RewriteReport(snap.version, 0, 0, snap.files.size)
     val totalBytes = smalls.map(_.stats.bytes).sum
@@ -1111,9 +1344,10 @@ object LakeTable {
     // DV-aware read: compaction PURGES deletion vectors — the packed
     // outputs are the files' live rows, written clean (still
     // dataChange=false: the live-row multiset is unchanged)
-    val packed = readAdds(spark, rootP, snap.schemaDdl, smalls)
+    val packed = readAdds(spark, rootP, snap.schemaDdl, smalls,
+      snap.colMap)
     val adds = writeDataFiles(spark, rootP, packed, snap.statsCols, nOut,
-      snap.clusterBy).filter(_.stats.rows > 0)
+      snap.clusterBy, snap.colMap).filter(_.stats.rows > 0)
     val v = LakeLog.commit(f, rootP,
       (Meta("compact", snap.schemaDdl, snap.statsCols, None, None, now()) +:
         smalls.map(a => Remove(a.path))) ++ adds,
@@ -1134,9 +1368,10 @@ object LakeTable {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val snap = LakeLog.snapshot(f, rootP, None)
-    val rows = readAdds(spark, rootP, snap.schemaDdl, snap.files)
+    val rows = readAdds(spark, rootP, snap.schemaDdl, snap.files,
+      snap.colMap)
     val adds = writeDataFiles(spark, rootP, rows, snap.statsCols, nFiles,
-      Some(clusterBy)).filter(_.stats.rows > 0)
+      Some(clusterBy), snap.colMap).filter(_.stats.rows > 0)
     val v = LakeLog.commit(f, rootP,
       (Meta("recluster", snap.schemaDdl, snap.statsCols, None, None, now(),
         Some(clusterBy)) +: snap.files.map(a => Remove(a.path))) ++ adds,
@@ -1268,9 +1503,12 @@ object LakeTable {
       throw new IllegalArgumentException(s"no lake table at $root"))
     require(fromVersion >= 0 && fromVersion <= toVersion && toVersion <= latest,
       s"bad change range ($fromVersion, $toVersion]: table has 0..$latest")
-    val schemaDdl = LakeLog.snapshot(f, rootP, Some(toVersion)).schemaDdl
+    val toSnap = LakeLog.snapshot(f, rootP, Some(toVersion))
+    val schemaDdl = toSnap.schemaDdl
+    // the change view is expressed in toVersion's LOGICAL names; the
+    // mapping is stable across the range (physical names never move)
     val perCommit = changeFrames(spark, rootP, schemaDdl,
-      fromVersion + 1, toVersion)
+      fromVersion + 1, toVersion, toSnap.colMap)
     if (perCommit.isEmpty) emptyChanges(spark, rootP, schemaDdl)
     else perCommit.reduce(_.unionByName(_))
   }
@@ -1292,7 +1530,9 @@ object LakeTable {
     */
   private[lake] def changeFrames(spark: SparkSession, rootP: Path,
                                  schemaDdl: String, from: Long,
-                                 to: Long): Seq[DataFrame] = {
+                                 to: Long,
+                                 colMap: Map[String, String] = Map.empty)
+      : Seq[DataFrame] = {
     val f = fs(spark, rootP)
     (from to to).flatMap { v =>
       val actions = LakeLog.readCommit(f, rootP, v)
@@ -1314,7 +1554,7 @@ object LakeTable {
           .where(col("file").isin(ids: _*))
         val delta = newDels.exceptAll(oldDels)
         val withPos = readFilesWithPos(spark, rootP, schemaDdl,
-          adds.map(_.path))
+          adds.map(_.path), colMap)
         val rows = withPos
           .join(delta,
             withPos("__file") === delta("file") &&
@@ -1324,7 +1564,7 @@ object LakeTable {
         Seq(taggedChanges(rows, "delete", v))
       }
       else if (rms.isEmpty)
-        Seq(taggedChanges(readAdds(spark, rootP, schemaDdl, adds),
+        Seq(taggedChanges(readAdds(spark, rootP, schemaDdl, adds, colMap),
           "insert", v))
       else {
         // the REMOVED side must be read through the previous
@@ -1333,8 +1573,8 @@ object LakeTable {
         // again by this rewrite
         val prev = LakeLog.snapshot(f, rootP, Some(v - 1)).files
           .filter(a => rms.contains(a.path))
-        val added = readAdds(spark, rootP, schemaDdl, adds)
-        val removed = readAdds(spark, rootP, schemaDdl, prev)
+        val added = readAdds(spark, rootP, schemaDdl, adds, colMap)
+        val removed = readAdds(spark, rootP, schemaDdl, prev, colMap)
         Seq(taggedChanges(added.exceptAll(removed), "insert", v),
           taggedChanges(removed.exceptAll(added), "delete", v))
       }

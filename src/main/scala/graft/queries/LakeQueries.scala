@@ -483,7 +483,80 @@ object LakeQueries {
       ident
     })
 
+  /** Rename chain: v0 create (o_orderkey, o_cents) for keys < 1500 →
+    * v1 RENAME COLUMN o_cents -> cents_total (metadata-only, column
+    * mapping) → v2 append keys [1500, 3000) under the new name.
+    * Old files must read their values under the new logical name.
+    */
+  private val renameCache = new ConcurrentHashMap[String, String]()
+  private def renameFor(s: SparkSession, dir: String): String =
+    renameCache.computeIfAbsent(dir, _ => {
+      val root = s"$lakeRoot/rename_${dirKey(dir)}"
+      val sd = seed(s, dir)
+      LakeTable.create(s, root,
+        sd.where(col("o_orderkey") < 1500).select("o_orderkey", "o_cents"),
+        Seq("o_orderkey", "o_cents"), nFiles = 2,
+        clusterBy = Some("o_orderkey"))
+      LakeTable.renameColumn(s, root, "o_cents", "cents_total")
+      LakeTable.append(s, root,
+        sd.where(col("o_orderkey") >= 1500 && col("o_orderkey") < 3000)
+          .select(col("o_orderkey"), col("o_cents").as("cents_total")),
+        nFiles = 2)
+      root
+    })
+
+  /** Widening chain: v0 create (o_orderkey INT, o_cents INT) for keys
+    * < 1500 → v1 widenTypes append of keys [1500, 3000) as BIGINT
+    * with +3e9 cents (beyond int range) — old int32 files must read
+    * exactly through the widened schema, nothing rewritten.
+    */
+  private val widenCache = new ConcurrentHashMap[String, String]()
+  private def widenFor(s: SparkSession, dir: String): String =
+    widenCache.computeIfAbsent(dir, _ => {
+      val root = s"$lakeRoot/widen_${dirKey(dir)}"
+      val sd = seed(s, dir)
+      LakeTable.create(s, root,
+        sd.where(col("o_orderkey") < 1500)
+          .select(col("o_orderkey").cast("int").as("o_orderkey"),
+            col("o_cents").cast("int").as("o_cents")),
+        Seq("o_orderkey"), nFiles = 2, clusterBy = Some("o_orderkey"))
+      LakeTable.append(s, root,
+        sd.where(col("o_orderkey") >= 1500 && col("o_orderkey") < 3000)
+          .select(col("o_orderkey"),
+            (col("o_cents") + 3000000000L).as("o_cents")),
+        nFiles = 2, mergeSchema = true, widenTypes = true)
+      root
+    })
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("lake_rename_read",
+      // column mapping under the oracle: a rename is a metadata
+      // commit — pre-rename files (physical name o_cents) must read
+      // their values under the new logical name, and post-rename
+      // appends land in the same physical slot
+      (s, dir) => LakeTable.scan(s, renameFor(s, dir))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents_total
+        FROM orders WHERE o_orderkey < 3000
+        ORDER BY o_orderkey""")),
+
+    QueryDef("lake_widen_read",
+      // lossless type widening under the oracle: int32 files read
+      // exactly through the widened BIGINT schema (vectorized upcast,
+      // zero rewrites); post-widening rows carry values beyond the
+      // old type's range
+      (s, dir) => LakeTable.scan(s, widenFor(s, dir))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) +
+                 CASE WHEN o_orderkey >= 1500
+                      THEN 3000000000 ELSE 0 END AS o_cents
+        FROM orders WHERE o_orderkey < 3000
+        ORDER BY o_orderkey""")),
+
     QueryDef("lake_catalog_sql",
       // the SQL-catalog surface end to end: a table a user only ever
       // touched through spark.sql — created, loaded, range-deleted,

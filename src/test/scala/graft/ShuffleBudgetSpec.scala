@@ -362,6 +362,12 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("lake_history", 1, "KB-sized driver-side log relation, ordered"),
     ("lake_sql_read", 1, "format-surface snapshot scan (stats-pruned " +
       "stock parquet FileScan) + output ordering"),
+    ("lake_rename_read", 1, "post-rename snapshot scan (column-mapped " +
+      "physical names, old files read under the new logical name) + " +
+      "output ordering"),
+    ("lake_widen_read", 1, "post-widening snapshot scan (int32 files " +
+      "through the BIGINT schema via the vectorized upcast) + output " +
+      "ordering"),
     ("lake_catalog_sql", 1, "DSv2-catalog identifier read spliced to " +
       "the native snapshot scan; the SQL DML chain (INSERT/DELETE/" +
       "ALTER) committed at build time as its own bounded jobs — the " +

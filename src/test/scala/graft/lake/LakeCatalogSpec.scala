@@ -105,9 +105,23 @@ class LakeCatalogSpec extends SparkSuite {
     assert(out.length == 15)
     assert(out.take(10).forall(_.isNullAt(1)), "pre-evolution rows are null")
     assert(out.drop(10).forall(_.getString(1) == "en"))
-    // non-additive changes refuse
+    // RENAME COLUMN is a metadata-only column-mapping commit: the
+    // files keep their physical names, the new logical name reads the
+    // same values
+    sql(s"ALTER TABLE $cat.core.ev RENAME COLUMN lang TO language")
+    val renamed = sql(
+      s"SELECT id, language FROM $cat.core.ev ORDER BY id").collect()
+    assert(renamed.drop(10).forall(_.getString(1) == "en"),
+      "renamed column must read the old files' values")
+    // DROP COLUMN hides it; a later re-add must NOT resurrect values
+    sql(s"ALTER TABLE $cat.core.ev DROP COLUMN language")
+    sql(s"ALTER TABLE $cat.core.ev ADD COLUMNS (language STRING)")
+    assert(sql(s"SELECT language FROM $cat.core.ev").collect()
+      .forall(_.isNullAt(0)),
+      "a re-added column must read null, never the dropped values")
+    // type changes stay a rewrite
     intercept[Exception] {
-      sql(s"ALTER TABLE $cat.core.ev RENAME COLUMN lang TO language")
+      sql(s"ALTER TABLE $cat.core.ev ALTER COLUMN id TYPE INT")
     }
   }
 

@@ -1,0 +1,343 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+  AttributeReference, EqualTo => CEq, Expression,
+  GreaterThan => CGt, GreaterThanOrEqual => CGe, IsNotNull => CNotNull,
+  LessThan => CLt, LessThanOrEqual => CLe, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction,
+  InsertAction, LogicalPlan, MergeAction, UpdateAction}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** The lake's SQL row-level DML, executed as rewrite commits —
+  * `MERGE INTO`, `UPDATE`, and `DELETE FROM` with predicates beyond
+  * the metadata path's strict ranges. [[LakeMorExpansion]] converts
+  * the analyzed `MergeIntoTable` / `UpdateTable` / residual
+  * `DeleteFromTable` nodes into these commands (the same analysis
+  * conversion public lakehouse formats use, since the stock planner
+  * requires `SupportsRowLevelOperations`).
+  *
+  * Scale shape shared by all three: candidate files are stats-pruned
+  * first (equi-key [min,max] of the source for MERGE, the predicate's
+  * range conjuncts for UPDATE/DELETE), only candidates are read and
+  * rewritten, and the commit guards them — the untouched majority of
+  * a 100 TB table is never read, and a racing rewrite aborts loudly.
+  */
+private[lake] object LakeDml {
+
+  def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case CAnd(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def norm(l: Literal): Option[Any] =
+    try Option(l.value).map {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case v => LakeTable.normalizeStat(v)
+    } catch { case _: IllegalArgumentException => None }
+
+  /** Catalyst mirror of [[LakeTableV2.translateAll]]'s STRICT
+    * predicate→range translation: Some(ranges) iff the metadata-only
+    * `SupportsDelete` path can serve this condition exactly. None
+    * sends the DELETE to [[LakeDeleteCommand]]'s general rewrite.
+    */
+  def strictRanges(cond: Expression): Option[Seq[LakeTable.ColRange]] = {
+    def one(e: Expression): Option[Seq[LakeTable.ColRange]] = e match {
+      case Literal.TrueLiteral => Some(Nil)
+      case CEq(a: AttributeReference, l: Literal) =>
+        norm(l).map(x => Seq(LakeTable.ColRange(a.name, Some(x), Some(x))))
+      case CEq(l: Literal, a: AttributeReference) =>
+        norm(l).map(x => Seq(LakeTable.ColRange(a.name, Some(x), Some(x))))
+      case CGe(a: AttributeReference, l: Literal) =>
+        norm(l).map(x => Seq(LakeTable.ColRange(a.name, Some(x), None)))
+      case CLe(a: AttributeReference, l: Literal) =>
+        norm(l).map(x => Seq(LakeTable.ColRange(a.name, None, Some(x))))
+      case CGe(l: Literal, a: AttributeReference) =>
+        norm(l).map(x => Seq(LakeTable.ColRange(a.name, None, Some(x))))
+      case CLe(l: Literal, a: AttributeReference) =>
+        norm(l).map(x => Seq(LakeTable.ColRange(a.name, Some(x), None)))
+      case CGt(a: AttributeReference, l: Literal) =>
+        norm(l).collect { case x: Long =>
+          Seq(LakeTable.ColRange(a.name, Some(x + 1L), None)) }
+      case CLt(a: AttributeReference, l: Literal) =>
+        norm(l).collect { case x: Long =>
+          Seq(LakeTable.ColRange(a.name, None, Some(x - 1L))) }
+      case CGt(l: Literal, a: AttributeReference) =>
+        norm(l).collect { case x: Long =>
+          Seq(LakeTable.ColRange(a.name, None, Some(x - 1L))) }
+      case CLt(l: Literal, a: AttributeReference) =>
+        norm(l).collect { case x: Long =>
+          Seq(LakeTable.ColRange(a.name, Some(x + 1L), None)) }
+      case CNotNull(a: AttributeReference) =>
+        Some(Seq(LakeTable.ColRange(a.name, None, None)))
+      case _ => None
+    }
+    val parts = splitConjuncts(cond).map(one)
+    if (parts.exists(_.isEmpty)) None
+    else {
+      val ranges = parts.flatMap(_.get)
+      val guarded = ranges.filter(r => r.lo.isEmpty && r.hi.isEmpty)
+        .map(_.column)
+        .forall(c => ranges.exists(r =>
+          r.column == c && (r.lo.nonEmpty || r.hi.nonEmpty)))
+      if (guarded) Some(ranges.filter(r => r.lo.nonEmpty || r.hi.nonEmpty))
+      else None
+    }
+  }
+
+  /** CONSERVATIVE candidate ranges from an arbitrary predicate: only
+    * attr-vs-literal comparison conjuncts prune (dropped conjuncts
+    * only widen the candidate set — the exact predicate is re-applied
+    * row-level by the command).
+    */
+  def pruneRanges(cond: Expression): Seq[LakeTable.ColRange] =
+    splitConjuncts(cond).flatMap(LakeFileIndex.toRanges)
+
+  /** First-applicable-action value of column `fd` over a row frame
+    * (SQL MERGE clause order): fall through while conditions are
+    * false; `default` when no action applies.
+    */
+  def chainValue(actions: Seq[MergeAction], bind: Expression => Expression,
+                 fd: StructField, default: Column): Column =
+    actions.foldRight(default) { (a, rest) =>
+      val hit = a.condition.map(e => PlanBridge.column(bind(e)))
+        .getOrElse(lit(true))
+      val v = a match {
+        case u: UpdateAction => assigned(u.assignments, bind, fd, default)
+        case i: InsertAction =>
+          assigned(i.assignments, bind, fd, lit(null).cast(fd.dataType))
+        case _: DeleteAction => default // dropped by the keep chain
+      }
+      when(hit, v).otherwise(rest)
+    }
+
+  /** First-applicable-action keep/insert flag; `default` = row fate
+    * when no action applies (true for matched/not-matched-by-source,
+    * false for inserts).
+    */
+  def chainKeep(actions: Seq[MergeAction], bind: Expression => Expression,
+                default: Boolean): Column =
+    actions.foldRight(lit(default)) { (a, rest) =>
+      val hit = a.condition.map(e => PlanBridge.column(bind(e)))
+        .getOrElse(lit(true))
+      val keep = a match {
+        case _: DeleteAction => lit(false)
+        case _ => lit(true)
+      }
+      when(hit, keep).otherwise(rest)
+    }
+
+  private def assigned(as: Seq[Assignment], bind: Expression => Expression,
+                       fd: StructField, default: Column): Column =
+    as.collectFirst {
+      case Assignment(k: AttributeReference, value) if k.name == fd.name =>
+        PlanBridge.column(bind(value)).cast(fd.dataType)
+      case Assignment(k, _) if !k.isInstanceOf[AttributeReference] &&
+          k.references.exists(_.name == fd.name) =>
+        throw new UnsupportedOperationException(
+          s"nested-field assignment $k is not supported")
+    }.getOrElse(default)
+}
+
+/** `MERGE INTO <lake> t USING <source> s ON <cond>` with WHEN
+  * MATCHED (UPDATE/DELETE), WHEN NOT MATCHED (INSERT) and WHEN NOT
+  * MATCHED BY SOURCE (UPDATE/DELETE) clauses, each optionally
+  * conditioned, applied in clause order. A target row matched by MORE
+  * than one source row refuses (the SQL cardinality rule — silently
+  * picking one would be wrong either way).
+  */
+private[lake] final case class LakeMergeIntoCommand(
+    root: String,
+    targetAttrs: Seq[AttributeReference],
+    source: LogicalPlan,
+    cond: Expression,
+    matched: Seq[MergeAction],
+    notMatched: Seq[MergeAction],
+    notMatchedBySource: Seq[MergeAction])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import LakeDml._
+    val rootP = new Path(root)
+    val f = LakeLog.fileSystem(rootP, spark.sparkContext.hadoopConfiguration)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val targetIds = targetAttrs.map(_.exprId).toSet
+    // the analyzed source plan executes as-is, keeping its attribute
+    // ids, so source references in conditions/assignments resolve
+    // naturally inside the joined frames
+    val s = PlanBridge.ofRows(spark, source)
+      .localCheckpoint(eager = false) // prune agg + 2 joins + anti read it
+
+    // candidate files: for each `t.col = <source expr>` conjunct,
+    // the source expression's [min, max] bounds the keys that can
+    // match — files outside every bound provably hold no matched row
+    def sourceOnly(e: Expression): Boolean =
+      e.references.forall(a => !targetIds.contains(a.exprId))
+    val equiKeys = splitConjuncts(cond).collect {
+      case CEq(a: AttributeReference, b)
+          if targetIds.contains(a.exprId) && sourceOnly(b) => (a.name, b)
+      case CEq(b, a: AttributeReference)
+          if targetIds.contains(a.exprId) && sourceOnly(b) => (a.name, b)
+    }
+    var noMatchPossible = false
+    val ranges = equiKeys.flatMap { case (name, e) =>
+      val row = s.agg(min(PlanBridge.column(e)).as("lo"),
+        max(PlanBridge.column(e)).as("hi")).head()
+      if (row.isNullAt(0) || row.isNullAt(1)) {
+        // empty source or all-null keys: equality can never hold
+        noMatchPossible = true
+        None
+      } else try Some(LakeTable.ColRange(name,
+        Some(LakeTable.normalizeStat(row.get(0))),
+        Some(LakeTable.normalizeStat(row.get(1)))))
+      catch { case _: IllegalArgumentException => None }
+    }
+    val pr = LakeTable.physRanges(ranges, snap.colMap)
+    val cands =
+      if (notMatchedBySource.nonEmpty) snap.files // every unmatched row
+      else if (noMatchPossible) Nil
+      else snap.files.filter(a => pr.forall(r => LakeTable.mayMatch(a.stats, r)))
+
+    val cols = schema.fields.toSeq
+    val tp = LakeTable
+      .readAddsWithPos(spark, rootP, snap.schemaDdl, cands, snap.colMap)
+      .select(cols.map(fd => col(fd.name).as(s"__t_${fd.name}")) ++
+        Seq(col("__file"), col("__pos")): _*)
+      .localCheckpoint(eager = false) // cardinality check + 3 joins
+    def bindT(e: Expression): Expression = e.transform {
+      case a: AttributeReference if targetIds.contains(a.exprId) =>
+        PlanBridge.expression(tp(s"__t_${a.name}"))
+    }
+    val joinCond = PlanBridge.column(bindT(cond))
+
+    val matchedPart = tp.join(s, joinCond, "inner")
+      .localCheckpoint(eager = false) // cardinality check + transform
+    if (matched.nonEmpty || notMatchedBySource.nonEmpty) {
+      val dup = matchedPart.groupBy(col("__file"), col("__pos"))
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1L).limit(1)
+      if (!dup.isEmpty) throw new UnsupportedOperationException(
+        "MERGE INTO matched a single target row with multiple source " +
+          "rows — deduplicate the source or tighten the ON condition")
+    }
+    val matchedRows =
+      if (matched.isEmpty)
+        matchedPart.select(cols.map(fd =>
+          col(s"__t_${fd.name}").as(fd.name)): _*)
+      else matchedPart
+        .select(cols.map(fd => chainValue(matched, bindT, fd,
+          col(s"__t_${fd.name}")).as(fd.name)) :+
+          chainKeep(matched, bindT, default = true).as("__keep"): _*)
+        .where(col("__keep")).drop("__keep")
+
+    val unmatchedT = tp.join(s, joinCond, "left_anti")
+    val unmatchedRows =
+      if (notMatchedBySource.isEmpty)
+        unmatchedT.select(cols.map(fd =>
+          col(s"__t_${fd.name}").as(fd.name)): _*)
+      else unmatchedT
+        .select(cols.map(fd => chainValue(notMatchedBySource, bindT, fd,
+          col(s"__t_${fd.name}")).as(fd.name)) :+
+          chainKeep(notMatchedBySource, bindT, default = true)
+            .as("__keep"): _*)
+        .where(col("__keep")).drop("__keep")
+
+    val insertRows =
+      if (notMatched.isEmpty) None
+      else Some(s.join(tp, joinCond, "left_anti")
+        .select(cols.map(fd => chainValue(notMatched, identity, fd,
+          lit(null).cast(fd.dataType)).as(fd.name)) :+
+          chainKeep(notMatched, identity, default = false)
+            .as("__keep"): _*)
+        .where(col("__keep")).drop("__keep"))
+
+    val newRows = insertRows
+      .foldLeft(matchedRows.unionByName(unmatchedRows))(_ unionByName _)
+    LakeTable.rewriteCommit(spark, root, snap, cands, newRows, "merge")
+    Seq.empty
+  }
+}
+
+/** `UPDATE <lake> SET ... [WHERE ...]`: candidates stats-pruned by
+  * the predicate's range conjuncts; a NULL condition leaves the row
+  * unchanged (SQL three-valued WHERE).
+  */
+private[lake] final case class LakeUpdateCommand(
+    root: String,
+    targetAttrs: Seq[AttributeReference],
+    assignments: Seq[Assignment],
+    condition: Option[Expression])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import LakeDml._
+    val rootP = new Path(root)
+    val f = LakeLog.fileSystem(rootP, spark.sparkContext.hadoopConfiguration)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val targetIds = targetAttrs.map(_.exprId).toSet
+    val pr = LakeTable.physRanges(
+      condition.map(pruneRanges).getOrElse(Nil), snap.colMap)
+    val cands = snap.files.filter(a =>
+      pr.forall(r => LakeTable.mayMatch(a.stats, r)))
+    val t = LakeTable.readAdds(spark, rootP, snap.schemaDdl, cands,
+      snap.colMap)
+    def bindT(e: Expression): Expression = e.transform {
+      case a: AttributeReference if targetIds.contains(a.exprId) =>
+        PlanBridge.expression(t(a.name))
+    }
+    val hit = condition.map(e => PlanBridge.column(bindT(e)))
+      .getOrElse(lit(true))
+    val upd = UpdateAction(None, assignments, fromStar = false)
+    val newRows = t.select(schema.fields.toSeq.map { fd =>
+      when(hit, chainValue(Seq(upd), bindT, fd, t(fd.name)))
+        .otherwise(t(fd.name)).as(fd.name)
+    }: _*)
+    LakeTable.rewriteCommit(spark, root, snap, cands, newRows, "update")
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM <lake> WHERE <predicate>` for predicates the
+  * metadata-only `SupportsDelete` path cannot express exactly: the
+  * general rewrite — candidates pruned by the predicate's range
+  * conjuncts, survivors = rows where the predicate is not TRUE.
+  */
+private[lake] final case class LakeDeleteCommand(
+    root: String,
+    targetAttrs: Seq[AttributeReference],
+    condition: Expression)
+    extends LeafRunnableCommand {
+
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import LakeDml._
+    val rootP = new Path(root)
+    val f = LakeLog.fileSystem(rootP, spark.sparkContext.hadoopConfiguration)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    val targetIds = targetAttrs.map(_.exprId).toSet
+    val pr = LakeTable.physRanges(pruneRanges(condition), snap.colMap)
+    val cands = snap.files.filter(a =>
+      pr.forall(r => LakeTable.mayMatch(a.stats, r)))
+    val t = LakeTable.readAdds(spark, rootP, snap.schemaDdl, cands,
+      snap.colMap)
+    def bindT(e: Expression): Expression = e.transform {
+      case a: AttributeReference if targetIds.contains(a.exprId) =>
+        PlanBridge.expression(t(a.name))
+    }
+    // SQL DELETE removes rows where the predicate is TRUE; NULL keeps
+    val keep = !coalesce(PlanBridge.column(bindT(condition)), lit(false))
+    LakeTable.rewriteCommit(spark, root, snap, cands, t.where(keep),
+      "delete")
+    Seq.empty
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.expressions.NamedExpression
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
-  LogicalPlan, Project, V2WriteCommand}
+  LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -51,8 +51,22 @@ final class LakeMorExpansion(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.foreach {
       case c: V2WriteCommand => protect(c.table)
       case d: DeleteFromTable => protect(d.table)
+      case m: MergeIntoTable => protect(m.targetTable)
+      case u: UpdateTable => protect(u.table)
       case _ => ()
     }
+    // the lake relation (root + pinned attrs) under a DML target
+    def lakeTarget(target: LogicalPlan):
+        Option[(String, Seq[org.apache.spark.sql.catalyst.expressions.AttributeReference])] =
+      target.collectFirst {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[LakeTableV2] =>
+          val t = r.table.asInstanceOf[LakeTableV2]
+          require(t.versionAsOf.isEmpty,
+            "cannot run DML against a time-travel snapshot")
+          (t.root.toString, r.output.collect {
+            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a
+          })
+      }
     plan.transformUpWithSubqueries {
       case l: LogicalRelation if l.relation.isInstanceOf[LakeMorRelation] =>
         val rel = l.relation.asInstanceOf[LakeMorRelation]
@@ -66,6 +80,26 @@ final class LakeMorExpansion(spark: SparkSession) extends Rule[LogicalPlan] {
           if r.table.isInstanceOf[LakeTableV2] && !writeTargets.contains(r) =>
         val t = r.table.asInstanceOf[LakeTableV2]
         splice(r.output, LakeTable.morScanIndexed(spark, t.root, t.snap))
+      // SQL row-level DML: the stock planner needs
+      // SupportsRowLevelOperations; these convert to the lake's own
+      // rewrite commands instead (candidates pruned, commit guarded)
+      case m @ MergeIntoTable(target, src, cond, ma, nma, nmbs, evolve)
+          if m.resolved && lakeTarget(target).isDefined =>
+        require(!evolve,
+          "MERGE ... WITH SCHEMA EVOLUTION is not supported — evolve " +
+            "first with ALTER TABLE ADD COLUMNS / widenTypes appends")
+        val (root, attrs) = lakeTarget(target).get
+        LakeMergeIntoCommand(root, attrs, src, cond, ma, nma, nmbs)
+      case u: UpdateTable if u.resolved && lakeTarget(u.table).isDefined =>
+        val (root, attrs) = lakeTarget(u.table).get
+        LakeUpdateCommand(root, attrs, u.assignments, u.condition)
+      // range-shaped DELETEs keep the metadata-only SupportsDelete
+      // path; everything else becomes the general rewrite
+      case d: DeleteFromTable
+          if d.resolved && lakeTarget(d.table).isDefined &&
+            LakeDml.strictRanges(d.condition).isEmpty =>
+        val (root, attrs) = lakeTarget(d.table).get
+        LakeDeleteCommand(root, attrs, d.condition)
     }
   }
 }

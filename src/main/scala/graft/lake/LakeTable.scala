@@ -757,9 +757,21 @@ object LakeTable {
   def scanWithPos(spark: SparkSession, root: String): DataFrame = {
     val rootP = new Path(root)
     val snap = LakeLog.snapshot(fs(spark, rootP), rootP, None)
-    val withPos = readFilesWithPos(spark, rootP, snap.schemaDdl,
-      snap.files.map(_.path), snap.colMap)
-    val dvd = snap.files.filter(_.dv.nonEmpty)
+    readAddsWithPos(spark, rootP, snap.schemaDdl, snap.files, snap.colMap)
+  }
+
+  /** [[readAdds]] plus the `(__file, __pos)` coordinates — live rows
+    * of `adds` with their DV-surviving physical addresses (clean
+    * files' coordinates never appear in a sidecar, so one anti-join
+    * covers both kinds).
+    */
+  private[lake] def readAddsWithPos(spark: SparkSession, rootP: Path,
+                                    schemaDdl: String, adds: Seq[Add],
+                                    colMap: Map[String, String])
+      : DataFrame = {
+    val withPos = readFilesWithPos(spark, rootP, schemaDdl,
+      adds.map(_.path), colMap)
+    val dvd = adds.filter(_.dv.nonEmpty)
     if (dvd.isEmpty) withPos
     else {
       val dels = readDvRows(spark, rootP, dvd.flatMap(_.dv).map(_.path))
@@ -767,6 +779,30 @@ object LakeTable {
         withPos("__file") === dels("file") && withPos("__pos") === dels("pos"),
         "left_anti")
     }
+  }
+
+  /** Shared rewrite commit for the SQL DML commands (MERGE INTO /
+    * UPDATE / non-range DELETE): constraint-gate `newRows`, write
+    * them, and atomically swap them in for `cands` with the standard
+    * guard (a racing rewrite of any candidate aborts this commit).
+    */
+  private[lake] def rewriteCommit(spark: SparkSession, root: String,
+                                  snap: LakeLog.Snapshot, cands: Seq[Add],
+                                  newRows: DataFrame,
+                                  op: String): RewriteReport = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    enforceConstraints(padToSchema(newRows, snap.schemaDdl),
+      snap.constraints, op)
+    val nOut = math.max(1, cands.size)
+    val adds = writeDataFiles(spark, rootP, newRows, snap.statsCols, nOut,
+      snap.clusterBy, snap.colMap).filter(_.stats.rows > 0)
+    val v = LakeLog.commit(f, rootP,
+      (Meta(op, snap.schemaDdl, snap.statsCols, None, None, now()) +:
+        cands.map(a => Remove(a.path))) ++ adds,
+      guardFiles = cands, baseVersion = snap.version,
+      expectConstraints = Some(snap.constraints))
+    RewriteReport(v, cands.size, adds.size, snap.files.size - cands.size)
   }
 
   /** Merge-on-read delete of EXACTLY the rows addressed by `victims`

@@ -480,6 +480,23 @@ object LakeQueries {
       s.sql(s"INSERT INTO $ident SELECT o_orderkey + 10000, o_custkey, " +
         "o_orderstatus, o_cents, 'late' " +
         s"FROM lakeq_seed_$key WHERE o_orderkey < 500")
+      // row-level SQL DML: an UPDATE with a non-range predicate (the
+      // general rewrite command) and a three-clause MERGE INTO
+      s.sql(s"UPDATE $ident SET o_cents = o_cents + 17 " +
+        "WHERE o_orderkey % 10 = 3")
+      seed(s, dir).where(col("o_orderkey") >= 2000 && col("o_orderkey") < 2800)
+        .select(col("o_orderkey").as("sid"), (col("o_cents") + 5).as("scents"))
+        .unionByName(seed(s, dir).where(col("o_orderkey") < 200)
+          .select((col("o_orderkey") + 50000).as("sid"),
+            (col("o_cents") * 2).as("scents")))
+        .createOrReplaceTempView(s"lakeq_msrc_$key")
+      s.sql(s"""MERGE INTO $ident t USING lakeq_msrc_$key s
+        ON t.o_orderkey = s.sid
+        WHEN MATCHED THEN UPDATE SET o_cents = s.scents,
+          o_orderstatus = 'M'
+        WHEN NOT MATCHED THEN INSERT
+          (o_orderkey, o_custkey, o_orderstatus, o_cents, flag)
+          VALUES (s.sid, -1, 'I', s.scents, 'merged')""")
       ident
     })
 
@@ -573,13 +590,33 @@ object LakeQueries {
         WITH seed AS (SELECT o_orderkey, o_custkey, o_orderstatus,
             CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
           FROM orders WHERE o_orderkey < 4000),
-        final AS (
+        t0 AS (
           SELECT *, CAST(NULL AS VARCHAR) AS flag FROM seed
           WHERE o_orderkey NOT BETWEEN 1000 AND 1999
           UNION ALL
           SELECT o_orderkey + 10000, o_custkey, o_orderstatus, o_cents,
                  'late' AS flag
-          FROM seed WHERE o_orderkey < 500)
+          FROM seed WHERE o_orderkey < 500),
+        t1 AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 10 = 3 THEN o_cents + 17
+                      ELSE o_cents END AS o_cents, flag
+          FROM t0),
+        t2 AS (
+          SELECT t1.o_orderkey, t1.o_custkey,
+                 CASE WHEN t1.o_orderkey BETWEEN 2000 AND 2799 THEN 'M'
+                      ELSE t1.o_orderstatus END AS o_orderstatus,
+                 CASE WHEN t1.o_orderkey BETWEEN 2000 AND 2799
+                      THEN sd.o_cents + 5 ELSE t1.o_cents END AS o_cents,
+                 t1.flag
+          FROM t1 LEFT JOIN seed sd ON sd.o_orderkey = t1.o_orderkey
+            AND t1.o_orderkey BETWEEN 2000 AND 2799),
+        final AS (
+          SELECT * FROM t2
+          UNION ALL
+          SELECT o_orderkey + 50000, CAST(-1 AS BIGINT), 'I',
+                 o_cents * 2, 'merged'
+          FROM seed WHERE o_orderkey < 200)
         SELECT * FROM final WHERE o_orderkey >= 500
         ORDER BY o_orderkey""")),
 

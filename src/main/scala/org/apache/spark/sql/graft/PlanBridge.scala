@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset, ExpressionUtils, SparkSession}
+
+/** `private[sql]` bridges the lake's SQL DML commands need: execute a
+  * stored (already-analyzed) logical plan as a DataFrame, and convert
+  * between resolved Catalyst expressions and `Column`s so action
+  * expressions from `MERGE INTO` / `UPDATE` plans can be re-bound
+  * against freshly built frames. Lives in the sql package namespace
+  * for that access, like the sibling [[StreamingFrames]].
+  */
+object PlanBridge {
+
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -370,7 +370,7 @@ class ShuffleBudgetSpec extends SparkSuite {
       "ordering"),
     ("lake_catalog_sql", 1, "DSv2-catalog identifier read spliced to " +
       "the native snapshot scan; the SQL DML chain (INSERT/DELETE/" +
-      "ALTER) committed at build time as its own bounded jobs — the " +
+      "ALTER/UPDATE/MERGE INTO) committed at build time as its own bounded jobs — the " +
       "one exchange is the output ordering"),
     ("lake_schema_evolution", 1, "post-evolution snapshot scan " +
       "(by-name column resolution, old files null-filled) + output " +

@@ -57,14 +57,12 @@ class LakeCatalogSpec extends SparkSuite {
     sql(s"DELETE FROM $cat.core.d WHERE id > 47")                // v3
     assert(ids(sql(s"SELECT * FROM $cat.core.d")) ==
       ((0L until 10L) ++ (20L until 48L)))
-    // a predicate that does NOT translate exactly must refuse, not
-    // delete a superset
-    val e = intercept[AnalysisException] {
-      sql(s"DELETE FROM $cat.core.d WHERE id % 2 = 0")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"))
+    // a predicate beyond the metadata path's ranges takes the general
+    // rewrite command (candidates pruned, exact predicate row-level)
+    sql(s"DELETE FROM $cat.core.d WHERE id % 10 = 5")             // v4
     assert(ids(sql(s"SELECT * FROM $cat.core.d")) ==
-      ((0L until 10L) ++ (20L until 48L)), "refused DELETE changed rows")
+      ((0L until 10L) ++ (20L until 48L))
+        .filterNot(i => i % 10 == 5))
     // time travel reads the pre-delete snapshots
     assert(ids(sql(s"SELECT * FROM $cat.core.d VERSION AS OF 1")) ==
       (0L until 50L))
@@ -142,6 +140,74 @@ class LakeCatalogSpec extends SparkSuite {
     // SQL-side delete → library read agrees
     sql(s"DELETE FROM $cat.core.x WHERE id >= 50")
     assert(ids(LakeTable.scan(spark, root)) == (10L until 50L))
+  }
+
+  test("MERGE INTO: conditioned update/delete/insert clauses as SQL") {
+    sql(s"CREATE TABLE $cat.core.m (id BIGINT, v BIGINT, note STRING) " +
+      "TBLPROPERTIES (clusterBy = 'id', nFiles = '4')")
+    sql(s"INSERT INTO $cat.core.m SELECT id, id * 10, 'base' " +
+      "FROM range(100)")
+    spark.range(80, 120)
+      .selectExpr("id AS sid", "id * 1000 AS sv")
+      .createOrReplaceTempView("merge_src")
+    sql(s"""MERGE INTO $cat.core.m t USING merge_src s ON t.id = s.sid
+      WHEN MATCHED AND s.sid >= 95 THEN UPDATE SET v = s.sv, note = 'upd'
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED AND s.sid < 110 THEN
+        INSERT (id, v, note) VALUES (s.sid, s.sv, 'new')""")
+    val out = sql(s"SELECT id, v, note FROM $cat.core.m ORDER BY id")
+      .collect()
+    // 80..94 matched+deleted; 95..99 matched+updated; 100..109
+    // inserted; 110..119 matched no insert clause -> dropped
+    assert(out.map(_.getLong(0)).toSeq ==
+      ((0L until 80L) ++ (95L until 110L)))
+    assert(out.filter(r => r.getLong(0) >= 95 && r.getLong(0) < 100)
+      .forall(r => r.getString(2) == "upd" &&
+        r.getLong(1) == r.getLong(0) * 1000))
+    assert(out.filter(_.getLong(0) >= 100)
+      .forall(r => r.getString(2) == "new"))
+    assert(out.filter(_.getLong(0) < 80).forall(_.getString(2) == "base"))
+    // cardinality violation refuses loudly
+    spark.range(2).selectExpr("50 AS sid", "id AS sv")
+      .createOrReplaceTempView("merge_dup")
+    val e = intercept[Exception] {
+      sql(s"""MERGE INTO $cat.core.m t USING merge_dup s ON t.id = s.sid
+        WHEN MATCHED THEN UPDATE SET v = s.sv""")
+    }
+    assert(e.getMessage.contains("multiple source rows") ||
+      Option(e.getCause).exists(_.getMessage.contains("multiple source rows")))
+  }
+
+  test("MERGE INTO: NOT MATCHED BY SOURCE and update-star shapes") {
+    sql(s"CREATE TABLE $cat.core.m2 (id BIGINT, v BIGINT)")
+    sql(s"INSERT INTO $cat.core.m2 SELECT id, id FROM range(20)")
+    spark.range(10, 15).selectExpr("id", "id * 100 AS v")
+      .createOrReplaceTempView("m2_src")
+    sql(s"""MERGE INTO $cat.core.m2 t USING m2_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED BY SOURCE AND t.id < 5 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1""")
+    val rows = sql(s"SELECT id, v FROM $cat.core.m2 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == ((5L until 10L).map(i => (i, -1L)) ++
+      (10L until 15L).map(i => (i, i * 100)) ++
+      (15L until 20L).map(i => (i, -1L))))
+  }
+
+  test("UPDATE SET with arbitrary predicates and expressions") {
+    sql(s"CREATE TABLE $cat.core.u (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES (clusterBy = 'id', nFiles = '4')")
+    sql(s"INSERT INTO $cat.core.u SELECT id, id FROM range(100)")
+    sql(s"UPDATE $cat.core.u SET v = v * 2 + id WHERE id % 7 = 0")
+    val rows = sql(s"SELECT id, v FROM $cat.core.u ORDER BY id").collect()
+    rows.foreach { r =>
+      val (i, v) = (r.getLong(0), r.getLong(1))
+      assert(v == (if (i % 7 == 0) i * 3 else i), s"row $i -> $v")
+    }
+    // unconditional UPDATE touches every row
+    sql(s"UPDATE $cat.core.u SET v = 0")
+    assert(sql(s"SELECT sum(v) AS s FROM $cat.core.u").head().getLong(0)
+      == 0L)
   }
 
   test("writing to a time-travel snapshot refuses") {

@@ -15,5 +15,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // DV-aware lake reads on native scan nodes (plan upgrade only —
     // the V1 relation fallback keeps non-extended sessions correct)
     e.injectPostHocResolutionRule(s => new graft.lake.LakeMorExpansion(s))
+    // maintenance SQL the stock grammar lacks: OPTIMIZE / VACUUM /
+    // DESCRIBE HISTORY|DETAIL (everything else delegates untouched)
+    e.injectParser((s, delegate) => new graft.lake.GraftSqlParser(s, delegate))
   }
 }

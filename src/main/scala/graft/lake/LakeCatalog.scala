@@ -84,6 +84,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     (ident.namespace() :+ ident.name())
       .foldLeft(warehouse)((p, seg) => new Path(p, seg))
 
+  /** Table root for the maintenance SQL statements (OPTIMIZE/VACUUM/
+    * DESCRIBE HISTORY|DETAIL).
+    */
+  private[lake] def tableRoot(ident: Identifier): Path = {
+    val r = rootOf(ident)
+    if (!isTable(r)) throw new NoSuchTableException(ident)
+    r
+  }
+
   private def isTable(p: Path): Boolean =
     fs.exists(LakeLog.logDir(p))
 

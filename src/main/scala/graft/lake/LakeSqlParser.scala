@@ -1,0 +1,255 @@
+package graft.lake
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+  AttributeReference, EqualTo => CEq, Expression, GreaterThan => CGt,
+  GreaterThanOrEqual => CGe, LessThan => CLt, LessThanOrEqual => CLe,
+  Literal}
+import org.apache.spark.sql.catalyst.parser.{ParseException,
+  ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.types.{LongType, StringType, StructField,
+  StructType}
+
+/** Maintenance SQL for lake tables — the statements Spark's grammar
+  * has no word for, accepted in front of the stock parser (everything
+  * else delegates untouched):
+  *
+  * {{{
+  *   OPTIMIZE <table> [WHERE <range predicate>]
+  *   OPTIMIZE <table> ZORDER BY (colA, colB[, ...])
+  *   VACUUM <table> [RETAIN <n> HOURS]
+  *   DESCRIBE HISTORY <table>
+  *   DESCRIBE DETAIL <table>
+  * }}}
+  *
+  * `<table>` is a catalog identifier (`lakecat.ns.t`) or a
+  * single-quoted table-root path (`'/data/corpus'`). OPTIMIZE's WHERE
+  * accepts the lake's prunable shapes (column-vs-literal ranges) and
+  * refuses anything else — it selects FILES, so a dropped conjunct
+  * would silently widen the rewrite.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    LakeSqlStatements.parse(session, sqlText, delegate)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String):
+      org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+private[lake] object LakeSqlStatements {
+
+  // identifier (a.b.c, backticks allowed per part) or '<path>'
+  private val target = """((?:`[^`]+`|[\w]+)(?:\.(?:`[^`]+`|[\w]+))*|'[^']+')"""
+  private val optimizeRe: Regex =
+    s"""(?is)^\\s*OPTIMIZE\\s+$target\\s*(?:WHERE\\s+(.+?))?\\s*(?:ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
+  private val vacuumRe: Regex =
+    s"""(?is)^\\s*VACUUM\\s+$target\\s*(?:RETAIN\\s+([0-9.]+)\\s+HOURS)?\\s*;?\\s*$$""".r
+  private val historyRe: Regex =
+    s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$target\\s*;?\\s*$$""".r
+  private val detailRe: Regex =
+    s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$target\\s*;?\\s*$$""".r
+
+  def parse(session: SparkSession, sqlText: String,
+            delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText match {
+      case optimizeRe(t, where, zorder) =>
+        // translate WHERE at parse time: the command must carry no
+        // unresolved Expression fields (CheckAnalysis walks them)
+        Some(LakeOptimizeCommand(parts(t, delegate),
+          Option(where).map(w =>
+            whereRanges(delegate.parseExpression(w))).getOrElse(Nil),
+          Option(zorder).map(_.split(",").map(stripTicks).toSeq)
+            .getOrElse(Nil)))
+      case vacuumRe(t, hours) =>
+        Some(LakeVacuumCommand(parts(t, delegate),
+          Option(hours).map(_.toDouble)))
+      case historyRe(t) => Some(LakeHistoryCommand(parts(t, delegate)))
+      case detailRe(t) => Some(LakeDetailCommand(parts(t, delegate)))
+      case _ => None
+    }
+
+  private def stripTicks(s: String): String =
+    s.trim.stripPrefix("`").stripSuffix("`")
+
+  /** Left = table-root path, Right = catalog identifier parts. */
+  private def parts(t: String, delegate: ParserInterface):
+      Either[String, Seq[String]] =
+    if (t.startsWith("'")) Left(t.stripPrefix("'").stripSuffix("'"))
+    else Right(delegate.parseMultipartIdentifier(t))
+
+  /** Resolve a statement target to the table root. */
+  private[lake] def rootOf(spark: SparkSession,
+                           t: Either[String, Seq[String]]): String =
+    t match {
+      case Left(path) => path
+      case Right(ps) =>
+        require(ps.length >= 2,
+          s"need <catalog>.<...>.<table>, got ${ps.mkString(".")}")
+        PlanBridge.v2Catalog(spark, ps.head) match {
+          case lc: LakeCatalog =>
+            lc.tableRoot(Identifier.of(ps.tail.init.toArray, ps.last))
+              .toString
+          case other => throw new IllegalArgumentException(
+            s"${ps.head} is not a graft-lake catalog " +
+              s"(${other.getClass.getName})")
+        }
+    }
+
+  /** STRICT unresolved-predicate → ranges for OPTIMIZE's WHERE (it
+    * selects files, so every conjunct must translate).
+    */
+  private[lake] def whereRanges(e: Expression): Seq[LakeTable.ColRange] = {
+    def norm(l: Literal): Any = l.value match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case v => LakeTable.normalizeStat(v)
+    }
+    def attr(x: Expression): Option[String] = x match {
+      case u: UnresolvedAttribute => Some(u.nameParts.last)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def one(c: Expression): Seq[LakeTable.ColRange] = c match {
+      case CAnd(l, r) => one(l) ++ one(r)
+      case CEq(a, l: Literal) if attr(a).nonEmpty =>
+        Seq(LakeTable.ColRange(attr(a).get, Some(norm(l)), Some(norm(l))))
+      case CGe(a, l: Literal) if attr(a).nonEmpty =>
+        Seq(LakeTable.ColRange(attr(a).get, Some(norm(l)), None))
+      case CLe(a, l: Literal) if attr(a).nonEmpty =>
+        Seq(LakeTable.ColRange(attr(a).get, None, Some(norm(l))))
+      case CGt(a, Literal(v: Long, LongType)) if attr(a).nonEmpty =>
+        Seq(LakeTable.ColRange(attr(a).get, Some(v + 1L), None))
+      case CLt(a, Literal(v: Long, LongType)) if attr(a).nonEmpty =>
+        Seq(LakeTable.ColRange(attr(a).get, None, Some(v - 1L)))
+      case CGt(a, Literal(v: Int, _)) if attr(a).nonEmpty =>
+        Seq(LakeTable.ColRange(attr(a).get, Some(v.toLong + 1L), None))
+      case CLt(a, Literal(v: Int, _)) if attr(a).nonEmpty =>
+        Seq(LakeTable.ColRange(attr(a).get, None, Some(v.toLong - 1L)))
+      case other => throw new IllegalArgumentException(
+        s"OPTIMIZE WHERE accepts column-vs-literal ranges only, got: " +
+          s"$other — it selects FILES, a dropped conjunct would widen " +
+          "the rewrite")
+    }
+    one(e)
+  }
+}
+
+/** `OPTIMIZE` — bin-pack small files (optionally only within a key
+  * range), or rewrite the whole table onto a z-order layout.
+  */
+private[lake] final case class LakeOptimizeCommand(
+    target: Either[String, Seq[String]],
+    within: Seq[LakeTable.ColRange],
+    zorderBy: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("files_rewritten", LongType, nullable = false)(),
+    AttributeReference("files_added", LongType, nullable = false)(),
+    AttributeReference("files_untouched", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = LakeSqlStatements.rootOf(spark, target)
+    val rep =
+      if (zorderBy.nonEmpty) {
+        require(within.isEmpty,
+          "OPTIMIZE ... ZORDER BY rewrites the whole table — WHERE is " +
+            "not applicable")
+        val spec =
+          if (zorderBy.length == 1) zorderBy.head
+          else LakeTable.zCluster(zorderBy: _*)
+        LakeTable.recluster(spark, root, spec)
+      } else LakeTable.compact(spark, root,
+        smallBytes = 128L * 1024 * 1024, targetBytes = 256L * 1024 * 1024,
+        within = within)
+    val op = if (zorderBy.nonEmpty) "zorder" else "compact"
+    Seq(Row(op, rep.filesRewritten.toLong, rep.filesAdded.toLong,
+      rep.filesUntouched.toLong))
+  }
+}
+
+/** `VACUUM <t> [RETAIN n HOURS]` — delete unreferenced files older
+  * than the retention horizon, keeping every version from the latest.
+  */
+private[lake] final case class LakeVacuumCommand(
+    target: Either[String, Seq[String]],
+    retainHours: Option[Double]) extends LeafRunnableCommand {
+
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("files_deleted", LongType, nullable = false)(),
+    AttributeReference("bytes_deleted", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = LakeSqlStatements.rootOf(spark, target)
+    val keep = LakeTable.latestVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no lake table at $root"))
+    val rep = retainHours match {
+      case Some(h) => LakeTable.vacuum(spark, root, keepFromVersion = keep,
+        retentionMs = (h * 3600 * 1000).toLong)
+      case None => LakeTable.vacuum(spark, root, keepFromVersion = keep)
+    }
+    Seq(Row(rep.filesDeleted.toLong, rep.bytesDeleted))
+  }
+}
+
+private[lake] final case class LakeHistoryCommand(
+    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("files_added", LongType, nullable = false)(),
+    AttributeReference("files_removed", LongType, nullable = false)(),
+    AttributeReference("rows_added", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    LakeTable.history(spark, LakeSqlStatements.rootOf(spark, target))
+      .collect().toSeq
+}
+
+private[lake] final case class LakeDetailCommand(
+    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+
+  override val output: Seq[AttributeReference] =
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("num_files", LongType, nullable = false),
+      StructField("num_rows", LongType, nullable = false),
+      StructField("total_bytes", LongType, nullable = false),
+      StructField("dv_files", LongType, nullable = false),
+      StructField("dv_dead_rows", LongType, nullable = false),
+      StructField("cluster_by", StringType, nullable = false),
+      StructField("features", StringType, nullable = false),
+      StructField("constraints", StringType, nullable = false)))
+      .fields.map(f =>
+        AttributeReference(f.name, f.dataType, f.nullable)()).toSeq
+
+  override def run(spark: SparkSession): Seq[Row] =
+    LakeTable.detail(spark, LakeSqlStatements.rootOf(spark, target))
+      .collect().toSeq
+}

@@ -21,4 +21,12 @@ object PlanBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Registered DSv2 catalog plugin by name (CatalogManager is
+    * `private[sql]`).
+    */
+  def v2Catalog(spark: org.apache.spark.sql.SparkSession, name: String):
+      org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.asInstanceOf[SparkSession].sessionState.catalogManager
+      .catalog(name)
 }

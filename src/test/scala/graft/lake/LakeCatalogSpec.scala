@@ -210,6 +210,45 @@ class LakeCatalogSpec extends SparkSuite {
       == 0L)
   }
 
+  test("OPTIMIZE / VACUUM / DESCRIBE HISTORY|DETAIL as SQL statements") {
+    sql(s"CREATE TABLE $cat.core.opt (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES (clusterBy = 'id', nFiles = '8')")
+    sql(s"INSERT INTO $cat.core.opt SELECT id, id FROM range(400)")
+    sql(s"INSERT INTO $cat.core.opt SELECT id + 400, id FROM range(400)")
+    val before = sql(s"DESCRIBE DETAIL $cat.core.opt").head()
+    val nBefore = before.getAs[Long]("num_files")
+    assert(nBefore >= 8, s"two multi-file appends expected, got $nBefore")
+    // bin-pack everything (all files are tiny)
+    val rep = sql(s"OPTIMIZE $cat.core.opt").head()
+    assert(rep.getAs[String]("operation") == "compact")
+    assert(rep.getAs[Long]("files_rewritten") == nBefore)
+    val after = sql(s"DESCRIBE DETAIL $cat.core.opt").head()
+    assert(after.getAs[Long]("num_files") < nBefore)
+    assert(after.getAs[Long]("num_rows") == 800)
+    // z-order rewrite records the layout
+    sql(s"OPTIMIZE $cat.core.opt ZORDER BY (id, v)")
+    assert(sql(s"DESCRIBE DETAIL $cat.core.opt").head()
+      .getAs[String]("cluster_by") == "z:id,v")
+    // history shows every SQL-driven commit with op tags
+    val ops = sql(s"DESCRIBE HISTORY $cat.core.opt").collect()
+      .map(_.getAs[String]("op")).toSeq
+    assert(ops == Seq("create", "append", "append", "compact", "recluster"))
+    // vacuum with zero retention reclaims the rewritten files
+    val vac = sql(s"VACUUM $cat.core.opt RETAIN 0 HOURS").head()
+    assert(vac.getAs[Long]("files_deleted") >= nBefore,
+      s"expected the pre-compaction files reclaimed, got $vac")
+    assert(sql(s"SELECT count(*) AS c FROM $cat.core.opt").head()
+      .getLong(0) == 800, "vacuum must never touch live data")
+    // the path-target form works without a catalog
+    val root = s"$warehouse/core/opt"
+    assert(sql(s"DESCRIBE HISTORY '$root'").count() >= 5)
+    // WHERE selects files by range and refuses non-range predicates
+    sql(s"OPTIMIZE $cat.core.opt WHERE id >= 0 AND id <= 100")
+    intercept[Exception] { sql(s"OPTIMIZE $cat.core.opt WHERE id % 2 = 0") }
+    // ordinary SQL still parses through the delegating parser
+    assert(sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+  }
+
   test("writing to a time-travel snapshot refuses") {
     sql(s"CREATE TABLE $cat.core.tt (id BIGINT)")
     sql(s"INSERT INTO $cat.core.tt SELECT id FROM range(5)")

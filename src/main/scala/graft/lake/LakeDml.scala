@@ -160,7 +160,13 @@ private[lake] final case class LakeMergeIntoCommand(
     notMatchedBySource: Seq[MergeAction])
     extends LeafRunnableCommand {
 
-  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("files_rewritten", org.apache.spark.sql.types.LongType,
+      nullable = false)(),
+    AttributeReference("files_added", org.apache.spark.sql.types.LongType,
+      nullable = false)(),
+    AttributeReference("files_untouched", org.apache.spark.sql.types.LongType,
+      nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     import LakeDml._
@@ -259,8 +265,10 @@ private[lake] final case class LakeMergeIntoCommand(
 
     val newRows = insertRows
       .foldLeft(matchedRows.unionByName(unmatchedRows))(_ unionByName _)
-    LakeTable.rewriteCommit(spark, root, snap, cands, newRows, "merge")
-    Seq.empty
+    val rep = LakeTable.rewriteCommit(spark, root, snap, cands, newRows,
+      "merge")
+    Seq(Row(rep.filesRewritten.toLong, rep.filesAdded.toLong,
+      rep.filesUntouched.toLong))
   }
 }
 
@@ -275,7 +283,13 @@ private[lake] final case class LakeUpdateCommand(
     condition: Option[Expression])
     extends LeafRunnableCommand {
 
-  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("files_rewritten", org.apache.spark.sql.types.LongType,
+      nullable = false)(),
+    AttributeReference("files_added", org.apache.spark.sql.types.LongType,
+      nullable = false)(),
+    AttributeReference("files_untouched", org.apache.spark.sql.types.LongType,
+      nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     import LakeDml._
@@ -301,8 +315,10 @@ private[lake] final case class LakeUpdateCommand(
       when(hit, chainValue(Seq(upd), bindT, fd, t(fd.name)))
         .otherwise(t(fd.name)).as(fd.name)
     }: _*)
-    LakeTable.rewriteCommit(spark, root, snap, cands, newRows, "update")
-    Seq.empty
+    val rep = LakeTable.rewriteCommit(spark, root, snap, cands, newRows,
+      "update")
+    Seq(Row(rep.filesRewritten.toLong, rep.filesAdded.toLong,
+      rep.filesUntouched.toLong))
   }
 }
 
@@ -317,7 +333,13 @@ private[lake] final case class LakeDeleteCommand(
     condition: Expression)
     extends LeafRunnableCommand {
 
-  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("files_rewritten", org.apache.spark.sql.types.LongType,
+      nullable = false)(),
+    AttributeReference("files_added", org.apache.spark.sql.types.LongType,
+      nullable = false)(),
+    AttributeReference("files_untouched", org.apache.spark.sql.types.LongType,
+      nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     import LakeDml._
@@ -336,8 +358,9 @@ private[lake] final case class LakeDeleteCommand(
     }
     // SQL DELETE removes rows where the predicate is TRUE; NULL keeps
     val keep = !coalesce(PlanBridge.column(bindT(condition)), lit(false))
-    LakeTable.rewriteCommit(spark, root, snap, cands, t.where(keep),
-      "delete")
-    Seq.empty
+    val rep = LakeTable.rewriteCommit(spark, root, snap, cands,
+      t.where(keep), "delete")
+    Seq(Row(rep.filesRewritten.toLong, rep.filesAdded.toLong,
+      rep.filesUntouched.toLong))
   }
 }

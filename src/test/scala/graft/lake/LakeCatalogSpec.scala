@@ -59,7 +59,9 @@ class LakeCatalogSpec extends SparkSuite {
       ((0L until 10L) ++ (20L until 48L)))
     // a predicate beyond the metadata path's ranges takes the general
     // rewrite command (candidates pruned, exact predicate row-level)
-    sql(s"DELETE FROM $cat.core.d WHERE id % 10 = 5")             // v4
+    val drep = sql(
+      s"DELETE FROM $cat.core.d WHERE id % 10 = 5").head()       // v4
+    assert(drep.getAs[Long]("files_rewritten") >= 1)
     assert(ids(sql(s"SELECT * FROM $cat.core.d")) ==
       ((0L until 10L) ++ (20L until 48L))
         .filterNot(i => i % 10 == 5))
@@ -150,11 +152,20 @@ class LakeCatalogSpec extends SparkSuite {
     spark.range(80, 120)
       .selectExpr("id AS sid", "id * 1000 AS sv")
       .createOrReplaceTempView("merge_src")
-    sql(s"""MERGE INTO $cat.core.m t USING merge_src s ON t.id = s.sid
+    val rep = sql(
+      s"""MERGE INTO $cat.core.m t USING merge_src s ON t.id = s.sid
       WHEN MATCHED AND s.sid >= 95 THEN UPDATE SET v = s.sv, note = 'upd'
       WHEN MATCHED THEN DELETE
       WHEN NOT MATCHED AND s.sid < 110 THEN
-        INSERT (id, v, note) VALUES (s.sid, s.sv, 'new')""")
+        INSERT (id, v, note) VALUES (s.sid, s.sv, 'new')""").head()
+    // candidate pruning: the clustered table's files outside the
+    // source's key range [80, 119] are never read or rewritten
+    assert(rep.getAs[Long]("files_rewritten") <
+      rep.getAs[Long]("files_rewritten") +
+        rep.getAs[Long]("files_untouched"),
+      s"merge must not rewrite the whole table: $rep")
+    assert(rep.getAs[Long]("files_untouched") >= 2,
+      s"files below key 80 must stay untouched: $rep")
     val out = sql(s"SELECT id, v, note FROM $cat.core.m ORDER BY id")
       .collect()
     // 80..94 matched+deleted; 95..99 matched+updated; 100..109
@@ -198,7 +209,10 @@ class LakeCatalogSpec extends SparkSuite {
     sql(s"CREATE TABLE $cat.core.u (id BIGINT, v BIGINT) " +
       "TBLPROPERTIES (clusterBy = 'id', nFiles = '4')")
     sql(s"INSERT INTO $cat.core.u SELECT id, id FROM range(100)")
-    sql(s"UPDATE $cat.core.u SET v = v * 2 + id WHERE id % 7 = 0")
+    val urep = sql(
+      s"UPDATE $cat.core.u SET v = v * 2 + id WHERE id % 7 = 0").head()
+    assert(urep.getAs[Long]("files_rewritten") == 4,
+      "the % predicate has no range conjunct — every file is a candidate")
     val rows = sql(s"SELECT id, v FROM $cat.core.u ORDER BY id").collect()
     rows.foreach { r =>
       val (i, v) = (r.getLong(0), r.getLong(1))

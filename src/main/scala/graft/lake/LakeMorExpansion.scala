@@ -5,6 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.expressions.NamedExpression
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
   LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+import org.apache.spark.sql.graft.PlanBridge
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -93,6 +95,18 @@ final class LakeMorExpansion(spark: SparkSession) extends Rule[LogicalPlan] {
       case u: UpdateTable if u.resolved && lakeTarget(u.table).isDefined =>
         val (root, attrs) = lakeTarget(u.table).get
         LakeUpdateCommand(root, attrs, u.assignments, u.condition)
+      // readStream.table(<lake ident>): rewrite to the v1 streaming
+      // relation outright (offset = log version) — the same machinery
+      // as readStream.format("graft-lake"); the node swap keeps the
+      // V2 node's attribute ids, so downstream references stay bound
+      case sr: StreamingRelationV2 if sr.table.isInstanceOf[LakeTableV2] =>
+        val t = sr.table.asInstanceOf[LakeTableV2]
+        require(t.versionAsOf.isEmpty,
+          "cannot stream from a time-travel snapshot")
+        import scala.jdk.CollectionConverters._
+        PlanBridge.v1StreamingRelation(spark, "graft-lake",
+          t.root.toString, t.schema(), sr.extraOptions.asScala.toMap,
+          sr.output)
       // range-shaped DELETEs keep the metadata-only SupportsDelete
       // path; everything else becomes the general rewrite
       case d: DeleteFromTable

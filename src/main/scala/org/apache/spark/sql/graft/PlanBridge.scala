@@ -29,4 +29,23 @@ object PlanBridge {
       org.apache.spark.sql.connector.catalog.CatalogPlugin =
     spark.asInstanceOf[SparkSession].sessionState.catalogManager
       .catalog(name)
+
+  /** V1 `StreamingRelation` over a registered streaming source format
+    * — the `v1Relation` fallback a `StreamingRelationV2` node runs
+    * when its table lacks MICRO_BATCH_READ. `output` preserves the V2
+    * node's attribute ids so downstream references stay bound.
+    */
+  def v1StreamingRelation(spark: org.apache.spark.sql.SparkSession,
+                          format: String, path: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          options: Map[String, String],
+                          output: Seq[org.apache.spark.sql.catalyst
+                            .expressions.Attribute]): LogicalPlan = {
+    val ds = org.apache.spark.sql.execution.datasources.DataSource(
+      spark.asInstanceOf[SparkSession], className = format,
+      userSpecifiedSchema = Some(schema),
+      options = options + ("path" -> path))
+    org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
+      ds, format, output)
+  }
 }

@@ -263,6 +263,21 @@ class LakeCatalogSpec extends SparkSuite {
     assert(sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
   }
 
+  test("readStream.table tails the lake by identifier") {
+    sql(s"CREATE TABLE $cat.core.st (id BIGINT, v BIGINT)")
+    sql(s"INSERT INTO $cat.core.st SELECT id, id FROM range(30)")
+    val q = spark.readStream.table(s"$cat.core.st")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cat_tail").start()
+    try {
+      q.processAllAvailable()
+      // commits landing WHILE the stream runs arrive as later batches
+      sql(s"INSERT INTO $cat.core.st SELECT id + 30, id FROM range(20)")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ids(spark.table("cat_tail")) == (0L until 50L))
+  }
+
   test("writing to a time-travel snapshot refuses") {
     sql(s"CREATE TABLE $cat.core.tt (id BIGINT)")
     sql(s"INSERT INTO $cat.core.tt SELECT id FROM range(5)")

@@ -265,6 +265,8 @@ object LakeProbe {
       s.read.format("graft-lake").load(morRoot)
         .agg(sum("o_cents")).head().getLong(0)
     val (tFallback, fbSum) = time(formatSum(spark))
+    val msqlRoot = mk("msql", 32) // for the SQL MERGE probe below
+    require(msqlRoot.nonEmpty)
     spark.stop()
     val spark2 = SparkSession.builder()
       .master("local[8]")
@@ -280,7 +282,27 @@ object LakeProbe {
     sb.append(f"V1 `PrunedFilteredScan` fallback $tFallback%.2f s vs ")
     sb.append(f"LakeMorExpansion native scan $tNative%.2f s — same rows, ")
     sb.append("vectorized parquet + codegen'd broadcast anti-join ")
-    sb.append("replaces the RDD[Row] bridge.\n")
+    sb.append("replaces the RDD[Row] bridge.\n\n")
+
+    // 6. SQL MERGE INTO economics: a narrow-key changelog against the
+    //    32-file clustered table must rewrite only the stabbed files
+    spark2.conf.set("spark.sql.catalog.lakeprobe", "graft.lake.LakeCatalog")
+    spark2.conf.set("spark.sql.catalog.lakeprobe.warehouse", base)
+    spark2.range(keyMax / 2, keyMax / 2 + keyMax / 64)
+      .selectExpr("id AS k", "id * 7 AS c")
+      .createOrReplaceTempView("probe_changes")
+    val (tMerge, mrep) = time(spark2.sql(
+      """MERGE INTO lakeprobe.msql t USING probe_changes s
+         ON t.o_orderkey = s.k
+         WHEN MATCHED THEN UPDATE SET o_cents = s.c
+         WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
+           o_orderstatus, o_cents) VALUES (s.k, -1, 'I', s.c)""").head())
+    sb.append(f"SQL MERGE INTO (changelog spanning ~1/64 of the key ")
+    sb.append(f"domain, 32 clustered files): $tMerge%.2f s, ")
+    sb.append(s"${mrep.getAs[Long]("files_rewritten")} file(s) rewritten, ")
+    sb.append(s"${mrep.getAs[Long]("files_untouched")} untouched — the ")
+    sb.append("equi-key [min,max] prune keeps a keyed changelog from ")
+    sb.append("rewriting the table.\n")
 
     val out = java.nio.file.Paths.get("SCALEPROBE.md")
     val marker = "\n## Lake probe (round 1"

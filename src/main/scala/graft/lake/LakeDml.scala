@@ -223,24 +223,29 @@ private[lake] final case class LakeMergeIntoCommand(
     }
     val joinCond = PlanBridge.column(bindT(cond))
 
-    val matchedPart = tp.join(s, joinCond, "inner")
-      .localCheckpoint(eager = false) // cardinality check + transform
-    if (matched.nonEmpty || notMatchedBySource.nonEmpty) {
-      val dup = matchedPart.groupBy(col("__file"), col("__pos"))
-        .agg(count(lit(1)).as("__n")).where(col("__n") > 1L).limit(1)
-      if (!dup.isEmpty) throw new UnsupportedOperationException(
-        "MERGE INTO matched a single target row with multiple source " +
-          "rows — deduplicate the source or tighten the ON condition")
-    }
     val matchedRows =
       if (matched.isEmpty)
-        matchedPart.select(cols.map(fd =>
+        // no matched actions: matched target rows pass through
+        // UNCHANGED — a semi join emits each exactly once even when
+        // several source rows match it (an inner join would duplicate)
+        tp.join(s, joinCond, "left_semi").select(cols.map(fd =>
           col(s"__t_${fd.name}").as(fd.name)): _*)
-      else matchedPart
-        .select(cols.map(fd => chainValue(matched, bindT, fd,
-          col(s"__t_${fd.name}")).as(fd.name)) :+
-          chainKeep(matched, bindT, default = true).as("__keep"): _*)
-        .where(col("__keep")).drop("__keep")
+      else {
+        val matchedPart = tp.join(s, joinCond, "inner")
+          .localCheckpoint(eager = false) // cardinality check + transform
+        // SQL cardinality rule: a target row updated/deleted by more
+        // than one source row is an error, never a silent pick
+        val dup = matchedPart.groupBy(col("__file"), col("__pos"))
+          .agg(count(lit(1)).as("__n")).where(col("__n") > 1L).limit(1)
+        if (!dup.isEmpty) throw new UnsupportedOperationException(
+          "MERGE INTO matched a single target row with multiple source " +
+            "rows — deduplicate the source or tighten the ON condition")
+        matchedPart
+          .select(cols.map(fd => chainValue(matched, bindT, fd,
+            col(s"__t_${fd.name}")).as(fd.name)) :+
+            chainKeep(matched, bindT, default = true).as("__keep"): _*)
+          .where(col("__keep")).drop("__keep")
+      }
 
     val unmatchedT = tp.join(s, joinCond, "left_anti")
     val unmatchedRows =

@@ -263,6 +263,39 @@ class LakeCatalogSpec extends SparkSuite {
     assert(sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
   }
 
+  test("insert-only MERGE with a multi-matching source never duplicates rows") {
+    sql(s"CREATE TABLE $cat.core.mi (id BIGINT, v BIGINT)")
+    sql(s"INSERT INTO $cat.core.mi SELECT id, id FROM range(10)")
+    // three source rows share key 5 (matching one target row) and
+    // three share the unmatched key 100; with no matched action the
+    // target row passes through EXACTLY once, and the cardinality
+    // rule does not apply (nothing is updated twice)
+    spark.range(3).selectExpr("5 AS sid", "id AS sv")
+      .unionAll(spark.range(3).selectExpr("100 AS sid", "id AS sv"))
+      .createOrReplaceTempView("mi_src")
+    sql(s"""MERGE INTO $cat.core.mi t USING mi_src s ON t.id = s.sid
+      WHEN NOT MATCHED AND s.sv = 0 THEN INSERT (id, v) VALUES (s.sid, s.sv)""")
+    val rows = sql(s"SELECT id FROM $cat.core.mi").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(rows == ((0L until 10L) :+ 100L),
+      s"matched rows must appear exactly once, got $rows")
+    // with matched clauses present, >1 source matches per target row
+    // is the SQL cardinality violation even if only one clause fires
+    intercept[Exception] {
+      sql(s"""MERGE INTO $cat.core.mi t USING mi_src s ON t.id = s.sid
+        WHEN MATCHED AND s.sv = 0 THEN UPDATE SET v = 777""")
+    }
+    // SQL MERGE also composes with column mapping: rename, then merge
+    // on the renamed key with a deduplicated source
+    sql(s"ALTER TABLE $cat.core.mi RENAME COLUMN v TO val")
+    spark.range(1).selectExpr("5 AS sid", "777 AS sv")
+      .createOrReplaceTempView("mi_src1")
+    sql(s"""MERGE INTO $cat.core.mi t USING mi_src1 s ON t.id = s.sid
+      WHEN MATCHED THEN UPDATE SET val = s.sv""")
+    assert(sql(s"SELECT val FROM $cat.core.mi WHERE id = 5")
+      .head().getLong(0) == 777)
+  }
+
   test("readStream.table tails the lake by identifier") {
     sql(s"CREATE TABLE $cat.core.st (id BIGINT, v BIGINT)")
     sql(s"INSERT INTO $cat.core.st SELECT id, id FROM range(30)")

@@ -314,19 +314,28 @@ private[lake] class LakeTableV2(spark: SparkSession,
     require(versionAsOf.isEmpty, "cannot write to a time-travel snapshot")
     new WriteBuilder with SupportsTruncate with SupportsOverwrite {
       private var overwriteAll = false
+      private var replaceRanges: Seq[LakeTable.ColRange] = Nil
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
       override def overwrite(filters: Array[Filter]): WriteBuilder = {
-        require(filters.forall(_.isInstanceOf[AlwaysTrue]),
-          "graft-lake supports INSERT OVERWRITE of the whole table only " +
-            "(filtered overwrite = deleteWhere + append as two commits)")
-        overwriteAll = true; this
+        // REPLACE WHERE: one atomic delete-range-and-insert commit.
+        // Only EXACT translations are safe (a dropped conjunct would
+        // delete a superset of what the insert replaces)
+        if (filters.forall(_.isInstanceOf[AlwaysTrue])) overwriteAll = true
+        else replaceRanges = LakeTableV2.translateAll(filters).getOrElse(
+          throw new UnsupportedOperationException(
+            s"REPLACE WHERE ${filters.mkString(" AND ")} does not " +
+              "translate exactly to column ranges"))
+        this
       }
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                                 overwrite: Boolean): Unit = {
-              if (overwriteAll)
+              if (replaceRanges.nonEmpty)
+                LakeTable.replaceWhere(spark, root.toString,
+                  replaceRanges, data)
+              else if (overwriteAll)
                 LakeTable.overwrite(spark, root.toString, data)
               else LakeTable.append(spark, root.toString, data)
               ()

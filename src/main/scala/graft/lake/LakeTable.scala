@@ -781,6 +781,35 @@ object LakeTable {
     }
   }
 
+  /** Transactional REPLACE WHERE (the DSv2 filtered overwrite /
+    * Delta `replaceWhere`): ONE commit atomically deletes the rows
+    * matching ALL `ranges` and inserts `df` — candidates stats-pruned,
+    * survivors carried over, untouched files never read. The incoming
+    * batch must itself satisfy the ranges (anything else silently
+    * "overwrites" rows it did not replace — refused loudly instead).
+    */
+  def replaceWhere(spark: SparkSession, root: String,
+                   ranges: Seq[ColRange], df: DataFrame): RewriteReport = {
+    require(ranges.nonEmpty,
+      "empty REPLACE WHERE — use overwrite for the whole table")
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    requireSameSchema(snap.schemaDdl, df)
+    val outside = df.where(!rangeFilter(ranges)).limit(1).count()
+    require(outside == 0,
+      s"REPLACE WHERE ${ranges.map(_.column).distinct.mkString(",")}: the " +
+        "incoming batch carries rows OUTSIDE the replaced range — they " +
+        "would land as inserts while pretending to be an overwrite")
+    val pr = physRanges(ranges, snap.colMap)
+    val (cands, _) =
+      snap.files.partition(a => pr.forall(r => mayMatch(a.stats, r)))
+    val survivors = readAdds(spark, rootP, snap.schemaDdl, cands,
+      snap.colMap).where(!rangeFilter(ranges))
+    rewriteCommit(spark, root, snap, cands,
+      survivors.unionByName(df), "replacewhere")
+  }
+
   /** Shared rewrite commit for the SQL DML commands (MERGE INTO /
     * UPDATE / non-range DELETE): constraint-gate `newRows`, write
     * them, and atomically swap them in for `cands` with the standard

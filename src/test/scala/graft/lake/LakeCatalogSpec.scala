@@ -263,6 +263,30 @@ class LakeCatalogSpec extends SparkSuite {
     assert(sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
   }
 
+  test("INSERT INTO ... REPLACE WHERE swaps a key range in one commit") {
+    sql(s"CREATE TABLE $cat.core.rw (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES (clusterBy = 'id', nFiles = '4')")
+    sql(s"INSERT INTO $cat.core.rw SELECT id, id FROM range(100)")
+    val v1 = LakeTable.latestVersion(spark, s"$warehouse/core/rw").get
+    sql(s"INSERT INTO $cat.core.rw REPLACE WHERE id >= 20 AND id <= 39 " +
+      "SELECT id + 20, id * 100 FROM range(10)")
+    // ONE commit: 20..39 gone, 20..29 re-inserted with new values
+    assert(LakeTable.latestVersion(spark, s"$warehouse/core/rw").get
+      == v1 + 1, "REPLACE WHERE must be one atomic commit")
+    val rows = sql(s"SELECT id, v FROM $cat.core.rw ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == ((0L until 20L).map(i => (i, i)) ++
+      (0L until 10L).map(i => (i + 20L, i * 100)) ++
+      (40L until 100L).map(i => (i, i))))
+    // a batch leaking outside the replaced range refuses loudly
+    intercept[Exception] {
+      sql(s"INSERT INTO $cat.core.rw REPLACE WHERE id <= 5 " +
+        "SELECT id + 500, id FROM range(3)")
+    }
+    assert(sql(s"SELECT count(*) AS c FROM $cat.core.rw").head()
+      .getLong(0) == 90, "refused REPLACE WHERE must change nothing")
+  }
+
   test("insert-only MERGE with a multi-matching source never duplicates rows") {
     sql(s"CREATE TABLE $cat.core.mi (id BIGINT, v BIGINT)")
     sql(s"INSERT INTO $cat.core.mi SELECT id, id FROM range(10)")

@@ -62,6 +62,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class LakeCatalog extends TableCatalog with SupportsNamespaces {
 
+  override def capabilities():
+      util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private var catalogName: String = _
   private var warehouse: Path = _
 
@@ -186,6 +191,22 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       case d: TableChange.DeleteColumn =>
         LakeTable.dropColumn(spark, root.toString, single(d.fieldNames()))
         None
+      // ALTER TABLE ... ADD CONSTRAINT <n> CHECK (<expr>): validated
+      // against existing rows, then gates every later write (the
+      // check-constraints feature the library API already carries)
+      case c: TableChange.AddConstraint =>
+        c.constraint() match {
+          case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            LakeTable.addConstraint(spark, root.toString, chk.name(),
+              chk.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are enforceable here; $other is a " +
+              "catalog-metadata promise this format refuses to fake")
+        }
+        None
+      case dc: TableChange.DropConstraint =>
+        LakeTable.dropConstraint(spark, root.toString, dc.name())
+        None
       case other => throw new UnsupportedOperationException(
         s"graft-lake evolution is additive; $other needs a table rewrite")
     }
@@ -288,6 +309,14 @@ private[lake] class LakeTableV2(spark: SparkSession,
 
   override def properties(): util.Map[String, String] =
     Map("provider" -> "graft-lake", "location" -> root.toString).asJava
+
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    snap.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(e).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

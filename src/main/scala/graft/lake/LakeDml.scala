@@ -369,3 +369,20 @@ private[lake] final case class LakeDeleteCommand(
       rep.filesUntouched.toLong))
   }
 }
+
+/** `ALTER TABLE ... ADD CONSTRAINT <n> CHECK (<expr>)`: routed to
+  * [[LakeTable.addConstraint]], which validates EXISTING rows through
+  * the native lake scan and commits the gate atomically (the stock
+  * path would validate by scanning the refusing DSv2 relation).
+  */
+private[lake] final case class LakeAddConstraintCommand(
+    root: String, name: String, expr: String)
+    extends LeafRunnableCommand {
+
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakeTable.addConstraint(spark, root, name, expr)
+    Seq.empty
+  }
+}

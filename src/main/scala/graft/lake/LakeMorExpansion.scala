@@ -3,8 +3,9 @@ package graft.lake
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.expressions.NamedExpression
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
-  LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint,
+  AlterTableCommand, DeleteFromTable, LogicalPlan, MergeIntoTable, Project,
+  UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
 import org.apache.spark.sql.graft.PlanBridge
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -55,6 +56,8 @@ final class LakeMorExpansion(spark: SparkSession) extends Rule[LogicalPlan] {
       case d: DeleteFromTable => protect(d.table)
       case m: MergeIntoTable => protect(m.targetTable)
       case u: UpdateTable => protect(u.table)
+      case a: AlterTableCommand => protect(a.table)
+      case a: AddCheckConstraint => protect(a.child)
       case _ => ()
     }
     // the lake relation (root + pinned attrs) under a DML target
@@ -107,6 +110,14 @@ final class LakeMorExpansion(spark: SparkSession) extends Rule[LogicalPlan] {
         PlanBridge.v1StreamingRelation(spark, "graft-lake",
           t.root.toString, t.schema(), sr.extraOptions.asScala.toMap,
           sr.output)
+      // ADD CONSTRAINT ... CHECK: the stock path validates existing
+      // rows by scanning the DSv2 relation (which refuses); route to
+      // the lake's own validate-then-commit instead
+      case a: AddCheckConstraint
+          if a.resolved && lakeTarget(a.child).isDefined =>
+        val (root, _) = lakeTarget(a.child).get
+        LakeAddConstraintCommand(root, a.checkConstraint.name,
+          a.checkConstraint.condition)
       // range-shaped DELETEs keep the metadata-only SupportsDelete
       // path; everything else becomes the general rewrite
       case d: DeleteFromTable

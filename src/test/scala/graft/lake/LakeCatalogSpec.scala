@@ -335,6 +335,27 @@ class LakeCatalogSpec extends SparkSuite {
     assert(ids(spark.table("cat_tail")) == (0L until 50L))
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT gates SQL writes") {
+    sql(s"CREATE TABLE $cat.core.ck (id BIGINT, v BIGINT)")
+    sql(s"INSERT INTO $cat.core.ck SELECT id, id FROM range(10)")
+    sql(s"ALTER TABLE $cat.core.ck ADD CONSTRAINT nonneg CHECK (v >= 0)")
+    // an insert violating the CHECK refuses and changes nothing
+    intercept[Exception] {
+      sql(s"INSERT INTO $cat.core.ck SELECT id + 10, -1 FROM range(3)")
+    }
+    assert(sql(s"SELECT count(*) AS c FROM $cat.core.ck").head()
+      .getLong(0) == 10)
+    // a constraint existing rows violate refuses to be added
+    intercept[Exception] {
+      sql(s"ALTER TABLE $cat.core.ck ADD CONSTRAINT big CHECK (v >= 5)")
+    }
+    // DROP CONSTRAINT lifts the gate
+    sql(s"ALTER TABLE $cat.core.ck DROP CONSTRAINT nonneg")
+    sql(s"INSERT INTO $cat.core.ck SELECT id + 10, -1 FROM range(3)")
+    assert(sql(s"SELECT count(*) AS c FROM $cat.core.ck").head()
+      .getLong(0) == 13)
+  }
+
   test("writing to a time-travel snapshot refuses") {
     sql(s"CREATE TABLE $cat.core.tt (id BIGINT)")
     sql(s"INSERT INTO $cat.core.tt SELECT id FROM range(5)")

@@ -173,4 +173,29 @@ class LakeEvolutionSpec extends SparkSuite {
         mergeSchema = true, widenTypes = true)
     }
   }
+  test("overwrite, compact and vacuum compose with column mapping") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 40), Seq("id"), nFiles = 4)
+    LakeTable.renameColumn(spark, root, "amount", "total")
+    // overwrite under the renamed schema: new files carry the stable
+    // PHYSICAL name, reads stay logical
+    LakeTable.overwrite(spark, root,
+      (0 until 20).map(i => (i.toLong, i * 2L)).toDF("id", "total"),
+      nFiles = 4)
+    assert(LakeTable.scan(spark, root).where(col("id") === 3L)
+      .head().getLong(1) == 6L)
+    // compaction reads/writes through the mapping and keeps pruning
+    LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+      targetBytes = Long.MaxValue)
+    val (df, rep) = LakeTable.scanPruned(spark, root,
+      Seq(LakeTable.ColRange("total", Some(0L), Some(10L))))
+    assert(df.count() == 6)
+    assert(ids(LakeTable.scan(spark, root)) == (0L until 20L))
+    // vacuum reclaims the pre-overwrite and pre-compaction files
+    val v = LakeTable.latestVersion(spark, root).get
+    val vac = LakeTable.vacuum(spark, root, keepFromVersion = v,
+      retentionMs = 0L)
+    assert(vac.filesDeleted >= 8)
+    assert(LakeTable.scan(spark, root).count() == 20)
+  }
 }

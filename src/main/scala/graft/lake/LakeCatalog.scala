@@ -159,6 +159,33 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** `CREATE TABLE ... CHECK (...)`: the interface default delegates
+    * to the columns/partitions/properties overload and DISCARDS
+    * `TableInfo.constraints()` — with SUPPORT_TABLE_CONSTRAINT
+    * advertised, the statement would succeed while the gate silently
+    * vanished. Persist each inline CHECK through the same
+    * validate-then-commit path `ALTER TABLE ... ADD CONSTRAINT` uses
+    * (the table is empty at this point, so validation is a no-op scan);
+    * any non-CHECK constraint refuses loudly rather than becoming a
+    * metadata promise this format cannot enforce.
+    */
+  override def createTable(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val t = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    val root = rootOf(ident)
+    info.constraints().foreach {
+      case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        LakeTable.addConstraint(spark, root.toString, chk.name(),
+          chk.predicateSql())
+      case other => throw new UnsupportedOperationException(
+        s"only CHECK constraints are enforceable here; $other is a " +
+          "catalog-metadata promise this format refuses to fake")
+    }
+    if (info.constraints().nonEmpty) loadTable(ident) else t
+  }
+
   private def statsSupported(f: StructField): Boolean = f.dataType match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
          DoubleType | StringType => true
@@ -429,12 +456,14 @@ private[lake] object LakeTableV2 {
     case EqualTo(c, v) =>
       norm(v).map(x => Seq(LakeTable.ColRange(c, Some(x), Some(x))))
     case GreaterThan(c, v) => // ranges are inclusive: refuse strict
-      norm(v).collect { case x: Long =>
+      // x+1 on Long.MaxValue wraps to MinValue — "> MaxValue" would
+      // translate to a match-ALL range and delete every row; refuse
+      norm(v).collect { case x: Long if x != Long.MaxValue =>
         Seq(LakeTable.ColRange(c, Some(x + 1L), None)) }
     case GreaterThanOrEqual(c, v) =>
       norm(v).map(x => Seq(LakeTable.ColRange(c, Some(x), None)))
     case LessThan(c, v) =>
-      norm(v).collect { case x: Long =>
+      norm(v).collect { case x: Long if x != Long.MinValue =>
         Seq(LakeTable.ColRange(c, None, Some(x - 1L))) }
     case LessThanOrEqual(c, v) =>
       norm(v).map(x => Seq(LakeTable.ColRange(c, None, Some(x))))

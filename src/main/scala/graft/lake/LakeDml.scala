@@ -60,17 +60,20 @@ private[lake] object LakeDml {
         norm(l).map(x => Seq(LakeTable.ColRange(a.name, None, Some(x))))
       case CLe(l: Literal, a: AttributeReference) =>
         norm(l).map(x => Seq(LakeTable.ColRange(a.name, Some(x), None)))
+      // x±1 at the Long domain edge wraps ("> MaxValue" would become a
+      // match-ALL range and the metadata delete would remove every
+      // row) — refuse, sending the statement to the general rewrite
       case CGt(a: AttributeReference, l: Literal) =>
-        norm(l).collect { case x: Long =>
+        norm(l).collect { case x: Long if x != Long.MaxValue =>
           Seq(LakeTable.ColRange(a.name, Some(x + 1L), None)) }
       case CLt(a: AttributeReference, l: Literal) =>
-        norm(l).collect { case x: Long =>
+        norm(l).collect { case x: Long if x != Long.MinValue =>
           Seq(LakeTable.ColRange(a.name, None, Some(x - 1L))) }
       case CGt(l: Literal, a: AttributeReference) =>
-        norm(l).collect { case x: Long =>
+        norm(l).collect { case x: Long if x != Long.MinValue =>
           Seq(LakeTable.ColRange(a.name, None, Some(x - 1L))) }
       case CLt(l: Literal, a: AttributeReference) =>
-        norm(l).collect { case x: Long =>
+        norm(l).collect { case x: Long if x != Long.MaxValue =>
           Seq(LakeTable.ColRange(a.name, Some(x + 1L), None)) }
       case CNotNull(a: AttributeReference) =>
         Some(Seq(LakeTable.ColRange(a.name, None, None)))

@@ -142,9 +142,13 @@ private[lake] object LakeSqlStatements {
         Seq(LakeTable.ColRange(attr(a).get, Some(norm(l)), None))
       case CLe(a, l: Literal) if attr(a).nonEmpty =>
         Seq(LakeTable.ColRange(attr(a).get, None, Some(norm(l))))
-      case CGt(a, Literal(v: Long, LongType)) if attr(a).nonEmpty =>
+      // v±1 at the Long domain edge wraps — "> MaxValue" would become
+      // a match-ALL file selector; refuse like any other untranslatable
+      case CGt(a, Literal(v: Long, LongType))
+          if attr(a).nonEmpty && v != Long.MaxValue =>
         Seq(LakeTable.ColRange(attr(a).get, Some(v + 1L), None))
-      case CLt(a, Literal(v: Long, LongType)) if attr(a).nonEmpty =>
+      case CLt(a, Literal(v: Long, LongType))
+          if attr(a).nonEmpty && v != Long.MinValue =>
         Seq(LakeTable.ColRange(attr(a).get, None, Some(v - 1L)))
       case CGt(a, Literal(v: Int, _)) if attr(a).nonEmpty =>
         Seq(LakeTable.ColRange(attr(a).get, Some(v.toLong + 1L), None))

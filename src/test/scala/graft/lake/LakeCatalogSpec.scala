@@ -356,6 +356,49 @@ class LakeCatalogSpec extends SparkSuite {
       .getLong(0) == 13)
   }
 
+  test("inline CHECK at CREATE TABLE time persists and gates writes") {
+    // the TableCatalog interface DEFAULT for createTable(ident, info)
+    // drops TableInfo.constraints() on the floor — the override must
+    // persist the gate, or the statement would succeed while silently
+    // losing it
+    sql(s"CREATE TABLE $cat.core.ck2 (id BIGINT, v BIGINT, " +
+      "CONSTRAINT nonneg CHECK (v >= 0))")
+    intercept[Exception] {
+      sql(s"INSERT INTO $cat.core.ck2 SELECT id, -1 FROM range(3)")
+    }
+    assert(sql(s"SELECT count(*) AS c FROM $cat.core.ck2").head()
+      .getLong(0) == 0, "violating insert must change nothing")
+    sql(s"INSERT INTO $cat.core.ck2 SELECT id, id FROM range(3)")
+    assert(sql(s"SELECT count(*) AS c FROM $cat.core.ck2").head()
+      .getLong(0) == 3)
+    // and the constraint is visible on the reloaded table
+    sql(s"ALTER TABLE $cat.core.ck2 DROP CONSTRAINT nonneg")
+    sql(s"INSERT INTO $cat.core.ck2 SELECT id, -1 FROM range(1)")
+    assert(sql(s"SELECT count(*) AS c FROM $cat.core.ck2").head()
+      .getLong(0) == 4)
+  }
+
+  test("DELETE at the Long domain edge never wraps to match-all") {
+    sql(s"CREATE TABLE $cat.core.edge (id BIGINT, v BIGINT)")
+    sql(s"INSERT INTO $cat.core.edge SELECT id, id FROM range(10)")
+    // "> Long.MaxValue" is satisfiable by NO row; the naive inclusive
+    // translation computes MaxValue+1 = MinValue and would delete ALL
+    sql(s"DELETE FROM $cat.core.edge WHERE id > 9223372036854775807")
+    assert(sql(s"SELECT count(*) AS c FROM $cat.core.edge").head()
+      .getLong(0) == 10, "> Long.MaxValue must delete nothing")
+    sql(s"DELETE FROM $cat.core.edge WHERE id < -9223372036854775808")
+    assert(sql(s"SELECT count(*) AS c FROM $cat.core.edge").head()
+      .getLong(0) == 10, "< Long.MinValue must delete nothing")
+    // a legitimate edge-adjacent range still works
+    sql(s"DELETE FROM $cat.core.edge WHERE id > 7")
+    assert(ids(sql(s"SELECT * FROM $cat.core.edge")) == (0L until 8L))
+    // OPTIMIZE WHERE refuses the wrapping literal instead of selecting
+    // every file
+    intercept[Exception] {
+      sql(s"OPTIMIZE $cat.core.edge WHERE id > 9223372036854775807")
+    }
+  }
+
   test("writing to a time-travel snapshot refuses") {
     sql(s"CREATE TABLE $cat.core.tt (id BIGINT)")
     sql(s"INSERT INTO $cat.core.tt SELECT id FROM range(5)")

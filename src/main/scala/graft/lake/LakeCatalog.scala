@@ -98,6 +98,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     r
   }
 
+  /** Root for a table a statement is about to CREATE (`SHALLOW
+    * CLONE` destinations) — must not exist yet.
+    */
+  private[lake] def newTableRoot(ident: Identifier): Path = {
+    val r = rootOf(ident)
+    if (isTable(r)) throw new TableAlreadyExistsException(ident)
+    r
+  }
+
   private def isTable(p: Path): Boolean =
     fs.exists(LakeLog.logDir(p))
 

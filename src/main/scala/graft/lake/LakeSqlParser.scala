@@ -74,6 +74,10 @@ private[lake] object LakeSqlStatements {
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$target\\s*;?\\s*$$""".r
   private val detailRe: Regex =
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$target\\s*;?\\s*$$""".r
+  private val restoreRe: Regex =
+    s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$target\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
+  private val cloneRe: Regex =
+    s"""(?is)^\\s*CREATE\\s+TABLE\\s+$target\\s+SHALLOW\\s+CLONE\\s+$target(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""".r
 
   def parse(session: SparkSession, sqlText: String,
             delegate: ParserInterface): Option[LogicalPlan] =
@@ -91,6 +95,11 @@ private[lake] object LakeSqlStatements {
           Option(hours).map(_.toDouble)))
       case historyRe(t) => Some(LakeHistoryCommand(parts(t, delegate)))
       case detailRe(t) => Some(LakeDetailCommand(parts(t, delegate)))
+      case restoreRe(t, v) =>
+        Some(LakeRestoreCommand(parts(t, delegate), v.toLong))
+      case cloneRe(dst, src, v) =>
+        Some(LakeShallowCloneCommand(parts(dst, delegate),
+          parts(src, delegate), Option(v).map(_.toLong)))
       case _ => None
     }
 
@@ -114,6 +123,28 @@ private[lake] object LakeSqlStatements {
         PlanBridge.v2Catalog(spark, ps.head) match {
           case lc: LakeCatalog =>
             lc.tableRoot(Identifier.of(ps.tail.init.toArray, ps.last))
+              .toString
+          case other => throw new IllegalArgumentException(
+            s"${ps.head} is not a graft-lake catalog " +
+              s"(${other.getClass.getName})")
+        }
+    }
+
+  /** Resolve a statement target to a root the statement will CREATE
+    * (clone destinations): for identifiers, the catalog checks the
+    * table does NOT exist yet; paths pass through ([[LakeTable]]'s own
+    * create guard refuses an existing log).
+    */
+  private[lake] def newRootOf(spark: SparkSession,
+                              t: Either[String, Seq[String]]): String =
+    t match {
+      case Left(path) => path
+      case Right(ps) =>
+        require(ps.length >= 2,
+          s"need <catalog>.<...>.<table>, got ${ps.mkString(".")}")
+        PlanBridge.v2Catalog(spark, ps.head) match {
+          case lc: LakeCatalog =>
+            lc.newTableRoot(Identifier.of(ps.tail.init.toArray, ps.last))
               .toString
           case other => throw new IllegalArgumentException(
             s"${ps.head} is not a graft-lake catalog " +
@@ -234,6 +265,52 @@ private[lake] final case class LakeHistoryCommand(
   override def run(spark: SparkSession): Seq[Row] =
     LakeTable.history(spark, LakeSqlStatements.rootOf(spark, target))
       .collect().toSeq
+}
+
+/** `RESTORE TABLE <t> [TO] VERSION AS OF <n>` — one commit that makes
+  * the table's live file set equal version `n`'s again (nothing is
+  * copied: removed files are re-referenced, later files de-referenced;
+  * every version since stays time-travelable). Refuses if any of the
+  * target version's files were vacuumed.
+  */
+private[lake] final case class LakeRestoreCommand(
+    target: Either[String, Seq[String]],
+    toVersion: Long) extends LeafRunnableCommand {
+
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_removed", LongType, nullable = false)(),
+    AttributeReference("files_readded", LongType, nullable = false)(),
+    AttributeReference("files_untouched", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rep = LakeTable.restore(spark,
+      LakeSqlStatements.rootOf(spark, target), toVersion)
+    Seq(Row(rep.version, rep.filesRewritten.toLong,
+      rep.filesAdded.toLong, rep.filesUntouched.toLong))
+  }
+}
+
+/** `CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF <n>]` — a
+  * zero-copy branch: the clone's create commit references the source
+  * snapshot's files by absolute path. Metadata (schema, stats columns,
+  * cluster spec, column mapping, CHECK constraints, reader features)
+  * carries over; later writes to either table never affect the other.
+  */
+private[lake] final case class LakeShallowCloneCommand(
+    dst: Either[String, Seq[String]],
+    src: Either[String, Seq[String]],
+    asOf: Option[Long]) extends LeafRunnableCommand {
+
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = LakeTable.shallowClone(spark,
+      LakeSqlStatements.rootOf(spark, src),
+      LakeSqlStatements.newRootOf(spark, dst), asOf)
+    Seq(Row(v))
+  }
 }
 
 private[lake] final case class LakeDetailCommand(

@@ -175,13 +175,16 @@ object LakeQueries {
     * [2000,2499] applied ONLY to the clone — the branch-and-edit
     * shape. `lake_read_latest` keeps certifying the SOURCE's end
     * state on the same run, so source/clone independence itself sits
-    * under the oracle.
+    * under the oracle. The clone is taken as VERBATIM SQL TEXT
+    * (`CREATE TABLE ... SHALLOW CLONE ...`, path-target form) — the
+    * statement surface commits through the same [[LakeTable
+    * .shallowClone]] the library call would.
     */
   private val cloneCache = new ConcurrentHashMap[String, String]()
   private def cloneFor(s: SparkSession, dir: String): String =
     cloneCache.computeIfAbsent(dir, _ => {
       val root = s"$lakeRoot/clone_${dirKey(dir)}"
-      LakeTable.shallowClone(s, chainFor(s, dir), root)
+      s.sql(s"CREATE TABLE '$root' SHALLOW CLONE '${chainFor(s, dir)}'")
       LakeTable.deleteWhereMor(s, root,
         Seq(LakeTable.ColRange("o_orderkey", Some(2000L), Some(2499L))))
       root
@@ -190,7 +193,9 @@ object LakeQueries {
   /** Restore chain: create(even keys) → append(odd keys) → COW
     * delete [1000,1999] → RESTORE to v0. The final read must equal
     * v0 exactly — proving the rollback commit reproduced the old
-    * file set — while versions 1 and 2 stay in history.
+    * file set — while versions 1 and 2 stay in history. The rollback
+    * itself runs as VERBATIM SQL TEXT (`RESTORE TABLE ... TO VERSION
+    * AS OF 0`) through the maintenance parser.
     */
   private val restoreCache = new ConcurrentHashMap[String, String]()
   private def restoreFor(s: SparkSession, dir: String): String =
@@ -203,7 +208,7 @@ object LakeQueries {
         nFiles = 2)
       LakeTable.deleteWhere(s, root,
         Seq(LakeTable.ColRange("o_orderkey", Some(1000L), Some(1999L))))
-      LakeTable.restore(s, root, 0L)
+      s.sql(s"RESTORE TABLE '$root' TO VERSION AS OF 0")
       root
     })
 

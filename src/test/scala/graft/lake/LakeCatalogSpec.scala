@@ -356,6 +356,37 @@ class LakeCatalogSpec extends SparkSuite {
       .getLong(0) == 13)
   }
 
+  test("RESTORE TABLE and CREATE TABLE ... SHALLOW CLONE as SQL statements") {
+    sql(s"CREATE TABLE $cat.core.rs (id BIGINT, v BIGINT)")          // v0
+    sql(s"INSERT INTO $cat.core.rs SELECT id, id FROM range(20)")    // v1
+    sql(s"DELETE FROM $cat.core.rs WHERE id >= 10")                  // v2
+    // identifier-target clone pinned at the PRE-delete version
+    sql(s"CREATE TABLE $cat.core.rs_branch SHALLOW CLONE $cat.core.rs " +
+      "VERSION AS OF 1")
+    assert(ids(sql(s"SELECT * FROM $cat.core.rs_branch")) == (0L until 20L))
+    // edits to the branch never touch the source
+    sql(s"DELETE FROM $cat.core.rs_branch WHERE id < 5")
+    assert(ids(sql(s"SELECT * FROM $cat.core.rs_branch")) == (5L until 20L))
+    assert(ids(sql(s"SELECT * FROM $cat.core.rs")) == (0L until 10L))
+    // roll the source back; RESTORE is a NEW commit, so the deleted
+    // state stays time-travelable
+    sql(s"RESTORE TABLE $cat.core.rs TO VERSION AS OF 1")
+    assert(ids(sql(s"SELECT * FROM $cat.core.rs")) == (0L until 20L))
+    assert(ids(sql(s"SELECT * FROM $cat.core.rs VERSION AS OF 2")) ==
+      (0L until 10L))
+    val ops = sql(s"DESCRIBE HISTORY $cat.core.rs").collect()
+      .map(_.getAs[String]("op")).toSeq
+    assert(ops == Seq("create", "append", "delete", "restore"))
+    // cloning onto an existing table refuses; restoring to a
+    // not-earlier version refuses
+    intercept[Exception] {
+      sql(s"CREATE TABLE $cat.core.rs_branch SHALLOW CLONE $cat.core.rs")
+    }
+    intercept[Exception] {
+      sql(s"RESTORE TABLE $cat.core.rs TO VERSION AS OF 99")
+    }
+  }
+
   test("inline CHECK at CREATE TABLE time persists and gates writes") {
     // the TableCatalog interface DEFAULT for createTable(ident, info)
     // drops TableInfo.constraints() on the floor — the override must

@@ -243,6 +243,13 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       case dc: TableChange.DropConstraint =>
         LakeTable.dropConstraint(spark, root.toString, dc.name())
         None
+      // ALTER COLUMN <c> TYPE <wider>: metadata-only lossless widening
+      // (the parquet reader upcasts old files); anything else refuses
+      // inside widenColumn
+      case t: TableChange.UpdateColumnType =>
+        LakeTable.widenColumn(spark, root.toString,
+          single(t.fieldNames()), t.newDataType())
+        None
       case other => throw new UnsupportedOperationException(
         s"graft-lake evolution is additive; $other needs a table rewrite")
     }
@@ -354,10 +361,16 @@ private[lake] class LakeTableV2(spark: SparkSession,
         : org.apache.spark.sql.connector.catalog.constraints.Constraint
     }.toArray
 
+  // AUTOMATIC_SCHEMA_EVOLUTION lets the stock
+  // ResolveMergeIntoSchemaEvolution rule apply MERGE ... WITH SCHEMA
+  // EVOLUTION's source-only columns / widenings through this catalog's
+  // alterTable (addColumns / widenColumn metadata commits) before the
+  // merge resolves
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** Read-position relations never reach scan EXECUTION — the
     * [[LakeMorExpansion]] rule replaces them during analysis. The

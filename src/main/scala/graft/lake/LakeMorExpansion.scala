@@ -88,11 +88,16 @@ final class LakeMorExpansion(spark: SparkSession) extends Rule[LogicalPlan] {
       // SQL row-level DML: the stock planner needs
       // SupportsRowLevelOperations; these convert to the lake's own
       // rewrite commands instead (candidates pruned, commit guarded)
-      case m @ MergeIntoTable(target, src, cond, ma, nma, nmbs, evolve)
+      // WITH SCHEMA EVOLUTION needs no handling here: the node only
+      // RESOLVES after Spark's own ResolveMergeIntoSchemaEvolution has
+      // computed the source-only columns / widenings and applied them
+      // through the catalog's alterTable (-> LakeTable.addColumns /
+      // widenColumn metadata commits), reloading the relation — so a
+      // resolved evolving merge is an ordinary merge against the
+      // already-evolved table, pre-evolution files null-backfilling
+      // the new columns by the standard by-name read contract
+      case m @ MergeIntoTable(target, src, cond, ma, nma, nmbs, _)
           if m.resolved && lakeTarget(target).isDefined =>
-        require(!evolve,
-          "MERGE ... WITH SCHEMA EVOLUTION is not supported — evolve " +
-            "first with ALTER TABLE ADD COLUMNS / widenTypes appends")
         val (root, attrs) = lakeTarget(target).get
         LakeMergeIntoCommand(root, attrs, src, cond, ma, nma, nmbs)
       case u: UpdateTable if u.resolved && lakeTarget(u.table).isDefined =>

@@ -399,6 +399,38 @@ object LakeTable {
   private def freshPhysical(): String =
     s"col-${java.util.UUID.randomUUID()}"
 
+  /** `ALTER TABLE ... ALTER COLUMN <c> TYPE <wider>` as a
+    * metadata-only commit: the schema records the wider type, old
+    * files read through it via the parquet vectorized reader's
+    * in-family upcast (byte<short<int<long, float<double) — nothing
+    * rewritten. Cross-family changes (int -> double, long -> string)
+    * are value-rewriting and refuse. Same widening law as the
+    * `widenTypes=true` append; this is the explicit-DDL route for the
+    * "widen first, then write" workflow. Narrowing refuses (existing
+    * files may hold out-of-range values). Already-widened is a no-op
+    * returning the current version (idempotent DDL).
+    */
+  def widenColumn(spark: SparkSession, root: String, name: String,
+                  to: DataType): Long = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    require(schema.fieldNames.contains(name), s"no column '$name'")
+    val cur = schema(name).dataType
+    if (cur == to) return snap.version
+    val ok = widenedType(cur, to).contains(to)
+    require(ok,
+      s"column $name: $cur -> $to is not a lossless in-family widening " +
+        "(byte<short<int<long, float<double) — that change is a table " +
+        "rewrite")
+    val ddl = StructType(schema.fields.map(fd =>
+      if (fd.name == name) fd.copy(dataType = to) else fd)).toDDL
+    LakeLog.commit(f, rootP,
+      Seq(Meta("widencolumn", ddl, snap.statsCols, None, None, now(),
+        colMap = snap.colMap), LakeLog.Feature("type-widening")))
+  }
+
   /** RENAME COLUMN as a metadata-only commit (the Delta column-mapping
     * idea): files keep their physical column names forever and the
     * log maps logical -> physical, so a rename moves ZERO data. The

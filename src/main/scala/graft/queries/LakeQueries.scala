@@ -505,6 +505,69 @@ object LakeQueries {
       ident
     })
 
+  /** Evolving-merge chain (own catalog, pure SQL): create
+    * (o_orderkey, o_cents) for keys < 1500, then `MERGE WITH SCHEMA
+    * EVOLUTION` from a source of keys [1000, 3000) carrying the NEW
+    * o_orderstatus column — [1000,1500) update in place, [1500,3000)
+    * insert, and the untouched pre-evolution files (keys < 1000) must
+    * read NULL for the evolved column.
+    */
+  private val mergeEvoCache = new ConcurrentHashMap[String, String]()
+  private def mergeEvoFor(s: SparkSession, dir: String): String =
+    mergeEvoCache.computeIfAbsent(dir, _ => {
+      val key = dirKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+      val cat = s"glme_$key"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$lakeRoot/me_$key")
+      val ident = s"$cat.core.ord"
+      s.sql(s"CREATE NAMESPACE $cat.core")
+      s.sql(s"CREATE TABLE $ident (o_orderkey BIGINT, o_cents BIGINT) " +
+        "TBLPROPERTIES (clusterBy = 'o_orderkey', nFiles = '3')")
+      seed(s, dir).createOrReplaceTempView(s"lakeq_meseed_$key")
+      s.sql(s"INSERT INTO $ident SELECT o_orderkey, o_cents " +
+        s"FROM lakeq_meseed_$key WHERE o_orderkey < 1500")
+      // evolution resolves the new target column BY SOURCE NAME: the
+      // source schema must carry `o_orderstatus` for the analyzer's
+      // schemaChanges to add it to the target
+      s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $ident t
+        USING (SELECT o_orderkey, o_cents + 5 AS o_cents, o_orderstatus
+               FROM lakeq_meseed_$key
+               WHERE o_orderkey >= 1000 AND o_orderkey < 3000) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_cents = s.o_cents,
+          o_orderstatus = s.o_orderstatus
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_cents, o_orderstatus)
+          VALUES (s.o_orderkey, s.o_cents, s.o_orderstatus)""")
+      ident
+    })
+
+  /** SQL-widening chain (own catalog, pure SQL): create
+    * (o_orderkey INT, o_cents INT) for keys < 1500, widen BOTH columns
+    * to BIGINT via `ALTER TABLE ... ALTER COLUMN ... TYPE` (two
+    * metadata commits, nothing rewritten), then a plain INSERT of
+    * keys [1500, 3000) with +3e9 cents — beyond int range.
+    */
+  private val widenSqlCache = new ConcurrentHashMap[String, String]()
+  private def widenSqlFor(s: SparkSession, dir: String): String =
+    widenSqlCache.computeIfAbsent(dir, _ => {
+      val key = dirKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+      val cat = s"glws_$key"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$lakeRoot/ws_$key")
+      val ident = s"$cat.core.ord"
+      s.sql(s"CREATE NAMESPACE $cat.core")
+      s.sql(s"CREATE TABLE $ident (o_orderkey INT, o_cents INT) " +
+        "TBLPROPERTIES (clusterBy = 'o_orderkey', nFiles = '2')")
+      seed(s, dir).createOrReplaceTempView(s"lakeq_wsseed_$key")
+      s.sql(s"INSERT INTO $ident SELECT CAST(o_orderkey AS INT), " +
+        s"CAST(o_cents AS INT) FROM lakeq_wsseed_$key WHERE o_orderkey < 1500")
+      s.sql(s"ALTER TABLE $ident ALTER COLUMN o_orderkey TYPE BIGINT")
+      s.sql(s"ALTER TABLE $ident ALTER COLUMN o_cents TYPE BIGINT")
+      s.sql(s"INSERT INTO $ident SELECT o_orderkey, o_cents + 3000000000 " +
+        s"FROM lakeq_wsseed_$key WHERE o_orderkey >= 1500 AND o_orderkey < 3000")
+      ident
+    })
+
   /** Rename chain: v0 create (o_orderkey, o_cents) for keys < 1500 →
     * v1 RENAME COLUMN o_cents -> cents_total (metadata-only, column
     * mapping) → v2 append keys [1500, 3000) under the new name.
@@ -571,6 +634,45 @@ object LakeQueries {
       // old type's range
       (s, dir) => LakeTable.scan(s, widenFor(s, dir))
         .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) +
+                 CASE WHEN o_orderkey >= 1500
+                      THEN 3000000000 ELSE 0 END AS o_cents
+        FROM orders WHERE o_orderkey < 3000
+        ORDER BY o_orderkey""")),
+
+    QueryDef("lake_merge_evolve",
+      // MERGE ... WITH SCHEMA EVOLUTION under the oracle: the stock
+      // analyzer rule adds the source-only column through the
+      // catalog's alterTable (a metadata commit) before the merge
+      // runs; pre-evolution files (keys < 1000, untouched by the
+      // merge) must null-backfill the evolved column, matched rows
+      // rewrite with it, unmatched source rows insert with it
+      (s, dir) => {
+        val ident = mergeEvoFor(s, dir)
+        s.sql("SELECT o_orderkey, o_cents, o_orderstatus " +
+          s"FROM $ident ORDER BY o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) +
+                 CASE WHEN o_orderkey >= 1000 THEN 5 ELSE 0 END AS o_cents,
+               CASE WHEN o_orderkey >= 1000 THEN o_orderstatus
+                    ELSE NULL END AS o_orderstatus
+        FROM orders WHERE o_orderkey < 3000
+        ORDER BY o_orderkey""")),
+
+    QueryDef("lake_widen_sql_read",
+      // the DDL widening route under the oracle (`ALTER COLUMN ...
+      // TYPE BIGINT`, vs lake_widen_read's widenTypes-append route):
+      // int32 files must read exactly through the widened schema —
+      // two metadata commits, zero rewrites — and the post-widening
+      // insert carries values beyond the old type's range
+      (s, dir) => {
+        val ident = widenSqlFor(s, dir)
+        s.sql(s"SELECT o_orderkey, o_cents FROM $ident ORDER BY o_orderkey")
+      },
       Some("""
         SELECT o_orderkey,
                CAST(round(o_totalprice * 100) AS BIGINT) +

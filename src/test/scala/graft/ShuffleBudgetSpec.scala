@@ -368,6 +368,13 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("lake_widen_read", 1, "post-widening snapshot scan (int32 files " +
       "through the BIGINT schema via the vectorized upcast) + output " +
       "ordering"),
+    ("lake_widen_sql_read", 1, "post-ALTER-COLUMN-TYPE snapshot scan " +
+      "(two metadata commits, int32 files through the widened schema) " +
+      "+ output ordering"),
+    ("lake_merge_evolve", 1, "post-evolving-merge snapshot scan " +
+      "(pre-evolution files null-backfill the merged-in column); the " +
+      "MERGE WITH SCHEMA EVOLUTION committed at build time as its own " +
+      "bounded jobs — the one exchange is the output ordering"),
     ("lake_catalog_sql", 1, "DSv2-catalog identifier read spliced to " +
       "the native snapshot scan; the SQL DML chain (INSERT/DELETE/" +
       "ALTER/UPDATE/MERGE INTO) committed at build time as its own bounded jobs — the " +

@@ -387,6 +387,59 @@ class LakeCatalogSpec extends SparkSuite {
     }
   }
 
+  test("ALTER COLUMN TYPE widens losslessly as a metadata-only commit") {
+    sql(s"CREATE TABLE $cat.core.wd (id INT, v INT) " +
+      "TBLPROPERTIES (clusterBy = 'id')")
+    sql(s"INSERT INTO $cat.core.wd SELECT CAST(id AS INT), CAST(id AS INT) " +
+      "FROM range(10)")
+    val v1 = LakeTable.latestVersion(spark, s"$warehouse/core/wd").get
+    sql(s"ALTER TABLE $cat.core.wd ALTER COLUMN v TYPE BIGINT")
+    assert(LakeTable.latestVersion(spark, s"$warehouse/core/wd").get
+      == v1 + 1, "widening must be ONE metadata commit, no rewrite")
+    // old int32 files read exactly through the widened schema, and the
+    // widened column now accepts values beyond the old type's range
+    sql(s"INSERT INTO $cat.core.wd SELECT CAST(id + 10 AS INT), " +
+      "id + 3000000000 FROM range(3)")
+    val rows = sql(s"SELECT id, v FROM $cat.core.wd ORDER BY id").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 13))
+    assert(rows.map(_.getLong(1)).toSeq ==
+      ((0L until 10L) ++ (0L until 3L).map(_ + 3000000000L)))
+    // cross-family and narrowing changes stay rewrites (refused)
+    intercept[Exception] {
+      sql(s"ALTER TABLE $cat.core.wd ALTER COLUMN id TYPE DOUBLE")
+    }
+    intercept[Exception] {
+      sql(s"ALTER TABLE $cat.core.wd ALTER COLUMN v TYPE INT")
+    }
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns") {
+    sql(s"CREATE TABLE $cat.core.me (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES (clusterBy = 'id', nFiles = '2')")
+    sql(s"INSERT INTO $cat.core.me SELECT id, id FROM range(20)")
+    spark.range(10, 30)
+      .selectExpr("id", "id * 10 AS v", "concat('t_', id) AS tag")
+      .createOrReplaceTempView("me_src")
+    sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.core.me t
+      USING me_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
+      WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (s.id, s.v, s.tag)""")
+    val rows = sql(s"SELECT id, v, tag FROM $cat.core.me ORDER BY id")
+      .collect()
+    assert(rows.length == 30)
+    // pre-evolution rows untouched by the merge read NULL for the new
+    // column (their files predate it); matched + inserted rows carry it
+    assert(rows.take(10).forall(r => r.getLong(1) == r.getLong(0) &&
+      r.isNullAt(2)), "pre-evolution unmatched rows must null-backfill")
+    assert(rows.drop(10).forall(r => r.getLong(1) == r.getLong(0) * 10 &&
+      r.getString(2) == s"t_${r.getLong(0)}"))
+    // WITHOUT the evolution clause, a source-only column still refuses
+    intercept[Exception] {
+      sql(s"""MERGE INTO $cat.core.me t USING me_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET nope = s.tag""")
+    }
+  }
+
   test("inline CHECK at CREATE TABLE time persists and gates writes") {
     // the TableCatalog interface DEFAULT for createTable(ident, info)
     // drops TableInfo.constraints() on the floor — the override must

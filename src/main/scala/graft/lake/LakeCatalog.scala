@@ -370,6 +370,7 @@ private[lake] class LakeTableV2(spark: SparkSession,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** Read-position relations never reach scan EXECUTION — the
@@ -405,7 +406,9 @@ private[lake] class LakeTableV2(spark: SparkSession,
               "translate exactly to column ranges"))
         this
       }
-      override def build(): V1Write = new V1Write {
+      override def build(): V1Write = new V1Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        // batch INSERTs ride the V1 fallback exactly as before
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
@@ -419,6 +422,66 @@ private[lake] class LakeTableV2(spark: SparkSession,
               ()
             }
           }
+
+        // `writeStream.toTable` — the engine builds a fresh Write per
+        // micro-batch and calls toStreaming on it; appId defaults to
+        // the checkpoint-stable streaming query id
+        @volatile private var streaming = false
+        override def toStreaming:
+            org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(replaceRanges.isEmpty,
+            "REPLACE WHERE is a batch statement, not a streaming sink")
+          streaming = true
+          new LakeStreamingWrite(spark, root.toString,
+            Option(info.options.get("appId")).getOrElse(info.queryId()),
+            info.schema(), truncateAll = overwriteAll,
+            mergeSchema = Option(info.options.get("mergeSchema"))
+              .exists(_.toBoolean))
+        }
+
+        // STREAMING-ONLY output-file control: with .option("nFiles", n)
+        // each epoch repartitions to exactly n files — range-partitioned
+        // and sorted on the table's cluster column when it has a plain
+        // one (streamed files then carry the same tight disjoint
+        // min/max bounds as batch-clustered files), hash-spread over
+        // all columns otherwise. Gated on the `streaming` flag: on the
+        // micro-batch path toStreaming runs BEFORE prepareQuery
+        // (pinned in LakeStreamToTableSpec), while batch V1 writes
+        // never call toStreaming, so batch INSERT plans are untouched
+        // (LakeTable.append does its own nFiles arrangement).
+        private def streamNFiles: Int =
+          if (!streaming) 0
+          else Option(info.options.get("nFiles")).map(_.toInt).getOrElse(0)
+        private def clusterCol: Option[String] = {
+          val sb = snap.clusterBy.filterNot(c =>
+            c.startsWith("z:") || c.startsWith("h:"))
+          sb.filter(c => info.schema().fieldNames.contains(c))
+        }
+        override def requiredDistribution():
+            org.apache.spark.sql.connector.distributions.Distribution = {
+          import org.apache.spark.sql.connector.distributions.Distributions
+          import org.apache.spark.sql.connector.expressions.Expressions
+          if (streamNFiles <= 0) Distributions.unspecified()
+          else clusterCol match {
+            case Some(c) => Distributions.ordered(Array(
+              Expressions.sort(Expressions.column(c),
+                org.apache.spark.sql.connector.expressions.SortDirection
+                  .ASCENDING)))
+            case None => Distributions.clustered(
+              info.schema().fieldNames
+                .map(Expressions.column(_)
+                  : org.apache.spark.sql.connector.expressions.Expression))
+          }
+        }
+        override def requiredNumPartitions(): Int = streamNFiles
+        override def requiredOrdering():
+            Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+          import org.apache.spark.sql.connector.expressions.Expressions
+          if (streamNFiles <= 0) Array.empty
+          else clusterCol.map(c => Expressions.sort(Expressions.column(c),
+            org.apache.spark.sql.connector.expressions.SortDirection
+              .ASCENDING)).toArray
+        }
       }
     }
   }

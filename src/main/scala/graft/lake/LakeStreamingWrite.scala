@@ -1,0 +1,318 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo,
+  WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.graft.{ParquetWriteBridge, PreparedParquetWrite}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType,
+  IntegerType, LongType, ShortType, StringType, StructType}
+
+import LakeLog.{Add, Meta, Remove, Stats}
+
+/** The lake's native `writeStream.toTable` sink — a real DSv2
+  * `StreamingWrite`: executor tasks stream `InternalRow`s straight
+  * into parquet files under a per-epoch staging dir (the SAME writer
+  * stack as `df.write.parquet`, via [[ParquetWriteBridge]]), tracking
+  * per-file min/max/null stats AS THEY WRITE; the driver's
+  * `commit(epoch)` turns the task messages into `Add` actions and
+  * lands ONE transactional log commit carrying the `(appId, epochId)`
+  * token. Files are invisible until that commit, so task retries and
+  * speculative duplicates leave only unreferenced orphans (vacuum
+  * reaps them past the retention horizon) — no rename dance, no
+  * output coordinator dependence for correctness.
+  *
+  * Exactly-once is the SAME two-phase token check the `foreachBatch`
+  * sink ([[LakeSink]]) certifies: a replayed epoch after recovery is
+  * skipped whole at commit (pre-read + in-retry-loop re-check inside
+  * [[LakeLog.commit]]), so at-least-once delivery becomes an
+  * exactly-once table. `appId` defaults to the streaming query's
+  * checkpoint-stable id and can be overridden with
+  * `.option("appId", ...)` (e.g. to share a table between sinks).
+  *
+  * Output modes: Append appends; Complete (the engine calls
+  * `truncate()` per epoch) replaces the table's live file set in the
+  * same single commit (`Remove` all + `Add` new, guarded against
+  * concurrent rewrites). Update mode refuses upstream (no
+  * `SupportsStreamingUpdateAsAppend`) — silently treating updates as
+  * appends would duplicate keys.
+  *
+  * Scale shape: the data path is executor-parallel end to end — the
+  * driver only ever sees per-file METADATA (path, rowCount, stats),
+  * never rows; a 1000-executor epoch commits one ~KB log entry. With
+  * `.option("nFiles", n)` the plan repartitions to exactly n output
+  * files per epoch — range-partitioned AND sorted on the table's
+  * cluster column when it has one, so streamed files carry the same
+  * tight disjoint min/max bounds as batch-written clustered files and
+  * the skipping index keeps biting; hash-spread otherwise. Without
+  * the option, one file per incoming partition (compact later).
+  */
+private[lake] final class LakeStreamingWrite(
+    spark: SparkSession,
+    root: String,
+    appId: String,
+    writeSchema: StructType,
+    truncateAll: Boolean,
+    mergeSchema: Boolean) extends StreamingWrite {
+
+  private val rootP = new Path(root)
+  private def hfs = LakeLog.fileSystem(rootP,
+    spark.sparkContext.hadoopConfiguration)
+
+  // Plan-time snapshot: schema contract, column mapping, stats columns.
+  // A fresh Write is built per micro-batch (the engine re-plans each
+  // epoch), so this is at most one epoch stale; commit() re-reads the
+  // log and guards against drift.
+  private val planSnap = LakeLog.snapshot(hfs, rootP, None)
+  private val baseDdl = planSnap.schemaDdl
+
+  /** Evolved table DDL this epoch commits under (== baseDdl unless
+    * mergeSchema adds/keeps columns). Computed with the same additive
+    * law as batch appends; type changes refuse loudly here, at plan
+    * time.
+    */
+  private val evolvedDdl: String =
+    if (mergeSchema) LakeTable.evolvedSchemaDdl(baseDdl, writeSchema)
+    else {
+      val want = StructType.fromDDL(baseDdl)
+      require(want.fields.map(f => (f.name, f.dataType)).toSeq ==
+        writeSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"streaming write schema $writeSchema does not match table " +
+          s"schema $want — pass .option(\"mergeSchema\", true) for " +
+          "additive evolution")
+      baseDdl
+    }
+
+  // column mapping: evolution columns need fresh physical names
+  private val effMap: Map[String, String] =
+    if (planSnap.colMap.isEmpty) Map.empty
+    else {
+      val oldNames = StructType.fromDDL(baseDdl).fieldNames.toSet
+      planSnap.colMap ++ StructType.fromDDL(evolvedDdl).fieldNames
+        .filterNot(oldNames.contains)
+        .map(n => n -> s"col-${java.util.UUID.randomUUID()}")
+    }
+
+  private def phys(c: String): String = effMap.getOrElse(c, c)
+
+  // stats measured only for columns this stream actually writes (an
+  // omitted evolved column has no values, and mayMatch treats missing
+  // stats as may-match — which is exactly right: it is all-null there)
+  private val statsSpec: Seq[LakeStreamingWrite.StatCol] =
+    planSnap.statsCols.filter(writeSchema.fieldNames.contains).map { c =>
+      val idx = writeSchema.fieldIndex(c)
+      LakeStreamingWrite.StatCol(phys(c), writeSchema(idx).dataType, idx)
+    }
+
+  // files carry PHYSICAL column names (renames never touch data)
+  private val prepared: PreparedParquetWrite = ParquetWriteBridge.prepare(
+    spark, StructType(writeSchema.fields.map(f =>
+      f.copy(name = phys(f.name)))))
+
+  // per-epoch staging dir — the same data/<uuid>/ layout as batch
+  // writes, so vacuum's orphan sweep and the DV file-id contract see
+  // nothing new
+  private val stagingSub = s"data/${java.util.UUID.randomUUID()}"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new LakeStreamWriterFactory(root, stagingSub, prepared, statsSpec)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case m: LakeStreamingWrite.FileMessage if m.path != null => m
+    }.sortBy(_.path)
+    val snap = LakeLog.snapshot(hfs, rootP, None)
+    // recovery replay of an already-committed epoch: drop the staged
+    // files and acknowledge (the foreachBatch sink's skip contract)
+    if (snap.committedBatches.getOrElse(appId, Long.MinValue) >= epochId) {
+      abort(epochId, messages)
+      return
+    }
+    // schema/mapping drift guard: a concurrent evolution between this
+    // epoch's plan and its commit re-plans on restart rather than
+    // committing files written under a stale contract
+    require(snap.schemaDdl == baseDdl || snap.schemaDdl == evolvedDdl,
+      s"table schema changed while epoch $epochId was in flight " +
+        s"(planned against $baseDdl, table now ${snap.schemaDdl}) — " +
+        "restart the query to re-plan")
+    require(snap.colMap == planSnap.colMap || snap.colMap == effMap,
+      s"column mapping changed while epoch $epochId was in flight — " +
+        "restart the query to re-plan")
+    val adds = files.map { m =>
+      Add(m.path, Stats(m.rows, m.bytes,
+        m.mins.map { case (k, v) => k -> LakeTable.normalizeStat(v) },
+        m.maxs.map { case (k, v) => k -> LakeTable.normalizeStat(v) },
+        m.nulls))
+    }.toSeq
+    // CHECK constraints gate streamed rows too: validate the staged
+    // files exactly as readers will see them (bounded by this epoch's
+    // files, never the table). Read with the CURRENT constraints — a
+    // mid-epoch ADD CONSTRAINT gates this commit already.
+    if (snap.constraints.nonEmpty && adds.nonEmpty) {
+      val staged = spark.read
+        .schema(LakeTable.physicalSchema(writeSchema, effMap))
+        .parquet(adds.map(a => new Path(rootP, a.path).toString): _*)
+      val logical = LakeTable.toLogical(staged, writeSchema, effMap)
+      try LakeTable.enforceConstraints(
+        LakeTable.padToSchema(logical, evolvedDdl), snap.constraints,
+        "streaming append")
+      catch { case e: Throwable => abort(epochId, messages); throw e }
+    }
+    val meta = Meta(if (truncateAll) "overwrite" else "append",
+      evolvedDdl, snap.statsCols, Some(appId), Some(epochId),
+      System.currentTimeMillis(), colMap = effMap)
+    val removes =
+      if (truncateAll) snap.files.map(a => Remove(a.path)) else Nil
+    try {
+      LakeLog.commit(hfs, rootP, (meta +: removes) ++ adds,
+        guardFiles = if (truncateAll) snap.files else Nil,
+        baseVersion = snap.version,
+        expectConstraints = Some(snap.constraints),
+        dedupBatch = Some((appId, epochId)))
+      ()
+    } catch {
+      // zombie duplicate lost the commit race: the epoch is already in
+      // the table exactly once — drop our staged copy and acknowledge
+      case _: LakeLog.DuplicateBatchException => abort(epochId, messages)
+    }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val f = hfs
+    messages.foreach {
+      case m: LakeStreamingWrite.FileMessage if m.path != null =>
+        val p = new Path(rootP, m.path)
+        if (f.exists(p)) f.delete(p, false)
+      case _ => ()
+    }
+    val staging = new Path(rootP, stagingSub)
+    if (f.exists(staging) && f.listStatus(staging).isEmpty)
+      f.delete(staging, true): Unit
+  }
+}
+
+private[lake] object LakeStreamingWrite {
+
+  /** One stats-tracked column: physical name (the stats key and the
+    * name inside the file), type, and ordinal in the write schema.
+    */
+  final case class StatCol(physName: String, dataType: DataType, idx: Int)
+
+  /** Per-task result: the file's root-relative path (null when the
+    * task saw no rows and created nothing) and its measured stats,
+    * keyed by physical column name.
+    */
+  final case class FileMessage(path: String, rows: Long, bytes: Long,
+                               mins: Map[String, Any],
+                               maxs: Map[String, Any],
+                               nulls: Map[String, Long])
+      extends WriterCommitMessage
+}
+
+private[lake] final class LakeStreamWriterFactory(
+    root: String,
+    stagingSub: String,
+    prepared: PreparedParquetWrite,
+    statsSpec: Seq[LakeStreamingWrite.StatCol])
+    extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new LakeStreamDataWriter(root, stagingSub, prepared, statsSpec,
+      partitionId, taskId, epochId)
+}
+
+/** Executor-side task writer: opens its parquet file lazily on the
+  * first row (empty partitions create nothing), folds min/max/null
+  * counts per stats column as rows stream through, and reports the
+  * file as a [[LakeStreamingWrite.FileMessage]]. Values are tracked
+  * already normalized to the Long/Double/String stats domain; NaN
+  * orders greatest, matching the batch stats pass (Spark max).
+  */
+private[lake] final class LakeStreamDataWriter(
+    root: String,
+    stagingSub: String,
+    prepared: PreparedParquetWrite,
+    statsSpec: Seq[LakeStreamingWrite.StatCol],
+    partitionId: Int,
+    taskId: Long,
+    epochId: Long) extends DataWriter[InternalRow] {
+
+  private val relPath = s"$stagingSub/part-e$epochId-p$partitionId" +
+    s"-t$taskId${prepared.extension}"
+  private val fullPath = new Path(new Path(root), relPath)
+
+  private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
+  private var rows = 0L
+  private val n = statsSpec.size
+  private val mins = new Array[Any](n)
+  private val maxs = new Array[Any](n)
+  private val nulls = new Array[Long](n)
+
+  private def lessThan(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long)     => x < y
+    case (x: Double, y: Double) => // NaN greatest, like Spark min/max
+      java.lang.Double.compare(x, y) < 0
+    case (x: String, y: String) => x < y
+    case _ => false
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) writer = prepared.open(fullPath.toString)
+    var i = 0
+    while (i < n) {
+      val s = statsSpec(i)
+      if (row.isNullAt(s.idx)) nulls(i) += 1
+      else {
+        val v: Any = s.dataType match {
+          case ByteType    => row.getByte(s.idx).toLong
+          case ShortType   => row.getShort(s.idx).toLong
+          case IntegerType => row.getInt(s.idx).toLong
+          case LongType    => row.getLong(s.idx)
+          case FloatType   => row.getFloat(s.idx).toDouble
+          case DoubleType  => row.getDouble(s.idx)
+          case StringType  => row.getUTF8String(s.idx).toString
+          case other => throw new IllegalStateException(
+            s"unsupported stats type $other") // guarded at table create
+        }
+        if (mins(i) == null || lessThan(v, mins(i))) mins(i) = v
+        if (maxs(i) == null || lessThan(maxs(i), v)) maxs(i) = v
+      }
+      i += 1
+    }
+    rows += 1
+    writer.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer == null)
+      return LakeStreamingWrite.FileMessage(null, 0L, 0L, Map.empty,
+        Map.empty, Map.empty)
+    writer.close()
+    val fs = fullPath.getFileSystem(prepared.hadoopConf)
+    val bytes = fs.getFileStatus(fullPath).getLen
+    def m(vals: Array[Any]): Map[String, Any] =
+      statsSpec.zipWithIndex.collect {
+        case (s, i) if vals(i) != null => s.physName -> vals(i)
+      }.toMap
+    LakeStreamingWrite.FileMessage(relPath, rows, bytes, m(mins), m(maxs),
+      statsSpec.zipWithIndex.map { case (s, i) => s.physName -> nulls(i) }
+        .toMap)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) {
+      try writer.close() catch { case _: Throwable => () }
+      val fs = fullPath.getFileSystem(prepared.hadoopConf)
+      if (fs.exists(fullPath)) fs.delete(fullPath, false): Unit
+    }
+  }
+
+  override def close(): Unit = ()
+}

@@ -267,10 +267,14 @@ object LakeTable {
   }
 
   private def evolvedSchemaDdl(existing: String, df: DataFrame,
-                               widen: Boolean = false): String = {
+                               widen: Boolean): String =
+    evolvedSchemaDdl(existing, df.schema, widen)
+
+  private[lake] def evolvedSchemaDdl(existing: String, incoming: StructType,
+                                     widen: Boolean = false): String = {
     val table = StructType.fromDDL(existing)
     val updated = table.fields.map { t =>
-      df.schema.fields.find(_.name == t.name) match {
+      incoming.fields.find(_.name == t.name) match {
         case Some(fd) if fd.dataType == t.dataType => t
         case Some(fd) if widen =>
           val w = widenedType(t.dataType, fd.dataType).getOrElse(
@@ -288,7 +292,7 @@ object LakeTable {
         case None => t
       }
     }
-    val fresh = df.schema.fields
+    val fresh = incoming.fields
       .filterNot(fd => table.fieldNames.contains(fd.name))
       .map(_.copy(nullable = true))
     StructType(updated ++ fresh).toDDL
@@ -535,13 +539,13 @@ object LakeTable {
   /** Physical StructType for reading files of a column-mapped table:
     * same fields/types, names swapped logical -> physical.
     */
-  private def physicalSchema(schema: StructType,
+  private[lake] def physicalSchema(schema: StructType,
                              colMap: Map[String, String]): StructType =
     StructType(schema.fields.map(f =>
       f.copy(name = colMap.getOrElse(f.name, f.name))))
 
   /** logical-name projection of a physical-name frame. */
-  private def toLogical(df: DataFrame, schema: StructType,
+  private[lake] def toLogical(df: DataFrame, schema: StructType,
                         colMap: Map[String, String],
                         extra: Seq[String] = Nil): DataFrame =
     df.select(schema.fields.map(f =>
@@ -1022,7 +1026,7 @@ object LakeTable {
   /** Project `df` onto the table schema, null-filling omitted
     * columns — the view readers will see.
     */
-  private def padToSchema(df: DataFrame, ddl: String): DataFrame = {
+  private[lake] def padToSchema(df: DataFrame, ddl: String): DataFrame = {
     val want = StructType.fromDDL(ddl)
     df.select(want.fields.toSeq.map { fd =>
       if (df.columns.contains(fd.name)) col(fd.name)
@@ -1041,7 +1045,7 @@ object LakeTable {
     * active constraint — ONE pass over the incoming batch, first
     * violation short-circuits, the failing constraint(s) named.
     */
-  private def enforceConstraints(df: DataFrame,
+  private[lake] def enforceConstraints(df: DataFrame,
                                  cs: Map[String, String],
                                  op: String): Unit = {
     if (cs.isEmpty) return

@@ -302,6 +302,48 @@ object LakeQueries {
     LakeTable.scan(s, dst).orderBy("o_orderkey")
   }
 
+  /** Exactly-once lake-to-lake pipeline through the DSv2 STREAMING
+    * sink (`writeStream.toTable`, no foreachBatch) with a RESTART in
+    * the middle — the toTable twin of [[pipelineReplay]]: incarnation
+    * 1 drains keys [0,400) into a catalog table; more data is
+    * appended; a SECOND incarnation on the same checkpoint drains the
+    * rest. Executor tasks write the parquet directly
+    * ([[graft.lake.LakeStreamingWrite]]), each epoch is one
+    * (appId, epochId)-tokened commit, and `nFiles=2` range-clusters
+    * the streamed files on the destination's cluster column — so the
+    * final read also rides streamed-file stats.
+    */
+  private def toTableReplay(s: SparkSession, dir: String): DataFrame = {
+    val n = seq.incrementAndGet()
+    val key = dirKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+    val cat = s"glstt_${key}_$n"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      s"$lakeRoot/sttwh_${key}_$n")
+    s.sql(s"CREATE NAMESPACE $cat.core")
+    s.sql(s"CREATE TABLE $cat.core.dst (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_orderstatus STRING, o_cents BIGINT) " +
+      "TBLPROPERTIES (clusterBy = 'o_orderkey')")
+    val src = s"$lakeRoot/stt_src_${dirKey(dir)}_$n"
+    val ckpt = s"$lakeRoot/stt_ckpt_${dirKey(dir)}_$n"
+    val sd = seed(s, dir)
+    LakeTable.create(s, src, sd.where(col("o_orderkey") < 400),
+      Seq("o_orderkey"), nFiles = 1)
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-lake").load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .option("nFiles", "2")
+        .toTable(s"$cat.core.dst")
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    LakeTable.append(s, src,
+      sd.where(col("o_orderkey") >= 400 && col("o_orderkey") < 700),
+      nFiles = 1)
+    drain()
+    s.sql(s"SELECT * FROM $cat.core.dst ORDER BY o_orderkey")
+  }
+
   /** CDC-apply pipeline with a RESTART: a source lake of CHANGE rows
     * (upserts v1 for keys < 500) is drained through
     * [[LakeSink.mergeWriter]] into a destination table seeded with
@@ -956,6 +998,14 @@ object LakeQueries {
 
     QueryDef("stream_lake_pipeline_replay",
       (s, dir) => pipelineReplay(s, dir),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders WHERE o_orderkey < 700
+        ORDER BY o_orderkey""")),
+
+    QueryDef("stream_lake_totable_replay",
+      (s, dir) => toTableReplay(s, dir),
       Some("""
         SELECT o_orderkey, o_custkey, o_orderstatus,
                CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents

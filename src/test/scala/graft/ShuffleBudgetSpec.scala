@@ -412,6 +412,9 @@ class ShuffleBudgetSpec extends SparkSuite {
       "ordering; the log-tail batches were bounded parquet scans"),
     ("stream_lake_pipeline_replay", 1, "destination lake scan + output " +
       "ordering; source offsets and sink batch ids did the dedup work"),
+    ("stream_lake_totable_replay", 1, "destination catalog-table scan + " +
+      "output ordering; the DSv2 streaming sink's per-epoch range " +
+      "repartition and (appId, epochId) commits ran inside the stream"),
     ("stream_lake_upsert_replay", 1, "destination lake scan + output " +
       "ordering; the per-batch merges ran at build time as bounded " +
       "candidate-file rewrites"),

@@ -1,0 +1,180 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The DSv2 STREAMING sink surface: `writeStream.toTable("lake.ns.t")`
+  * — executor-parallel parquet writers, per-file stats tracked in
+  * flight, one transactional (appId, epochId) commit per epoch —
+  * certified against the same exactly-once contract as the
+  * foreachBatch sink ([[LakeSink]]).
+  */
+class LakeStreamToTableSpec extends SparkSuite {
+
+  private val cat = "gstt"
+  private lazy val warehouse = {
+    val w = Files.createTempDirectory("graft_stt").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    w
+  }
+
+  private def sql(q: String): DataFrame = { warehouse; spark.sql(q) }
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("writeStream.toTable appends micro-batches exactly once") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sql(s"CREATE NAMESPACE $cat.core")
+    sql(s"CREATE TABLE $cat.core.st (id BIGINT, v BIGINT)")
+    val root = s"$warehouse/core/st"
+    val ckpt = Files.createTempDirectory("stt_ckpt").toString
+    val ms = MemoryStream[Long]
+    def start() = ms.toDF().selectExpr("value AS id", "value * 2 AS v")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable(s"$cat.core.st")
+
+    val q = start()
+    try {
+      ms.addData(0L until 50L: _*)
+      q.processAllAvailable()
+      ms.addData(50L until 80L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ids(sql(s"SELECT * FROM $cat.core.st")) == (0L until 80L))
+    // each epoch was ONE commit carrying its (appId, epochId) token
+    val hist = LakeTable.history(spark, root).collect()
+    assert(hist.count(_.getAs[String]("op") == "append") == 2)
+
+    // restart from the SAME checkpoint: already-committed epochs are
+    // not re-appended, new data flows
+    val q2 = start()
+    try {
+      ms.addData(80L until 100L: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(ids(sql(s"SELECT * FROM $cat.core.st")) == (0L until 100L),
+      "a restarted query must not duplicate committed epochs")
+
+    // streamed files carry real stats: a pruned range read skips files
+    val (pruned, rep) = LakeTable.scanPruned(spark, root,
+      Seq(LakeTable.ColRange("id", Some(90L), Some(99L))))
+    assert(ids(pruned) == (90L until 100L))
+    assert(rep.filesRead < rep.filesTotal,
+      s"streamed per-file stats must prune: $rep")
+  }
+
+  test("nFiles bounds per-epoch files; cluster column gives tight ranges") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sql(s"CREATE TABLE $cat.core.cl (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES (clusterBy = 'id')")
+    val root = s"$warehouse/core/cl"
+    val ckpt = Files.createTempDirectory("stt_ckpt2").toString
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().selectExpr("value AS id", "value AS v")
+      // many input partitions; the write must still land exactly 2
+      // files, range-partitioned + sorted on the cluster column
+      .repartition(16)
+      .writeStream.option("checkpointLocation", ckpt)
+      .option("nFiles", "2")
+      .toTable(s"$cat.core.cl")
+    try {
+      ms.addData(0L until 1000L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val files = LakeTable.snapshot(spark, root).files
+    assert(files.size == 2, s"expected 2 streamed files, got ${files.size}")
+    // ordered distribution on the cluster key => disjoint [min,max]
+    val ranges = files.map(a => (a.stats.min("id").asInstanceOf[Long],
+      a.stats.max("id").asInstanceOf[Long])).sortBy(_._1)
+    assert(ranges.head._2 < ranges.last._1,
+      s"clustered streaming files must carry disjoint ranges: $ranges")
+    assert(ids(sql(s"SELECT * FROM $cat.core.cl")) == (0L until 1000L))
+    // and a key-range read prunes to one of the two files
+    val (_, rep) = LakeTable.scanPruned(spark, root,
+      Seq(LakeTable.ColRange("id", Some(0L), Some(10L))))
+    assert(rep.filesRead == 1, s"range read must prune to 1 file: $rep")
+  }
+
+  test("Complete mode replaces the table each epoch; constraints gate") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sql(s"CREATE TABLE $cat.core.agg (k BIGINT, n BIGINT)")
+    val ckpt = Files.createTempDirectory("stt_ckpt3").toString
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().groupBy((col("value") % 3).as("k"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .toTable(s"$cat.core.agg")
+    try {
+      ms.addData(0L until 30L: _*)
+      q.processAllAvailable()
+      assert(sql(s"SELECT sum(n) AS s FROM $cat.core.agg").head().getLong(0)
+        == 30L)
+      ms.addData(30L until 60L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the table holds the LATEST aggregate, not an accumulation
+    assert(sql(s"SELECT sum(n) AS s FROM $cat.core.agg").head().getLong(0)
+      == 60L)
+    assert(sql(s"SELECT count(*) AS c FROM $cat.core.agg").head().getLong(0)
+      == 3L)
+
+    // a CHECK constraint added to the table gates streamed epochs too
+    sql(s"CREATE TABLE $cat.core.gate (id BIGINT, v BIGINT)")
+    sql(s"ALTER TABLE $cat.core.gate ADD CONSTRAINT pos CHECK (v >= 0)")
+    val ckpt2 = Files.createTempDirectory("stt_ckpt4").toString
+    val ms2 = MemoryStream[Long]
+    val q2 = ms2.toDF().selectExpr("value AS id", "-value AS v")
+      .writeStream.option("checkpointLocation", ckpt2)
+      .toTable(s"$cat.core.gate")
+    ms2.addData(1L, 2L)
+    intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    assert(sql(s"SELECT count(*) AS c FROM $cat.core.gate").head()
+      .getLong(0) == 0L, "a violating epoch must commit nothing")
+    // the refused epoch's staged files are aborted, not leaked live
+    val gateSnap = LakeTable.snapshot(spark, s"$warehouse/core/gate")
+    assert(gateSnap.files.isEmpty)
+  }
+
+  test("mergeSchema option evolves the table additively mid-stream") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sql(s"CREATE TABLE $cat.core.ev2 (id BIGINT)")
+    sql(s"INSERT INTO $cat.core.ev2 SELECT id FROM range(5)")
+    val ckpt = Files.createTempDirectory("stt_ckpt5").toString
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().selectExpr("value AS id", "concat('s_', value) AS lang")
+      .writeStream.option("checkpointLocation", ckpt)
+      .option("mergeSchema", "true")
+      .toTable(s"$cat.core.ev2")
+    try {
+      ms.addData(5L, 6L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = sql(s"SELECT id, lang FROM $cat.core.ev2 ORDER BY id")
+      .collect()
+    assert(rows.length == 7)
+    assert(rows.take(5).forall(_.isNullAt(1)),
+      "pre-evolution rows must read null for the streamed-in column")
+    assert(rows.drop(5).forall(r => r.getString(1) == s"s_${r.getLong(0)}"))
+    // without the option, a schema mismatch refuses loudly
+    val ckpt2 = Files.createTempDirectory("stt_ckpt6").toString
+    val ms2 = MemoryStream[Long]
+    val q2 = ms2.toDF().selectExpr("value AS id", "value AS extra")
+      .writeStream.option("checkpointLocation", ckpt2)
+      .toTable(s"$cat.core.ev2")
+    ms2.addData(1L)
+    intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+  }
+}

@@ -1,0 +1,260 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import graft.lake.{LakeLog, LakeTable}
+
+/** MULTI-PROCESS commit race probe: every in-repo race spec runs its
+  * contenders as threads of one JVM, where `FileContext.rename` could
+  * in principle be accidentally serialized by in-process state. This
+  * probe races TWO SEPARATE JVMs — real processes, separate
+  * FileSystem/FileContext instances, nothing shared but the disk —
+  * and asserts the invariants that make the log a log:
+  *
+  *  1. **Version race** (no Spark, pure log): both children race
+  *     `LakeLog.tryCommit` for the next version in a tight loop until
+  *     each has won `rounds` commits. NEVER-BOTH-COMMIT: every
+  *     committed version's payload names exactly one child, the
+  *     children's claimed wins partition the version range exactly —
+  *     a POSIX-rename silent replace (the bug `Options.Rename.NONE`
+  *     exists to prevent) would surface as overlapping claims or a
+  *     claimed version carrying the other child's payload.
+  *  2. **Constraint-vs-violating-append race**: child A runs
+  *     `ALTER TABLE ... ADD CONSTRAINT CHECK (v >= 0)` (validate
+  *     existing rows, commit at validated+1) while child B appends
+  *     rows violating it. Invariant: the final table NEVER holds both
+  *     the constraint and violating rows, and exactly one child
+  *     succeeds per round.
+  *
+  * Usage: `sbt "runMain graft.tools.CommitRaceProbe"` — appends a
+  * section to SCALEPROBE.md and prints COMMIT-RACE-PASS.
+  */
+object CommitRaceProbe {
+
+  private def now(): Long = System.currentTimeMillis()
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("child-log") =>
+      childLog(args(1), args(2), args(3).toInt)
+    case Some("child-constraint") =>
+      childConstraint(args(1), args(2), args(3).toInt)
+    case _ => coordinate()
+  }
+
+  // ---- file barrier ---------------------------------------------------
+
+  private def touch(p: String): Unit = {
+    Files.write(Paths.get(p), Array.emptyByteArray,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    ()
+  }
+
+  private def await(p: String, timeoutMs: Long = 120000L): Unit = {
+    val t0 = now()
+    while (!Files.exists(Paths.get(p))) {
+      require(now() - t0 < timeoutMs, s"barrier timeout waiting for $p")
+      Thread.sleep(5)
+    }
+  }
+
+  // ---- child 1: pure-log version race (no Spark) ----------------------
+
+  private def childLog(root: String, childId: String, rounds: Int): Unit = {
+    val rootP = new Path(root)
+    val fs = LakeLog.fileSystem(rootP, new Configuration())
+    touch(s"$root/../race/ready-log-$childId")
+    await(s"$root/../race/go-log")
+    val won = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < rounds) {
+      val v = LakeLog.latestVersion(fs, rootP).map(_ + 1).getOrElse(0L)
+      if (LakeLog.tryCommit(fs, rootP, v, Seq(
+        LakeLog.Meta(s"race-$childId-$i", "", Nil, None, None, now())))) {
+        won += v
+        i += 1
+      } // lost: recompute the next version and contend again
+    }
+    Files.write(Paths.get(s"$root/../race/result-log-$childId"),
+      won.mkString(",").getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  // ---- child 2: constraint vs violating append (Spark) ----------------
+
+  private def childConstraint(base: String, childId: String,
+                              nRounds: Int): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    (0 until nRounds).foreach { r =>
+      val root = s"$base/ctab_$r"
+      touch(s"$base/race/ready-c$r-$childId")
+      await(s"$base/race/go-c$r")
+      // deterministic stagger: odd rounds hand the APPEND the head
+      // start (constraint validation on a tiny table otherwise wins
+      // every race, leaving the append-lands-first ordering untested)
+      if (childId == "A" && r % 2 == 1) Thread.sleep(400)
+      val outcome =
+        try {
+          if (childId == "A")
+            LakeTable.addConstraint(spark, root, "nonneg", "v >= 0")
+          else {
+            import spark.implicits._
+            LakeTable.append(spark, root,
+              Seq((100L + r, -1L), (200L + r, -2L)).toDF("id", "v"),
+              nFiles = 1)
+          }
+          "OK"
+        } catch { case e: Throwable => s"REFUSED: ${e.getClass.getName}" }
+      Files.write(Paths.get(s"$base/race/result-c$r-$childId"),
+        outcome.getBytes(StandardCharsets.UTF_8))
+    }
+    spark.stop()
+  }
+
+  // ---- coordinator -----------------------------------------------------
+
+  private def spawn(mainArgs: Seq[String], logFile: String,
+                    heap: String): Process = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(s"-Xmx$heap",
+      "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.CommitRaceProbe") ++ mainArgs)
+    new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(new java.io.File(logFile))
+      .start()
+  }
+
+  private def coordinate(): Unit = {
+    val base = Files.createTempDirectory("graft_race").toString
+    Files.createDirectories(Paths.get(s"$base/race"))
+    val sb = new StringBuilder
+    sb.append("\n## Commit race probe (round 15): two SEPARATE JVMs ")
+    sb.append("racing the same log\n\n")
+
+    // ---- race 1: tryCommit version race, no Spark anywhere ----------
+    val logRoot = s"$base/lograce"
+    Files.createDirectories(Paths.get(logRoot))
+    val rounds = 40
+    val t0 = now()
+    val pa = spawn(Seq("child-log", logRoot, "A", rounds.toString),
+      s"$base/child-log-A.out", "512m")
+    val pb = spawn(Seq("child-log", logRoot, "B", rounds.toString),
+      s"$base/child-log-B.out", "512m")
+    await(s"$base/race/ready-log-A"); await(s"$base/race/ready-log-B")
+    touch(s"$base/race/go-log")
+    require(pa.waitFor() == 0, s"child A failed — $base/child-log-A.out")
+    require(pb.waitFor() == 0, s"child B failed — $base/child-log-B.out")
+    val wallLog = (now() - t0) / 1e3
+
+    def claims(id: String): Set[Long] =
+      new String(Files.readAllBytes(
+        Paths.get(s"$base/race/result-log-$id")), StandardCharsets.UTF_8)
+        .split(",").map(_.toLong).toSet
+    val (ca, cb) = (claims("A"), claims("B"))
+    val fs = LakeLog.fileSystem(new Path(logRoot), new Configuration())
+    val versions = LakeLog.versions(fs, new Path(logRoot))
+    // NEVER-BOTH-COMMIT, cross-process:
+    require(ca.size == rounds && cb.size == rounds,
+      s"each child must win exactly $rounds: A=${ca.size} B=${cb.size}")
+    require((ca intersect cb).isEmpty,
+      s"overlapping claims — both processes committed the same version: " +
+        s"${(ca intersect cb).toSeq.sorted.take(5)}")
+    require(versions.toSet == (ca union cb) &&
+      versions.size == 2 * rounds,
+      s"log (${versions.size} versions) must be exactly the union of " +
+        "claims")
+    // every version's surviving payload names its claimant — a silent
+    // rename-replace would leave a claimed version holding the OTHER
+    // child's payload
+    versions.foreach { v =>
+      val op = LakeLog.readCommit(fs, new Path(logRoot), v)
+        .collectFirst { case m: LakeLog.Meta => m.op }.get
+      val owner = if (ca.contains(v)) "A" else "B"
+      require(op.startsWith(s"race-$owner-"),
+        s"version $v claimed by $owner but holds payload '$op'")
+    }
+    sb.append(s"- version race: 2 JVMs x $rounds commits in ")
+    sb.append(f"$wallLog%.1f s — ${versions.size} versions, claims ")
+    sb.append("disjoint + exhaustive, every payload matches its ")
+    sb.append("claimant (FileContext.rename(NONE) held across ")
+    sb.append("processes)\n")
+
+    // ---- race 2: ADD CONSTRAINT vs violating append ------------------
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val nRounds = 6
+    (0 until nRounds).foreach { r =>
+      LakeTable.create(spark, s"$base/ctab_$r",
+        Seq((1L, 1L), (2L, 2L)).toDF("id", "v"), Seq("id"), nFiles = 1)
+    }
+    val t1 = now()
+    val qa = spawn(Seq("child-constraint", base, "A", nRounds.toString),
+      s"$base/child-c-A.out", "2g")
+    val qb = spawn(Seq("child-constraint", base, "B", nRounds.toString),
+      s"$base/child-c-B.out", "2g")
+    (0 until nRounds).foreach { r =>
+      await(s"$base/race/ready-c$r-A"); await(s"$base/race/ready-c$r-B")
+      touch(s"$base/race/go-c$r")
+      await(s"$base/race/result-c$r-A"); await(s"$base/race/result-c$r-B")
+    }
+    require(qa.waitFor() == 0, s"child A failed — $base/child-c-A.out")
+    require(qb.waitFor() == 0, s"child B failed — $base/child-c-B.out")
+    val wallC = (now() - t1) / 1e3
+    var constraintWins = 0
+    (0 until nRounds).foreach { r =>
+      val root = s"$base/ctab_$r"
+      val snap = LakeTable.snapshot(spark, root)
+      val gated = snap.constraints.contains("nonneg")
+      val violating = LakeTable.scan(spark, root)
+        .where($"v" < 0).count()
+      // THE invariant: the gate and rows violating it never coexist
+      require(!(gated && violating > 0),
+        s"round $r: constraint committed AND violating rows present")
+      def res(id: String) = new String(Files.readAllBytes(
+        Paths.get(s"$base/race/result-c$r-$id")), StandardCharsets.UTF_8)
+      val (ra, rbb) = (res("A"), res("B"))
+      // and the outcomes agree with the table: constraint present iff
+      // child A succeeded; violating rows present iff child B did
+      require(gated == ra.startsWith("OK"),
+        s"round $r: A='$ra' but constraint present=$gated")
+      require((violating > 0) == rbb.startsWith("OK"),
+        s"round $r: B='$rbb' but violating rows=$violating")
+      if (gated) constraintWins += 1
+    }
+    sb.append(s"- constraint race: $nRounds rounds in ")
+    sb.append(f"$wallC%.1f s — gate and violating rows NEVER coexist; ")
+    sb.append(s"constraint won $constraintWins/$nRounds (rest: append ")
+    sb.append("landed first and validation refused the gate)\n")
+    spark.stop()
+
+    Files.write(Paths.get("SCALEPROBE.md"),
+      sb.toString.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    println(sb.toString)
+    println("COMMIT-RACE-PASS")
+  }
+}

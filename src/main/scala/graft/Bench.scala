@@ -53,7 +53,9 @@ object Bench {
     // round-13 family representatives
     "q_tpch_q9", "q_tpch_q21",
     "lake_read_latest", "lake_mor_delete", "lake_dedup_inplace",
-    "stream_lake_replicate_replay")
+    "stream_lake_replicate_replay",
+    // round-15 family representatives
+    "lake_merge_evolve", "stream_lake_totable_replay")
 
   /** One measured run: wall seconds, process-CPU seconds consumed,
     * GC seconds accrued, the host 1-min loadavg at run START

@@ -350,8 +350,20 @@ private[lake] class LakeTableV2(spark: SparkSession,
   override def version(): String =
     versionAsOf.map(_.toString).getOrElse(snap.version.toString)
 
+  /** Surfaced by `DESCRIBE [EXTENDED] TABLE`: the snapshot's real
+    * metadata, not just provider/location.
+    */
   override def properties(): util.Map[String, String] =
-    Map("provider" -> "graft-lake", "location" -> root.toString).asJava
+    (Map("provider" -> "graft-lake", "location" -> root.toString,
+      "version" -> snap.version.toString,
+      "numFiles" -> snap.files.size.toString,
+      "statsCols" -> snap.statsCols.mkString(",")) ++
+      snap.clusterBy.map("clusterBy" -> _) ++
+      (if (snap.features.isEmpty) Map.empty
+       else Map("features" -> snap.features.toSeq.sorted.mkString(","))) ++
+      (if (snap.constraints.isEmpty) Map.empty
+       else Map("constraints" -> snap.constraints.toSeq.sortBy(_._1)
+         .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")))).asJava
 
   override def constraints():
       Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =

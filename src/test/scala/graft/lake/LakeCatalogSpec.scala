@@ -261,6 +261,14 @@ class LakeCatalogSpec extends SparkSuite {
     intercept[Exception] { sql(s"OPTIMIZE $cat.core.opt WHERE id % 2 = 0") }
     // ordinary SQL still parses through the delegating parser
     assert(sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    // DESCRIBE-visible table properties carry the snapshot's real
+    // metadata (SHOW TBLPROPERTIES reads the same map)
+    // (provider/location are Spark-reserved and filtered from SHOW)
+    val props = sql(s"SHOW TBLPROPERTIES $cat.core.opt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("clusterBy") == "z:id,v")
+    assert(props("numFiles").toInt >= 1)
+    assert(props("version").toLong >= 5L)
   }
 
   test("INSERT INTO ... REPLACE WHERE swaps a key range in one commit") {

@@ -146,6 +146,64 @@ class LakeStreamToTableSpec extends SparkSuite {
     assert(gateSnap.files.isEmpty)
   }
 
+  test("batch writers and the streaming sink interleave on one table") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sql(s"CREATE TABLE $cat.core.mix (id BIGINT, v BIGINT)")
+    val ckpt = Files.createTempDirectory("stt_ckpt7").toString
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().selectExpr("value AS id", "value AS v")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable(s"$cat.core.mix")
+    try {
+      ms.addData(0L until 10L: _*)
+      q.processAllAvailable()
+      // a batch INSERT lands BETWEEN epochs — appends never conflict,
+      // both commits survive
+      sql(s"INSERT INTO $cat.core.mix SELECT id + 100, id FROM range(5)")
+      ms.addData(10L until 20L: _*)
+      q.processAllAvailable()
+      // an all-filtered epoch commits METADATA ONLY (the token must
+      // still advance so a replay of it is recognized)
+      ms.addData(-5L until 0L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ids(sql(s"SELECT * FROM $cat.core.mix")) ==
+      ((-5L until 20L) ++ (100L until 105L)))
+    // and OPTIMIZE composes: compaction rewrites streamed + batch
+    // files alike, rows unchanged
+    sql(s"OPTIMIZE $cat.core.mix")
+    assert(ids(sql(s"SELECT * FROM $cat.core.mix")) ==
+      ((-5L until 20L) ++ (100L until 105L)))
+  }
+
+  test("two streams share a table under distinct appIds") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sql(s"CREATE TABLE $cat.core.two (id BIGINT, v BIGINT)")
+    val root = s"$warehouse/core/two"
+    def run(name: String, lo: Long, hi: Long): Unit = {
+      val ckpt = Files.createTempDirectory(s"stt_$name").toString
+      val ms = MemoryStream[Long]
+      val q = ms.toDF().selectExpr("value AS id", "value AS v")
+        .writeStream.option("checkpointLocation", ckpt)
+        .option("appId", name)
+        .toTable(s"$cat.core.two")
+      try {
+        ms.addData(lo until hi: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    run("writer_a", 0L, 10L)
+    run("writer_b", 10L, 20L)
+    assert(ids(sql(s"SELECT * FROM $cat.core.two")) == (0L until 20L))
+    // both appIds' epoch-0 tokens coexist in the snapshot — neither
+    // writer's replays can suppress the other's batches
+    val snap = LakeTable.snapshot(spark, root)
+    assert(snap.committedBatches.keySet == Set("writer_a", "writer_b"),
+      s"got ${snap.committedBatches}")
+  }
+
   test("mergeSchema option evolves the table additively mid-stream") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

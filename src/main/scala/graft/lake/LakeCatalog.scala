@@ -60,7 +60,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * to the lake's conjunctive ranges (else the catalog refuses — a
   * partial translation would delete MORE rows than asked).
   */
-class LakeCatalog extends TableCatalog with SupportsNamespaces {
+class LakeCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   override def capabilities():
       util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
@@ -200,6 +201,85 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
          DoubleType | StringType => true
     case _ => false
   }
+
+  // ---- atomic CTAS / REPLACE TABLE (StagingTableCatalog) -------------
+
+  /** Inline constraints a staged statement carries: only CHECK is
+    * enforceable; anything else refuses (never a silent promise).
+    */
+  private def checksOf(
+      info: org.apache.spark.sql.connector.catalog.TableInfo):
+      Seq[(String, String)] =
+    info.constraints().toSeq.map {
+      case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        chk.name() -> chk.predicateSql()
+      case other => throw new UnsupportedOperationException(
+        s"only CHECK constraints are enforceable here; $other is a " +
+          "catalog-metadata promise this format refuses to fake")
+    }
+
+  private def stage(ident: Identifier, schema: StructType,
+                    partitions: Array[Transform],
+                    properties: util.Map[String, String],
+                    checks: Seq[(String, String)],
+                    mode: String):
+      org.apache.spark.sql.connector.catalog.StagedTable = {
+    require(partitions.isEmpty,
+      "graft-lake tables use stats-based file skipping instead of " +
+        "directory partitioning — declare clusterBy/statsCols table " +
+        "properties rather than PARTITIONED BY")
+    val root = rootOf(ident)
+    val exists = isTable(root)
+    val replacing = mode match {
+      case "create" =>
+        if (exists) throw new TableAlreadyExistsException(ident)
+        None
+      case "replace" =>
+        if (!exists) throw new NoSuchTableException(ident)
+        Some(LakeLog.snapshot(fs, root, None))
+      case _ => // createOrReplace
+        if (exists) Some(LakeLog.snapshot(fs, root, None)) else None
+    }
+    new LakeStagedTable(spark, root,
+      (name() +: ident.namespace() :+ ident.name()).mkString("."),
+      schema, properties, checks, replacing)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]):
+      org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties, Nil, "create")
+
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo):
+      org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, info.schema(), info.partitions(), info.properties(),
+      checksOf(info), "create")
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]):
+      org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties, Nil, "replace")
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo):
+      org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, info.schema(), info.partitions(), info.properties(),
+      checksOf(info), "replace")
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String]):
+      org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties, Nil, "createOrReplace")
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo):
+      org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, info.schema(), info.partitions(), info.properties(),
+      checksOf(info), "createOrReplace")
 
   /** `ALTER TABLE ... ADD COLUMNS` → [[LakeTable.addColumns]];
     * `RENAME COLUMN` / `DROP COLUMN` → the column-mapping metadata

@@ -505,13 +505,26 @@ object LakeLog {
         features += n
       case Constraint(n, e) =>
         if (e.isEmpty) constraints.remove(n) else constraints(n) = e
-      case Meta(_, ddl, sc, appId, batchId, _, cb, cm) =>
-        if (ddl.nonEmpty) { schemaDdl = ddl }
-        if (sc.nonEmpty) { statsCols = sc }
-        if (cb.nonEmpty) { clusterBy = cb }
-        // complete-once-active: a schema commit under column mapping
-        // always carries the FULL logical->physical map
-        if (cm.nonEmpty) { colMap = cm }
+      case Meta(op, ddl, sc, appId, batchId, _, cb, cm) =>
+        if (op == "replace") {
+          // REPLACE TABLE is AUTHORITATIVE, not cumulative: the new
+          // definition stands alone — cluster spec, column mapping and
+          // stats columns are taken verbatim (including empty), CHECK
+          // constraints and reader features of the replaced table are
+          // cleared (its files are gone with it). Streaming batch
+          // tokens survive: exactly-once protection must not re-admit
+          // a replayed epoch just because the table was replaced.
+          schemaDdl = ddl; statsCols = sc; clusterBy = cb; colMap = cm
+          constraints.clear()
+          features.clear()
+        } else {
+          if (ddl.nonEmpty) { schemaDdl = ddl }
+          if (sc.nonEmpty) { statsCols = sc }
+          if (cb.nonEmpty) { clusterBy = cb }
+          // complete-once-active: a schema commit under column mapping
+          // always carries the FULL logical->physical map
+          if (cm.nonEmpty) { colMap = cm }
+        }
         for (app <- appId; b <- batchId)
           batches(app) = math.max(b, batches.getOrElse(app, Long.MinValue))
     }

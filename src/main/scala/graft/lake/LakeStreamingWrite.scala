@@ -215,17 +215,27 @@ private[lake] object LakeStreamingWrite {
       extends WriterCommitMessage
 }
 
+/** Dual-interface task-writer factory: the STREAMING sink's epochs
+  * and the staged BATCH writes (atomic CTAS / REPLACE TABLE AS
+  * SELECT, [[LakeStagedTable]]) run the exact same executor writers —
+  * batch is just epoch -1.
+  */
 private[lake] final class LakeStreamWriterFactory(
     root: String,
     stagingSub: String,
     prepared: PreparedParquetWrite,
     statsSpec: Seq[LakeStreamingWrite.StatCol])
-    extends StreamingDataWriterFactory {
+    extends StreamingDataWriterFactory
+    with org.apache.spark.sql.connector.write.DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new LakeStreamDataWriter(root, stagingSub, prepared, statsSpec,
       partitionId, taskId, epochId)
+
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId, -1L)
 }
 
 /** Executor-side task writer: opens its parquet file lazily on the

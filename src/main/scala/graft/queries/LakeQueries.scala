@@ -610,6 +610,35 @@ object LakeQueries {
       ident
     })
 
+  /** Atomic-replace chain (own catalog, pure SQL): create + insert +
+    * CHECK constraint, then `REPLACE TABLE ... AS SELECT` swaps in a
+    * DIFFERENT schema (adds o_custkey, shifts cents) as ONE
+    * authoritative commit — constraint gone, new cluster spec
+    * recorded, staged files range-clustered, pre-replace versions
+    * still travelable.
+    */
+  private val replaceSqlCache = new ConcurrentHashMap[String, String]()
+  private def replaceSqlFor(s: SparkSession, dir: String): String =
+    replaceSqlCache.computeIfAbsent(dir, _ => {
+      val key = dirKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+      val cat = s"glrp_$key"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$lakeRoot/rp_$key")
+      val ident = s"$cat.core.ord"
+      s.sql(s"CREATE NAMESPACE $cat.core")
+      s.sql(s"CREATE TABLE $ident (o_orderkey BIGINT, o_cents BIGINT) " +
+        "TBLPROPERTIES (clusterBy = 'o_orderkey')")
+      seed(s, dir).createOrReplaceTempView(s"lakeq_rpseed_$key")
+      s.sql(s"INSERT INTO $ident SELECT o_orderkey, o_cents " +
+        s"FROM lakeq_rpseed_$key WHERE o_orderkey < 1000")
+      s.sql(s"ALTER TABLE $ident ADD CONSTRAINT nonneg CHECK (o_cents >= 0)")
+      s.sql(s"REPLACE TABLE $ident " +
+        "TBLPROPERTIES (clusterBy = 'o_orderkey', nFiles = '2') " +
+        "AS SELECT o_orderkey, o_custkey, o_cents + 1 AS o_cents " +
+        s"FROM lakeq_rpseed_$key WHERE o_orderkey < 3000")
+      ident
+    })
+
   /** Rename chain: v0 create (o_orderkey, o_cents) for keys < 1500 →
     * v1 RENAME COLUMN o_cents -> cents_total (metadata-only, column
     * mapping) → v2 append keys [1500, 3000) under the new name.
@@ -720,6 +749,23 @@ object LakeQueries {
                CAST(round(o_totalprice * 100) AS BIGINT) +
                  CASE WHEN o_orderkey >= 1500
                       THEN 3000000000 ELSE 0 END AS o_cents
+        FROM orders WHERE o_orderkey < 3000
+        ORDER BY o_orderkey""")),
+
+    QueryDef("lake_replace_read",
+      // REPLACE TABLE ... AS SELECT under the oracle: the swapped-in
+      // table (different schema, +1 cents, wider key range) must read
+      // back exactly — one authoritative commit through the staged
+      // write path (executor writers + single log commit), the old
+      // constraint and layout reset per the replace replay rule
+      (s, dir) => {
+        val ident = replaceSqlFor(s, dir)
+        s.sql("SELECT o_orderkey, o_custkey, o_cents " +
+          s"FROM $ident ORDER BY o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) + 1 AS o_cents
         FROM orders WHERE o_orderkey < 3000
         ORDER BY o_orderkey""")),
 

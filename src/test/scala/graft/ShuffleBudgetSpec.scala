@@ -371,6 +371,8 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("lake_widen_sql_read", 1, "post-ALTER-COLUMN-TYPE snapshot scan " +
       "(two metadata commits, int32 files through the widened schema) " +
       "+ output ordering"),
+    ("lake_replace_read", 1, "post-REPLACE-TABLE snapshot scan (the " +
+      "swap was one staged commit at build time) + output ordering"),
     ("lake_merge_evolve", 1, "post-evolving-merge snapshot scan " +
       "(pre-evolution files null-backfill the merged-in column); the " +
       "MERGE WITH SCHEMA EVOLUTION committed at build time as its own " +

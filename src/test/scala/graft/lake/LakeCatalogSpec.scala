@@ -491,6 +491,59 @@ class LakeCatalogSpec extends SparkSuite {
     }
   }
 
+  test("REPLACE TABLE / CREATE OR REPLACE ... AS SELECT is one commit") {
+    sql(s"CREATE TABLE $cat.core.rp (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES (clusterBy = 'id')")                           // v0
+    sql(s"INSERT INTO $cat.core.rp SELECT id, id FROM range(50)")   // v1
+    sql(s"ALTER TABLE $cat.core.rp ADD CONSTRAINT pos CHECK (v >= 0)") // v2
+    val root = s"$warehouse/core/rp"
+    // RTAS with a DIFFERENT schema in one atomic commit
+    sql(s"REPLACE TABLE $cat.core.rp " +
+      "TBLPROPERTIES (clusterBy = 'k', nFiles = '2') " +
+      "AS SELECT id AS k, concat('n_', id) AS label FROM range(1000)")
+    val rows = sql(s"SELECT k, label FROM $cat.core.rp ORDER BY k").collect()
+    assert(rows.length == 1000 && rows.head.getString(1) == "n_0")
+    // ONE commit: v3 is the replace, nothing in between
+    val ops = sql(s"DESCRIBE HISTORY $cat.core.rp").collect()
+      .map(_.getAs[String]("op")).toSeq
+    assert(ops == Seq("create", "append", "add constraint", "replace"),
+      s"got $ops")
+    // the replace is AUTHORITATIVE: the old CHECK is gone, the new
+    // cluster spec recorded, staged files range-clustered + disjoint
+    val snap = LakeTable.snapshot(spark, root)
+    assert(snap.constraints.isEmpty, "REPLACE must reset constraints")
+    assert(snap.clusterBy.contains("k"))
+    assert(snap.files.size == 2)
+    val ranges = snap.files.map(a => (a.stats.min("k").asInstanceOf[Long],
+      a.stats.max("k").asInstanceOf[Long])).sortBy(_._1)
+    assert(ranges.head._2 < ranges.last._1,
+      s"staged clustered files must carry disjoint ranges: $ranges")
+    // pre-replace versions stay travelable with their own schema
+    assert(ids(sql(s"SELECT * FROM $cat.core.rp VERSION AS OF 1")) ==
+      (0L until 50L))
+    // CREATE OR REPLACE works on both existing and fresh identifiers
+    sql(s"CREATE OR REPLACE TABLE $cat.core.rp AS " +
+      "SELECT id AS k, 'x' AS label FROM range(10)")
+    assert(sql(s"SELECT count(*) AS c FROM $cat.core.rp").head()
+      .getLong(0) == 10)
+    sql(s"CREATE OR REPLACE TABLE $cat.core.rp_new AS " +
+      "SELECT id FROM range(7)")
+    assert(ids(sql(s"SELECT * FROM $cat.core.rp_new")) == (0L until 7L))
+    // REPLACE of a missing table refuses; CTAS of an existing refuses
+    intercept[Exception] {
+      sql(s"REPLACE TABLE $cat.core.nope AS SELECT id FROM range(3)")
+    }
+    intercept[Exception] {
+      sql(s"CREATE TABLE $cat.core.rp_new AS SELECT id FROM range(3)")
+    }
+    // inline CHECK on CREATE OR REPLACE gates the staged rows
+    intercept[Exception] {
+      sql(s"CREATE OR REPLACE TABLE $cat.core.rp_gate " +
+        "(id BIGINT, v BIGINT, CONSTRAINT nn CHECK (v >= 0)) " +
+        "AS SELECT id, -id AS v FROM range(5)")
+    }
+  }
+
   test("writing to a time-travel snapshot refuses") {
     sql(s"CREATE TABLE $cat.core.tt (id BIGINT)")
     sql(s"INSERT INTO $cat.core.tt SELECT id FROM range(5)")

@@ -204,6 +204,46 @@ class LakeStreamToTableSpec extends SparkSuite {
       s"got ${snap.committedBatches}")
   }
 
+  test("Trigger.AvailableNow: run-once incremental lake-to-lake ETL") {
+    import org.apache.spark.sql.streaming.Trigger
+    sql(s"CREATE TABLE $cat.core.etl_dst (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES (clusterBy = 'id')")
+    val src = Files.createTempDirectory("stt_etl_src").resolve("t").toString
+    val ckpt = Files.createTempDirectory("stt_etl_ckpt").toString
+    import spark.implicits._
+    LakeTable.create(spark, src,
+      (0L until 40L).map(i => (i, i)).toDF("id", "v"), Seq("id"), nFiles = 1)
+    // the nightly-batch shape: drain everything committed so far,
+    // transform, land exactly once, STOP — rerun tomorrow on the same
+    // checkpoint and only the new commits flow
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-lake").load(src)
+        .selectExpr("id", "v * 10 AS v")
+        .writeStream.option("checkpointLocation", ckpt)
+        .option("nFiles", "1")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.core.etl_dst")
+      assert(q.awaitTermination(120000),
+        "AvailableNow must drain and terminate by itself")
+    }
+    runOnce()
+    assert(ids(sql(s"SELECT * FROM $cat.core.etl_dst")) == (0L until 40L))
+    LakeTable.append(spark, src,
+      (40L until 70L).map(i => (i, i)).toDF("id", "v"), nFiles = 1)
+    LakeTable.append(spark, src,
+      (70L until 90L).map(i => (i, i)).toDF("id", "v"), nFiles = 1)
+    runOnce()
+    val rows = sql(s"SELECT id, v FROM $cat.core.etl_dst ORDER BY id")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 90L),
+      "the second run must process ONLY the new commits, exactly once")
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) * 10))
+    // an immediate third run has nothing to do and still terminates
+    runOnce()
+    assert(sql(s"SELECT count(*) AS c FROM $cat.core.etl_dst").head()
+      .getLong(0) == 90)
+  }
+
   test("mergeSchema option evolves the table additively mid-stream") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -544,6 +544,36 @@ class LakeCatalogSpec extends SparkSuite {
     }
   }
 
+  test("DataFrameWriterV2: writeTo(...).create/append/replace") {
+    warehouse
+    import spark.implicits._
+    // create() is the atomic staged CTAS
+    (0L until 20L).map(i => (i, i * 2)).toDF("id", "v")
+      .writeTo(s"$cat.core.w2")
+      .tableProperty("clusterBy", "id").tableProperty("nFiles", "2")
+      .create()
+    assert(ids(sql(s"SELECT * FROM $cat.core.w2")) == (0L until 20L))
+    assert(LakeTable.snapshot(spark, s"$warehouse/core/w2")
+      .clusterBy.contains("id"))
+    // append() rides the transactional append
+    (20L until 30L).map(i => (i, i * 2)).toDF("id", "v")
+      .writeTo(s"$cat.core.w2").append()
+    assert(ids(sql(s"SELECT * FROM $cat.core.w2")) == (0L until 30L))
+    // replace() is the atomic staged swap — new schema, one commit
+    (0L until 5L).map(i => (i, s"r_$i")).toDF("id", "tag")
+      .writeTo(s"$cat.core.w2").replace()
+    val out = sql(s"SELECT id, tag FROM $cat.core.w2 ORDER BY id").collect()
+    assert(out.length == 5 && out.head.getString(1) == "r_0")
+    val ops = sql(s"DESCRIBE HISTORY $cat.core.w2").collect()
+      .map(_.getAs[String]("op")).toSeq
+    assert(ops == Seq("create", "append", "replace"), s"got $ops")
+    // createOrReplace() covers both branches
+    (0L until 3L).map(i => (i, i)).toDF("id", "v")
+      .writeTo(s"$cat.core.w2").createOrReplace()
+    assert(sql(s"SELECT count(*) AS c FROM $cat.core.w2").head()
+      .getLong(0) == 3)
+  }
+
   test("writing to a time-travel snapshot refuses") {
     sql(s"CREATE TABLE $cat.core.tt (id BIGINT)")
     sql(s"INSERT INTO $cat.core.tt SELECT id FROM range(5)")

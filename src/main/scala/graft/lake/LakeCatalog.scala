@@ -330,6 +330,21 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
         LakeTable.widenColumn(spark, root.toString,
           single(t.fieldNames()), t.newDataType())
         None
+      // SET TBLPROPERTIES: the two write-governing knobs are metadata
+      // commits (existing files untouched); unknown keys refuse rather
+      // than silently dropping a property the user thinks is set
+      case sp: TableChange.SetProperty =>
+        sp.property() match {
+          case "clusterBy" =>
+            LakeTable.setClusterBy(spark, root.toString, sp.value())
+          case "statsCols" =>
+            LakeTable.setStatsCols(spark, root.toString,
+              sp.value().split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          case other => throw new UnsupportedOperationException(
+            s"table property '$other' is not settable here (writable: " +
+              "clusterBy, statsCols)")
+        }
+        None
       case other => throw new UnsupportedOperationException(
         s"graft-lake evolution is additive; $other needs a table rewrite")
     }

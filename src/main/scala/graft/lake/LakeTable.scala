@@ -403,6 +403,49 @@ object LakeTable {
   private def freshPhysical(): String =
     s"col-${java.util.UUID.randomUUID()}"
 
+  /** `ALTER TABLE ... SET TBLPROPERTIES (clusterBy = ...)`: re-key
+    * FUTURE writes (appends without an explicit spec, and every
+    * maintenance rewrite — compaction re-clusters by the recorded
+    * spec) as one metadata commit. Existing files keep their layout
+    * and stats; OPTIMIZE applies the new layout wholesale. Accepts a
+    * plain column or the `z:`/`h:` curve specs; every referenced
+    * column must exist.
+    */
+  def setClusterBy(spark: SparkSession, root: String, spec: String): Long = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val dims =
+      if (spec.startsWith("z:") || spec.startsWith("h:"))
+        spec.drop(2).split(",").toSeq
+      else Seq(spec)
+    dims.foreach(c => require(schema.fieldNames.contains(c),
+      s"clusterBy references missing column '$c'"))
+    LakeLog.commit(f, rootP,
+      Seq(Meta("setproperties", snap.schemaDdl, snap.statsCols, None, None,
+        now(), Some(spec), snap.colMap)))
+  }
+
+  /** `ALTER TABLE ... SET TBLPROPERTIES (statsCols = ...)`: change
+    * which columns FUTURE files record min/max/null stats for, as one
+    * metadata commit. Old files keep the stats they were written
+    * with; a column missing from a file's stats is simply unprunable
+    * there ([[mayMatch]]'s conservative read), so the change is never
+    * a correctness event.
+    */
+  def setStatsCols(spark: SparkSession, root: String,
+                   cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "statsCols needs at least one column")
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    requireStatsColsSupported(StructType.fromDDL(snap.schemaDdl), cols)
+    LakeLog.commit(f, rootP,
+      Seq(Meta("setproperties", snap.schemaDdl, cols, None, None,
+        now(), colMap = snap.colMap)))
+  }
+
   /** `ALTER TABLE ... ALTER COLUMN <c> TYPE <wider>` as a
     * metadata-only commit: the schema records the wider type, old
     * files read through it via the parquet vectorized reader's

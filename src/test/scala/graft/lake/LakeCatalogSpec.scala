@@ -574,6 +574,47 @@ class LakeCatalogSpec extends SparkSuite {
       .getLong(0) == 3)
   }
 
+  test("SET TBLPROPERTIES re-keys future writes; TRUNCATE TABLE empties") {
+    sql(s"CREATE TABLE $cat.core.sp (id BIGINT, grp BIGINT) " +
+      "TBLPROPERTIES (clusterBy = 'id', nFiles = '4')")
+    sql(s"INSERT INTO $cat.core.sp SELECT id, id % 10 FROM range(400)")
+    val root = s"$warehouse/core/sp"
+    // re-key future writes onto grp as ONE metadata commit
+    val v = LakeTable.latestVersion(spark, root).get
+    sql(s"ALTER TABLE $cat.core.sp SET TBLPROPERTIES " +
+      "(clusterBy = 'grp', statsCols = 'grp')")
+    // two knobs = two metadata commits, no files touched
+    assert(LakeTable.latestVersion(spark, root).get == v + 2)
+    val snap0 = LakeTable.snapshot(spark, root)
+    assert(snap0.clusterBy.contains("grp") && snap0.statsCols == Seq("grp"))
+    // the next append clusters + measures stats by the NEW keys
+    sql(s"INSERT INTO $cat.core.sp SELECT id + 400, id % 10 + 100 " +
+      "FROM range(400)")
+    val newest = LakeTable.snapshot(spark, root).files
+      .filter(_.stats.min.contains("grp"))
+      .filter(_.stats.min("grp").asInstanceOf[Long] >= 100L)
+    assert(newest.nonEmpty, "post-SET files must carry grp stats")
+    // and a grp-range read prunes within the re-keyed region
+    val (_, rep) = LakeTable.scanPruned(spark, root,
+      Seq(LakeTable.ColRange("grp", Some(100L), Some(101L))))
+    assert(rep.filesSkipped > 0, s"grp stats must prune: $rep")
+    // unknown properties refuse instead of silently dropping
+    intercept[Exception] {
+      sql(s"ALTER TABLE $cat.core.sp SET TBLPROPERTIES (bogus = '1')")
+    }
+    // referencing a missing column refuses
+    intercept[Exception] {
+      sql(s"ALTER TABLE $cat.core.sp SET TBLPROPERTIES (clusterBy = 'nope')")
+    }
+    // TRUNCATE TABLE routes through SupportsDelete: one commit, empty
+    // table, history intact
+    sql(s"TRUNCATE TABLE $cat.core.sp")
+    assert(sql(s"SELECT count(*) AS c FROM $cat.core.sp").head()
+      .getLong(0) == 0)
+    assert(ids(sql(s"SELECT id AS id FROM $cat.core.sp VERSION AS OF 1")).size
+      == 400, "pre-truncate versions stay travelable")
+  }
+
   test("writing to a time-travel snapshot refuses") {
     sql(s"CREATE TABLE $cat.core.tt (id BIGINT)")
     sql(s"INSERT INTO $cat.core.tt SELECT id FROM range(5)")

@@ -74,7 +74,6 @@ private[lake] final class LakeStagedTable(
   private val stagingSub = s"data/${java.util.UUID.randomUUID()}"
 
   @volatile private var staged: Seq[Add] = Nil
-  @volatile private var wrote = false
 
   override def name(): String = ident
   override def schema(): StructType = tableSchema
@@ -114,7 +113,6 @@ private[lake] final class LakeStagedTable(
                     k -> LakeTable.normalizeStat(v) },
                   m.nulls))
             }.toSeq.sortBy(_.path)
-            wrote = true
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             abortStagedChanges()

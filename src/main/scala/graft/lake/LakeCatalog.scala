@@ -147,11 +147,13 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft-lake tables use stats-based file skipping instead of " +
-        "directory partitioning — declare clusterBy/statsCols table " +
-        "properties (see LakeTable) rather than PARTITIONED BY")
+                           properties: util.Map[String, String]): Table =
+    createTable(ident, schema, partitions, properties, Nil)
+
+  private def createTable(ident: Identifier, schema: StructType,
+                          partitions: Array[Transform],
+                          properties: util.Map[String, String],
+                          checks: Seq[(String, String)]): Table = {
     val root = rootOf(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
     val props = properties.asScala
@@ -165,7 +167,9 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       new util.ArrayList[org.apache.spark.sql.Row](), schema)
     LakeTable.create(spark, root.toString, empty, statsCols,
       nFiles = props.get("nFiles").map(_.toInt).getOrElse(1),
-      clusterBy = props.get("clusterBy"))
+      clusterBy = props.get("clusterBy"),
+      partitionBy = partitionCols(partitions),
+      checks = checks)
     loadTable(ident)
   }
 
@@ -173,34 +177,40 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     * to the columns/partitions/properties overload and DISCARDS
     * `TableInfo.constraints()` — with SUPPORT_TABLE_CONSTRAINT
     * advertised, the statement would succeed while the gate silently
-    * vanished. Persist each inline CHECK through the same
-    * validate-then-commit path `ALTER TABLE ... ADD CONSTRAINT` uses
-    * (the table is empty at this point, so validation is a no-op scan);
-    * any non-CHECK constraint refuses loudly rather than becoming a
-    * metadata promise this format cannot enforce.
+    * vanished. ATOMIC: non-CHECK constraints refuse BEFORE anything
+    * is created (never a metadata promise this format cannot
+    * enforce), and the CHECKs land inside the CREATE commit itself —
+    * a crash can never leave a created table missing (some of) its
+    * declared constraints, which a post-create ADD CONSTRAINT loop
+    * allowed.
     */
   override def createTable(
       ident: Identifier,
-      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
-    val t = createTable(ident, info.schema(), info.partitions(),
-      info.properties())
-    val root = rootOf(ident)
-    info.constraints().foreach {
-      case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
-        LakeTable.addConstraint(spark, root.toString, chk.name(),
-          chk.predicateSql())
-      case other => throw new UnsupportedOperationException(
-        s"only CHECK constraints are enforceable here; $other is a " +
-          "catalog-metadata promise this format refuses to fake")
-    }
-    if (info.constraints().nonEmpty) loadTable(ident) else t
-  }
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table =
+    createTable(ident, info.schema(), info.partitions(),
+      info.properties(), checksOf(info))
 
   private def statsSupported(f: StructField): Boolean = f.dataType match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
          DoubleType | StringType => true
     case _ => false
   }
+
+  /** `PARTITIONED BY (a, b)` arrives as identity transforms; anything
+    * computed (bucket/days/truncate) refuses — this lake partitions by
+    * stored column values only.
+    */
+  private[lake] def partitionCols(partitions: Array[Transform])
+      : Seq[String] =
+    partitions.toSeq.map { t =>
+      val id = t.name() == "identity" && t.references().length == 1 &&
+        t.references()(0).fieldNames().length == 1
+      require(id,
+        s"unsupported partition transform $t — PARTITIONED BY takes " +
+          "plain top-level columns (for time bucketing, store the " +
+          "bucket as a column)")
+      t.references()(0).fieldNames()(0)
+    }
 
   // ---- atomic CTAS / REPLACE TABLE (StagingTableCatalog) -------------
 
@@ -225,9 +235,9 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
                     mode: String):
       org.apache.spark.sql.connector.catalog.StagedTable = {
     require(partitions.isEmpty,
-      "graft-lake tables use stats-based file skipping instead of " +
-        "directory partitioning — declare clusterBy/statsCols table " +
-        "properties rather than PARTITIONED BY")
+      "PARTITIONED BY is not supported on staged statements (CTAS / " +
+        "REPLACE TABLE AS SELECT) — CREATE the partitioned table first, " +
+        "then INSERT INTO it")
     val root = rootOf(ident)
     val exists = isTable(root)
     val replacing = mode match {
@@ -442,6 +452,14 @@ private[lake] class LakeTableV2(spark: SparkSession,
 
   override def schema(): StructType = StructType.fromDDL(snap.schemaDdl)
 
+  /** DESCRIBE / SHOW surfaces — and the analyzer's by-name INSERT
+    * resolution — see the real partition spec.
+    */
+  override def partitioning(): Array[Transform] =
+    snap.partitionBy.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+        : Transform).toArray
+
   override def version(): String =
     versionAsOf.map(_.toString).getOrElse(snap.version.toString)
 
@@ -453,6 +471,8 @@ private[lake] class LakeTableV2(spark: SparkSession,
       "version" -> snap.version.toString,
       "numFiles" -> snap.files.size.toString,
       "statsCols" -> snap.statsCols.mkString(",")) ++
+      (if (snap.partitionBy.isEmpty) Map.empty
+       else Map("partitionBy" -> snap.partitionBy.mkString(","))) ++
       snap.clusterBy.map("clusterBy" -> _) ++
       (if (snap.features.isEmpty) Map.empty
        else Map("features" -> snap.features.toSeq.sorted.mkString(","))) ++

@@ -216,7 +216,8 @@ private[lake] final case class LakeMergeIntoCommand(
 
     val cols = schema.fields.toSeq
     val tp = LakeTable
-      .readAddsWithPos(spark, rootP, snap.schemaDdl, cands, snap.colMap)
+      .readAddsWithPos(spark, rootP, snap.schemaDdl, cands, snap.colMap,
+        snap.partitionBy)
       .select(cols.map(fd => col(fd.name).as(s"__t_${fd.name}")) ++
         Seq(col("__file"), col("__pos")): _*)
       .localCheckpoint(eager = false) // cardinality check + 3 joins
@@ -311,7 +312,7 @@ private[lake] final case class LakeUpdateCommand(
     val cands = snap.files.filter(a =>
       pr.forall(r => LakeTable.mayMatch(a.stats, r)))
     val t = LakeTable.readAdds(spark, rootP, snap.schemaDdl, cands,
-      snap.colMap)
+      snap.colMap, snap.partitionBy)
     def bindT(e: Expression): Expression = e.transform {
       case a: AttributeReference if targetIds.contains(a.exprId) =>
         PlanBridge.expression(t(a.name))
@@ -359,7 +360,7 @@ private[lake] final case class LakeDeleteCommand(
     val cands = snap.files.filter(a =>
       pr.forall(r => LakeTable.mayMatch(a.stats, r)))
     val t = LakeTable.readAdds(spark, rootP, snap.schemaDdl, cands,
-      snap.colMap)
+      snap.colMap, snap.partitionBy)
     def bindT(e: Expression): Expression = e.transform {
       case a: AttributeReference if targetIds.contains(a.exprId) =>
         PlanBridge.expression(t(a.name))

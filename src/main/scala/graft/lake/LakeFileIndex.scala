@@ -3,12 +3,13 @@ package graft.lake
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
-  Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
-  Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
+  BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
+  LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   FileStatusWithMetadata, PartitionDirectory}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+  ShortType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** [[FileIndex]] over a [[LakeLog.Snapshot]] — the piece that puts
@@ -20,6 +21,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * `listFiles` re-prunes that list against the pushed data filters,
   * so version isolation, stats skipping, parquet row-group pushdown
   * and whole-stage codegen all compose in ONE stock scan node.
+  *
+  * PARTITIONED tables (`PARTITIONED BY` / converted hive layouts)
+  * surface a real `partitionSchema`: each file's partition values are
+  * read from its log-recorded min==max stats (never from the path at
+  * plan time, never from a directory listing), grouped into
+  * `PartitionDirectory` rows, and Spark's scan injects the columns
+  * into every row — the file CONTENT never stores them. Pushed
+  * partition filters are evaluated EXACTLY against each group's
+  * values (arbitrary predicates, not just ranges), so the scan shows
+  * true `PartitionFilters:` pruning.
   *
   * File sizes come from the commit log's recorded stats — planning
   * makes ZERO filesystem calls per file, which at a 10^6-file table
@@ -46,7 +57,10 @@ final class LakeFileIndex(spark: SparkSession, root: Path,
 
   override def rootPaths: Seq[Path] = Seq(root)
 
-  override def partitionSchema: StructType = new StructType()
+  private val fullSchema: StructType = StructType.fromDDL(snap.schemaDdl)
+
+  override val partitionSchema: StructType =
+    StructType(snap.partitionBy.map(c => fullSchema(c)))
 
   override def sizeInBytes: Long = files.map(_.stats.bytes).sum
 
@@ -55,11 +69,34 @@ final class LakeFileIndex(spark: SparkSession, root: Path,
 
   override def refresh(): Unit = () // snapshot = immutable version pin
 
+  /** Partition values of one file, from its min==max stats (stats
+    * normalize to Long/String; convert back to the column's Catalyst
+    * internal type). A missing stat is the null partition
+    * (`__HIVE_DEFAULT_PARTITION__` at write time).
+    */
+  private def partValues(f: LakeLog.Add): Seq[Any] =
+    snap.partitionBy.map { c =>
+      f.stats.min.get(c) match {
+        case None => null
+        case Some(v) => fullSchema(c).dataType match {
+          case ByteType    => v.asInstanceOf[Long].toByte
+          case ShortType   => v.asInstanceOf[Long].toShort
+          case IntegerType => v.asInstanceOf[Long].toInt
+          case LongType    => v.asInstanceOf[Long]
+          case StringType  => UTF8String.fromString(v.asInstanceOf[String])
+          case dt => throw new IllegalStateException(
+            s"partition column '$c' of unsupported type $dt")
+        }
+      }
+    }
+
   /** Pushed data filters → per-column bounds → stats pruning. Only
     * conjuncts shaped `col <op> literal` on a stats column prune;
     * everything else is ignored here and still applied row-level by
     * the scan's own filters — pruning is an optimization, never a
     * semantics change (same contract as [[LakeTable.scanPruned]]).
+    * Partition filters (arbitrary predicates on partition columns)
+    * are evaluated EXACTLY per partition-value group.
     */
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]):
@@ -72,8 +109,31 @@ final class LakeFileIndex(spark: SparkSession, root: Path,
       .filter(r => statKeys.contains(r.column))
     val kept = files.filter(f =>
       ranges.forall(r => LakeTable.mayMatch(f.stats, r)))
-    Seq(PartitionDirectory(InternalRow.empty,
-      kept.map(f => FileStatusWithMetadata(status(f)))))
+    if (snap.partitionBy.isEmpty)
+      Seq(PartitionDirectory(InternalRow.empty,
+        kept.map(f => FileStatusWithMetadata(status(f)))))
+    else {
+      val pred: InternalRow => Boolean =
+        if (partitionFilters.isEmpty) _ => true
+        else {
+          val bound = partitionFilters.reduce(And(_, _)).transform {
+            case a: Attribute =>
+              val i = partitionSchema.fieldIndex(a.name)
+              BoundReference(i, partitionSchema(i).dataType,
+                nullable = true)
+          }
+          val p = Predicate.createInterpreted(bound)
+          row => p.eval(row)
+        }
+      kept.groupBy(partValues).toSeq
+        .sortBy(_._2.head.path) // deterministic plan
+        .flatMap { case (vals, fs) =>
+          val row = InternalRow.fromSeq(vals)
+          if (!pred(row)) None
+          else Some(PartitionDirectory(row,
+            fs.map(f => FileStatusWithMetadata(status(f)))))
+        }
+    }
   }
 
   /** Stats of one committed file, for tests/tooling. */

@@ -84,7 +84,18 @@ object LakeLog {
                         appId: Option[String], batchId: Option[Long],
                         ts: Long,
                         clusterBy: Option[String] = None,
-                        colMap: Map[String, String] = Map.empty)
+                        colMap: Map[String, String] = Map.empty,
+                        /** Hive-style partition columns (create-time
+                          * immutable). Partitioned files live under
+                          * `<col>=<value>/` directories, their CONTENT
+                          * excludes the partition columns, and every
+                          * Add records the value as min==max stats —
+                          * reads inject the columns from the log, the
+                          * scan prunes whole directories. Carried by
+                          * create/convert/replace commits and the
+                          * checkpoint header.
+                          */
+                        partitionBy: Seq[String] = Nil)
       extends Action
 
   /** Fully-replayed table state at `version`. */
@@ -102,7 +113,8 @@ object LakeLog {
                               * files are addressed by their original
                               * physical names forever.
                               */
-                            colMap: Map[String, String] = Map.empty) {
+                            colMap: Map[String, String] = Map.empty,
+                            partitionBy: Seq[String] = Nil) {
     def filePaths: Set[String] = files.map(_.path).toSet
   }
 
@@ -190,13 +202,17 @@ object LakeLog {
     case Feature(n) => ("a" -> "feature") ~ ("name" -> n)
     case Constraint(n, e) =>
       ("a" -> "constraint") ~ ("name" -> n) ~ ("expr" -> e)
-    case Meta(op, ddl, statsCols, appId, batchId, ts, clusterBy, colMap) =>
+    case Meta(op, ddl, statsCols, appId, batchId, ts, clusterBy, colMap,
+              partitionBy) =>
       val base = ("a" -> "meta") ~ ("op" -> op) ~ ("schema" -> ddl) ~
         ("statsCols" -> statsCols) ~ ("appId" -> appId) ~
         ("batchId" -> batchId) ~ ("ts" -> ts) ~ ("clusterBy" -> clusterBy)
-      if (colMap.isEmpty) base
-      else base ~ ("colMap" -> JObject(colMap.toList.sortBy(_._1)
-        .map { case (k, v) => k -> JString(v) }))
+      val withMap =
+        if (colMap.isEmpty) base
+        else base ~ ("colMap" -> JObject(colMap.toList.sortBy(_._1)
+          .map { case (k, v) => k -> JString(v) }))
+      if (partitionBy.isEmpty) withMap
+      else withMap ~ ("partitionBy" -> partitionBy)
   }
 
   def actionFromJson(j: JValue): Action = {
@@ -247,8 +263,12 @@ object LakeLog {
           }.toMap
           case _ => Map.empty[String, String]
         }
+        val partitionBy = (j \ "partitionBy") match {
+          case JArray(xs) => xs.collect { case JString(s) => s }
+          case _          => Nil
+        }
         Meta(str("op"), str("schema"), statsCols, appId, batchId,
-          lng(j \ "ts"), clusterBy, colMap)
+          lng(j \ "ts"), clusterBy, colMap, partitionBy)
       case o => throw new IllegalArgumentException(s"unknown action: $o")
     }
   }
@@ -362,12 +382,13 @@ object LakeLog {
              baseVersion: Long = -1L,
              maxRetries: Int = 50,
              expectConstraints: Option[Map[String, String]] = None,
-             dedupBatch: Option[(String, Long)] = None): Long = {
+             dedupBatch: Option[(String, Long)] = None,
+             expectExactFiles: Boolean = false): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val v = latestVersion(fs, root).map(_ + 1).getOrElse(0L)
       if ((guardFiles.nonEmpty || expectConstraints.nonEmpty ||
-           dedupBatch.nonEmpty) && v != baseVersion + 1) {
+           dedupBatch.nonEmpty || expectExactFiles) && v != baseVersion + 1) {
         val cur = snapshot(fs, root, None)
         // exactly-once streaming: re-check the (appId, batchId) token
         // INSIDE the retry loop — a zombie duplicate that slipped past
@@ -387,6 +408,19 @@ object LakeLog {
             "rewrite lost race: files removed or re-pointed by a " +
               s"concurrent commit: ${stale.map(_.path).take(3)}…")
         }
+        // AUTHORITATIVE commits (REPLACE TABLE / INSERT OVERWRITE /
+        // Complete-mode truncate) remove "the whole table" — which is
+        // only well-defined if the live set still IS the snapshot the
+        // writer read. guardFiles alone misses files a concurrent
+        // commit ADDED; those would survive the replace in the commit
+        // record (the replay rule clears them regardless, but the log
+        // should say what happened: abort and let the caller re-read).
+        if (expectExactFiles &&
+            cur.filePaths != guardFiles.map(_.path).toSet)
+          throw new ConcurrentCommitException(
+            "replace/overwrite lost race: a concurrent commit changed " +
+              s"the live file set (now ${cur.files.size} files, " +
+              s"expected ${guardFiles.size}) — re-read and retry")
         // a writer validated its batch against the constraints it
         // read; if a concurrent ADD/DROP CONSTRAINT landed since,
         // committing would bypass the new gate — abort, the caller
@@ -428,7 +462,8 @@ object LakeLog {
     val snap = replay(fs, root, v, fromCheckpoint = true)
     val header =
       Meta("checkpoint", snap.schemaDdl, snap.statsCols, None, None,
-        System.currentTimeMillis(), snap.clusterBy, snap.colMap) +:
+        System.currentTimeMillis(), snap.clusterBy, snap.colMap,
+        snap.partitionBy) +:
         (snap.features.toSeq.sorted.map(Feature(_)) ++
           snap.constraints.toSeq.sortBy(_._1).map {
             case (n, e) => Constraint(n, e)
@@ -489,6 +524,7 @@ object LakeLog {
     var statsCols: Seq[String] = Nil
     var clusterBy: Option[String] = None
     var colMap: Map[String, String] = Map.empty
+    var partitionBy: Seq[String] = Nil
     val batches = mutable.Map[String, Long]()
     val features = mutable.Set[String]()
     val constraints = mutable.LinkedHashMap[String, String]()
@@ -505,18 +541,40 @@ object LakeLog {
         features += n
       case Constraint(n, e) =>
         if (e.isEmpty) constraints.remove(n) else constraints(n) = e
-      case Meta(op, ddl, sc, appId, batchId, _, cb, cm) =>
+      case Meta(op, ddl, sc, appId, batchId, _, cb, cm, pb) =>
         if (op == "replace") {
           // REPLACE TABLE is AUTHORITATIVE, not cumulative: the new
           // definition stands alone — cluster spec, column mapping and
           // stats columns are taken verbatim (including empty), CHECK
           // constraints and reader features of the replaced table are
-          // cleared (its files are gone with it). Streaming batch
-          // tokens survive: exactly-once protection must not re-admit
-          // a replayed epoch just because the table was replaced.
+          // cleared, and so is the LIVE FILE SET: only files added in
+          // or after the replace commit survive. The commit itself
+          // carries Removes for every file its writer saw (audit/CDF),
+          // but the replay-side clear is what makes the replace
+          // airtight — a file added by a commit that raced in between
+          // the writer's snapshot and its replace commit must NOT stay
+          // live under a schema/policy that was just authoritatively
+          // reset (by-name reads would silently null its columns).
+          // Streaming batch tokens survive: exactly-once protection
+          // must not re-admit a replayed epoch just because the table
+          // was replaced.
           schemaDdl = ddl; statsCols = sc; clusterBy = cb; colMap = cm
+          partitionBy = pb
           constraints.clear()
           features.clear()
+          files.clear()
+        } else if (op == "overwrite") {
+          // INSERT OVERWRITE / streaming Complete-mode truncate: the
+          // same authoritative CONTENT reset (live file set cleared —
+          // a racing concurrent append's files must not survive an
+          // overwrite that never saw them), but policy (constraints,
+          // features, cluster spec) is table metadata and stays.
+          files.clear()
+          if (ddl.nonEmpty) { schemaDdl = ddl }
+          if (sc.nonEmpty) { statsCols = sc }
+          if (cb.nonEmpty) { clusterBy = cb }
+          if (cm.nonEmpty) { colMap = cm }
+          if (pb.nonEmpty) { partitionBy = pb }
         } else {
           if (ddl.nonEmpty) { schemaDdl = ddl }
           if (sc.nonEmpty) { statsCols = sc }
@@ -524,6 +582,9 @@ object LakeLog {
           // complete-once-active: a schema commit under column mapping
           // always carries the FULL logical->physical map
           if (cm.nonEmpty) { colMap = cm }
+          // partition spec is create-time immutable: set by the
+          // create/convert/clone commit, carried by checkpoints
+          if (pb.nonEmpty) { partitionBy = pb }
         }
         for (app <- appId; b <- batchId)
           batches(app) = math.max(b, batches.getOrElse(app, Long.MinValue))
@@ -535,12 +596,12 @@ object LakeLog {
           readString(fs, checkpointPath(root, cv)).linesIterator
             .filter(_.nonEmpty)
             .map(l => actionFromJson(JsonMethods.parse(l))).foreach {
-              case Meta("checkpoint", ddl, sc, _, _, _, cb, cm) =>
+              case Meta("checkpoint", ddl, sc, _, _, _, cb, cm, pb) =>
                 schemaDdl = ddl; statsCols = sc; clusterBy = cb
-                colMap = cm
-              case Meta("batchmark", _, _, Some(app), Some(b), _, _, _) =>
+                colMap = cm; partitionBy = pb
+              case Meta("batchmark", _, _, Some(app), Some(b), _, _, _, _) =>
                 batches(app) = b
-              case Meta("checkpointparts", _, _, _, Some(n), _, _, _) =>
+              case Meta("checkpointparts", _, _, _, Some(n), _, _, _, _) =>
                 nParts = n
               case other => one(other)
             }
@@ -557,6 +618,6 @@ object LakeLog {
       readCommit(fs, root, v).foreach(one)
     }
     Snapshot(target, schemaDdl, statsCols, files.values.toSeq, batches.toMap,
-      clusterBy, features.toSet, constraints.toMap, colMap)
+      clusterBy, features.toSet, constraints.toMap, colMap, partitionBy)
   }
 }

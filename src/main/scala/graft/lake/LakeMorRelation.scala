@@ -47,7 +47,7 @@ private[lake] final class LakeMorRelation(spark: SparkSession,
     val kept = snap.files.filter(a =>
       pr.forall(r => LakeTable.mayMatch(a.stats, r)))
     val df = LakeTable.readAdds(spark, root, snap.schemaDdl, kept,
-        snap.colMap)
+        snap.colMap, snap.partitionBy)
       .where(LakeTable.rangeFilter(ranges.toSeq))
     df.select(requiredColumns.toSeq.map(col): _*).rdd
   }
@@ -67,7 +67,9 @@ private[lake] final class LakeCdfRelation(spark: SparkSession,
                                           private[lake] val to: Long,
                                           private[lake] val dataDdl: String,
                                           private[lake] val colMap:
-                                            Map[String, String] = Map.empty)
+                                            Map[String, String] = Map.empty,
+                                          private[lake] val partitionBy:
+                                            Seq[String] = Nil)
     extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = spark.sqlContext
@@ -77,7 +79,7 @@ private[lake] final class LakeCdfRelation(spark: SparkSession,
 
   override def buildScan(): RDD[Row] = {
     val frames = LakeTable.changeFrames(spark, root, dataDdl, from, to,
-      colMap)
+      colMap, partitionBy)
     val df =
       if (frames.isEmpty) LakeTable.emptyChanges(spark, root, dataDdl)
       else frames.reduce(_.unionByName(_))

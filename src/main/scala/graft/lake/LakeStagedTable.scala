@@ -67,7 +67,12 @@ private[lake] final class LakeStagedTable(
     "staged writes (CTAS / REPLACE TABLE AS SELECT) cannot arrange rows " +
       "on a space-filling curve — create the table first and INSERT INTO " +
       "it, or OPTIMIZE ... ZORDER BY after")
-  private val nFiles: Int = props.get("nFiles").map(_.toInt).getOrElse(2)
+  /** None when the property is absent: an explicit nFiles must be
+    * honored (or refused) even without a cluster column — silently
+    * dropping it writes one file per input partition.
+    */
+  private val nFilesOpt: Option[Int] = props.get("nFiles").map(_.toInt)
+  private val nFiles: Int = nFilesOpt.getOrElse(2)
 
   // one staging namespace per staged table — batch-written files use
   // the same data/<uuid>/ layout as every other write
@@ -119,7 +124,10 @@ private[lake] final class LakeStagedTable(
         }
         // cluster the staged write like a clustered batch append:
         // range-partition + sort on the cluster column so the created
-        // files carry tight disjoint bounds from the start
+        // files carry tight disjoint bounds from the start; an
+        // explicit nFiles WITHOUT a cluster column hash-spreads over
+        // all columns (the streaming sink's shape) — never silently
+        // ignored
         private def clusterCol: Option[String] =
           clusterBy.filter(tableSchema.fieldNames.contains)
         override def requiredDistribution():
@@ -131,11 +139,15 @@ private[lake] final class LakeStagedTable(
               Expressions.sort(Expressions.column(c),
                 org.apache.spark.sql.connector.expressions.SortDirection
                   .ASCENDING)))
+            case None if nFilesOpt.isDefined => Distributions.clustered(
+              tableSchema.fieldNames
+                .map(Expressions.column(_)
+                  : org.apache.spark.sql.connector.expressions.Expression))
             case None => Distributions.unspecified()
           }
         }
         override def requiredNumPartitions(): Int =
-          if (clusterCol.isDefined) nFiles else 0
+          if (clusterCol.isDefined || nFilesOpt.isDefined) nFiles else 0
         override def requiredOrdering():
             Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
           import org.apache.spark.sql.connector.expressions.Expressions
@@ -178,7 +190,8 @@ private[lake] final class LakeStagedTable(
           ((Meta("replace", tableSchema.toDDL, statsCols, None, None,
             System.currentTimeMillis(), clusterBy) +: conActions) ++
             old.files.map(a => Remove(a.path))) ++ staged,
-          guardFiles = old.files, baseVersion = old.version)
+          guardFiles = old.files, baseVersion = old.version,
+          expectExactFiles = true)
         ()
     } catch {
       case ex: LakeLog.ConcurrentCommitException =>

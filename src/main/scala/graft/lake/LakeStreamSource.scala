@@ -86,7 +86,7 @@ class LakeStreamSourceProvider extends StreamSourceProvider
         s"bad change range [$from, $to]: table has 0..$latest")
       val toSnap = LakeLog.snapshot(fs, root, Some(to))
       return new LakeCdfRelation(session, root, from, to, toSnap.schemaDdl,
-        toSnap.colMap)
+        toSnap.colMap, toSnap.partitionBy)
     }
     val byVersion = parameters.get("versionAsOf").map(_.toLong)
     val byTs = parameters.get("timestampAsOf").map(t =>
@@ -99,13 +99,18 @@ class LakeStreamSourceProvider extends StreamSourceProvider
       // relation (stats pruning + inner pushdown preserved); clean
       // snapshots keep the native FileScan fast path below
       new LakeMorRelation(session, root, snap)
-    else HadoopFsRelation(
-      location = new LakeFileIndex(session, root, snap),
-      partitionSchema = new StructType(),
-      dataSchema = StructType.fromDDL(snap.schemaDdl),
-      bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
-      options = Map.empty)(session)
+    else {
+      val schema = StructType.fromDDL(snap.schemaDdl)
+      HadoopFsRelation(
+        location = new LakeFileIndex(session, root, snap),
+        partitionSchema =
+          StructType(snap.partitionBy.map(c => schema(c))),
+        dataSchema = StructType(
+          schema.filterNot(f => snap.partitionBy.contains(f.name))),
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat,
+        options = Map.empty)(session)
+    }
   }
 
   private def rootOf(parameters: Map[String, String]): String =
@@ -167,6 +172,7 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
   private val startSnap = LakeLog.snapshot(fs, rootP, None)
   private val schemaDdl: String = startSnap.schemaDdl
   private val colMap: Map[String, String] = startSnap.colMap
+  private val partitionBy: Seq[String] = startSnap.partitionBy
 
   override val schema: StructType = {
     val base = StructType.fromDDL(schemaDdl)
@@ -221,7 +227,7 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
     val session = sqlContext.sparkSession
     if (readChangeFeed) {
       val frames = LakeTable.changeFrames(session, rootP, schemaDdl, from,
-        to, colMap)
+        to, colMap, partitionBy)
       val batch =
         if (frames.isEmpty) LakeTable.emptyChanges(session, rootP, schemaDdl)
         else frames.reduce(_.unionByName(_))
@@ -244,7 +250,8 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
     // DV-aware: a re-emitted MOR-deleted file contributes its LIVE
     // rows (pure appends carry no DV, so the common path is the same
     // single multi-path parquet scan as before)
-    val batch = LakeTable.readAdds(session, rootP, schemaDdl, adds, colMap)
+    val batch = LakeTable.readAdds(session, rootP, schemaDdl, adds, colMap,
+      partitionBy)
     // v1 source contract: the returned frame must be tagged streaming
     org.apache.spark.sql.graft.StreamingFrames.asStreaming(batch)
   }

@@ -69,6 +69,12 @@ private[lake] final class LakeStreamingWrite(
   private val planSnap = LakeLog.snapshot(hfs, rootP, None)
   private val baseDdl = planSnap.schemaDdl
 
+  require(planSnap.partitionBy.isEmpty,
+    "writeStream.toTable into a PARTITIONED lake table is not " +
+      "supported — the per-epoch task writers write one flat file " +
+      "each; stream through foreachBatch(LakeSink.writer(...)) " +
+      "instead, whose batch appends partition natively")
+
   /** Evolved table DDL this epoch commits under (== baseDdl unless
     * mergeSchema adds/keeps columns). Computed with the same additive
     * law as batch appends; type changes refuse loudly here, at plan
@@ -173,7 +179,8 @@ private[lake] final class LakeStreamingWrite(
         guardFiles = if (truncateAll) snap.files else Nil,
         baseVersion = snap.version,
         expectConstraints = Some(snap.constraints),
-        dedupBatch = Some((appId, epochId)))
+        dedupBatch = Some((appId, epochId)),
+        expectExactFiles = truncateAll)
       ()
     } catch {
       // zombie duplicate lost the commit race: the epoch is already in
@@ -269,7 +276,13 @@ private[lake] final class LakeStreamDataWriter(
     case (x: Long, y: Long)     => x < y
     case (x: Double, y: Double) => // NaN greatest, like Spark min/max
       java.lang.Double.compare(x, y) < 0
-    case (x: String, y: String) => x < y
+    case (x: org.apache.spark.unsafe.types.UTF8String,
+          y: org.apache.spark.unsafe.types.UTF8String) =>
+      // UTF-8 BYTE order — the same order the batch stats pass (Spark
+      // min/max over UTF8String) and LakeTable.cmp use; java.lang
+      // String '<' is UTF-16 code-unit order and disagrees for
+      // supplementary-plane characters
+      x.compareTo(y) < 0
     case _ => false
   }
 
@@ -280,6 +293,10 @@ private[lake] final class LakeStreamDataWriter(
       val s = statsSpec(i)
       if (row.isNullAt(s.idx)) nulls(i) += 1
       else {
+        // strings are tracked as UTF8String (compared in UTF-8 byte
+        // order, converted to String only at commit); getUTF8String
+        // may return a view into a reused buffer, so a new min/max is
+        // CLONED when stored
         val v: Any = s.dataType match {
           case ByteType    => row.getByte(s.idx).toLong
           case ShortType   => row.getShort(s.idx).toLong
@@ -287,12 +304,16 @@ private[lake] final class LakeStreamDataWriter(
           case LongType    => row.getLong(s.idx)
           case FloatType   => row.getFloat(s.idx).toDouble
           case DoubleType  => row.getDouble(s.idx)
-          case StringType  => row.getUTF8String(s.idx).toString
+          case StringType  => row.getUTF8String(s.idx)
           case other => throw new IllegalStateException(
             s"unsupported stats type $other") // guarded at table create
         }
-        if (mins(i) == null || lessThan(v, mins(i))) mins(i) = v
-        if (maxs(i) == null || lessThan(maxs(i), v)) maxs(i) = v
+        def stored(x: Any): Any = x match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+          case other => other
+        }
+        if (mins(i) == null || lessThan(v, mins(i))) mins(i) = stored(v)
+        if (maxs(i) == null || lessThan(maxs(i), v)) maxs(i) = stored(v)
       }
       i += 1
     }
@@ -309,7 +330,10 @@ private[lake] final class LakeStreamDataWriter(
     val bytes = fs.getFileStatus(fullPath).getLen
     def m(vals: Array[Any]): Map[String, Any] =
       statsSpec.zipWithIndex.collect {
-        case (s, i) if vals(i) != null => s.physName -> vals(i)
+        case (s, i) if vals(i) != null => s.physName -> (vals(i) match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case other => other
+        })
       }.toMap
     LakeStreamingWrite.FileMessage(relPath, rows, bytes, m(mins), m(maxs),
       statsSpec.zipWithIndex.map { case (s, i) => s.physName -> nulls(i) }

@@ -112,10 +112,14 @@ object LakeTable {
   private def writeDataFiles(spark: SparkSession, root: Path, df: DataFrame,
                              statsCols: Seq[String], nFiles: Int,
                              clusterBy: Option[String],
-                             colMap: Map[String, String] = Map.empty)
+                             colMap: Map[String, String] = Map.empty,
+                             partitionBy: Seq[String] = Nil)
       : Seq[Add] = {
     require(nFiles > 0, "nFiles must be positive")
     requireStatsColsSupported(df.schema, statsCols)
+    if (partitionBy.nonEmpty)
+      return writePartitionedFiles(spark, root, df, statsCols, nFiles,
+        clusterBy, partitionBy)
     def phys(c: String): String = colMap.getOrElse(c, c)
     val sub = s"data/${java.util.UUID.randomUUID()}"
     val outDir = new Path(root, sub)
@@ -197,6 +201,89 @@ object LakeTable {
     adds
   }
 
+  /** Partitioned twin of [[writeDataFiles]]: rows land under
+    * hive-style `<col>=<value>/` directories inside the same fresh
+    * `data/<uuid>/` staging dir, written by Spark's native
+    * DYNAMIC-PARTITION writer — the mechanism that splits output
+    * files on value boundaries WITHOUT a per-value shuffle (a task
+    * holding three days writes three files). The shuffle is one
+    * range-partition on (partition cols ++ cluster col): each value
+    * lands in one task (huge partitions split across tasks only at
+    * cluster-col boundaries, every file still single-valued), and
+    * rows arrive sorted so the writer never re-sorts. File CONTENT
+    * excludes the partition columns (pure hive layout — what CONVERT
+    * TO LAKE adopts in place); their per-file value is recorded as
+    * min==max stats, which is where reads and pruning get them back.
+    * Curve cluster specs refuse (a space-filling curve across
+    * partition boundaries contradicts directory partitioning).
+    */
+  private def writePartitionedFiles(spark: SparkSession, root: Path,
+                                    df: DataFrame, statsCols: Seq[String],
+                                    nFiles: Int, clusterBy: Option[String],
+                                    partCols: Seq[String]): Seq[Add] = {
+    require(clusterBy.forall(c => !c.startsWith("z:") && !c.startsWith("h:")),
+      "z-order/hilbert cluster specs are not supported on PARTITIONED " +
+        "tables — cluster a plain column within partitions instead")
+    partCols.foreach(c => require(df.columns.contains(c),
+      s"partition column '$c' not in write schema ${df.columns.toSeq}"))
+    val sub = s"data/${java.util.UUID.randomUUID()}"
+    val outDir = new Path(root, sub)
+    val orderCols =
+      partCols ++ clusterBy.filterNot(partCols.contains).toSeq
+    val arranged = df.repartitionByRange(nFiles, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    arranged.write.partitionBy(partCols: _*).parquet(outDir.toString)
+
+    val hfs = fs(spark, root)
+    val qualOut = hfs.makeQualified(outDir).toUri.getPath
+    val it = hfs.listFiles(outDir, true)
+    val parts = scala.collection.mutable.Map[String, Long]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet"))
+        parts(st.getPath.toUri.getPath.stripPrefix(qualOut + "/")) =
+          st.getLen
+    }
+    // an empty batch writes no files at all under the dynamic writer
+    if (parts.isEmpty) return Nil
+
+    // per-file key = the last (1 + #partCols) path segments —
+    // "day=5/part-...parquet" — NOT the bare file name: one task
+    // writing the same part number into two partition directories
+    // reuses the name
+    val depth = partCols.size + 1
+    val relKey = concat_ws("/",
+      slice(split(input_file_name(), "/"), -depth, depth))
+    // basePath read re-derives the partition columns from the
+    // directory names (single base: everything is under outDir), so
+    // the same stats pass covers content AND partition columns — a
+    // partition column is constant per file, min==max by construction
+    val aggs = count(lit(1)).as("__rows") +: statsCols.flatMap { c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+    }
+    val statRows = spark.read.option("basePath", outDir.toString)
+      .parquet(outDir.toString)
+      .groupBy(relKey.as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+
+    statRows.map { r =>
+      val rel = r.getAs[String]("__file")
+      val mins = statsCols.map(c =>
+        c -> normalizeStat(r.getAs[Any](s"__min_$c")))
+        .filter(_._2 != null).toMap
+      val maxs = statsCols.map(c =>
+        c -> normalizeStat(r.getAs[Any](s"__max_$c")))
+        .filter(_._2 != null).toMap
+      val nulls = statsCols.map(c =>
+        c -> r.getAs[Long](s"__nulls_$c")).toMap
+      Add(s"$sub/$rel",
+        Stats(r.getAs[Long]("__rows"), parts.getOrElse(rel, 0L), mins, maxs,
+          nulls))
+    }.toSeq.sortBy(_.path)
+  }
+
   // ---- create / append / overwrite ---------------------------------
 
   /** Cluster-spec for n-D z-order layout (2-4 columns), usable
@@ -220,17 +307,56 @@ object LakeTable {
     */
   def hilbertCluster(x: String, y: String): String = s"h:$x,$y"
 
+  /** Integral + string only: float directory names have formatting
+    * pitfalls, and anything else has no stats form to carry the
+    * per-file value in.
+    */
+  private[lake] def requirePartitionColsSupported(schema: StructType,
+                                                  partCols: Seq[String])
+      : Unit =
+    partCols.foreach { c =>
+      val f = schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '$c' not in schema"))
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => ()
+        case dt => throw new IllegalArgumentException(
+          s"partition column '$c' has unsupported type $dt — partition " +
+            "by integral/string columns (encode dates as ISO strings or " +
+            "epoch ints)")
+      }
+    }
+
+  /** `checks`: inline CHECK constraints folded into the CREATE commit
+    * itself — the table is never visible without them (a post-create
+    * ADD CONSTRAINT loop would leave a half-constrained table behind
+    * a crash). `df`'s rows are validated against them first.
+    * `partitionBy`: hive-style directory partitioning (create-time
+    * immutable); partition columns are auto-added to the stats
+    * columns — per-file min==max stats are where reads and pruning
+    * get the values back from.
+    */
   def create(spark: SparkSession, root: String, df: DataFrame,
              statsCols: Seq[String], nFiles: Int = 8,
-             clusterBy: Option[String] = None): Long = {
+             clusterBy: Option[String] = None,
+             checks: Seq[(String, String)] = Nil,
+             partitionBy: Seq[String] = Nil): Long = {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     require(LakeLog.latestVersion(f, rootP).isEmpty,
       s"lake table already exists at $root")
-    val adds = writeDataFiles(spark, rootP, df, statsCols, nFiles, clusterBy)
+    requirePartitionColsSupported(df.schema, partitionBy)
+    enforceConstraints(df, checks.toMap, "create")
+    val conActions =
+      if (checks.isEmpty) Nil
+      else LakeLog.Feature("check-constraints") +:
+        checks.map { case (n, e) => LakeLog.Constraint(n, e) }
+    val allStats = statsCols ++ partitionBy.filterNot(statsCols.contains)
+    val adds = writeDataFiles(spark, rootP, df, allStats, nFiles, clusterBy,
+      partitionBy = partitionBy)
     LakeLog.commit(f, rootP,
-      Meta("create", df.schema.toDDL, statsCols, None, None, now(),
-        clusterBy) +: adds)
+      (Meta("create", df.schema.toDDL, allStats, None, None, now(),
+        clusterBy, partitionBy = partitionBy) +: conActions) ++ adds)
   }
 
   private def requireSameSchema(existing: String, df: DataFrame): Unit = {
@@ -356,8 +482,12 @@ object LakeTable {
     // so only measure stats for columns the batch actually has
     val fileStatsCols = snap.statsCols.filter(dfw.columns.contains)
     val effMap = if (evoMap.isEmpty) snap.colMap else evoMap
+    // a mergeSchema append must still carry the partition columns —
+    // partitioned files cannot null-fill them from the path
+    snap.partitionBy.foreach(c => require(dfw.columns.contains(c),
+      s"append to a partitioned table must include partition column '$c'"))
     val adds = writeDataFiles(spark, rootP, dfw, fileStatsCols, nFiles,
-      clusterBy.orElse(snap.clusterBy), effMap)
+      clusterBy.orElse(snap.clusterBy), effMap, snap.partitionBy)
     LakeLog.commit(f, rootP,
       (Meta("append", ddl, snap.statsCols, appId, batchId,
         now(), colMap = effMap) +:
@@ -441,6 +571,12 @@ object LakeTable {
     val f = fs(spark, rootP)
     val snap = LakeLog.snapshot(f, rootP, None)
     requireStatsColsSupported(StructType.fromDDL(snap.schemaDdl), cols)
+    // partition values LIVE in the stats — dropping them would leave
+    // future files' partition columns unreadable
+    val missing = snap.partitionBy.filterNot(cols.contains)
+    require(missing.isEmpty,
+      s"statsCols must keep the partition column(s) ${missing.mkString(",")}" +
+        " — per-file partition values are carried as min==max stats")
     LakeLog.commit(f, rootP,
       Seq(Meta("setproperties", snap.schemaDdl, cols, None, None,
         now(), colMap = snap.colMap)))
@@ -495,6 +631,10 @@ object LakeTable {
     val schema = StructType.fromDDL(snap.schemaDdl)
     require(schema.fieldNames.contains(from), s"no column '$from'")
     require(!schema.fieldNames.contains(to), s"column '$to' already exists")
+    require(snap.partitionBy.isEmpty,
+      "RENAME COLUMN is not supported on PARTITIONED tables (column " +
+        "mapping and directory partitioning don't compose — partition " +
+        "values are keyed by column name in paths and stats)")
     requireUnreferenced(snap, from, "rename")
     val fullMap = schema.fieldNames.map(n =>
       n -> snap.colMap.getOrElse(n, n)).toMap
@@ -519,6 +659,9 @@ object LakeTable {
     val schema = StructType.fromDDL(snap.schemaDdl)
     require(schema.fieldNames.contains(name), s"no column '$name'")
     require(schema.fields.length > 1, "cannot drop the only column")
+    require(snap.partitionBy.isEmpty,
+      "DROP COLUMN is not supported on PARTITIONED tables (column " +
+        "mapping and directory partitioning don't compose)")
     requireUnreferenced(snap, name, "drop")
     snap.clusterBy.foreach { spec =>
       val dims =
@@ -569,12 +712,13 @@ object LakeTable {
     requireSameSchema(snap.schemaDdl, df)
     enforceConstraints(df, snap.constraints, "overwrite")
     val adds = writeDataFiles(spark, rootP, df, snap.statsCols, nFiles,
-      clusterBy.orElse(snap.clusterBy), snap.colMap)
+      clusterBy.orElse(snap.clusterBy), snap.colMap, snap.partitionBy)
     LakeLog.commit(f, rootP,
       (Meta("overwrite", snap.schemaDdl, snap.statsCols, None, None, now()) +:
         snap.files.map(a => Remove(a.path))) ++ adds,
       guardFiles = snap.files, baseVersion = snap.version,
-      expectConstraints = Some(snap.constraints))
+      expectConstraints = Some(snap.constraints),
+      expectExactFiles = true)
   }
 
   // ---- reads --------------------------------------------------------
@@ -595,15 +739,49 @@ object LakeTable {
       col(colMap.getOrElse(f.name, f.name)).as(f.name)).toSeq ++
       extra.map(col): _*)
 
-  private def readFiles(spark: SparkSession, root: Path, schemaDdl: String,
-                        paths: Seq[String],
-                        colMap: Map[String, String] = Map.empty): DataFrame = {
+  /** Native indexed scan over `adds` of a PARTITIONED table: a stock
+    * `HadoopFsRelation` whose [[LakeFileIndex]] carries the partition
+    * schema and injects each file's partition values from its
+    * min==max stats — the columns are NOT in the files. Output order
+    * is (data cols ++ partition cols); callers re-project. This is
+    * the ONLY read shape for partitioned files (a plain multi-path
+    * `spark.read.parquet` cannot inject per-file values, and
+    * `basePath` discovery refuses file sets spanning several staging
+    * dirs — no common base).
+    */
+  private def partitionedFrame(spark: SparkSession, root: Path,
+                               schemaDdl: String, adds: Seq[Add],
+                               partitionBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val schema = StructType.fromDDL(schemaDdl)
-    if (paths.isEmpty)
+    val snap = LakeLog.Snapshot(0L, schemaDdl, Nil, adds, Map.empty, None,
+      partitionBy = partitionBy)
+    spark.baseRelationToDataFrame(HadoopFsRelation(
+      location = new LakeFileIndex(spark, root, snap, None),
+      partitionSchema = StructType(partitionBy.map(schema(_))),
+      dataSchema =
+        StructType(schema.filterNot(f => partitionBy.contains(f.name))),
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark))
+  }
+
+  private def readFiles(spark: SparkSession, root: Path, schemaDdl: String,
+                        adds: Seq[Add],
+                        colMap: Map[String, String] = Map.empty,
+                        partitionBy: Seq[String] = Nil): DataFrame = {
+    val schema = StructType.fromDDL(schemaDdl)
+    if (adds.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else if (partitionBy.nonEmpty)
+      // partition columns injected from the log; column mapping is
+      // refused on partitioned tables (rename/drop refuse there)
+      partitionedFrame(spark, root, schemaDdl, adds, partitionBy)
+        .select(schema.fieldNames.toSeq.map(col): _*)
     else {
       val raw = spark.read.schema(physicalSchema(schema, colMap))
-        .parquet(paths.map(p => new Path(root, p).toString): _*)
+        .parquet(adds.map(a => new Path(root, a.path).toString): _*)
       // column mapping: files carry PHYSICAL names (stable across
       // renames/drops); project back to the logical view. Inactive
       // mapping keeps the exact unprojected plan.
@@ -617,21 +795,37 @@ object LakeTable {
     StructField("file", StringType, nullable = false),
     StructField("pos", LongType, nullable = false)))
 
-  /** "data/<uuid>/<name>" of the file a row came from — the identity
-    * DV rows are keyed by (the uuid staging dir makes the last three
-    * path segments unique). Deliberately root-AGNOSTIC: a shallow
-    * clone references source files by absolute path, and their id
-    * stays the same three segments, so inherited deletion vectors
-    * keep matching.
+  /** The trailing path segments DV rows key files by: 3 for flat
+    * tables ("data/<uuid>/<name>" — the uuid makes it unique), plus
+    * one per partition column ("data/<uuid>/day=5/<name>"; one task
+    * writes the SAME file name into several value directories, so the
+    * value segments are part of the identity). CONVERTED tables'
+    * adopted files sit directly under the root with fewer own
+    * segments — the root-resolved absolute path pads them with root
+    * directory names, and BOTH sides compute from the absolute path,
+    * so the identity stays consistent (and unchanged for every
+    * pre-existing flat table and clone).
     */
-  private def fileRelPath: Column =
-    concat_ws("/", slice(split(col("_metadata.file_path"), "/"), -3, 3))
+  private def idDepth(partitionBy: Seq[String]): Int = 3 + partitionBy.size
 
-  /** The same identity computed from an Add's recorded path (relative
-    * for own files, absolute for clone-inherited ones).
+  /** Identity of the file a row came from, from the scan's own
+    * `_metadata.file_path` (absolute). Root-AGNOSTIC beyond the
+    * trailing segments: a shallow clone references source files by
+    * absolute path and their id stays the same segments, so
+    * inherited deletion vectors keep matching.
     */
-  private def fileId(path: String): String =
-    path.split('/').takeRight(3).mkString("/")
+  private def fileRelPath(depth: Int): Column =
+    concat_ws("/",
+      slice(split(col("_metadata.file_path"), "/"), -depth, depth))
+
+  /** The same identity computed from an Add's recorded path, resolved
+    * against the table root (relative for own files, absolute for
+    * clone-inherited ones — `new Path(root, abs)` keeps an absolute
+    * child as-is).
+    */
+  private def fileId(rootP: Path, path: String, depth: Int): String =
+    new Path(rootP, path).toString.split('/').takeRight(depth)
+      .mkString("/")
 
   private def readDvRows(spark: SparkSession, root: Path,
                          dvPaths: Seq[String]): DataFrame =
@@ -647,17 +841,24 @@ object LakeTable {
     */
   private def readFilesWithPos(spark: SparkSession, root: Path,
                                schemaDdl: String,
-                               paths: Seq[String],
-                               colMap: Map[String, String] = Map.empty)
+                               adds: Seq[Add],
+                               colMap: Map[String, String] = Map.empty,
+                               partitionBy: Seq[String] = Nil)
       : DataFrame = {
     val schema = StructType.fromDDL(schemaDdl)
-    if (paths.isEmpty)
+    if (adds.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](),
         schema.add("__file", StringType).add("__pos", LongType))
+    else if (partitionBy.nonEmpty)
+      partitionedFrame(spark, root, schemaDdl, adds, partitionBy)
+        .withColumn("__file", fileRelPath(idDepth(partitionBy)))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .select(schema.fieldNames.toSeq.map(col) ++
+          Seq(col("__file"), col("__pos")): _*)
     else {
       val raw = spark.read.schema(physicalSchema(schema, colMap))
-        .parquet(paths.map(p => new Path(root, p).toString): _*)
-        .withColumn("__file", fileRelPath)
+        .parquet(adds.map(a => new Path(root, a.path).toString): _*)
+        .withColumn("__file", fileRelPath(idDepth(Nil)))
         .withColumn("__pos", col("_metadata.row_index"))
       if (colMap.isEmpty) raw
       else toLogical(raw, schema, colMap, extra = Seq("__file", "__pos"))
@@ -675,16 +876,17 @@ object LakeTable {
     */
   private[lake] def readAdds(spark: SparkSession, root: Path,
                              schemaDdl: String, adds: Seq[Add],
-                             colMap: Map[String, String] = Map.empty)
+                             colMap: Map[String, String] = Map.empty,
+                             partitionBy: Seq[String] = Nil)
       : DataFrame = {
     val (dvd, clean) = adds.partition(_.dv.nonEmpty)
-    val base = readFiles(spark, root, schemaDdl, clean.map(_.path), colMap)
+    val base = readFiles(spark, root, schemaDdl, clean, colMap, partitionBy)
     if (dvd.isEmpty) base
     else {
       val cols = StructType.fromDDL(schemaDdl).fieldNames.toSeq.map(col)
       val dels = readDvRows(spark, root, dvd.flatMap(_.dv).map(_.path))
-      val withPos = readFilesWithPos(spark, root, schemaDdl, dvd.map(_.path),
-        colMap)
+      val withPos = readFilesWithPos(spark, root, schemaDdl, dvd,
+        colMap, partitionBy)
       val live = withPos
         .join(dels,
           withPos("__file") === dels("file") && withPos("__pos") === dels("pos"),
@@ -715,29 +917,34 @@ object LakeTable {
     val cols = schema.fieldNames.toSeq.map(col)
     // files carry PHYSICAL names; the logical projection sits above
     // the native scan (identity when mapping is inactive), and pushed
-    // filters rewrite through the aliases into the file index
-    def indexed(files: Seq[Add]): DataFrame = {
-      val raw = spark.baseRelationToDataFrame(HadoopFsRelation(
+    // filters rewrite through the aliases into the file index.
+    // Partitioned tables: the index carries the partition schema and
+    // the scan injects the per-file values — the relation's output is
+    // (data cols ++ partition cols), re-projected to logical order
+    def raw(files: Seq[Add]): DataFrame =
+      spark.baseRelationToDataFrame(HadoopFsRelation(
         location = new LakeFileIndex(spark, root, snap, Some(files)),
-        partitionSchema = new StructType(),
-        dataSchema = physicalSchema(schema, snap.colMap),
+        partitionSchema =
+          StructType(snap.partitionBy.map(c => schema(c))),
+        dataSchema = StructType(physicalSchema(schema, snap.colMap)
+          .filterNot(f => snap.partitionBy.contains(f.name))),
         bucketSpec = None,
         fileFormat = new ParquetFileFormat,
         options = Map.empty)(spark))
-      if (snap.colMap.isEmpty) raw else toLogical(raw, schema, snap.colMap)
+    def indexed(files: Seq[Add]): DataFrame = {
+      val r = raw(files)
+      if (snap.colMap.nonEmpty) toLogical(r, schema, snap.colMap)
+      else if (snap.partitionBy.isEmpty) r // keep the unprojected plan
+      else r.select(cols: _*) // (data ++ part) order -> logical order
     }
     def indexedWithPos(files: Seq[Add]): DataFrame = {
-      val raw = spark.baseRelationToDataFrame(HadoopFsRelation(
-        location = new LakeFileIndex(spark, root, snap, Some(files)),
-        partitionSchema = new StructType(),
-        dataSchema = physicalSchema(schema, snap.colMap),
-        bucketSpec = None,
-        fileFormat = new ParquetFileFormat,
-        options = Map.empty)(spark))
-        .withColumn("__file", fileRelPath)
+      val r = raw(files)
+        .withColumn("__file", fileRelPath(idDepth(snap.partitionBy)))
         .withColumn("__pos", col("_metadata.row_index"))
-      if (snap.colMap.isEmpty) raw
-      else toLogical(raw, schema, snap.colMap, extra = Seq("__file", "__pos"))
+      if (snap.colMap.nonEmpty)
+        toLogical(r, schema, snap.colMap, extra = Seq("__file", "__pos"))
+      else if (snap.partitionBy.isEmpty) r
+      else r.select(cols ++ Seq(col("__file"), col("__pos")): _*)
     }
     if (dvd.isEmpty) return indexed(clean)
     val dels = readDvRows(spark, root, dvd.flatMap(_.dv).map(_.path))
@@ -758,9 +965,11 @@ object LakeTable {
   private[lake] def cdfFrame(spark: SparkSession, root: Path,
                              dataDdl: String, from: Long,
                              to: Long,
-                             colMap: Map[String, String] = Map.empty)
+                             colMap: Map[String, String] = Map.empty,
+                             partitionBy: Seq[String] = Nil)
       : DataFrame = {
-    val frames = changeFrames(spark, root, dataDdl, from, to, colMap)
+    val frames = changeFrames(spark, root, dataDdl, from, to, colMap,
+      partitionBy)
     if (frames.isEmpty) emptyChanges(spark, root, dataDdl)
     else frames.reduce(_.unionByName(_))
   }
@@ -793,11 +1002,12 @@ object LakeTable {
       snap.files.partition(a => pr.forall(r => mayMatch(a.stats, r)))
     if (cands.isEmpty)
       return RewriteReport(snap.version, 0, 0, untouched.size)
-    val candIds = cands.map(a => fileId(a.path))
+    val depth = idDepth(snap.partitionBy)
+    val candIds = cands.map(a => fileId(rootP, a.path, depth))
     val oldDels = readDvRows(spark, rootP, cands.flatMap(_.dv).map(_.path))
       .where(col("file").isin(candIds: _*))
     val withPos = readFilesWithPos(spark, rootP, snap.schemaDdl,
-      cands.map(_.path), snap.colMap)
+      cands, snap.colMap, snap.partitionBy)
     val newDel = withPos
       .join(oldDels,
         withPos("__file") === oldDels("file") && withPos("__pos") === oldDels("pos"),
@@ -814,11 +1024,12 @@ object LakeTable {
       .groupBy("file").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val touched = cands.filter(a =>
-      counts.getOrElse(fileId(a.path), 0L) > a.dv.map(_.rows).getOrElse(0L))
+      counts.getOrElse(fileId(rootP, a.path, depth), 0L) >
+        a.dv.map(_.rows).getOrElse(0L))
     if (touched.isEmpty) // no live row matched; sidecar garbage → vacuum
       return RewriteReport(snap.version, 0, 0, snap.files.size)
     val readds = touched.map(a =>
-      a.copy(dv = Some(Dv(dvSub, counts(fileId(a.path))))))
+      a.copy(dv = Some(Dv(dvSub, counts(fileId(rootP, a.path, depth))))))
     val v = LakeLog.commit(f, rootP,
       (Meta("mordelete", snap.schemaDdl, snap.statsCols, None, None,
         now()) +: LakeLog.Feature("deletion-vectors") +: readds),
@@ -836,7 +1047,8 @@ object LakeTable {
   def scanWithPos(spark: SparkSession, root: String): DataFrame = {
     val rootP = new Path(root)
     val snap = LakeLog.snapshot(fs(spark, rootP), rootP, None)
-    readAddsWithPos(spark, rootP, snap.schemaDdl, snap.files, snap.colMap)
+    readAddsWithPos(spark, rootP, snap.schemaDdl, snap.files, snap.colMap,
+      snap.partitionBy)
   }
 
   /** [[readAdds]] plus the `(__file, __pos)` coordinates — live rows
@@ -846,10 +1058,11 @@ object LakeTable {
     */
   private[lake] def readAddsWithPos(spark: SparkSession, rootP: Path,
                                     schemaDdl: String, adds: Seq[Add],
-                                    colMap: Map[String, String])
+                                    colMap: Map[String, String],
+                                    partitionBy: Seq[String] = Nil)
       : DataFrame = {
     val withPos = readFilesWithPos(spark, rootP, schemaDdl,
-      adds.map(_.path), colMap)
+      adds, colMap, partitionBy)
     val dvd = adds.filter(_.dv.nonEmpty)
     if (dvd.isEmpty) withPos
     else {
@@ -884,7 +1097,7 @@ object LakeTable {
     val (cands, _) =
       snap.files.partition(a => pr.forall(r => mayMatch(a.stats, r)))
     val survivors = readAdds(spark, rootP, snap.schemaDdl, cands,
-      snap.colMap).where(!rangeFilter(ranges))
+      snap.colMap, snap.partitionBy).where(!rangeFilter(ranges))
     rewriteCommit(spark, root, snap, cands,
       survivors.unionByName(df), "replacewhere")
   }
@@ -904,7 +1117,7 @@ object LakeTable {
       snap.constraints, op)
     val nOut = math.max(1, cands.size)
     val adds = writeDataFiles(spark, rootP, newRows, snap.statsCols, nOut,
-      snap.clusterBy, snap.colMap).filter(_.stats.rows > 0)
+      snap.clusterBy, snap.colMap, snap.partitionBy).filter(_.stats.rows > 0)
     val v = LakeLog.commit(f, rootP,
       (Meta(op, snap.schemaDdl, snap.statsCols, None, None, now()) +:
         cands.map(a => Remove(a.path))) ++ adds,
@@ -940,7 +1153,8 @@ object LakeTable {
       .map(_.getString(0)).toSet
     if (victimFiles.isEmpty)
       return RewriteReport(snap.version, 0, 0, snap.files.size)
-    val byId = snap.files.map(a => fileId(a.path) -> a).toMap
+    val depth = idDepth(snap.partitionBy)
+    val byId = snap.files.map(a => fileId(rootP, a.path, depth) -> a).toMap
     val unknown = victimFiles -- byId.keySet
     require(unknown.isEmpty,
       s"victim coordinates reference files not in the current snapshot " +
@@ -958,7 +1172,7 @@ object LakeTable {
       .groupBy("file").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val readds = touched.flatMap { a =>
-      val id = fileId(a.path)
+      val id = fileId(rootP, a.path, depth)
       val total = counts.getOrElse(id, 0L)
       if (total > a.dv.map(_.rows).getOrElse(0L))
         Some(a.copy(dv = Some(Dv(dvSub, total))))
@@ -1024,7 +1238,8 @@ object LakeTable {
                asOf: Option[Long]): DataFrame = {
     val rootP = new Path(root)
     val snap = LakeLog.snapshot(fs(spark, rootP), rootP, asOf)
-    readAdds(spark, rootP, snap.schemaDdl, snap.files, snap.colMap)
+    readAdds(spark, rootP, snap.schemaDdl, snap.files, snap.colMap,
+      snap.partitionBy)
   }
 
   /** ZERO-COPY shallow clone: `dst`'s v0 commit REFERENCES `src`'s
@@ -1061,7 +1276,7 @@ object LakeTable {
         .map { case (n, e) => LakeLog.Constraint(n, e) }
     LakeLog.commit(f, dstP,
       (Meta("clone", snap.schemaDdl, snap.statsCols, None, None, now(),
-        snap.clusterBy, snap.colMap) +: carried) ++ adds)
+        snap.clusterBy, snap.colMap, snap.partitionBy) +: carried) ++ adds)
   }
 
   // ---- CHECK constraints ---------------------------------------------
@@ -1127,7 +1342,7 @@ object LakeTable {
     while (attempt < 20) {
       val snap = LakeLog.snapshot(f, rootP, None)
       val existing = readAdds(spark, rootP, snap.schemaDdl, snap.files,
-          snap.colMap)
+          snap.colMap, snap.partitionBy)
         .where(violates(checkExpr)).limit(1).count()
       require(existing == 0,
         s"cannot add CHECK constraint '$name' ($checkExpr): existing " +
@@ -1178,13 +1393,31 @@ object LakeTable {
                asOf: Option[Long] = None): LakeLog.Snapshot =
     LakeLog.snapshot(fs(spark, new Path(root)), new Path(root), asOf)
 
+  /** ONE string order everywhere stats are written or probed: UTF-8
+    * byte order — what Spark's min/max aggregates (UTF8String binary
+    * compare) already produce for the batch stats pass, what the
+    * streaming writer folds per row, and what parquet footers record
+    * for BINARY/UTF8 columns. `java.lang.String` `<`/`compareTo` is
+    * UTF-16 code-unit order, which DISAGREES for supplementary-plane
+    * characters (surrogates 0xD800-0xDFFF sort below 0xE000+ code
+    * units, while their UTF-8 encoding 0xF0.. sorts above all BMP
+    * bytes) — mixing the two orders makes recorded min/max invalid
+    * bounds and misprunes non-BMP data.
+    */
+  private[lake] def utf8Cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  private[lake] val utf8Ordering: Ordering[String] =
+    (a: String, b: String) => utf8Cmp(a, b)
+
   /** Engine-independent ordering for stats/bound comparisons: numbers
     * by numeric value (exact — longs via BigDecimal, no 2^53 clip),
-    * strings lexicographically. Mixed number/string never compares
-    * (caller treats as unprunable).
+    * strings in UTF-8 byte order (see [[utf8Cmp]]). Mixed
+    * number/string never compares (caller treats as unprunable).
     */
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) => Some(utf8Cmp(x, y))
     case (x, y) =>
       def dec(v: Any): Option[BigDecimal] = v match {
         case l: Long   => Some(BigDecimal(l))
@@ -1263,21 +1496,29 @@ object LakeTable {
     val (statted, unstatted) = files.partition(a =>
       a.stats.min.contains(statsKey) && a.stats.max.contains(statsKey))
 
-    def run[T: Ordering: scala.reflect.ClassTag](
-        toT: Any => T,
-        mkUdf: (Array[T], Array[T], Array[T]) => Column): Set[Int] = {
+    // The sorted range index ships to executors as a BROADCAST, never
+    // a UDF closure: at 10^6 files the three arrays are ~24 MB, and a
+    // closure-captured copy would serialize with EVERY task of every
+    // batch, while a broadcast moves once per executor and is
+    // torrent-distributed. The udf captures only the broadcast handle.
+    def run[T: scala.reflect.ClassTag](ord: Ordering[T], toT: Any => T,
+               mkUdf: org.apache.spark.broadcast.Broadcast[
+                 (Array[T], Array[T], Array[T])] => Column): Set[Int] = {
+      implicit val o: Ordering[T] = ord
       val order = statted.indices
         .sortBy(i => toT(statted(i).stats.min(statsKey)))
       val mins = order.map(i => toT(statted(i).stats.min(statsKey))).toArray
       val maxs = order.map(i => toT(statted(i).stats.max(statsKey))).toArray
       val pref = maxs.clone()
       (1 until pref.length).foreach { i =>
-        if (implicitly[Ordering[T]].lt(pref(i), pref(i - 1)))
-          pref(i) = pref(i - 1)
+        if (ord.lt(pref(i), pref(i - 1))) pref(i) = pref(i - 1)
       }
-      val matched = changedKeys
-        .select(explode(mkUdf(mins, maxs, pref)).as("__i"))
-        .distinct().collect().map(_.getInt(0))
+      val bc = spark.sparkContext.broadcast((mins, maxs, pref))
+      val matched =
+        try changedKeys
+          .select(explode(mkUdf(bc)).as("__i"))
+          .distinct().collect().map(_.getInt(0))
+        finally bc.destroy()
       matched.map(order).toSet
     }
 
@@ -1285,17 +1526,24 @@ object LakeTable {
       if (statted.isEmpty) Set.empty
       else keyType match {
         case ByteType | ShortType | IntegerType | LongType =>
-          run[Long](v => v.asInstanceOf[Long],
-            (mn, mx, pf) => udf((k: Long) => stab(mn, mx, pf, k))
-              .apply(col(keyCol).cast(LongType)))
+          run[Long](Ordering.Long, v => v.asInstanceOf[Long],
+            bc => udf((k: Long) => {
+              val (mn, mx, pf) = bc.value; stab(mn, mx, pf, k)
+            }).apply(col(keyCol).cast(LongType)))
         case FloatType | DoubleType =>
-          run[Double](v => v.asInstanceOf[Double],
-            (mn, mx, pf) => udf((k: Double) => stab(mn, mx, pf, k))
-              .apply(col(keyCol).cast(DoubleType)))
+          run[Double](Ordering.Double.TotalOrdering,
+            v => v.asInstanceOf[Double],
+            bc => udf((k: Double) => {
+              val (mn, mx, pf) = bc.value; stab(mn, mx, pf, k)
+            }).apply(col(keyCol).cast(DoubleType)))
         case StringType =>
-          run[String](v => v.asInstanceOf[String],
-            (mn, mx, pf) => udf((k: String) => stab(mn, mx, pf, k))
-              .apply(col(keyCol)))
+          // stats were written in UTF-8 byte order — stab with the
+          // same order, or non-BMP keys could miss their files
+          run[String](utf8Ordering, v => v.asInstanceOf[String],
+            bc => udf((k: String) => {
+              val (mn, mx, pf) = bc.value
+              stab(mn, mx, pf, k)(utf8Ordering)
+            }).apply(col(keyCol)))
         case dt => throw new IllegalArgumentException(
           s"merge key '$keyCol' has unsupported type $dt")
       }
@@ -1327,7 +1575,8 @@ object LakeTable {
     val snap = LakeLog.snapshot(fs(spark, rootP), rootP, asOf)
     val pr = physRanges(ranges, snap.colMap)
     val kept = snap.files.filter(a => pr.forall(r => mayMatch(a.stats, r)))
-    val df = readAdds(spark, rootP, snap.schemaDdl, kept, snap.colMap)
+    val df = readAdds(spark, rootP, snap.schemaDdl, kept, snap.colMap,
+        snap.partitionBy)
       .where(rangeFilter(ranges))
     (df, PruneReport(snap.files.size, kept.size))
   }
@@ -1351,10 +1600,10 @@ object LakeTable {
     if (cands.isEmpty)
       return RewriteReport(snap.version, 0, 0, untouched.size)
     val survivors = readAdds(spark, rootP, snap.schemaDdl, cands,
-      snap.colMap).where(!rangeFilter(ranges))
+      snap.colMap, snap.partitionBy).where(!rangeFilter(ranges))
     val nOut = math.max(1, cands.size / 2)
     val adds = writeDataFiles(spark, rootP, survivors, snap.statsCols, nOut,
-      snap.clusterBy, snap.colMap).filter(_.stats.rows > 0)
+      snap.clusterBy, snap.colMap, snap.partitionBy).filter(_.stats.rows > 0)
     val v = LakeLog.commit(f, rootP,
       (Meta("delete", snap.schemaDdl, snap.statsCols, None, None, now()) +:
         cands.map(a => Remove(a.path))) ++ adds,
@@ -1409,14 +1658,15 @@ object LakeTable {
     if (!hasKeys)
       return RewriteReport(snap.version, 0, 0, snap.files.size)
 
-    val base = readAdds(spark, rootP, snap.schemaDdl, cands, snap.colMap)
+    val base = readAdds(spark, rootP, snap.schemaDdl, cands, snap.colMap,
+      snap.partitionBy)
     // broadcast the changed-key set: a daily changelog is dwarfed by
     // the base table, and the anti join then never shuffles the base
     val merged = base.join(broadcast(changedKeys), Seq(keyCol), "left_anti")
       .unionByName(upserts)
     val nOut = math.max(1, cands.size)
     val adds = writeDataFiles(spark, rootP, merged, snap.statsCols, nOut,
-      snap.clusterBy, snap.colMap).filter(_.stats.rows > 0)
+      snap.clusterBy, snap.colMap, snap.partitionBy).filter(_.stats.rows > 0)
     val v = LakeLog.commit(f, rootP,
       (Meta("merge", snap.schemaDdl, snap.statsCols, appId, batchId,
         now()) +: cands.map(a => Remove(a.path))) ++ adds,
@@ -1489,9 +1739,12 @@ object LakeTable {
     // outputs are the files' live rows, written clean (still
     // dataChange=false: the live-row multiset is unchanged)
     val packed = readAdds(spark, rootP, snap.schemaDdl, smalls,
-      snap.colMap)
+      snap.colMap, snap.partitionBy)
+    // partitioned tables: the partitioned write re-splits packed rows
+    // on value boundaries, so bin-packing never merges across
+    // partition directories and every output stays single-valued
     val adds = writeDataFiles(spark, rootP, packed, snap.statsCols, nOut,
-      snap.clusterBy, snap.colMap).filter(_.stats.rows > 0)
+      snap.clusterBy, snap.colMap, snap.partitionBy).filter(_.stats.rows > 0)
     val v = LakeLog.commit(f, rootP,
       (Meta("compact", snap.schemaDdl, snap.statsCols, None, None, now()) +:
         smalls.map(a => Remove(a.path))) ++ adds,
@@ -1513,9 +1766,10 @@ object LakeTable {
     val f = fs(spark, rootP)
     val snap = LakeLog.snapshot(f, rootP, None)
     val rows = readAdds(spark, rootP, snap.schemaDdl, snap.files,
-      snap.colMap)
+      snap.colMap, snap.partitionBy)
     val adds = writeDataFiles(spark, rootP, rows, snap.statsCols, nFiles,
-      Some(clusterBy), snap.colMap).filter(_.stats.rows > 0)
+      Some(clusterBy), snap.colMap, snap.partitionBy)
+      .filter(_.stats.rows > 0)
     val v = LakeLog.commit(f, rootP,
       (Meta("recluster", snap.schemaDdl, snap.statsCols, None, None, now(),
         Some(clusterBy)) +: snap.files.map(a => Remove(a.path))) ++ adds,
@@ -1558,16 +1812,26 @@ object LakeTable {
     // 1. candidate scan FIRST: only files old enough to predate any
     //    in-flight writer are eligible at all
     val dd = LakeLog.dataDir(rootP)
-    val dataCands: Seq[(Path, String, Long)] =
+    // recursive: partitioned tables nest one `<col>=<value>/` level
+    // per partition column below each staging dir
+    val qualRoot = f.makeQualified(rootP).toUri.getPath
+    def relToRoot(p: Path): String =
+      p.toUri.getPath.stripPrefix(qualRoot + "/")
+    val dataCands: Seq[(Path, String, Long)] = {
       if (!f.exists(dd)) Nil
-      else f.listStatus(dd).toSeq.flatMap { sub =>
-        f.listStatus(sub.getPath).toSeq.collect {
-          case st if !st.getPath.getName.startsWith("_") &&
-              st.getModificationTime < horizon =>
-            (st.getPath,
-              s"data/${sub.getPath.getName}/${st.getPath.getName}", st.getLen)
+      else {
+        val it = f.listFiles(dd, true)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Path, String, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          if (!st.getPath.getName.startsWith("_") &&
+              st.getModificationTime < horizon)
+            buf += ((st.getPath, relToRoot(st.getPath), st.getLen))
         }
+        buf.toSeq
       }
+    }
     val dvd = new Path(rootP, "dv")
     val dvCands: Seq[Path] =
       if (!f.exists(dvd)) Nil
@@ -1597,10 +1861,12 @@ object LakeTable {
       }
     }
     if (f.exists(dd)) f.listStatus(dd).foreach { sub =>
-      // empty staging dirs: only reap past the horizon — a writer
-      // may have mkdir'd but not written yet
+      // empty staging dirs (recursively: a vacuumed partitioned dir
+      // keeps its value subdirs): only reap past the horizon — a
+      // writer may have mkdir'd but not written yet
       if (sub.getModificationTime < horizon &&
-          f.listStatus(sub.getPath).isEmpty) f.delete(sub.getPath, true)
+          !f.listFiles(sub.getPath, true).hasNext)
+        f.delete(sub.getPath, true)
     }
     // deletion-vector sidecars: a dv/<uuid> dataset is live while any
     // retained version's Add still points at it
@@ -1652,7 +1918,7 @@ object LakeTable {
     // the change view is expressed in toVersion's LOGICAL names; the
     // mapping is stable across the range (physical names never move)
     val perCommit = changeFrames(spark, rootP, schemaDdl,
-      fromVersion + 1, toVersion, toSnap.colMap)
+      fromVersion + 1, toVersion, toSnap.colMap, toSnap.partitionBy)
     if (perCommit.isEmpty) emptyChanges(spark, rootP, schemaDdl)
     else perCommit.reduce(_.unionByName(_))
   }
@@ -1675,7 +1941,8 @@ object LakeTable {
   private[lake] def changeFrames(spark: SparkSession, rootP: Path,
                                  schemaDdl: String, from: Long,
                                  to: Long,
-                                 colMap: Map[String, String] = Map.empty)
+                                 colMap: Map[String, String] = Map.empty,
+                                 partitionBy: Seq[String] = Nil)
       : Seq[DataFrame] = {
     val f = fs(spark, rootP)
     (from to to).flatMap { v =>
@@ -1691,14 +1958,14 @@ object LakeTable {
         // read only the re-pointed files, at only those positions
         val prev = LakeLog.snapshot(f, rootP, Some(v - 1)).files
           .filter(a => adds.exists(_.path == a.path))
-        val ids = adds.map(a => fileId(a.path))
+        val ids = adds.map(a => fileId(rootP, a.path, idDepth(partitionBy)))
         val newDels = readDvRows(spark, rootP, adds.flatMap(_.dv).map(_.path))
           .where(col("file").isin(ids: _*))
         val oldDels = readDvRows(spark, rootP, prev.flatMap(_.dv).map(_.path))
           .where(col("file").isin(ids: _*))
         val delta = newDels.exceptAll(oldDels)
         val withPos = readFilesWithPos(spark, rootP, schemaDdl,
-          adds.map(_.path), colMap)
+          adds, colMap, partitionBy)
         val rows = withPos
           .join(delta,
             withPos("__file") === delta("file") &&
@@ -1708,7 +1975,8 @@ object LakeTable {
         Seq(taggedChanges(rows, "delete", v))
       }
       else if (rms.isEmpty)
-        Seq(taggedChanges(readAdds(spark, rootP, schemaDdl, adds, colMap),
+        Seq(taggedChanges(
+          readAdds(spark, rootP, schemaDdl, adds, colMap, partitionBy),
           "insert", v))
       else {
         // the REMOVED side must be read through the previous
@@ -1717,8 +1985,10 @@ object LakeTable {
         // again by this rewrite
         val prev = LakeLog.snapshot(f, rootP, Some(v - 1)).files
           .filter(a => rms.contains(a.path))
-        val added = readAdds(spark, rootP, schemaDdl, adds, colMap)
-        val removed = readAdds(spark, rootP, schemaDdl, prev, colMap)
+        val added = readAdds(spark, rootP, schemaDdl, adds, colMap,
+          partitionBy)
+        val removed = readAdds(spark, rootP, schemaDdl, prev, colMap,
+          partitionBy)
         Seq(taggedChanges(added.exceptAll(removed), "insert", v),
           taggedChanges(removed.exceptAll(added), "delete", v))
       }

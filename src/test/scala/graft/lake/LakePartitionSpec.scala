@@ -1,0 +1,226 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hive-style `PARTITIONED BY` on lake tables: files live under
+  * `<col>=<value>/` directories, their CONTENT excludes the partition
+  * columns, per-file values ride the log as min==max stats, reads
+  * inject the columns through [[LakeFileIndex]]'s partition schema,
+  * and the scan prunes whole directories via real `PartitionFilters`.
+  * DML, compaction, deletion vectors, CDF and the streaming source
+  * all compose with the layout.
+  */
+class LakePartitionSpec extends SparkSuite {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_lakepart").resolve("tbl").toString
+
+  private def seed(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => (i % 5, i.toLong, s"n_$i")).toDF("day", "id", "name")
+  }
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("partitioned create: hive layout, content-free files, " +
+      "min==max stats, round-trip read") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(100), Seq("id"), nFiles = 2,
+      partitionBy = Seq("day"))
+    val snap = LakeTable.snapshot(spark, root)
+    assert(snap.partitionBy == Seq("day"))
+    // one value directory level per file, exactly one value per file
+    assert(snap.files.nonEmpty)
+    snap.files.foreach { a =>
+      val seg = a.path.split('/')
+      assert(seg.length == 4 && seg(2).startsWith("day="), a.path)
+      assert(a.stats.min("day") == a.stats.max("day"),
+        s"partition stats must be constant: ${a.stats}")
+    }
+    // the files themselves do NOT contain the partition column
+    val rawFile = new org.apache.hadoop.fs.Path(root,
+      snap.files.head.path).toString
+    assert(!spark.read.parquet(rawFile).columns.contains("day"))
+    // full read injects it, in logical column order
+    val back = LakeTable.scan(spark, root)
+    assert(back.columns.toSeq == Seq("day", "id", "name"))
+    assert(ids(back) == (0L until 100L))
+    assert(back.where(col("day") === 3).count() == 20)
+    // every partition value got its own file set
+    assert(snap.files.map(_.stats.min("day")).distinct.size == 5)
+  }
+
+  test("partition pruning: scanPruned skips other values' files and " +
+      "the native catalog scan shows PartitionFilters") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(100), Seq("id"), nFiles = 2,
+      partitionBy = Seq("day"))
+    val (df, rep) = LakeTable.scanPruned(spark, root,
+      Seq(LakeTable.ColRange("day", Some(2L), Some(2L))))
+    assert(rep.filesRead < rep.filesTotal,
+      s"expected partition pruning, got $rep")
+    assert(df.count() == 20)
+
+    // catalog read: partition filter lands in the scan's
+    // PartitionFilters (true directory pruning, not a row filter)
+    val cat = "gpart"
+    val w = Files.createTempDirectory("graft_partcat").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.p (day INT, id BIGINT, name STRING) " +
+      "PARTITIONED BY (day)")
+    seed(100).createOrReplaceTempView("seed_p")
+    spark.sql(s"INSERT INTO $cat.ns.p SELECT * FROM seed_p")
+    val q = spark.sql(s"SELECT id FROM $cat.ns.p WHERE day = 2 AND id < 90")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") &&
+      physical.replaceAll("\\s+", " ").matches(
+        ".*PartitionFilters: \\[[^\\]]*day.*"),
+      s"partition filter must reach the scan:\n$physical")
+    assert(ids(q.selectExpr("id AS id")) ==
+      (0L until 90L).filter(_ % 5 == 2))
+    // INSERT refuses nothing silently: table reports its partitioning
+    val props = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.ns.p")
+      .collect().map(_.toString).mkString("\n")
+    assert(props.contains("day"))
+  }
+
+  test("DML on partitioned tables: COW delete, UPDATE, merge, compact " +
+      "keep files single-valued") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(100), Seq("id"), nFiles = 2,
+      partitionBy = Seq("day"))
+    // range delete within one partition
+    val rep = LakeTable.deleteWhere(spark, root,
+      Seq(LakeTable.ColRange("day", Some(1L), Some(1L)),
+        LakeTable.ColRange("id", Some(0L), Some(50L))))
+    assert(rep.filesRewritten > 0)
+    // day == 1 && id <= 50: ids 1, 6, ..., 46 — ten rows
+    assert(LakeTable.scan(spark, root).count() == 90)
+    // merge upsert across partitions
+    import spark.implicits._
+    val changes = Seq(
+      (0, 0L, "patched", 99L, "U"),
+      (4, 999L, "fresh", 99L, "U"),
+      (2, 2L, "", 99L, "D"))
+      .toDF("day", "id", "name", "version", "op")
+    LakeTable.merge(spark, root, changes, "id")
+    val after = LakeTable.scan(spark, root)
+    assert(after.where(col("id") === 0L).select("name").head().getString(0)
+      == "patched")
+    assert(after.where(col("id") === 999L).count() == 1)
+    assert(after.where(col("id") === 2L).count() == 0)
+    // compact: bin-pack everything, files stay one-value-per-file
+    val crep = LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+      targetBytes = Long.MaxValue)
+    assert(crep.filesRewritten > 0)
+    val snap = LakeTable.snapshot(spark, root)
+    snap.files.foreach(a =>
+      assert(a.stats.min("day") == a.stats.max("day"), a.path))
+    assert(LakeTable.scan(spark, root).count() ==
+      after.count())
+  }
+
+  test("deletion vectors + in-place dedup address partitioned files " +
+      "(value-segment-aware identity)") {
+    val root = freshRoot()
+    import spark.implicits._
+    // duplicates across partitions: same id in two days
+    val df = ((0 until 40).map(i => (i % 4, i.toLong % 10, s"n_$i")))
+      .toDF("day", "id", "name")
+    LakeTable.create(spark, root, df, Seq("id"), nFiles = 2,
+      partitionBy = Seq("day"))
+    // MOR delete of one partition's low ids
+    val rep = LakeTable.deleteWhereMor(spark, root,
+      Seq(LakeTable.ColRange("day", Some(0L), Some(0L)),
+        LakeTable.ColRange("id", Some(0L), Some(3L))))
+    assert(rep.filesRewritten > 0, "DV commit must re-point files")
+    val scanned = LakeTable.scan(spark, root)
+    assert(scanned.where(col("day") === 0 && col("id") <= 3).count() == 0)
+    assert(scanned.count() == 40 -
+      df.where(col("day") === 0 && col("id") <= 3).count())
+    // in-place dedup by id across the whole table (scanWithPos +
+    // deleteAt exercise the depth-aware file identity end to end)
+    LakeTable.dedupTable(spark, root, Seq("id"), tieBreak = "name")
+    val deduped = LakeTable.scan(spark, root)
+    assert(deduped.groupBy("id").count().where(col("count") > 1).count()
+      == 0)
+  }
+
+  test("CDF and streaming source read partitioned commits with " +
+      "injected columns") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(50), Seq("id"), nFiles = 1,
+      partitionBy = Seq("day"))
+    LakeTable.append(spark, root, seed(100).where(col("id") >= 50),
+      nFiles = 1)
+    LakeTable.deleteWhere(spark, root,
+      Seq(LakeTable.ColRange("id", Some(0L), Some(4L))))
+    val changes = LakeTable.scanChanges(spark, root, 0, 2)
+    assert(changes.columns.toSeq ==
+      Seq("day", "id", "name", "_change_type", "_commit_version"))
+    assert(changes.where(col("_change_type") === "delete").count() == 5)
+    assert(changes.where(col("_change_type") === "insert" &&
+      col("_commit_version") === 1).count() == 50)
+    // day injected correctly in the delta rows
+    assert(changes.where(col("_change_type") === "delete" &&
+      col("day").isNull).count() == 0)
+
+    // streaming tail sees partition columns too
+    val outDir = Files.createTempDirectory("graft_part_stream").toString
+    val q = spark.readStream.format("graft-lake")
+      .option("ignoreChanges", "true").load(root)
+      .writeStream.format("memory").queryName("part_tail")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val tailed = spark.table("part_tail")
+    assert(tailed.columns.toSeq == Seq("day", "id", "name"))
+    assert(tailed.where(col("day").isNull).count() == 0)
+  }
+
+  test("clusterBy composes within partitions; null partition values " +
+      "round-trip; refusals are loud") {
+    val root = freshRoot()
+    import spark.implicits._
+    val withNull = Seq((Integer.valueOf(1), 1L, "a"),
+      (Integer.valueOf(1), 2L, "b"), (null.asInstanceOf[Integer], 3L, "c"))
+      .map { case (d, i, s) => (Option(d).map(_.toInt), i, s) }
+      .toDF("day", "id", "name")
+    LakeTable.create(spark, root, withNull, Seq("id"), nFiles = 1,
+      clusterBy = Some("id"), partitionBy = Seq("day"))
+    val back = LakeTable.scan(spark, root)
+    assert(back.where(col("day").isNull).select("id").head().getLong(0)
+      == 3L)
+    assert(back.count() == 3)
+
+    // curve specs refuse on partitioned tables
+    intercept[IllegalArgumentException] {
+      val r2 = freshRoot()
+      LakeTable.create(spark, r2, seed(10), Seq("id"), nFiles = 1,
+        clusterBy = Some(LakeTable.zCluster("day", "id")),
+        partitionBy = Seq("day"))
+    }
+    // float partition columns refuse
+    intercept[IllegalArgumentException] {
+      val r3 = freshRoot()
+      LakeTable.create(spark, r3,
+        seed(10).withColumn("f", col("id").cast("double")),
+        Seq("id"), nFiles = 1, partitionBy = Seq("f"))
+    }
+    // rename/drop (column mapping) refuse on partitioned tables
+    intercept[IllegalArgumentException] {
+      LakeTable.renameColumn(spark, root, "name", "label")
+    }
+    // statsCols must keep the partition columns
+    intercept[IllegalArgumentException] {
+      LakeTable.setStatsCols(spark, root, Seq("id"))
+    }
+  }
+}

@@ -516,9 +516,20 @@ private[lake] class LakeTableV2(spark: SparkSession,
           "— run with spark.sql.extensions=graft.GraftSparkExtensions")
   }
 
+  /** The WriteBuilder advertises
+    * [[org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend]]
+    * so `writeStream.outputMode("update").toTable(...)` is accepted:
+    * with `.option("mergeKey", k)` each epoch upserts by key (a real
+    * keyed MERGE — what update mode means against a keyed table);
+    * without it, update rows APPEND — the marker's documented
+    * contract and exactly Delta's behavior, giving a CDC-style log
+    * table (keys may repeat across epochs by construction).
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(versionAsOf.isEmpty, "cannot write to a time-travel snapshot")
-    new WriteBuilder with SupportsTruncate with SupportsOverwrite {
+    new WriteBuilder with SupportsTruncate with SupportsOverwrite
+        with org.apache.spark.sql.internal.connector
+          .SupportsStreamingUpdateAsAppend {
       private var overwriteAll = false
       private var replaceRanges: Seq[LakeTable.ColRange] = Nil
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
@@ -563,7 +574,8 @@ private[lake] class LakeTableV2(spark: SparkSession,
             Option(info.options.get("appId")).getOrElse(info.queryId()),
             info.schema(), truncateAll = overwriteAll,
             mergeSchema = Option(info.options.get("mergeSchema"))
-              .exists(_.toBoolean))
+              .exists(_.toBoolean),
+            mergeKey = Option(info.options.get("mergeKey")))
         }
 
         // STREAMING-ONLY output-file control: with .option("nFiles", n)

@@ -78,6 +78,8 @@ private[lake] object LakeSqlStatements {
     s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$target\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
   private val cloneRe: Regex =
     s"""(?is)^\\s*CREATE\\s+TABLE\\s+$target\\s+SHALLOW\\s+CLONE\\s+$target(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""".r
+  private val convertRe: Regex =
+    s"""(?is)^\\s*CONVERT\\s+TO\\s+LAKE\\s+('[^']+')\\s*(?:STATS\\s+COLUMNS\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
 
   def parse(session: SparkSession, sqlText: String,
             delegate: ParserInterface): Option[LogicalPlan] =
@@ -100,6 +102,9 @@ private[lake] object LakeSqlStatements {
       case cloneRe(dst, src, v) =>
         Some(LakeShallowCloneCommand(parts(dst, delegate),
           parts(src, delegate), Option(v).map(_.toLong)))
+      case convertRe(path, stats) =>
+        Some(LakeConvertCommand(path.stripPrefix("'").stripSuffix("'"),
+          Option(stats).map(_.split(",").map(stripTicks).toSeq)))
       case _ => None
     }
 
@@ -310,6 +315,29 @@ private[lake] final case class LakeShallowCloneCommand(
       LakeSqlStatements.rootOf(spark, src),
       LakeSqlStatements.newRootOf(spark, dst), asOf)
     Seq(Row(v))
+  }
+}
+
+/** `CONVERT TO LAKE '<path>' [STATS COLUMNS (a, b)]` — in-place
+  * adoption of an existing parquet directory (flat or
+  * hive-partitioned): one metadata-only commit referencing the files
+  * where they sit, per-file stats from the footers, partition layout
+  * auto-detected from the paths. No data moves. The directory then
+  * reads/writes as a normal lake table root.
+  */
+private[lake] final case class LakeConvertCommand(
+    rootPath: String,
+    statsCols: Option[Seq[String]]) extends LeafRunnableCommand {
+
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_converted", LongType, nullable = false)(),
+    AttributeReference("partitioned_by", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = LakeTable.convert(spark, rootPath, statsCols)
+    val snap = LakeTable.snapshot(spark, rootPath)
+    Seq(Row(v, snap.files.size.toLong, snap.partitionBy.mkString(",")))
   }
 }
 

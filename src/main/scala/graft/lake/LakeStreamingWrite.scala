@@ -56,7 +56,8 @@ private[lake] final class LakeStreamingWrite(
     appId: String,
     writeSchema: StructType,
     truncateAll: Boolean,
-    mergeSchema: Boolean) extends StreamingWrite {
+    mergeSchema: Boolean,
+    mergeKey: Option[String] = None) extends StreamingWrite {
 
   private val rootP = new Path(root)
   private def hfs = LakeLog.fileSystem(rootP,
@@ -69,11 +70,19 @@ private[lake] final class LakeStreamingWrite(
   private val planSnap = LakeLog.snapshot(hfs, rootP, None)
   private val baseDdl = planSnap.schemaDdl
 
-  require(planSnap.partitionBy.isEmpty,
-    "writeStream.toTable into a PARTITIONED lake table is not " +
-      "supported — the per-epoch task writers write one flat file " +
+  require(mergeKey.isEmpty || !truncateAll,
+    "mergeKey + Complete output mode contradict: Complete replaces the " +
+      "table each epoch, there is nothing to merge into")
+  require(mergeKey.isEmpty || !mergeSchema,
+    "mergeKey + mergeSchema are not supported together — evolve the " +
+      "table first, then restart the upsert stream")
+  require(planSnap.partitionBy.isEmpty || mergeKey.nonEmpty,
+    "append-mode writeStream.toTable into a PARTITIONED lake table is " +
+      "not supported — the per-epoch task writers write one flat file " +
       "each; stream through foreachBatch(LakeSink.writer(...)) " +
-      "instead, whose batch appends partition natively")
+      "instead (whose batch appends partition natively), or set " +
+      ".option(\"mergeKey\", ...) for keyed upserts (the staged epoch " +
+      "is only a changelog there, and the merge rewrite partitions)")
 
   /** Evolved table DDL this epoch commits under (== baseDdl unless
     * mergeSchema adds/keeps columns). Computed with the same additive
@@ -82,7 +91,18 @@ private[lake] final class LakeStreamingWrite(
     */
   private val evolvedDdl: String =
     if (mergeSchema) LakeTable.evolvedSchemaDdl(baseDdl, writeSchema)
-    else {
+    else if (mergeKey.nonEmpty) {
+      // upsert changelog: full-row replacement per key, aligned by
+      // NAME inside the merge — order-insensitive set equality
+      val want = StructType.fromDDL(baseDdl)
+      require(want.fields.map(f => (f.name, f.dataType)).toSet ==
+        writeSchema.fields.map(f => (f.name, f.dataType)).toSet,
+        s"streaming upsert schema $writeSchema does not match table " +
+          s"schema $want (mergeKey upserts replace whole rows)")
+      require(writeSchema.fieldNames.contains(mergeKey.get),
+        s"mergeKey '${mergeKey.get}' not in the stream's schema")
+      baseDdl
+    } else {
       val want = StructType.fromDDL(baseDdl)
       require(want.fields.map(f => (f.name, f.dataType)).toSeq ==
         writeSchema.fields.map(f => (f.name, f.dataType)).toSeq,
@@ -127,8 +147,58 @@ private[lake] final class LakeStreamingWrite(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new LakeStreamWriterFactory(root, stagingSub, prepared, statsSpec)
 
+  /** Keyed-upsert epoch (`.option("mergeKey", k)`): the staged files
+    * are a CHANGELOG, never table data — read them back, upsert by
+    * key through [[LakeTable.merge]] (latest-wins per key within the
+    * epoch; the merge rewrites only key-overlapping candidate files
+    * and carries the `(appId, epochId)` token for exactly-once), then
+    * drop the staging. This is what Update output mode means against
+    * a keyed table — appending update rows would duplicate keys,
+    * which is exactly why the marker-only
+    * `SupportsStreamingUpdateAsAppend` semantics (no mergeKey) are
+    * Delta-parity APPEND and documented as such.
+    */
+  private def commitMerge(key: String, epochId: Long,
+                          messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case m: LakeStreamingWrite.FileMessage if m.path != null => m
+    }
+    try {
+      val snap = LakeLog.snapshot(hfs, rootP, None)
+      if (snap.committedBatches.getOrElse(appId, Long.MinValue) >= epochId)
+        return // recovery replay: the epoch is already in the table
+      require(snap.schemaDdl == baseDdl,
+        s"table schema changed while epoch $epochId was in flight — " +
+          "restart the query to re-plan")
+      if (files.isEmpty) {
+        // still mark the epoch committed (empty epochs must not
+        // re-apply after recovery as a hole in the token sequence)
+        LakeLog.commit(hfs, rootP, Seq(Meta("merge", snap.schemaDdl,
+          snap.statsCols, Some(appId), Some(epochId), System
+            .currentTimeMillis(), colMap = snap.colMap)),
+          baseVersion = snap.version, dedupBatch = Some((appId, epochId)))
+        return
+      }
+      val staged = spark.read
+        .schema(LakeTable.physicalSchema(writeSchema, effMap))
+        .parquet(files.map(m => new Path(rootP, m.path).toString): _*)
+      val changes = LakeTable.toLogical(staged, writeSchema, effMap)
+        .withColumn("__v", org.apache.spark.sql.functions.lit(epochId))
+        .withColumn("__op", org.apache.spark.sql.functions.lit("U"))
+      LakeTable.merge(spark, root, changes, key,
+        versionCol = "__v", opCol = "__op",
+        appId = Some(appId), batchId = Some(epochId))
+      ()
+    } catch {
+      // zombie duplicate lost the merge's commit race: exactly-once
+      // held, acknowledge
+      case _: LakeLog.DuplicateBatchException => ()
+    } finally abort(epochId, messages) // staging is changelog garbage now
+  }
+
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
+    if (mergeKey.nonEmpty) return commitMerge(mergeKey.get, epochId, messages)
     val files = messages.collect {
       case m: LakeStreamingWrite.FileMessage if m.path != null => m
     }.sortBy(_.path)

@@ -359,6 +359,181 @@ object LakeTable {
         clusterBy, partitionBy = partitionBy) +: conActions) ++ adds)
   }
 
+  /** `CONVERT TO LAKE` — IN-PLACE adoption of an existing parquet
+    * directory (flat, or hive-partitioned `col=value/` layout): the
+    * first operation anyone with 100 TB of existing parquet runs.
+    * METADATA-ONLY: one v0 commit Adds every existing file where it
+    * sits — zero data bytes written, zero files moved. Per-file
+    * min/max/null/rowCount stats come from the parquet FOOTERS (a
+    * distributed KB-per-file metadata read, never a data scan — at
+    * 10^6 files this is the difference between minutes and a
+    * full-table pass), so the skipping index is live from version 0.
+    * Hive partition values are parsed from the paths, recorded as the
+    * same min==max stats every partitioned write produces, and the
+    * directory becomes a normal PARTITIONED lake table — later
+    * appends land under `data/<uuid>/<col>=<value>/`, DML, time
+    * travel, CDF, compaction and vacuum all work. Footer stats for
+    * strings are unsigned-lexicographic (UTF-8 byte order) — the same
+    * order [[cmp]] probes with. A footer without usable statistics
+    * for a column simply leaves that file unprunable on it
+    * (mayMatch's conservative read) — never a correctness event.
+    */
+  def convert(spark: SparkSession, root: String,
+              statsCols: Option[Seq[String]] = None): Long = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    require(f.exists(rootP), s"no directory at $root")
+    require(LakeLog.latestVersion(f, rootP).isEmpty,
+      s"already a lake table: $root")
+
+    // candidate files: everything *.parquet under root, skipping the
+    // lake's own namespaces and _-prefixed markers (_SUCCESS etc.)
+    val qualRoot = f.makeQualified(rootP).toUri.getPath
+    val it = f.listFiles(rootP, true)
+    val found = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(qualRoot + "/")
+      val top = rel.takeWhile(_ != '/')
+      if (rel.endsWith(".parquet") && !top.startsWith("_") &&
+          top != "data" && top != "dv" &&
+          !rel.split('/').exists(_.startsWith("_")))
+        found += ((rel, st.getLen))
+    }
+    require(found.nonEmpty, s"no parquet files under $root")
+    val files = found.toSeq.sortBy(_._1)
+
+    // partition layout from the paths: every file must carry the SAME
+    // k=v directory chain (flat = none) — anything else is not a hive
+    // layout and refuses rather than guessing
+    def partChain(rel: String): Seq[String] = {
+      val dirs = rel.split('/').dropRight(1).toSeq
+      require(dirs.forall(_.contains('=')),
+        s"mixed layout: '$rel' nests non-partition directories — " +
+          "CONVERT TO LAKE accepts flat or hive-partitioned layouts")
+      dirs.map(_.takeWhile(_ != '='))
+    }
+    val partitionBy = partChain(files.head._1)
+    files.foreach(fl => require(partChain(fl._1) == partitionBy,
+      s"inconsistent partition layout: '${fl._1}' vs $partitionBy"))
+
+    // schema: Spark's own footer-based inference (+ partition
+    // discovery types for the path columns)
+    val inferred = spark.read.parquet(root).schema
+    requirePartitionColsSupported(inferred, partitionBy)
+    val chosen = statsCols.getOrElse(inferred.fields.collect {
+      case fd if LakeStagedTable.statsSupported(fd.dataType) => fd.name
+    }.toSeq)
+    requireStatsColsSupported(inferred, chosen)
+    val allStats = chosen ++ partitionBy.filterNot(chosen.contains)
+    val contentStats = allStats.filterNot(partitionBy.contains)
+      .map(c => c -> inferred(c).dataType).toMap
+
+    // distributed footer pass: each task opens only footers (KBs per
+    // file); the driver gets back one Stats per file
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rootStr = rootP.toString
+    val statsByRel: Map[String, Stats] = spark.sparkContext
+      .parallelize(files, math.min(files.size, 64).max(1))
+      .map { case (rel, bytes) =>
+        rel -> LakeTable.footerStats(conf.value, rootStr, rel, bytes,
+          contentStats)
+      }.collect().toMap
+
+    def partVal(rel: String, c: String): Option[Any] = {
+      val raw = rel.split('/').dropRight(1)
+        .find(_.startsWith(c + "=")).get.drop(c.length + 1)
+      val unescaped = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName(raw)
+      if (unescaped == "__HIVE_DEFAULT_PARTITION__") None
+      else inferred(c).dataType match {
+        case StringType => Some(unescaped)
+        case _          => Some(unescaped.toLong)
+      }
+    }
+    val adds = files.map { case (rel, _) =>
+      val base = statsByRel(rel)
+      val pvals = partitionBy.flatMap(c => partVal(rel, c).map(c -> _))
+      val pnulls = partitionBy.map(c =>
+        c -> (if (partVal(rel, c).isEmpty) base.rows else 0L))
+      Add(rel, base.copy(
+        min = base.min ++ pvals, max = base.max ++ pvals,
+        nulls = base.nulls ++ pnulls))
+    }
+    LakeLog.commit(f, rootP,
+      Meta("convert", inferred.toDDL, allStats, None, None, now(), None,
+        partitionBy = partitionBy) +: adds)
+  }
+
+  /** Footer-only stats of one parquet file: row count from the block
+    * metadata, min/max/nulls per requested column aggregated across
+    * row groups. A column whose statistics are absent, truncated away
+    * or of an unexpected physical type contributes nothing (file
+    * unprunable on it). Runs on executors.
+    */
+  private[lake] def footerStats(conf: org.apache.hadoop.conf.Configuration,
+                                root: String, rel: String, bytes: Long,
+                                cols: Map[String, DataType]): Stats = {
+    import org.apache.parquet.column.statistics.{BinaryStatistics,
+      DoubleStatistics, FloatStatistics, IntStatistics, LongStatistics}
+    val p = new Path(new Path(root), rel)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val mins = scala.collection.mutable.Map[String, Any]()
+      val maxs = scala.collection.mutable.Map[String, Any]()
+      val nulls = scala.collection.mutable.Map[String, Long]()
+      val dropped = scala.collection.mutable.Set[String]()
+      for (b <- blocks; cc <- b.getColumns.asScala) {
+        val name = cc.getPath.toDotString
+        cols.get(name).foreach { want =>
+          val st = cc.getStatistics
+          // hasNonNullValue=false means the chunk publishes NO bounds
+          // (all-null, or a writer that omitted them) — genericGetMin
+          // on such stats returns type defaults, never read them
+          val v: Option[(Any, Any)] =
+            if (st == null || st.isEmpty || !st.hasNonNullValue) None
+            else (want, st) match {
+              case (ByteType | ShortType | IntegerType, s: IntStatistics) =>
+                Some((s.getMin.toLong, s.getMax.toLong))
+              case (LongType, s: LongStatistics) =>
+                Some((s.getMin, s.getMax))
+              case (FloatType, s: FloatStatistics) =>
+                Some((s.getMin.toDouble, s.getMax.toDouble))
+              case (DoubleType, s: DoubleStatistics) =>
+                Some((s.getMin, s.getMax))
+              case (StringType, s: BinaryStatistics) =>
+                Some((s.genericGetMin.toStringUsingUTF8,
+                  s.genericGetMax.toStringUsingUTF8))
+              case _ => None
+            }
+          val allNull = st != null && !st.isEmpty &&
+            !st.hasNonNullValue && st.getNumNulls == cc.getValueCount
+          v match {
+            case Some((lo, hi)) if !dropped(name) =>
+              if (mins.get(name).forall(m => cmp(lo, m).exists(_ < 0)))
+                mins(name) = lo
+              if (maxs.get(name).forall(m => cmp(hi, m).exists(_ > 0)))
+                maxs(name) = hi
+            case None if !allNull =>
+              // one block without stats poisons the file's bound
+              dropped += name
+              mins.remove(name); maxs.remove(name)
+            case _ => () // all-null block: contributes no bound
+          }
+          if (st != null && st.getNumNulls >= 0)
+            nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
+        }
+      }
+      Stats(rows, bytes, mins.toMap, maxs.toMap, nulls.toMap)
+    } finally reader.close()
+  }
+
   private def requireSameSchema(existing: String, df: DataFrame): Unit = {
     val want = StructType.fromDDL(existing)
     val got = df.schema
@@ -1832,6 +2007,27 @@ object LakeTable {
         buf.toSeq
       }
     }
+    // CONVERT-origin files live OUTSIDE data/ (adopted in place at the
+    // root / under partition-value dirs); once a rewrite de-references
+    // them they are reclaimable garbage like any other orphan. Only
+    // *.parquet outside the lake's own namespaces — foreign markers
+    // (_SUCCESS etc.) are never touched.
+    val convertCands: Seq[(Path, String, Long)] = {
+      val it = f.listFiles(rootP, true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(Path, String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = relToRoot(st.getPath)
+        val top = rel.takeWhile(_ != '/')
+        if (rel.endsWith(".parquet") && top != "data" && top != "dv" &&
+            !top.startsWith("_") &&
+            !rel.split('/').exists(_.startsWith("_")) &&
+            st.getModificationTime < horizon)
+          buf += ((st.getPath, rel, st.getLen))
+      }
+      buf.toSeq
+    }
     val dvd = new Path(rootP, "dv")
     val dvCands: Seq[Path] =
       if (!f.exists(dvd)) Nil
@@ -1853,7 +2049,7 @@ object LakeTable {
       snaps.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet
     var files = 0
     var bytes = 0L
-    dataCands.foreach { case (p, rel, len) =>
+    (dataCands ++ convertCands).foreach { case (p, rel, len) =>
       if (!live.contains(rel)) {
         bytes += len
         files += 1

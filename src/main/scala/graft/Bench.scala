@@ -291,8 +291,12 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     val fnByName = selected.toMap
     val results = firstPass.map { case row @ (name, median, runs, can) =>
-      val over = band.get(name).exists(b =>
-        median.wall > 2 * b && median.wall - b > 0.3) // jitter floor
+      // ANY >2x-band row re-runs solo at end-of-run — no absolute
+      // floor on the re-run decision (round-15 verdict: a real 2.5x
+      // regression on a 0.15 s query must not hide under the jitter
+      // floor; the floor still gates the WARN label downstream, and a
+      // sub-second re-run costs nothing)
+      val over = band.get(name).exists(b => median.wall > 2 * b)
       if (!over || median.wall < 0) row
       else {
         System.err.println(f"[bench] re-running $name solo: " +

@@ -684,7 +684,154 @@ object LakeQueries {
       root
     })
 
+  /** PARTITIONED chain, pure SQL through the catalog: CREATE TABLE
+    * PARTITIONED BY (o_orderstatus) + clusterBy, INSERT INTO, a
+    * DELETE bounded inside one partition, OPTIMIZE-compact. Files
+    * live under `o_orderstatus=X/` dirs, content excludes the column,
+    * reads inject it from the log — the oracle recomputes the end
+    * state from raw parquet, so equality certifies the partition
+    * round-trip (values, pruning, DML respecting boundaries) whole.
+    */
+  private val partCache = new ConcurrentHashMap[String, String]()
+  private def partFor(s: SparkSession, dir: String): String =
+    partCache.computeIfAbsent(dir, _ => {
+      val key = dirKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+      val cat = s"glpart_$key"
+      val wh = s"$lakeRoot/partwh_$key"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.core")
+      s.sql(s"CREATE TABLE $cat.core.p (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_orderstatus STRING, o_cents BIGINT) " +
+        "PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (clusterBy = 'o_orderkey', nFiles = '4')")
+      seed(s, dir).createOrReplaceTempView(s"seed_part_$key")
+      s.sql(s"INSERT INTO $cat.core.p SELECT o_orderkey, o_custkey, " +
+        s"o_orderstatus, o_cents FROM seed_part_$key")
+      s.sql(s"DELETE FROM $cat.core.p WHERE o_orderstatus = 'F' " +
+        "AND o_orderkey BETWEEN 500 AND 1499")
+      s.sql(s"OPTIMIZE $cat.core.p")
+      s"$wh/core/p"
+    })
+
+  /** CONVERT chain: "pre-existing data" = a plain Spark
+    * `write.partitionBy(o_orderstatus)` parquet directory of the
+    * seed; `CONVERT TO LAKE` adopts it in place (footer stats, path
+    * partition values), then a DELETE proves the adopted table is
+    * fully DML-live.
+    */
+  private val convCache = new ConcurrentHashMap[String, String]()
+  private def convFor(s: SparkSession, dir: String): String =
+    convCache.computeIfAbsent(dir, _ => {
+      val root = s"$lakeRoot/conv_${dirKey(dir)}"
+      seed(s, dir).write.partitionBy("o_orderstatus").parquet(root)
+      s.sql(s"CONVERT TO LAKE '$root'")
+      LakeTable.deleteWhere(s, root,
+        Seq(LakeTable.ColRange("o_orderkey", Some(3000L), Some(3999L))))
+      root
+    })
+
+  /** Update-mode keyed upserts through the DSv2 `toTable` sink — the
+    * `stream_lake_upsert_replay` twin driven by
+    * `.outputMode("update").option("mergeKey", ...)` instead of
+    * foreachBatch(mergeWriter): destination seeded with keys < 1000,
+    * a change-stream lake drained twice over ONE checkpoint (restart
+    * between), each epoch MERGEd exactly once — batch A (keys < 500:
+    * status 'A', +1) then batch B ([250, 750) replace + [1000, 1100)
+    * fresh inserts: status 'B', +2). Double-applied or lost epochs
+    * drift the cents and fail the oracle.
+    */
+  private def totableUpsertReplay(s: SparkSession, dir: String): DataFrame = {
+    val n = seq.incrementAndGet()
+    val key = dirKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+    val cat = s"glttu_${key}_$n"
+    val wh = s"$lakeRoot/ttuwh_${key}_$n"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $cat.core")
+    s.sql(s"CREATE TABLE $cat.core.dst (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_orderstatus STRING, o_cents BIGINT) " +
+      "TBLPROPERTIES (clusterBy = 'o_orderkey')")
+    val dst = s"$wh/core/dst"
+    val sd = seed(s, dir)
+    LakeTable.append(s, dst, sd.where(col("o_orderkey") < 1000),
+      nFiles = 2)
+    def delta(df: DataFrame, st: String, d: Long): DataFrame = df
+      .withColumn("o_orderstatus", lit(st))
+      .withColumn("o_cents", col("o_cents") + d)
+    val src = s"$lakeRoot/ttu_src_${key}_$n"
+    val ckpt = s"$lakeRoot/ttu_ckpt_${key}_$n"
+    LakeTable.create(s, src,
+      delta(sd.where(col("o_orderkey") < 500), "A", 1L),
+      Seq("o_orderkey"), nFiles = 1)
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-lake").load(src)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .option("mergeKey", "o_orderkey")
+        .toTable(s"$cat.core.dst")
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    LakeTable.append(s, src,
+      delta(sd.where((col("o_orderkey") >= 250 && col("o_orderkey") < 750)
+        || (col("o_orderkey") >= 1000 && col("o_orderkey") < 1100)),
+        "B", 2L),
+      nFiles = 1)
+    drain() // restart over the same checkpoint: only the new commit
+    s.sql(s"SELECT * FROM $cat.core.dst ORDER BY o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("lake_part_pruned",
+      // PARTITIONED BY under the oracle: a partition-equality +
+      // key-range read off the hive-layout table — the scan's file
+      // list holds ONLY the o_orderstatus='O' directory's files
+      // (pinned in LakePartitionSpec/PlanShapeSpec), values injected
+      // from the log, never stored in the files
+      (s, dir) => s.read.format("graft-lake").load(partFor(s, dir))
+        .where(col("o_orderstatus") === "O" && col("o_orderkey") < 2000)
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders
+        WHERE o_orderkey < 2000 AND o_orderstatus = 'O'
+        ORDER BY o_orderkey""")),
+
+    QueryDef("lake_part_dml",
+      // the partitioned chain's END STATE: INSERT + partition-bounded
+      // DELETE + compact, all via SQL — proves DML respects partition
+      // boundaries (only 'F' rows in [500,1499] gone) and compaction
+      // preserved the layout
+      (s, dir) => s.read.format("graft-lake").load(partFor(s, dir))
+        .orderBy("o_orderkey", "o_orderstatus"),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders
+        WHERE o_orderkey < 4000
+          AND NOT (o_orderstatus = 'F'
+                   AND o_orderkey BETWEEN 500 AND 1499)
+        ORDER BY o_orderkey, o_orderstatus""")),
+
+    QueryDef("lake_convert_read",
+      // CONVERT TO LAKE under the oracle: adopt a pre-existing
+      // hive-partitioned parquet directory metadata-only, DELETE a
+      // key range through the lake, read back a window overlapping
+      // the deletion — partition values from paths, content stats
+      // from footers, rewrite correctness all in one hash-match
+      (s, dir) => s.read.format("graft-lake").load(convFor(s, dir))
+        .where(col("o_orderkey") >= 2500)
+        .orderBy("o_orderkey", "o_orderstatus"),
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents,
+               o_orderstatus
+        FROM orders
+        WHERE o_orderkey >= 2500 AND o_orderkey < 3000
+        ORDER BY o_orderkey, o_orderstatus""")),
+
     QueryDef("lake_rename_read",
       // column mapping under the oracle: a rename is a metadata
       // commit — pre-rename files (physical name o_cents) must read
@@ -1091,6 +1238,24 @@ object LakeQueries {
         WHERE o_orderkey < 1000
           AND o_orderkey NOT BETWEEN 300 AND 399
           AND o_orderkey NOT BETWEEN 500 AND 549
+        ORDER BY o_orderkey""")),
+
+    QueryDef("stream_lake_totable_upsert_replay",
+      (s, dir) => totableUpsertReplay(s, dir),
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey BETWEEN 250 AND 749 THEN 'B'
+                    WHEN o_orderkey < 250 THEN 'A'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) +
+               CASE WHEN o_orderkey BETWEEN 250 AND 749 THEN 2
+                    WHEN o_orderkey < 250 THEN 1
+                    ELSE 0 END AS o_cents
+        FROM orders WHERE o_orderkey < 1000
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'B' AS o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) + 2 AS o_cents
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 1099
         ORDER BY o_orderkey""")),
 
     QueryDef("stream_lake_upsert_replay",

@@ -420,6 +420,18 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("stream_lake_upsert_replay", 1, "destination lake scan + output " +
       "ordering; the per-batch merges ran at build time as bounded " +
       "candidate-file rewrites"),
+    ("stream_lake_totable_upsert_replay", 1, "destination lake scan + " +
+      "output ordering; the update-mode per-epoch toTable merges ran " +
+      "at build time as bounded candidate-file rewrites"),
+    ("lake_part_pruned", 1, "partition-pruned native scan (one value " +
+      "directory's files, columns injected from the log) + output " +
+      "ordering"),
+    ("lake_part_dml", 1, "partitioned snapshot scan after the SQL " +
+      "INSERT/DELETE/OPTIMIZE chain (committed at build time) + " +
+      "output ordering"),
+    ("lake_convert_read", 1, "adopted-table scan (footer-stats-pruned " +
+      "key range over converted hive files + rewrite survivors) + " +
+      "output ordering"),
     ("stream_lake_replicate_replay", 1, "replica lake scan + output " +
       "ordering; the CDF reconstruction and per-batch latest-wins " +
       "merges ran inside the stream as bounded candidate-file work"),

@@ -448,6 +448,34 @@ class LakeCatalogSpec extends SparkSuite {
     }
   }
 
+  test("evolving MERGE resolves new columns BY SOURCE NAME — a " +
+      "renamed source column lands via a USING-clause alias") {
+    // the stock ResolveMergeIntoSchemaEvolution rule (the contract
+    // AUTOMATIC_SCHEMA_EVOLUTION buys) matches source-only columns by
+    // NAME: a producer who renamed `tag` to `label` upstream would
+    // otherwise evolve the table with the NEW name. The supported
+    // spelling when the TABLE's name must win is an alias inside
+    // USING — documented here as the worked example (SURVEY §8)
+    sql(s"CREATE TABLE $cat.core.ma (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES (clusterBy = 'id', nFiles = '2')")
+    sql(s"INSERT INTO $cat.core.ma SELECT id, id FROM range(10)")
+    spark.range(5, 15)
+      .selectExpr("id", "id * 10 AS v", "concat('t_', id) AS label")
+      .createOrReplaceTempView("ma_src_renamed")
+    sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.core.ma t
+      USING (SELECT id, v, label AS tag FROM ma_src_renamed) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
+      WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (s.id, s.v, s.tag)""")
+    val cols = sql(s"SELECT * FROM $cat.core.ma").columns.toSeq
+    assert(cols == Seq("id", "v", "tag"),
+      s"the alias must pin the evolved column's name, got $cols")
+    val rows = sql(s"SELECT id, v, tag FROM $cat.core.ma ORDER BY id")
+      .collect()
+    assert(rows.length == 15)
+    assert(rows.drop(5).forall(r => r.getString(2) == s"t_${r.getLong(0)}"))
+  }
+
   test("inline CHECK at CREATE TABLE time persists and gates writes") {
     // the TableCatalog interface DEFAULT for createTable(ident, info)
     // drops TableInfo.constraints() on the floor — the override must

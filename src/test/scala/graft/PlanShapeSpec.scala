@@ -283,4 +283,24 @@ class PlanShapeSpec extends SparkSuite {
       .count()
     assert(df.agg(sum("n_events")).head().getLong(0) == base)
   }
+
+  test("lake_part_pruned reads exactly ONE partition directory group " +
+      "with the status filter in PartitionFilters") {
+    val df = SparkEntry.queries("lake_part_pruned")(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1, s"expected one file scan, got ${scans.length}")
+    val meta = scans.head.metadata
+    // the partition-equality conjunct must reach the scan as a
+    // PARTITION filter (directory pruning from log metadata), not a
+    // data filter; the key range stays a pushed data filter
+    assert(meta.get("PartitionFilters").exists(_.contains("o_orderstatus")),
+      s"no partition filter on o_orderstatus: $meta")
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      "the 'O' partition alone must survive pruning, got " +
+        s"${scans.head.selectedPartitions.partitionCount}")
+    assert(meta.get("PushedFilters").exists(_.contains("o_orderkey")),
+      s"key range must still push to parquet: $meta")
+  }
 }

@@ -234,10 +234,6 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
                     checks: Seq[(String, String)],
                     mode: String):
       org.apache.spark.sql.connector.catalog.StagedTable = {
-    require(partitions.isEmpty,
-      "PARTITIONED BY is not supported on staged statements (CTAS / " +
-        "REPLACE TABLE AS SELECT) — CREATE the partitioned table first, " +
-        "then INSERT INTO it")
     val root = rootOf(ident)
     val exists = isTable(root)
     val replacing = mode match {
@@ -252,7 +248,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     }
     new LakeStagedTable(spark, root,
       (name() +: ident.namespace() :+ ident.name()).mkString("."),
-      schema, properties, checks, replacing)
+      schema, properties, checks, replacing, partitionCols(partitions))
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,
@@ -596,28 +592,41 @@ private[lake] class LakeTableV2(spark: SparkSession,
             c.startsWith("z:") || c.startsWith("h:"))
           sb.filter(c => info.schema().fieldNames.contains(c))
         }
+        // PARTITIONED append epochs sort each task on (partition cols
+        // ++ cluster col) so the rolling writers emit one file per
+        // (task, value) — a LOCAL sort, no forced shuffle; nFiles
+        // additionally range-partitions on the same keys (values
+        // contiguous across tasks, big values split at cluster-col
+        // boundaries — the batch writer's exact shape). The mergeKey
+        // changelog staging needs neither.
+        private def streamPartCols: Seq[String] =
+          if (!streaming || info.options.containsKey("mergeKey")) Nil
+          else snap.partitionBy
+            .filter(c => info.schema().fieldNames.contains(c))
+        private def orderKeys: Seq[String] =
+          streamPartCols ++
+            clusterCol.filterNot(streamPartCols.contains).toSeq
         override def requiredDistribution():
             org.apache.spark.sql.connector.distributions.Distribution = {
           import org.apache.spark.sql.connector.distributions.Distributions
           import org.apache.spark.sql.connector.expressions.Expressions
           if (streamNFiles <= 0) Distributions.unspecified()
-          else clusterCol match {
-            case Some(c) => Distributions.ordered(Array(
+          else if (streamPartCols.nonEmpty || clusterCol.isDefined)
+            Distributions.ordered(orderKeys.map(c =>
               Expressions.sort(Expressions.column(c),
                 org.apache.spark.sql.connector.expressions.SortDirection
-                  .ASCENDING)))
-            case None => Distributions.clustered(
-              info.schema().fieldNames
-                .map(Expressions.column(_)
-                  : org.apache.spark.sql.connector.expressions.Expression))
-          }
+                  .ASCENDING)).toArray)
+          else Distributions.clustered(
+            info.schema().fieldNames
+              .map(Expressions.column(_)
+                : org.apache.spark.sql.connector.expressions.Expression))
         }
         override def requiredNumPartitions(): Int = streamNFiles
         override def requiredOrdering():
             Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
           import org.apache.spark.sql.connector.expressions.Expressions
-          if (streamNFiles <= 0) Array.empty
-          else clusterCol.map(c => Expressions.sort(Expressions.column(c),
+          if (streamNFiles <= 0 && streamPartCols.isEmpty) Array.empty
+          else orderKeys.map(c => Expressions.sort(Expressions.column(c),
             org.apache.spark.sql.connector.expressions.SortDirection
               .ASCENDING)).toArray
         }

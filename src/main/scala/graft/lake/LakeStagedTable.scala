@@ -49,18 +49,25 @@ private[lake] final class LakeStagedTable(
     tableSchema: StructType,
     properties: util.Map[String, String],
     constraintsToAdd: Seq[(String, String)],
-    replacing: Option[LakeLog.Snapshot]) extends StagedTable
+    replacing: Option[LakeLog.Snapshot],
+    partitionBy: Seq[String] = Nil) extends StagedTable
     with SupportsWrite {
 
   private def hfs = LakeLog.fileSystem(root,
     spark.sparkContext.hadoopConfiguration)
 
+  LakeTable.requirePartitionColsSupported(tableSchema, partitionBy)
+
   private val props = properties.asScala
-  private val statsCols: Seq[String] = props.get("statsCols") match {
-    case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    case None => tableSchema.fields.collect {
-      case f if LakeStagedTable.statsSupported(f.dataType) => f.name
-    }.toSeq
+  private val statsCols: Seq[String] = {
+    val base = props.get("statsCols") match {
+      case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => tableSchema.fields.collect {
+        case f if LakeStagedTable.statsSupported(f.dataType) => f.name
+      }.toSeq
+    }
+    // partition values LIVE in the stats (min==max per file)
+    base ++ partitionBy.filterNot(base.contains)
   }
   private val clusterBy: Option[String] = props.get("clusterBy")
   require(clusterBy.forall(c => !c.startsWith("z:") && !c.startsWith("h:")),
@@ -105,53 +112,64 @@ private[lake] final class LakeStagedTable(
                 val idx = tableSchema.fieldIndex(c)
                 LakeStreamingWrite.StatCol(c, tableSchema(idx).dataType, idx)
               }
+            val partSpec = partitionBy.map { c =>
+              val idx = tableSchema.fieldIndex(c)
+              LakeStreamingWrite.StatCol(c, tableSchema(idx).dataType, idx)
+            }
+            // partitioned CTAS: files exclude the partition columns
+            // (hive layout); the rolling writers split on value
+            // boundaries over the required ordering
+            val contentSchema = StructType(tableSchema.fields
+              .filterNot(f => partitionBy.contains(f.name)))
             new LakeStreamWriterFactory(root.toString, stagingSub,
-              ParquetWriteBridge.prepare(spark, tableSchema), spec)
+              ParquetWriteBridge.prepare(spark, contentSchema), spec,
+              partSpec, tableSchema)
           }
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
-            staged = messages.collect {
-              case m: LakeStreamingWrite.FileMessage if m.path != null =>
-                Add(m.path, Stats(m.rows, m.bytes,
-                  m.mins.map { case (k, v) =>
-                    k -> LakeTable.normalizeStat(v) },
-                  m.maxs.map { case (k, v) =>
-                    k -> LakeTable.normalizeStat(v) },
-                  m.nulls))
-            }.toSeq.sortBy(_.path)
+            staged = LakeStreamingWrite.filesOf(messages).map { m =>
+              Add(m.path, Stats(m.rows, m.bytes,
+                m.mins.map { case (k, v) =>
+                  k -> LakeTable.normalizeStat(v) },
+                m.maxs.map { case (k, v) =>
+                  k -> LakeTable.normalizeStat(v) },
+                m.nulls))
+            }.sortBy(_.path)
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit =
             abortStagedChanges()
         }
         // cluster the staged write like a clustered batch append:
-        // range-partition + sort on the cluster column so the created
-        // files carry tight disjoint bounds from the start; an
-        // explicit nFiles WITHOUT a cluster column hash-spreads over
+        // range-partition + sort on (partition cols ++ cluster col)
+        // so the created files carry tight disjoint bounds from the
+        // start and the rolling writers see value-contiguous rows; an
+        // explicit nFiles WITHOUT any ordering key hash-spreads over
         // all columns (the streaming sink's shape) — never silently
         // ignored
         private def clusterCol: Option[String] =
           clusterBy.filter(tableSchema.fieldNames.contains)
+        private def orderKeys: Seq[String] =
+          partitionBy ++ clusterCol.filterNot(partitionBy.contains).toSeq
         override def requiredDistribution():
             org.apache.spark.sql.connector.distributions.Distribution = {
           import org.apache.spark.sql.connector.distributions.Distributions
           import org.apache.spark.sql.connector.expressions.Expressions
-          clusterCol match {
-            case Some(c) => Distributions.ordered(Array(
+          if (orderKeys.nonEmpty)
+            Distributions.ordered(orderKeys.map(c =>
               Expressions.sort(Expressions.column(c),
                 org.apache.spark.sql.connector.expressions.SortDirection
-                  .ASCENDING)))
-            case None if nFilesOpt.isDefined => Distributions.clustered(
-              tableSchema.fieldNames
-                .map(Expressions.column(_)
-                  : org.apache.spark.sql.connector.expressions.Expression))
-            case None => Distributions.unspecified()
-          }
+                  .ASCENDING)).toArray)
+          else if (nFilesOpt.isDefined) Distributions.clustered(
+            tableSchema.fieldNames
+              .map(Expressions.column(_)
+                : org.apache.spark.sql.connector.expressions.Expression))
+          else Distributions.unspecified()
         }
         override def requiredNumPartitions(): Int =
-          if (clusterCol.isDefined || nFilesOpt.isDefined) nFiles else 0
+          if (orderKeys.nonEmpty || nFilesOpt.isDefined) nFiles else 0
         override def requiredOrdering():
             Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
           import org.apache.spark.sql.connector.expressions.Expressions
-          clusterCol.map(c => Expressions.sort(Expressions.column(c),
+          orderKeys.map(c => Expressions.sort(Expressions.column(c),
             org.apache.spark.sql.connector.expressions.SortDirection
               .ASCENDING)).toArray
         }
@@ -160,9 +178,18 @@ private[lake] final class LakeStagedTable(
 
   override def commitStagedChanges(): Unit = {
     // inline CHECKs gate the staged rows, bounded by the staged files
+    // (partitioned: one single-base basePath read re-derives the
+    // partition columns the files don't store)
     if (constraintsToAdd.nonEmpty && staged.nonEmpty) {
-      val df = spark.read.schema(tableSchema)
-        .parquet(staged.map(a => new Path(root, a.path).toString): _*)
+      val paths = staged.map(a => new Path(root, a.path).toString)
+      val df =
+        if (partitionBy.isEmpty)
+          spark.read.schema(tableSchema).parquet(paths: _*)
+        else spark.read
+          .option("basePath", new Path(root, stagingSub).toString)
+          .schema(tableSchema).parquet(paths: _*)
+          .select(tableSchema.fieldNames.toSeq
+            .map(org.apache.spark.sql.functions.col): _*)
       try constraintsToAdd.foreach { case (n, e) =>
         LakeTable.enforceConstraints(df, Map(n -> e), "staged create")
       } catch { case ex: Throwable => abortStagedChanges(); throw ex }
@@ -177,7 +204,8 @@ private[lake] final class LakeStagedTable(
         // atomicity point, a racing create loses the rename
         val ok = LakeLog.tryCommit(hfs, root, 0L,
           (Meta("create", tableSchema.toDDL, statsCols, None, None,
-            System.currentTimeMillis(), clusterBy) +: conActions) ++ staged)
+            System.currentTimeMillis(), clusterBy,
+            partitionBy = partitionBy) +: conActions) ++ staged)
         if (!ok) {
           abortStagedChanges()
           throw new LakeLog.ConcurrentCommitException(
@@ -185,10 +213,12 @@ private[lake] final class LakeStagedTable(
         }
       case Some(old) =>
         // REPLACE: one authoritative commit — old files out, staged
-        // in, new definition verbatim (the replay rule resets policy)
+        // in, new definition verbatim (the replay rule resets policy,
+        // INCLUDING the partition spec)
         LakeLog.commit(hfs, root,
           ((Meta("replace", tableSchema.toDDL, statsCols, None, None,
-            System.currentTimeMillis(), clusterBy) +: conActions) ++
+            System.currentTimeMillis(), clusterBy,
+            partitionBy = partitionBy) +: conActions) ++
             old.files.map(a => Remove(a.path))) ++ staged,
           guardFiles = old.files, baseVersion = old.version,
           expectExactFiles = true)

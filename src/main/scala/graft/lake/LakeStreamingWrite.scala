@@ -76,13 +76,13 @@ private[lake] final class LakeStreamingWrite(
   require(mergeKey.isEmpty || !mergeSchema,
     "mergeKey + mergeSchema are not supported together — evolve the " +
       "table first, then restart the upsert stream")
-  require(planSnap.partitionBy.isEmpty || mergeKey.nonEmpty,
-    "append-mode writeStream.toTable into a PARTITIONED lake table is " +
-      "not supported — the per-epoch task writers write one flat file " +
-      "each; stream through foreachBatch(LakeSink.writer(...)) " +
-      "instead (whose batch appends partition natively), or set " +
-      ".option(\"mergeKey\", ...) for keyed upserts (the staged epoch " +
-      "is only a changelog there, and the merge rewrite partitions)")
+  require(planSnap.partitionBy.isEmpty || !mergeSchema,
+    "mergeSchema streaming into a PARTITIONED lake table is not " +
+      "supported — evolve the table first (ALTER TABLE ADD COLUMNS), " +
+      "then restart the stream")
+  planSnap.partitionBy.foreach(c =>
+    require(writeSchema.fieldNames.contains(c),
+      s"streaming write must carry partition column '$c'"))
 
   /** Evolved table DDL this epoch commits under (== baseDdl unless
     * mergeSchema adds/keeps columns). Computed with the same additive
@@ -133,10 +133,23 @@ private[lake] final class LakeStreamingWrite(
       LakeStreamingWrite.StatCol(phys(c), writeSchema(idx).dataType, idx)
     }
 
-  // files carry PHYSICAL column names (renames never touch data)
+  // partitioned epochs (append mode): the rolling writers split files
+  // on value boundaries; changelog staging (mergeKey) stays flat —
+  // those files are never table data
+  private val partSpec: Seq[LakeStreamingWrite.StatCol] =
+    if (mergeKey.nonEmpty) Nil
+    else planSnap.partitionBy.map { c =>
+      val idx = writeSchema.fieldIndex(c)
+      LakeStreamingWrite.StatCol(c, writeSchema(idx).dataType, idx)
+    }
+
+  // files carry PHYSICAL column names (renames never touch data) and,
+  // on partitioned tables, EXCLUDE the partition columns (hive layout
+  // — the directory and the log carry the value)
   private val prepared: PreparedParquetWrite = ParquetWriteBridge.prepare(
-    spark, StructType(writeSchema.fields.map(f =>
-      f.copy(name = phys(f.name)))))
+    spark, StructType(writeSchema.fields
+      .filterNot(f => partSpec.exists(_.physName == f.name))
+      .map(f => f.copy(name = phys(f.name)))))
 
   // per-epoch staging dir — the same data/<uuid>/ layout as batch
   // writes, so vacuum's orphan sweep and the DV file-id contract see
@@ -145,7 +158,8 @@ private[lake] final class LakeStreamingWrite(
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new LakeStreamWriterFactory(root, stagingSub, prepared, statsSpec)
+    new LakeStreamWriterFactory(root, stagingSub, prepared, statsSpec,
+      partSpec, writeSchema)
 
   /** Keyed-upsert epoch (`.option("mergeKey", k)`): the staged files
     * are a CHANGELOG, never table data — read them back, upsert by
@@ -160,9 +174,7 @@ private[lake] final class LakeStreamingWrite(
     */
   private def commitMerge(key: String, epochId: Long,
                           messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.collect {
-      case m: LakeStreamingWrite.FileMessage if m.path != null => m
-    }
+    val files = LakeStreamingWrite.filesOf(messages)
     try {
       val snap = LakeLog.snapshot(hfs, rootP, None)
       if (snap.committedBatches.getOrElse(appId, Long.MinValue) >= epochId)
@@ -199,9 +211,7 @@ private[lake] final class LakeStreamingWrite(
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
     if (mergeKey.nonEmpty) return commitMerge(mergeKey.get, epochId, messages)
-    val files = messages.collect {
-      case m: LakeStreamingWrite.FileMessage if m.path != null => m
-    }.sortBy(_.path)
+    val files = LakeStreamingWrite.filesOf(messages).sortBy(_.path)
     val snap = LakeLog.snapshot(hfs, rootP, None)
     // recovery replay of an already-committed epoch: drop the staged
     // files and acknowledge (the foreachBatch sink's skip contract)
@@ -230,9 +240,19 @@ private[lake] final class LakeStreamingWrite(
     // files, never the table). Read with the CURRENT constraints — a
     // mid-epoch ADD CONSTRAINT gates this commit already.
     if (snap.constraints.nonEmpty && adds.nonEmpty) {
-      val staged = spark.read
-        .schema(LakeTable.physicalSchema(writeSchema, effMap))
-        .parquet(adds.map(a => new Path(rootP, a.path).toString): _*)
+      // partitioned epochs: the staged files live under one staging
+      // dir's value directories — a single-base basePath read gives
+      // the partition columns back for the CHECK pass
+      val staged =
+        if (partSpec.isEmpty) spark.read
+          .schema(LakeTable.physicalSchema(writeSchema, effMap))
+          .parquet(adds.map(a => new Path(rootP, a.path).toString): _*)
+        else spark.read
+          .option("basePath", new Path(rootP, stagingSub).toString)
+          .schema(writeSchema)
+          .parquet(adds.map(a => new Path(rootP, a.path).toString): _*)
+          .select(writeSchema.fieldNames.toSeq.map(
+            org.apache.spark.sql.functions.col): _*)
       val logical = LakeTable.toLogical(staged, writeSchema, effMap)
       try LakeTable.enforceConstraints(
         LakeTable.padToSchema(logical, evolvedDdl), snap.constraints,
@@ -262,14 +282,12 @@ private[lake] final class LakeStreamingWrite(
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit = {
     val f = hfs
-    messages.foreach {
-      case m: LakeStreamingWrite.FileMessage if m.path != null =>
-        val p = new Path(rootP, m.path)
-        if (f.exists(p)) f.delete(p, false)
-      case _ => ()
+    LakeStreamingWrite.filesOf(messages).foreach { m =>
+      val p = new Path(rootP, m.path)
+      if (f.exists(p)) f.delete(p, false)
     }
     val staging = new Path(rootP, stagingSub)
-    if (f.exists(staging) && f.listStatus(staging).isEmpty)
+    if (f.exists(staging) && !f.listFiles(staging, true).hasNext)
       f.delete(staging, true): Unit
   }
 }
@@ -290,25 +308,51 @@ private[lake] object LakeStreamingWrite {
                                maxs: Map[String, Any],
                                nulls: Map[String, Long])
       extends WriterCommitMessage
+
+  /** A PARTITION-rolling task's result: one [[FileMessage]] per
+    * `<col>=<value>/` file the task wrote.
+    */
+  final case class FileMessages(files: Seq[FileMessage])
+      extends WriterCommitMessage
+
+  /** All real files across a task-message array (both shapes). */
+  private[lake] def filesOf(messages: Array[WriterCommitMessage])
+      : Seq[FileMessage] =
+    messages.toSeq.flatMap {
+      case m: FileMessage if m.path != null => Seq(m)
+      case ms: FileMessages => ms.files.filter(_.path != null)
+      case _ => Nil
+    }
 }
 
 /** Dual-interface task-writer factory: the STREAMING sink's epochs
   * and the staged BATCH writes (atomic CTAS / REPLACE TABLE AS
   * SELECT, [[LakeStagedTable]]) run the exact same executor writers —
   * batch is just epoch -1.
+  *
+  * `partSpec` (non-empty = PARTITIONED table): the writer ROLLS to a
+  * new file under `<col>=<value>/` whenever the partition-value tuple
+  * changes — over the required partition-col ordering that is one
+  * file per (task, value); over pathological unsorted input it is
+  * still CORRECT, just more files. `prepared` is then the CONTENT
+  * schema (partition columns projected OUT before the write — pure
+  * hive layout); stats (including the partition columns' own
+  * min==max) still fold from the full incoming row.
   */
 private[lake] final class LakeStreamWriterFactory(
     root: String,
     stagingSub: String,
     prepared: PreparedParquetWrite,
-    statsSpec: Seq[LakeStreamingWrite.StatCol])
+    statsSpec: Seq[LakeStreamingWrite.StatCol],
+    partSpec: Seq[LakeStreamingWrite.StatCol] = Nil,
+    fullSchema: StructType = new StructType())
     extends StreamingDataWriterFactory
     with org.apache.spark.sql.connector.write.DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new LakeStreamDataWriter(root, stagingSub, prepared, statsSpec,
-      partitionId, taskId, epochId)
+      partSpec, fullSchema, partitionId, taskId, epochId)
 
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
@@ -317,30 +361,56 @@ private[lake] final class LakeStreamWriterFactory(
 
 /** Executor-side task writer: opens its parquet file lazily on the
   * first row (empty partitions create nothing), folds min/max/null
-  * counts per stats column as rows stream through, and reports the
-  * file as a [[LakeStreamingWrite.FileMessage]]. Values are tracked
+  * counts per stats column as rows stream through, and reports its
+  * file(s) as [[LakeStreamingWrite.FileMessage]]s. Values are tracked
   * already normalized to the Long/Double/String stats domain; NaN
-  * orders greatest, matching the batch stats pass (Spark max).
+  * orders greatest and strings order by UTF-8 bytes, matching the
+  * batch stats pass (Spark min/max).
   */
 private[lake] final class LakeStreamDataWriter(
     root: String,
     stagingSub: String,
     prepared: PreparedParquetWrite,
     statsSpec: Seq[LakeStreamingWrite.StatCol],
+    partSpec: Seq[LakeStreamingWrite.StatCol],
+    fullSchema: StructType,
     partitionId: Int,
     taskId: Long,
     epochId: Long) extends DataWriter[InternalRow] {
 
-  private val relPath = s"$stagingSub/part-e$epochId-p$partitionId" +
-    s"-t$taskId${prepared.extension}"
-  private val fullPath = new Path(new Path(root), relPath)
+  private val partitioned = partSpec.nonEmpty
+
+  // partitioned: project partition columns OUT of the written row
+  // (hive layout — the directory carries the value)
+  private val project: InternalRow => InternalRow =
+    if (!partitioned) identity
+    else {
+      val partIdx = partSpec.map(_.idx).toSet
+      val kept = fullSchema.fields.zipWithIndex
+        .collect { case (f, i) if !partIdx.contains(i) =>
+          org.apache.spark.sql.catalyst.expressions
+            .BoundReference(i, f.dataType, f.nullable) }
+      val proj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(
+          kept: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      row => proj(row)
+    }
 
   private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
+  private var relPath: String = _
+  private var fullPath: Path = _
   private var rows = 0L
   private val n = statsSpec.size
   private val mins = new Array[Any](n)
   private val maxs = new Array[Any](n)
   private val nulls = new Array[Long](n)
+  // current partition-value tuple (UTF8String values cloned) and the
+  // finished files of this task
+  private var curPart: Array[Any] = _
+  private var fileSeq = 0
+  private val done =
+    scala.collection.mutable.ArrayBuffer.empty[LakeStreamingWrite.FileMessage]
+  private val opened = scala.collection.mutable.ArrayBuffer.empty[Path]
 
   private def lessThan(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Long)     => x < y
@@ -356,45 +426,48 @@ private[lake] final class LakeStreamDataWriter(
     case _ => false
   }
 
-  override def write(row: InternalRow): Unit = {
-    if (writer == null) writer = prepared.open(fullPath.toString)
-    var i = 0
-    while (i < n) {
-      val s = statsSpec(i)
-      if (row.isNullAt(s.idx)) nulls(i) += 1
-      else {
-        // strings are tracked as UTF8String (compared in UTF-8 byte
-        // order, converted to String only at commit); getUTF8String
-        // may return a view into a reused buffer, so a new min/max is
-        // CLONED when stored
-        val v: Any = s.dataType match {
-          case ByteType    => row.getByte(s.idx).toLong
-          case ShortType   => row.getShort(s.idx).toLong
-          case IntegerType => row.getInt(s.idx).toLong
-          case LongType    => row.getLong(s.idx)
-          case FloatType   => row.getFloat(s.idx).toDouble
-          case DoubleType  => row.getDouble(s.idx)
-          case StringType  => row.getUTF8String(s.idx)
-          case other => throw new IllegalStateException(
-            s"unsupported stats type $other") // guarded at table create
-        }
-        def stored(x: Any): Any = x match {
-          case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
-          case other => other
-        }
-        if (mins(i) == null || lessThan(v, mins(i))) mins(i) = stored(v)
-        if (maxs(i) == null || lessThan(maxs(i), v)) maxs(i) = stored(v)
-      }
-      i += 1
+  private def statVal(s: LakeStreamingWrite.StatCol,
+                      row: InternalRow): Any =
+    if (row.isNullAt(s.idx)) null
+    else s.dataType match {
+      case ByteType    => row.getByte(s.idx).toLong
+      case ShortType   => row.getShort(s.idx).toLong
+      case IntegerType => row.getInt(s.idx).toLong
+      case LongType    => row.getLong(s.idx)
+      case FloatType   => row.getFloat(s.idx).toDouble
+      case DoubleType  => row.getDouble(s.idx)
+      case StringType  => row.getUTF8String(s.idx)
+      case other => throw new IllegalStateException(
+        s"unsupported stats type $other") // guarded at table create
     }
-    rows += 1
-    writer.write(row)
+
+  private def stored(x: Any): Any = x match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+    case other => other
   }
 
-  override def commit(): WriterCommitMessage = {
-    if (writer == null)
-      return LakeStreamingWrite.FileMessage(null, 0L, 0L, Map.empty,
-        Map.empty, Map.empty)
+  private def partDirs(vals: Array[Any]): String =
+    partSpec.zipWithIndex.map { case (s, i) =>
+      val v = vals(i)
+      val str =
+        if (v == null) "__HIVE_DEFAULT_PARTITION__"
+        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v.toString)
+      s"${s.physName}=$str"
+    }.mkString("/")
+
+  private def openFor(vals: Array[Any]): Unit = {
+    val dir = if (partitioned) s"$stagingSub/${partDirs(vals)}"
+              else stagingSub
+    relPath = s"$dir/part-e$epochId-p$partitionId-t$taskId" +
+      (if (fileSeq == 0) "" else s"-f$fileSeq") + prepared.extension
+    fileSeq += 1
+    fullPath = new Path(new Path(root), relPath)
+    opened += fullPath
+    writer = prepared.open(fullPath.toString)
+  }
+
+  private def buildMessage(): LakeStreamingWrite.FileMessage = {
     writer.close()
     val fs = fullPath.getFileSystem(prepared.hadoopConf)
     val bytes = fs.getFileStatus(fullPath).getLen
@@ -405,16 +478,63 @@ private[lake] final class LakeStreamDataWriter(
           case other => other
         })
       }.toMap
-    LakeStreamingWrite.FileMessage(relPath, rows, bytes, m(mins), m(maxs),
+    val msg = LakeStreamingWrite.FileMessage(relPath, rows, bytes,
+      m(mins), m(maxs),
       statsSpec.zipWithIndex.map { case (s, i) => s.physName -> nulls(i) }
         .toMap)
+    writer = null; rows = 0L
+    java.util.Arrays.fill(mins.asInstanceOf[Array[AnyRef]], null)
+    java.util.Arrays.fill(maxs.asInstanceOf[Array[AnyRef]], null)
+    java.util.Arrays.fill(nulls, 0L)
+    msg
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (partitioned) {
+      val vals = partSpec.map(s => stored(statVal(s, row))).toArray
+      val changed = curPart == null ||
+        !java.util.Arrays.equals(vals.asInstanceOf[Array[AnyRef]],
+          curPart.asInstanceOf[Array[AnyRef]])
+      if (changed) {
+        if (writer != null) done += buildMessage()
+        curPart = vals
+        openFor(vals)
+      }
+    }
+    if (writer == null) openFor(null)
+    var i = 0
+    while (i < n) {
+      val s = statsSpec(i)
+      val v = statVal(s, row)
+      if (v == null) nulls(i) += 1
+      else {
+        // getUTF8String may return a view into a reused buffer, so a
+        // new min/max is CLONED when stored
+        if (mins(i) == null || lessThan(v, mins(i))) mins(i) = stored(v)
+        if (maxs(i) == null || lessThan(maxs(i), v)) maxs(i) = stored(v)
+      }
+      i += 1
+    }
+    rows += 1
+    writer.write(project(row))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) done += buildMessage()
+    if (!partitioned)
+      done.headOption.getOrElse(
+        LakeStreamingWrite.FileMessage(null, 0L, 0L, Map.empty,
+          Map.empty, Map.empty))
+    else LakeStreamingWrite.FileMessages(done.toSeq)
   }
 
   override def abort(): Unit = {
     if (writer != null) {
       try writer.close() catch { case _: Throwable => () }
-      val fs = fullPath.getFileSystem(prepared.hadoopConf)
-      if (fs.exists(fullPath)) fs.delete(fullPath, false): Unit
+    }
+    opened.foreach { p =>
+      val fs = p.getFileSystem(prepared.hadoopConf)
+      if (fs.exists(p)) fs.delete(p, false): Unit
     }
   }
 

@@ -185,6 +185,104 @@ class LakePartitionSpec extends SparkSuite {
     assert(tailed.where(col("day").isNull).count() == 0)
   }
 
+  test("partitioned CTAS: one atomic commit, rolling writers split " +
+      "files on value boundaries, inline CHECK validates with the " +
+      "injected partition column") {
+    val cat = "gpctas"
+    val w = Files.createTempDirectory("graft_pctas").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    seed(100).createOrReplaceTempView("pctas_seed")
+    spark.sql(s"CREATE TABLE $cat.ns.c PARTITIONED BY (day) " +
+      "TBLPROPERTIES (clusterBy = 'id', nFiles = '2') " +
+      "AS SELECT * FROM pctas_seed")
+    val root = s"$w/ns/c"
+    val snap = LakeTable.snapshot(spark, root)
+    assert(snap.partitionBy == Seq("day"))
+    assert(snap.version == 0L, "CTAS must be ONE commit")
+    // every staged file is single-valued under its value dir, content
+    // excludes the partition column, id-clustered within
+    snap.files.foreach { a =>
+      assert(a.path.matches("data/[^/]+/day=\\d+/.*\\.parquet"), a.path)
+      assert(a.stats.min("day") == a.stats.max("day"), a.stats.toString)
+    }
+    val raw = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(root, snap.files.head.path).toString)
+    assert(!raw.columns.contains("day"))
+    assert(ids(LakeTable.scan(spark, root)) == (0L until 100L))
+    // partition pruning live immediately
+    val (_, rep) = LakeTable.scanPruned(spark, root,
+      Seq(LakeTable.ColRange("day", Some(3L), Some(3L))))
+    assert(rep.filesRead < rep.filesTotal)
+
+    // inline CHECK referencing the PARTITION column: the staged
+    // validation must see the injected values (a violating batch
+    // aborts, nothing created)
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.ns.bad PARTITIONED BY (day) " +
+        "(CONSTRAINT lowday CHECK (day < 3)) " +
+        "AS SELECT * FROM pctas_seed")
+    }
+    assert(!spark.sql(s"SHOW TABLES IN $cat.ns").collect()
+      .exists(_.getString(1) == "bad"))
+    // REPLACE TABLE AS SELECT resets the partition spec verbatim
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.ns.c " +
+      "TBLPROPERTIES (nFiles = '1') AS SELECT id, name FROM pctas_seed")
+    val snap2 = LakeTable.snapshot(spark, root)
+    assert(snap2.partitionBy.isEmpty,
+      "an unpartitioned replace must clear the partition spec")
+    assert(LakeTable.scan(spark, root).count() == 100)
+  }
+
+  test("append-mode writeStream.toTable into a partitioned table " +
+      "rolls per-value files each epoch") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cat = "gpstr"
+    val w = Files.createTempDirectory("graft_pstream").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.s (day INT, id BIGINT, name STRING) " +
+      "PARTITIONED BY (day) TBLPROPERTIES (clusterBy = 'id')")
+    val root = s"$w/ns/s"
+    val ckpt = Files.createTempDirectory("pstream_ckpt").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    def start() = ms.toDF()
+      .selectExpr("CAST(value % 3 AS INT) AS day", "value AS id",
+        "concat('n_', value) AS name")
+      .writeStream.option("checkpointLocation", ckpt)
+      .option("nFiles", "2")
+      .toTable(s"$cat.ns.s")
+    val q = start()
+    try {
+      ms.addData(0L until 30L: _*)
+      q.processAllAvailable()
+      ms.addData(30L until 50L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val snap = LakeTable.snapshot(spark, root)
+    snap.files.foreach { a =>
+      assert(a.path.matches("data/[^/]+/day=\\d+/.*\\.parquet"), a.path)
+      assert(a.stats.min("day") == a.stats.max("day"), a.stats.toString)
+    }
+    assert(ids(LakeTable.scan(spark, root)) == (0L until 50L))
+    // restart replays nothing
+    val q2 = start()
+    try {
+      ms.addData(50L until 60L: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(ids(LakeTable.scan(spark, root)) == (0L until 60L))
+    // partition pruning bites on the streamed files
+    val (df, rep) = LakeTable.scanPruned(spark, root,
+      Seq(LakeTable.ColRange("day", Some(1L), Some(1L))))
+    assert(rep.filesRead < rep.filesTotal)
+    assert(df.count() == (0L until 60L).count(_ % 3 == 1))
+  }
+
   test("clusterBy composes within partitions; null partition values " +
       "round-trip; refusals are loud") {
     val root = freshRoot()

@@ -352,6 +352,7 @@ private[lake] final case class LakeDetailCommand(
       StructField("total_bytes", LongType, nullable = false),
       StructField("dv_files", LongType, nullable = false),
       StructField("dv_dead_rows", LongType, nullable = false),
+      StructField("partition_by", StringType, nullable = false),
       StructField("cluster_by", StringType, nullable = false),
       StructField("features", StringType, nullable = false),
       StructField("constraints", StringType, nullable = false)))

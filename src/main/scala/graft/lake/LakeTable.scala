@@ -2205,13 +2205,14 @@ object LakeTable {
       snap.files.map(_.stats.rows).sum - dvRows,
       snap.files.map(_.stats.bytes).sum,
       snap.files.count(_.dv.nonEmpty).toLong, dvRows,
+      snap.partitionBy.mkString(","),
       snap.clusterBy.getOrElse(""),
       snap.features.toSeq.sorted.mkString(","),
       snap.constraints.toSeq.sorted.map { case (n, e) => s"$n: $e" }
         .mkString("; ")))
       .toDF("version", "num_files", "num_rows", "total_bytes",
-        "dv_files", "dv_dead_rows", "cluster_by", "features",
-        "constraints")
+        "dv_files", "dv_dead_rows", "partition_by", "cluster_by",
+        "features", "constraints")
   }
 
   /** Commit history as a DataFrame: (version, op, files_added,

@@ -89,6 +89,8 @@ class LakePartitionSpec extends SparkSuite {
     val props = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.ns.p")
       .collect().map(_.toString).mkString("\n")
     assert(props.contains("day"))
+    assert(spark.sql(s"DESCRIBE DETAIL $cat.ns.p").head()
+      .getAs[String]("partition_by") == "day")
   }
 
   test("DML on partitioned tables: COW delete, UPDATE, merge, compact " +

@@ -131,6 +131,27 @@ class LakeConvertSpec extends SparkSuite {
       .where(col("count") > 1).count() == 0)
   }
 
+  test("a directory converted INSIDE a catalog warehouse becomes " +
+      "identifier-addressable (SQL reads + DML by name)") {
+    val cat = "gconvcat"
+    val w = Files.createTempDirectory("graft_convcat").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    // pre-existing parquet dropped at the warehouse location
+    seed(60).write.partitionBy("day").parquet(s"$w/ns/adopted")
+    spark.sql(s"CONVERT TO LAKE '$w/ns/adopted'")
+    // a lake log at <warehouse>/<ns>/<name> IS the table — no
+    // registration step
+    assert(spark.sql(s"SHOW TABLES IN $cat.ns").collect()
+      .exists(_.getString(1) == "adopted"))
+    assert(spark.sql(s"SELECT count(*) c FROM $cat.ns.adopted").head()
+      .getLong(0) == 60)
+    spark.sql(s"DELETE FROM $cat.ns.adopted WHERE day = 1")
+    assert(spark.sql(s"SELECT count(*) c FROM $cat.ns.adopted").head()
+      .getLong(0) == 60 - 15)
+  }
+
   test("SQL surface: CONVERT TO LAKE '<path>' + refusals") {
     val root = freshDir()
     seed(100).write.partitionBy("day").parquet(root)

@@ -118,15 +118,33 @@ class LakePartitionSpec extends SparkSuite {
       == "patched")
     assert(after.where(col("id") === 999L).count() == 1)
     assert(after.where(col("id") === 2L).count() == 0)
-    // compact: bin-pack everything, files stay one-value-per-file
+    // compact scoped to ONE partition (the OPTIMIZE ... WHERE shape):
+    // min==max partition stats make the range select exactly that
+    // value's files — the rest of the table is never read
+    // split one partition into several small files first so the
+    // scoped pass has something to pack
+    LakeTable.append(spark, root,
+      seed(100).where(col("day") === 2 && col("id") >= 95), nFiles = 1)
+    LakeTable.append(spark, root,
+      seed(200).where(col("day") === 2 && col("id") >= 150), nFiles = 2)
+    val preFiles = LakeTable.snapshot(spark, root).files
+    val day2Before = preFiles.count(_.stats.min.get("day").contains(2L))
+    assert(day2Before >= 2, s"need packable day=2 files, got $day2Before")
+    val liveBefore = LakeTable.scan(spark, root).count()
+    val scoped = LakeTable.compact(spark, root,
+      smallBytes = Long.MaxValue, targetBytes = Long.MaxValue,
+      within = Seq(LakeTable.ColRange("day", Some(2L), Some(2L))))
+    assert(scoped.filesRewritten == day2Before,
+      s"scoped compact must touch exactly day=2's $day2Before files: " +
+        s"$scoped")
+    // compact the rest: files stay one-value-per-file
     val crep = LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
       targetBytes = Long.MaxValue)
     assert(crep.filesRewritten > 0)
     val snap = LakeTable.snapshot(spark, root)
     snap.files.foreach(a =>
       assert(a.stats.min("day") == a.stats.max("day"), a.path))
-    assert(LakeTable.scan(spark, root).count() ==
-      after.count())
+    assert(LakeTable.scan(spark, root).count() == liveBefore)
   }
 
   test("deletion vectors + in-place dedup address partitioned files " +

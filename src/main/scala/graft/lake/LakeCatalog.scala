@@ -64,9 +64,12 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   override def capabilities():
-      util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] = {
+    import org.apache.spark.sql.connector.catalog.TableCatalogCapability._
+    util.EnumSet.of(SUPPORT_TABLE_CONSTRAINT, SUPPORT_COLUMN_DEFAULT_VALUE,
+      SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+  }
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -148,12 +151,13 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table =
-    createTable(ident, schema, partitions, properties, Nil)
+    createTable(ident, schema, partitions, properties, Nil, Nil)
 
   private def createTable(ident: Identifier, schema: StructType,
                           partitions: Array[Transform],
                           properties: util.Map[String, String],
-                          checks: Seq[(String, String)]): Table = {
+                          checks: Seq[(String, String)],
+                          colSpecs: Seq[LakeLog.ColSpec]): Table = {
     val root = rootOf(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
     val props = properties.asScala
@@ -169,7 +173,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       nFiles = props.get("nFiles").map(_.toInt).getOrElse(1),
       clusterBy = props.get("clusterBy"),
       partitionBy = partitionCols(partitions),
-      checks = checks)
+      checks = checks,
+      colSpecs = colSpecs)
     loadTable(ident)
   }
 
@@ -188,7 +193,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo): Table =
     createTable(ident, info.schema(), info.partitions(),
-      info.properties(), checksOf(info))
+      info.properties(), checksOf(info),
+      LakeColumns.fromV2Columns(info.columns()))
 
   private def statsSupported(f: StructField): Boolean = f.dataType match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
@@ -232,7 +238,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
                     partitions: Array[Transform],
                     properties: util.Map[String, String],
                     checks: Seq[(String, String)],
-                    mode: String):
+                    mode: String,
+                    colSpecs: Seq[LakeLog.ColSpec] = Nil):
       org.apache.spark.sql.connector.catalog.StagedTable = {
     val root = rootOf(ident)
     val exists = isTable(root)
@@ -248,7 +255,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     }
     new LakeStagedTable(spark, root,
       (name() +: ident.namespace() :+ ident.name()).mkString("."),
-      schema, properties, checks, replacing, partitionCols(partitions))
+      schema, properties, checks, replacing, partitionCols(partitions),
+      colSpecs)
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,
@@ -261,7 +269,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       info: org.apache.spark.sql.connector.catalog.TableInfo):
       org.apache.spark.sql.connector.catalog.StagedTable =
     stage(ident, info.schema(), info.partitions(), info.properties(),
-      checksOf(info), "create")
+      checksOf(info), "create", LakeColumns.fromV2Columns(info.columns()))
 
   override def stageReplace(ident: Identifier, schema: StructType,
                             partitions: Array[Transform],
@@ -273,7 +281,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       info: org.apache.spark.sql.connector.catalog.TableInfo):
       org.apache.spark.sql.connector.catalog.StagedTable =
     stage(ident, info.schema(), info.partitions(), info.properties(),
-      checksOf(info), "replace")
+      checksOf(info), "replace", LakeColumns.fromV2Columns(info.columns()))
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
@@ -285,7 +293,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       info: org.apache.spark.sql.connector.catalog.TableInfo):
       org.apache.spark.sql.connector.catalog.StagedTable =
     stage(ident, info.schema(), info.partitions(), info.properties(),
-      checksOf(info), "createOrReplace")
+      checksOf(info), "createOrReplace", LakeColumns.fromV2Columns(info.columns()))
 
   /** `ALTER TABLE ... ADD COLUMNS` → [[LakeTable.addColumns]];
     * `RENAME COLUMN` / `DROP COLUMN` → the column-mapping metadata
@@ -301,6 +309,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       require(names.length == 1,
         s"nested column ${names.mkString(".")} not supported")
       names.head
+    }
+    val addSpecs = changes.collect {
+      // ALTER TABLE ... ADD COLUMN c T DEFAULT e: the current default
+      // fills future INSERTs; the pre-evaluated exists literal makes
+      // every EXISTING file read the default back — metadata-only
+      case a: TableChange.AddColumn if a.defaultValue() != null =>
+        LakeLog.ColSpec(single(a.fieldNames()), LakeColumns.KindDefault,
+          Map("current" -> a.defaultValue().getSql(),
+            "exists" -> LakeColumns.literalSql(a.defaultValue().getValue())))
     }
     val adds = changes.flatMap {
       case a: TableChange.AddColumn =>
@@ -336,6 +353,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
         LakeTable.widenColumn(spark, root.toString,
           single(t.fieldNames()), t.newDataType())
         None
+      // ALTER COLUMN c SET DEFAULT e / DROP DEFAULT (drop arrives as
+      // an empty-string default; the exists default is preserved so
+      // pre-column files keep reading their declared value)
+      case d: TableChange.UpdateColumnDefaultValue =>
+        LakeTable.setColumnDefault(spark, root.toString,
+          single(d.fieldNames()),
+          Option(d.newCurrentDefault()).map(_.getSql())
+            .filter(_.trim.nonEmpty))
+        None
       // SET TBLPROPERTIES: the two write-governing knobs are metadata
       // commits (existing files untouched); unknown keys refuse rather
       // than silently dropping a property the user thinks is set
@@ -354,7 +380,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"graft-lake evolution is additive; $other needs a table rewrite")
     }
-    if (adds.nonEmpty) LakeTable.addColumns(spark, root.toString, adds)
+    if (adds.nonEmpty)
+      LakeTable.addColumns(spark, root.toString, adds, addSpecs)
     loadTable(ident)
   }
 
@@ -446,7 +473,13 @@ private[lake] class LakeTableV2(spark: SparkSession,
 
   override def name(): String = ident
 
-  override def schema(): StructType = StructType.fromDDL(snap.schemaDdl)
+  /** Decorated with the column-semantics metadata keys: the analyzer
+    * resolves INSERT column omission / the DEFAULT keyword from
+    * `CURRENT_DEFAULT`, and accepts omission of generated/identity
+    * columns from their keys (the writers then compute/allocate).
+    */
+  override def schema(): StructType =
+    LakeColumns.decorate(StructType.fromDDL(snap.schemaDdl), snap.colSpecs)
 
   /** DESCRIBE / SHOW surfaces — and the analyzer's by-name INSERT
     * resolution — see the real partition spec.
@@ -474,7 +507,20 @@ private[lake] class LakeTableV2(spark: SparkSession,
        else Map("features" -> snap.features.toSeq.sorted.mkString(","))) ++
       (if (snap.constraints.isEmpty) Map.empty
        else Map("constraints" -> snap.constraints.toSeq.sortBy(_._1)
-         .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")))).asJava
+         .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; "))) ++
+      (if (snap.colSpecs.isEmpty) Map.empty
+       else Map("columnSemantics" -> snap.colSpecs.toSeq.sortBy(_._1)
+         .map { case (c, cs) => cs.kind match {
+           case LakeColumns.KindDefault =>
+             s"$c DEFAULT ${cs.spec("current")}"
+           case LakeColumns.KindGenerated =>
+             s"$c GENERATED ALWAYS AS (${cs.spec("expr")})"
+           case _ =>
+             val how = if (cs.spec("allowExplicit").toBoolean) "BY DEFAULT"
+               else "ALWAYS"
+             s"$c GENERATED $how AS IDENTITY (START WITH " +
+               s"${cs.spec("start")} INCREMENT BY ${cs.spec("step")})"
+         }}.mkString("; ")))).asJava
 
   override def constraints():
       Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =

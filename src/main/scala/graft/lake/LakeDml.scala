@@ -134,6 +134,21 @@ private[lake] object LakeDml {
       when(hit, keep).otherwise(rest)
     }
 
+  /** `GENERATED ALWAYS AS IDENTITY` refuses any explicit assignment
+    * (the SQL-standard contract; BY DEFAULT identity accepts them).
+    */
+  private[lake] def forbidAlwaysIdentity(snap: LakeLog.Snapshot,
+                                         a: Assignment,
+                                         op: String): Unit =
+    a.key.references.map(_.name).foreach { n =>
+      snap.colSpecs.get(n).foreach { cs =>
+        if (cs.kind == LakeColumns.KindIdentity &&
+            !cs.spec("allowExplicit").toBoolean)
+          throw new UnsupportedOperationException(
+            s"$op may not assign IDENTITY column '$n' (GENERATED ALWAYS)")
+      }
+    }
+
   private def assigned(as: Seq[Assignment], bind: Expression => Expression,
                        fd: StructField, default: Column): Column =
     as.collectFirst {
@@ -177,6 +192,18 @@ private[lake] final case class LakeMergeIntoCommand(
     val f = LakeLog.fileSystem(rootP, spark.sparkContext.hadoopConfiguration)
     val snap = LakeLog.snapshot(f, rootP, None)
     val schema = StructType.fromDDL(snap.schemaDdl)
+    // GENERATED ALWAYS AS IDENTITY columns take no explicit values —
+    // any UPDATE/INSERT assignment refuses at plan time (BY DEFAULT
+    // identity keeps assigned values; generated columns RECOMPUTE
+    // from the final row inside the rewrite, so stale values can't
+    // survive an update of their source columns)
+    (matched ++ notMatched ++ notMatchedBySource).foreach {
+      case u: UpdateAction => u.assignments.foreach(a =>
+        LakeDml.forbidAlwaysIdentity(snap, a, "MERGE UPDATE"))
+      case i: InsertAction => i.assignments.foreach(a =>
+        LakeDml.forbidAlwaysIdentity(snap, a, "MERGE INSERT"))
+      case _ => ()
+    }
     val targetIds = targetAttrs.map(_.exprId).toSet
     // the analyzed source plan executes as-is, keeping its attribute
     // ids, so source references in conditions/assignments resolve
@@ -217,7 +244,7 @@ private[lake] final case class LakeMergeIntoCommand(
     val cols = schema.fields.toSeq
     val tp = LakeTable
       .readAddsWithPos(spark, rootP, snap.schemaDdl, cands, snap.colMap,
-        snap.partitionBy)
+        snap.partitionBy, snap.colSpecs)
       .select(cols.map(fd => col(fd.name).as(s"__t_${fd.name}")) ++
         Seq(col("__file"), col("__pos")): _*)
       .localCheckpoint(eager = false) // cardinality check + 3 joins
@@ -306,13 +333,14 @@ private[lake] final case class LakeUpdateCommand(
     val f = LakeLog.fileSystem(rootP, spark.sparkContext.hadoopConfiguration)
     val snap = LakeLog.snapshot(f, rootP, None)
     val schema = StructType.fromDDL(snap.schemaDdl)
+    assignments.foreach(a => forbidAlwaysIdentity(snap, a, "UPDATE"))
     val targetIds = targetAttrs.map(_.exprId).toSet
     val pr = LakeTable.physRanges(
       condition.map(pruneRanges).getOrElse(Nil), snap.colMap)
     val cands = snap.files.filter(a =>
       pr.forall(r => LakeTable.mayMatch(a.stats, r)))
     val t = LakeTable.readAdds(spark, rootP, snap.schemaDdl, cands,
-      snap.colMap, snap.partitionBy)
+      snap.colMap, snap.partitionBy, snap.colSpecs)
     def bindT(e: Expression): Expression = e.transform {
       case a: AttributeReference if targetIds.contains(a.exprId) =>
         PlanBridge.expression(t(a.name))
@@ -360,7 +388,7 @@ private[lake] final case class LakeDeleteCommand(
     val cands = snap.files.filter(a =>
       pr.forall(r => LakeTable.mayMatch(a.stats, r)))
     val t = LakeTable.readAdds(spark, rootP, snap.schemaDdl, cands,
-      snap.colMap, snap.partitionBy)
+      snap.colMap, snap.partitionBy, snap.colSpecs)
     def bindT(e: Expression): Expression = e.transform {
       case a: AttributeReference if targetIds.contains(a.exprId) =>
         PlanBridge.expression(t(a.name))

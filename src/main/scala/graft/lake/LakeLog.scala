@@ -114,7 +114,20 @@ object LakeLog {
                               * physical names forever.
                               */
                             colMap: Map[String, String] = Map.empty,
-                            partitionBy: Seq[String] = Nil) {
+                            partitionBy: Seq[String] = Nil,
+                            /** Active column semantics, keyed by
+                              * logical column name ([[ColSpec]]).
+                              */
+                            colSpecs: Map[String, ColSpec] = Map.empty,
+                            /** Last allocated identity value per
+                              * identity column ([[IdentityHwm]]);
+                              * absent until the first allocation.
+                              */
+                            identityHwm: Map[String, Long] = Map.empty,
+                            /** Source files COPY INTO already loaded
+                              * ([[CopiedFile]]).
+                              */
+                            copiedFiles: Set[String] = Set.empty) {
     def filePaths: Set[String] = files.map(_.path).toSet
   }
 
@@ -142,7 +155,7 @@ object LakeLog {
     */
   val supportedFeatures: Set[String] =
     Set("deletion-vectors", "absolute-paths", "check-constraints",
-      "type-widening", "column-mapping")
+      "type-widening", "column-mapping", "column-semantics")
 
   /** Marks the table as requiring readers that understand `name`. */
   final case class Feature(name: String) extends Action
@@ -151,6 +164,47 @@ object LakeLog {
     * must reject incoming rows that violate any active constraint.
     */
   final case class Constraint(name: String, expr: String) extends Action
+
+  /** Column-level write semantics — the declarative column features a
+    * SQL user expects from a managed table:
+    *
+    *  - `kind = "default"`: `spec("current")` is the DEFAULT
+    *    expression SQL filled into INSERTs that omit the column;
+    *    `spec("exists")` (optional) is the value files written BEFORE
+    *    the column existed read back (applied by the parquet reader
+    *    via `EXISTS_DEFAULT` field metadata — a metadata-only
+    *    backfill, no rewrite).
+    *  - `kind = "generated"`: `spec("expr")` is a deterministic
+    *    expression over the table's other columns; writers compute it
+    *    and refuse conflicting user-supplied values.
+    *  - `kind = "identity"`: `spec("start")`/`spec("step")` (longs)
+    *    and `spec("allowExplicit")` ("true"/"false"); writers allocate
+    *    values past the replayed [[IdentityHwm]].
+    *
+    * An EMPTY `spec` drops the column's semantics (ALTER ... DROP
+    * DEFAULT). Replay is last-wins per column.
+    */
+  final case class ColSpec(col: String, kind: String,
+                           spec: Map[String, String]) extends Action
+
+  /** COPY INTO file-level idempotence: `src` is a fully-qualified
+    * source file URI this table has already loaded. A re-run of COPY
+    * INTO subtracts the replayed set, so ingesting the same landing
+    * directory twice is a no-op — exactly-once at FILE grain, the
+    * incremental-ingest contract. Cleared by REPLACE TABLE (the new
+    * definition never loaded anything); kept across INSERT OVERWRITE
+    * (loaded-file memory is ingest bookkeeping, not content).
+    */
+  final case class CopiedFile(src: String) extends Action
+
+  /** Identity high-water-mark: the extreme value (max for positive
+    * step, min for negative) an allocating write observed AFTER its
+    * own allocation, recorded in the same commit as the files. Replay
+    * is last-wins; allocators guard their base via
+    * [[commit]]'s `expectIdentityHwm` so two concurrent appends can
+    * never hand out overlapping ranges.
+    */
+  final case class IdentityHwm(col: String, value: Long) extends Action
 
   val checkpointInterval = 10
 
@@ -202,6 +256,13 @@ object LakeLog {
     case Feature(n) => ("a" -> "feature") ~ ("name" -> n)
     case Constraint(n, e) =>
       ("a" -> "constraint") ~ ("name" -> n) ~ ("expr" -> e)
+    case ColSpec(c, k, spec) =>
+      ("a" -> "colspec") ~ ("col" -> c) ~ ("kind" -> k) ~
+        ("spec" -> JObject(spec.toList.sortBy(_._1)
+          .map { case (sk, sv) => sk -> JString(sv) }))
+    case IdentityHwm(c, v) =>
+      ("a" -> "idhwm") ~ ("col" -> c) ~ ("value" -> v)
+    case CopiedFile(src) => ("a" -> "copied") ~ ("src" -> src)
     case Meta(op, ddl, statsCols, appId, batchId, ts, clusterBy, colMap,
               partitionBy) =>
       val base = ("a" -> "meta") ~ ("op" -> op) ~ ("schema" -> ddl) ~
@@ -242,6 +303,16 @@ object LakeLog {
       case JString("rm") => Remove(str("f"))
       case JString("feature") => Feature(str("name"))
       case JString("constraint") => Constraint(str("name"), str("expr"))
+      case JString("colspec") =>
+        val spec = (j \ "spec") match {
+          case JObject(fs) => fs.collect {
+            case (k, JString(v)) => k -> v
+          }.toMap
+          case _ => Map.empty[String, String]
+        }
+        ColSpec(str("col"), str("kind"), spec)
+      case JString("idhwm") => IdentityHwm(str("col"), lng(j \ "value"))
+      case JString("copied") => CopiedFile(str("src"))
       case JString("meta") =>
         val appId = (j \ "appId") match {
           case JString(s) => Some(s); case _ => None
@@ -383,12 +454,16 @@ object LakeLog {
              maxRetries: Int = 50,
              expectConstraints: Option[Map[String, String]] = None,
              dedupBatch: Option[(String, Long)] = None,
-             expectExactFiles: Boolean = false): Long = {
+             expectExactFiles: Boolean = false,
+             expectIdentityHwm: Option[Map[String, Long]] = None,
+             guardCopies: Seq[String] = Nil): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val v = latestVersion(fs, root).map(_ + 1).getOrElse(0L)
       if ((guardFiles.nonEmpty || expectConstraints.nonEmpty ||
-           dedupBatch.nonEmpty || expectExactFiles) && v != baseVersion + 1) {
+           dedupBatch.nonEmpty || expectExactFiles ||
+           expectIdentityHwm.nonEmpty || guardCopies.nonEmpty) &&
+          v != baseVersion + 1) {
         val cur = snapshot(fs, root, None)
         // exactly-once streaming: re-check the (appId, batchId) token
         // INSIDE the retry loop — a zombie duplicate that slipped past
@@ -431,6 +506,27 @@ object LakeLog {
               s"batch was being written (validated against $want, " +
               s"table now has ${cur.constraints}) — re-run the write")
         }
+        // an identity-allocating write handed out values past the
+        // watermark it READ; if a concurrent allocator advanced it
+        // since, this commit's range may overlap — abort, the caller
+        // re-reads and re-allocates (the serialization every identity
+        // implementation needs)
+        expectIdentityHwm.foreach { want =>
+          if (cur.identityHwm != want) throw new ConcurrentCommitException(
+            "identity allocation lost race: the high-water-mark moved " +
+              s"(allocated from $want, table now at ${cur.identityHwm}) " +
+              "— re-run the write")
+        }
+        // two COPY INTOs racing over the same landing files: the
+        // loser must notice the winner already loaded (some of) its
+        // files and abort — committing would double-load their rows
+        if (guardCopies.nonEmpty) {
+          val dup = guardCopies.filter(cur.copiedFiles.contains)
+          if (dup.nonEmpty) throw new ConcurrentCommitException(
+            "COPY INTO lost race: file(s) loaded by a concurrent copy " +
+              s"since this one planned: ${dup.take(3)}… — re-run (the " +
+              "re-run will skip them)")
+        }
       }
       if (tryCommit(fs, root, v, actions)) {
         if (v > 0 && v % checkpointInterval == 0) writeCheckpoint(fs, root, v)
@@ -468,6 +564,10 @@ object LakeLog {
           snap.constraints.toSeq.sortBy(_._1).map {
             case (n, e) => Constraint(n, e)
           } ++
+          snap.colSpecs.toSeq.sortBy(_._1).map(_._2) ++
+          snap.identityHwm.toSeq.sortBy(_._1).map {
+            case (c, v) => IdentityHwm(c, v)
+          } ++
           snap.committedBatches.toSeq.sortBy(_._1).map { case (app, b) =>
             Meta("batchmark", snap.schemaDdl, Nil, Some(app), Some(b), 0L)
           })
@@ -480,10 +580,15 @@ object LakeLog {
       writeString(fs, tmp, body)
       fs.rename(tmp, target): Unit
     }
-    if (snap.files.size <= checkpointPartRows)
-      put(p, render(header ++ snap.files))
+    // CopiedFile entries scale with ingest history exactly like Adds
+    // scale with the table — they shard into the same part files, so
+    // no single driver-side string ever holds a 10^6-file ingest log
+    val bulk: Seq[Action] =
+      snap.files ++ snap.copiedFiles.toSeq.sorted.map(CopiedFile(_))
+    if (bulk.size <= checkpointPartRows)
+      put(p, render(header ++ bulk))
     else {
-      val parts = snap.files.grouped(checkpointPartRows).toSeq
+      val parts = bulk.grouped(checkpointPartRows).toSeq
       parts.zipWithIndex.foreach { case (fsPart, i) =>
         put(checkpointPartPath(root, v, i), render(fsPart))
       }
@@ -528,9 +633,17 @@ object LakeLog {
     val batches = mutable.Map[String, Long]()
     val features = mutable.Set[String]()
     val constraints = mutable.LinkedHashMap[String, String]()
+    val colSpecs = mutable.LinkedHashMap[String, ColSpec]()
+    val identityHwm = mutable.Map[String, Long]()
+    val copiedFiles = mutable.Set[String]()
     def one(a: Action): Unit = a match {
       case a: Add    => files(a.path) = a
       case Remove(p) => files.remove(p)
+      case cs: ColSpec =>
+        if (cs.spec.isEmpty) colSpecs.remove(cs.col)
+        else colSpecs(cs.col) = cs
+      case IdentityHwm(c, v) => identityHwm(c) = v
+      case CopiedFile(src) => copiedFiles += src
       case Feature(n) =>
         if (!supportedFeatures.contains(n))
           throw new UnsupportedFeatureException(
@@ -563,6 +676,12 @@ object LakeLog {
           constraints.clear()
           features.clear()
           files.clear()
+          // the new definition's own ColSpecs ride the replace commit;
+          // identity numbering and COPY INTO ingest memory restart
+          // with the new table definition
+          colSpecs.clear()
+          identityHwm.clear()
+          copiedFiles.clear()
         } else if (op == "overwrite") {
           // INSERT OVERWRITE / streaming Complete-mode truncate: the
           // same authoritative CONTENT reset (live file set cleared —
@@ -618,6 +737,7 @@ object LakeLog {
       readCommit(fs, root, v).foreach(one)
     }
     Snapshot(target, schemaDdl, statsCols, files.values.toSeq, batches.toMap,
-      clusterBy, features.toSet, constraints.toMap, colMap, partitionBy)
+      clusterBy, features.toSet, constraints.toMap, colMap, partitionBy,
+      colSpecs.toMap, identityHwm.toMap, copiedFiles.toSet)
   }
 }

@@ -80,7 +80,7 @@ final class LakeMorExpansion(spark: SparkSession) extends Rule[LogicalPlan] {
         val rel = l.relation.asInstanceOf[LakeCdfRelation]
         splice(l.output,
           LakeTable.cdfFrame(spark, rel.root, rel.dataDdl, rel.from, rel.to,
-            rel.colMap, rel.partitionBy))
+            rel.colMap, rel.partitionBy, rel.colSpecs))
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[LakeTableV2] && !writeTargets.contains(r) =>
         val t = r.table.asInstanceOf[LakeTableV2]

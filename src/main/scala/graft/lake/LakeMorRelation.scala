@@ -47,7 +47,7 @@ private[lake] final class LakeMorRelation(spark: SparkSession,
     val kept = snap.files.filter(a =>
       pr.forall(r => LakeTable.mayMatch(a.stats, r)))
     val df = LakeTable.readAdds(spark, root, snap.schemaDdl, kept,
-        snap.colMap, snap.partitionBy)
+        snap.colMap, snap.partitionBy, snap.colSpecs)
       .where(LakeTable.rangeFilter(ranges.toSeq))
     df.select(requiredColumns.toSeq.map(col): _*).rdd
   }
@@ -69,7 +69,10 @@ private[lake] final class LakeCdfRelation(spark: SparkSession,
                                           private[lake] val colMap:
                                             Map[String, String] = Map.empty,
                                           private[lake] val partitionBy:
-                                            Seq[String] = Nil)
+                                            Seq[String] = Nil,
+                                          private[lake] val colSpecs:
+                                            Map[String, LakeLog.ColSpec] =
+                                              Map.empty)
     extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = spark.sqlContext
@@ -79,7 +82,7 @@ private[lake] final class LakeCdfRelation(spark: SparkSession,
 
   override def buildScan(): RDD[Row] = {
     val frames = LakeTable.changeFrames(spark, root, dataDdl, from, to,
-      colMap, partitionBy)
+      colMap, partitionBy, colSpecs)
     val df =
       if (frames.isEmpty) LakeTable.emptyChanges(spark, root, dataDdl)
       else frames.reduce(_.unionByName(_))

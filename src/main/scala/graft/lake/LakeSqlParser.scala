@@ -80,6 +80,8 @@ private[lake] object LakeSqlStatements {
     s"""(?is)^\\s*CREATE\\s+TABLE\\s+$target\\s+SHALLOW\\s+CLONE\\s+$target(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""".r
   private val convertRe: Regex =
     s"""(?is)^\\s*CONVERT\\s+TO\\s+LAKE\\s+('[^']+')\\s*(?:STATS\\s+COLUMNS\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
+  private val copyIntoRe: Regex =
+    s"""(?is)^\\s*COPY\\s+INTO\\s+$target\\s+FROM\\s+('[^']+')\\s*(?:FILEFORMAT\\s*=\\s*PARQUET)?\\s*(?:PATTERN\\s*=\\s*'([^']+)')?\\s*;?\\s*$$""".r
 
   def parse(session: SparkSession, sqlText: String,
             delegate: ParserInterface): Option[LogicalPlan] =
@@ -105,6 +107,9 @@ private[lake] object LakeSqlStatements {
       case convertRe(path, stats) =>
         Some(LakeConvertCommand(path.stripPrefix("'").stripSuffix("'"),
           Option(stats).map(_.split(",").map(stripTicks).toSeq)))
+      case copyIntoRe(t, path, pattern) =>
+        Some(LakeCopyIntoCommand(parts(t, delegate),
+          path.stripPrefix("'").stripSuffix("'"), Option(pattern)))
       case _ => None
     }
 
@@ -325,6 +330,29 @@ private[lake] final case class LakeShallowCloneCommand(
   * auto-detected from the paths. No data moves. The directory then
   * reads/writes as a normal lake table root.
   */
+/** `COPY INTO <table> FROM '<dir>' [FILEFORMAT = PARQUET]
+  * [PATTERN = '<glob>']` — idempotent file-grain parquet ingest
+  * ([[LakeTable.copyInto]]): re-runs skip already-loaded files, the
+  * loaded-file set rides the same commit as the rows.
+  */
+private[lake] final case class LakeCopyIntoCommand(
+    table: Either[String, Seq[String]],
+    from: String,
+    pattern: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("files_loaded", LongType, nullable = false)(),
+    AttributeReference("rows_loaded", LongType, nullable = false)(),
+    AttributeReference("files_skipped", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = LakeSqlStatements.rootOf(spark, table)
+    val (loaded, rows, skipped) =
+      LakeTable.copyInto(spark, root, from, pattern)
+    Seq(Row(loaded, rows, skipped))
+  }
+}
+
 private[lake] final case class LakeConvertCommand(
     rootPath: String,
     statsCols: Option[Seq[String]]) extends LeafRunnableCommand {

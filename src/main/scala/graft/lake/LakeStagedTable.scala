@@ -50,13 +50,16 @@ private[lake] final class LakeStagedTable(
     properties: util.Map[String, String],
     constraintsToAdd: Seq[(String, String)],
     replacing: Option[LakeLog.Snapshot],
-    partitionBy: Seq[String] = Nil) extends StagedTable
+    partitionBy: Seq[String] = Nil,
+    colSpecs: Seq[LakeLog.ColSpec] = Nil) extends StagedTable
     with SupportsWrite {
 
   private def hfs = LakeLog.fileSystem(root,
     spark.sparkContext.hadoopConfiguration)
 
   LakeTable.requirePartitionColsSupported(tableSchema, partitionBy)
+  LakeColumns.validate(spark, LakeColumns.strip(tableSchema), colSpecs,
+    partitionBy)
 
   private val props = properties.asScala
   private val statsCols: Seq[String] = {
@@ -198,14 +201,26 @@ private[lake] final class LakeStagedTable(
       if (constraintsToAdd.isEmpty) Nil
       else LakeLog.Feature("check-constraints") +:
         constraintsToAdd.map { case (n, e) => LakeLog.Constraint(n, e) }
+    // column semantics ride the same single commit. Staged DATA with
+    // generated/identity specs cannot arise from SQL (CTAS derives its
+    // schema from the query, which cannot declare them) — refuse
+    // rather than land rows that bypassed computation/allocation
+    if (staged.nonEmpty && colSpecs.exists(_.kind != LakeColumns.KindDefault))
+      throw new UnsupportedOperationException(
+        "staged writes cannot carry generated/identity columns — " +
+          "CREATE the table first, then INSERT INTO it")
+    val semActions =
+      if (colSpecs.isEmpty) Nil
+      else LakeLog.Feature("column-semantics") +: colSpecs
     try replacing match {
       case None =>
         // CREATE: the table must still not exist — version 0 is the
         // atomicity point, a racing create loses the rename
         val ok = LakeLog.tryCommit(hfs, root, 0L,
-          (Meta("create", tableSchema.toDDL, statsCols, None, None,
-            System.currentTimeMillis(), clusterBy,
-            partitionBy = partitionBy) +: conActions) ++ staged)
+          (Meta("create", LakeColumns.strip(tableSchema).toDDL, statsCols,
+            None, None, System.currentTimeMillis(), clusterBy,
+            partitionBy = partitionBy) +: (conActions ++ semActions)) ++
+            staged)
         if (!ok) {
           abortStagedChanges()
           throw new LakeLog.ConcurrentCommitException(
@@ -216,9 +231,9 @@ private[lake] final class LakeStagedTable(
         // in, new definition verbatim (the replay rule resets policy,
         // INCLUDING the partition spec)
         LakeLog.commit(hfs, root,
-          ((Meta("replace", tableSchema.toDDL, statsCols, None, None,
-            System.currentTimeMillis(), clusterBy,
-            partitionBy = partitionBy) +: conActions) ++
+          ((Meta("replace", LakeColumns.strip(tableSchema).toDDL, statsCols,
+            None, None, System.currentTimeMillis(), clusterBy,
+            partitionBy = partitionBy) +: (conActions ++ semActions)) ++
             old.files.map(a => Remove(a.path))) ++ staged,
           guardFiles = old.files, baseVersion = old.version,
           expectExactFiles = true)

@@ -86,7 +86,7 @@ class LakeStreamSourceProvider extends StreamSourceProvider
         s"bad change range [$from, $to]: table has 0..$latest")
       val toSnap = LakeLog.snapshot(fs, root, Some(to))
       return new LakeCdfRelation(session, root, from, to, toSnap.schemaDdl,
-        toSnap.colMap, toSnap.partitionBy)
+        toSnap.colMap, toSnap.partitionBy, toSnap.colSpecs)
     }
     val byVersion = parameters.get("versionAsOf").map(_.toLong)
     val byTs = parameters.get("timestampAsOf").map(t =>
@@ -173,6 +173,7 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
   private val schemaDdl: String = startSnap.schemaDdl
   private val colMap: Map[String, String] = startSnap.colMap
   private val partitionBy: Seq[String] = startSnap.partitionBy
+  private val colSpecs: Map[String, LakeLog.ColSpec] = startSnap.colSpecs
 
   override val schema: StructType = {
     val base = StructType.fromDDL(schemaDdl)
@@ -227,7 +228,7 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
     val session = sqlContext.sparkSession
     if (readChangeFeed) {
       val frames = LakeTable.changeFrames(session, rootP, schemaDdl, from,
-        to, colMap, partitionBy)
+        to, colMap, partitionBy, colSpecs)
       val batch =
         if (frames.isEmpty) LakeTable.emptyChanges(session, rootP, schemaDdl)
         else frames.reduce(_.unionByName(_))
@@ -251,7 +252,7 @@ class LakeStreamSource(sqlContext: SQLContext, root: String,
     // rows (pure appends carry no DV, so the common path is the same
     // single multi-path parquet scan as before)
     val batch = LakeTable.readAdds(session, rootP, schemaDdl, adds, colMap,
-      partitionBy)
+      partitionBy, colSpecs)
     // v1 source contract: the returned frame must be tagged streaming
     org.apache.spark.sql.graft.StreamingFrames.asStreaming(batch)
   }

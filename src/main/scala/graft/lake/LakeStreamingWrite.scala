@@ -83,6 +83,17 @@ private[lake] final class LakeStreamingWrite(
   planSnap.partitionBy.foreach(c =>
     require(writeSchema.fieldNames.contains(c),
       s"streaming write must carry partition column '$c'"))
+  // generated/identity columns need a computation/allocation step the
+  // task-level streaming writers deliberately do not have (identity
+  // would also serialize every epoch on the watermark guard). The
+  // keyed-upsert and foreachBatch sinks route through LakeTable.append
+  // / merge, which DO apply semantics — point there instead of writing
+  // nulls into a column the table promises to fill
+  planSnap.colSpecs.values.find(_.kind != LakeColumns.KindDefault)
+    .foreach(cs => throw new UnsupportedOperationException(
+      s"streaming writes into a table with ${cs.kind} column " +
+        s"'${cs.col}' are not supported — use foreachBatch with " +
+        "LakeTable.append (which computes/allocates per batch)"))
 
   /** Evolved table DDL this epoch commits under (== baseDdl unless
     * mergeSchema adds/keeps columns). Computed with the same additive

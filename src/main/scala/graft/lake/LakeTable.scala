@@ -262,7 +262,12 @@ object LakeTable {
       Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
     }
+    // explicit schema: partition-directory TYPE INFERENCE must not
+    // run — `day=2024-01-01` dirs would come back as DATE when the
+    // declared column is STRING, and the stats fold would record a
+    // type the pruning comparators (and normalizeStat) refuse
     val statRows = spark.read.option("basePath", outDir.toString)
+      .schema(df.schema)
       .parquet(outDir.toString)
       .groupBy(relKey.as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -340,23 +345,37 @@ object LakeTable {
              statsCols: Seq[String], nFiles: Int = 8,
              clusterBy: Option[String] = None,
              checks: Seq[(String, String)] = Nil,
-             partitionBy: Seq[String] = Nil): Long = {
+             partitionBy: Seq[String] = Nil,
+             colSpecs: Seq[LakeLog.ColSpec] = Nil): Long = {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     require(LakeLog.latestVersion(f, rootP).isEmpty,
       s"lake table already exists at $root")
-    requirePartitionColsSupported(df.schema, partitionBy)
-    enforceConstraints(df, checks.toMap, "create")
+    // the schema may arrive decorated with the analyzer's semantics
+    // metadata (DEFAULT clauses) — the log's DDL stays plain, the
+    // semantics live as ColSpec actions
+    val schema = LakeColumns.strip(df.schema)
+    requirePartitionColsSupported(schema, partitionBy)
+    LakeColumns.validate(spark, schema, colSpecs, partitionBy)
+    val specMap = colSpecs.map(cs => cs.col -> cs).toMap
+    val (df1, alloc) = LakeColumns.applyWriteSemantics(
+      spark, schema, specMap, Map.empty, df)
+    enforceConstraints(df1, checks.toMap, "create")
     val conActions =
       if (checks.isEmpty) Nil
       else LakeLog.Feature("check-constraints") +:
         checks.map { case (n, e) => LakeLog.Constraint(n, e) }
-    val allStats = statsCols ++ partitionBy.filterNot(statsCols.contains)
-    val adds = writeDataFiles(spark, rootP, df, allStats, nFiles, clusterBy,
+    val semActions =
+      if (colSpecs.isEmpty) Nil
+      else LakeLog.Feature("column-semantics") +: colSpecs
+    val allStats = LakeColumns.statsColsFor(
+      statsCols ++ partitionBy.filterNot(statsCols.contains), specMap)
+    val adds = writeDataFiles(spark, rootP, df1, allStats, nFiles, clusterBy,
       partitionBy = partitionBy)
     LakeLog.commit(f, rootP,
-      (Meta("create", df.schema.toDDL, allStats, None, None, now(),
-        clusterBy, partitionBy = partitionBy) +: conActions) ++ adds)
+      (Meta("create", schema.toDDL, allStats, None, None, now(),
+        clusterBy, partitionBy = partitionBy) +:
+        (conActions ++ semActions)) ++ adds ++ alloc.hwmActions(adds))
   }
 
   /** `CONVERT TO LAKE` — IN-PLACE adoption of an existing parquet
@@ -613,16 +632,23 @@ object LakeTable {
           s"batch $b of app '$app' already committed at table version " +
             s"${snap.version}")
 
-  def append(spark: SparkSession, root: String, df: DataFrame,
+  def append(spark: SparkSession, root: String, df0: DataFrame,
              nFiles: Int = 4, clusterBy: Option[String] = None,
              appId: Option[String] = None,
              batchId: Option[Long] = None,
              mergeSchema: Boolean = false,
-             widenTypes: Boolean = false): Long = {
+             widenTypes: Boolean = false,
+             copiedSources: Seq[String] = Nil): Long = {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val snap = LakeLog.snapshot(f, rootP, None)
     requireFreshBatch(snap, appId, batchId)
+    // column semantics run FIRST: fill omitted defaulted columns,
+    // compute generated columns, allocate identity values — the batch
+    // then faces the same schema/constraint gates as any other
+    val (df, alloc) = LakeColumns.applyWriteSemantics(spark,
+      StructType.fromDDL(snap.schemaDdl), snap.colSpecs, snap.identityHwm,
+      df0)
     val ddl =
       if (mergeSchema) evolvedSchemaDdl(snap.schemaDdl, df, widenTypes)
       else { requireSameSchema(snap.schemaDdl, df); snap.schemaDdl }
@@ -655,7 +681,8 @@ object LakeTable {
     // (mayMatch treats missing stats as "may match", the conservative
     // read that is also exactly right: the column is all-null there),
     // so only measure stats for columns the batch actually has
-    val fileStatsCols = snap.statsCols.filter(dfw.columns.contains)
+    val fileStatsCols = LakeColumns.statsColsFor(
+      snap.statsCols.filter(dfw.columns.contains), snap.colSpecs)
     val effMap = if (evoMap.isEmpty) snap.colMap else evoMap
     // a mergeSchema append must still carry the partition columns —
     // partitioned files cannot null-fill them from the path
@@ -664,13 +691,98 @@ object LakeTable {
     val adds = writeDataFiles(spark, rootP, dfw, fileStatsCols, nFiles,
       clusterBy.orElse(snap.clusterBy), effMap, snap.partitionBy)
     LakeLog.commit(f, rootP,
-      (Meta("append", ddl, snap.statsCols, appId, batchId,
+      ((Meta(if (copiedSources.isEmpty) "append" else "copyinto", ddl,
+        snap.statsCols, appId, batchId,
         now(), colMap = effMap) +:
         (if (widenedCols.isEmpty) Nil
-         else Seq(LakeLog.Feature("type-widening")))) ++ adds,
+         else Seq(LakeLog.Feature("type-widening")))) ++ adds) ++
+        alloc.hwmActions(adds) ++
+        copiedSources.map(LakeLog.CopiedFile(_)),
       baseVersion = snap.version,
       expectConstraints = Some(snap.constraints),
-      dedupBatch = appId.zip(batchId))
+      dedupBatch = appId.zip(batchId),
+      expectIdentityHwm = if (alloc.isEmpty) None else Some(alloc.baseHwm),
+      guardCopies = copiedSources)
+  }
+
+  /** `COPY INTO <table> FROM '<dir>'` — idempotent FILE-grain ingest
+    * of a parquet landing directory, the standing companion to
+    * `CONVERT TO LAKE`: convert adopts the data you already have,
+    * COPY INTO keeps loading what keeps arriving. Every successfully
+    * loaded source file is recorded as a [[LakeLog.CopiedFile]] in
+    * the SAME commit as its rows, so a re-run (cron retry, failed
+    * orchestrator step, a second team member) subtracts the replayed
+    * set and loads only genuinely new files — exactly-once ingest
+    * without a streaming checkpoint. Racing copies are safe: the
+    * commit aborts if a concurrent copy loaded any of this run's
+    * files first (`guardCopies`).
+    *
+    * Schema contract (strict, Delta-parity): every incoming column
+    * must exist in the table (extra columns refuse); types must match
+    * or losslessly upcast; table columns missing from the source
+    * refuse UNLESS column semantics fill them (DEFAULT / GENERATED /
+    * IDENTITY — ingest composes with the declarative column features,
+    * so a landing feed without ids gets them allocated on the way in).
+    *
+    * Returns (filesLoaded, rowsLoaded, filesSkipped).
+    */
+  def copyInto(spark: SparkSession, root: String, from: String,
+               pattern: Option[String] = None): (Long, Long, Long) = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    val fromP = new Path(from)
+    val srcFs = LakeLog.fileSystem(fromP,
+      spark.sparkContext.hadoopConfiguration)
+    require(srcFs.exists(fromP), s"COPY INTO source not found: $from")
+    val qualFrom = srcFs.makeQualified(fromP).toUri.toString
+    val matcher = pattern.map(p => java.nio.file.FileSystems.getDefault
+      .getPathMatcher("glob:" + p))
+    val found = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = srcFs.listFiles(fromP, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val uri = st.getPath.toUri.toString
+      val rel = uri.stripPrefix(qualFrom).stripPrefix("/")
+      if (uri.endsWith(".parquet") &&
+          !rel.split('/').exists(_.startsWith("_")) &&
+          matcher.forall(_.matches(
+            java.nio.file.Paths.get(rel))))
+        found += uri
+    }
+    val (skipped, fresh) = found.sorted.partition(snap.copiedFiles.contains)
+    if (fresh.isEmpty) return (0L, 0L, skipped.size.toLong)
+
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val raw = spark.read.parquet(fresh.toSeq: _*)
+    val extra = raw.columns.filterNot(schema.fieldNames.contains)
+    require(extra.isEmpty,
+      s"COPY INTO: source carries column(s) ${extra.mkString(", ")} the " +
+        "table does not have — evolve the table first or fix the feed")
+    val missing = schema.fields.filterNot(fd =>
+      raw.columns.contains(fd.name) || snap.colSpecs.contains(fd.name))
+    require(missing.isEmpty,
+      s"COPY INTO: source is missing column(s) " +
+        s"${missing.map(_.name).mkString(", ")} (only DEFAULT/GENERATED/" +
+        "IDENTITY columns may be omitted)")
+    val aligned = raw.select(raw.columns.toSeq.map { c =>
+      val want = schema(c).dataType
+      val got = raw.schema(c).dataType
+      if (got == want) col(c)
+      else {
+        require(org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(got, want),
+          s"COPY INTO: column '$c' is ${got.sql} in the source but " +
+            s"${want.sql} in the table — not a lossless upcast")
+        col(c).cast(want)
+      }
+    }: _*)
+    // parquet count() is a footer-only job — rows reported without a
+    // data pass
+    val rows = raw.count()
+    append(spark, root, aligned, nFiles = math.max(2, fresh.size / 4),
+      copiedSources = fresh.toSeq)
+    (fresh.size.toLong, rows, skipped.size.toLong)
   }
 
   /** Metadata-only ADDITIVE evolution — `ALTER TABLE ... ADD COLUMNS`:
@@ -681,7 +793,8 @@ object LakeTable {
     * untouched (a Meta-only commit never resets cumulative actions).
     */
   def addColumns(spark: SparkSession, root: String,
-                 cols: Seq[StructField]): Long = {
+                 cols: Seq[StructField],
+                 colSpecs: Seq[LakeLog.ColSpec] = Nil): Long = {
     require(cols.nonEmpty, "addColumns needs at least one column")
     val rootP = new Path(root)
     val f = fs(spark, rootP)
@@ -692,8 +805,26 @@ object LakeTable {
     require(clash.isEmpty,
       s"column(s) ${clash.mkString(", ")} already exist — evolution is " +
         "additive (no renames/retypes without a rewrite)")
-    val ddl = StructType(existing.fields ++
-      cols.map(_.copy(nullable = true))).toDDL
+    val evolved = StructType(existing.fields ++
+      cols.map(c => LakeColumns.strip(StructType(Seq(c))).head
+        .copy(nullable = true)))
+    // ADD COLUMN ... DEFAULT: the "exists" default makes every file
+    // written BEFORE this commit read the default back (the parquet
+    // reader's EXISTS_DEFAULT machinery) — a metadata-only backfill
+    require(colSpecs.forall(cs => cols.exists(_.name == cs.col)),
+      "addColumns specs must target the added columns")
+    // only DEFAULT can join after the fact: a generated/identity
+    // column would need values computed INTO existing rows — a
+    // rewrite this format refuses to imply
+    colSpecs.find(_.kind != LakeColumns.KindDefault).foreach(cs =>
+      throw new UnsupportedOperationException(
+        s"ADD COLUMN ${cs.col}: ${cs.kind} columns can only be declared " +
+          "at CREATE/REPLACE TABLE (existing rows cannot be backfilled " +
+          "without a rewrite)"))
+    LakeColumns.validate(spark, evolved, colSpecs, snap.partitionBy)
+    val semActions =
+      if (colSpecs.isEmpty) Nil
+      else LakeLog.Feature("column-semantics") +: colSpecs
     // under column mapping, a NEW column must never reuse a dropped
     // column's physical name (old files' orphaned values would
     // resurrect into it) — fresh columns get uuid physical names
@@ -701,8 +832,42 @@ object LakeTable {
       if (snap.colMap.isEmpty) Map.empty[String, String]
       else snap.colMap ++ cols.map(c => c.name -> freshPhysical())
     LakeLog.commit(f, rootP,
-      Seq(Meta("altertable", ddl, snap.statsCols, None, None, now(),
-        colMap = colMap)))
+      Meta("altertable", evolved.toDDL, snap.statsCols, None, None, now(),
+        colMap = colMap) +: semActions)
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN c SET DEFAULT e` / `DROP DEFAULT`:
+    * one metadata commit changing the CURRENT default (what future
+    * INSERTs fill). The EXISTS default — what files written before
+    * the column existed read back — is deliberately PRESERVED across
+    * both: dropping it would silently flip those files' rows from the
+    * declared default to NULL, i.e. rewrite history with a metadata
+    * statement.
+    */
+  def setColumnDefault(spark: SparkSession, root: String, colName: String,
+                       current: Option[String]): Long = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    require(schema.fieldNames.contains(colName),
+      s"no column '$colName'")
+    val old = snap.colSpecs.get(colName)
+    old.filter(_.kind != LakeColumns.KindDefault).foreach(cs =>
+      throw new UnsupportedOperationException(
+        s"column '$colName' is ${cs.kind} — it cannot carry a DEFAULT"))
+    val keepExists = old.map(_.spec).getOrElse(Map.empty)
+      .get("exists").map("exists" -> _)
+    val spec = current match {
+      case Some(sql) => Map("current" -> sql) ++ keepExists
+      case None      => keepExists.toMap // empty map drops the entry
+    }
+    val cs = LakeLog.ColSpec(colName, LakeColumns.KindDefault, spec)
+    if (current.isDefined)
+      LakeColumns.validate(spark, schema, Seq(cs), snap.partitionBy)
+    LakeLog.commit(f, rootP, Seq(
+      Meta("setdefault", snap.schemaDdl, snap.statsCols, None, None, now()),
+      LakeLog.Feature("column-semantics"), cs))
   }
 
   private def freshPhysical(): String =
@@ -818,9 +983,14 @@ object LakeTable {
       if (fd.name == from) fd.copy(name = to) else fd)).toDDL
     val statsCols = snap.statsCols.map(c => if (c == from) to else c)
     val clusterBy = snap.clusterBy.map(renameInClusterSpec(_, from, to))
+    // the column's own semantics follow the rename (its generation
+    // SOURCES were guarded above)
+    val semMoves = snap.colSpecs.get(from).toSeq.flatMap(cs => Seq(
+      LakeLog.ColSpec(from, cs.kind, Map.empty),
+      cs.copy(col = to)))
     LakeLog.commit(f, rootP,
       Seq(Meta("renamecolumn", ddl, statsCols, None, None, now(),
-        clusterBy, colMap), LakeLog.Feature("column-mapping")))
+        clusterBy, colMap), LakeLog.Feature("column-mapping")) ++ semMoves)
   }
 
   /** DROP COLUMN as a metadata-only commit: the physical column stays
@@ -851,9 +1021,11 @@ object LakeTable {
       n -> snap.colMap.getOrElse(n, n)).toMap
     val ddl = StructType(schema.fields.filterNot(_.name == name)).toDDL
     val statsCols = snap.statsCols.filterNot(_ == name)
+    val semDrops = snap.colSpecs.get(name).toSeq.map(cs =>
+      LakeLog.ColSpec(name, cs.kind, Map.empty))
     LakeLog.commit(f, rootP,
       Seq(Meta("dropcolumn", ddl, statsCols, None, None, now(),
-        colMap = colMap), LakeLog.Feature("column-mapping")))
+        colMap = colMap), LakeLog.Feature("column-mapping")) ++ semDrops)
   }
 
   /** A rename/drop under a referencing CHECK constraint or cluster
@@ -867,6 +1039,15 @@ object LakeTable {
         s"cannot $what column '$name': CHECK constraint '$n' ($e) " +
           "references it — drop the constraint first")
     }
+    // a GENERATED column's expression is part of the table contract:
+    // renaming/dropping one of its source columns would orphan it
+    snap.colSpecs.values.filter(_.kind == LakeColumns.KindGenerated)
+      .foreach { cs =>
+        require(cs.col == name ||
+          word.findFirstIn(cs.spec("expr")).isEmpty,
+          s"cannot $what column '$name': generated column '${cs.col}' " +
+            s"(${cs.spec("expr")}) references it")
+      }
   }
 
   private def renameInClusterSpec(spec: String, from: String,
@@ -879,21 +1060,27 @@ object LakeTable {
     else ren(spec)
   }
 
-  def overwrite(spark: SparkSession, root: String, df: DataFrame,
+  def overwrite(spark: SparkSession, root: String, df0: DataFrame,
                 nFiles: Int = 8, clusterBy: Option[String] = None): Long = {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val snap = LakeLog.snapshot(f, rootP, None)
+    val (df, alloc) = LakeColumns.applyWriteSemantics(spark,
+      StructType.fromDDL(snap.schemaDdl), snap.colSpecs, snap.identityHwm,
+      df0)
     requireSameSchema(snap.schemaDdl, df)
     enforceConstraints(df, snap.constraints, "overwrite")
-    val adds = writeDataFiles(spark, rootP, df, snap.statsCols, nFiles,
+    val adds = writeDataFiles(spark, rootP, df,
+      LakeColumns.statsColsFor(snap.statsCols, snap.colSpecs), nFiles,
       clusterBy.orElse(snap.clusterBy), snap.colMap, snap.partitionBy)
     LakeLog.commit(f, rootP,
-      (Meta("overwrite", snap.schemaDdl, snap.statsCols, None, None, now()) +:
-        snap.files.map(a => Remove(a.path))) ++ adds,
+      ((Meta("overwrite", snap.schemaDdl, snap.statsCols, None, None,
+        now()) +: snap.files.map(a => Remove(a.path))) ++ adds) ++
+        alloc.hwmActions(adds),
       guardFiles = snap.files, baseVersion = snap.version,
       expectConstraints = Some(snap.constraints),
-      expectExactFiles = true)
+      expectExactFiles = true,
+      expectIdentityHwm = if (alloc.isEmpty) None else Some(alloc.baseHwm))
   }
 
   // ---- reads --------------------------------------------------------
@@ -926,10 +1113,13 @@ object LakeTable {
     */
   private def partitionedFrame(spark: SparkSession, root: Path,
                                schemaDdl: String, adds: Seq[Add],
-                               partitionBy: Seq[String]): DataFrame = {
+                               partitionBy: Seq[String],
+                               colSpecs: Map[String, LakeLog.ColSpec] =
+                                 Map.empty): DataFrame = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-    val schema = StructType.fromDDL(schemaDdl)
+    val schema = LakeColumns.decorateExists(
+      StructType.fromDDL(schemaDdl), colSpecs)
     val snap = LakeLog.Snapshot(0L, schemaDdl, Nil, adds, Map.empty, None,
       partitionBy = partitionBy)
     spark.baseRelationToDataFrame(HadoopFsRelation(
@@ -945,14 +1135,20 @@ object LakeTable {
   private def readFiles(spark: SparkSession, root: Path, schemaDdl: String,
                         adds: Seq[Add],
                         colMap: Map[String, String] = Map.empty,
-                        partitionBy: Seq[String] = Nil): DataFrame = {
-    val schema = StructType.fromDDL(schemaDdl)
+                        partitionBy: Seq[String] = Nil,
+                        colSpecs: Map[String, LakeLog.ColSpec] = Map.empty)
+      : DataFrame = {
+    // EXISTS_DEFAULT decoration: files written before an ADD COLUMN
+    // ... DEFAULT read the declared default (not null) — the parquet
+    // reader's own existence-default machinery, applied per file
+    val schema = LakeColumns.decorateExists(
+      StructType.fromDDL(schemaDdl), colSpecs)
     if (adds.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else if (partitionBy.nonEmpty)
       // partition columns injected from the log; column mapping is
       // refused on partitioned tables (rename/drop refuse there)
-      partitionedFrame(spark, root, schemaDdl, adds, partitionBy)
+      partitionedFrame(spark, root, schemaDdl, adds, partitionBy, colSpecs)
         .select(schema.fieldNames.toSeq.map(col): _*)
     else {
       val raw = spark.read.schema(physicalSchema(schema, colMap))
@@ -1018,14 +1214,17 @@ object LakeTable {
                                schemaDdl: String,
                                adds: Seq[Add],
                                colMap: Map[String, String] = Map.empty,
-                               partitionBy: Seq[String] = Nil)
+                               partitionBy: Seq[String] = Nil,
+                               colSpecs: Map[String, LakeLog.ColSpec] =
+                                 Map.empty)
       : DataFrame = {
-    val schema = StructType.fromDDL(schemaDdl)
+    val schema = LakeColumns.decorateExists(
+      StructType.fromDDL(schemaDdl), colSpecs)
     if (adds.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](),
         schema.add("__file", StringType).add("__pos", LongType))
     else if (partitionBy.nonEmpty)
-      partitionedFrame(spark, root, schemaDdl, adds, partitionBy)
+      partitionedFrame(spark, root, schemaDdl, adds, partitionBy, colSpecs)
         .withColumn("__file", fileRelPath(idDepth(partitionBy)))
         .withColumn("__pos", col("_metadata.row_index"))
         .select(schema.fieldNames.toSeq.map(col) ++
@@ -1052,16 +1251,19 @@ object LakeTable {
   private[lake] def readAdds(spark: SparkSession, root: Path,
                              schemaDdl: String, adds: Seq[Add],
                              colMap: Map[String, String] = Map.empty,
-                             partitionBy: Seq[String] = Nil)
+                             partitionBy: Seq[String] = Nil,
+                             colSpecs: Map[String, LakeLog.ColSpec] =
+                               Map.empty)
       : DataFrame = {
     val (dvd, clean) = adds.partition(_.dv.nonEmpty)
-    val base = readFiles(spark, root, schemaDdl, clean, colMap, partitionBy)
+    val base = readFiles(spark, root, schemaDdl, clean, colMap, partitionBy,
+      colSpecs)
     if (dvd.isEmpty) base
     else {
       val cols = StructType.fromDDL(schemaDdl).fieldNames.toSeq.map(col)
       val dels = readDvRows(spark, root, dvd.flatMap(_.dv).map(_.path))
       val withPos = readFilesWithPos(spark, root, schemaDdl, dvd,
-        colMap, partitionBy)
+        colMap, partitionBy, colSpecs)
       val live = withPos
         .join(dels,
           withPos("__file") === dels("file") && withPos("__pos") === dels("pos"),
@@ -1088,7 +1290,8 @@ object LakeTable {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val (dvd, clean) = snap.files.partition(_.dv.nonEmpty)
-    val schema = StructType.fromDDL(snap.schemaDdl)
+    val schema = LakeColumns.decorateExists(
+      StructType.fromDDL(snap.schemaDdl), snap.colSpecs)
     val cols = schema.fieldNames.toSeq.map(col)
     // files carry PHYSICAL names; the logical projection sits above
     // the native scan (identity when mapping is inactive), and pushed
@@ -1141,10 +1344,12 @@ object LakeTable {
                              dataDdl: String, from: Long,
                              to: Long,
                              colMap: Map[String, String] = Map.empty,
-                             partitionBy: Seq[String] = Nil)
+                             partitionBy: Seq[String] = Nil,
+                             colSpecs: Map[String, LakeLog.ColSpec] =
+                               Map.empty)
       : DataFrame = {
     val frames = changeFrames(spark, root, dataDdl, from, to, colMap,
-      partitionBy)
+      partitionBy, colSpecs)
     if (frames.isEmpty) emptyChanges(spark, root, dataDdl)
     else frames.reduce(_.unionByName(_))
   }
@@ -1223,7 +1428,7 @@ object LakeTable {
     val rootP = new Path(root)
     val snap = LakeLog.snapshot(fs(spark, rootP), rootP, None)
     readAddsWithPos(spark, rootP, snap.schemaDdl, snap.files, snap.colMap,
-      snap.partitionBy)
+      snap.partitionBy, snap.colSpecs)
   }
 
   /** [[readAdds]] plus the `(__file, __pos)` coordinates — live rows
@@ -1234,10 +1439,12 @@ object LakeTable {
   private[lake] def readAddsWithPos(spark: SparkSession, rootP: Path,
                                     schemaDdl: String, adds: Seq[Add],
                                     colMap: Map[String, String],
-                                    partitionBy: Seq[String] = Nil)
+                                    partitionBy: Seq[String] = Nil,
+                                    colSpecs: Map[String, LakeLog.ColSpec] =
+                                      Map.empty)
       : DataFrame = {
     val withPos = readFilesWithPos(spark, rootP, schemaDdl,
-      adds, colMap, partitionBy)
+      adds, colMap, partitionBy, colSpecs)
     val dvd = adds.filter(_.dv.nonEmpty)
     if (dvd.isEmpty) withPos
     else {
@@ -1256,12 +1463,17 @@ object LakeTable {
     * "overwrites" rows it did not replace — refused loudly instead).
     */
   def replaceWhere(spark: SparkSession, root: String,
-                   ranges: Seq[ColRange], df: DataFrame): RewriteReport = {
+                   ranges: Seq[ColRange], df0: DataFrame): RewriteReport = {
     require(ranges.nonEmpty,
       "empty REPLACE WHERE — use overwrite for the whole table")
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     val snap = LakeLog.snapshot(f, rootP, None)
+    // semantics apply to the INCOMING batch only — the survivors
+    // carried over below already hold their computed/allocated values
+    val (df, alloc) = LakeColumns.applyWriteSemantics(spark,
+      StructType.fromDDL(snap.schemaDdl), snap.colSpecs, snap.identityHwm,
+      df0)
     requireSameSchema(snap.schemaDdl, df)
     val outside = df.where(!rangeFilter(ranges)).limit(1).count()
     require(outside == 0,
@@ -1272,9 +1484,9 @@ object LakeTable {
     val (cands, _) =
       snap.files.partition(a => pr.forall(r => mayMatch(a.stats, r)))
     val survivors = readAdds(spark, rootP, snap.schemaDdl, cands,
-      snap.colMap, snap.partitionBy).where(!rangeFilter(ranges))
+      snap.colMap, snap.partitionBy, snap.colSpecs).where(!rangeFilter(ranges))
     rewriteCommit(spark, root, snap, cands,
-      survivors.unionByName(df), "replacewhere")
+      survivors.unionByName(df), "replacewhere", alloc0 = Some(alloc))
   }
 
   /** Shared rewrite commit for the SQL DML commands (MERGE INTO /
@@ -1284,20 +1496,37 @@ object LakeTable {
     */
   private[lake] def rewriteCommit(spark: SparkSession, root: String,
                                   snap: LakeLog.Snapshot, cands: Seq[Add],
-                                  newRows: DataFrame,
-                                  op: String): RewriteReport = {
+                                  newRows0: DataFrame,
+                                  op: String,
+                                  alloc0: Option[
+                                    LakeColumns.IdentityAllocation] = None)
+      : RewriteReport = {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
+    // DML rewrites apply column semantics in REWRITE mode: surviving
+    // rows keep their identity values, MERGE-inserted rows (null ids)
+    // allocate, generated columns recompute (an UPDATE may have
+    // changed their source columns). Callers that already allocated
+    // (replaceWhere applies strict semantics to the incoming batch)
+    // pass their allocation instead.
+    val (newRows, alloc) = alloc0 match {
+      case Some(a) => (newRows0, a)
+      case None => LakeColumns.applyWriteSemantics(spark,
+        StructType.fromDDL(snap.schemaDdl), snap.colSpecs,
+        snap.identityHwm, newRows0, rewrite = true)
+    }
     enforceConstraints(padToSchema(newRows, snap.schemaDdl),
       snap.constraints, op)
     val nOut = math.max(1, cands.size)
-    val adds = writeDataFiles(spark, rootP, newRows, snap.statsCols, nOut,
+    val adds = writeDataFiles(spark, rootP, newRows,
+      LakeColumns.statsColsFor(snap.statsCols, snap.colSpecs), nOut,
       snap.clusterBy, snap.colMap, snap.partitionBy).filter(_.stats.rows > 0)
     val v = LakeLog.commit(f, rootP,
-      (Meta(op, snap.schemaDdl, snap.statsCols, None, None, now()) +:
-        cands.map(a => Remove(a.path))) ++ adds,
+      ((Meta(op, snap.schemaDdl, snap.statsCols, None, None, now()) +:
+        cands.map(a => Remove(a.path))) ++ adds) ++ alloc.hwmActions(adds),
       guardFiles = cands, baseVersion = snap.version,
-      expectConstraints = Some(snap.constraints))
+      expectConstraints = Some(snap.constraints),
+      expectIdentityHwm = if (alloc.isEmpty) None else Some(alloc.baseHwm))
     RewriteReport(v, cands.size, adds.size, snap.files.size - cands.size)
   }
 
@@ -1414,7 +1643,7 @@ object LakeTable {
     val rootP = new Path(root)
     val snap = LakeLog.snapshot(fs(spark, rootP), rootP, asOf)
     readAdds(spark, rootP, snap.schemaDdl, snap.files, snap.colMap,
-      snap.partitionBy)
+      snap.partitionBy, snap.colSpecs)
   }
 
   /** ZERO-COPY shallow clone: `dst`'s v0 commit REFERENCES `src`'s
@@ -1443,12 +1672,20 @@ object LakeTable {
       new Path(srcP, p).toString // absolute child stays absolute
     val adds = snap.files.map(a => a.copy(path = absolutize(a.path),
       dv = a.dv.map(d => d.copy(path = absolutize(d.path)))))
-    // the clone inherits the source's reader features and CHECK
-    // constraints, and requires absolute-path support itself
+    // the clone inherits the source's reader features, CHECK
+    // constraints and column semantics (incl. the identity watermark —
+    // appends to the clone must allocate past the cloned rows' ids),
+    // and requires absolute-path support itself. COPY INTO ingest
+    // memory carries too: the clone HOLDS the loaded rows via the
+    // shared files, so re-copying their source files would duplicate
     val carried = (snap.features + "absolute-paths").toSeq.sorted
       .map(LakeLog.Feature(_)) ++
       snap.constraints.toSeq.sortBy(_._1)
-        .map { case (n, e) => LakeLog.Constraint(n, e) }
+        .map { case (n, e) => LakeLog.Constraint(n, e) } ++
+      snap.colSpecs.toSeq.sortBy(_._1).map(_._2) ++
+      snap.identityHwm.toSeq.sortBy(_._1)
+        .map { case (c, v) => LakeLog.IdentityHwm(c, v) } ++
+      snap.copiedFiles.toSeq.sorted.map(LakeLog.CopiedFile(_))
     LakeLog.commit(f, dstP,
       (Meta("clone", snap.schemaDdl, snap.statsCols, None, None, now(),
         snap.clusterBy, snap.colMap, snap.partitionBy) +: carried) ++ adds)
@@ -1517,7 +1754,7 @@ object LakeTable {
     while (attempt < 20) {
       val snap = LakeLog.snapshot(f, rootP, None)
       val existing = readAdds(spark, rootP, snap.schemaDdl, snap.files,
-          snap.colMap, snap.partitionBy)
+          snap.colMap, snap.partitionBy, snap.colSpecs)
         .where(violates(checkExpr)).limit(1).count()
       require(existing == 0,
         s"cannot add CHECK constraint '$name' ($checkExpr): existing " +
@@ -1751,7 +1988,7 @@ object LakeTable {
     val pr = physRanges(ranges, snap.colMap)
     val kept = snap.files.filter(a => pr.forall(r => mayMatch(a.stats, r)))
     val df = readAdds(spark, rootP, snap.schemaDdl, kept, snap.colMap,
-        snap.partitionBy)
+        snap.partitionBy, snap.colSpecs)
       .where(rangeFilter(ranges))
     (df, PruneReport(snap.files.size, kept.size))
   }
@@ -1775,7 +2012,7 @@ object LakeTable {
     if (cands.isEmpty)
       return RewriteReport(snap.version, 0, 0, untouched.size)
     val survivors = readAdds(spark, rootP, snap.schemaDdl, cands,
-      snap.colMap, snap.partitionBy).where(!rangeFilter(ranges))
+      snap.colMap, snap.partitionBy, snap.colSpecs).where(!rangeFilter(ranges))
     val nOut = math.max(1, cands.size / 2)
     val adds = writeDataFiles(spark, rootP, survivors, snap.statsCols, nOut,
       snap.clusterBy, snap.colMap, snap.partitionBy).filter(_.stats.rows > 0)
@@ -1834,7 +2071,7 @@ object LakeTable {
       return RewriteReport(snap.version, 0, 0, snap.files.size)
 
     val base = readAdds(spark, rootP, snap.schemaDdl, cands, snap.colMap,
-      snap.partitionBy)
+      snap.partitionBy, snap.colSpecs)
     // broadcast the changed-key set: a daily changelog is dwarfed by
     // the base table, and the anti join then never shuffles the base
     val merged = base.join(broadcast(changedKeys), Seq(keyCol), "left_anti")
@@ -1880,9 +2117,24 @@ object LakeTable {
       .map(a => Remove(a.path))
     val readds = old.files.filterNot(a =>
       cur.files.contains(a)) // unchanged files need no action
+    // column semantics revert WITH the schema (replay is cumulative,
+    // so the restore commit carries corrective actions): a spec added
+    // after the target would otherwise dangle on a column the
+    // restored schema no longer has — and break every later write.
+    // The identity watermark deliberately does NOT revert (vacuumed-
+    // proof: allocating past the all-time high can never collide);
+    // COPY INTO memory keeps its full history too (re-loading files
+    // whose rows were un-restored needs an explicit new COPY after
+    // the operator decides that is really wanted).
+    val semFixes =
+      cur.colSpecs.keySet.diff(old.colSpecs.keySet).toSeq.sorted.map(c =>
+        LakeLog.ColSpec(c, cur.colSpecs(c).kind, Map.empty)) ++
+      old.colSpecs.toSeq.sortBy(_._1).collect {
+        case (c, cs) if !cur.colSpecs.get(c).contains(cs) => cs
+      }
     val v = LakeLog.commit(f, rootP,
-      (Meta("restore", old.schemaDdl, old.statsCols, None, None, now(),
-        old.clusterBy) +: rms) ++ readds,
+      ((Meta("restore", old.schemaDdl, old.statsCols, None, None, now(),
+        old.clusterBy) +: semFixes) ++ rms) ++ readds,
       guardFiles = cur.files, baseVersion = cur.version)
     RewriteReport(v, rms.size, readds.size,
       cur.files.size - rms.size)
@@ -1914,7 +2166,7 @@ object LakeTable {
     // outputs are the files' live rows, written clean (still
     // dataChange=false: the live-row multiset is unchanged)
     val packed = readAdds(spark, rootP, snap.schemaDdl, smalls,
-      snap.colMap, snap.partitionBy)
+      snap.colMap, snap.partitionBy, snap.colSpecs)
     // partitioned tables: the partitioned write re-splits packed rows
     // on value boundaries, so bin-packing never merges across
     // partition directories and every output stays single-valued
@@ -1941,7 +2193,7 @@ object LakeTable {
     val f = fs(spark, rootP)
     val snap = LakeLog.snapshot(f, rootP, None)
     val rows = readAdds(spark, rootP, snap.schemaDdl, snap.files,
-      snap.colMap, snap.partitionBy)
+      snap.colMap, snap.partitionBy, snap.colSpecs)
     val adds = writeDataFiles(spark, rootP, rows, snap.statsCols, nFiles,
       Some(clusterBy), snap.colMap, snap.partitionBy)
       .filter(_.stats.rows > 0)
@@ -2138,7 +2390,9 @@ object LakeTable {
                                  schemaDdl: String, from: Long,
                                  to: Long,
                                  colMap: Map[String, String] = Map.empty,
-                                 partitionBy: Seq[String] = Nil)
+                                 partitionBy: Seq[String] = Nil,
+                                 colSpecs: Map[String, LakeLog.ColSpec] =
+                                   Map.empty)
       : Seq[DataFrame] = {
     val f = fs(spark, rootP)
     (from to to).flatMap { v =>
@@ -2161,7 +2415,7 @@ object LakeTable {
           .where(col("file").isin(ids: _*))
         val delta = newDels.exceptAll(oldDels)
         val withPos = readFilesWithPos(spark, rootP, schemaDdl,
-          adds, colMap, partitionBy)
+          adds, colMap, partitionBy, colSpecs)
         val rows = withPos
           .join(delta,
             withPos("__file") === delta("file") &&
@@ -2172,7 +2426,8 @@ object LakeTable {
       }
       else if (rms.isEmpty)
         Seq(taggedChanges(
-          readAdds(spark, rootP, schemaDdl, adds, colMap, partitionBy),
+          readAdds(spark, rootP, schemaDdl, adds, colMap, partitionBy,
+            colSpecs),
           "insert", v))
       else {
         // the REMOVED side must be read through the previous
@@ -2182,9 +2437,9 @@ object LakeTable {
         val prev = LakeLog.snapshot(f, rootP, Some(v - 1)).files
           .filter(a => rms.contains(a.path))
         val added = readAdds(spark, rootP, schemaDdl, adds, colMap,
-          partitionBy)
+          partitionBy, colSpecs)
         val removed = readAdds(spark, rootP, schemaDdl, prev, colMap,
-          partitionBy)
+          partitionBy, colSpecs)
         Seq(taggedChanges(added.exceptAll(removed), "insert", v),
           taggedChanges(removed.exceptAll(added), "delete", v))
       }

@@ -782,6 +782,145 @@ object LakeQueries {
     s.sql(s"SELECT * FROM $cat.core.dst ORDER BY o_orderkey")
   }
 
+  /** Column-semantics chain (pure SQL): DEFAULT columns exercised
+    * through their whole lifecycle — create-time defaults filled on
+    * INSERT omission and the DEFAULT keyword, a metadata-only
+    * `ADD COLUMN ... DEFAULT 'legacy'` whose EXISTS default backfills
+    * the files written before it, `SET DEFAULT` re-pointing future
+    * inserts, and `DROP DEFAULT` that deliberately PRESERVES the
+    * exists default (old files keep reading 'legacy', new omissions
+    * read null).
+    */
+  private val semCache = new ConcurrentHashMap[String, String]()
+  private def semFor(s: SparkSession, dir: String): String =
+    semCache.computeIfAbsent(dir, _ => {
+      val key = dirKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+      val cat = s"glsem_$key"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$lakeRoot/sem_$key")
+      val ident = s"$cat.core.ord"
+      s.sql(s"CREATE NAMESPACE $cat.core")
+      seed(s, dir).createOrReplaceTempView(s"lakeq_semseed_$key")
+      s.sql(s"CREATE TABLE $ident (o_orderkey BIGINT, o_cents BIGINT, " +
+        "status STRING DEFAULT 'open', pri INT DEFAULT 3) " +
+        "TBLPROPERTIES (clusterBy = 'o_orderkey', nFiles = '3')")
+      s.sql(s"INSERT INTO $ident (o_orderkey, o_cents) " +
+        s"SELECT o_orderkey, o_cents FROM lakeq_semseed_$key " +
+        "WHERE o_orderkey < 1000")
+      s.sql(s"INSERT INTO $ident " +
+        s"SELECT o_orderkey, o_cents, 'filled', 7 FROM lakeq_semseed_$key " +
+        "WHERE o_orderkey >= 1000 AND o_orderkey < 2000")
+      s.sql(s"ALTER TABLE $ident ADD COLUMN tag STRING DEFAULT 'legacy'")
+      s.sql(s"ALTER TABLE $ident ALTER COLUMN status SET DEFAULT 'new'")
+      s.sql(s"ALTER TABLE $ident ALTER COLUMN pri DROP DEFAULT")
+      s.sql(s"INSERT INTO $ident (o_orderkey, o_cents) " +
+        s"SELECT o_orderkey, o_cents FROM lakeq_semseed_$key " +
+        "WHERE o_orderkey >= 2000 AND o_orderkey < 2500")
+      s.sql(s"INSERT INTO $ident (o_orderkey, o_cents, tag) " +
+        s"SELECT o_orderkey, o_cents, 'fresh' FROM lakeq_semseed_$key " +
+        "WHERE o_orderkey >= 2500 AND o_orderkey < 3000")
+      ident
+    })
+
+  /** Generated-partition chain: the Delta/Iceberg time-series shape —
+    * `day` is GENERATED ALWAYS from the event timestamp AND the
+    * hive partition key; INSERTs omit it entirely, writers compute it,
+    * files land under `day=.../`, and a day-equality read prunes whole
+    * directories.
+    */
+  private val genCache = new ConcurrentHashMap[String, String]()
+  private def genFor(s: SparkSession, dir: String): String =
+    genCache.computeIfAbsent(dir, _ => {
+      val key = dirKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+      val cat = s"glgen_$key"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$lakeRoot/gen_$key")
+      val ident = s"$cat.core.ev"
+      s.sql(s"CREATE NAMESPACE $cat.core")
+      t(s, dir, "events").where(col("event_id") < 5000)
+        .select(col("event_id"), col("ts"), col("value"))
+        .createOrReplaceTempView(s"lakeq_genseed_$key")
+      // Tables() exposes events.ts as micros-since-epoch BIGINT (the
+      // fixture contract); the generated day is derived through
+      // timestamp_micros under the UTC session
+      s.sql(s"CREATE TABLE $ident (event_id BIGINT, ts BIGINT, " +
+        "day STRING GENERATED ALWAYS AS " +
+        "(date_format(timestamp_micros(ts), 'yyyy-MM-dd')), " +
+        "value DOUBLE) PARTITIONED BY (day) " +
+        "TBLPROPERTIES (clusterBy = 'event_id', nFiles = '2')")
+      s.sql(s"INSERT INTO $ident (event_id, ts, value) " +
+        s"SELECT event_id, ts, value FROM lakeq_genseed_$key")
+      ident
+    })
+
+  /** Identity chain: GENERATED ALWAYS AS IDENTITY ids allocated over
+    * two INSERT commits and a MERGE (updates keep their ids, inserts
+    * allocate past the watermark). Values are engine-allocated (banded,
+    * gaps allowed), so the oracle checks the id INVARIANTS as data —
+    * row count, distinct count, floor — plus the exact business
+    * columns.
+    */
+  private val idCache = new ConcurrentHashMap[String, String]()
+  private def idFor(s: SparkSession, dir: String): String =
+    idCache.computeIfAbsent(dir, _ => {
+      val key = dirKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+      val cat = s"glid_$key"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$lakeRoot/id_$key")
+      val ident = s"$cat.core.ord"
+      s.sql(s"CREATE NAMESPACE $cat.core")
+      seed(s, dir).createOrReplaceTempView(s"lakeq_idseed_$key")
+      s.sql(s"CREATE TABLE $ident (" +
+        "id BIGINT GENERATED ALWAYS AS IDENTITY, " +
+        "o_orderkey BIGINT, o_cents BIGINT) " +
+        "TBLPROPERTIES (clusterBy = 'o_orderkey', nFiles = '3')")
+      s.sql(s"INSERT INTO $ident (o_orderkey, o_cents) " +
+        s"SELECT o_orderkey, o_cents FROM lakeq_idseed_$key " +
+        "WHERE o_orderkey < 1500")
+      s.sql(s"INSERT INTO $ident (o_orderkey, o_cents) " +
+        s"SELECT o_orderkey, o_cents FROM lakeq_idseed_$key " +
+        "WHERE o_orderkey >= 1500 AND o_orderkey < 2000")
+      s.sql(s"MERGE INTO $ident t USING (" +
+        s"SELECT o_orderkey AS k, o_cents + 11 AS c " +
+        s"FROM lakeq_idseed_$key WHERE o_orderkey >= 1000 " +
+        "AND o_orderkey < 2500) s ON t.o_orderkey = s.k " +
+        "WHEN MATCHED THEN UPDATE SET o_cents = s.c " +
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_cents) " +
+        "VALUES (s.k, s.c)")
+      ident
+    })
+
+  /** COPY INTO chain: a landing directory ingested in three runs —
+    * first load, an exact re-run (pure no-op, every file skipped), and
+    * an incremental run after one more file arrived (only it loads).
+    * The read certifies exactly-once FILE-grain ingest: any
+    * double-load would duplicate rows and break the hash.
+    */
+  private val copyCache = new ConcurrentHashMap[String, String]()
+  private def copyFor(s: SparkSession, dir: String): String =
+    copyCache.computeIfAbsent(dir, _ => {
+      val key = dirKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+      val cat = s"glcpy_$key"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$lakeRoot/cpy_$key")
+      val ident = s"$cat.core.ord"
+      val land = s"$lakeRoot/cpyland_$key"
+      val sd = seed(s, dir).select("o_orderkey", "o_custkey", "o_cents")
+      sd.where(col("o_orderkey") < 1000).coalesce(1)
+        .write.parquet(s"$land/b1")
+      sd.where(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000)
+        .coalesce(1).write.parquet(s"$land/b2")
+      s.sql(s"CREATE NAMESPACE $cat.core")
+      s.sql(s"CREATE TABLE $ident (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_cents BIGINT) TBLPROPERTIES (clusterBy = 'o_orderkey')")
+      s.sql(s"COPY INTO $ident FROM '$land'")
+      s.sql(s"COPY INTO $ident FROM '$land'") // exact re-run: no-op
+      sd.where(col("o_orderkey") >= 2000 && col("o_orderkey") < 3000)
+        .coalesce(1).write.parquet(s"$land/b3")
+      s.sql(s"COPY INTO $ident FROM '$land'") // only b3 loads
+      ident
+    })
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("lake_part_pruned",
       // PARTITIONED BY under the oracle: a partition-equality +
@@ -1271,6 +1410,93 @@ object LakeQueries {
                     ELSE 0 END AS o_cents
         FROM orders
         WHERE o_orderkey < 1000 AND o_orderkey % 10 <> 0
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    QueryDef("lake_copy_into_read",
+      // idempotent COPY INTO under the oracle: three runs over the
+      // landing dir (load, exact re-run, incremental) must read back
+      // each seed row EXACTLY once — a double-load duplicates rows
+      // and fails the hash
+      (s, dir) => {
+        val ident = copyFor(s, dir)
+        s.sql("SELECT o_orderkey, o_custkey, o_cents " +
+          s"FROM $ident ORDER BY o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders WHERE o_orderkey < 3000
+        ORDER BY o_orderkey""")),
+
+    QueryDef("lake_defaults_read",
+      // DEFAULT column lifecycle under the oracle: create-time
+      // defaults on omission, ADD COLUMN DEFAULT backfilling OLD files
+      // metadata-only (exists default), SET DEFAULT re-pointing new
+      // inserts, DROP DEFAULT preserving history — four key ranges,
+      // four different (status, pri, tag) shapes, zero rewrites
+      (s, dir) => {
+        val ident = semFor(s, dir)
+        s.sql("SELECT o_orderkey, o_cents, status, pri, tag " +
+          s"FROM $ident ORDER BY o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents,
+               CASE WHEN o_orderkey < 1000 THEN 'open'
+                    WHEN o_orderkey < 2000 THEN 'filled'
+                    ELSE 'new' END AS status,
+               CASE WHEN o_orderkey < 1000 THEN 3
+                    WHEN o_orderkey < 2000 THEN 7
+                    ELSE CAST(NULL AS INT) END AS pri,
+               CASE WHEN o_orderkey < 2500 THEN 'legacy'
+                    ELSE 'fresh' END AS tag
+        FROM orders WHERE o_orderkey < 3000
+        ORDER BY o_orderkey""")),
+
+    QueryDef("lake_generated_partition_read",
+      // GENERATED ALWAYS AS column that is ALSO the hive partition
+      // key (the time-series lakehouse shape): INSERTs omit `day`,
+      // the writer computes it, files land under day=<value>/ and the
+      // equality read prunes to one directory
+      (s, dir) => {
+        val ident = genFor(s, dir)
+        s.sql("SELECT event_id, day, value FROM " +
+          s"$ident WHERE day = '2024-01-01' ORDER BY event_id")
+      },
+      Some("""
+        SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, value
+        FROM events
+        WHERE event_id < 5000 AND strftime(ts, '%Y-%m-%d') = '2024-01-01'
+        ORDER BY event_id""")),
+
+    QueryDef("lake_identity_read",
+      // IDENTITY allocation across two inserts and a MERGE: ids are
+      // engine-allocated (banded, gaps allowed) so the oracle pins the
+      // INVARIANTS as data — unique non-null ids >= start, exact
+      // business rows — rather than unpredictable literal values
+      (s, dir) => {
+        val ident = idFor(s, dir)
+        s.sql(s"""
+          SELECT t.o_orderkey, t.o_cents, a.n_ids, a.n_distinct,
+                 a.ids_from_start
+          FROM $ident t CROSS JOIN (
+            SELECT CAST(count(id) AS BIGINT) AS n_ids,
+                   CAST(count(DISTINCT id) AS BIGINT) AS n_distinct,
+                   CAST(min(id) >= 1 AS INT) AS ids_from_start
+            FROM $ident) a
+          ORDER BY t.o_orderkey""")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) +
+                   CASE WHEN o_orderkey >= 1000 AND o_orderkey < 2500
+                        THEN 11 ELSE 0 END AS o_cents
+          FROM orders WHERE o_orderkey < 2500)
+        SELECT o_orderkey, o_cents,
+               (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_ids,
+               (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_distinct,
+               CAST(1 AS INT) AS ids_from_start
+        FROM base ORDER BY o_orderkey"""))
   )
 }

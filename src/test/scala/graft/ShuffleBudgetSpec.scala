@@ -394,6 +394,22 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("lake_dedup_inplace", 1, "DV-applying scan (broadcast row-index " +
       "anti-join) + output ordering; the dedup window pass ran at " +
       "build time as its own bounded job"),
+    ("lake_copy_into_read", 1, "post-COPY-INTO snapshot scan (the " +
+      "three ingest runs committed at build time; file-grain " +
+      "idempotence is log bookkeeping, not a plan operator) + output " +
+      "ordering"),
+    ("lake_defaults_read", 1, "post-DEFAULT-lifecycle snapshot scan " +
+      "(create defaults, exists-default backfill, SET/DROP DEFAULT " +
+      "are all metadata commits at build time; old files fill " +
+      "'legacy' inside the parquet reader, no extra operator) + " +
+      "output ordering"),
+    ("lake_generated_partition_read", 1, "day-equality read of a " +
+      "GENERATED-partition table: one partition directory survives " +
+      "pruning, scan + output ordering"),
+    ("lake_identity_read", 3, "identity-invariant aggregate (partial+" +
+      "final over the snapshot scan, one exchange; count(DISTINCT id) " +
+      "expands it) broadcast-joined back to the row scan + output " +
+      "ordering"),
     ("lake_restore_read", 1, "restored-to-v0 snapshot scan (pure log " +
       "movement at restore time) + output ordering"),
     ("lake_clone_read", 1, "clone scan: inherited source files by " +

@@ -2074,17 +2074,27 @@ object LakeTable {
       snap.partitionBy, snap.colSpecs)
     // broadcast the changed-key set: a daily changelog is dwarfed by
     // the base table, and the anti join then never shuffles the base
-    val merged = base.join(broadcast(changedKeys), Seq(keyCol), "left_anti")
+    val merged0 = base.join(broadcast(changedKeys), Seq(keyCol), "left_anti")
       .unionByName(upserts)
+    // rewrite-mode semantics: surviving rows keep their identity
+    // values, changelog inserts with null ids allocate past the
+    // watermark, generated columns recompute — the keyed-upsert path
+    // honors the same column contract as the SQL MERGE rewrite
+    val (merged, alloc) = LakeColumns.applyWriteSemantics(spark,
+      StructType.fromDDL(snap.schemaDdl), snap.colSpecs, snap.identityHwm,
+      merged0, rewrite = true)
     val nOut = math.max(1, cands.size)
-    val adds = writeDataFiles(spark, rootP, merged, snap.statsCols, nOut,
+    val adds = writeDataFiles(spark, rootP, merged,
+      LakeColumns.statsColsFor(snap.statsCols, snap.colSpecs), nOut,
       snap.clusterBy, snap.colMap, snap.partitionBy).filter(_.stats.rows > 0)
     val v = LakeLog.commit(f, rootP,
-      (Meta("merge", snap.schemaDdl, snap.statsCols, appId, batchId,
-        now()) +: cands.map(a => Remove(a.path))) ++ adds,
+      ((Meta("merge", snap.schemaDdl, snap.statsCols, appId, batchId,
+        now()) +: cands.map(a => Remove(a.path))) ++ adds) ++
+        alloc.hwmActions(adds),
       guardFiles = cands, baseVersion = snap.version,
       expectConstraints = Some(snap.constraints),
-      dedupBatch = appId.zip(batchId))
+      dedupBatch = appId.zip(batchId),
+      expectIdentityHwm = if (alloc.isEmpty) None else Some(alloc.baseHwm))
     RewriteReport(v, cands.size, adds.size, untouched.size)
   }
 

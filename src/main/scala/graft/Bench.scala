@@ -160,6 +160,14 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // AMBIENT load, sampled before our own startup storm (heap
+    // faulting writes ~0.75*heap across 8 threads and feeds the 1-min
+    // loadavg for a minute after) — the warn gate exists to catch
+    // CO-TENANT load, and sampling after faultHeap was flagging the
+    // bench's own burst on machines where faulting runs tens of
+    // seconds. Mid-run co-tenants still show in each query's RunDiag
+    // loadavg and the end-of-run re-run adjudication.
+    val ambientLoad = osBean.getSystemLoadAverage
     sweepScratch()
     val tFault = System.nanoTime()
     faultHeap()
@@ -178,7 +186,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val loadStart = osBean.getSystemLoadAverage
+    val loadStart = ambientLoad
 
     // Warmup: scan the big table and exercise codegen + shuffle paths.
     Tables(spark, sfDir, "lineitem").count()

@@ -161,6 +161,23 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     val root = rootOf(ident)
     if (isTable(root)) throw new TableAlreadyExistsException(ident)
     val props = properties.asScala
+    // `SHOW CREATE TABLE` output carries the semantics summary as the
+    // 'columnSemantics' TBLPROPERTY, but Spark's column-list printer
+    // cannot render GENERATED/IDENTITY clauses — so a pasted re-run
+    // arrives with the property and WITHOUT the clauses. Silently
+    // creating a table with weaker semantics than the statement
+    // declares is the one thing this catalog never does: the property
+    // must match what the column list actually declared.
+    props.get("columnSemantics").foreach { declared =>
+      val actual = LakeColumns.describe(colSpecs)
+      require(actual == declared,
+        s"TBLPROPERTIES columnSemantics declares '$declared' but the " +
+          s"column list carries '${if (actual.isEmpty) "nothing" else actual}'" +
+          " — GENERATED/IDENTITY clauses cannot be expressed in " +
+          "SHOW CREATE TABLE's column list; re-declare them explicitly " +
+          "(e.g. `id BIGINT GENERATED ALWAYS AS IDENTITY`) or drop the " +
+          "property")
+    }
     val statsCols = props.get("statsCols") match {
       case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       case None => schema.fields.collect {
@@ -242,6 +259,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
                     colSpecs: Seq[LakeLog.ColSpec] = Nil):
       org.apache.spark.sql.connector.catalog.StagedTable = {
     val root = rootOf(ident)
+    // same paste-safety gate as the plain create path
+    Option(properties.get("columnSemantics")).foreach { declared =>
+      val actual = LakeColumns.describe(colSpecs)
+      require(actual == declared,
+        s"TBLPROPERTIES columnSemantics declares '$declared' but the " +
+          s"column list carries '${if (actual.isEmpty) "nothing" else actual}'" +
+          " — re-declare the GENERATED/IDENTITY clauses explicitly or " +
+          "drop the property")
+    }
     val exists = isTable(root)
     val replacing = mode match {
       case "create" =>
@@ -481,6 +507,32 @@ private[lake] class LakeTableV2(spark: SparkSession,
   override def schema(): StructType =
     LakeColumns.decorate(StructType.fromDDL(snap.schemaDdl), snap.colSpecs)
 
+  /** Full-fidelity v2 columns: Spark's metadata codec round-trips
+    * DEFAULT but NOT generation/identity — without this override,
+    * `SHOW CREATE TABLE` prints a column list whose re-run silently
+    * loses those clauses.
+    */
+  override def columns():
+      Array[org.apache.spark.sql.connector.catalog.Column] = {
+    val base = org.apache.spark.sql.graft.ColumnSemanticsBridge
+      .toV2Columns(schema())
+    base.map { c =>
+      snap.colSpecs.get(c.name()) match {
+        case Some(cs) if cs.kind == LakeColumns.KindGenerated =>
+          org.apache.spark.sql.connector.catalog.Column.create(
+            c.name(), c.dataType(), c.nullable(), null,
+            cs.spec("expr"), null)
+        case Some(cs) if cs.kind == LakeColumns.KindIdentity =>
+          org.apache.spark.sql.connector.catalog.Column.create(
+            c.name(), c.dataType(), c.nullable(), null,
+            new org.apache.spark.sql.connector.catalog.IdentityColumnSpec(
+              cs.spec("start").toLong, cs.spec("step").toLong,
+              cs.spec("allowExplicit").toBoolean), null)
+        case _ => c // DEFAULT rides the metadata codec already
+      }
+    }
+  }
+
   /** DESCRIBE / SHOW surfaces — and the analyzer's by-name INSERT
     * resolution — see the real partition spec.
     */
@@ -509,18 +561,8 @@ private[lake] class LakeTableV2(spark: SparkSession,
        else Map("constraints" -> snap.constraints.toSeq.sortBy(_._1)
          .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; "))) ++
       (if (snap.colSpecs.isEmpty) Map.empty
-       else Map("columnSemantics" -> snap.colSpecs.toSeq.sortBy(_._1)
-         .map { case (c, cs) => cs.kind match {
-           case LakeColumns.KindDefault =>
-             s"$c DEFAULT ${cs.spec("current")}"
-           case LakeColumns.KindGenerated =>
-             s"$c GENERATED ALWAYS AS (${cs.spec("expr")})"
-           case _ =>
-             val how = if (cs.spec("allowExplicit").toBoolean) "BY DEFAULT"
-               else "ALWAYS"
-             s"$c GENERATED $how AS IDENTITY (START WITH " +
-               s"${cs.spec("start")} INCREMENT BY ${cs.spec("step")})"
-         }}.mkString("; ")))).asJava
+       else Map("columnSemantics" ->
+         LakeColumns.describe(snap.colSpecs.values)))).asJava
 
   override def constraints():
       Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =

@@ -178,6 +178,32 @@ object LakeColumns {
     })
   }
 
+  /** Human/DESCRIBE rendering of the active specs — also the value of
+    * the `columnSemantics` table property, which CREATE TABLE verifies
+    * against the declared column list (a `SHOW CREATE TABLE` paste
+    * cannot carry GENERATED/IDENTITY clauses in Spark's column
+    * printer, and silently weakening semantics on re-create is
+    * refused).
+    */
+  def describe(specs: Iterable[ColSpec]): String =
+    specs.toSeq.sortBy(_.col).map { cs =>
+      cs.kind match {
+        case KindDefault =>
+          cs.spec.get("current") match {
+            case Some(c) => s"${cs.col} DEFAULT $c"
+            case None => s"${cs.col} DEFAULT dropped (exists " +
+              s"${cs.spec("exists")} retained)"
+          }
+        case KindGenerated =>
+          s"${cs.col} GENERATED ALWAYS AS (${cs.spec("expr")})"
+        case _ =>
+          val how = if (cs.spec("allowExplicit").toBoolean) "BY DEFAULT"
+            else "ALWAYS"
+          s"${cs.col} GENERATED $how AS IDENTITY (START WITH " +
+            s"${cs.spec("start")} INCREMENT BY ${cs.spec("step")})"
+      }
+    }.mkString("; ")
+
   // ---- validation ------------------------------------------------------
 
   /** Create-time validation: names exist, kinds don't conflict,

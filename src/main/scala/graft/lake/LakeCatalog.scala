@@ -581,6 +581,12 @@ private[lake] class LakeTableV2(spark: SparkSession,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
+      // dynamic INSERT OVERWRITE: honest to advertise — the
+      // LakeMorExpansion rule converts OverwritePartitionsDynamic to
+      // LakeDynamicOverwriteCommand during analysis (Spark ships no
+      // V1-fallback exec for the node, so without extensions the
+      // statement fails loudly at toBatch, like catalog reads)
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 

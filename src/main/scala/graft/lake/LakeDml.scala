@@ -418,3 +418,39 @@ private[lake] final case class LakeAddConstraintCommand(
     Seq.empty
   }
 }
+
+/** DYNAMIC `INSERT OVERWRITE` (`OverwritePartitionsDynamic` — what
+  * Spark plans for `INSERT OVERWRITE` on a partitioned v2 table under
+  * `spark.sql.sources.partitionOverwriteMode=dynamic`, and always for
+  * `df.writeTo(t).overwritePartitions()`): routed to
+  * [[LakeTable.dynamicOverwrite]], which atomically replaces exactly
+  * the partitions present in the batch. Spark has no V1-fallback exec
+  * for this node (unlike AppendData/OverwriteByExpression), so
+  * [[LakeMorExpansion]] converts it during analysis, like the
+  * row-level DML commands. The analyzer has already aligned `query`
+  * to the table schema (casts, by-name/by-position resolution,
+  * DEFAULT fill) before the conversion — the same frame the V1
+  * InsertableRelation paths receive.
+  */
+private[lake] final case class LakeDynamicOverwriteCommand(
+    root: String, query: LogicalPlan)
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    Seq(query)
+
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("files_replaced", org.apache.spark.sql.types.LongType,
+      nullable = false)(),
+    AttributeReference("files_added", org.apache.spark.sql.types.LongType,
+      nullable = false)(),
+    AttributeReference("files_untouched", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rep = LakeTable.dynamicOverwrite(spark, root,
+      PlanBridge.ofRows(spark, query))
+    Seq(Row(rep.filesRewritten.toLong, rep.filesAdded.toLong,
+      rep.filesUntouched.toLong))
+  }
+}

@@ -456,13 +456,16 @@ object LakeLog {
              dedupBatch: Option[(String, Long)] = None,
              expectExactFiles: Boolean = false,
              expectIdentityHwm: Option[Map[String, Long]] = None,
-             guardCopies: Seq[String] = Nil): Long = {
+             guardCopies: Seq[String] = Nil,
+             guardPartitions: Option[(Seq[String], Set[Seq[Option[Any]]])] =
+               None): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val v = latestVersion(fs, root).map(_ + 1).getOrElse(0L)
       if ((guardFiles.nonEmpty || expectConstraints.nonEmpty ||
            dedupBatch.nonEmpty || expectExactFiles ||
-           expectIdentityHwm.nonEmpty || guardCopies.nonEmpty) &&
+           expectIdentityHwm.nonEmpty || guardCopies.nonEmpty ||
+           guardPartitions.nonEmpty) &&
           v != baseVersion + 1) {
         val cur = snapshot(fs, root, None)
         // exactly-once streaming: re-check the (appId, batchId) token
@@ -516,6 +519,25 @@ object LakeLog {
             "identity allocation lost race: the high-water-mark moved " +
               s"(allocated from $want, table now at ${cur.identityHwm}) " +
               "— re-run the write")
+        }
+        // DYNAMIC partition overwrite replaces "every live file in the
+        // partitions the batch touches" — which is only well-defined
+        // if no concurrent commit ADDED a file into one of those
+        // partitions since the writer planned (its rows would silently
+        // survive a commit that claims to have replaced the
+        // partition). guardFiles already pins the planned candidates;
+        // this pins the complement. Appends to UNTOUCHED partitions
+        // land freely — that is the point of dynamic mode.
+        guardPartitions.foreach { case (partCols, touched) =>
+          val candPaths = guardFiles.map(_.path).toSet
+          val intruders = cur.files
+            .filterNot(a => candPaths.contains(a.path))
+            .filter(a => touched.contains(partCols.map(c =>
+              a.stats.min.get(c))))
+          if (intruders.nonEmpty) throw new ConcurrentCommitException(
+            "dynamic overwrite lost race: a concurrent commit added " +
+              "file(s) into a replaced partition: " +
+              s"${intruders.map(_.path).take(3)}… — re-read and retry")
         }
         // two COPY INTOs racing over the same landing files: the
         // loser must notice the winner already loaded (some of) its

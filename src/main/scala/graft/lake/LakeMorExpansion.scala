@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.expressions.NamedExpression
 import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint,
-  AlterTableCommand, DeleteFromTable, LogicalPlan, MergeIntoTable, Project,
-  UpdateTable, V2WriteCommand}
+  AlterTableCommand, DeleteFromTable, LogicalPlan, MergeIntoTable,
+  OverwritePartitionsDynamic, Project, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
 import org.apache.spark.sql.graft.PlanBridge
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -103,6 +103,14 @@ final class LakeMorExpansion(spark: SparkSession) extends Rule[LogicalPlan] {
       case u: UpdateTable if u.resolved && lakeTarget(u.table).isDefined =>
         val (root, attrs) = lakeTarget(u.table).get
         LakeUpdateCommand(root, attrs, u.assignments, u.condition)
+      // dynamic INSERT OVERWRITE (partitionOverwriteMode=dynamic /
+      // writeTo.overwritePartitions): Spark has no V1-fallback exec
+      // for OverwritePartitionsDynamic, so convert it here — the
+      // analyzer has already aligned the query to the table schema
+      case o: OverwritePartitionsDynamic
+          if o.resolved && lakeTarget(o.table).isDefined =>
+        val (root, _) = lakeTarget(o.table).get
+        LakeDynamicOverwriteCommand(root, o.query)
       // readStream.table(<lake ident>): rewrite to the v1 streaming
       // relation outright (offset = log version) — the same machinery
       // as readStream.format("graft-lake"); the node swap keeps the

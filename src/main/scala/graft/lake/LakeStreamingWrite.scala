@@ -80,20 +80,46 @@ private[lake] final class LakeStreamingWrite(
     "mergeSchema streaming into a PARTITIONED lake table is not " +
       "supported — evolve the table first (ALTER TABLE ADD COLUMNS), " +
       "then restart the stream")
+  // GENERATED/IDENTITY columns are computed/allocated INSIDE the task
+  // writers (the stream must omit them): generated expressions are
+  // analyzer-resolved once on the driver, bound to the input schema
+  // and evaluated per row via a codegen'd projection; identity values
+  // come from the same banded formula as batch allocation
+  // (hwm + step*(1 + partitionId*2^33 + rowInTask)), with the base
+  // watermark read at plan time and guarded at commit so concurrent
+  // allocators can never overlap. Table-schema order, generated before
+  // identity, matching [[extSchema]] below.
+  private val genSpecs: Seq[LakeLog.ColSpec] =
+    StructType.fromDDL(baseDdl).fieldNames.toSeq
+      .flatMap(planSnap.colSpecs.get)
+      .filter(_.kind == LakeColumns.KindGenerated)
+  private val idSpecs: Seq[LakeLog.ColSpec] =
+    StructType.fromDDL(baseDdl).fieldNames.toSeq
+      .flatMap(planSnap.colSpecs.get)
+      .filter(_.kind == LakeColumns.KindIdentity)
+  private val semNames: Set[String] = (genSpecs ++ idSpecs).map(_.col).toSet
+
+  // the two compositions the writer-side step does NOT cover: keyed
+  // upserts rewrite whole rows through LakeTable.merge (route those
+  // through foreachBatch + merge, which applies semantics in rewrite
+  // mode), and additive evolution of a computed table mid-stream
+  if (semNames.nonEmpty) {
+    require(mergeKey.isEmpty,
+      "streaming keyed upserts (mergeKey) into a table with " +
+        "GENERATED/IDENTITY columns are not supported — use " +
+        "foreachBatch with LakeSink.mergeWriter / LakeTable.merge")
+    require(!mergeSchema,
+      "mergeSchema streaming into a table with GENERATED/IDENTITY " +
+        "columns is not supported — evolve the table first")
+    semNames.toSeq.sorted.foreach(c =>
+      require(!writeSchema.fieldNames.contains(c),
+        s"the stream must OMIT computed column '$c' — the sink " +
+          "computes GENERATED and allocates IDENTITY values itself"))
+  }
   planSnap.partitionBy.foreach(c =>
-    require(writeSchema.fieldNames.contains(c),
-      s"streaming write must carry partition column '$c'"))
-  // generated/identity columns need a computation/allocation step the
-  // task-level streaming writers deliberately do not have (identity
-  // would also serialize every epoch on the watermark guard). The
-  // keyed-upsert and foreachBatch sinks route through LakeTable.append
-  // / merge, which DO apply semantics — point there instead of writing
-  // nulls into a column the table promises to fill
-  planSnap.colSpecs.values.find(_.kind != LakeColumns.KindDefault)
-    .foreach(cs => throw new UnsupportedOperationException(
-      s"streaming writes into a table with ${cs.kind} column " +
-        s"'${cs.col}' are not supported — use foreachBatch with " +
-        "LakeTable.append (which computes/allocates per batch)"))
+    require(writeSchema.fieldNames.contains(c) || semNames.contains(c),
+      s"streaming write must carry partition column '$c' (or the " +
+        "column must be GENERATED, in which case the sink computes it)"))
 
   /** Evolved table DDL this epoch commits under (== baseDdl unless
     * mergeSchema adds/keeps columns). Computed with the same additive
@@ -114,12 +140,18 @@ private[lake] final class LakeStreamingWrite(
         s"mergeKey '${mergeKey.get}' not in the stream's schema")
       baseDdl
     } else {
-      val want = StructType.fromDDL(baseDdl)
+      // the expected INPUT is the table schema minus the computed
+      // (generated/identity) columns — those the sink fills itself
+      val want = StructType(StructType.fromDDL(baseDdl).fields
+        .filterNot(f => semNames.contains(f.name)))
       require(want.fields.map(f => (f.name, f.dataType)).toSeq ==
         writeSchema.fields.map(f => (f.name, f.dataType)).toSeq,
         s"streaming write schema $writeSchema does not match table " +
-          s"schema $want — pass .option(\"mergeSchema\", true) for " +
-          "additive evolution")
+          s"schema $want" +
+          (if (semNames.isEmpty) "" else
+            s" (computed columns ${semNames.toSeq.sorted.mkString(",")} " +
+              "omitted)") +
+          " — pass .option(\"mergeSchema\", true) for additive evolution")
       baseDdl
     }
 
@@ -135,30 +167,92 @@ private[lake] final class LakeStreamingWrite(
 
   private def phys(c: String): String = effMap.getOrElse(c, c)
 
+  /** The EXTENDED row the task writers operate on: the input columns
+    * followed by the computed generated columns, then the allocated
+    * identity columns. Files are read back BY NAME, so appending at
+    * the end is layout-free; stats, partition extraction and the
+    * content projection all index into this schema.
+    */
+  private val extSchema: StructType = {
+    val table = StructType.fromDDL(baseDdl)
+    StructType(writeSchema.fields ++
+      (genSpecs ++ idSpecs).map(cs => table(cs.col)))
+  }
+
+  /** Generated expressions, analyzer-resolved against the INPUT schema
+    * on the driver and bound to its ordinals — serializable, codegen'd
+    * into one projection inside each task writer. Create-time
+    * validation already pinned determinism and that the expression
+    * references only non-computed columns (all present in the input).
+    */
+  private val genBound: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    genSpecs.map { cs =>
+      val dt = StructType.fromDDL(baseDdl)(cs.col).dataType
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), writeSchema)
+      val analyzed = empty.select(org.apache.spark.sql.functions
+          .expr(cs.spec("expr")).cast(dt).as(cs.col))
+        .queryExecution.analyzed
+      val project = analyzed.asInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Project]
+      org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(project.projectList.head
+          .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias]
+          .child, project.child.output)
+    }
+
+  /** Identity allocation parameters (step, base) per identity column,
+    * read from the PLAN snapshot's watermark; the commit passes the
+    * same base as `expectIdentityHwm`, so a concurrent allocator
+    * advancing the watermark mid-epoch aborts this commit (restart
+    * re-plans and re-allocates) — ranges can never overlap.
+    */
+  private val idParams: Seq[(Long, Long)] = idSpecs.map { cs =>
+    val start = cs.spec("start").toLong
+    val step = cs.spec("step").toLong
+    val base = planSnap.identityHwm.getOrElse(cs.col, start - step)
+    require(math.abs(step) <= (Long.MaxValue / 4) / (1L << 53) &&
+      math.abs(base) < Long.MaxValue / 2,
+      s"identity watermark for '${cs.col}' ($base, step $step) too " +
+        "close to the Long domain edge for banded allocation")
+    (step, base)
+  }
+
+  private val identityAlloc: LakeColumns.IdentityAllocation =
+    LakeColumns.IdentityAllocation(
+      idSpecs.zip(idParams).map { case (cs, (step, base)) =>
+        cs.col -> (step, base)
+      }.toMap,
+      if (idSpecs.isEmpty) Map.empty else planSnap.identityHwm)
+
   // stats measured only for columns this stream actually writes (an
   // omitted evolved column has no values, and mayMatch treats missing
-  // stats as may-match — which is exactly right: it is all-null there)
+  // stats as may-match — which is exactly right: it is all-null
+  // there); identity columns are force-added so the commit can fold
+  // the new watermark from file stats, exactly like batch writes
   private val statsSpec: Seq[LakeStreamingWrite.StatCol] =
-    planSnap.statsCols.filter(writeSchema.fieldNames.contains).map { c =>
-      val idx = writeSchema.fieldIndex(c)
-      LakeStreamingWrite.StatCol(phys(c), writeSchema(idx).dataType, idx)
-    }
+    LakeColumns.statsColsFor(planSnap.statsCols, planSnap.colSpecs)
+      .filter(extSchema.fieldNames.contains).map { c =>
+        val idx = extSchema.fieldIndex(c)
+        LakeStreamingWrite.StatCol(phys(c), extSchema(idx).dataType, idx)
+      }
 
   // partitioned epochs (append mode): the rolling writers split files
   // on value boundaries; changelog staging (mergeKey) stays flat —
-  // those files are never table data
+  // those files are never table data. A GENERATED partition column
+  // indexes into the computed tail of the extended row.
   private val partSpec: Seq[LakeStreamingWrite.StatCol] =
     if (mergeKey.nonEmpty) Nil
     else planSnap.partitionBy.map { c =>
-      val idx = writeSchema.fieldIndex(c)
-      LakeStreamingWrite.StatCol(c, writeSchema(idx).dataType, idx)
+      val idx = extSchema.fieldIndex(c)
+      LakeStreamingWrite.StatCol(c, extSchema(idx).dataType, idx)
     }
 
   // files carry PHYSICAL column names (renames never touch data) and,
   // on partitioned tables, EXCLUDE the partition columns (hive layout
   // — the directory and the log carry the value)
   private val prepared: PreparedParquetWrite = ParquetWriteBridge.prepare(
-    spark, StructType(writeSchema.fields
+    spark, StructType(extSchema.fields
       .filterNot(f => partSpec.exists(_.physName == f.name))
       .map(f => f.copy(name = phys(f.name)))))
 
@@ -170,7 +264,7 @@ private[lake] final class LakeStreamingWrite(
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new LakeStreamWriterFactory(root, stagingSub, prepared, statsSpec,
-      partSpec, writeSchema)
+      partSpec, extSchema, genBound, idParams)
 
   /** Keyed-upsert epoch (`.option("mergeKey", k)`): the staged files
     * are a CHANGELOG, never table data — read them back, upsert by
@@ -256,15 +350,15 @@ private[lake] final class LakeStreamingWrite(
       // the partition columns back for the CHECK pass
       val staged =
         if (partSpec.isEmpty) spark.read
-          .schema(LakeTable.physicalSchema(writeSchema, effMap))
+          .schema(LakeTable.physicalSchema(extSchema, effMap))
           .parquet(adds.map(a => new Path(rootP, a.path).toString): _*)
         else spark.read
           .option("basePath", new Path(rootP, stagingSub).toString)
-          .schema(writeSchema)
+          .schema(extSchema)
           .parquet(adds.map(a => new Path(rootP, a.path).toString): _*)
-          .select(writeSchema.fieldNames.toSeq.map(
+          .select(extSchema.fieldNames.toSeq.map(
             org.apache.spark.sql.functions.col): _*)
-      val logical = LakeTable.toLogical(staged, writeSchema, effMap)
+      val logical = LakeTable.toLogical(staged, extSchema, effMap)
       try LakeTable.enforceConstraints(
         LakeTable.padToSchema(logical, evolvedDdl), snap.constraints,
         "streaming append")
@@ -276,12 +370,19 @@ private[lake] final class LakeStreamingWrite(
     val removes =
       if (truncateAll) snap.files.map(a => Remove(a.path)) else Nil
     try {
-      LakeLog.commit(hfs, rootP, (meta +: removes) ++ adds,
+      // identity epochs fold the new watermark from the staged files'
+      // stats and guard the base they allocated from — a concurrent
+      // allocator advancing it mid-epoch aborts this commit (the
+      // query restarts, re-plans, re-allocates past the new mark)
+      LakeLog.commit(hfs, rootP,
+        ((meta +: removes) ++ adds) ++ identityAlloc.hwmActions(adds),
         guardFiles = if (truncateAll) snap.files else Nil,
         baseVersion = snap.version,
         expectConstraints = Some(snap.constraints),
         dedupBatch = Some((appId, epochId)),
-        expectExactFiles = truncateAll)
+        expectExactFiles = truncateAll,
+        expectIdentityHwm =
+          if (identityAlloc.isEmpty) None else Some(identityAlloc.baseHwm))
       ()
     } catch {
       // zombie duplicate lost the commit race: the epoch is already in
@@ -356,14 +457,17 @@ private[lake] final class LakeStreamWriterFactory(
     prepared: PreparedParquetWrite,
     statsSpec: Seq[LakeStreamingWrite.StatCol],
     partSpec: Seq[LakeStreamingWrite.StatCol] = Nil,
-    fullSchema: StructType = new StructType())
+    fullSchema: StructType = new StructType(),
+    genBound: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
+    idParams: Seq[(Long, Long)] = Nil)
     extends StreamingDataWriterFactory
     with org.apache.spark.sql.connector.write.DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new LakeStreamDataWriter(root, stagingSub, prepared, statsSpec,
-      partSpec, fullSchema, partitionId, taskId, epochId)
+      partSpec, fullSchema, partitionId, taskId, epochId, genBound,
+      idParams)
 
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
@@ -387,14 +491,50 @@ private[lake] final class LakeStreamDataWriter(
     fullSchema: StructType,
     partitionId: Int,
     taskId: Long,
-    epochId: Long) extends DataWriter[InternalRow] {
+    epochId: Long,
+    genBound: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
+    idParams: Seq[(Long, Long)] = Nil) extends DataWriter[InternalRow] {
 
   private val partitioned = partSpec.nonEmpty
 
-  // partitioned: project partition columns OUT of the written row
-  // (hive layout — the directory carries the value)
+  // computed-column tail: the incoming row is EXTENDED to fullSchema
+  // by evaluating the bound generated expressions (one codegen'd
+  // projection) and allocating banded identity values — same formula
+  // as batch allocation: base + step*(1 + partitionId*2^33 + rowInTask)
+  private val extended = genBound.nonEmpty || idParams.nonEmpty
+  private val genProj =
+    if (genBound.isEmpty) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(genBound)
+  private val idRow = new org.apache.spark.sql.catalyst.expressions
+    .GenericInternalRow(idParams.size)
+  private val joinGen = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+  private val joinId = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+  private var rowInTask = 0L
+  private def extend(row: InternalRow): InternalRow =
+    if (!extended) row
+    else {
+      val withGen = if (genProj == null) row else joinGen(row, genProj(row))
+      if (idParams.isEmpty) withGen
+      else {
+        var i = 0
+        while (i < idParams.size) {
+          val (step, base) = idParams(i)
+          idRow.setLong(i, base + step * (1L +
+            partitionId.toLong * LakeColumns.IdentityBand + rowInTask))
+          i += 1
+        }
+        rowInTask += 1
+        joinId(withGen, idRow)
+      }
+    }
+
+  // project the EXTENDED row to the file content: partition columns
+  // out (hive layout — the directory carries the value); a computed
+  // tail always projects (the parquet writer wants a flat row, not a
+  // JoinedRow chain)
   private val project: InternalRow => InternalRow =
-    if (!partitioned) identity
+    if (!partitioned && !extended) identity
     else {
       val partIdx = partSpec.map(_.idx).toSet
       val kept = fullSchema.fields.zipWithIndex
@@ -500,7 +640,8 @@ private[lake] final class LakeStreamDataWriter(
     msg
   }
 
-  override def write(row: InternalRow): Unit = {
+  override def write(row0: InternalRow): Unit = {
+    val row = extend(row0)
     if (partitioned) {
       val vals = partSpec.map(s => stored(statVal(s, row))).toArray
       val changed = curPart == null ||

@@ -921,6 +921,97 @@ object LakeQueries {
       ident
     })
 
+  /** DYNAMIC-overwrite chain (pure SQL): a month-partitioned table
+    * seeded with every month from keys < 3000, then — under
+    * `partitionOverwriteMode=dynamic` — an `INSERT OVERWRITE` carrying
+    * only THREE months (+9 cents). Those three partitions are replaced
+    * whole; every other month's files survive untouched (the nightly
+    * partition-reload shape: at 100 TB the commit touches 3 of 3000
+    * day-partitions and the rest are never read, listed, or guarded).
+    */
+  private val dynCache = new ConcurrentHashMap[String, String]()
+  private def dynFor(s: SparkSession, dir: String): String =
+    dynCache.computeIfAbsent(dir, _ => {
+      val key = dirKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+      val cat = s"gldyn_$key"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$lakeRoot/dyn_$key")
+      val ident = s"$cat.core.m"
+      s.sql(s"CREATE NAMESPACE $cat.core")
+      t(s, dir, "orders").where(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("o_cents"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("omonth"))
+        .createOrReplaceTempView(s"lakeq_dynseed_$key")
+      s.sql(s"CREATE TABLE $ident (o_orderkey BIGINT, o_cents BIGINT, " +
+        "omonth STRING) PARTITIONED BY (omonth) " +
+        "TBLPROPERTIES (clusterBy = 'o_orderkey', nFiles = '1')")
+      s.sql(s"INSERT INTO $ident SELECT * FROM lakeq_dynseed_$key")
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode",
+        "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"INSERT OVERWRITE $ident " +
+        "SELECT o_orderkey, o_cents + 9 AS o_cents, omonth " +
+        s"FROM lakeq_dynseed_$key " +
+        "WHERE omonth IN ('1995-01', '1995-02', '1995-03')"): Unit
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      ident
+    })
+
+  /** Streaming into a COMPUTED-column table through the DSv2 `toTable`
+    * sink, restart in the middle: the destination declares a GENERATED
+    * ALWAYS AS IDENTITY id and a GENERATED ALWAYS AS (o_cents * 2)
+    * column; the stream carries ONLY the four business columns — the
+    * task writers compute the generated value per row and allocate
+    * banded ids past the plan-time watermark, the commit folds the new
+    * watermark from file stats under the identity guard. Incarnation 1
+    * drains keys [0,400); more data lands; incarnation 2 on the SAME
+    * checkpoint drains the rest — ids must stay unique across the
+    * restart (the hwm advanced with epoch commits), which the
+    * n_ids = n_distinct invariant pins under the oracle.
+    */
+  private def toTableIdentityReplay(s: SparkSession, dir: String): DataFrame = {
+    val n = seq.incrementAndGet()
+    val key = dirKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+    val cat = s"glsti_${key}_$n"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      s"$lakeRoot/stiwh_${key}_$n")
+    s.sql(s"CREATE NAMESPACE $cat.core")
+    s.sql(s"CREATE TABLE $cat.core.dst (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, " +
+      "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+      "o_cents BIGINT, " +
+      "cents2 BIGINT GENERATED ALWAYS AS (o_cents * 2)) " +
+      "TBLPROPERTIES (clusterBy = 'o_orderkey')")
+    val src = s"$lakeRoot/sti_src_${key}_$n"
+    val ckpt = s"$lakeRoot/sti_ckpt_${key}_$n"
+    val sd = seed(s, dir)
+    LakeTable.create(s, src, sd.where(col("o_orderkey") < 400),
+      Seq("o_orderkey"), nFiles = 1)
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-lake").load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .option("nFiles", "2")
+        .toTable(s"$cat.core.dst")
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    LakeTable.append(s, src,
+      sd.where(col("o_orderkey") >= 400 && col("o_orderkey") < 700),
+      nFiles = 1)
+    drain() // restart over the same checkpoint: only the new commit
+    s.sql(s"""
+      SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_cents,
+             t.cents2, a.n_ids, a.n_distinct, a.ids_from_start
+      FROM $cat.core.dst t CROSS JOIN (
+        SELECT CAST(count(id) AS BIGINT) AS n_ids,
+               CAST(count(DISTINCT id) AS BIGINT) AS n_distinct,
+               CAST(min(id) >= 1 AS INT) AS ids_from_start
+        FROM $cat.core.dst) a
+      ORDER BY t.o_orderkey""")
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("lake_part_pruned",
       // PARTITIONED BY under the oracle: a partition-equality +
@@ -1494,6 +1585,50 @@ object LakeQueries {
                         THEN 11 ELSE 0 END AS o_cents
           FROM orders WHERE o_orderkey < 2500)
         SELECT o_orderkey, o_cents,
+               (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_ids,
+               (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_distinct,
+               CAST(1 AS INT) AS ids_from_start
+        FROM base ORDER BY o_orderkey""")),
+
+    QueryDef("lake_dyn_overwrite_read",
+      // dynamic INSERT OVERWRITE under the oracle: three month
+      // partitions re-materialized (+9 cents) in ONE commit, every
+      // other month's rows must read back byte-exact from their
+      // ORIGINAL files (survivors are never read or rewritten — a
+      // static overwrite here would be wrong data, a replaced-partition
+      // leak would duplicate rows; both fail the hash)
+      (s, dir) => {
+        val ident = dynFor(s, dir)
+        s.sql("SELECT o_orderkey, o_cents, omonth " +
+          s"FROM $ident ORDER BY o_orderkey")
+      },
+      Some("""
+        WITH sd AS (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents,
+                 strftime(o_orderdate, '%Y-%m') AS omonth
+          FROM orders WHERE o_orderkey < 3000)
+        SELECT o_orderkey, o_cents, omonth FROM sd
+        WHERE omonth NOT IN ('1995-01', '1995-02', '1995-03')
+        UNION ALL
+        SELECT o_orderkey, o_cents + 9 AS o_cents, omonth FROM sd
+        WHERE omonth IN ('1995-01', '1995-02', '1995-03')
+        ORDER BY o_orderkey""")),
+
+    QueryDef("stream_lake_totable_identity_replay",
+      // IDENTITY + GENERATED columns through the DSv2 streaming sink
+      // with a restart: the stream omits both computed columns, task
+      // writers fill them, ids stay unique across the restart (the
+      // n_ids = n_distinct invariant), and the generated value is
+      // exact data the oracle recomputes
+      (s, dir) => toTableIdentityReplay(s, dir),
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+          FROM orders WHERE o_orderkey < 700)
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_cents,
+               o_cents * 2 AS cents2,
                (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_ids,
                (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_distinct,
                CAST(1 AS INT) AS ids_from_start

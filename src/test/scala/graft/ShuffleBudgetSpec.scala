@@ -466,7 +466,16 @@ class ShuffleBudgetSpec extends SparkSuite {
       "session merging happened in the stream's state store"),
     ("stream_recovery_replay", 1, "recovery fold: one event_type agg " +
       "over the two incarnations' unioned foreachBatch emissions; " +
-      "counting state work happened in the (restarted) stream"))
+      "counting state work happened in the (restarted) stream"),
+    ("lake_dyn_overwrite_read", 1, "post-dynamic-overwrite partitioned " +
+      "snapshot scan (the three-month replacement committed at build " +
+      "time as one candidate-bounded commit; survivors never read) + " +
+      "output ordering"),
+    ("stream_lake_totable_identity_replay", 3, "identity-invariant " +
+      "aggregate over the streamed destination (partial+final, " +
+      "count(DISTINCT id) expands it) broadcast-joined back to the " +
+      "row scan + output ordering; generated/identity values were " +
+      "computed inside the stream's task writers, no extra operator"))
 
   budgets.foreach { case (name, maxShuffles, why) =>
     test(s"$name stays within its shuffle budget ($maxShuffles): $why") {

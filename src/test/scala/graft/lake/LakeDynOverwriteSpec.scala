@@ -1,0 +1,161 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DYNAMIC partition overwrite ([[LakeTable.dynamicOverwrite]] and the
+  * `OverwritePartitionsDynamic` SQL/DataFrame routes): one commit
+  * replaces exactly the partitions present in the batch — survivors in
+  * untouched partitions are never read, rewritten, or listed into the
+  * commit — and the commit guards BOTH directions (candidates live
+  * unchanged; no concurrent file added INTO a replaced partition).
+  */
+class LakeDynOverwriteSpec extends SparkSuite {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_dynov").resolve("tbl").toString
+
+  private def rows(lo: Int, hi: Int, p: String): DataFrame = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, i * 10L, p)).toDF("id", "v", "part")
+  }
+
+  private def byPart(root: String): Map[String, Seq[Long]] =
+    LakeTable.scan(spark, root).collect()
+      .groupBy(_.getString(2))
+      .map { case (p, rs) => p -> rs.map(_.getLong(0)).sorted.toSeq }
+
+  test("replaces only the batch's partitions; survivors keep their files") {
+    val root = freshRoot()
+    LakeTable.create(spark, root,
+      rows(0, 10, "a").union(rows(10, 20, "b")).union(rows(20, 30, "c")),
+      Seq("id"), nFiles = 1, partitionBy = Seq("part"))
+    val untouchedBefore = LakeTable.snapshot(spark, root).files
+      .filterNot(_.stats.min.get("part").contains("a")).map(_.path).toSet
+
+    val rep = LakeTable.dynamicOverwrite(spark, root, rows(100, 103, "a"))
+    assert(rep.filesAdded >= 1 && rep.filesRewritten >= 1)
+
+    assert(byPart(root) == Map(
+      "a" -> (100L until 103L),
+      "b" -> (10L until 20L),
+      "c" -> (20L until 30L)))
+    val untouchedAfter = LakeTable.snapshot(spark, root).files
+      .filterNot(_.stats.min.get("part").contains("a")).map(_.path).toSet
+    assert(untouchedAfter == untouchedBefore,
+      "survivor partitions must keep their exact files (never rewritten)")
+  }
+
+  test("multi-partition batch replaces each; empty batch is a no-op") {
+    val root = freshRoot()
+    LakeTable.create(spark, root,
+      rows(0, 5, "a").union(rows(5, 10, "b")).union(rows(10, 15, "c")),
+      Seq("id"), nFiles = 1, partitionBy = Seq("part"))
+    LakeTable.dynamicOverwrite(spark, root,
+      rows(50, 52, "a").union(rows(60, 64, "c")))
+    assert(byPart(root) == Map(
+      "a" -> (50L until 52L),
+      "b" -> (5L until 10L),
+      "c" -> (60L until 64L)))
+
+    val v = LakeTable.latestVersion(spark, root).get
+    val rep = LakeTable.dynamicOverwrite(spark, root, rows(0, 0, "a"))
+    assert(rep.filesRewritten == 0 && rep.filesAdded == 0)
+    assert(LakeTable.latestVersion(spark, root).get == v,
+      "an empty dynamic overwrite must not commit")
+  }
+
+  test("unpartitioned tables refuse (use overwrite)") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, rows(0, 5, "a"), Seq("id"), nFiles = 1)
+    val ex = intercept[IllegalArgumentException] {
+      LakeTable.dynamicOverwrite(spark, root, rows(5, 6, "a"))
+    }
+    assert(ex.getMessage.contains("PARTITIONED"))
+  }
+
+  test("guard: a racing append INTO a replaced partition aborts the " +
+      "overwrite; one into an untouched partition survives it") {
+    val root = freshRoot()
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val f = LakeLog.fileSystem(rootP,
+      spark.sparkContext.hadoopConfiguration)
+    LakeTable.create(spark, root, rows(0, 10, "a").union(rows(10, 20, "b")),
+      Seq("id"), nFiles = 1, partitionBy = Seq("part"))
+    val snap0 = LakeLog.snapshot(f, rootP, None)
+    val cands = snap0.files.filter(_.stats.min.get("part").contains("a"))
+    assert(cands.nonEmpty)
+    val touched: Set[Seq[Option[Any]]] = Set(Seq(Some("a")))
+    def overwriteActions() =
+      LakeLog.Meta("dynoverwrite", snap0.schemaDdl, snap0.statsCols, None,
+        None, System.currentTimeMillis(),
+        partitionBy = snap0.partitionBy) +:
+        cands.map(a => LakeLog.Remove(a.path))
+
+    // race 1: a file lands in the UNTOUCHED partition after planning —
+    // the overwrite must commit and the appended rows must survive
+    LakeTable.append(spark, root, rows(200, 203, "b"), nFiles = 1)
+    LakeLog.commit(f, rootP, overwriteActions(),
+      guardFiles = cands, baseVersion = snap0.version,
+      guardPartitions = Some((snap0.partitionBy, touched)))
+    assert(byPart(root) == Map(
+      "b" -> ((10L until 20L) ++ (200L until 203L))),
+      "the untouched partition's racing append must survive")
+
+    // race 2: rebuild partition a, plan again, then a file lands IN it
+    LakeTable.append(spark, root, rows(0, 10, "a"), nFiles = 1)
+    val snap1 = LakeLog.snapshot(f, rootP, None)
+    val cands1 = snap1.files.filter(_.stats.min.get("part").contains("a"))
+    LakeTable.append(spark, root, rows(300, 302, "a"), nFiles = 1)
+    val ex = intercept[LakeLog.ConcurrentCommitException] {
+      LakeLog.commit(f, rootP,
+        LakeLog.Meta("dynoverwrite", snap1.schemaDdl, snap1.statsCols,
+          None, None, System.currentTimeMillis(),
+          partitionBy = snap1.partitionBy) +:
+          cands1.map(a => LakeLog.Remove(a.path)),
+        guardFiles = cands1, baseVersion = snap1.version,
+        guardPartitions = Some((snap1.partitionBy, touched)))
+    }
+    assert(ex.getMessage.contains("replaced partition"))
+  }
+
+  test("SQL INSERT OVERWRITE under partitionOverwriteMode=dynamic; " +
+      "writeTo.overwritePartitions; static mode still replaces all") {
+    val cat = "gdyno"
+    val wh = Files.createTempDirectory("graft_dynsql").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.core")
+    spark.sql(s"CREATE TABLE $cat.core.t (id BIGINT, v BIGINT, " +
+      "part STRING) PARTITIONED BY (part)")
+    val root = s"$wh/core/t"
+    rows(0, 10, "a").union(rows(10, 20, "b"))
+      .createOrReplaceTempView("dyn_seed")
+    spark.sql(s"INSERT INTO $cat.core.t SELECT * FROM dyn_seed")
+
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+      "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      rows(100, 102, "a").createOrReplaceTempView("dyn_batch")
+      spark.sql(s"INSERT OVERWRITE $cat.core.t SELECT * FROM dyn_batch")
+      assert(byPart(root) == Map(
+        "a" -> (100L until 102L), "b" -> (10L until 20L)))
+
+      // the explicit DataFrame route plans the same node regardless of
+      // the session conf
+      rows(500, 503, "b").writeTo(s"$cat.core.t").overwritePartitions()
+      assert(byPart(root) == Map(
+        "a" -> (100L until 102L), "b" -> (500L until 503L)))
+    } finally spark.conf.set(
+      "spark.sql.sources.partitionOverwriteMode", prev)
+
+    // default static mode: INSERT OVERWRITE replaces the WHOLE table
+    spark.sql(s"INSERT OVERWRITE $cat.core.t SELECT * FROM dyn_seed")
+    assert(byPart(root) == Map(
+      "a" -> (0L until 10L), "b" -> (10L until 20L)))
+  }
+}

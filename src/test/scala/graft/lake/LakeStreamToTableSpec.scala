@@ -348,4 +348,116 @@ class LakeStreamToTableSpec extends SparkSuite {
     assert(sql(s"SELECT count(*) c FROM $cat.core.updlog").head()
       .getLong(0) == 4)
   }
+
+  test("IDENTITY + GENERATED columns: task writers compute/allocate; " +
+      "ids stay unique across a restart (hwm advances per epoch)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sql(s"CREATE TABLE $cat.core.semd (" +
+      "rid BIGINT GENERATED ALWAYS AS IDENTITY, " +
+      "k BIGINT, v BIGINT, " +
+      "v2 BIGINT GENERATED ALWAYS AS (v * 2 + 1))")
+    val root = s"$warehouse/core/semd"
+    val ckpt = Files.createTempDirectory("stt_sem").toString
+    val ms = MemoryStream[Long]
+    def start() = ms.toDF().selectExpr("value AS k", "value * 10 AS v")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable(s"$cat.core.semd")
+
+    val q = start()
+    try {
+      ms.addData(0L until 40L: _*)
+      q.processAllAvailable()
+      ms.addData(40L until 70L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // restart over the SAME checkpoint: committed epochs skip, new ids
+    // allocate past the advanced watermark — never overlapping
+    val q2 = start()
+    try {
+      ms.addData(70L until 100L: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = sql(s"SELECT rid, k, v, v2 FROM $cat.core.semd").collect()
+    assert(rows.length == 100)
+    assert(rows.map(_.getLong(0)).distinct.length == 100,
+      "identity values must be unique across epochs AND the restart")
+    assert(rows.map(_.getLong(0)).min >= 1L, "ids start at 1")
+    assert(rows.forall(r => r.getLong(3) == r.getLong(2) * 2 + 1),
+      "generated column computed per row inside the stream")
+    assert(LakeTable.snapshot(spark, root).identityHwm.get("rid")
+      .exists(_ >= 100L), "commits fold the watermark from file stats")
+    // identity epochs are ordinary appends: one commit per non-empty
+    // epoch, exactly-once under the (appId, epochId) token
+    val hist = LakeTable.history(spark, root).collect()
+    assert(hist.count(_.getAs[String]("op") == "append") == 3)
+  }
+
+  test("GENERATED partition column computed in-stream: hive layout, " +
+      "values injected, pruning live") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sql(s"CREATE TABLE $cat.core.semp (k BIGINT, " +
+      "bucket STRING GENERATED ALWAYS AS " +
+      "(CASE WHEN k % 2 = 0 THEN 'even' ELSE 'odd' END)) " +
+      "PARTITIONED BY (bucket)")
+    val root = s"$warehouse/core/semp"
+    val ckpt = Files.createTempDirectory("stt_semp").toString
+    val ms = MemoryStream[Long]
+    val q = ms.toDF().selectExpr("value AS k")
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable(s"$cat.core.semp")
+    try {
+      ms.addData(0L until 20L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = sql(s"SELECT k, bucket FROM $cat.core.semp").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == (0L until 20L).map(k =>
+      k -> (if (k % 2 == 0) "even" else "odd")).toMap)
+    val snap = LakeTable.snapshot(spark, root)
+    assert(snap.files.forall(a => a.path.contains("bucket=")),
+      "streamed files land under hive value directories")
+    assert(snap.files.forall(a =>
+      a.stats.min.get("bucket") == a.stats.max.get("bucket")),
+      "partition value recorded as min==max stats")
+  }
+
+  test("streaming semantics refusals: explicit computed column; " +
+      "mergeKey into a computed table") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sql(s"CREATE TABLE $cat.core.semr (" +
+      "rid BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT, v BIGINT)")
+
+    // the stream must OMIT the identity column
+    val ms1 = MemoryStream[Long]
+    val ck1 = Files.createTempDirectory("stt_semr1").toString
+    val q1 = ms1.toDF()
+      .selectExpr("value AS rid", "value AS k", "value AS v")
+      .writeStream.option("checkpointLocation", ck1)
+      .toTable(s"$cat.core.semr")
+    val e1 = intercept[Exception] {
+      try { ms1.addData(1L); q1.processAllAvailable() } finally q1.stop()
+    }
+    assert(causeHas(e1, "must OMIT"), s"got: $e1")
+
+    // keyed upserts route through foreachBatch + merge instead
+    val ms2 = MemoryStream[Long]
+    val ck2 = Files.createTempDirectory("stt_semr2").toString
+    val q2 = ms2.toDF().selectExpr("value AS k", "value AS v")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ck2)
+      .option("mergeKey", "k")
+      .toTable(s"$cat.core.semr")
+    val e2 = intercept[Exception] {
+      try { ms2.addData(1L); q2.processAllAvailable() } finally q2.stop()
+    }
+    assert(causeHas(e2, "foreachBatch"), s"got: $e2")
+  }
+
+  private def causeHas(e: Throwable, needle: String): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(t => Option(t.getMessage).exists(_.contains(needle)))
 }

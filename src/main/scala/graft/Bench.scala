@@ -233,11 +233,17 @@ object Bench {
       spark.range(20000000L).selectExpr("sum(id * 7)").collect()
       ((System.nanoTime() - t0) / 1e9, processCpuSec - cpu0)
     }
-    // local-iteration filter (comma-separated names or prefixes); the
-    // driver never sets it, so driver runs always cover the registry
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // local-iteration filter (comma-separated names or prefixes, or
+    // the literal `smoke` for the curated subset — matched EXACTLY, a
+    // smoke name must not prefix-drag its variants in); the driver
+    // never sets it, so driver runs always cover the registry
+    val smoke = sys.env.get("SPARK_GRAFT_ONLY").contains("smoke")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filterNot(_ == "smoke")
+      .map(_.split(",").toSeq)
+    val smokeSet = SparkEntry.smokeQueries.toSet
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      only.forall(_.exists(p => n == p || n.startsWith(p)))
+      if (smoke) smokeSet.contains(n)
+      else only.forall(_.exists(p => n == p || n.startsWith(p)))
     }
     val firstPass = selected.map { case (name, fn) =>
       // a failed first run means a near-certain failed repeat —

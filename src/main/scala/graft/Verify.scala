@@ -5,11 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: comma-separated query-name filter (local
-    // iteration only — the driver always runs the full surface)
+    // optional 3rd arg: comma-separated query-name filter, or the
+    // literal `smoke` for the curated capability-representative subset
+    // (local iteration only — the driver always runs the full surface)
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length <= 2) None
+      else if (args(2) == "smoke") Some(SparkEntry.smokeQueries.toSet)
+      else Some(args(2).split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -29,6 +29,15 @@ import graft.lake.{LakeLog, LakeTable}
   *     rows violating it. Invariant: the final table NEVER holds both
   *     the constraint and violating rows, and exactly one child
   *     succeeds per round.
+  *  3. **Dynamic-overwrite-vs-append race** (round 17): child A
+  *     dynamically overwrites partition 'a' while child B appends —
+  *     into 'a' on even rounds (conflict), into 'b' on odd rounds
+  *     (disjoint). Invariants from the LOG, not timing: if the
+  *     `dynoverwrite` committed at version v, no live file in 'a'
+  *     predates v except the overwrite's own adds (the
+  *     `guardPartitions` promise — a silently-surviving concurrent
+  *     file would violate it); disjoint-round appends to 'b' ALWAYS
+  *     survive and the overwrite ALWAYS succeeds.
   *
   * Usage: `sbt "runMain graft.tools.CommitRaceProbe"` — appends a
   * section to SCALEPROBE.md and prints COMMIT-RACE-PASS.
@@ -42,6 +51,8 @@ object CommitRaceProbe {
       childLog(args(1), args(2), args(3).toInt)
     case Some("child-constraint") =>
       childConstraint(args(1), args(2), args(3).toInt)
+    case Some("child-dyn") =>
+      childDyn(args(1), args(2), args(3).toInt)
     case _ => coordinate()
   }
 
@@ -119,6 +130,44 @@ object CommitRaceProbe {
     spark.stop()
   }
 
+  // ---- child 3: dynamic overwrite vs append (Spark) --------------------
+
+  private def childDyn(base: String, childId: String,
+                       nRounds: Int): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    (0 until nRounds).foreach { r =>
+      val root = s"$base/dtab_$r"
+      touch(s"$base/race/ready-d$r-$childId")
+      await(s"$base/race/go-d$r")
+      val outcome =
+        try {
+          if (childId == "A")
+            // replace partition 'a' whole: keys 1000.. tagged by round
+            LakeTable.dynamicOverwrite(spark, root,
+              (0 until 3).map(i => (1000L + r * 10 + i, s"ow$r", "a"))
+                .toDF("id", "tag", "part"))
+          else {
+            // even rounds collide with the replaced partition; odd
+            // rounds append to the untouched one
+            val p = if (r % 2 == 0) "a" else "b"
+            LakeTable.append(spark, root,
+              (0 until 2).map(i => (2000L + r * 10 + i, s"ap$r", p))
+                .toDF("id", "tag", "part"), nFiles = 1)
+          }
+          "OK"
+        } catch { case e: Throwable => s"REFUSED: ${e.getClass.getName}" }
+      Files.write(Paths.get(s"$base/race/result-d$r-$childId"),
+        outcome.toString.getBytes(StandardCharsets.UTF_8))
+    }
+    spark.stop()
+  }
+
   // ---- coordinator -----------------------------------------------------
 
   private def spawn(mainArgs: Seq[String], logFile: String,
@@ -147,8 +196,9 @@ object CommitRaceProbe {
     val base = Files.createTempDirectory("graft_race").toString
     Files.createDirectories(Paths.get(s"$base/race"))
     val sb = new StringBuilder
-    sb.append("\n## Commit race probe (round 15): two SEPARATE JVMs ")
-    sb.append("racing the same log\n\n")
+    sb.append("\n## Commit race probe (round 17 re-run; version + ")
+    sb.append("constraint races from round 15, dynamic-overwrite race ")
+    sb.append("new): two SEPARATE JVMs racing the same log\n\n")
 
     // ---- race 1: tryCommit version race, no Spark anywhere ----------
     val logRoot = s"$base/lograce"
@@ -249,6 +299,100 @@ object CommitRaceProbe {
     sb.append(f"$wallC%.1f s — gate and violating rows NEVER coexist; ")
     sb.append(s"constraint won $constraintWins/$nRounds (rest: append ")
     sb.append("landed first and validation refused the gate)\n")
+
+    // ---- race 3: dynamic overwrite vs append --------------------------
+    val nDyn = 6
+    (0 until nDyn).foreach { r =>
+      LakeTable.create(spark, s"$base/dtab_$r",
+        Seq((1L, "s", "a"), (2L, "s", "a"), (3L, "s", "b"))
+          .toDF("id", "tag", "part"),
+        Seq("id"), nFiles = 1, partitionBy = Seq("part"))
+    }
+    val t2 = now()
+    val da = spawn(Seq("child-dyn", base, "A", nDyn.toString),
+      s"$base/child-d-A.out", "2g")
+    val db = spawn(Seq("child-dyn", base, "B", nDyn.toString),
+      s"$base/child-d-B.out", "2g")
+    (0 until nDyn).foreach { r =>
+      await(s"$base/race/ready-d$r-A"); await(s"$base/race/ready-d$r-B")
+      touch(s"$base/race/go-d$r")
+      await(s"$base/race/result-d$r-A"); await(s"$base/race/result-d$r-B")
+    }
+    require(da.waitFor() == 0, s"child A failed — $base/child-d-A.out")
+    require(db.waitFor() == 0, s"child B failed — $base/child-d-B.out")
+    val wallD = (now() - t2) / 1e3
+    var owWins = 0
+    var conflictsRefused = 0
+    (0 until nDyn).foreach { r =>
+      val root = s"$base/dtab_$r"
+      val rootP = new Path(root)
+      val dfs = LakeLog.fileSystem(rootP, new Configuration())
+      def res(id: String) = new String(Files.readAllBytes(
+        Paths.get(s"$base/race/result-d$r-$id")), StandardCharsets.UTF_8)
+      val (ra, rbb) = (res("A"), res("B"))
+      // reconstruct, FROM THE LOG, each live file's birth version and
+      // the dynoverwrite's commit version (if it committed)
+      val versions = LakeLog.versions(dfs, rootP)
+      val bornAt = scala.collection.mutable.Map[String, Long]()
+      var owVersion = -1L
+      versions.foreach { v =>
+        val actions = LakeLog.readCommit(dfs, rootP, v)
+        actions.foreach {
+          case a: LakeLog.Add => if (!bornAt.contains(a.path)) bornAt(a.path) = v
+          case m: LakeLog.Meta if m.op == "dynoverwrite" => owVersion = v
+          case _ => ()
+        }
+      }
+      val snap = LakeTable.snapshot(spark, root)
+      val liveA = snap.files.filter(_.stats.min.get("part").contains("a"))
+      if (ra.startsWith("OK")) {
+        owWins += 1
+        require(owVersion >= 0, s"dyn round $r: A reported OK but the " +
+          "log holds no dynoverwrite commit")
+        // THE guardPartitions invariant, cross-process: no live file
+        // in the replaced partition predates the overwrite commit
+        // except the overwrite's own adds
+        liveA.foreach { a =>
+          require(bornAt(a.path) >= owVersion,
+            s"dyn round $r: live file ${a.path} in replaced partition " +
+              s"'a' was born at v${bornAt(a.path)} < overwrite " +
+              s"v$owVersion — a concurrent add silently survived")
+        }
+      } else {
+        // refusal legal ONLY on a conflict round, and the table must
+        // still hold the seed rows of 'a' (nothing half-replaced)
+        require(r % 2 == 0,
+          s"dyn round $r: overwrite refused on a DISJOINT round: $ra")
+        conflictsRefused += 1
+        require(owVersion < 0, s"dyn round $r: refused but committed?")
+        val ids = LakeTable.scan(spark, root)
+          .where($"part" === "a" && $"id" < 1000).count()
+        require(ids == 2, s"dyn round $r: refused overwrite must leave " +
+          s"the seed intact, found $ids of 2 seed rows")
+      }
+      // the append's outcome must match the table exactly
+      val appendRows = LakeTable.scan(spark, root)
+        .where($"id" >= 2000).count()
+      if (rbb.startsWith("OK")) {
+        if (r % 2 == 1)
+          require(appendRows == 2, s"dyn round $r: disjoint append " +
+            s"committed but ${appendRows}/2 rows live — dynamic " +
+            "overwrite must never clobber untouched partitions")
+        else
+          // conflict round: the append's rows survive iff it landed
+          // AFTER the overwrite (born later than owVersion) or the
+          // overwrite refused
+          require(appendRows == 2 || owVersion >= 0,
+            s"dyn round $r: append OK but rows gone with no overwrite")
+      } else require(appendRows == 0,
+        s"dyn round $r: append refused but its rows are live")
+    }
+    sb.append(s"- dynamic-overwrite race: $nDyn rounds in ")
+    sb.append(f"$wallD%.1f s — log-derived invariant held in every ")
+    sb.append("round (no live file in a replaced partition predates ")
+    sb.append(s"the overwrite commit); overwrite committed $owWins/$nDyn, ")
+    sb.append(s"guard refused $conflictsRefused conflicting interleavings, ")
+    sb.append("disjoint-partition appends always survived\n")
     spark.stop()
 
     Files.write(Paths.get("SCALEPROBE.md"),

@@ -19,6 +19,22 @@ class SparkEntrySpec extends SparkSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
+  test("smokeQueries: every name exists, no duplicates, family spread") {
+    val missing = SparkEntry.smokeQueries.toSet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"smoke names not in the registry: $missing")
+    assert(SparkEntry.smokeQueries.distinct.size ==
+      SparkEntry.smokeQueries.size, "duplicate smoke names")
+    // the subset stays a cheap certify (~1/4 of the registry) while
+    // touching every operator family prefix
+    assert(SparkEntry.smokeQueries.size >= 40 &&
+      SparkEntry.smokeQueries.size <= SparkEntry.queries.size / 3)
+    Seq("q_", "topn_", "grouped_", "dedup_", "ann_", "text_", "mm_",
+      "sample_", "graph_", "stream_", "lake_").foreach { fam =>
+      assert(SparkEntry.smokeQueries.exists(_.startsWith(fam)),
+        s"no smoke representative for family $fam")
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query '$name' runs at sf0.001") {
       val df = fn(spark, dir)

@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException,
   NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange,
-  SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table,
-  TableCapability, TableCatalog, TableChange}
+  SupportsDelete, SupportsNamespaces, SupportsPartitionManagement,
+  SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog,
+  TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
@@ -488,7 +489,8 @@ private[lake] class LakeTableV2(spark: SparkSession,
                                 private[lake] val root: Path,
                                 ident: String,
                                 private[lake] val versionAsOf: Option[Long])
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsPartitionManagement {
 
   private def fs = LakeLog.fileSystem(root,
     spark.sparkContext.hadoopConfiguration)
@@ -744,6 +746,137 @@ private[lake] class LakeTableV2(spark: SparkSession,
       LakeTable.overwrite(spark, root.toString, empty)
     } else LakeTable.deleteWhere(spark, root.toString, ranges): Unit
   }
+
+  // ---- partition management (SHOW PARTITIONS / DROP PARTITION) --------
+  //
+  // Partitions in this format are IMPLICIT — a partition exists exactly
+  // while live files carry its value (recorded as min==max stats in the
+  // log), so listing is a driver-side fold over snapshot metadata (zero
+  // FS calls) and DROP/TRUNCATE PARTITION is the 100 TB retention
+  // operation done right: ONE commit removing the partition's file
+  // references, no data read, no data written — vacuum reclaims the
+  // bytes past the retention horizon, and time travel still sees them.
+
+  override def partitionSchema(): StructType =
+    StructType(snap.partitionBy.map(c =>
+      StructType.fromDDL(snap.schemaDdl)(c)))
+
+  /** Catalyst-internal partition value of one file (same conversion as
+    * LakeFileIndex.partValues — stats normalize to Long/String).
+    */
+  private def partRowOf(a: LakeLog.Add): Seq[Any] = {
+    val ps = partitionSchema()
+    snap.partitionBy.zipWithIndex.map { case (c, i) =>
+      a.stats.min.get(c) match {
+        case None => null
+        case Some(v) => ps(i).dataType match {
+          case ByteType    => v.asInstanceOf[Long].toByte
+          case ShortType   => v.asInstanceOf[Long].toShort
+          case IntegerType => v.asInstanceOf[Long].toInt
+          case LongType    => v.asInstanceOf[Long]
+          case StringType  =>
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(v.asInstanceOf[String])
+          case dt => throw new IllegalStateException(
+            s"partition column '$c' of unsupported type $dt")
+        }
+      }
+    }
+  }
+
+  override def listPartitionIdentifiers(
+      names: Array[String],
+      ident0: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    require(names.length == ident0.numFields,
+      s"${names.length} names but ${ident0.numFields} values")
+    val ps = partitionSchema()
+    val tuples = snap.files.map(partRowOf).distinct.sortBy(_.toString)
+    tuples.filter { t =>
+      names.zipWithIndex.forall { case (n, i) =>
+        val pi = ps.fieldIndex(n)
+        val want = ident0.get(i, ps(pi).dataType)
+        val have = t(pi)
+        (want == null && have == null) ||
+          (want != null && want.equals(have))
+      }
+    }.map(t =>
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(t)).toArray
+  }
+
+  /** Stats-domain tuple of a caller partition identifier. */
+  private def statsTuple(
+      ident0: org.apache.spark.sql.catalyst.InternalRow)
+      : Seq[Option[Any]] = {
+    val ps = partitionSchema()
+    ps.fields.zipWithIndex.map { case (f, i) =>
+      if (ident0.isNullAt(i)) None
+      else Some(LakeTable.normalizeStat(f.dataType match {
+        case ByteType    => ident0.getByte(i)
+        case ShortType   => ident0.getShort(i)
+        case IntegerType => ident0.getInt(i)
+        case LongType    => ident0.getLong(i)
+        case StringType  => ident0.getUTF8String(i).toString
+        case dt => throw new IllegalStateException(
+          s"unsupported partition type $dt")
+      }))
+    }.toSeq
+  }
+
+  /** `ALTER TABLE ... DROP PARTITION (p=v)`: metadata-only — one
+    * guarded commit removing the partition's live file references.
+    * Returns false when the partition holds no live files (the exec
+    * raises NoSuchPartition unless IF EXISTS).
+    */
+  override def dropPartition(
+      ident0: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    require(versionAsOf.isEmpty,
+      "cannot drop partitions of a time-travel snapshot")
+    require(snap.partitionBy.nonEmpty, "table is not partitioned")
+    val want = statsTuple(ident0)
+    val f = fs
+    val cur = LakeLog.snapshot(f, root, None)
+    val cands = cur.files.filter(a =>
+      snap.partitionBy.map(c => a.stats.min.get(c)) == want)
+    if (cands.isEmpty) return false
+    LakeLog.commit(f, root,
+      (LakeLog.Meta("droppartition", cur.schemaDdl, cur.statsCols, None,
+        None, System.currentTimeMillis(),
+        partitionBy = cur.partitionBy) +:
+        cands.map(a => LakeLog.Remove(a.path))),
+      guardFiles = cands, baseVersion = cur.version)
+    true
+  }
+
+  /** `TRUNCATE TABLE ... PARTITION (p=v)` — same metadata-only commit
+    * (partitions are implicit, so "empty partition" and "dropped
+    * partition" are the same state).
+    */
+  override def truncatePartition(
+      ident0: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    if (!dropPartition(ident0))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchPartitionException(name(), ident0, partitionSchema())
+    true
+  }
+
+  override def createPartition(
+      ident0: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "partitions are implicit in this format — they appear when a " +
+        "write lands rows carrying the value (ADD PARTITION has " +
+        "nothing to create)")
+
+  override def replacePartitionMetadata(
+      ident0: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "partition-level metadata is not stored in this format")
+
+  override def loadPartitionMetadata(
+      ident0: org.apache.spark.sql.catalyst.InternalRow)
+      : util.Map[String, String] = util.Collections.emptyMap()
 }
 
 private[lake] object LakeTableV2 {

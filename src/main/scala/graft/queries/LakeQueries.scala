@@ -958,6 +958,34 @@ object LakeQueries {
       ident
     })
 
+  /** Partition-management chain (pure SQL): PARTITIONED BY
+    * (o_orderstatus) table seeded from keys < 3000, then `ALTER TABLE
+    * ... DROP PARTITION (o_orderstatus = 'P')` — the retention
+    * operation: ONE metadata commit removing that partition's file
+    * references, nothing read or rewritten, the other partitions'
+    * files untouched.
+    */
+  private val dropPartCache = new ConcurrentHashMap[String, String]()
+  private def dropPartFor(s: SparkSession, dir: String): String =
+    dropPartCache.computeIfAbsent(dir, _ => {
+      val key = dirKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+      val cat = s"gldp_$key"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$lakeRoot/dp_$key")
+      val ident = s"$cat.core.o"
+      s.sql(s"CREATE NAMESPACE $cat.core")
+      seed(s, dir).where(col("o_orderkey") < 3000)
+        .createOrReplaceTempView(s"lakeq_dpseed_$key")
+      s.sql(s"CREATE TABLE $ident (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_cents BIGINT, o_orderstatus STRING) " +
+        "PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (clusterBy = 'o_orderkey', nFiles = '2')")
+      s.sql(s"INSERT INTO $ident SELECT o_orderkey, o_custkey, o_cents, " +
+        s"o_orderstatus FROM lakeq_dpseed_$key")
+      s.sql(s"ALTER TABLE $ident DROP PARTITION (o_orderstatus = 'P')")
+      ident
+    })
+
   /** Streaming into a COMPUTED-column table through the DSv2 `toTable`
     * sink, restart in the middle: the destination declares a GENERATED
     * ALWAYS AS IDENTITY id and a GENERATED ALWAYS AS (o_cents * 2)
@@ -1613,6 +1641,24 @@ object LakeQueries {
         UNION ALL
         SELECT o_orderkey, o_cents + 9 AS o_cents, omonth FROM sd
         WHERE omonth IN ('1995-01', '1995-02', '1995-03')
+        ORDER BY o_orderkey""")),
+
+    QueryDef("lake_drop_partition_read",
+      // ALTER TABLE ... DROP PARTITION under the oracle: one
+      // metadata-only commit removes the 'P' partition's file
+      // references; the surviving partitions must read back byte-exact
+      // (nothing was rewritten), the dropped rows exactly gone
+      (s, dir) => {
+        val ident = dropPartFor(s, dir)
+        s.sql("SELECT o_orderkey, o_custkey, o_cents, o_orderstatus " +
+          s"FROM $ident ORDER BY o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents,
+               o_orderstatus
+        FROM orders
+        WHERE o_orderkey < 3000 AND o_orderstatus <> 'P'
         ORDER BY o_orderkey""")),
 
     QueryDef("stream_lake_totable_identity_replay",

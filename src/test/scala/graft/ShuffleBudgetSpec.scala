@@ -475,7 +475,10 @@ class ShuffleBudgetSpec extends SparkSuite {
       "aggregate over the streamed destination (partial+final, " +
       "count(DISTINCT id) expands it) broadcast-joined back to the " +
       "row scan + output ordering; generated/identity values were " +
-      "computed inside the stream's task writers, no extra operator"))
+      "computed inside the stream's task writers, no extra operator"),
+    ("lake_drop_partition_read", 1, "post-DROP-PARTITION snapshot scan " +
+      "(the drop was one metadata-only commit of Removes at build " +
+      "time; survivors' files untouched) + output ordering"))
 
   budgets.foreach { case (name, maxShuffles, why) =>
     test(s"$name stays within its shuffle budget ($maxShuffles): $why") {

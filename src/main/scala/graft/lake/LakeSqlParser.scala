@@ -25,9 +25,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField,
   * {{{
   *   OPTIMIZE <table> [WHERE <range predicate>]
   *   OPTIMIZE <table> ZORDER BY (colA, colB[, ...])
-  *   VACUUM <table> [RETAIN <n> HOURS]
+  *   VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]
   *   DESCRIBE HISTORY <table>
   *   DESCRIBE DETAIL <table>
+  *   RESTORE TABLE <table> [TO] VERSION AS OF <n>
+  *   RESTORE TABLE <table> [TO] TIMESTAMP AS OF '<utc ts>' | <millis>
+  *   CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF <n>]
+  *   CONVERT TO LAKE '<path>' [STATS COLUMNS (a, b)]
+  *   COPY INTO <table> FROM '<dir>' [PATTERN = '<glob>']
   * }}}
   *
   * `<table>` is a catalog identifier (`lakecat.ns.t`) or a
@@ -69,13 +74,17 @@ private[lake] object LakeSqlStatements {
   private val optimizeRe: Regex =
     s"""(?is)^\\s*OPTIMIZE\\s+$target\\s*(?:WHERE\\s+(.+?))?\\s*(?:ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
   private val vacuumRe: Regex =
-    s"""(?is)^\\s*VACUUM\\s+$target\\s*(?:RETAIN\\s+([0-9.]+)\\s+HOURS)?\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*VACUUM\\s+$target\\s*(?:RETAIN\\s+([0-9.]+)\\s+HOURS)?\\s*(DRY\\s+RUN)?\\s*;?\\s*$$""".r
   private val historyRe: Regex =
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$target\\s*;?\\s*$$""".r
   private val detailRe: Regex =
     s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$target\\s*;?\\s*$$""".r
   private val restoreRe: Regex =
     s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$target\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""".r
+  // timestamp form: a quoted UTC timestamp ('yyyy-MM-dd[ HH:mm:ss[.SSS]]')
+  // or a bare epoch-milliseconds literal
+  private val restoreTsRe: Regex =
+    s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$target\\s+(?:TO\\s+)?TIMESTAMP\\s+AS\\s+OF\\s+(?:'([^']+)'|(\\d{10,}))\\s*;?\\s*$$""".r
   private val cloneRe: Regex =
     s"""(?is)^\\s*CREATE\\s+TABLE\\s+$target\\s+SHALLOW\\s+CLONE\\s+$target(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""".r
   private val convertRe: Regex =
@@ -94,13 +103,16 @@ private[lake] object LakeSqlStatements {
             whereRanges(delegate.parseExpression(w))).getOrElse(Nil),
           Option(zorder).map(_.split(",").map(stripTicks).toSeq)
             .getOrElse(Nil)))
-      case vacuumRe(t, hours) =>
+      case vacuumRe(t, hours, dry) =>
         Some(LakeVacuumCommand(parts(t, delegate),
-          Option(hours).map(_.toDouble)))
+          Option(hours).map(_.toDouble), dryRun = dry != null))
       case historyRe(t) => Some(LakeHistoryCommand(parts(t, delegate)))
       case detailRe(t) => Some(LakeDetailCommand(parts(t, delegate)))
       case restoreRe(t, v) =>
         Some(LakeRestoreCommand(parts(t, delegate), v.toLong))
+      case restoreTsRe(t, ts, millis) =>
+        Some(LakeRestoreCommand(parts(t, delegate), -1L,
+          Some(if (millis != null) millis.toLong else utcMillis(ts))))
       case cloneRe(dst, src, v) =>
         Some(LakeShallowCloneCommand(parts(dst, delegate),
           parts(src, delegate), Option(v).map(_.toLong)))
@@ -115,6 +127,18 @@ private[lake] object LakeSqlStatements {
 
   private def stripTicks(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")
+
+  /** Quoted RESTORE timestamp → epoch millis, interpreted in UTC (the
+    * session timezone contract; commit times are epoch millis).
+    * Accepts date-only and second/millisecond precision.
+    */
+  private[lake] def utcMillis(ts: String): Long = {
+    val t = ts.trim
+    val local =
+      if (t.length == 10) java.time.LocalDate.parse(t).atStartOfDay()
+      else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+    local.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
 
   /** Left = table-root path, Right = catalog identifier parts. */
   private def parts(t: String, delegate: ParserInterface):
@@ -243,7 +267,8 @@ private[lake] final case class LakeOptimizeCommand(
   */
 private[lake] final case class LakeVacuumCommand(
     target: Either[String, Seq[String]],
-    retainHours: Option[Double]) extends LeafRunnableCommand {
+    retainHours: Option[Double],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[AttributeReference] = Seq(
     AttributeReference("files_deleted", LongType, nullable = false)(),
@@ -253,10 +278,13 @@ private[lake] final case class LakeVacuumCommand(
     val root = LakeSqlStatements.rootOf(spark, target)
     val keep = LakeTable.latestVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no lake table at $root"))
+    // DRY RUN: identical candidate selection, zero deletions — the
+    // report says what a real run WOULD reclaim
     val rep = retainHours match {
       case Some(h) => LakeTable.vacuum(spark, root, keepFromVersion = keep,
-        retentionMs = (h * 3600 * 1000).toLong)
-      case None => LakeTable.vacuum(spark, root, keepFromVersion = keep)
+        retentionMs = (h * 3600 * 1000).toLong, dryRun = dryRun)
+      case None => LakeTable.vacuum(spark, root, keepFromVersion = keep,
+        dryRun = dryRun)
     }
     Seq(Row(rep.filesDeleted.toLong, rep.bytesDeleted))
   }
@@ -285,7 +313,11 @@ private[lake] final case class LakeHistoryCommand(
   */
 private[lake] final case class LakeRestoreCommand(
     target: Either[String, Seq[String]],
-    toVersion: Long) extends LeafRunnableCommand {
+    toVersion: Long,
+    /** `TIMESTAMP AS OF` form: resolved to the newest version whose
+      * commit time is <= the given UTC instant, same rule as
+      * time-travel reads. */
+    toTimestampMillis: Option[Long] = None) extends LeafRunnableCommand {
 
   override val output: Seq[AttributeReference] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -294,8 +326,16 @@ private[lake] final case class LakeRestoreCommand(
     AttributeReference("files_untouched", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val rep = LakeTable.restore(spark,
-      LakeSqlStatements.rootOf(spark, target), toVersion)
+    val root = LakeSqlStatements.rootOf(spark, target)
+    val v = toTimestampMillis match {
+      case Some(ts) =>
+        val rootP = new org.apache.hadoop.fs.Path(root)
+        LakeLog.versionAtTimestamp(
+          LakeLog.fileSystem(rootP,
+            spark.sparkContext.hadoopConfiguration), rootP, ts)
+      case None => toVersion
+    }
+    val rep = LakeTable.restore(spark, root, v)
     Seq(Row(rep.version, rep.filesRewritten.toLong,
       rep.filesAdded.toLong, rep.filesUntouched.toLong))
   }

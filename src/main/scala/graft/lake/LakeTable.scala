@@ -2303,7 +2303,8 @@ object LakeTable {
     * check) — never do that with concurrent writers.
     */
   def vacuum(spark: SparkSession, root: String, keepFromVersion: Long,
-             retentionMs: Long = defaultVacuumRetentionMs): VacuumReport = {
+             retentionMs: Long = defaultVacuumRetentionMs,
+             dryRun: Boolean = false): VacuumReport = {
     val rootP = new Path(root)
     val f = fs(spark, rootP)
     require(LakeLog.versions(f, rootP).nonEmpty, s"no lake table at $root")
@@ -2373,14 +2374,17 @@ object LakeTable {
       snaps.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet
     var files = 0
     var bytes = 0L
+    // dryRun: identical candidate selection and accounting, ZERO
+    // deletions — "what would this vacuum reclaim" is answerable
+    // before committing to breaking time travel below the floor
     (dataCands ++ convertCands).foreach { case (p, rel, len) =>
       if (!live.contains(rel)) {
         bytes += len
         files += 1
-        f.delete(p, false)
+        if (!dryRun) f.delete(p, false): Unit
       }
     }
-    if (f.exists(dd)) f.listStatus(dd).foreach { sub =>
+    if (!dryRun && f.exists(dd)) f.listStatus(dd).foreach { sub =>
       // empty staging dirs (recursively: a vacuumed partitioned dir
       // keeps its value subdirs): only reap past the horizon — a
       // writer may have mkdir'd but not written yet
@@ -2396,7 +2400,7 @@ object LakeTable {
           bytes += st.getLen
           files += 1
         }
-        f.delete(sub, true)
+        if (!dryRun) f.delete(sub, true): Unit
       }
     }
     VacuumReport(files, bytes)

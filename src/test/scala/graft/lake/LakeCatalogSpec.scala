@@ -271,6 +271,49 @@ class LakeCatalogSpec extends SparkSuite {
     assert(props("version").toLong >= 5L)
   }
 
+  test("VACUUM DRY RUN reports without deleting; RESTORE TIMESTAMP " +
+      "AS OF resolves commit time to a version") {
+    sql(s"CREATE TABLE $cat.core.dr (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES (clusterBy = 'id', nFiles = '4')")
+    val root = s"$warehouse/core/dr"
+    sql(s"INSERT INTO $cat.core.dr SELECT id, id FROM range(100)")
+    Thread.sleep(15) // commit times are millis; separate them
+    val ts1 = System.currentTimeMillis()
+    Thread.sleep(15)
+    sql(s"INSERT INTO $cat.core.dr SELECT id + 100, id FROM range(100)")
+
+    // millis form: back to the state at ts1 (after the first insert)
+    sql(s"RESTORE TABLE $cat.core.dr TO TIMESTAMP AS OF $ts1")
+    assert(sql(s"SELECT count(*) c FROM $cat.core.dr").head().getLong(0)
+      == 100)
+    // quoted UTC string form
+    sql(s"INSERT INTO $cat.core.dr SELECT id + 200, id FROM range(50)")
+    val iso = java.time.Instant.ofEpochMilli(ts1)
+      .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+      .replace('T', ' ')
+    sql(s"RESTORE TABLE $cat.core.dr TO TIMESTAMP AS OF '$iso'")
+    assert(sql(s"SELECT count(*) c FROM $cat.core.dr").head().getLong(0)
+      == 100)
+    // a timestamp before the first commit refuses loudly
+    intercept[Exception] {
+      sql(s"RESTORE TABLE $cat.core.dr TO TIMESTAMP AS OF '1990-01-01'")
+    }
+
+    // DRY RUN: same candidate accounting, zero deletions
+    sql(s"OPTIMIZE $cat.core.dr") // rewrite → unreferenced old files
+    val dry = sql(s"VACUUM $cat.core.dr RETAIN 0 HOURS DRY RUN").head()
+    assert(dry.getAs[Long]("files_deleted") > 0)
+    // nothing was deleted: historical versions still read
+    assert(LakeTable.scanAsOf(spark, root, Some(1L)).count() == 100,
+      "DRY RUN must not reclaim anything")
+    val real = sql(s"VACUUM $cat.core.dr RETAIN 0 HOURS").head()
+    assert(real.getAs[Long]("files_deleted") ==
+      dry.getAs[Long]("files_deleted"),
+      "the dry-run report must match what the real run reclaims")
+    assert(sql(s"SELECT count(*) c FROM $cat.core.dr").head().getLong(0)
+      == 100, "vacuum never touches live data")
+  }
+
   test("INSERT INTO ... REPLACE WHERE swaps a key range in one commit") {
     sql(s"CREATE TABLE $cat.core.rw (id BIGINT, v BIGINT) " +
       "TBLPROPERTIES (clusterBy = 'id', nFiles = '4')")

@@ -16,9 +16,9 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
   SupportsOverwrite, SupportsTruncate, V1Write, WriteBuilder}
-import org.apache.spark.sql.sources.{AlwaysTrue, And, EqualTo, Filter,
-  GreaterThan, GreaterThanOrEqual, InsertableRelation, IsNotNull, LessThan,
-  LessThanOrEqual}
+import org.apache.spark.sql.sources.{AlwaysTrue, And, EqualNullSafe,
+  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation,
+  IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType,
   IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -914,6 +914,14 @@ private[lake] object LakeTableV2 {
   private def one(f: Filter): Option[Seq[LakeTable.ColRange]] = f match {
     case And(l, r) => for (a <- one(l); b <- one(r)) yield a ++ b
     case EqualTo(c, v) =>
+      norm(v).map(x => Seq(LakeTable.ColRange(c, Some(x), Some(x))))
+    // a static INSERT OVERWRITE PARTITION (p = 'x') spec arrives as
+    // null-safe equality; with a NON-NULL literal it selects exactly
+    // the EqualTo rows (ranges are null-rejecting, and null rows never
+    // match a non-null <=>), so the translation is exact. A NULL
+    // literal (p <=> NULL, the null partition) has no range form —
+    // norm(null) is None and the statement refuses loudly.
+    case EqualNullSafe(c, v) =>
       norm(v).map(x => Seq(LakeTable.ColRange(c, Some(x), Some(x))))
     case GreaterThan(c, v) => // ranges are inclusive: refuse strict
       // x+1 on Long.MaxValue wraps to MinValue — "> MaxValue" would

@@ -157,5 +157,14 @@ class LakeDynOverwriteSpec extends SparkSuite {
     spark.sql(s"INSERT OVERWRITE $cat.core.t SELECT * FROM dyn_seed")
     assert(byPart(root) == Map(
       "a" -> (0L until 10L), "b" -> (10L until 20L)))
+
+    // static PARTITION spec: the classic explicit form replaces only
+    // the named partition (routes through the REPLACE WHERE machinery
+    // — the analyzer folds the spec into the overwrite filter and the
+    // constant column)
+    spark.sql(s"INSERT OVERWRITE $cat.core.t PARTITION (part = 'a') " +
+      "SELECT id + 700 AS id, v FROM dyn_seed WHERE part = 'a'")
+    assert(byPart(root) == Map(
+      "a" -> (700L until 710L), "b" -> (10L until 20L)))
   }
 }

@@ -111,8 +111,11 @@ private[lake] object LakeDml {
         .getOrElse(lit(true))
       val v = a match {
         case u: UpdateAction => assigned(u.assignments, bind, fd, default)
-        case i: InsertAction =>
-          assigned(i.assignments, bind, fd, lit(null).cast(fd.dataType))
+        // an InsertAction that leaves the column unassigned falls back
+        // to the CALLER's default — the insert chain passes the
+        // column's CURRENT default (SQL INSERT-omission semantics),
+        // null for plain columns
+        case i: InsertAction => assigned(i.assignments, bind, fd, default)
         case _: DeleteAction => default // dropped by the keep chain
       }
       when(hit, v).otherwise(rest)
@@ -290,11 +293,23 @@ private[lake] final case class LakeMergeIntoCommand(
             .as("__keep"): _*)
         .where(col("__keep")).drop("__keep")
 
+    // a column a WHEN NOT MATCHED INSERT leaves unassigned fills its
+    // CURRENT default (SQL INSERT-omission semantics, same as the
+    // batch path); non-defaulted columns fall back to null, and
+    // generated/identity stay null here — the rewrite commit computes
+    // and allocates them
+    def insertFallback(fd: StructField): Column =
+      snap.colSpecs.get(fd.name) match {
+        case Some(cs) if cs.kind == LakeColumns.KindDefault =>
+          cs.spec.get("current").map(expr(_).cast(fd.dataType))
+            .getOrElse(lit(null).cast(fd.dataType))
+        case _ => lit(null).cast(fd.dataType)
+      }
     val insertRows =
       if (notMatched.isEmpty) None
       else Some(s.join(tp, joinCond, "left_anti")
         .select(cols.map(fd => chainValue(notMatched, identity, fd,
-          lit(null).cast(fd.dataType)).as(fd.name)) :+
+          insertFallback(fd)).as(fd.name)) :+
           chainKeep(notMatched, identity, default = false)
             .as("__keep"): _*)
         .where(col("__keep")).drop("__keep"))

@@ -89,8 +89,12 @@ class LakeStreamSourceProvider extends StreamSourceProvider
         toSnap.colMap, toSnap.partitionBy, toSnap.colSpecs)
     }
     val byVersion = parameters.get("versionAsOf").map(_.toLong)
+    // epoch millis, or a UTC timestamp string ('yyyy-MM-dd[ HH:mm:ss]')
+    // — the same forms RESTORE ... TIMESTAMP AS OF accepts
     val byTs = parameters.get("timestampAsOf").map(t =>
-      LakeLog.versionAtTimestamp(fs, root, t.toLong))
+      LakeLog.versionAtTimestamp(fs, root,
+        if (t.trim.forall(_.isDigit)) t.trim.toLong
+        else LakeSqlStatements.utcMillis(t)))
     require(byVersion.isEmpty || byTs.isEmpty,
       "set either versionAsOf or timestampAsOf, not both")
     val snap = LakeLog.snapshot(fs, root, byVersion.orElse(byTs))

@@ -161,6 +161,13 @@ class LakeSqlReadSpec extends SparkSuite {
       .option("timestampAsOf", tsOf(0L).toString).load(root).count() == 100)
     assert(spark.read.format("graft-lake")
       .option("timestampAsOf", tsOf(1L).toString).load(root).count() == 150)
+    // a quoted UTC timestamp string works too (the Delta-style form a
+    // user types; millis remain exact for tooling)
+    val iso0 = java.time.Instant.ofEpochMilli(tsOf(0L))
+      .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+      .replace('T', ' ')
+    assert(spark.read.format("graft-lake")
+      .option("timestampAsOf", iso0).load(root).count() == 100)
     intercept[IllegalArgumentException] {
       LakeLog.versionAtTimestamp(f, rootP, tsOf(0L) - 1)
     }

@@ -1537,7 +1537,12 @@ object LakeTable {
       StructType.fromDDL(snap.schemaDdl), snap.colSpecs, snap.identityHwm,
       df0)
     requireSameSchema(snap.schemaDdl, df)
-    val outside = df.where(!rangeFilter(ranges)).limit(1).count()
+    // a NULL key can never be INSIDE a range (the predicate evaluates
+    // NULL): coalesce to false so null-keyed batch rows count as
+    // OUTSIDE and refuse — without it !NULL = NULL let them slip past
+    // this check and land as inserts the replace never deleted
+    val outside =
+      df.where(!coalesce(rangeFilter(ranges), lit(false))).limit(1).count()
     require(outside == 0,
       s"REPLACE WHERE ${ranges.map(_.column).distinct.mkString(",")}: the " +
         "incoming batch carries rows OUTSIDE the replaced range — they " +
@@ -1545,8 +1550,11 @@ object LakeTable {
     val pr = physRanges(ranges, snap.colMap)
     val (cands, _) =
       snap.files.partition(a => pr.forall(r => mayMatch(a.stats, r)))
+    // null-keyed survivors are outside every range: keep them (same
+    // coalesce rule as deleteWhere)
     val survivors = readAdds(spark, rootP, snap.schemaDdl, cands,
-      snap.colMap, snap.partitionBy, snap.colSpecs).where(!rangeFilter(ranges))
+      snap.colMap, snap.partitionBy, snap.colSpecs)
+      .where(!coalesce(rangeFilter(ranges), lit(false)))
     rewriteCommit(spark, root, snap, cands,
       survivors.unionByName(df), "replacewhere", alloc0 = Some(alloc))
   }
@@ -2073,8 +2081,14 @@ object LakeTable {
       snap.files.partition(a => pr.forall(r => mayMatch(a.stats, r)))
     if (cands.isEmpty)
       return RewriteReport(snap.version, 0, 0, untouched.size)
+    // SQL DELETE removes rows where the predicate is TRUE; on a NULL
+    // key the range predicate is NULL, and bare !NULL = NULL would
+    // silently DROP those rows from the rewritten survivors — coalesce
+    // to false so null-keyed rows survive (the general rewrite path
+    // in LakeDeleteCommand applies the same rule)
     val survivors = readAdds(spark, rootP, snap.schemaDdl, cands,
-      snap.colMap, snap.partitionBy, snap.colSpecs).where(!rangeFilter(ranges))
+      snap.colMap, snap.partitionBy, snap.colSpecs)
+      .where(!coalesce(rangeFilter(ranges), lit(false)))
     val nOut = math.max(1, cands.size / 2)
     val adds = writeDataFiles(spark, rootP, survivors, snap.statsCols, nOut,
       snap.clusterBy, snap.colMap, snap.partitionBy).filter(_.stats.rows > 0)

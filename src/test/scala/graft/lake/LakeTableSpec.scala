@@ -197,6 +197,36 @@ class LakeTableSpec extends SparkSuite {
     assert(ids(LakeTable.scanAsOf(spark, root, Some(0L))) == (0L until 800L))
   }
 
+  test("range DELETE keeps NULL-key rows; REPLACE WHERE refuses a " +
+      "null-key batch (three-valued predicate semantics)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = ((0 until 20).map(i => (Option(i.toLong), s"n_$i", i * 10L)) ++
+      Seq((Option.empty[Long], "nullkey_1", 1L),
+        (Option.empty[Long], "nullkey_2", 2L)))
+      .toDF("id", "name", "amount")
+    LakeTable.create(spark, root, df, Seq("id"), nFiles = 1)
+    // DELETE WHERE id BETWEEN 0 AND 99: the predicate is NULL for
+    // null ids — SQL keeps those rows; the candidate file (missing
+    // id stats cover the null rows) is rewritten, never just dropped
+    LakeTable.deleteWhere(spark, root,
+      Seq(LakeTable.ColRange("id", Some(0L), Some(99L))))
+    val left = LakeTable.scan(spark, root).select("name").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(left == Seq("nullkey_1", "nullkey_2"),
+      s"null-keyed rows must survive a range delete: $left")
+
+    // REPLACE WHERE: a batch row with a NULL key is OUTSIDE every
+    // range — it must refuse, not land as an unrelated insert
+    val bad = Seq((Option.empty[Long], "sneak", 9L))
+      .toDF("id", "name", "amount")
+    val ex = intercept[IllegalArgumentException] {
+      LakeTable.replaceWhere(spark, root,
+        Seq(LakeTable.ColRange("id", Some(0L), Some(9L))), bad)
+    }
+    assert(ex.getMessage.contains("OUTSIDE"))
+  }
+
   test("merge applies upserts, deletes, inserts; D wins version ties") {
     import spark.implicits._
     val root = freshRoot()

@@ -304,13 +304,21 @@ object Bench {
         }
       } catch { case _: Throwable => Map.empty }
     val fnByName = selected.toMap
+    // Band-recording runs adjudicate harder: a committed band must not
+    // carry an unexplained near-2x row (round-17 verdict: sample_pps at
+    // 1.98x and ann_lsh_topk at 1.83x sat just under the 2x rerun gate
+    // and shipped unadjudicated), so --record-band lowers the solo
+    // re-run threshold to 1.8x of the previous band.
+    val recordBand = args.contains("--record-band") ||
+      sys.env.get("SPARK_GRAFT_RECORD_BAND").contains("1")
+    val rerunRatio = if (recordBand) 1.8 else 2.0
     val results = firstPass.map { case row @ (name, median, runs, can) =>
       // ANY >2x-band row re-runs solo at end-of-run — no absolute
       // floor on the re-run decision (round-15 verdict: a real 2.5x
       // regression on a 0.15 s query must not hide under the jitter
       // floor; the floor still gates the WARN label downstream, and a
       // sub-second re-run costs nothing)
-      val over = band.get(name).exists(b => median.wall > 2 * b)
+      val over = band.get(name).exists(b => median.wall > rerunRatio * b)
       if (!over || median.wall < 0) row
       else {
         System.err.println(f"[bench] re-running $name solo: " +
@@ -382,8 +390,8 @@ object Bench {
     // log of the latest run. Non-band full runs land their history at
     // bench/bench_scratch_latest.json instead, so re-adjudication still
     // has the per-query detail without touching the band.
-    val recordBand = args.contains("--record-band") ||
-      sys.env.get("SPARK_GRAFT_RECORD_BAND").contains("1")
+    // (recordBand is computed above the run loop — it also lowers the
+    // solo re-run threshold.)
     if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty &&
         java.nio.file.Files.isDirectory(java.nio.file.Paths.get("bench")))
       java.nio.file.Files.write(

@@ -839,12 +839,19 @@ private[lake] class LakeTableV2(spark: SparkSession,
     val cands = cur.files.filter(a =>
       snap.partitionBy.map(c => a.stats.min.get(c)) == want)
     if (cands.isEmpty) return false
+    // guardPartitions, not just guardFiles: DROP PARTITION claims "no
+    // live file remains in this partition", which a concurrent commit
+    // ADDING a file into it would silently falsify (guardFiles only
+    // pins the files being removed). Same non-serializable race
+    // dynamicOverwrite guards; the racing add aborts the drop and the
+    // caller re-reads.
     LakeLog.commit(f, root,
       (LakeLog.Meta("droppartition", cur.schemaDdl, cur.statsCols, None,
         None, System.currentTimeMillis(),
         partitionBy = cur.partitionBy) +:
         cands.map(a => LakeLog.Remove(a.path))),
-      guardFiles = cands, baseVersion = cur.version)
+      guardFiles = cands, baseVersion = cur.version,
+      guardPartitions = Some((cur.partitionBy, Set(want))))
     true
   }
 

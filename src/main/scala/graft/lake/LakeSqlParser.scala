@@ -46,7 +46,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   override def parsePlan(sqlText: String): LogicalPlan =
     LakeSqlStatements.parse(session, sqlText, delegate)
-      .getOrElse(delegate.parsePlan(sqlText))
+      .getOrElse(LakeMergeNameMapping(session,
+        delegate.parsePlan(sqlText)))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -130,14 +131,24 @@ private[lake] object LakeSqlStatements {
 
   /** Quoted RESTORE timestamp → epoch millis, interpreted in UTC (the
     * session timezone contract; commit times are epoch millis).
-    * Accepts date-only and second/millisecond precision.
+    * Accepts date-only and second/millisecond precision. The error
+    * names the accepted forms — this is also the fall-through for the
+    * `timestampAsOf` read option, whose raw value may be anything.
     */
   private[lake] def utcMillis(ts: String): Long = {
     val t = ts.trim
-    val local =
-      if (t.length == 10) java.time.LocalDate.parse(t).atStartOfDay()
-      else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-    local.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    try {
+      val local =
+        if (t.length == 10) java.time.LocalDate.parse(t).atStartOfDay()
+        else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      local.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    } catch {
+      case e: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"bad timestamp '$ts': expected a UTC " +
+            "'yyyy-MM-dd[ HH:mm:ss[.SSS]]' string or epoch " +
+            "milliseconds (all digits, >= 10 of them)", e)
+    }
   }
 
   /** Left = table-root path, Right = catalog identifier parts. */

@@ -91,9 +91,17 @@ class LakeStreamSourceProvider extends StreamSourceProvider
     val byVersion = parameters.get("versionAsOf").map(_.toLong)
     // epoch millis, or a UTC timestamp string ('yyyy-MM-dd[ HH:mm:ss]')
     // — the same forms RESTORE ... TIMESTAMP AS OF accepts
+    // epoch-millis sniffing matches the SQL RESTORE form (\d{10,}): a
+    // bare all-digit value must carry at least 10 digits to read as
+    // millis — a blank string vacuously satisfies forall(isDigit) and
+    // would throw a raw NumberFormatException, and a short digit run
+    // (a typo'd date, an epoch-SECONDS value) silently resolves to
+    // 1970 and fails with a misleading "no committed version" error.
+    // Everything else falls through to the UTC timestamp parser,
+    // whose own error names the accepted forms.
     val byTs = parameters.get("timestampAsOf").map(t =>
       LakeLog.versionAtTimestamp(fs, root,
-        if (t.trim.forall(_.isDigit)) t.trim.toLong
+        if (t.trim.length >= 10 && t.trim.forall(_.isDigit)) t.trim.toLong
         else LakeSqlStatements.utcMillis(t)))
     require(byVersion.isEmpty || byTs.isEmpty,
       "set either versionAsOf or timestampAsOf, not both")

@@ -116,10 +116,21 @@ private[lake] final class LakeStreamingWrite(
         s"the stream must OMIT computed column '$c' — the sink " +
           "computes GENERATED and allocates IDENTITY values itself"))
   }
-  planSnap.partitionBy.foreach(c =>
-    require(writeSchema.fieldNames.contains(c) || semNames.contains(c),
+  // the waiver is GENERATED-only, matching the message: an IDENTITY
+  // partition column would put every row in its own partition (ids
+  // are unique by construction) — one directory and one rolling file
+  // per row; refuse that shape loudly instead of letting the general
+  // "stream must omit computed columns" check half-allow it
+  planSnap.partitionBy.foreach { c =>
+    require(!idSpecs.exists(_.col == c),
+      s"partition column '$c' is IDENTITY — partitioning by a " +
+        "unique-per-row column is one file per row; partition by a " +
+        "carried or GENERATED column instead")
+    require(writeSchema.fieldNames.contains(c) ||
+        genSpecs.exists(_.col == c),
       s"streaming write must carry partition column '$c' (or the " +
-        "column must be GENERATED, in which case the sink computes it)"))
+        "column must be GENERATED, in which case the sink computes it)")
+  }
 
   /** Evolved table DDL this epoch commits under (== baseDdl unless
     * mergeSchema adds/keeps columns). Computed with the same additive

@@ -1116,24 +1116,28 @@ object LakeTable {
       df0)
     requireSameSchema(snap.schemaDdl, df)
     enforceConstraints(df, snap.constraints, "dynamic overwrite")
-    // the touched partition-value set: bounded by partitions in the
-    // BATCH (a reload touches a handful), never by table size. Values
-    // normalize to the stats domain (Long/String) so tuple equality
-    // against each file's recorded min==max partition stats is exact;
-    // None is the null partition (a file of nulls records no min).
-    val touched: Set[Seq[Option[Any]]] =
-      df.select(snap.partitionBy.map(col): _*).distinct().collect()
-        .map(r => snap.partitionBy.indices
-          .map(i => Option(r.get(i)).map(normalizeStat)).toSeq)
-        .toSet
-    if (touched.isEmpty) // empty batch: nothing to replace, nothing to add
-      return RewriteReport(snap.version, 0, 0, snap.files.size)
-    def partTuple(a: Add): Seq[Option[Any]] =
-      snap.partitionBy.map(c => a.stats.min.get(c))
-    val cands = snap.files.filter(a => touched.contains(partTuple(a)))
     val adds = writeDataFiles(spark, rootP, df,
       LakeColumns.statsColsFor(snap.statsCols, snap.colSpecs), nFiles,
       snap.clusterBy, snap.colMap, snap.partitionBy)
+    if (adds.isEmpty) // empty batch: nothing to replace, nothing to add
+      return RewriteReport(snap.version, 0, 0, snap.files.size)
+    def partTuple(a: Add): Seq[Option[Any]] =
+      snap.partitionBy.map(c => a.stats.min.get(c))
+    // the touched partition-value set derives from the files ACTUALLY
+    // WRITTEN (each partitioned file's min==max stats carry its
+    // directory value — the same tuples the read path injects), not
+    // from a separate pre-write pass over df: executing the frame
+    // twice would let a nondeterministic input (rand()-derived
+    // partition values, a re-planned sample) write rows into
+    // partitions the first pass never saw — their old files would
+    // survive and the new rows would land as silent appends, breaking
+    // the replace-exactly contract. Deriving from the adds makes the
+    // Removes match the data that is IN the commit by construction,
+    // and costs nothing (one execution instead of two). The set stays
+    // bounded by partitions in the BATCH, never by table size; None
+    // is the null partition (a file of nulls records no min).
+    val touched: Set[Seq[Option[Any]]] = adds.map(partTuple).toSet
+    val cands = snap.files.filter(a => touched.contains(partTuple(a)))
     val v = LakeLog.commit(f, rootP,
       ((Meta("dynoverwrite", snap.schemaDdl, snap.statsCols, None, None,
         now()) +: cands.map(a => Remove(a.path))) ++ adds) ++
@@ -2388,23 +2392,53 @@ object LakeTable {
       snaps.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet
     var files = 0
     var bytes = 0L
+    // staging-dir sweep decisions are taken from a PRE-DELETION
+    // listing: deleting a dir's files bumps the dir's mtime past the
+    // horizon, so a post-deletion mtime gate would skip exactly the
+    // dirs this vacuum just emptied (they'd leak forever, pinned by
+    // their _SUCCESS marker) and make the real run's accounting
+    // diverge from the dry run's. mtime < horizon on the PRE state is
+    // the real guard: a writer may have mkdir'd but not written yet.
+    val preDirs: Seq[(Path, Seq[(Path, String, Long)])] =
+      if (!f.exists(dd)) Nil
+      else f.listStatus(dd).toSeq.collect {
+        case sub if sub.isDirectory &&
+            sub.getModificationTime < horizon =>
+          val it = f.listFiles(sub.getPath, true)
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(Path, String, Long)]
+          while (it.hasNext) {
+            val st = it.next()
+            buf += ((st.getPath, relToRoot(st.getPath), st.getLen))
+          }
+          sub.getPath -> buf.toSeq
+      }
     // dryRun: identical candidate selection and accounting, ZERO
     // deletions — "what would this vacuum reclaim" is answerable
     // before committing to breaking time travel below the floor
+    val reclaimed = scala.collection.mutable.Set.empty[String]
     (dataCands ++ convertCands).foreach { case (p, rel, len) =>
       if (!live.contains(rel)) {
         bytes += len
         files += 1
+        reclaimed += rel
         if (!dryRun) f.delete(p, false): Unit
       }
     }
-    if (!dryRun && f.exists(dd)) f.listStatus(dd).foreach { sub =>
-      // empty staging dirs (recursively: a vacuumed partitioned dir
-      // keeps its value subdirs): only reap past the horizon — a
-      // writer may have mkdir'd but not written yet
-      if (sub.getModificationTime < horizon &&
-          !f.listFiles(sub.getPath, true).hasNext)
-        f.delete(sub.getPath, true)
+    // reap a stale staging dir once no non-marker file survives this
+    // vacuum, judged against the reclaim set (never a re-listing: dry
+    // run deletes nothing, and write markers — _SUCCESS — are never
+    // data candidates, so an emptiness probe would pin the dir
+    // forever after its last data file was vacuumed). Markers reaped
+    // with their dir are bytes too, accounted in BOTH modes so the
+    // dry==real report contract holds.
+    preDirs.foreach { case (dir, under) =>
+      val (markers, data) =
+        under.partition(_._1.getName.startsWith("_"))
+      if (data.forall { case (_, rel, _) => reclaimed.contains(rel) }) {
+        markers.foreach { case (_, _, len) => bytes += len; files += 1 }
+        if (!dryRun) f.delete(dir, true): Unit
+      }
     }
     // deletion-vector sidecars: a dv/<uuid> dataset is live while any
     // retained version's Add still points at it

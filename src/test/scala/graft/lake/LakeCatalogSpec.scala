@@ -310,8 +310,22 @@ class LakeCatalogSpec extends SparkSuite {
     assert(real.getAs[Long]("files_deleted") ==
       dry.getAs[Long]("files_deleted"),
       "the dry-run report must match what the real run reclaims")
+    assert(real.getAs[Long]("bytes_deleted") ==
+      dry.getAs[Long]("bytes_deleted"),
+      "dry-run byte accounting must match the real run (incl. the " +
+        "write markers reaped with emptied staging dirs)")
     assert(sql(s"SELECT count(*) c FROM $cat.core.dr").head().getLong(0)
       == 100, "vacuum never touches live data")
+    // emptied staging dirs are reaped WITH their _SUCCESS markers —
+    // a marker alone must not pin a dir forever after its last data
+    // file was vacuumed; dirs holding live files stay
+    val liveDirs = LakeTable.snapshot(spark, root).files
+      .map(_.path.split('/')(1)).toSet
+    val leftDirs = new java.io.File(s"$root/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(leftDirs == liveDirs,
+      s"emptied staging dirs must be reaped: left $leftDirs, live " +
+        s"$liveDirs")
   }
 
   test("INSERT INTO ... REPLACE WHERE swaps a key range in one commit") {
@@ -495,10 +509,12 @@ class LakeCatalogSpec extends SparkSuite {
       "renamed source column lands via a USING-clause alias") {
     // the stock ResolveMergeIntoSchemaEvolution rule (the contract
     // AUTOMATIC_SCHEMA_EVOLUTION buys) matches source-only columns by
-    // NAME: a producer who renamed `tag` to `label` upstream would
+    // NAME: a producer who renamed `tag` to `label` UPSTREAM would
     // otherwise evolve the table with the NEW name. The supported
     // spelling when the TABLE's name must win is an alias inside
-    // USING — documented here as the worked example (SURVEY §8)
+    // USING — documented here as the worked example (SURVEY §8).
+    // (The inverse direction — the TABLE renamed, the source still on
+    // the old name — is handled automatically: see the next test.)
     sql(s"CREATE TABLE $cat.core.ma (id BIGINT, v BIGINT) " +
       "TBLPROPERTIES (clusterBy = 'id', nFiles = '2')")
     sql(s"INSERT INTO $cat.core.ma SELECT id, id FROM range(10)")
@@ -517,6 +533,77 @@ class LakeCatalogSpec extends SparkSuite {
       .collect()
     assert(rows.length == 15)
     assert(rows.drop(5).forall(r => r.getString(2) == s"t_${r.getLong(0)}"))
+  }
+
+  test("column mapping wins in evolving MERGE: the TABLE's old name " +
+      "resolves to the renamed column instead of forking a new one") {
+    // RENAME COLUMN tag -> label leaves the files (and often the
+    // producers) on the physical name `tag`. An evolving MERGE whose
+    // assignment keys still say `tag` used to fork a brand-new `tag`
+    // column — the stock evolution rule matches by logical name only.
+    // The parse-time remap (LakeMergeNameMapping) resolves assignment
+    // KEYS through the column mapping, so the merge lands in `label`
+    // and the table keeps its three columns.
+    sql(s"CREATE TABLE $cat.core.mw (id BIGINT, v BIGINT, tag STRING) " +
+      "TBLPROPERTIES (clusterBy = 'id', nFiles = '2')")
+    sql(s"INSERT INTO $cat.core.mw SELECT id, id, concat('o_', id) " +
+      "FROM range(10)")
+    sql(s"ALTER TABLE $cat.core.mw RENAME COLUMN tag TO label")
+    spark.range(5, 15)
+      .selectExpr("id", "id * 10 AS v", "concat('n_', id) AS tag")
+      .createOrReplaceTempView("mw_src")
+    sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.core.mw t
+      USING mw_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
+      WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (s.id, s.v, s.tag)""")
+    val cols = sql(s"SELECT * FROM $cat.core.mw").columns.toSeq
+    assert(cols == Seq("id", "v", "label"),
+      s"the mapping must win — no forked column, got $cols")
+    val rows = sql(s"SELECT id, v, label FROM $cat.core.mw ORDER BY id")
+      .collect()
+    assert(rows.length == 15)
+    assert(rows.take(5).forall(r => r.getString(2) == s"o_${r.getLong(0)}"),
+      "unmatched rows keep their pre-merge values")
+    assert(rows.drop(5).forall(r => r.getLong(1) == r.getLong(0) * 10 &&
+      r.getString(2) == s"n_${r.getLong(0)}"),
+      "matched + inserted rows land in the RENAMED column")
+
+    // the alias-qualified spelling (t.tag) remaps too
+    spark.range(5, 7)
+      .selectExpr("id", "id * 10 AS v", "concat('q_', id) AS tag")
+      .createOrReplaceTempView("mw_src2")
+    sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.core.mw t
+      USING mw_src2 s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.tag = s.tag""")
+    assert(sql(s"SELECT * FROM $cat.core.mw").columns.toSeq ==
+      Seq("id", "v", "label"))
+    assert(sql(s"SELECT count(*) c FROM $cat.core.mw WHERE " +
+      "label LIKE 'q_%'").head().getLong(0) == 2)
+
+    // a GENUINELY new source column still evolves (the remap must not
+    // swallow real evolution), and a column whose name never collided
+    // with a physical name is untouched
+    spark.range(17, 19)
+      .selectExpr("id", "id * 10 AS v", "concat('r_', id) AS tag",
+        "id * 2 AS score")
+      .createOrReplaceTempView("mw_src3")
+    sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.core.mw t
+      USING mw_src3 s ON t.id = s.id
+      WHEN NOT MATCHED THEN INSERT (id, v, tag, score)
+      VALUES (s.id, s.v, s.tag, s.score)""")
+    assert(sql(s"SELECT * FROM $cat.core.mw").columns.toSeq ==
+      Seq("id", "v", "label", "score"),
+      "a real new column must still evolve")
+    assert(sql(s"SELECT count(*) c FROM $cat.core.mw WHERE score IS " +
+      "NOT NULL").head().getLong(0) == 2)
+
+    // plain MERGE (no evolution clause) keeps its loud-failure
+    // contract for unknown assignment targets — the remap is scoped
+    // to WITH SCHEMA EVOLUTION where the failure mode was SILENT
+    intercept[Exception] {
+      sql(s"""MERGE INTO $cat.core.mw t USING mw_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET tag = s.tag""")
+    }
   }
 
   test("inline CHECK at CREATE TABLE time persists and gates writes") {

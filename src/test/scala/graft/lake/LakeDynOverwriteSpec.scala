@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   * commit — and the commit guards BOTH directions (candidates live
   * unchanged; no concurrent file added INTO a replaced partition).
   */
+object LakeDynOverwriteSpec {
+  /** Shared across executor threads via the CLASS, not the task
+    * closure (closures deserialize per task, which would reset a
+    * captured counter and silently make the "nondeterministic" udf
+    * deterministic again in local mode).
+    */
+  val flakyCounter = new java.util.concurrent.atomic.AtomicLong
+}
+
 class LakeDynOverwriteSpec extends SparkSuite {
 
   private def freshRoot(): String =
@@ -66,6 +75,53 @@ class LakeDynOverwriteSpec extends SparkSuite {
     assert(rep.filesRewritten == 0 && rep.filesAdded == 0)
     assert(LakeTable.latestVersion(spark, root).get == v,
       "an empty dynamic overwrite must not commit")
+  }
+
+  test("a nondeterministic batch cannot break the replace-exactly " +
+      "contract: the replaced set derives from the files written") {
+    // the hazard: dynamicOverwrite used to plan `touched` from a
+    // separate pre-write execution of the frame (distinct+collect);
+    // a nondeterministic input re-evaluates between that pass and the
+    // actual write, so rows could land in partitions the plan never
+    // saw — their old files would survive and the new rows would be
+    // silent appends. The fix derives the replaced set from the
+    // written adds' min==max stats, so whatever got written is
+    // exactly what gets replaced, regardless of how many times Spark
+    // executes the frame (range-partitioning alone adds a sampling
+    // pass). The JVM-shared counter makes every execution produce
+    // DIFFERENT partition values on purpose.
+    val root = freshRoot()
+    LakeTable.create(spark, root,
+      rows(0, 10, "a").union(rows(10, 20, "b")).union(rows(20, 30, "c")),
+      Seq("id"), nFiles = 1, partitionBy = Seq("part"))
+    val before = byPart(root)
+
+    LakeDynOverwriteSpec.flakyCounter.set(0L)
+    val flakyPart = udf((_: Long) =>
+      if (LakeDynOverwriteSpec.flakyCounter.getAndIncrement() < 5) "a"
+      else "b").asNondeterministic()
+    import spark.implicits._
+    val batch = (100 until 105)
+      .map(i => (i.toLong, i * 10L)).toDF("id", "v")
+      .withColumn("part", flakyPart(col("id")))
+    LakeTable.dynamicOverwrite(spark, root, batch)
+
+    val after = byPart(root)
+    val newIds = (100L until 105L)
+    // every new row landed exactly once, in exactly one partition
+    assert(after.values.flatten.filter(_ >= 100L).toSeq.sorted == newIds,
+      s"new rows must land exactly once, got $after")
+    after.foreach { case (p, ids) =>
+      val (nw, old) = ids.partition(_ >= 100L)
+      // replace-exactly: a partition that received new rows must hold
+      // ONLY new rows (its old files were removed in the same commit)
+      assert(nw.isEmpty || old.isEmpty,
+        s"partition '$p' mixes old and new rows ($ids) — the replaced " +
+          "set diverged from the written set")
+      // untouched partitions keep their exact original content
+      if (nw.isEmpty) assert(ids == before(p),
+        s"untouched partition '$p' changed: $ids vs ${before(p)}")
+    }
   }
 
   test("unpartitioned tables refuse (use overwrite)") {

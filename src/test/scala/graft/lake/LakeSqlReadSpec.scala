@@ -175,6 +175,19 @@ class LakeSqlReadSpec extends SparkSuite {
       spark.read.format("graft-lake").option("versionAsOf", "0")
         .option("timestampAsOf", tsOf(0L).toString).load(root).count()
     }
+    // malformed values refuse with the accepted forms in the message,
+    // never a raw NumberFormatException or a silent 1970 resolution:
+    // blank, and a short digit run (an epoch-SECONDS paste or a typo)
+    // — digit strings only read as millis at >= 10 digits, matching
+    // the SQL RESTORE grammar
+    Seq("", "   ", "12345", "123456789").foreach { bad =>
+      val ex = intercept[IllegalArgumentException] {
+        spark.read.format("graft-lake")
+          .option("timestampAsOf", bad).load(root).count()
+      }
+      assert(ex.getMessage.contains("yyyy-MM-dd"),
+        s"'$bad' must name the accepted forms, got: ${ex.getMessage}")
+    }
   }
 
   test("hilbert-clustered lake files prune on either dimension too") {

@@ -1661,6 +1661,61 @@ object LakeQueries {
         WHERE o_orderkey < 3000 AND o_orderstatus <> 'P'
         ORDER BY o_orderkey""")),
 
+    QueryDef("lake_cdf_dynoverwrite",
+      // CDF across a REWRITE commit — the nightly-reload tables
+      // downstream consumers actually diff: the change view of the
+      // dynamic overwrite (v2 of the dyn chain) must be exactly one
+      // 'delete' per replaced-partition original row and one 'insert'
+      // per re-materialized row (+9 cents), with survivors in
+      // untouched partitions contributing NOTHING. DuckDB recomputes
+      // the +/- multiset from the same seed arithmetic — a
+      // replaced-partition leak (old rows not deleted) or a survivor
+      // bleed (untouched partitions in the diff) both fail the hash.
+      (s, dir) => {
+        dynFor(s, dir) // ensure the chain exists
+        val key = dirKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+        LakeTable.scanChanges(s, s"$lakeRoot/dyn_$key/core/m", 1L, 2L)
+          .orderBy("_change_type", "o_orderkey")
+      },
+      Some("""
+        WITH sd AS (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents,
+                 strftime(o_orderdate, '%Y-%m') AS omonth
+          FROM orders WHERE o_orderkey < 3000
+            AND strftime(o_orderdate, '%Y-%m')
+                IN ('1995-01', '1995-02', '1995-03')),
+        cdf AS (
+          SELECT o_orderkey, o_cents, omonth, 'delete' AS _change_type
+          FROM sd
+          UNION ALL
+          SELECT o_orderkey, o_cents + 9, omonth, 'insert' FROM sd)
+        SELECT o_orderkey, o_cents, omonth, _change_type,
+               CAST(2 AS BIGINT) AS _commit_version
+        FROM cdf ORDER BY _change_type, o_orderkey""")),
+
+    QueryDef("lake_cdf_drop_partition",
+      // CDF across a Remove-ONLY commit: DROP PARTITION (v2 of the
+      // partition-management chain) adds no files, so the change view
+      // is pure deletes — every 'P' row exactly once, the partition
+      // column injected from the REMOVED files' stats (the one place
+      // the injected-column path runs with an empty added side).
+      (s, dir) => {
+        dropPartFor(s, dir) // ensure the chain exists
+        val key = dirKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+        LakeTable.scanChanges(s, s"$lakeRoot/dp_$key/core/o", 1L, 2L)
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents,
+               o_orderstatus,
+               'delete' AS _change_type,
+               CAST(2 AS BIGINT) AS _commit_version
+        FROM orders
+        WHERE o_orderkey < 3000 AND o_orderstatus = 'P'
+        ORDER BY o_orderkey""")),
+
     QueryDef("stream_lake_totable_identity_replay",
       // IDENTITY + GENERATED columns through the DSv2 streaming sink
       // with a restart: the stream omits both computed columns, task

@@ -478,7 +478,15 @@ class ShuffleBudgetSpec extends SparkSuite {
       "computed inside the stream's task writers, no extra operator"),
     ("lake_drop_partition_read", 1, "post-DROP-PARTITION snapshot scan " +
       "(the drop was one metadata-only commit of Removes at build " +
-      "time; survivors' files untouched) + output ordering"))
+      "time; survivors' files untouched) + output ordering"),
+    ("lake_cdf_dynoverwrite", 3, "one exceptAll aggregate per side of " +
+      "the dynamic-overwrite commit's multiset diff (both sides " +
+      "bounded by the REPLACED partitions' files, never the table; " +
+      "survivors contribute no input) + output ordering"),
+    ("lake_cdf_drop_partition", 3, "Remove-only commit diff: the " +
+      "added side is an empty scan, the removed side the dropped " +
+      "partition's files only; exceptAll still plans its two " +
+      "aggregate exchanges + output ordering"))
 
   budgets.foreach { case (name, maxShuffles, why) =>
     test(s"$name stays within its shuffle budget ($maxShuffles): $why") {

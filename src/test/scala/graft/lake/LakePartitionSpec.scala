@@ -205,6 +205,69 @@ class LakePartitionSpec extends SparkSuite {
     assert(tailed.where(col("day").isNull).count() == 0)
   }
 
+  test("streaming tail restart across DROP PARTITION: strict refuses " +
+      "loudly; ignoreChanges resumes without re-emitting dropped rows") {
+    // the nightly-retention shape downstream streams actually tail:
+    // a partitioned table whose old partitions get dropped while a
+    // stream is between incarnations. The drop is a Remove-only
+    // commit, so the append-only contract refuses it by default; an
+    // ignoreChanges restart must resume cleanly AND re-emit nothing
+    // for the drop (there are no added files — dropped rows must not
+    // reappear downstream, and no survivor row may duplicate).
+    val cat = "gdpstream"
+    val w = Files.createTempDirectory("graft_dpstream").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    seed(50).createOrReplaceTempView("dpstream_seed")
+    spark.sql(s"CREATE TABLE $cat.ns.s (day INT, id BIGINT, " +
+      "name STRING) PARTITIONED BY (day) " +
+      "TBLPROPERTIES (clusterBy = 'id', nFiles = '1')")
+    spark.sql(s"INSERT INTO $cat.ns.s SELECT * FROM dpstream_seed")
+    val root = s"$w/ns/s"
+    val ckpt = Files.createTempDirectory("graft_dpstream_ck").toString
+    def run(buf: scala.collection.mutable.ArrayBuffer[Long],
+            ignoreChanges: Boolean): Unit = {
+      val q = spark.readStream.format("graft-lake")
+        .option("ignoreChanges", ignoreChanges.toString).load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          buf.synchronized { buf ++= ids(df) }; ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val first = scala.collection.mutable.ArrayBuffer.empty[Long]
+    run(first, ignoreChanges = false)
+    assert(first.sorted.toSeq == (0L until 50L))
+
+    // retention lands between incarnations, then fresh data arrives
+    spark.sql(s"ALTER TABLE $cat.ns.s DROP PARTITION (day = 0)")
+    import spark.implicits._
+    LakeTable.append(spark, root,
+      (100 until 110).map(i => (7, i.toLong, s"n_$i")).toDF(
+        "day", "id", "name"), nFiles = 1)
+
+    // strict restart: the drop commit is a rewrite the append-only
+    // contract cannot express — refuse naming the op and the escape
+    val strict = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ex = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+      run(strict, ignoreChanges = false)
+    }
+    val msg = ex.getMessage +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("droppartition") && msg.contains("ignoreChanges"),
+      s"refusal must name the op and the escape hatch: $msg")
+
+    // ignoreChanges restart: the drop re-emits NOTHING (no adds), the
+    // append flows — exactly the new rows, no duplicates, no
+    // resurrection of the dropped partition
+    val loose = scala.collection.mutable.ArrayBuffer.empty[Long]
+    run(loose, ignoreChanges = true)
+    assert(loose.sorted.toSeq == (100L until 110L),
+      s"expected only the post-drop append, got ${loose.sorted.toSeq}")
+  }
+
   test("partitioned CTAS: one atomic commit, rolling writers split " +
       "files on value boundaries, inline CHECK validates with the " +
       "injected partition column") {

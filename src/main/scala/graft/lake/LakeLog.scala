@@ -633,7 +633,11 @@ object LakeLog {
   }
 
   /** Table state at `asOf` (default: latest). Replays from the newest
-    * checkpoint at or before the target version.
+    * checkpoint at or before the target version. Time travel BELOW
+    * the vacuum floor refuses loudly at resolution time — the files
+    * may be gone, and the alternative is a FileNotFoundException deep
+    * inside an executor task (or, with ignoreMissingFiles, silent
+    * partial rows).
     */
   def snapshot(fs: FileSystem, root: Path, asOf: Option[Long]): Snapshot = {
     val vs = versions(fs, root)
@@ -641,7 +645,67 @@ object LakeLog {
     val target = asOf.getOrElse(vs.last)
     require(vs.contains(target),
       s"version $target not in log (have ${vs.headOption}..${vs.lastOption})")
+    asOf.foreach { v =>
+      vacuumFloor(fs, root).foreach { case (keepFrom, horizonTs) =>
+        if (v < keepFrom) throw new IllegalStateException(
+          s"version $v of $root was vacuumed: the vacuum floor is " +
+            s"$keepFrom (horizon ${java.time.Instant
+              .ofEpochMilli(horizonTs)}) — files referenced below the " +
+            "floor were deleted; time travel reaches versions >= " +
+            s"$keepFrom only")
+      }
+    }
     replay(fs, root, target, fromCheckpoint = true)
+  }
+
+  // ---- vacuum floor -----------------------------------------------------
+
+  private def floorPath(root: Path): Path =
+    new Path(root, "_vacuum_floor.json")
+
+  /** Advisory vacuum floor: (keepFromVersion, horizonTs) of the last
+    * vacuum that deleted a file REFERENCED by a pre-floor version —
+    * i.e. the oldest version whose files are still guaranteed
+    * present. Written by [[graft.lake.LakeTable.vacuum]], read at
+    * time-travel resolution so a vacuumed-away read refuses loudly
+    * with the horizon instead of dying file-by-file inside tasks. A
+    * marker, not a log action: readers need the LATEST floor when
+    * resolving an OLD version, which a log action (living after the
+    * target) could only provide via an O(versions) scan per read;
+    * absence degrades to today's behavior (the scan itself still
+    * fails loudly, never partially, under ignoreMissingFiles=false).
+    */
+  def vacuumFloor(fs: FileSystem, root: Path): Option[(Long, Long)] =
+    try {
+      val p = floorPath(root)
+      if (!fs.exists(p)) None
+      else {
+        val j = JsonMethods.parse(readString(fs, p))
+        def lng(k: String): Long = (j \ k) match {
+          case JLong(l) => l; case JInt(i) => i.toLong
+          case o => throw new IllegalArgumentException(s"bad floor $k: $o")
+        }
+        Some((lng("keepFrom"), lng("horizonTs")))
+      }
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Monotone floor advance (a concurrent lower vacuum never
+    * regresses it). Temp-write + rename: readers see old or new,
+    * never a torn file.
+    */
+  def recordVacuumFloor(fs: FileSystem, root: Path, keepFrom: Long,
+                        horizonTs: Long): Unit = {
+    val cur = vacuumFloor(fs, root).map(_._1).getOrElse(Long.MinValue)
+    if (keepFrom <= cur) return
+    val tmp = new Path(root,
+      s"._vacuum_floor.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"keepFrom":$keepFrom,"horizonTs":$horizonTs}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(floorPath(root))) fs.delete(floorPath(root), false)
+    if (!fs.rename(tmp, floorPath(root))) fs.delete(tmp, false): Unit
   }
 
   private def replay(fs: FileSystem, root: Path, target: Long,

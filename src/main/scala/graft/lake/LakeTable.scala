@@ -2442,14 +2442,42 @@ object LakeTable {
     }
     // deletion-vector sidecars: a dv/<uuid> dataset is live while any
     // retained version's Add still points at it
+    val reclaimedDv = scala.collection.mutable.Set.empty[String]
     dvCands.foreach { sub =>
       if (!liveDv.contains(s"dv/${sub.getName}")) {
         f.listStatus(sub).filterNot(_.isDirectory).foreach { st =>
           bytes += st.getLen
           files += 1
         }
+        reclaimedDv += s"dv/${sub.getName}"
         if (!dryRun) f.delete(sub, true): Unit
       }
+    }
+    // record the vacuum floor when this run deleted a file some
+    // PRE-FLOOR version still references (pure staging/convert
+    // garbage that no version ever referenced breaks nothing and
+    // moves no floor): time travel below the floor then refuses at
+    // resolution time with the horizon in the message —
+    // LakeLog.snapshot — instead of dying file-by-file inside tasks.
+    // One linear scan of the pre-floor commits; vacuum is a
+    // maintenance op that already listed the whole data tree.
+    if (!dryRun && files > 0 && keepFromVersion > 0) {
+      val brokeHistory = {
+        val refs = scala.collection.mutable.Set.empty[String]
+        vs.filter(_ < keepFromVersion).foreach { v =>
+          LakeLog.readCommit(f, rootP, v).foreach {
+            case a: LakeLog.Add =>
+              refs += a.path
+              a.dv.foreach(d => refs += d.path.split('/').take(2)
+                .mkString("/"))
+            case _ => ()
+          }
+        }
+        reclaimed.exists(refs.contains) ||
+          reclaimedDv.exists(refs.contains)
+      }
+      if (brokeHistory)
+        LakeLog.recordVacuumFloor(f, rootP, keepFromVersion, horizon)
     }
     VacuumReport(files, bytes)
   }

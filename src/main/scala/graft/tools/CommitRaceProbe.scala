@@ -38,6 +38,13 @@ import graft.lake.{LakeLog, LakeTable}
   *     `guardPartitions` promise — a silently-surviving concurrent
   *     file would violate it); disjoint-round appends to 'b' ALWAYS
   *     survive and the overwrite ALWAYS succeeds.
+  *  4. **Vacuum-vs-reader race** (round 18): child A pins a
+  *     time-travel DataFrame of v0 BEFORE child B vacuums v0's files
+  *     away (a guaranteed straddle, not a timing lottery). Invariant:
+  *     the pinned plan returns the COMPLETE snapshot or fails loudly
+  *     — never partial rows; a FRESH v0 resolution after the vacuum
+  *     refuses deterministically with the recorded vacuum floor and
+  *     horizon in the message; the latest snapshot is untouched.
   *
   * Usage: `sbt "runMain graft.tools.CommitRaceProbe"` — appends a
   * section to SCALEPROBE.md and prints COMMIT-RACE-PASS.
@@ -53,6 +60,8 @@ object CommitRaceProbe {
       childConstraint(args(1), args(2), args(3).toInt)
     case Some("child-dyn") =>
       childDyn(args(1), args(2), args(3).toInt)
+    case Some("child-vac") =>
+      childVac(args(1), args(2), args(3).toInt)
     case _ => coordinate()
   }
 
@@ -168,6 +177,67 @@ object CommitRaceProbe {
     spark.stop()
   }
 
+  // ---- child 4: vacuum vs time-travel reader (Spark) --------------------
+
+  /** Per round, the table holds v0 (100 rows, later orphaned by v1's
+    * overwrite). Child A (reader) PINS a v0 DataFrame before the go
+    * signal, then after the vacuum has run it (a) collects the pinned
+    * frame — its file list predates the vacuum, so this is the
+    * mid-flight race — and (b) re-resolves v0 fresh. Child B runs the
+    * vacuum. Outcomes are written verbatim; the coordinator asserts
+    * complete-or-loud-never-partial from them.
+    */
+  private def childVac(base: String, childId: String,
+                       nRounds: Int): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    (0 until nRounds).foreach { r =>
+      val root = s"$base/vtab_$r"
+      def attempt(tag: String)(body: => Long): String =
+        try s"$tag:OK:${body}"
+        catch { case e: Throwable =>
+          val cause = { var c: Throwable = e
+            while (c.getCause != null) c = c.getCause; c }
+          s"$tag:REFUSED:${cause.getClass.getSimpleName}:" +
+            String.valueOf(cause.getMessage).take(120).replace('\n', ' ')
+        }
+      val outcome =
+        if (childId == "A") {
+          // pin BEFORE the vacuum: resolution reads the v0 snapshot
+          // while its files still exist
+          val pinned =
+            try Some(LakeTable.scanAsOf(spark, root, Some(0L)))
+            catch { case _: Throwable => None }
+          touch(s"$base/race/ready-v$r-$childId")
+          await(s"$base/race/go-v$r")
+          // the vacuum child signals completion; the reader then
+          // executes the pinned plan (files may be gone under it) and
+          // re-resolves fresh
+          await(s"$base/race/result-v$r-B")
+          val mid = pinned.map(df => attempt("pinned")(df.count()))
+            .getOrElse("pinned:UNRESOLVED")
+          val fresh = attempt("fresh")(
+            LakeTable.scanAsOf(spark, root, Some(0L)).count())
+          val latest = attempt("latest")(LakeTable.scan(spark, root).count())
+          s"$mid|$fresh|$latest"
+        } else {
+          touch(s"$base/race/ready-v$r-$childId")
+          await(s"$base/race/go-v$r")
+          attempt("vacuum") {
+            LakeTable.vacuum(spark, root, keepFromVersion = 1L,
+              retentionMs = 0L).filesDeleted.toLong
+          }
+        }
+      Files.write(Paths.get(s"$base/race/result-v$r-$childId"),
+        outcome.getBytes(StandardCharsets.UTF_8))
+    }
+    spark.stop()
+  }
+
   // ---- coordinator -----------------------------------------------------
 
   private def spawn(mainArgs: Seq[String], logFile: String,
@@ -196,9 +266,10 @@ object CommitRaceProbe {
     val base = Files.createTempDirectory("graft_race").toString
     Files.createDirectories(Paths.get(s"$base/race"))
     val sb = new StringBuilder
-    sb.append("\n## Commit race probe (round 17 re-run; version + ")
+    sb.append("\n## Commit race probe (round 18 re-run; version + ")
     sb.append("constraint races from round 15, dynamic-overwrite race ")
-    sb.append("new): two SEPARATE JVMs racing the same log\n\n")
+    sb.append("from round 17, vacuum-vs-reader race new): two SEPARATE ")
+    sb.append("JVMs racing the same log\n\n")
 
     // ---- race 1: tryCommit version race, no Spark anywhere ----------
     val logRoot = s"$base/lograce"
@@ -393,6 +464,72 @@ object CommitRaceProbe {
     sb.append(s"the overwrite commit); overwrite committed $owWins/$nDyn, ")
     sb.append(s"guard refused $conflictsRefused conflicting interleavings, ")
     sb.append("disjoint-partition appends always survived\n")
+
+    // ---- race 4: vacuum vs time-travel reader --------------------------
+    val nVac = 3
+    (0 until nVac).foreach { r =>
+      val root = s"$base/vtab_$r"
+      LakeTable.create(spark, root,
+        (0 until 100).map(i => (i.toLong, i.toLong)).toDF("id", "v"),
+        Seq("id"), nFiles = 2)                         // v0: 100 rows
+      LakeTable.overwrite(spark, root,
+        (0 until 40).map(i => (i.toLong, -i.toLong)).toDF("id", "v"),
+        nFiles = 1)                                    // v1 orphans v0
+    }
+    val t3 = now()
+    val va = spawn(Seq("child-vac", base, "A", nVac.toString),
+      s"$base/child-v-A.out", "2g")
+    val vb = spawn(Seq("child-vac", base, "B", nVac.toString),
+      s"$base/child-v-B.out", "2g")
+    (0 until nVac).foreach { r =>
+      await(s"$base/race/ready-v$r-A"); await(s"$base/race/ready-v$r-B")
+      touch(s"$base/race/go-v$r")
+      await(s"$base/race/result-v$r-A")
+    }
+    require(va.waitFor() == 0, s"child A failed — $base/child-v-A.out")
+    require(vb.waitFor() == 0, s"child B failed — $base/child-v-B.out")
+    val wallV = (now() - t3) / 1e3
+    var pinnedLoud = 0
+    (0 until nVac).foreach { r =>
+      def res(id: String) = new String(Files.readAllBytes(
+        Paths.get(s"$base/race/result-v$r-$id")), StandardCharsets.UTF_8)
+      val Array(pinned, fresh, latest) = res("A").split('|')
+      val vac = res("B")
+      require(vac.startsWith("vacuum:OK:"),
+        s"vac round $r: vacuum must succeed, got '$vac'")
+      require(vac.stripPrefix("vacuum:OK:").toLong > 0,
+        s"vac round $r: vacuum must have reclaimed v0's files")
+      // THE invariant, mid-flight side: a plan pinned BEFORE the
+      // vacuum either returns the COMPLETE snapshot or fails loudly —
+      // a partial count is the data-corruption outcome
+      if (pinned.startsWith("pinned:OK:"))
+        require(pinned == "pinned:OK:100",
+          s"vac round $r: PARTIAL pinned read: '$pinned' (expected " +
+            "100 rows or a loud failure)")
+      else {
+        pinnedLoud += 1
+        require(pinned.startsWith("pinned:REFUSED:"),
+          s"vac round $r: unexpected pinned outcome '$pinned'")
+      }
+      // resolution side: a FRESH time travel below the floor refuses
+      // AT RESOLUTION, naming the floor/horizon — deterministic, the
+      // reader never starts a doomed scan
+      require(fresh.startsWith("fresh:REFUSED:IllegalStateException") &&
+        fresh.contains("vacuum floor"),
+        s"vac round $r: fresh v0 resolution must refuse with the " +
+          s"vacuum floor, got '$fresh'")
+      // and the latest snapshot is never collateral damage
+      require(latest == "latest:OK:40",
+        s"vac round $r: latest read must stay intact, got '$latest'")
+    }
+    sb.append(s"- vacuum-vs-reader race: $nVac rounds in ")
+    sb.append(f"$wallV%.1f s — a v0 plan PINNED before the vacuum ")
+    sb.append(s"returned complete-or-loud in every round ($pinnedLoud/")
+    sb.append(s"$nVac failed loudly, the rest read 100/100 intact rows ")
+    sb.append("from still-open handles); a FRESH v0 resolution after ")
+    sb.append("the vacuum refused deterministically with the recorded ")
+    sb.append("vacuum floor + horizon in the message; the latest ")
+    sb.append("snapshot was never collateral damage\n")
     spark.stop()
 
     Files.write(Paths.get("SCALEPROBE.md"),

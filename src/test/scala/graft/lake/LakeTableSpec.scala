@@ -47,9 +47,13 @@ class LakeTableSpec extends SparkSuite {
     LakeTable.append(spark, root, seed(90).where(col("id") >= 80),
       nFiles = 1)                                                     // v4
     LakeTable.vacuum(spark, root, keepFromVersion = 3L, retentionMs = 0L)
-    intercept[IllegalArgumentException] {
-      LakeTable.restore(spark, root, 2L) // v2's rewrite outputs vacuumed
+    // v2's rewrite outputs were vacuumed: the refusal now comes from
+    // the recorded vacuum floor, at snapshot RESOLUTION, naming the
+    // horizon — before any file is touched
+    val vex = intercept[IllegalStateException] {
+      LakeTable.restore(spark, root, 2L)
     }
+    assert(vex.getMessage.contains("vacuum floor"), vex.getMessage)
     assert(ids(LakeTable.scan(spark, root)) == (0L until 50L) ++ (80L until 90L))
   }
 
@@ -339,9 +343,13 @@ class LakeTableSpec extends SparkSuite {
       retentionMs = 0L)
     assert(rep.filesDeleted >= 1)
     assert(ids(LakeTable.scan(spark, root)) == (50L until 100L))
-    intercept[Exception] {
+    // the vacuum recorded its floor (it deleted files v0 references),
+    // so the unreadable version refuses AT RESOLUTION with the
+    // horizon — not file-by-file inside tasks, and never partially
+    val ex = intercept[IllegalStateException] {
       LakeTable.scanAsOf(spark, root, Some(0L)).collect()
     }
+    assert(ex.getMessage.contains("vacuum floor is 1"), ex.getMessage)
   }
 
   test("concurrent appends both land, on distinct versions") {

@@ -153,6 +153,31 @@ object LakeQueries {
       root
     })
 
+  /** 3-D sibling of [[zFor]]: (tenant-ish, day-ish, key) — the layout
+    * a (o_custkey, omday, o_orderkey) Morton interleave gives prunes
+    * a predicate on ANY of the three dimensions. COMPACTED once after
+    * create, so the oracle-gated read also certifies the recorded n-D
+    * spec survives maintenance (writeDataFiles re-enters layoutN with
+    * the same recorded spec).
+    */
+  private val z3Cache = new ConcurrentHashMap[String, String]()
+  private def z3For(s: SparkSession, dir: String): String =
+    z3Cache.computeIfAbsent(dir, _ => {
+      val root = s"$lakeRoot/zord3_${dirKey(dir)}"
+      val df = t(s, dir, "orders").where(col("o_orderkey") < 4000)
+        .select(col("o_orderkey"), col("o_custkey"),
+          dayofmonth(col("o_orderdate")).cast("long").as("omday"),
+          round(col("o_totalprice") * 100).cast("long").as("o_cents"))
+      LakeTable.create(s, root, df,
+        Seq("o_custkey", "omday", "o_orderkey"), nFiles = 16,
+        clusterBy = Some(LakeTable.zCluster("o_custkey", "omday",
+          "o_orderkey")))
+      LakeTable.compact(s, root, smallBytes = Long.MaxValue,
+        targetBytes = math.max(1L, LakeTable.snapshot(s, root).files
+          .map(_.stats.bytes).sum / 16))
+      root
+    })
+
   /** Merge-on-read chain: create (8 key-clustered files) → MOR delete
     * [500,999] → MOR delete [800,1299] (overlap: positions carry
     * forward cumulatively, never recount). NO data file is rewritten
@@ -1308,6 +1333,25 @@ object LakeQueries {
                CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
         FROM orders
         WHERE o_orderkey < 4000 AND o_custkey BETWEEN 40 AND 79
+        ORDER BY o_orderkey""")),
+
+    QueryDef("lake_zorder3_scan",
+      // 3-D Morton layout under the oracle: a (tenant, day) predicate
+      // neither a key-sorted nor a 2-D layout could prune on both of
+      // — and the chain COMPACTED after create, so row-exactness here
+      // certifies the n-D recorded spec survives maintenance
+      // (per-dimension file-pruning ratios pinned in LakeSqlReadSpec)
+      (s, dir) => s.read.format("graft-lake").load(z3For(s, dir))
+        .where(col("o_custkey").between(40, 79) &&
+          col("omday").between(10, 14))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(datepart('day', o_orderdate) AS BIGINT) AS omday,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders
+        WHERE o_orderkey < 4000 AND o_custkey BETWEEN 40 AND 79
+          AND datepart('day', o_orderdate) BETWEEN 10 AND 14
         ORDER BY o_orderkey""")),
 
     QueryDef("lake_cdf",

@@ -388,6 +388,9 @@ class ShuffleBudgetSpec extends SparkSuite {
       "dimension prunes; tighter boxes than Morton) + output ordering"),
     ("lake_zorder_scan", 1, "Morton-pruned file subset scan (either " +
       "dimension prunes) + output ordering"),
+    ("lake_zorder3_scan", 1, "3-D Morton-pruned file subset scan (any " +
+      "of the three dimensions prunes; layout survived a compaction) " +
+      "+ output ordering"),
     ("lake_cdf", 5, "one exceptAll aggregate per side per rewrite " +
       "commit (2 rewrites x 2 sides, each bounded by the commit's " +
       "touched files, never the table) + output ordering"),

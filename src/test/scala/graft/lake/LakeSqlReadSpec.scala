@@ -250,6 +250,20 @@ class LakeSqlReadSpec extends SparkSuite {
       val big = Seq((1L, 1L << 40, 0L, 0L)).toDF("id", "x", "y", "w")
       LakeTable.append(spark, root, big, nFiles = 1)
     }
+    // the recorded 3-D spec survives maintenance: compaction
+    // re-enters layoutN with the same spec, so every dimension still
+    // prunes over the rewritten files
+    LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+      targetBytes = math.max(1L, LakeTable.snapshot(spark, root).files
+        .map(_.stats.bytes).sum / 8))
+    val total = LakeTable.snapshot(spark, root).files.size
+    Seq("x", "y", "w").foreach { c =>
+      val n = filesRead(spark.read.format("graft-lake").load(root)
+        .where(col(c) >= 8 && col(c) < 16))
+      assert(n < total,
+        s"post-compaction $c-range read $n of $total files — the n-D " +
+          "layout must survive maintenance")
+    }
   }
 
   test("batch readChangeFeed on the format surface slices commit ranges") {

@@ -25,6 +25,24 @@ object SparkSuite {
       .config("spark.sql.extensions", "graft.GraftSparkExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Task-level ERROR traces are redundant in local-mode tests:
+    // every real failure propagates to the driver and fails its test
+    // with the same stack, so the executor/scheduler/stream-engine
+    // duplicates only bury real failures in the 1000+-test log —
+    // especially around tests that INTERCEPT expected errors
+    // (raise_error guards, refusal contracts, expected stream
+    // aborts), which used to print full QueryExecutionErrors traces
+    // from passing suites. Driver-side WARN+ from everything else
+    // stays visible.
+    Seq(
+      "org.apache.spark.executor.Executor",
+      "org.apache.spark.scheduler.TaskSetManager",
+      "org.apache.spark.util.Utils",
+      "org.apache.spark.sql.execution.datasources.FileFormatWriter",
+      "org.apache.spark.sql.execution.streaming.MicroBatchExecution",
+      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution"
+    ).foreach(l => org.apache.logging.log4j.core.config.Configurator
+      .setLevel(l, org.apache.logging.log4j.Level.FATAL))
     s
   }
 }

@@ -113,6 +113,40 @@ class LakeCloneSpec extends SparkSuite {
     assert(ids(LakeTable.scan(spark, dst)) == (0L until 100L))
   }
 
+  test("a source vacuum breaking a non-localized clone fails the " +
+      "clone's reads loudly, never partially") {
+    // the documented hazard (Delta parity): a shallow clone that
+    // still references source files by absolute path loses them when
+    // the SOURCE vacuums past the cloned version. The contract is
+    // complete-or-loud: the clone's read must fail at file access —
+    // never silently return the surviving subset. (Localizing via
+    // compaction BEFORE the source vacuums is the supported escape —
+    // previous test.)
+    val src = freshRoot()
+    val dst = freshRoot()
+    LakeTable.create(spark, src, seed(0, 100), Seq("id"), nFiles = 2,
+      clusterBy = Some("id"))
+    LakeTable.overwrite(spark, src, seed(0, 40), nFiles = 1)
+    LakeTable.shallowClone(spark, src, dst, asOf = Some(0L))
+    assert(ids(LakeTable.scan(spark, dst)) == (0L until 100L))
+    LakeTable.vacuum(spark, src, keepFromVersion = 1L, retentionMs = 0L)
+    val ex = intercept[Exception] {
+      LakeTable.scan(spark, dst).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(ex).exists(c =>
+      String.valueOf(c.getMessage).contains("not exist") ||
+        c.isInstanceOf[java.io.FileNotFoundException]),
+      s"expected a loud missing-file failure, got $ex")
+    // the source itself reads fine and its own time travel refuses
+    // with its floor
+    assert(ids(LakeTable.scan(spark, src)) == (0L until 40L))
+    intercept[IllegalStateException] {
+      LakeTable.scanAsOf(spark, src, Some(0L))
+    }
+  }
+
   test("clone at an old version branches history") {
     val src = freshRoot()
     val dst = freshRoot()

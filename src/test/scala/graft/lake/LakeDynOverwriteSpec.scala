@@ -124,6 +124,27 @@ class LakeDynOverwriteSpec extends SparkSuite {
     }
   }
 
+  test("the NULL partition replaces like any other (None tuple from " +
+      "no-min stats)") {
+    // a file of NULL partition values records no min stat — its
+    // tuple is None — and the batch's null rows land under the
+    // default partition dir with the same tuple: the null partition
+    // must replace exactly, neighbors untouched
+    import spark.implicits._
+    val root = freshRoot()
+    LakeTable.create(spark, root,
+      Seq((1L, "a"), (2L, "a"), (3L, null.asInstanceOf[String]),
+        (4L, null.asInstanceOf[String])).toDF("id", "part"),
+      Seq("id"), nFiles = 1, partitionBy = Seq("part"))
+    val rep = LakeTable.dynamicOverwrite(spark, root,
+      Seq((100L, null.asInstanceOf[String])).toDF("id", "part"))
+    assert(rep.filesRewritten == 1 && rep.filesAdded == 1)
+    val rows = LakeTable.scan(spark, root).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, Some("a")), (2L, Some("a")), (100L, None)),
+      s"null partition must replace exactly, got $rows")
+  }
+
   test("unpartitioned tables refuse (use overwrite)") {
     val root = freshRoot()
     LakeTable.create(spark, root, rows(0, 5, "a"), Seq("id"), nFiles = 1)
@@ -176,6 +197,61 @@ class LakeDynOverwriteSpec extends SparkSuite {
         guardPartitions = Some((snap1.partitionBy, touched)))
     }
     assert(ex.getMessage.contains("replaced partition"))
+  }
+
+  test("readChangeFeed streams a dynamic overwrite and a partition " +
+      "drop as their exact row deltas") {
+    // the CDF-grain change STREAM over rewrite commits: a downstream
+    // consumer tailing the nightly-reload table in readChangeFeed
+    // mode must receive the overwrite as delete(old)+insert(new) for
+    // the replaced partitions only, and a DROP PARTITION as pure
+    // deletes — no refusal (CDF mode expresses rewrites), no survivor
+    // bleed, partition column injected in the delta rows
+    val root = freshRoot()
+    LakeTable.create(spark, root,
+      rows(0, 10, "a").union(rows(10, 20, "b")),
+      Seq("id"), nFiles = 1, partitionBy = Seq("part"))
+    val q = spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dyn_cdf_tail").start()
+    try {
+      q.processAllAvailable()
+      LakeTable.dynamicOverwrite(spark, root, rows(100, 103, "a")) // v1
+      q.processAllAvailable()
+      // a Remove-only drop: commit the same shape DROP PARTITION
+      // lands (the SQL route needs a catalog; the commit shape is
+      // identical — Meta + Removes of the partition's files)
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val f = LakeLog.fileSystem(rootP,
+        spark.sparkContext.hadoopConfiguration)
+      val cur = LakeLog.snapshot(f, rootP, None)
+      val bCands = cur.files.filter(_.stats.min.get("part").contains("b"))
+      LakeLog.commit(f, rootP,
+        LakeLog.Meta("droppartition", cur.schemaDdl, cur.statsCols,
+          None, None, System.currentTimeMillis(),
+          partitionBy = cur.partitionBy) +:
+          bCands.map(a => LakeLog.Remove(a.path)),
+        guardFiles = bCands, baseVersion = cur.version,
+        guardPartitions = Some((cur.partitionBy,
+          Set(Seq(Option("b"): Option[Any]))))) // v2
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dyn_cdf_tail")
+    def part(ct: String, cv: Long): Seq[Long] =
+      out.where(col("_change_type") === ct &&
+        col("_commit_version") === cv)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(part("insert", 0L) == (0L until 20L))
+    assert(part("delete", 1L) == (0L until 10L),
+      "the overwrite must stream the replaced partition's old rows " +
+        "as deletes")
+    assert(part("insert", 1L) == (100L until 103L))
+    assert(part("delete", 2L) == (10L until 20L),
+      "the drop must stream the partition's rows as pure deletes")
+    assert(out.count() == 20 + 10 + 3 + 10, "no other change rows")
+    assert(out.where(col("part").isNull).count() == 0,
+      "partition values must be injected in every delta row")
   }
 
   test("SQL INSERT OVERWRITE under partitionOverwriteMode=dynamic; " +

@@ -434,7 +434,8 @@ private[lake] final case class LakeDetailCommand(
       StructField("partition_by", StringType, nullable = false),
       StructField("cluster_by", StringType, nullable = false),
       StructField("features", StringType, nullable = false),
-      StructField("constraints", StringType, nullable = false)))
+      StructField("constraints", StringType, nullable = false),
+      StructField("time_travel_floor", LongType, nullable = false)))
       .fields.map(f =>
         AttributeReference(f.name, f.dataType, f.nullable)()).toSeq
 

@@ -2604,9 +2604,13 @@ object LakeTable {
     * dashboard row maintenance tooling keys off.
     */
   def detail(spark: SparkSession, root: String): DataFrame = {
-    val snap = LakeLog.snapshot(fs(spark, new Path(root)), new Path(root),
-      None)
+    val f = fs(spark, new Path(root))
+    val snap = LakeLog.snapshot(f, new Path(root), None)
     val dvRows = snap.files.flatMap(_.dv).map(_.rows).sum
+    // oldest version time travel is guaranteed to reach: the recorded
+    // vacuum floor, or 0 when no vacuum has broken history
+    val floor = LakeLog.vacuumFloor(f, new Path(root))
+      .map(_._1).getOrElse(0L)
     import spark.implicits._
     Seq((snap.version, snap.files.size.toLong,
       snap.files.map(_.stats.rows).sum - dvRows,
@@ -2616,10 +2620,10 @@ object LakeTable {
       snap.clusterBy.getOrElse(""),
       snap.features.toSeq.sorted.mkString(","),
       snap.constraints.toSeq.sorted.map { case (n, e) => s"$n: $e" }
-        .mkString("; ")))
+        .mkString("; "), floor))
       .toDF("version", "num_files", "num_rows", "total_bytes",
         "dv_files", "dv_dead_rows", "partition_by", "cluster_by",
-        "features", "constraints")
+        "features", "constraints", "time_travel_floor")
   }
 
   /** Commit history as a DataFrame: (version, op, files_added,

@@ -37,8 +37,16 @@ object SparkSuite {
     Seq(
       "org.apache.spark.executor.Executor",
       "org.apache.spark.scheduler.TaskSetManager",
+      // DAGScheduler: "Failed to update accumulator (Unknown class)"
+      // one-liners from updates racing an expected job abort, plus
+      // "Failed to cancel job group" WARN chatter on stream stops
+      "org.apache.spark.scheduler.DAGScheduler",
       "org.apache.spark.util.Utils",
+      "org.apache.spark.storage.TorrentBroadcast",
       "org.apache.spark.sql.execution.datasources.FileFormatWriter",
+      // V2 write abort bookkeeping ("is aborting"/"aborted") around
+      // expected streaming-epoch failures
+      "org.apache.spark.sql.execution.datasources.v2.WriteToDataSourceV2Exec",
       "org.apache.spark.sql.execution.streaming.MicroBatchExecution",
       "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution"
     ).foreach(l => org.apache.logging.log4j.core.config.Configurator

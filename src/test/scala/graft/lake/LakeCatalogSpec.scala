@@ -326,6 +326,12 @@ class LakeCatalogSpec extends SparkSuite {
     assert(leftDirs == liveDirs,
       s"emptied staging dirs must be reaped: left $leftDirs, live " +
         s"$liveDirs")
+    // the vacuum broke history (it reclaimed files old versions
+    // reference), so DESCRIBE DETAIL surfaces how far back time
+    // travel still reaches
+    assert(sql(s"DESCRIBE DETAIL $cat.core.dr").head()
+      .getAs[Long]("time_travel_floor") > 0L,
+      "DESCRIBE DETAIL must surface the recorded vacuum floor")
   }
 
   test("INSERT INTO ... REPLACE WHERE swaps a key range in one commit") {

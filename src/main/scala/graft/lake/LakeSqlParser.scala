@@ -30,7 +30,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField,
   *   DESCRIBE DETAIL <table>
   *   RESTORE TABLE <table> [TO] VERSION AS OF <n>
   *   RESTORE TABLE <table> [TO] TIMESTAMP AS OF '<utc ts>' | <millis>
-  *   CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF <n>]
+  *   CREATE TABLE <dst> SHALLOW CLONE <src>
+  *     [VERSION AS OF <n> | TIMESTAMP AS OF '<utc ts>' | <millis>]
   *   CONVERT TO LAKE '<path>' [STATS COLUMNS (a, b)]
   *   COPY INTO <table> FROM '<dir>' [PATTERN = '<glob>']
   * }}}
@@ -87,7 +88,7 @@ private[lake] object LakeSqlStatements {
   private val restoreTsRe: Regex =
     s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$target\\s+(?:TO\\s+)?TIMESTAMP\\s+AS\\s+OF\\s+(?:'([^']+)'|(\\d{10,}))\\s*;?\\s*$$""".r
   private val cloneRe: Regex =
-    s"""(?is)^\\s*CREATE\\s+TABLE\\s+$target\\s+SHALLOW\\s+CLONE\\s+$target(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*CREATE\\s+TABLE\\s+$target\\s+SHALLOW\\s+CLONE\\s+$target(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+(?:'([^']+)'|(\\d{10,})))?\\s*;?\\s*$$""".r
   private val convertRe: Regex =
     s"""(?is)^\\s*CONVERT\\s+TO\\s+LAKE\\s+('[^']+')\\s*(?:STATS\\s+COLUMNS\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
   private val copyIntoRe: Regex =
@@ -114,9 +115,11 @@ private[lake] object LakeSqlStatements {
       case restoreTsRe(t, ts, millis) =>
         Some(LakeRestoreCommand(parts(t, delegate), -1L,
           Some(if (millis != null) millis.toLong else utcMillis(ts))))
-      case cloneRe(dst, src, v) =>
+      case cloneRe(dst, src, v, ts, millis) =>
         Some(LakeShallowCloneCommand(parts(dst, delegate),
-          parts(src, delegate), Option(v).map(_.toLong)))
+          parts(src, delegate), Option(v).map(_.toLong),
+          if (millis != null) Some(millis.toLong)
+          else Option(ts).map(utcMillis)))
       case convertRe(path, stats) =>
         Some(LakeConvertCommand(path.stripPrefix("'").stripSuffix("'"),
           Option(stats).map(_.split(",").map(stripTicks).toSeq)))
@@ -361,15 +364,24 @@ private[lake] final case class LakeRestoreCommand(
 private[lake] final case class LakeShallowCloneCommand(
     dst: Either[String, Seq[String]],
     src: Either[String, Seq[String]],
-    asOf: Option[Long]) extends LeafRunnableCommand {
+    asOf: Option[Long],
+    asOfTs: Option[Long] = None) extends LeafRunnableCommand {
 
   override val output: Seq[AttributeReference] = Seq(
     AttributeReference("version", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val v = LakeTable.shallowClone(spark,
-      LakeSqlStatements.rootOf(spark, src),
-      LakeSqlStatements.newRootOf(spark, dst), asOf)
+    val srcRoot = LakeSqlStatements.rootOf(spark, src)
+    // TIMESTAMP AS OF resolves against the SOURCE's commit times —
+    // the same resolution RESTORE and the batch timestampAsOf use
+    val at = asOfTs.map { ts =>
+      val p = new org.apache.hadoop.fs.Path(srcRoot)
+      LakeLog.versionAtTimestamp(
+        LakeLog.fileSystem(p, spark.sparkContext.hadoopConfiguration),
+        p, ts)
+    }.orElse(asOf)
+    val v = LakeTable.shallowClone(spark, srcRoot,
+      LakeSqlStatements.newRootOf(spark, dst), at)
     Seq(Row(v))
   }
 }

@@ -146,13 +146,36 @@ class LakeStreamSourceProvider extends StreamSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): Source =
+                            parameters: Map[String, String]): Source = {
+    // startingTimestamp: the wall-clock twin of startingVersion (the
+    // Delta option) — resolved ONCE here to the first commit at or
+    // after the timestamp, then identical semantics. Same value
+    // grammar as the batch timestampAsOf (>= 10 digits = epoch
+    // millis, else a UTC timestamp string); mutually exclusive with
+    // startingVersion. versionAtTimestamp resolves "state AS OF ts"
+    // (last commit <= ts), so a stream that must EMIT everything
+    // from ts onward starts one past it — unless ts predates the
+    // log, which means "from the beginning".
+    val byTs = parameters.get("startingTimestamp").map { t =>
+      val root = new Path(rootOf(parameters))
+      val fs = LakeLog.fileSystem(root,
+        sqlContext.sparkContext.hadoopConfiguration)
+      val millis =
+        if (t.trim.length >= 10 && t.trim.forall(_.isDigit)) t.trim.toLong
+        else LakeSqlStatements.utcMillis(t)
+      try LakeLog.versionAtTimestamp(fs, root, millis) + 1
+      catch { case _: IllegalArgumentException => 0L }
+    }
+    require(byTs.isEmpty || !parameters.contains("startingVersion"),
+      "set either startingVersion or startingTimestamp, not both")
     new LakeStreamSource(sqlContext, rootOf(parameters),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      byTs.orElse(parameters.get("startingVersion").map(_.toLong))
+        .getOrElse(0L),
       parameters.get("ignoreChanges").exists(_.toBoolean),
       parameters.get("maxVersionsPerTrigger").map(_.toLong),
       readChangeFeed = cdfOf(parameters),
       maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong))
+  }
 }
 
 object LakeStreamSource {

@@ -456,6 +456,18 @@ class LakeCatalogSpec extends SparkSuite {
     intercept[Exception] {
       sql(s"RESTORE TABLE $cat.core.rs TO VERSION AS OF 99")
     }
+    // TIMESTAMP AS OF clones resolve against the SOURCE's commit
+    // times — the same grammar as RESTORE (epoch millis here; the
+    // quoted UTC form shares utcMillis with the RESTORE pin above)
+    val rootP = new org.apache.hadoop.fs.Path(s"$warehouse/core/rs")
+    val f = LakeLog.fileSystem(rootP,
+      spark.sparkContext.hadoopConfiguration)
+    val ts1c = LakeLog.readCommit(f, rootP, 1L)
+      .collectFirst { case m: LakeLog.Meta => m.ts }.get
+    sql(s"CREATE TABLE $cat.core.rs_ts SHALLOW CLONE $cat.core.rs " +
+      s"TIMESTAMP AS OF $ts1c")
+    assert(ids(sql(s"SELECT * FROM $cat.core.rs_ts")) == (0L until 20L),
+      "a timestamp clone must pin the source state at that wall clock")
   }
 
   test("ALTER COLUMN TYPE widens losslessly as a metadata-only commit") {

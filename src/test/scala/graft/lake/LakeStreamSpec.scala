@@ -64,6 +64,44 @@ class LakeStreamSpec extends SparkSuite {
       "restart must resume at committed offset, not replay the table")
   }
 
+  test("startingTimestamp bounds the cold start like startingVersion") {
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 50), Seq("id"), nFiles = 1) // v0
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    LakeTable.append(spark, root, seed(50, 80), nFiles = 1)           // v1
+    def drain(name: String, opts: Map[String, String]): Seq[Long] = {
+      val r = spark.readStream.format("graft-lake")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      val q = r.load(root).writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      ids(spark.table(name))
+    }
+    // millis between the commits: emit FROM the first commit after it
+    assert(drain("st_millis",
+      Map("startingTimestamp" -> between.toString)) == (50L until 80L))
+    // a timestamp predating the log means "from the beginning"
+    assert(drain("st_old",
+      Map("startingTimestamp" -> "2000-01-01")) == (0L until 80L))
+    // both knobs refuse; malformed values refuse naming the forms
+    // (createSource runs inside the stream engine, so the refusal
+    // arrives wrapped in a StreamingQueryException — assert the chain)
+    def chainMsg(t: Throwable): String =
+      (t +: Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq)
+        .map(c => String.valueOf(c.getMessage)).mkString(" | ")
+    val both = intercept[Exception] {
+      drain("st_both", Map("startingTimestamp" -> between.toString,
+        "startingVersion" -> "0"))
+    }
+    assert(chainMsg(both).contains("not both"), chainMsg(both))
+    val bad = intercept[Exception] {
+      drain("st_bad", Map("startingTimestamp" -> "12345"))
+    }
+    assert(chainMsg(bad).contains("yyyy-MM-dd"), chainMsg(bad))
+  }
+
   test("a rewrite commit fails the tail unless ignoreChanges is set") {
     val root = freshRoot()
     LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 2,

@@ -84,6 +84,17 @@ class LakeStreamSourceProvider extends StreamSourceProvider
       val to = parameters.get("endingVersion").map(_.toLong).getOrElse(latest)
       require(from >= 0 && from <= to && to <= latest,
         s"bad change range [$from, $to]: table has 0..$latest")
+      // pre-floor commits' files may be vacuumed — refuse at
+      // resolution like time travel (scanChanges carries the same
+      // guard; a rewrite AT the floor still refuses through the
+      // snapshot floor check when it reads its previous state)
+      LakeLog.vacuumFloor(fs, root).foreach { case (keepFrom, horizonTs) =>
+        if (from < keepFrom)
+          throw new IllegalStateException(
+            s"change feed [$from, $to] of $root reaches below the " +
+              s"vacuum floor $keepFrom (horizon ${java.time.Instant
+                .ofEpochMilli(horizonTs)}) — start at $keepFrom or later")
+      }
       val toSnap = LakeLog.snapshot(fs, root, Some(to))
       return new LakeCdfRelation(session, root, from, to, toSnap.schemaDdl,
         toSnap.colMap, toSnap.partitionBy, toSnap.colSpecs)

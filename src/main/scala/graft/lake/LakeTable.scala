@@ -2513,6 +2513,18 @@ object LakeTable {
       throw new IllegalArgumentException(s"no lake table at $root"))
     require(fromVersion >= 0 && fromVersion <= toVersion && toVersion <= latest,
       s"bad change range ($fromVersion, $toVersion]: table has 0..$latest")
+    // a rewrite commit's REMOVED side reads files referenced by the
+    // previous version — the lowest being `fromVersion` itself — so a
+    // change range dipping below the vacuum floor may be missing
+    // files: refuse at resolution with the horizon, like time travel
+    LakeLog.vacuumFloor(f, rootP).foreach { case (keepFrom, horizonTs) =>
+      if (fromVersion < keepFrom) throw new IllegalStateException(
+        s"change range ($fromVersion, $toVersion] of $root reaches " +
+          s"below the vacuum floor $keepFrom (horizon ${java.time
+            .Instant.ofEpochMilli(horizonTs)}) — files of pre-floor " +
+          s"versions were deleted; start the range at $keepFrom or " +
+          "later")
+    }
     val toSnap = LakeLog.snapshot(f, rootP, Some(toVersion))
     val schemaDdl = toSnap.schemaDdl
     // the change view is expressed in toVersion's LOGICAL names; the

@@ -350,6 +350,14 @@ class LakeTableSpec extends SparkSuite {
       LakeTable.scanAsOf(spark, root, Some(0L)).collect()
     }
     assert(ex.getMessage.contains("vacuum floor is 1"), ex.getMessage)
+    // change feeds dipping below the floor refuse the same way (the
+    // removed sides would read vacuumed files); at-the-floor ranges
+    // still resolve
+    val cex = intercept[IllegalStateException] {
+      LakeTable.scanChanges(spark, root, 0L, 1L)
+    }
+    assert(cex.getMessage.contains("vacuum floor"), cex.getMessage)
+    assert(LakeTable.scanChanges(spark, root, 1L, 1L).count() == 0)
   }
 
   test("concurrent appends both land, on distinct versions") {

@@ -42,7 +42,7 @@ object SparkSuite {
       // "Failed to cancel job group" WARN chatter on stream stops
       "org.apache.spark.scheduler.DAGScheduler",
       "org.apache.spark.util.Utils",
-      "org.apache.spark.storage.TorrentBroadcast",
+      "org.apache.spark.broadcast.TorrentBroadcast",
       "org.apache.spark.sql.execution.datasources.FileFormatWriter",
       // V2 write abort bookkeeping ("is aborting"/"aborted") around
       // expected streaming-epoch failures

@@ -639,13 +639,23 @@ object LakeLog {
     * inside an executor task (or, with ignoreMissingFiles, silent
     * partial rows).
     */
-  def snapshot(fs: FileSystem, root: Path, asOf: Option[Long]): Snapshot = {
+  def snapshot(fs: FileSystem, root: Path, asOf: Option[Long]): Snapshot =
+    snapshot(fs, root, asOf, enforceFloor = true)
+
+  /** `enforceFloor = false` is for callers that fold METADATA only
+    * and never open the files — vacuum replays pre-floor versions to
+    * PROTECT their still-existing files (a keepFrom below the current
+    * floor is legal and conservative: it deletes less), and refusing
+    * there would make a second, wider-retention vacuum impossible.
+    */
+  private[lake] def snapshot(fs: FileSystem, root: Path, asOf: Option[Long],
+                             enforceFloor: Boolean): Snapshot = {
     val vs = versions(fs, root)
     require(vs.nonEmpty, s"no lake table at $root")
     val target = asOf.getOrElse(vs.last)
     require(vs.contains(target),
       s"version $target not in log (have ${vs.headOption}..${vs.lastOption})")
-    asOf.foreach { v =>
+    if (enforceFloor) asOf.foreach { v =>
       vacuumFloor(fs, root).foreach { case (keepFrom, horizonTs) =>
         if (v < keepFrom) throw new IllegalStateException(
           s"version $v of $root was vacuumed: the vacuum floor is " +

@@ -2386,7 +2386,13 @@ object LakeTable {
     val retained = vs.filter(_ >= keepFromVersion)
     require(retained.nonEmpty, s"keepFromVersion=$keepFromVersion retains no" +
       s" version (have ${vs.head}..${vs.last})")
-    val snaps = retained.map(v => LakeLog.snapshot(f, rootP, Some(v)))
+    // enforceFloor = false: this fold only needs the retained
+    // versions' file LISTS (to protect their still-existing files) —
+    // a keepFrom below the current floor is legal and conservative
+    // (it deletes less), and the floor guard would refuse replaying
+    // those pre-floor versions
+    val snaps = retained.map(v =>
+      LakeLog.snapshot(f, rootP, Some(v), enforceFloor = false))
     val live: Set[String] = snaps.flatMap(_.filePaths).toSet
     val liveDv: Set[String] =
       snaps.flatMap(_.files.flatMap(_.dv.map(_.path))).toSet

@@ -51,8 +51,11 @@ class LakeChaosSpec extends SparkSuite {
     def version: Long = LakeLog.latestVersion(f, rootP).get
     history(version) = model
 
+    // authoritative time-travel floor, read back from the marker the
+    // vacuum op records (0 while no vacuum has broken history)
+    var floor = 0L
     (1 to ops).foreach { i =>
-      val op = rnd.nextInt(10)
+      val op = rnd.nextInt(11)
       op match {
         case 0 | 1 | 2 => // append fresh keys
           val n = 5 + rnd.nextInt(20)
@@ -100,8 +103,19 @@ class LakeChaosSpec extends SparkSuite {
           val vs = history.keys.toSeq.sorted
           val target = vs(rnd.nextInt(vs.size))
           if (target < version) {
-            LakeTable.restore(spark, root, target)
-            model = history(target)
+            if (target < floor) {
+              // the target's files may be vacuumed — the restore must
+              // refuse at resolution with the floor, changing nothing
+              val ex = intercept[IllegalStateException] {
+                LakeTable.restore(spark, root, target)
+              }
+              assert(ex.getMessage.contains("vacuum floor"),
+                s"seed=$seed op#$i: sub-floor restore must name the " +
+                  s"floor, got ${ex.getMessage}")
+            } else {
+              LakeTable.restore(spark, root, target)
+              model = history(target)
+            }
           }
         case 9 => // overwrite with a model-derived subset (content reset)
           val keep = model.toSeq.sortBy(_._1)
@@ -109,6 +123,14 @@ class LakeChaosSpec extends SparkSuite {
           LakeTable.overwrite(spark, root,
             toDf(keep.map { case (k, (c, t)) => (k, c, t) }))
           model = keep.toMap
+        case 10 => // vacuum to a random historical floor (retention 0)
+          val vs = history.keys.toSeq.sorted
+          val keep = vs(rnd.nextInt(vs.size))
+          LakeTable.vacuum(spark, root, keepFromVersion = keep,
+            retentionMs = 0L)
+          // the marker is authoritative: it only advances when the
+          // run deleted a file some pre-floor version references
+          floor = LakeLog.vacuumFloor(f, rootP).map(_._1).getOrElse(floor)
       }
       history(version) = model
       val got = readBack(root, None)
@@ -121,11 +143,20 @@ class LakeChaosSpec extends SparkSuite {
       if (i % 5 == 0) {
         // a random HISTORICAL version must replay to the state
         // recorded when it committed (snapshot isolation across every
-        // interleaving of rewrites, DVs, restores and checkpoints)
+        // interleaving of rewrites, DVs, restores, vacuums and
+        // checkpoints) — or, below the recorded vacuum floor, refuse
+        // AT RESOLUTION with the floor (never partial rows)
         val vs = history.keys.toSeq.sorted
         val v = vs(rnd.nextInt(vs.size))
-        assert(readBack(root, Some(v)) == history(v),
-          s"seed=$seed op#$i: time travel to v$v diverged")
+        if (v < floor) {
+          val ex = intercept[IllegalStateException] {
+            readBack(root, Some(v))
+          }
+          assert(ex.getMessage.contains("vacuum floor"),
+            s"seed=$seed op#$i: sub-floor time travel must name the " +
+              s"floor, got ${ex.getMessage}")
+        } else assert(readBack(root, Some(v)) == history(v),
+          s"seed=$seed op#$i: time travel to v$v diverged (floor=$floor)")
       }
     }
     assert(version > LakeLog.checkpointInterval,

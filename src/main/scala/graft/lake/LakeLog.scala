@@ -398,6 +398,27 @@ object LakeLog {
           s"(earliest commit is at ${tsOf(vs.head)})"))
   }
 
+  /** First version whose commit timestamp is AT OR AFTER `tsMillis`
+    * — the INCLUSIVE resolution `startingTimestamp` needs (a stream
+    * replaying from a recorded commit timestamp must re-emit that
+    * very commit; [[versionAtTimestamp]] answers the other question,
+    * "state AS OF ts" = last commit <= ts). A timestamp predating the
+    * log resolves to the first version; one past the newest commit
+    * resolves to `last + 1` (emit only future commits) — both are the
+    * natural ends of the same inclusive rule, so no case is an error
+    * here. "No lake table at root" still refuses loudly: callers must
+    * NOT see a wrong path as "stream from the beginning".
+    */
+  def firstVersionAtOrAfter(fs: FileSystem, root: Path,
+                            tsMillis: Long): Long = {
+    val vs = versions(fs, root)
+    require(vs.nonEmpty, s"no lake table at $root")
+    def tsOf(v: Long): Long =
+      readCommit(fs, root, v).collectFirst { case m: Meta => m.ts }
+        .getOrElse(Long.MaxValue)
+    vs.find(v => tsOf(v) >= tsMillis).getOrElse(vs.last + 1)
+  }
+
   /** Atomic commit attempt at exactly `v`: stage + rename-if-absent.
     * Returns false when some other writer won `v`.
     *
@@ -673,6 +694,9 @@ object LakeLog {
   private def floorPath(root: Path): Path =
     new Path(root, "_vacuum_floor.json")
 
+  private def floorsDir(root: Path): Path =
+    new Path(root, "_vacuum_floors")
+
   /** Advisory vacuum floor: (keepFromVersion, horizonTs) of the last
     * vacuum that deleted a file REFERENCED by a pre-floor version —
     * i.e. the oldest version whose files are still guaranteed
@@ -685,37 +709,67 @@ object LakeLog {
     * absence degrades to today's behavior (the scan itself still
     * fails loudly, never partially, under ignoreMissingFiles=false).
     */
-  def vacuumFloor(fs: FileSystem, root: Path): Option[(Long, Long)] =
-    try {
-      val p = floorPath(root)
-      if (!fs.exists(p)) None
-      else {
-        val j = JsonMethods.parse(readString(fs, p))
-        def lng(k: String): Long = (j \ k) match {
-          case JLong(l) => l; case JInt(i) => i.toLong
-          case o => throw new IllegalArgumentException(s"bad floor $k: $o")
-        }
-        Some((lng("keepFrom"), lng("horizonTs")))
+  def vacuumFloor(fs: FileSystem, root: Path): Option[(Long, Long)] = {
+    def parseBody(body: String): (Long, Long) = {
+      val j = JsonMethods.parse(body)
+      def lng(k: String): Long = (j \ k) match {
+        case JLong(l) => l; case JInt(i) => i.toLong
+        case o => throw new IllegalArgumentException(s"bad floor $k: $o")
       }
-    } catch { case _: java.io.FileNotFoundException => None }
+      (lng("keepFrom"), lng("horizonTs"))
+    }
+    // legacy single-file floor (pre-marker-dir tables) + the
+    // per-keepFrom marker dir; the effective floor is the MAX across
+    // both. Listing races with a concurrent marker write are benign:
+    // a marker missed this read is seen by the next.
+    val legacy =
+      try {
+        val p = floorPath(root)
+        if (!fs.exists(p)) None else Some(parseBody(readString(fs, p)))
+      } catch { case _: java.io.FileNotFoundException => None }
+    val markers =
+      try {
+        val d = floorsDir(root)
+        if (!fs.exists(d)) Nil
+        else fs.listStatus(d).toSeq
+          .filter(_.getPath.getName.endsWith(".json"))
+          .map(st => parseBody(readString(fs, st.getPath)))
+      } catch { case _: java.io.FileNotFoundException => Nil }
+    (legacy.toSeq ++ markers).sortBy(_._1).lastOption
+  }
 
   /** Monotone floor advance (a concurrent lower vacuum never
-    * regresses it). Temp-write + rename: readers see old or new,
-    * never a torn file.
+    * regresses it) — one IMMUTABLE marker file per keepFrom under
+    * `_vacuum_floors/`, committed rename-if-absent and never deleted
+    * or overwritten; [[vacuumFloor]] takes the max. A single
+    * read-check-then-replace file cannot be made monotone under
+    * concurrent vacuums (keepFrom 5 and 10 interleaving so the LOWER
+    * value's rename lands last would silently regress the floor, and
+    * the lower writer — re-reading its own value — has no reason to
+    * retry); append-only markers are monotone by construction, and
+    * the marker count grows only with vacuums that actually deleted
+    * pre-floor files (a handful over a table's life).
     */
   def recordVacuumFloor(fs: FileSystem, root: Path, keepFrom: Long,
                         horizonTs: Long): Unit = {
     val cur = vacuumFloor(fs, root).map(_._1).getOrElse(Long.MinValue)
     if (keepFrom <= cur) return
-    val tmp = new Path(root,
-      s"._vacuum_floor.${java.util.UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(
-      s"""{"keepFrom":$keepFrom,"horizonTs":$horizonTs}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(floorPath(root))) fs.delete(floorPath(root), false)
-    if (!fs.rename(tmp, floorPath(root))) fs.delete(tmp, false): Unit
+    val dir = floorsDir(root)
+    fs.mkdirs(dir)
+    val target = new Path(dir, f"$keepFrom%020d.json")
+    if (fs.exists(target)) return // same keepFrom already recorded
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    writeString(fs, tmp, s"""{"keepFrom":$keepFrom,"horizonTs":$horizonTs}""")
+    try {
+      val fc = FileContext.getFileContext(root.toUri, fs.getConf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(target),
+        Options.Rename.NONE)
+    } catch {
+      // another vacuum recorded the same keepFrom first — identical
+      // floor, nothing to retry
+      case _: FileAlreadyExistsException => ()
+      case _: java.io.IOException if fs.exists(target) => ()
+    } finally if (fs.exists(tmp)) fs.delete(tmp, false): Unit
   }
 
   private def replay(fs: FileSystem, root: Path, target: Long,

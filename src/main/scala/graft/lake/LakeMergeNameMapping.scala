@@ -81,19 +81,28 @@ private[lake] object LakeMergeNameMapping {
     val snap = Try(LakeLog.snapshot(fs, new Path(root.toString), None))
       .getOrElse(return None)
     if (snap.colMap.isEmpty) return None
+    // name matching below uses the SESSION RESOLVER, not ==: Spark
+    // resolves identifiers case-insensitively by default, so `UPDATE
+    // SET OldName = …` against physical `oldname` (or an alias
+    // qualifier typed in another case) must still remap — an ==
+    // comparison would let the differently-cased key escape and the
+    // evolution rule fork a new column anyway
+    val resolver = session.sessionState.analyzer.resolver
     val logical = org.apache.spark.sql.types.StructType
-      .fromDDL(snap.schemaDdl).fieldNames.toSet
+      .fromDDL(snap.schemaDdl).fieldNames.toSeq
     // physical -> logical, only where the physical name is NOT itself
     // a live logical column (then the plain-name resolution is
     // already unambiguous and must win)
-    val reverse = snap.colMap.collect {
-      case (l, p) if p != l && !logical.contains(p) => p -> l
+    val reverse = snap.colMap.toSeq.collect {
+      case (l, p) if p != l && !logical.exists(resolver(_, p)) => p -> l
     }
     if (reverse.isEmpty) return None
+    def toLogical(n: String): Option[String] =
+      reverse.collectFirst { case (p, l) if resolver(p, n) => l }
     def remapParts(parts: Seq[String]): Option[Seq[String]] = parts match {
-      case Seq(n) => reverse.get(n).map(Seq(_))
-      case Seq(q, n) if alias.contains(q) =>
-        reverse.get(n).map(l => Seq(q, l))
+      case Seq(n) => toLogical(n).map(Seq(_))
+      case Seq(q, n) if alias.exists(resolver(_, q)) =>
+        toLogical(n).map(l => Seq(q, l))
       case _ => None
     }
     var changed = false

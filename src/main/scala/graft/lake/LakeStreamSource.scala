@@ -160,13 +160,17 @@ class LakeStreamSourceProvider extends StreamSourceProvider
                             parameters: Map[String, String]): Source = {
     // startingTimestamp: the wall-clock twin of startingVersion (the
     // Delta option) — resolved ONCE here to the first commit at or
-    // after the timestamp, then identical semantics. Same value
-    // grammar as the batch timestampAsOf (>= 10 digits = epoch
-    // millis, else a UTC timestamp string); mutually exclusive with
-    // startingVersion. versionAtTimestamp resolves "state AS OF ts"
-    // (last commit <= ts), so a stream that must EMIT everything
-    // from ts onward starts one past it — unless ts predates the
-    // log, which means "from the beginning".
+    // after the timestamp (INCLUSIVE, matching the Delta option it
+    // mirrors: a replay pipeline that passes a recorded commit
+    // timestamp must re-emit that commit, not silently skip it), then
+    // identical semantics. Same value grammar as the batch
+    // timestampAsOf (>= 10 digits = epoch millis, else a UTC
+    // timestamp string); mutually exclusive with startingVersion. A
+    // timestamp predating the log means "from the beginning"; one
+    // past the newest commit means "only future commits" — both fall
+    // out of the inclusive resolver, and a WRONG PATH still refuses
+    // loudly there (no catch here: mapping every failure to "start
+    // at 0" would silently stream a mistyped root from scratch).
     val byTs = parameters.get("startingTimestamp").map { t =>
       val root = new Path(rootOf(parameters))
       val fs = LakeLog.fileSystem(root,
@@ -174,8 +178,7 @@ class LakeStreamSourceProvider extends StreamSourceProvider
       val millis =
         if (t.trim.length >= 10 && t.trim.forall(_.isDigit)) t.trim.toLong
         else LakeSqlStatements.utcMillis(t)
-      try LakeLog.versionAtTimestamp(fs, root, millis) + 1
-      catch { case _: IllegalArgumentException => 0L }
+      LakeLog.firstVersionAtOrAfter(fs, root, millis)
     }
     require(byTs.isEmpty || !parameters.contains("startingVersion"),
       "set either startingVersion or startingTimestamp, not both")

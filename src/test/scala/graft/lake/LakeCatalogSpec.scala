@@ -622,6 +622,27 @@ class LakeCatalogSpec extends SparkSuite {
       sql(s"""MERGE INTO $cat.core.mw t USING mw_src s ON t.id = s.id
         WHEN MATCHED THEN UPDATE SET tag = s.tag""")
     }
+
+    // the remap matches like the ANALYZER does — case-insensitively
+    // under the default resolver: `SET TAG = …` (and an alias
+    // qualifier typed in another case) still lands in the renamed
+    // column instead of forking a cased twin
+    spark.range(30, 32)
+      .selectExpr("id", "id * 10 AS v", "concat('c_', id) AS tag",
+        "id * 2 AS score")
+      .createOrReplaceTempView("mw_src4")
+    sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.core.mw t
+      USING mw_src4 s ON t.id = s.id
+      WHEN NOT MATCHED THEN INSERT (id, v, TAG, score)
+      VALUES (s.id, s.v, s.tag, s.score)""")
+    sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.core.mw t
+      USING mw_src4 s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET T.Tag = concat(s.tag, '!')""")
+    assert(sql(s"SELECT * FROM $cat.core.mw").columns.toSeq ==
+      Seq("id", "v", "label", "score"),
+      "differently-cased old names must remap, not fork")
+    assert(sql(s"SELECT count(*) c FROM $cat.core.mw WHERE " +
+      "label LIKE 'c_%!'").head().getLong(0) == 2)
   }
 
   test("inline CHECK at CREATE TABLE time persists and gates writes") {

@@ -100,6 +100,39 @@ class LakeStreamSpec extends SparkSuite {
       drain("st_bad", Map("startingTimestamp" -> "12345"))
     }
     assert(chainMsg(bad).contains("yyyy-MM-dd"), chainMsg(bad))
+
+    // INCLUSIVE boundary: a stream replaying from a RECORDED commit
+    // timestamp must re-emit that very commit — the exact-equality
+    // case must not be silently skipped (the Delta option this
+    // mirrors is inclusive too)
+    val fs = LakeLog.fileSystem(new org.apache.hadoop.fs.Path(root),
+      spark.sparkContext.hadoopConfiguration)
+    val v1Ts = LakeLog.readCommit(fs, new org.apache.hadoop.fs.Path(root), 1L)
+      .collectFirst { case m: LakeLog.Meta => m.ts }.get
+    assert(drain("st_exact",
+      Map("startingTimestamp" -> v1Ts.toString)) == (50L until 80L),
+      "a commit whose timestamp EQUALS startingTimestamp must be emitted")
+    // past the newest commit = only future commits, not an error and
+    // not a from-the-beginning replay
+    assert(drain("st_future",
+      Map("startingTimestamp" -> (v1Ts + 60000).toString)) == Nil)
+  }
+
+  test("startingTimestamp on a wrong root refuses loudly, never " +
+      "silently streams from the beginning") {
+    val missing = freshRoot() // directory never created
+    val ex = intercept[Exception] {
+      val q = spark.readStream.format("graft-lake")
+        .option("startingTimestamp", "2000-01-01")
+        .load(missing)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("st_wrongroot").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chainMsg(t: Throwable): String =
+      (t +: Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq)
+        .map(c => String.valueOf(c.getMessage)).mkString(" | ")
+    assert(chainMsg(ex).contains("no lake table"), chainMsg(ex))
   }
 
   test("a rewrite commit fails the tail unless ignoreChanges is set") {

@@ -358,6 +358,29 @@ class LakeTableSpec extends SparkSuite {
     }
     assert(cex.getMessage.contains("vacuum floor"), cex.getMessage)
     assert(LakeTable.scanChanges(spark, root, 1L, 1L).count() == 0)
+
+    // the floor is MONOTONE under any write order: markers are
+    // immutable per-keepFrom files and reads take the max, so a
+    // lower recording landing AFTER a higher one (the interleaving a
+    // single read-check-then-replace file cannot survive) never
+    // regresses the horizon
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rootP = new Path(root)
+    assert(LakeLog.vacuumFloor(fs, rootP).map(_._1) == Some(1L))
+    LakeLog.recordVacuumFloor(fs, rootP, 3L, 99L)
+    LakeLog.recordVacuumFloor(fs, rootP, 2L, 98L) // late lower write
+    assert(LakeLog.vacuumFloor(fs, rootP).map(_._1) == Some(3L),
+      "a lower floor recorded after a higher one must not regress it")
+    LakeLog.recordVacuumFloor(fs, rootP, 3L, 97L) // idempotent re-record
+    assert(LakeLog.vacuumFloor(fs, rootP) == Some((3L, 99L)))
+    // legacy single-file floors (pre-marker tables) still read, and
+    // the effective floor is the max across both schemes
+    val legacy = new Path(rootP, "_vacuum_floor.json")
+    val out = fs.create(legacy, true)
+    try out.write("""{"keepFrom":5,"horizonTs":77}""".getBytes("UTF-8"))
+    finally out.close()
+    assert(LakeLog.vacuumFloor(fs, rootP) == Some((5L, 77L)))
   }
 
   test("concurrent appends both land, on distinct versions") {

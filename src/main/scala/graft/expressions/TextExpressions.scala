@@ -278,6 +278,73 @@ object BitKernels {
     }
     d
   }
+
+  /** n-DIMENSIONAL Hilbert index via Skilling's transpose algorithm
+    * (John Skilling, "Programming the Hilbert curve", AIP Conf. Proc.
+    * 707, 2004 — the public axes→transpose→interleave form): undo the
+    * excess rotations top-down, Gray-encode across dimensions, then
+    * interleave the transposed bit-planes into one key (bit q of
+    * X[i] → key bit q·n + (n−1−i), X[0] most significant per plane).
+    * Coordinates are masked to the low `bits` bits (callers feed
+    * range-normalized bucket ids that fit by construction; the mask
+    * keeps the kernel total for raw SQL users, like the unsigned
+    * treatment in [[interleave]]). n·bits must stay ≤ 63.
+    * HilbertSpec pins bijectivity and unit-step adjacency — the two
+    * properties that MAKE it a Hilbert curve — for n = 3 and 4.
+    */
+  def hilbertN(coords: Array[Long], bits: Int): Long = {
+    val n = coords.length
+    val mask = (1L << bits) - 1L
+    val x = new Array[Long](n)
+    var i = 0
+    while (i < n) { x(i) = coords(i) & mask; i += 1 }
+    // inverse undo: strip the per-level frame rotations
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) {
+      if ((x(n - 1) & q) != 0) t ^= q - 1
+      q >>= 1
+    }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // interleave the transposed planes into the scalar index
+    var h = 0L
+    var b = 0
+    while (b < bits) {
+      i = 0
+      while (i < n) {
+        h |= ((x(i) >> b) & 1L) << (b * n + (n - 1 - i))
+        i += 1
+      }
+      b += 1
+    }
+    h
+  }
+
+  /** Fixed-arity [[hilbertN]] entry points for generated code (a
+    * whole-stage-codegen call site can't build the array literal
+    * cheaply; these keep the per-row allocation in ONE compiled
+    * method the JIT scalar-replaces).
+    */
+  def hilbert3(a: Int, b: Int, c: Int, bits: Int): Long =
+    hilbertN(Array(a.toLong, b.toLong, c.toLong), bits)
+
+  def hilbert4(a: Int, b: Int, c: Int, d: Int, bits: Int): Long =
+    hilbertN(Array(a.toLong, b.toLong, c.toLong, d.toLong), bits)
 }
 
 /** Codegen'd Morton (z-order) bit interleave of two int columns. */

@@ -144,11 +144,16 @@ object LakeTable {
         // Hilbert-curve layout: the Morton spec's better-locality
         // sibling (always-adjacent consecutive cells → tighter
         // per-file bounding boxes); same guards, same recorded-spec
-        // maintenance contract
-        val Array(a, b) = h.stripPrefix("h:").split(",")
+        // maintenance contract. 2-D uses the order-31 codegen'd walk;
+        // 3-D/4-D the Skilling-transform kernels — zCluster parity.
+        val dims = h.stripPrefix("h:").split(",").toSeq
         def hdim(c: String) =
           when(col(c).between(0, Int.MaxValue), col(c)).cast("int")
-        graft.operators.ZOrder.hilbertLayout(df, hdim(a), hdim(b), nFiles)
+        if (dims.size == 2)
+          graft.operators.ZOrder.hilbertLayout(df, hdim(dims(0)),
+            hdim(dims(1)), nFiles)
+        else
+          graft.operators.ZOrder.hilbertLayoutN(df, dims.map(hdim), nFiles)
       case Some(c) =>
         df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
       case None => df.repartition(nFiles)
@@ -214,24 +219,53 @@ object LakeTable {
     * excludes the partition columns (pure hive layout — what CONVERT
     * TO LAKE adopts in place); their per-file value is recorded as
     * min==max stats, which is where reads and pruning get them back.
-    * Curve cluster specs refuse (a space-filling curve across
-    * partition boundaries contradicts directory partitioning).
+    * Curve cluster specs apply WITHIN each partition directory (the
+    * range exchange orders by partition cols ++ curve key), never
+    * across partition boundaries.
     */
   private def writePartitionedFiles(spark: SparkSession, root: Path,
                                     df: DataFrame, statsCols: Seq[String],
                                     nFiles: Int, clusterBy: Option[String],
                                     partCols: Seq[String]): Seq[Add] = {
-    require(clusterBy.forall(c => !c.startsWith("z:") && !c.startsWith("h:")),
-      "z-order/hilbert cluster specs are not supported on PARTITIONED " +
-        "tables — cluster a plain column within partitions instead")
     partCols.foreach(c => require(df.columns.contains(c),
       s"partition column '$c' not in write schema ${df.columns.toSeq}"))
     val sub = s"data/${java.util.UUID.randomUUID()}"
     val outDir = new Path(root, sub)
-    val orderCols =
-      partCols ++ clusterBy.filterNot(partCols.contains).toSeq
-    val arranged = df.repartitionByRange(nFiles, orderCols.map(col): _*)
+    // curve specs cluster WITHIN each partition directory: the curve
+    // key is computed per row (range-normalized over the whole batch
+    // — one extra min/max pass, the price every curve layout pays)
+    // and the range exchange orders by (partition cols ++ key), so
+    // files inside a partition cover contiguous curve ranges and
+    // carry tight min/max on EVERY dimension — partition-by-day plus
+    // multi-column z-order inside the day, the standard 100 TB
+    // layout. The curve must not span partition columns themselves
+    // (their value is constant per directory; interleaving a
+    // constant wastes key bits) — refused loudly.
+    val curveKey: Option[Column] = clusterBy.collect {
+      case spec if spec.startsWith("z:") || spec.startsWith("h:") =>
+        val dims = spec.drop(2).split(",").toSeq
+        dims.filter(partCols.contains) match {
+          case Nil => ()
+          case overlap => throw new IllegalArgumentException(
+            s"curve cluster spec '$spec' references partition " +
+              s"column(s) ${overlap.mkString(", ")} — a partition " +
+              "column is constant within its directory; curve-cluster " +
+              "the non-partition dimensions only")
+        }
+        def dim(c: String) =
+          when(col(c).between(0, Int.MaxValue), col(c)).cast("int")
+        graft.operators.ZOrder.normalizedCurveKey(df, dims.map(dim),
+          hilbert = spec.startsWith("h:"))
+    }
+    val (keyed, orderCols) = curveKey match {
+      case Some(k) =>
+        (df.withColumn("__curve", k), partCols :+ "__curve")
+      case None =>
+        (df, partCols ++ clusterBy.filterNot(partCols.contains).toSeq)
+    }
+    val arranged = keyed.repartitionByRange(nFiles, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
+      .drop("__curve") // projection preserves the per-partition order
     arranged.write.partitionBy(partCols: _*).parquet(outDir.toString)
 
     val hfs = fs(spark, root)
@@ -305,12 +339,18 @@ object LakeTable {
     s"z:${cols.mkString(",")}"
   }
 
-  /** Cluster-spec for 2-D HILBERT-curve layout — [[zCluster]]'s
-    * better-locality sibling (consecutive curve cells are always
-    * adjacent, so per-file bounding boxes are tighter than Morton's
-    * on the same data). Same non-negative-int domain contract.
+  /** Cluster-spec for HILBERT-curve layout (2-4 columns) —
+    * [[zCluster]]'s better-locality sibling (consecutive curve cells
+    * are always adjacent, so per-file bounding boxes are tighter than
+    * Morton's on the same data and file count). Same non-negative-int
+    * domain contract; 2-D runs the codegen'd order-31 walk, 3-D/4-D
+    * the Skilling-transform kernels.
     */
-  def hilbertCluster(x: String, y: String): String = s"h:$x,$y"
+  def hilbertCluster(cols: String*): String = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"hilbertCluster takes 2-4 columns, got ${cols.size}")
+    s"h:${cols.mkString(",")}"
+  }
 
   /** Integral + string only: float directory names have formatting
     * pitfalls, and anything else has no stats form to carry the

@@ -194,6 +194,73 @@ object ZOrder {
       .drop("__z")
   }
 
+  /** Range-normalized curve KEY of `cols` — the sort column the
+    * layout functions above build internally, exposed for callers
+    * that must COMPOSE the key with their own partitioning instead of
+    * handing this module the whole exchange: the lake's partitioned +
+    * curve-clustered write range-partitions by (partition cols ++
+    * this key), so each partition DIRECTORY's files cover contiguous
+    * curve ranges and carry tight min/max on every dimension inside
+    * that partition. Triggers ONE min/max aggregate over `df` (the
+    * same normalization pass the layout functions pay). NULL
+    * coordinates fail loudly via the same codegen'd assert, woven
+    * into the key's data flow so column pruning cannot drop it.
+    */
+  def normalizedCurveKey(df: DataFrame, cols: Seq[Column],
+                         hilbert: Boolean): Column = {
+    val k = cols.size
+    require(k >= 2 && k <= 4, s"curve key takes 2-4 columns, got $k")
+    val bits = math.min(16, 63 / k)
+    val scaled = rangeScaled(df, cols, bits)
+    val guard = assert_true(cols.map(_.isNotNull).reduce(_ && _),
+      lit("curve layout requires non-null coordinates: a NULL " +
+        "produces no curve position to range-partition on"))
+    val ints = scaled.map(_.cast("int"))
+    val key =
+      if (hilbert) hilbertValueN(ints, bits)
+      else if (k == 2) zvalue(ints(0), ints(1))
+      else zvalueN(scaled, bits)
+    when(guard.isNull, key)
+  }
+
+  /** The Hilbert key for 2-4 range-scaled int bucket columns: the
+    * codegen'd order-31 walk for the 2-D case, the Skilling-transform
+    * kernels for 3-D/4-D (`bits` bits per coordinate).
+    */
+  private def hilbertValueN(ints: Seq[Column], bits: Int): Column =
+    ints.size match {
+      case 2 => hilbertValue(ints(0), ints(1))
+      case 3 => org.apache.spark.sql.graft.GraftExpressions
+        .hilbert3(ints(0), ints(1), ints(2), bits)
+      case 4 => org.apache.spark.sql.graft.GraftExpressions
+        .hilbert4(ints(0), ints(1), ints(2), ints(3), bits)
+      case k => throw new IllegalArgumentException(
+        s"hilbert key takes 2-4 columns, got $k")
+    }
+
+  /** n-D clustering on the HILBERT curve — [[layoutN]] with the
+    * Skilling-transform key instead of the Morton interleave (2-D
+    * delegates to the order-31 kernel): same range normalization,
+    * same single range exchange, tighter per-file bounding boxes for
+    * the same file count (consecutive Hilbert cells are always
+    * adjacent; Morton jumps at every 2^k-ant boundary).
+    */
+  def hilbertLayoutN(df: DataFrame, cols: Seq[Column],
+                     numFiles: Int): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val k = cols.size
+    val bits = math.min(16, 63 / k)
+    val scaled = rangeScaled(df, cols, bits)
+    val guard = assert_true(cols.map(_.isNotNull).reduce(_ && _),
+      lit("ZOrder.hilbertLayoutN requires non-null coordinates: a NULL " +
+        "produces no curve position to range-partition on"))
+    df.withColumn("__h", when(guard.isNull,
+        hilbertValueN(scaled.map(_.cast("int")), bits)))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+  }
+
   /** DuckDB-expressible Morton formula for oracle generation: the
     * unrolled `Σ ((x>>i)&1)·4^i + ((y>>i)&1)·2·4^i` for inputs known
     * to fit in `bits` bits — integer arithmetic both engines fix

@@ -178,6 +178,58 @@ object LakeQueries {
       root
     })
 
+  /** Partitioned + curve-clustered chain — the standard 100 TB
+    * layout: directory partitioning on the coarse time column
+    * (omonth) with a 2-D Morton layout of (o_custkey, omday) WITHIN
+    * each partition, so a month predicate prunes to one directory and
+    * a custkey/day predicate prunes files inside it. COMPACTED once
+    * after create: the oracle-gated read certifies the recorded
+    * in-partition curve survives maintenance (the partitioned writer
+    * re-enters the same spec; per-dimension file-pruning ratios
+    * pinned in LakeSqlReadSpec).
+    */
+  private val pzCache = new ConcurrentHashMap[String, String]()
+  private def pzFor(s: SparkSession, dir: String): String =
+    pzCache.computeIfAbsent(dir, _ => {
+      val root = s"$lakeRoot/pzord_${dirKey(dir)}"
+      val df = t(s, dir, "orders").where(col("o_orderkey") < 4000)
+        .select(col("o_orderkey"), col("o_custkey"),
+          month(col("o_orderdate")).cast("long").as("omonth"),
+          dayofmonth(col("o_orderdate")).cast("long").as("omday"),
+          round(col("o_totalprice") * 100).cast("long").as("o_cents"))
+      LakeTable.create(s, root, df,
+        Seq("o_custkey", "omday", "o_orderkey"), nFiles = 24,
+        clusterBy = Some(LakeTable.zCluster("o_custkey", "omday")),
+        partitionBy = Seq("omonth"))
+      LakeTable.compact(s, root, smallBytes = Long.MaxValue,
+        targetBytes = math.max(1L, LakeTable.snapshot(s, root).files
+          .map(_.stats.bytes).sum / 24))
+      root
+    })
+
+  /** 3-D HILBERT sibling of [[z3For]] — same dims, the Skilling
+    * transform curve; compacted so the read certifies n-D Hilbert
+    * spec survival through maintenance (zCluster/hilbertCluster
+    * parity, HilbertSpec pins the curve's bijectivity + adjacency).
+    */
+  private val h3Cache = new ConcurrentHashMap[String, String]()
+  private def h3For(s: SparkSession, dir: String): String =
+    h3Cache.computeIfAbsent(dir, _ => {
+      val root = s"$lakeRoot/hilb3_${dirKey(dir)}"
+      val df = t(s, dir, "orders").where(col("o_orderkey") < 4000)
+        .select(col("o_orderkey"), col("o_custkey"),
+          dayofmonth(col("o_orderdate")).cast("long").as("omday"),
+          round(col("o_totalprice") * 100).cast("long").as("o_cents"))
+      LakeTable.create(s, root, df,
+        Seq("o_custkey", "omday", "o_orderkey"), nFiles = 16,
+        clusterBy = Some(LakeTable.hilbertCluster("o_custkey", "omday",
+          "o_orderkey")))
+      LakeTable.compact(s, root, smallBytes = Long.MaxValue,
+        targetBytes = math.max(1L, LakeTable.snapshot(s, root).files
+          .map(_.stats.bytes).sum / 16))
+      root
+    })
+
   /** Merge-on-read chain: create (8 key-clustered files) → MOR delete
     * [500,999] → MOR delete [800,1299] (overlap: positions carry
     * forward cumulatively, never recount). NO data file is rewritten
@@ -1342,6 +1394,48 @@ object LakeQueries {
       // certifies the n-D recorded spec survives maintenance
       // (per-dimension file-pruning ratios pinned in LakeSqlReadSpec)
       (s, dir) => s.read.format("graft-lake").load(z3For(s, dir))
+        .where(col("o_custkey").between(40, 79) &&
+          col("omday").between(10, 14))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(datepart('day', o_orderdate) AS BIGINT) AS omday,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders
+        WHERE o_orderkey < 4000 AND o_custkey BETWEEN 40 AND 79
+          AND datepart('day', o_orderdate) BETWEEN 10 AND 14
+        ORDER BY o_orderkey""")),
+
+    QueryDef("lake_part_zorder_scan",
+      // partition dir + in-partition curve under the oracle: the
+      // month predicate prunes to two directories, the custkey/day
+      // predicates prune files INSIDE them (the layout the
+      // partitioned writer now range-orders by partCols ++ curve
+      // key) — and the chain compacted after create, so row-exactness
+      // certifies the in-partition spec survives maintenance
+      (s, dir) => s.read.format("graft-lake").load(pzFor(s, dir))
+        .where(col("omonth").between(3, 6) &&
+          col("o_custkey").between(40, 239) &&
+          col("omday").between(5, 20))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(datepart('month', o_orderdate) AS BIGINT) AS omonth,
+               CAST(datepart('day', o_orderdate) AS BIGINT) AS omday,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders
+        WHERE o_orderkey < 4000
+          AND datepart('month', o_orderdate) BETWEEN 3 AND 6
+          AND o_custkey BETWEEN 40 AND 239
+          AND datepart('day', o_orderdate) BETWEEN 5 AND 20
+        ORDER BY o_orderkey""")),
+
+    QueryDef("lake_hilbert3_scan",
+      // 3-D Hilbert layout under the oracle — the lake_zorder3_scan
+      // read over the Skilling-curve twin: hilbertCluster now takes
+      // 2-4 columns like zCluster, and the compacted chain certifies
+      // the n-D Hilbert spec survives maintenance
+      (s, dir) => s.read.format("graft-lake").load(h3For(s, dir))
         .where(col("o_custkey").between(40, 79) &&
           col("omday").between(10, 14))
         .orderBy("o_orderkey"),

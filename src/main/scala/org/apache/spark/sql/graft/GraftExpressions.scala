@@ -341,6 +341,58 @@ case class HilbertIndexExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 3-D Hilbert index (Skilling transform) of three int bucket ids on
+  * the order-`bits` curve — [[HilbertIndexExpr]]'s n-dimensional
+  * sibling for curve-clustered data layout beyond two columns.
+  * Coordinates must fit in `bits` bits (the kernel masks; layout
+  * callers range-normalize so they fit by construction).
+  */
+case class Hilbert3Expr(first: Expression, second: Expression,
+                        third: Expression, bits: Int)
+    extends TernaryExpression with ExpectsInputTypes {
+  require(bits >= 1 && 3 * bits <= 63,
+    s"hilbert3: 3 x $bits bits exceeds the 63-bit key")
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(IntegerType, IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert3"
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    graft.expressions.BitKernels.hilbert3(a.asInstanceOf[Int],
+      b.asInstanceOf[Int], c.asInstanceOf[Int], bits)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.expressions.BitKernels.hilbert3($a, $b, $c, $bits)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Hilbert3Expr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** 4-D Hilbert index — see [[Hilbert3Expr]]. */
+case class Hilbert4Expr(first: Expression, second: Expression,
+                        third: Expression, fourth: Expression, bits: Int)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  require(bits >= 1 && 4 * bits <= 63,
+    s"hilbert4: 4 x $bits bits exceeds the 63-bit key")
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(IntegerType, IntegerType, IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert4"
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    graft.expressions.BitKernels.hilbert4(a.asInstanceOf[Int],
+      b.asInstanceOf[Int], c.asInstanceOf[Int], d.asInstanceOf[Int], bits)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.expressions.BitKernels.hilbert4($a, $b, $c, $d, $bits)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Hilbert4Expr =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
 /** Strided byte-subsample of a binary payload: every `stride`-th byte
   * starting at offset 0 — the integer-factor raster/waveform downscale
   * shape on an opaque media column (a real codec would replace the
@@ -405,6 +457,10 @@ object GraftFunctionRegistry {
     "token_count" -> (es => TokenCountExpr(es(0), es(1))),
     "interleave_bits" -> (es => InterleaveBitsExpr(es(0), es(1))),
     "hilbert_index" -> (es => HilbertIndexExpr(es(0), es(1))),
+    "hilbert3" -> (es => Hilbert3Expr(es(0), es(1), es(2),
+      intArg(es(3), "hilbert3", 4))),
+    "hilbert4" -> (es => Hilbert4Expr(es(0), es(1), es(2), es(3),
+      intArg(es(4), "hilbert4", 5))),
     "topn_agg" -> (es =>
       TopNAggExpr(es(0), es(1), intArg(es(2), "topn_agg", 3)).toAggregateExpression())
   )
@@ -464,6 +520,14 @@ object GraftExpressions {
   def hilbertIndex(x: Column, y: Column): Column =
     ExpressionUtils.column(HilbertIndexExpr(
       ExpressionUtils.expression(x), ExpressionUtils.expression(y)))
+  def hilbert3(x: Column, y: Column, z: Column, bits: Int): Column =
+    ExpressionUtils.column(Hilbert3Expr(ExpressionUtils.expression(x),
+      ExpressionUtils.expression(y), ExpressionUtils.expression(z), bits))
+  def hilbert4(x: Column, y: Column, z: Column, w: Column,
+               bits: Int): Column =
+    ExpressionUtils.column(Hilbert4Expr(ExpressionUtils.expression(x),
+      ExpressionUtils.expression(y), ExpressionUtils.expression(z),
+      ExpressionUtils.expression(w), bits))
   def centroidArgmax(x: Column, centroids: Array[Array[Double]],
                      ids: Array[Int]): Column =
     ExpressionUtils.column(CentroidArgmaxExpr(

@@ -391,6 +391,13 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("lake_zorder3_scan", 1, "3-D Morton-pruned file subset scan (any " +
       "of the three dimensions prunes; layout survived a compaction) " +
       "+ output ordering"),
+    ("lake_part_zorder_scan", 1, "partition-dir pruning (omonth) + " +
+      "in-partition 2-D Morton file pruning (custkey/day), layout " +
+      "survived a compaction; one range exchange for the output " +
+      "ordering"),
+    ("lake_hilbert3_scan", 1, "3-D Hilbert-pruned file subset scan " +
+      "(Skilling transform; any dimension prunes; layout survived a " +
+      "compaction) + output ordering"),
     ("lake_cdf", 5, "one exceptAll aggregate per side per rewrite " +
       "commit (2 rewrites x 2 sides, each bounded by the commit's " +
       "touched files, never the table) + output ordering"),

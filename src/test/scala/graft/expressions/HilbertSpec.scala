@@ -51,6 +51,84 @@ class HilbertSpec extends SparkSuite {
     assert(h < m, s"hilbert boxes ($h) must beat morton ($m)")
   }
 
+  test("hilbertN is a bijection with unit-step adjacency in 3-D and 4-D") {
+    // the two properties that MAKE a curve a Hilbert curve, checked
+    // exhaustively over the full domain at small orders: every index
+    // in [0, 2^(n·bits)) is hit exactly once, and consecutive
+    // indexes differ by exactly 1 in exactly one coordinate
+    for ((n, bits) <- Seq((3, 3), (4, 2))) {
+      val sideN = 1 << bits
+      val total = 1L << (n * bits)
+      val pos = new Array[Array[Long]](total.toInt)
+      def walk(prefix: List[Long]): Unit =
+        if (prefix.length == n) {
+          val c = prefix.reverse.toArray
+          val h = BitKernels.hilbertN(c, bits)
+          assert(h >= 0 && h < total, s"index $h out of range (n=$n)")
+          assert(pos(h.toInt) == null,
+            s"index $h hit twice (n=$n): ${c.toSeq}")
+          pos(h.toInt) = c
+        } else (0 until sideN).foreach(v => walk(v.toLong :: prefix))
+      walk(Nil)
+      (1 until total.toInt).foreach { d =>
+        val a = pos(d - 1); val b = pos(d)
+        val dist = a.indices.map(i => math.abs(a(i) - b(i))).sum
+        assert(dist == 1,
+          s"n=$n step $d jumps ${a.toSeq} -> ${b.toSeq} (dist $dist)")
+      }
+    }
+  }
+
+  test("hilbert3/hilbert4 expressions match the kernel and register " +
+      "in SQL") {
+    import spark.implicits._
+    graft.GraftFunctions.register(spark)
+    val rows3 = Seq((5, 9, 12), (0, 0, 0), (65535, 1, 32000))
+      .toDF("x", "y", "z")
+      .selectExpr("hilbert3(x, y, z, 16) AS h", "x", "y", "z").collect()
+    rows3.foreach { r =>
+      assert(r.getLong(0) == BitKernels.hilbertN(
+        Array(r.getInt(1).toLong, r.getInt(2).toLong, r.getInt(3).toLong),
+        16))
+    }
+    val rows4 = Seq((5, 9, 12, 7), (0, 0, 0, 0), (32767, 1, 9, 32000))
+      .toDF("x", "y", "z", "w")
+      .selectExpr("hilbert4(x, y, z, w, 15) AS h", "x", "y", "z", "w")
+      .collect()
+    rows4.foreach { r =>
+      assert(r.getLong(0) == BitKernels.hilbertN(
+        Array(r.getInt(1).toLong, r.getInt(2).toLong, r.getInt(3).toLong,
+          r.getInt(4).toLong), 15))
+    }
+  }
+
+  test("3-D hilbert ranges cover tighter boxes than 3-D morton") {
+    // the same equal-run bounding-volume proxy as the 2-D locality
+    // test, one dimension up: summed per-run bounding-box VOLUMES at
+    // equal run count — what per-file min/max pruning sees
+    val s3 = 16; val bits3 = 4
+    def volume(index: (Int, Int, Int) => Long): Long = {
+      val cells = for (x <- 0 until s3; y <- 0 until s3; z <- 0 until s3)
+        yield (index(x, y, z), x, y, z)
+      val run = (s3 * s3 * s3) / 10
+      cells.sortBy(_._1).grouped(run).map { g =>
+        def ext(f: ((Long, Int, Int, Int)) => Int) =
+          (g.map(f).max - g.map(f).min + 1).toLong
+        ext(_._2) * ext(_._3) * ext(_._4)
+      }.sum
+    }
+    val h = volume((x, y, z) =>
+      BitKernels.hilbertN(Array(x.toLong, y.toLong, z.toLong), bits3))
+    val m = volume((x, y, z) => {
+      // 3-D morton at bits3 bits — the round-robin interleave
+      var v = 0L
+      for (i <- 0 until bits3; (c, d) <- Seq(x, y, z).zipWithIndex)
+        v |= ((c.toLong >> i) & 1L) << (i * 3 + d)
+      v
+    })
+    assert(h < m, s"3-D hilbert boxes ($h) must beat morton ($m)")
+  }
+
   test("the codegen'd expression matches the kernel and registers in SQL") {
     import spark.implicits._
     graft.GraftFunctions.register(spark)

@@ -381,7 +381,10 @@ class LakePartitionSpec extends SparkSuite {
       == 3L)
     assert(back.count() == 3)
 
-    // curve specs refuse on partitioned tables
+    // a curve spec NAMING a partition column refuses (the value is
+    // constant per directory — curve the non-partition dims instead;
+    // curve specs over non-partition columns now cluster WITHIN
+    // partitions, pinned in LakeSqlReadSpec)
     intercept[IllegalArgumentException] {
       val r2 = freshRoot()
       LakeTable.create(spark, r2, seed(10), Seq("id"), nFiles = 1,

@@ -266,6 +266,105 @@ class LakeSqlReadSpec extends SparkSuite {
     }
   }
 
+  test("curve clustering WITHIN partitions: z-order inside each day " +
+      "prunes on every dimension and survives compaction") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 4 partition values x 2 independent in-partition dims; x,y
+    // scrambled so neither correlates with row order or day
+    val df = (0 until 8192).map { i =>
+      val x = (i * 2654435761L % 64).toInt
+      val y = (i * 40503 % 64)
+      (i.toLong, (i % 4).toLong, x.toLong, y.toLong)
+    }.toDF("id", "day", "x", "y")
+    LakeTable.create(spark, root, df, Seq("x", "y"), nFiles = 16,
+      clusterBy = Some(LakeTable.zCluster("x", "y")),
+      partitionBy = Seq("day"))
+    def filesRead(dfq: DataFrame): Long = {
+      dfq.collect()
+      dfq.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.getOrElse(fail("no FileSourceScanExec"))
+    }
+    val total = LakeTable.snapshot(spark, root).files.size
+    val perDay = LakeTable.snapshot(spark, root).files.count(
+      _.stats.min.get("day").contains(2L))
+    val base = spark.read.format("graft-lake").load(root)
+    // partition + each curve dimension prune TOGETHER: a day filter
+    // cuts to one directory, and the in-partition layout cuts inside it
+    val onDayX = filesRead(base.where(col("day") === 2 &&
+      col("x") >= 8 && col("x") < 16))
+    assert(onDayX < perDay,
+      s"day+x read $onDayX of $perDay day-2 files — the curve must " +
+        "bite INSIDE the partition")
+    val onDayY = filesRead(base.where(col("day") === 2 &&
+      col("y") >= 8 && col("y") < 16))
+    assert(onDayY < perDay, s"day+y read $onDayY of $perDay")
+    // a bare curve-dimension filter still prunes across all partitions
+    val onX = filesRead(base.where(col("x") >= 8 && col("x") < 16))
+    assert(onX < total, s"x-range read $onX of $total")
+    // row correctness vs the raw frame
+    assert(base.where(col("day") === 2 && col("x") >= 8 && col("x") < 16)
+      .count() ==
+      df.where(col("day") === 2 && col("x") >= 8 && col("x") < 16).count())
+    // the recorded spec survives maintenance: compaction re-enters the
+    // partitioned writer with the same curve spec
+    LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+      targetBytes = math.max(1L, LakeTable.snapshot(spark, root).files
+        .map(_.stats.bytes).sum / 8))
+    assert(LakeTable.snapshot(spark, root).clusterBy
+      .contains("z:x,y"), "spec must survive compaction")
+    val totalAfter = LakeTable.snapshot(spark, root).files.size
+    val afterX = filesRead(spark.read.format("graft-lake").load(root)
+      .where(col("x") >= 8 && col("x") < 16))
+    assert(afterX < totalAfter,
+      s"post-compaction x-range read $afterX of $totalAfter — the " +
+        "in-partition layout must survive maintenance")
+    // a curve spec NAMING a partition column still refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      val r2 = freshRoot()
+      LakeTable.create(spark, r2, df, Seq("x"), nFiles = 4,
+        clusterBy = Some(LakeTable.zCluster("day", "x")),
+        partitionBy = Seq("day"))
+    }
+    assert(ex.getMessage.contains("partition column"), ex.getMessage)
+  }
+
+  test("3-D HILBERT layout prunes on any dimension — zCluster parity") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = (0 until 4096).map { i =>
+      (i.toLong, (i % 64).toLong, ((i * 7) % 64).toLong, (i / 64).toLong)
+    }.toDF("id", "x", "y", "w")
+    LakeTable.create(spark, root, df, Seq("x", "y", "w"), nFiles = 16,
+      clusterBy = Some(LakeTable.hilbertCluster("x", "y", "w")))
+    def filesRead(dfq: DataFrame): Long = {
+      dfq.collect()
+      dfq.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.getOrElse(fail("no FileSourceScanExec"))
+    }
+    val base = spark.read.format("graft-lake").load(root)
+    Seq("x", "y", "w").foreach { c =>
+      val n = filesRead(base.where(col(c) >= 8 && col(c) < 16))
+      assert(n < 16, s"$c-range read $n of 16 hilbert3 files")
+      assert(base.where(col(c) >= 8 && col(c) < 16).count() ==
+        df.where(col(c) >= 8 && col(c) < 16).count())
+    }
+    // recorded-spec survival through compaction, like the z layouts
+    LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+      targetBytes = math.max(1L, LakeTable.snapshot(spark, root).files
+        .map(_.stats.bytes).sum / 8))
+    assert(LakeTable.snapshot(spark, root).clusterBy
+      .contains("h:x,y,w"))
+    val total = LakeTable.snapshot(spark, root).files.size
+    Seq("x", "y", "w").foreach { c =>
+      val n = filesRead(spark.read.format("graft-lake").load(root)
+        .where(col(c) >= 8 && col(c) < 16))
+      assert(n < total, s"post-compaction $c-range read $n of $total")
+    }
+  }
+
   test("batch readChangeFeed on the format surface slices commit ranges") {
     val root = freshRoot()
     LakeTable.create(spark, root, seed(50), Seq("id"), nFiles = 1)   // v0

@@ -18,5 +18,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // maintenance SQL the stock grammar lacks: OPTIMIZE / VACUUM /
     // DESCRIBE HISTORY|DETAIL (everything else delegates untouched)
     e.injectParser((s, delegate) => new graft.lake.GraftSqlParser(s, delegate))
+    // SQL change-data-feed surface: SELECT ... FROM table_changes(...)
+    graft.lake.LakeTableChanges.injectInto(e)
   }
 }

@@ -2557,7 +2557,10 @@ object LakeTable {
     val f = fs(spark, rootP)
     val latest = LakeLog.latestVersion(f, rootP).getOrElse(
       throw new IllegalArgumentException(s"no lake table at $root"))
-    require(fromVersion >= 0 && fromVersion <= toVersion && toVersion <= latest,
+    // fromVersion = -1 means "include the create commit's inserts" —
+    // the value the INCLUSIVE table_changes(t, 0, ...) SQL form maps to
+    require(fromVersion >= -1 && fromVersion <= toVersion &&
+      toVersion <= latest,
       s"bad change range ($fromVersion, $toVersion]: table has 0..$latest")
     // a rewrite commit's REMOVED side reads files referenced by the
     // previous version — the lowest being `fromVersion` itself — so a

@@ -1475,6 +1475,33 @@ object LakeQueries {
                CAST(cv AS BIGINT) AS _commit_version
         FROM cdf ORDER BY _commit_version, _change_type, o_orderkey""")),
 
+    QueryDef("lake_cdf_sql",
+      // the SAME change range as lake_cdf through the SQL-only
+      // surface: SELECT ... FROM table_changes(<path>, 2, 4) — the
+      // Delta-parity TVF (INCLUSIVE bounds, so start 2 covers commits
+      // 2..4 = the API's exclusive (1, 4]). Identical oracle
+      // arithmetic certifies the TVF is a pure spelling of
+      // scanChanges, composing with ordinary ORDER BY in the query
+      (s, dir) => s.sql(
+        s"SELECT * FROM table_changes('${chainFor(s, dir)}', 2, 4) " +
+          "ORDER BY _commit_version, _change_type, o_orderkey"),
+      Some(chainSql + """
+        , cdf AS (
+          SELECT k, c, s, cents, 'delete' AS ct, 2 AS cv
+          FROM sd WHERE k % 7 = 0 OR k % 13 = 0
+          UNION ALL
+          SELECT k, c, 'X', cents + 7, 'insert', 2
+          FROM sd WHERE k % 7 = 0 AND k % 13 <> 0
+          UNION ALL
+          SELECT k, c, s, cents, 'insert', 2 FROM ins
+          UNION ALL
+          SELECT k, c, s, cents, 'delete', 3
+          FROM merged WHERE k BETWEEN 1000 AND 1999)
+        SELECT k AS o_orderkey, c AS o_custkey, s AS o_orderstatus,
+               cents AS o_cents, ct AS _change_type,
+               CAST(cv AS BIGINT) AS _commit_version
+        FROM cdf ORDER BY _commit_version, _change_type, o_orderkey""")),
+
     QueryDef("lake_dedup_inplace",
       // table-level dedup as a sidecar commit: duplicates are gone
       // from every read, yet no data file was rewritten (the

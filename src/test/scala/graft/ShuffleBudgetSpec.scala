@@ -401,6 +401,9 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("lake_cdf", 5, "one exceptAll aggregate per side per rewrite " +
       "commit (2 rewrites x 2 sides, each bounded by the commit's " +
       "touched files, never the table) + output ordering"),
+    ("lake_cdf_sql", 5, "the lake_cdf plan spliced in by the " +
+      "table_changes TVF — same per-commit exceptAll budget + the " +
+      "query's own output ordering"),
     ("lake_dedup_inplace", 1, "DV-applying scan (broadcast row-index " +
       "anti-join) + output ordering; the dedup window pass ran at " +
       "build time as its own bounded job"),

@@ -645,6 +645,60 @@ class LakeCatalogSpec extends SparkSuite {
       "label LIKE 'c_%!'").head().getLong(0) == 2)
   }
 
+  test("table_changes TVF: the SQL change feed matches the API, " +
+      "composes in queries, resolves timestamps, refuses sub-floor") {
+    // a SQL-only user reads the CDF with no API call — Delta's
+    // inclusive-bounds spelling, routed to LakeTable.scanChanges
+    sql(s"CREATE TABLE $cat.core.tc (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES (clusterBy = 'id', nFiles = '2')")          // v0
+    sql(s"INSERT INTO $cat.core.tc SELECT id, id FROM range(10)") // v1
+    Thread.sleep(15)
+    val betweenTs = System.currentTimeMillis()
+    Thread.sleep(15)
+    sql(s"INSERT INTO $cat.core.tc SELECT id + 10, id FROM range(5)") // v2
+    sql(s"DELETE FROM $cat.core.tc WHERE id < 3")                 // v3
+    val viaSql = sql(
+      s"SELECT * FROM table_changes('$cat.core.tc', 2, 3) " +
+        "ORDER BY _commit_version, _change_type, id")
+    val root = s"$warehouse/core/tc"
+    val viaApi = LakeTable.scanChanges(spark, root, 1L, 3L)
+      .orderBy("_commit_version", "_change_type", "id")
+    assert(viaSql.collect().toSeq == viaApi.collect().toSeq,
+      "SQL TVF must reproduce the API change frames exactly")
+    // inclusive bounds: start 0 includes nothing but the (empty)
+    // create; start 1 includes the first insert commit
+    assert(sql(s"SELECT count(*) c FROM table_changes('$cat.core.tc'," +
+      " 1, 1)").head().getLong(0) == 10)
+    // end defaults to the latest commit; the TVF composes with
+    // ordinary SQL (filters, aggregates) like any relation
+    assert(sql("SELECT count(*) c FROM " +
+      s"table_changes('$cat.core.tc', 1) WHERE _change_type = 'delete'")
+      .head().getLong(0) == 3)
+    // timestamp bounds resolve like the stream/batch options: start =
+    // first commit at or after, end = last commit at or before
+    assert(sql(s"SELECT count(*) c FROM table_changes('$cat.core.tc', " +
+      s"'$betweenTs')").head().getLong(0) == 8,
+      "ts between v1 and v2 must cover v2's 5 inserts + v3's 3 deletes")
+    // path form works; wrong names refuse loudly
+    assert(sql(s"SELECT count(*) c FROM table_changes('$root', 2, 2)")
+      .head().getLong(0) == 5)
+    val missing = intercept[Exception] {
+      sql(s"SELECT * FROM table_changes('$cat.core.nosuch', 1)").collect()
+    }
+    assert(missing.getMessage.contains("nosuch"), missing.getMessage)
+    // a range dipping below the vacuum floor refuses AT RESOLUTION
+    // with the same horizon message as the API path
+    LakeTable.vacuum(spark, root, keepFromVersion = 3L, retentionMs = 0L)
+    val ex = intercept[Exception] {
+      sql(s"SELECT * FROM table_changes('$cat.core.tc', 1, 3)").collect()
+    }
+    assert(ex.getMessage.contains("vacuum floor"), ex.getMessage)
+    // post-floor ranges still resolve
+    sql(s"INSERT INTO $cat.core.tc SELECT id + 20, id FROM range(2)") // v4
+    assert(sql(s"SELECT count(*) c FROM table_changes('$cat.core.tc', " +
+      "4, 4)").head().getLong(0) == 2)
+  }
+
   test("inline CHECK at CREATE TABLE time persists and gates writes") {
     // the TableCatalog interface DEFAULT for createTable(ident, info)
     // drops TableInfo.constraints() on the floor — the override must

@@ -59,6 +59,11 @@ final class LakeFileIndex(spark: SparkSession, root: Path,
 
   private val fullSchema: StructType = StructType.fromDDL(snap.schemaDdl)
 
+  // base-column predicates → ranges on generated partition columns
+  // (parsed once per index; see LakeGenPruning for the sound shapes)
+  private val inferGenerated = LakeGenPruning.inferencer(spark, snap,
+    fullSchema)
+
   override val partitionSchema: StructType =
     StructType(snap.partitionBy.map(c => fullSchema(c)))
 
@@ -106,7 +111,12 @@ final class LakeFileIndex(spark: SparkSession, root: Path,
     val statKeys = snap.statsCols
       .map(c => snap.colMap.getOrElse(c, c)).toSet
     val ranges = dataFilters.flatMap(LakeFileIndex.toRanges)
-      .filter(r => statKeys.contains(r.column))
+      .filter(r => statKeys.contains(r.column)) ++
+      // generated-partition inference: a base-column predicate also
+      // bounds its GENERATED partition column (month(base) etc.), and
+      // the partition value is exactly the file's min==max stat —
+      // so a date filter prunes directories the query never names
+      inferGenerated(dataFilters)
     val kept = files.filter(f =>
       ranges.forall(r => LakeTable.mayMatch(f.stats, r)))
     if (snap.partitionBy.isEmpty)

@@ -1,0 +1,238 @@
+package graft.lake
+
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
+  UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast,
+  EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan,
+  LessThanOrEqual, Literal, Substring}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType,
+  IntegerType, LongType, ShortType, StringType, StructType,
+  TimestampNTZType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Partition-filter INFERENCE for generated partition columns — the
+  * Delta-parity planning step that makes a predicate on the BASE
+  * column prune a table partitioned by `GENERATED ALWAYS AS
+  * (month(base))`-style expressions. Without it, `WHERE o_orderdate
+  * BETWEEN x AND y` reads every partition of a month(o_orderdate)-
+  * partitioned table (the date column itself can be neither a
+  * partition nor a stats column here), which at 100 TB is the
+  * difference between one directory and the whole table.
+  *
+  * Scope — the shipped generation shapes with a sound inference:
+  *   - `year(b)`: monotone in b — base bounds map straight through
+  *     (one-sided bounds included)
+  *   - `month(b)` / `day(b)` / `hour(b)`: periodic, NOT monotone — a
+  *     bounded base range maps only when it stays inside one
+  *     enclosing period (same year for month, same month for day,
+  *     same day for hour); equality always maps
+  *   - `substring(b, 1, k)`: string prefix, monotone under the
+  *     binary collation the stats comparator uses (one-sided bounds
+  *     included)
+  * Anything else infers nothing — inference is an OPTIMIZATION; rows
+  * are still filtered exactly by the scan, so a missed inference is
+  * never a correctness change (the same contract as stats pruning).
+  *
+  * Timestamp bases are interpreted in UTC, matching the session the
+  * writes evaluate generation expressions under (build-pinned; a
+  * session in another zone would compute different generated VALUES
+  * too — the inference is exactly as zone-stable as the data).
+  */
+private[lake] object LakeGenPruning {
+
+  /** One generated partition column's inference-relevant shape. */
+  private sealed trait GenShape { def base: String }
+  private final case class DatePart(base: String, part: String)
+      extends GenShape
+  private final case class Prefix(base: String, len: Int) extends GenShape
+
+  /** Inference function for `snap`: pushed data filters → extra
+    * ranges on generated partition columns. Generation expressions
+    * are parsed ONCE here; the returned closure is cheap per
+    * `listFiles` call. Empty function when the table has no
+    * inferable generated partition column.
+    */
+  def inferencer(spark: SparkSession, snap: LakeLog.Snapshot,
+                 schema: StructType)
+      : Seq[Expression] => Seq[LakeTable.ColRange] = {
+    val shapes: Seq[(String, GenShape)] = snap.partitionBy.flatMap { g =>
+      snap.colSpecs.get(g).toSeq
+        .filter(_.kind == LakeColumns.KindGenerated)
+        .flatMap(cs => cs.spec.get("expr"))
+        .flatMap(parseShape(spark, _))
+        .map(g -> _)
+    }
+    if (shapes.isEmpty) _ => Nil
+    else dataFilters => inferRanges(shapes, schema, dataFilters)
+  }
+
+  private def parseShape(spark: SparkSession, sql: String): Option[GenShape] = {
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(sql)
+      catch { case _: Exception => return None }
+    def attr(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
+      case a: Attribute => Some(a.name)
+      case _ => None
+    }
+    def intLit(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, IntegerType) => Some(v)
+      case _ => None
+    }
+    val dateParts = Set("year", "month", "day", "dayofmonth", "hour")
+    val substrs = Set("substring", "substr")
+    parsed match {
+      case u: UnresolvedFunction if u.nameParts.length == 1 &&
+          !u.isDistinct && u.arguments.length == 1 &&
+          dateParts.contains(u.nameParts.head.toLowerCase) =>
+        val fn = u.nameParts.head.toLowerCase
+        attr(u.arguments.head)
+          .map(DatePart(_, if (fn == "dayofmonth") "day" else fn))
+      case u: UnresolvedFunction if u.nameParts.length == 1 &&
+          !u.isDistinct && u.arguments.length == 3 &&
+          substrs.contains(u.nameParts.head.toLowerCase) &&
+          intLit(u.arguments(1)).contains(1) =>
+        for (base <- attr(u.arguments.head);
+             len <- intLit(u.arguments(2))) yield Prefix(base, len)
+      case Substring(b, f, l) if intLit(f).contains(1) =>
+        for (base <- attr(b); len <- intLit(l)) yield Prefix(base, len)
+      case _ => None
+    }
+  }
+
+  private def inferRanges(shapes: Seq[(String, GenShape)],
+                          schema: StructType,
+                          dataFilters: Seq[Expression])
+      : Seq[LakeTable.ColRange] = {
+    val bounds = baseBounds(dataFilters)
+    shapes.flatMap { case (g, shape) =>
+      for {
+        (lo, hi) <- bounds.get(shape.base).toSeq
+        dt <- schema.find(_.name == shape.base).map(_.dataType).toSeq
+        range <- shape match {
+          case Prefix(_, len) if dt == StringType =>
+            def cut(b: Option[Any]): Option[Any] =
+              b.collect { case s: String => s.take(len) }
+            val r = LakeTable.ColRange(g, cut(lo), cut(hi))
+            if (r.lo.isEmpty && r.hi.isEmpty) Nil else Seq(r)
+          case _: Prefix => Nil
+          case DatePart(_, part) =>
+            datePartRange(part, lo.flatMap(toDateTime(_, dt)),
+              hi.flatMap(toDateTime(_, dt)))
+              .map { case (l, h) => LakeTable.ColRange(g, l, h) }.toSeq
+        }
+      } yield range
+    }
+  }
+
+  /** Per-base-column (lo, hi) literal bounds from the filter
+    * conjuncts (strict bounds widened to inclusive — sound for
+    * pruning). Non-literal or OR'd shapes contribute nothing.
+    */
+  private def baseBounds(filters: Seq[Expression])
+      : Map[String, (Option[Any], Option[Any])] = {
+    val acc = scala.collection.mutable.Map
+      .empty[String, (Option[Any], Option[Any])]
+    def add(col: String, lo: Option[Any], hi: Option[Any]): Unit = {
+      val (l0, h0) = acc.getOrElse(col, (None, None))
+      // tightest bounds win; mixed types can't happen (one column)
+      def maxOf(a: Option[Any], b: Option[Any]) =
+        (a ++ b).reduceOption((x, y) => if (cmpAny(x, y) >= 0) x else y)
+      def minOf(a: Option[Any], b: Option[Any]) =
+        (a ++ b).reduceOption((x, y) => if (cmpAny(x, y) <= 0) x else y)
+      acc(col) = (maxOf(l0, lo), minOf(h0, hi))
+    }
+    def value(l: Literal): Option[Any] = l.value match {
+      case null => None
+      case u: UTF8String => Some(u.toString)
+      case v => Some(v)
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo(a: Attribute, l: Literal) =>
+        add(a.name, value(l), value(l))
+      case EqualTo(l: Literal, a: Attribute) =>
+        add(a.name, value(l), value(l))
+      case GreaterThan(a: Attribute, l: Literal) =>
+        add(a.name, value(l), None)
+      case GreaterThanOrEqual(a: Attribute, l: Literal) =>
+        add(a.name, value(l), None)
+      case LessThan(a: Attribute, l: Literal) =>
+        add(a.name, None, value(l))
+      case LessThanOrEqual(a: Attribute, l: Literal) =>
+        add(a.name, None, value(l))
+      case GreaterThan(l: Literal, a: Attribute) =>
+        add(a.name, None, value(l))
+      case GreaterThanOrEqual(l: Literal, a: Attribute) =>
+        add(a.name, None, value(l))
+      case LessThan(l: Literal, a: Attribute) =>
+        add(a.name, value(l), None)
+      case LessThanOrEqual(l: Literal, a: Attribute) =>
+        add(a.name, value(l), None)
+      // Cast(attr as <wider>) <op> lit: the analyzer often wraps the
+      // base; only the identity-preserving date<->string cases would
+      // be sound, and they don't reach here — skip
+      case _: Cast => ()
+      case _ => ()
+    }
+    filters.foreach(walk)
+    acc.toMap
+  }
+
+  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (x: Int, y: Int)       => java.lang.Integer.compare(x, y)
+    case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _                      => 0 // incomparable: keep first
+  }
+
+  /** A literal of the base column's type → the UTC civil time it
+    * denotes (dates at start of day).
+    */
+  private def toDateTime(v: Any, dt: DataType): Option[LocalDateTime] =
+    (v, dt) match {
+      case (days: Int, DateType) =>
+        Some(LocalDate.ofEpochDay(days.toLong).atStartOfDay())
+      case (micros: Long, TimestampType) =>
+        Some(LocalDateTime.ofInstant(
+          Instant.EPOCH.plusNanos(micros * 1000L), ZoneOffset.UTC))
+      case (micros: Long, TimestampNTZType) =>
+        Some(LocalDateTime.ofInstant(
+          Instant.EPOCH.plusNanos(micros * 1000L), ZoneOffset.UTC))
+      case _ => None
+    }
+
+  /** The sound (lo, hi) range of `part` over a base range. `year` is
+    * monotone (one-sided bounds map); the periodic parts map only
+    * when both bounds exist and share the enclosing period.
+    */
+  private def datePartRange(part: String, lo: Option[LocalDateTime],
+                            hi: Option[LocalDateTime])
+      : Option[(Option[Any], Option[Any])] = {
+    def p(t: LocalDateTime): Long = part match {
+      case "year"  => t.getYear.toLong
+      case "month" => t.getMonthValue.toLong
+      case "day"   => t.getDayOfMonth.toLong
+      case "hour"  => t.getHour.toLong
+    }
+    def samePeriod(a: LocalDateTime, b: LocalDateTime): Boolean =
+      part match {
+        case "year"  => true
+        case "month" => a.getYear == b.getYear
+        case "day"   => a.getYear == b.getYear && a.getMonth == b.getMonth
+        case "hour"  => a.toLocalDate == b.toLocalDate
+      }
+    (lo, hi) match {
+      case (None, None) => None
+      case _ if part == "year" =>
+        Some((lo.map(p(_)), hi.map(p(_))))
+      case (Some(l), Some(h)) if samePeriod(l, h) =>
+        Some((Some(p(l)), Some(p(h))))
+      case _ => None // unbounded or period-crossing: no sound range
+    }
+  }
+}

@@ -1035,6 +1035,38 @@ object LakeQueries {
       ident
     })
 
+  /** Generated-partition chain (pure SQL): a table partitioned by
+    * `omonth INT GENERATED ALWAYS AS (month(o_orderdate))` — the
+    * hidden-partitioning layout — loaded with the generated column
+    * OMITTED (writers compute it). The query filters ONLY the base
+    * timestamp column; [[LakeGenPruning]] infers the month range at
+    * plan time, so the scan touches the named months' directories
+    * and nothing else (files-read subset pinned in
+    * LakeColumnSemanticsSpec).
+    */
+  private val genInferCache = new ConcurrentHashMap[String, String]()
+  private def genInferFor(s: SparkSession, dir: String): String =
+    genInferCache.computeIfAbsent(dir, _ => {
+      val key = dirKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+      val cat = s"glgi_$key"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.LakeCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$lakeRoot/geni_$key")
+      val ident = s"$cat.core.g"
+      s.sql(s"CREATE NAMESPACE $cat.core")
+      t(s, dir, "orders").where(col("o_orderkey") < 4000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("o_cents"))
+        .createOrReplaceTempView(s"lakeq_giseed_$key")
+      s.sql(s"CREATE TABLE $ident (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderdate TIMESTAMP, " +
+        "omonth INT GENERATED ALWAYS AS (month(o_orderdate)), " +
+        "o_cents BIGINT) PARTITIONED BY (omonth) " +
+        "TBLPROPERTIES (clusterBy = 'o_orderkey', nFiles = '1')")
+      s.sql(s"INSERT INTO $ident (o_orderkey, o_custkey, o_orderdate, " +
+        s"o_cents) SELECT * FROM lakeq_giseed_$key")
+      ident
+    })
+
   /** Partition-management chain (pure SQL): PARTITIONED BY
     * (o_orderstatus) table seeded from keys < 3000, then `ALTER TABLE
     * ... DROP PARTITION (o_orderstatus = 'P')` — the retention
@@ -1501,6 +1533,30 @@ object LakeQueries {
                cents AS o_cents, ct AS _change_type,
                CAST(cv AS BIGINT) AS _commit_version
         FROM cdf ORDER BY _commit_version, _change_type, o_orderkey""")),
+
+    QueryDef("lake_gen_prune",
+      // generated-partition filter inference under the oracle: the
+      // ONLY filter is on the base timestamp column; the month(…)
+      // partition range is inferred at plan time (same-year bounds →
+      // omonth ∈ [3, 6]) and row-exactness certifies inference never
+      // changes semantics — it is pruning only
+      (s, dir) => s.sql(
+        s"SELECT o_orderkey, o_custkey, " +
+          "date_format(o_orderdate, 'yyyy-MM-dd') AS o_day, " +
+          "CAST(omonth AS BIGINT) AS omonth, o_cents " +
+          s"FROM ${genInferFor(s, dir)} WHERE " +
+          "o_orderdate BETWEEN TIMESTAMP'1995-03-01 00:00:00' " +
+          "AND TIMESTAMP'1995-06-30 23:59:59' ORDER BY o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_day,
+               CAST(datepart('month', o_orderdate) AS BIGINT) AS omonth,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders
+        WHERE o_orderkey < 4000
+          AND o_orderdate BETWEEN TIMESTAMP '1995-03-01 00:00:00'
+                              AND TIMESTAMP '1995-06-30 23:59:59'
+        ORDER BY o_orderkey""")),
 
     QueryDef("lake_dedup_inplace",
       // table-level dedup as a sidecar commit: duplicates are gone

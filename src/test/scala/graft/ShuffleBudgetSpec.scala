@@ -404,6 +404,9 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("lake_cdf_sql", 5, "the lake_cdf plan spliced in by the " +
       "table_changes TVF — same per-commit exceptAll budget + the " +
       "query's own output ordering"),
+    ("lake_gen_prune", 1, "generated-partition inference prunes the " +
+      "scan to the base predicate's months at plan time; one range " +
+      "exchange for the output ordering"),
     ("lake_dedup_inplace", 1, "DV-applying scan (broadcast row-index " +
       "anti-join) + output ordering; the dedup window pass ran at " +
       "build time as its own bounded job"),

@@ -45,6 +45,17 @@ import graft.lake.{LakeLog, LakeTable}
   *     — never partial rows; a FRESH v0 resolution after the vacuum
   *     refuses deterministically with the recorded vacuum floor and
   *     horizon in the message; the latest snapshot is untouched.
+  *  5. **Compaction-vs-MOR-delete race** (round 19): child A compacts
+  *     every file while child B commits a merge-on-read delete
+  *     re-pointing two of them at a deletion vector; deterministic
+  *     stagger exercises both orderings. Invariants: committed
+  *     deletions NEVER resurrect through the rewrite (the clean
+  *     rewrite of a DV'd file is exactly the resurrection hazard —
+  *     an Add's DV pointer is part of `guardFiles`' identity, so the
+  *     stale side aborts as ConcurrentCommitException), outcomes
+  *     match the log exactly, and a compaction serializing after the
+  *     delete purges the DV into clean files with the rows still
+  *     gone.
   *
   * Usage: `sbt "runMain graft.tools.CommitRaceProbe"` — appends a
   * section to SCALEPROBE.md and prints COMMIT-RACE-PASS.
@@ -62,6 +73,8 @@ object CommitRaceProbe {
       childDyn(args(1), args(2), args(3).toInt)
     case Some("child-vac") =>
       childVac(args(1), args(2), args(3).toInt)
+    case Some("child-mor") =>
+      childMor(args(1), args(2), args(3).toInt)
     case _ => coordinate()
   }
 
@@ -238,6 +251,49 @@ object CommitRaceProbe {
     spark.stop()
   }
 
+  // ---- child 5: compaction vs concurrent MOR delete (Spark) -----------
+
+  /** Per round, child A compacts the whole table (rewriting every
+    * file); child B commits a merge-on-read delete (re-pointing files
+    * at a deletion vector). Each op snapshots at its own start, so
+    * the loser's commit rides a stale file list — its `guardFiles`
+    * must abort loudly (a compaction that silently replaced a
+    * DV'd file would RESURRECT the deleted rows through the clean
+    * rewrite; a DV that landed onto removed files would point at
+    * nothing). Deterministic stagger covers both orderings.
+    */
+  private def childMor(base: String, childId: String,
+                       nRounds: Int): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    (0 until nRounds).foreach { r =>
+      val root = s"$base/mtab_$r"
+      touch(s"$base/race/ready-m$r-$childId")
+      await(s"$base/race/go-m$r")
+      // odd rounds: the delete gets the head start (compaction must
+      // abort); even rounds: the compaction does (the delete must)
+      if (childId == "A" && r % 2 == 1) Thread.sleep(300)
+      if (childId == "B" && r % 2 == 0) Thread.sleep(300)
+      val outcome =
+        try {
+          if (childId == "A")
+            LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+              targetBytes = Long.MaxValue)
+          else
+            LakeTable.deleteWhereMor(spark, root,
+              Seq(LakeTable.ColRange("id", Some(50L), Some(149L))))
+          "OK"
+        } catch { case e: Throwable => s"REFUSED: ${e.getClass.getName}" }
+      Files.write(Paths.get(s"$base/race/result-m$r-$childId"),
+        outcome.getBytes(StandardCharsets.UTF_8))
+    }
+    spark.stop()
+  }
+
   // ---- coordinator -----------------------------------------------------
 
   private def spawn(mainArgs: Seq[String], logFile: String,
@@ -266,9 +322,10 @@ object CommitRaceProbe {
     val base = Files.createTempDirectory("graft_race").toString
     Files.createDirectories(Paths.get(s"$base/race"))
     val sb = new StringBuilder
-    sb.append("\n## Commit race probe (round 18 re-run; version + ")
+    sb.append("\n## Commit race probe (round 19 re-run; version + ")
     sb.append("constraint races from round 15, dynamic-overwrite race ")
-    sb.append("from round 17, vacuum-vs-reader race new): two SEPARATE ")
+    sb.append("from round 17, vacuum-vs-reader race from round 18, ")
+    sb.append("compaction-vs-MOR-delete race new): two SEPARATE ")
     sb.append("JVMs racing the same log\n\n")
 
     // ---- race 1: tryCommit version race, no Spark anywhere ----------
@@ -530,6 +587,99 @@ object CommitRaceProbe {
     sb.append("the vacuum refused deterministically with the recorded ")
     sb.append("vacuum floor + horizon in the message; the latest ")
     sb.append("snapshot was never collateral damage\n")
+    // ---- race 5: compaction vs concurrent MOR delete -------------------
+    val nMor = 6
+    (0 until nMor).foreach { r =>
+      LakeTable.create(spark, s"$base/mtab_$r",
+        (0 until 200).map(i => (i.toLong, i.toLong)).toDF("id", "v"),
+        Seq("id"), nFiles = 4, clusterBy = Some("id"))
+    }
+    val t4 = now()
+    val ma = spawn(Seq("child-mor", base, "A", nMor.toString),
+      s"$base/child-m-A.out", "2g")
+    val mb = spawn(Seq("child-mor", base, "B", nMor.toString),
+      s"$base/child-m-B.out", "2g")
+    (0 until nMor).foreach { r =>
+      await(s"$base/race/ready-m$r-A"); await(s"$base/race/ready-m$r-B")
+      touch(s"$base/race/go-m$r")
+      await(s"$base/race/result-m$r-A"); await(s"$base/race/result-m$r-B")
+    }
+    require(ma.waitFor() == 0, s"child A failed — $base/child-m-A.out")
+    require(mb.waitFor() == 0, s"child B failed — $base/child-m-B.out")
+    val wallM = (now() - t4) / 1e3
+    var morCompactWins = 0
+    var morDeleteWins = 0
+    var morGuardAborts = 0
+    (0 until nMor).foreach { r =>
+      val root = s"$base/mtab_$r"
+      val rootP = new Path(root)
+      val mfs = LakeLog.fileSystem(rootP, new Configuration())
+      def res(id: String) = new String(Files.readAllBytes(
+        Paths.get(s"$base/race/result-m$r-$id")), StandardCharsets.UTF_8)
+      val (ra, rbb) = (res("A"), res("B"))
+      // reconstruct both ops' commit versions from the log
+      var compactV = -1L
+      var morV = -1L
+      LakeLog.versions(mfs, rootP).foreach { v =>
+        LakeLog.readCommit(mfs, rootP, v).foreach {
+          case m: LakeLog.Meta if m.op == "compact"   => compactV = v
+          case m: LakeLog.Meta if m.op == "mordelete" => morV = v
+          case _ => ()
+        }
+      }
+      // outcomes must match the log exactly — no silent success, no
+      // committed-but-reported-refused
+      require((compactV >= 0) == ra.startsWith("OK"),
+        s"mor round $r: A='$ra' but compact commit at v$compactV")
+      require((morV >= 0) == rbb.startsWith("OK"),
+        s"mor round $r: B='$rbb' but mordelete commit at v$morV")
+      require(ra.startsWith("OK") || rbb.startsWith("OK"),
+        s"mor round $r: both refused — nothing committed ($ra / $rbb)")
+      // a loser aborts on the file guard, loudly and typed
+      Seq("A" -> ra, "B" -> rbb).foreach { case (id, out) =>
+        if (!out.startsWith("OK")) {
+          require(out.contains("ConcurrentCommitException"),
+            s"mor round $r: child $id refused with the wrong failure: " +
+              out)
+          morGuardAborts += 1
+        }
+      }
+      // THE invariant: committed deletions NEVER resurrect through a
+      // rewrite — the scan reflects the delete iff it committed,
+      // whole or not at all
+      val scan = LakeTable.scan(spark, root)
+      val deletedLive = scan.where($"id".between(50, 149)).count()
+      val total = scan.count()
+      if (rbb.startsWith("OK")) {
+        require(deletedLive == 0 && total == 100,
+          s"mor round $r: delete committed but $deletedLive/100 deleted " +
+            s"rows live, total $total — resurrected by the rewrite")
+        morDeleteWins += 1
+      } else require(deletedLive == 100 && total == 200,
+        s"mor round $r: delete refused but the table lost rows " +
+          s"($deletedLive deleted-range rows, $total total)")
+      if (ra.startsWith("OK")) {
+        morCompactWins += 1
+        // a compaction that serialized AFTER the delete must have
+        // purged the DV into its rewrite (clean files, rows still
+        // gone); one that won the race carries no DV either way
+        if (morV >= 0 && compactV > morV) {
+          val snap = LakeTable.snapshot(spark, root)
+          require(snap.files.forall(_.dv.isEmpty),
+            s"mor round $r: post-delete compaction left DVs attached")
+        }
+      }
+    }
+    sb.append(s"- compaction-vs-MOR-delete race: $nMor rounds in ")
+    sb.append(f"$wallM%.1f s — committed deletions never resurrected ")
+    sb.append("through a rewrite in any round (scan = exactly the ")
+    sb.append(s"committed ops' outcome); compaction committed ")
+    sb.append(s"$morCompactWins/$nMor, delete $morDeleteWins/$nMor, ")
+    sb.append(s"$morGuardAborts stale-snapshot losers aborted on the ")
+    sb.append("file guard as ConcurrentCommitException (an Add's DV ")
+    sb.append("pointer is part of the guarded identity, so a re-point ")
+    sb.append("is a conflict); post-delete compactions purged the DV ")
+    sb.append("into clean rewrites\n")
     spark.stop()
 
     Files.write(Paths.get("SCALEPROBE.md"),

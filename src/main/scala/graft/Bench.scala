@@ -312,13 +312,26 @@ object Bench {
     val recordBand = args.contains("--record-band") ||
       sys.env.get("SPARK_GRAFT_RECORD_BAND").contains("1")
     val rerunRatio = if (recordBand) 1.8 else 2.0
+    // named adjudications: rows a PREVIOUS round's driver run flagged
+    // near-band (1.7-1.9x) on untouched code re-run solo regardless of
+    // this run's own ratio, so the pattern lands EXPLAINED in the
+    // band's reruns map instead of being re-assumed as jitter
+    // (round-18 verdict task 6). --force-rerun=a,b,c or
+    // SPARK_GRAFT_FORCE_RERUN; band-recording runs only.
+    val forceRerun: Set[String] =
+      args.collectFirst { case a if a.startsWith("--force-rerun=") =>
+        a.stripPrefix("--force-rerun=").split(",").map(_.trim).toSet }
+        .orElse(sys.env.get("SPARK_GRAFT_FORCE_RERUN")
+          .map(_.split(",").map(_.trim).toSet))
+        .getOrElse(Set.empty)
     val results = firstPass.map { case row @ (name, median, runs, can) =>
       // ANY >2x-band row re-runs solo at end-of-run — no absolute
       // floor on the re-run decision (round-15 verdict: a real 2.5x
       // regression on a 0.15 s query must not hide under the jitter
       // floor; the floor still gates the WARN label downstream, and a
       // sub-second re-run costs nothing)
-      val over = band.get(name).exists(b => median.wall > rerunRatio * b)
+      val over = band.get(name).exists(b => median.wall > rerunRatio * b) ||
+        (recordBand && forceRerun.contains(name) && band.contains(name))
       if (!over || median.wall < 0) row
       else {
         System.err.println(f"[bench] re-running $name solo: " +

@@ -67,7 +67,11 @@ object SparkEntry {
     // lakehouse
     "lake_read_latest", "lake_mor_delete", "lake_part_pruned",
     "lake_dyn_overwrite_read", "lake_identity_read", "lake_cdf",
-    "lake_copy_into_read", "lake_widen_sql_read", "lake_time_travel")
+    "lake_copy_into_read", "lake_widen_sql_read", "lake_time_travel",
+    // round 19: in-partition curve layout, SQL CDF, generated-
+    // partition inference, n-D Hilbert
+    "lake_part_zorder_scan", "lake_cdf_sql", "lake_gen_prune",
+    "lake_hilbert3_scan")
 
   /** name → oracle kind ("static" | "generated" | "rows-only") for
     * every declared query — the source of truth SURVEY §8's counts are

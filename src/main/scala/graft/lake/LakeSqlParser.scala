@@ -41,6 +41,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField,
   * accepts the lake's prunable shapes (column-vs-literal ranges) and
   * refuses anything else — it selects FILES, so a dropped conjunct
   * would silently widen the rewrite.
+  *
+  * The change-data feed's SQL surface is NOT a statement here but the
+  * `table_changes('t', start[, end])` table-valued function
+  * ([[LakeTableChanges]], injected alongside this parser) — it
+  * composes inside ordinary SELECTs, which a whole-statement grammar
+  * cannot.
   */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {

@@ -245,12 +245,19 @@ object LakeColumns {
             case a: org.apache.spark.sql.catalyst.analysis
                 .UnresolvedAttribute => a.name
           }
+          // reference matching uses the SESSION RESOLVER, not == —
+          // the analyzer that later evaluates this expression resolves
+          // case-insensitively by default, so `month(D)` over column
+          // `d` is legal SQL and must validate here too
+          val resolver = spark.sessionState.analyzer.resolver
           refs.foreach { r =>
-            require(schema.fieldNames.contains(r),
+            require(schema.fieldNames.exists(resolver(_, r)),
               s"GENERATED expression for '$c' references unknown " +
                 s"column '$r'")
-            require(r != c, s"GENERATED expression for '$c' is circular")
-            val rk = byCol.get(r).map(_.head.kind)
+            require(!resolver(r, c),
+              s"GENERATED expression for '$c' is circular")
+            val rk = byCol.collectFirst {
+              case (col, s) if resolver(col, r) => s.head.kind }
             require(!rk.contains(KindGenerated) && !rk.contains(KindIdentity),
               s"GENERATED expression for '$c' may not reference " +
                 s"generated/identity column '$r'")

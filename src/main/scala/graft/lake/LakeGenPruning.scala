@@ -58,11 +58,23 @@ private[lake] object LakeGenPruning {
   def inferencer(spark: SparkSession, snap: LakeLog.Snapshot,
                  schema: StructType)
       : Seq[Expression] => Seq[LakeTable.ColRange] = {
+    // the generation expression may spell the base column in another
+    // case than the schema (the analyzer resolves case-insensitively;
+    // LakeColumns.validate accepts it) — canonicalize to the schema's
+    // spelling here so bound extraction (keyed by analyzer attribute
+    // names) and type lookup both hit
+    val resolver = spark.sessionState.analyzer.resolver
+    def canonical(base: String): Option[String] =
+      schema.fieldNames.find(resolver(_, base))
     val shapes: Seq[(String, GenShape)] = snap.partitionBy.flatMap { g =>
       snap.colSpecs.get(g).toSeq
         .filter(_.kind == LakeColumns.KindGenerated)
         .flatMap(cs => cs.spec.get("expr"))
         .flatMap(parseShape(spark, _))
+        .flatMap {
+          case DatePart(b, part) => canonical(b).map(DatePart(_, part))
+          case Prefix(b, len)    => canonical(b).map(Prefix(_, len))
+        }
         .map(g -> _)
     }
     if (shapes.isEmpty) _ => Nil

@@ -932,6 +932,19 @@ object LakeTable {
       else Seq(spec)
     dims.foreach(c => require(schema.fieldNames.contains(c),
       s"clusterBy references missing column '$c'"))
+    // refuse a partition-column curve dimension AT THE ALTER, not at
+    // the next write: a deferred refusal records a spec every later
+    // INSERT/MERGE/OPTIMIZE then trips over — a poisoned table the
+    // user must ALTER back before any write lands
+    if (spec.startsWith("z:") || spec.startsWith("h:"))
+      dims.filter(snap.partitionBy.contains) match {
+        case Nil => ()
+        case overlap => throw new IllegalArgumentException(
+          s"curve cluster spec '$spec' references partition " +
+            s"column(s) ${overlap.mkString(", ")} — a partition " +
+            "column is constant within its directory; curve-cluster " +
+            "the non-partition dimensions only")
+      }
     LakeLog.commit(f, rootP,
       Seq(Meta("setproperties", snap.schemaDdl, snap.statsCols, None, None,
         now(), Some(spec), snap.colMap)))

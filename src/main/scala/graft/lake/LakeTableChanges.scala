@@ -65,6 +65,11 @@ object LakeTableChanges {
       if (args.length < 3) latest
       else versionArg(args(2), "end", fs, root,
         ts => LakeLog.versionAtTimestamp(fs, new Path(root), ts))
+    // an inverted range refuses HERE: mapped onto the exclusive form
+    // it would become a legal empty range (start-1 >= end), silently
+    // returning zero rows for what is almost certainly a typo
+    require(start <= end,
+      s"table_changes: start version $start is after end version $end")
     LakeTable.scanChanges(spark, root, start - 1, end)
       .queryExecution.logical
   }

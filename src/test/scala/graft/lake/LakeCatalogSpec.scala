@@ -697,6 +697,12 @@ class LakeCatalogSpec extends SparkSuite {
     sql(s"INSERT INTO $cat.core.tc SELECT id + 20, id FROM range(2)") // v4
     assert(sql(s"SELECT count(*) c FROM table_changes('$cat.core.tc', " +
       "4, 4)").head().getLong(0) == 2)
+    // an INVERTED range refuses instead of silently mapping onto a
+    // legal empty exclusive range (almost certainly a typo)
+    val inv = intercept[Exception] {
+      sql(s"SELECT * FROM table_changes('$cat.core.tc', 4, 2)").collect()
+    }
+    assert(inv.getMessage.contains("after end version"), inv.getMessage)
   }
 
   test("inline CHECK at CREATE TABLE time persists and gates writes") {

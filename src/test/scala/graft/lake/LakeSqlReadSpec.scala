@@ -328,6 +328,17 @@ class LakeSqlReadSpec extends SparkSuite {
         partitionBy = Seq("day"))
     }
     assert(ex.getMessage.contains("partition column"), ex.getMessage)
+    // ...and a RECLUSTER toward such a spec refuses AT THE ALTER, not
+    // at the next write (a deferred refusal would record a spec every
+    // later INSERT/MERGE/OPTIMIZE trips over — a poisoned table)
+    val alterEx = intercept[IllegalArgumentException] {
+      LakeTable.setClusterBy(spark, root,
+        LakeTable.zCluster("day", "x"))
+    }
+    assert(alterEx.getMessage.contains("partition column"),
+      alterEx.getMessage)
+    assert(LakeTable.snapshot(spark, root).clusterBy.contains("z:x,y"),
+      "the refused ALTER must leave the recorded spec untouched")
   }
 
   test("3-D HILBERT layout prunes on any dimension — zCluster parity") {

@@ -32,6 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `substring(b, 1, k)`: string prefix, monotone under the
   *     binary collation the stats comparator uses (one-sided bounds
   *     included)
+  *   - `date_format([timestamp_micros|timestamp_millis|cast](b),
+  *     '<chronological fmt>')` for formats whose string order IS time
+  *     order (yyyy, yyyy-MM, yyyy-MM-dd, …-HH[:mm[:ss]]): monotone,
+  *     one-sided bounds included — the canonical time-series
+  *     `day STRING GENERATED ALWAYS AS (date_format(...))` partition
+  *     key prunes on raw epoch-micros predicates
   * Anything else infers nothing — inference is an OPTIMIZATION; rows
   * are still filtered exactly by the scan, so a missed inference is
   * never a correctness change (the same contract as stats pruning).
@@ -48,6 +54,22 @@ private[lake] object LakeGenPruning {
   private final case class DatePart(base: String, part: String)
       extends GenShape
   private final case class Prefix(base: String, len: Int) extends GenShape
+
+  /** `date_format([timestamp_micros|timestamp_millis](b), '<fmt>')`
+    * for a CHRONOLOGICAL format (zero-padded descending units, so
+    * lexicographic order == time order — the monotonicity that lets
+    * one-sided bounds map). `unit` is how the base literal denotes an
+    * instant: "micros"/"millis" (integral epoch via the wrapper fn)
+    * or "auto" (the column's own date/timestamp type).
+    */
+  private final case class Formatted(base: String, fmt: String,
+                                     unit: String) extends GenShape
+
+  /** Formats whose string order is chronological order. A pattern off
+    * this list infers nothing (e.g. 'dd-MM-yyyy' sorts wrongly).
+    */
+  private val chronoFormats = Set("yyyy", "yyyy-MM", "yyyy-MM-dd",
+    "yyyy-MM-dd HH", "yyyy-MM-dd HH:mm", "yyyy-MM-dd HH:mm:ss")
 
   /** Inference function for `snap`: pushed data filters → extra
     * ranges on generated partition columns. Generation expressions
@@ -72,8 +94,9 @@ private[lake] object LakeGenPruning {
         .flatMap(cs => cs.spec.get("expr"))
         .flatMap(parseShape(spark, _))
         .flatMap {
-          case DatePart(b, part) => canonical(b).map(DatePart(_, part))
-          case Prefix(b, len)    => canonical(b).map(Prefix(_, len))
+          case DatePart(b, part)   => canonical(b).map(DatePart(_, part))
+          case Prefix(b, len)      => canonical(b).map(Prefix(_, len))
+          case Formatted(b, f, un) => canonical(b).map(Formatted(_, f, un))
         }
         .map(g -> _)
     }
@@ -112,6 +135,34 @@ private[lake] object LakeGenPruning {
              len <- intLit(u.arguments(2))) yield Prefix(base, len)
       case Substring(b, f, l) if intLit(f).contains(1) =>
         for (base <- attr(b); len <- intLit(l)) yield Prefix(base, len)
+      case u: UnresolvedFunction if u.nameParts.length == 1 &&
+          !u.isDistinct && u.arguments.length == 2 &&
+          u.nameParts.head.equalsIgnoreCase("date_format") =>
+        val fmt = u.arguments(1) match {
+          case Literal(s: UTF8String, StringType) => Some(s.toString)
+          case _ => None
+        }
+        def innerBase(e: Expression): Option[(String, String)] = e match {
+          case a if attr(a).isDefined => attr(a).map((_, "auto"))
+          case w: UnresolvedFunction if w.nameParts.length == 1 &&
+              w.arguments.length == 1 =>
+            val fn = w.nameParts.head.toLowerCase
+            val unit = fn match {
+              case "timestamp_micros" => Some("micros")
+              case "timestamp_millis" => Some("millis")
+              case _ => None
+            }
+            for (b <- attr(w.arguments.head); un <- unit) yield (b, un)
+          case Cast(c, t, _, _) if attr(c).isDefined &&
+              (t == TimestampType || t == TimestampNTZType ||
+                t == DateType) =>
+            attr(c).map((_, "auto"))
+          case _ => None
+        }
+        for {
+          f <- fmt if chronoFormats.contains(f)
+          (b, un) <- innerBase(u.arguments.head)
+        } yield Formatted(b, f, un)
       case _ => None
     }
   }
@@ -136,6 +187,26 @@ private[lake] object LakeGenPruning {
             datePartRange(part, lo.flatMap(toDateTime(_, dt)),
               hi.flatMap(toDateTime(_, dt)))
               .map { case (l, h) => LakeTable.ColRange(g, l, h) }.toSeq
+          case Formatted(_, fmt, unit) =>
+            // chronological formats are monotone: each bound maps
+            // independently (one-sided included)
+            val f = java.time.format.DateTimeFormatter.ofPattern(fmt)
+            def dtOf(v: Any): Option[LocalDateTime] = unit match {
+              case "micros" => v match {
+                case l: Long => toDateTime(l, TimestampType)
+                case i: Int  => toDateTime(i.toLong, TimestampType)
+                case _ => None
+              }
+              case "millis" => v match {
+                case l: Long => toDateTime(l * 1000L, TimestampType)
+                case i: Int  => toDateTime(i.toLong * 1000L, TimestampType)
+                case _ => None
+              }
+              case _ => toDateTime(v, dt)
+            }
+            val r = LakeTable.ColRange(g,
+              lo.flatMap(dtOf).map(f.format), hi.flatMap(dtOf).map(f.format))
+            if (r.lo.isEmpty && r.hi.isEmpty) Nil else Seq(r)
         }
       } yield range
     }

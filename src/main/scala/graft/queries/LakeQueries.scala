@@ -1534,6 +1534,21 @@ object LakeQueries {
                CAST(cv AS BIGINT) AS _commit_version
         FROM cdf ORDER BY _commit_version, _change_type, o_orderkey""")),
 
+    QueryDef("lake_genfmt_prune",
+      // the date_format time-series key under the oracle: the ONLY
+      // filter is a ONE-SIDED raw epoch-micros bound; the chronological
+      // 'yyyy-MM-dd' format is monotone, so LakeGenPruning maps it to
+      // a day-directory lower bound at plan time (files-read pin in
+      // LakeColumnSemanticsSpec on a stats-free twin)
+      (s, dir) => s.sql(
+        s"SELECT event_id, day, value FROM ${genFor(s, dir)} " +
+          "WHERE ts >= 1704844800000000 ORDER BY event_id"),
+      Some("""
+        SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, value
+        FROM events
+        WHERE event_id < 5000 AND epoch_us(ts) >= 1704844800000000
+        ORDER BY event_id""")),
+
     QueryDef("lake_gen_prune",
       // generated-partition filter inference under the oracle: the
       // ONLY filter is on the base timestamp column; the month(…)

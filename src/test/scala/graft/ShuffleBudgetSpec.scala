@@ -407,6 +407,9 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("lake_gen_prune", 1, "generated-partition inference prunes the " +
       "scan to the base predicate's months at plan time; one range " +
       "exchange for the output ordering"),
+    ("lake_genfmt_prune", 1, "date_format-shape inference maps the " +
+      "one-sided micros bound to a day-directory lower bound at plan " +
+      "time; one range exchange for the output ordering"),
     ("lake_dedup_inplace", 1, "DV-applying scan (broadcast row-index " +
       "anti-join) + output ordering; the dedup window pass ran at " +
       "build time as its own bounded job"),

@@ -34,11 +34,28 @@ private[lake] object LakeDml {
     case other => Seq(other)
   }
 
-  private def norm(l: Literal): Option[Any] =
-    try Option(l.value).map {
-      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-      case v => LakeTable.normalizeStat(v)
-    } catch { case _: IllegalArgumentException => None }
+  private def norm(l: Literal): Option[Any] = {
+    // type-aware, mirroring LakeTableV2.translateAll EXACTLY: a
+    // DATE/TIMESTAMP literal's INTERNAL value is an Int/Long
+    // (days/micros) that normalizeStat would happily accept — but the
+    // DSv2 side sees the EXTERNAL java.sql.Date and refuses, and a
+    // days-as-Long range compared against a DATE column would be
+    // nonsense anyway. The mirrors must agree, or a temporal DELETE
+    // gets stranded on the refusing SupportsDelete path instead of
+    // falling back to the general row-level rewrite (which handles
+    // any deterministic predicate, temporal included).
+    import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType,
+      IntegerType, LongType, ShortType, StringType}
+    l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType =>
+        try Option(l.value).map {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case v => LakeTable.normalizeStat(v)
+        } catch { case _: IllegalArgumentException => None }
+      case _ => None
+    }
+  }
 
   /** Catalyst mirror of [[LakeTableV2.translateAll]]'s STRICT
     * predicate→range translation: Some(ranges) iff the metadata-only

@@ -70,6 +70,25 @@ class LakeCatalogSpec extends SparkSuite {
       (0L until 50L))
     assert(ids(sql(s"SELECT * FROM $cat.core.d VERSION AS OF 2")) ==
       ((0L until 10L) ++ (20L until 50L)))
+
+    // DATE/TIMESTAMP predicates — the everyday time-series delete —
+    // take the general rewrite (the Catalyst range mirror must AGREE
+    // with the DSv2 translation and refuse temporal literals, else
+    // the statement strands on the refusing SupportsDelete path: a
+    // date literal's INTERNAL Int-days value must not masquerade as
+    // an integral range)
+    sql(s"CREATE TABLE $cat.core.dd (id BIGINT, d DATE, ts TIMESTAMP)")
+    sql(s"INSERT INTO $cat.core.dd SELECT id, " +
+      "date_add(DATE'2024-01-01', CAST(id AS INT)), " +
+      "timestamp_micros(CAST(1704067200000000 + id * 86400000000 AS " +
+      "BIGINT)) FROM range(10)")
+    sql(s"DELETE FROM $cat.core.dd WHERE d >= DATE'2024-01-08'")
+    assert(ids(sql(s"SELECT * FROM $cat.core.dd")) == (0L until 7L),
+      "a DATE-range DELETE must execute via the general rewrite")
+    sql(s"DELETE FROM $cat.core.dd WHERE " +
+      "ts < TIMESTAMP'2024-01-03 00:00:00'")
+    assert(ids(sql(s"SELECT * FROM $cat.core.dd")) == (2L until 7L),
+      "a TIMESTAMP-range DELETE must execute via the general rewrite")
   }
 
   test("INSERT OVERWRITE replaces the table in one commit") {

@@ -724,6 +724,31 @@ class LakeCatalogSpec extends SparkSuite {
     assert(inv.getMessage.contains("after end version"), inv.getMessage)
   }
 
+  test("table_changes composes with column mapping and clones") {
+    // the CDF speaks toVersion's LOGICAL names: after a RENAME, the
+    // TVF's schema carries the new name even for pre-rename commits
+    sql(s"CREATE TABLE $cat.core.tr (id BIGINT, tag STRING) " +
+      "TBLPROPERTIES (clusterBy = 'id', nFiles = '1')")
+    sql(s"INSERT INTO $cat.core.tr SELECT id, concat('t', id) " +
+      "FROM range(5)")
+    sql(s"ALTER TABLE $cat.core.tr RENAME COLUMN tag TO label")
+    sql(s"INSERT INTO $cat.core.tr SELECT id + 5, concat('u', id) " +
+      "FROM range(3)")
+    val cols = sql(s"SELECT * FROM table_changes('$cat.core.tr', 1, 3)")
+      .columns.toSeq
+    assert(cols.contains("label") && !cols.contains("tag"),
+      s"CDF must speak toVersion's LOGICAL names, got $cols")
+    assert(sql(s"SELECT count(*) c FROM table_changes('$cat.core.tr', " +
+      "1) WHERE label LIKE 't%'").head().getLong(0) == 5)
+    // a shallow clone's own history reads through the TVF (v0 is the
+    // adoption commit; the clone-local append is v1)
+    sql(s"CREATE TABLE $cat.core.trc SHALLOW CLONE $cat.core.tr")
+    sql(s"INSERT INTO $cat.core.trc SELECT id + 100, concat('c', id) " +
+      "FROM range(2)")
+    assert(sql(s"SELECT count(*) c FROM " +
+      s"table_changes('$cat.core.trc', 1, 1)").head().getLong(0) == 2)
+  }
+
   test("inline CHECK at CREATE TABLE time persists and gates writes") {
     // the TableCatalog interface DEFAULT for createTable(ident, info)
     // drops TableInfo.constraints() on the floor — the override must

@@ -341,6 +341,52 @@ class LakeSqlReadSpec extends SparkSuite {
       "the refused ALTER must leave the recorded spec untouched")
   }
 
+  test("HILBERT clustering within partitions prunes like the z twin") {
+    // the h: spec shares the whole partitioned-writer path with z:
+    // except the key kernel (HilbertSpec pins the kernel itself);
+    // this pins the composition end-to-end incl. a MOR delete +
+    // compaction on top
+    import spark.implicits._
+    val root = freshRoot()
+    val df = (0 until 4096).map { i =>
+      val x = (i * 2654435761L % 64).toInt
+      val y = (i * 40503 % 64)
+      (i.toLong, (i % 2).toLong, x.toLong, y.toLong)
+    }.toDF("id", "day", "x", "y")
+    LakeTable.create(spark, root, df, Seq("x", "y", "id"), nFiles = 8,
+      clusterBy = Some(LakeTable.hilbertCluster("x", "y")),
+      partitionBy = Seq("day"))
+    def filesRead(dfq: DataFrame): Long = {
+      dfq.collect()
+      dfq.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s.metrics("numFiles").value
+      }.getOrElse(fail("no FileSourceScanExec"))
+    }
+    val total = LakeTable.snapshot(spark, root).files.size
+    val base = spark.read.format("graft-lake").load(root)
+    val onY = filesRead(base.where(col("day") === 1 &&
+      col("y") >= 8 && col("y") < 16))
+    assert(onY < total / 2,
+      s"day+y read $onY of $total hilbert-in-partition files")
+    // MOR delete then compaction: rows stay exact, spec survives
+    LakeTable.deleteWhereMor(spark, root,
+      Seq(LakeTable.ColRange("id", Some(0L), Some(499L))))
+    LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+      targetBytes = math.max(1L, LakeTable.snapshot(spark, root).files
+        .map(_.stats.bytes).sum / 4))
+    assert(LakeTable.snapshot(spark, root).clusterBy.contains("h:x,y"))
+    // `base` pins its creation-time snapshot (the version-pin
+    // contract); a FRESH read sees the post-delete, post-compaction
+    // state
+    assert(spark.read.format("graft-lake").load(root).count() ==
+      4096 - 500, "compaction must purge the DV, never resurrect")
+    val totalAfter = LakeTable.snapshot(spark, root).files.size
+    val afterY = filesRead(spark.read.format("graft-lake").load(root)
+      .where(col("y") >= 8 && col("y") < 16))
+    assert(afterY < totalAfter,
+      s"post-compaction y-range read $afterY of $totalAfter")
+  }
+
   test("3-D HILBERT layout prunes on any dimension — zCluster parity") {
     import spark.implicits._
     val root = freshRoot()

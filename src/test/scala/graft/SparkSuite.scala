@@ -47,6 +47,14 @@ object SparkSuite {
       // V2 write abort bookkeeping ("is aborting"/"aborted") around
       // expected streaming-epoch failures
       "org.apache.spark.sql.execution.datasources.v2.WriteToDataSourceV2Exec",
+      // task-side twin of the above ("Aborting commit for partition
+      // N") — fires only when an expected job abort catches tasks
+      // still in flight, so it appears or not by scheduling luck
+      "org.apache.spark.sql.execution.datasources.v2.DataWritingSparkTask",
+      // "Error occurred while fetching local blocks, null" teardown
+      // race when a stop() lands mid-fetch; the failure, if real,
+      // still surfaces as the task's own exception
+      "org.apache.spark.storage.ShuffleBlockFetcherIterator",
       "org.apache.spark.sql.execution.streaming.MicroBatchExecution",
       "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution"
     ).foreach(l => org.apache.logging.log4j.core.config.Configurator

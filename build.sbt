@@ -12,6 +12,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// This container's locale is POSIX, under which the JVM encodes
+// filesystem paths as ASCII (sun.jnu.encoding) — a test writing a
+// non-ASCII partition DIRECTORY (e.g. the non-BMP prefix-pruning pin)
+// would fail in the Path layer, not in the code under test. Give the
+// forked test JVM the UTF-8 locale every production deployment runs.
+Test / envVars += "LC_ALL" -> "C.utf8"
+run / envVars += "LC_ALL" -> "C.utf8"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

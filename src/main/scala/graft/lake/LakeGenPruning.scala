@@ -42,10 +42,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * are still filtered exactly by the scan, so a missed inference is
   * never a correctness change (the same contract as stats pruning).
   *
-  * Timestamp bases are interpreted in UTC, matching the session the
-  * writes evaluate generation expressions under (build-pinned; a
-  * session in another zone would compute different generated VALUES
-  * too — the inference is exactly as zone-stable as the data).
+  * TIMESTAMP bases are interpreted under the session timezone
+  * (`spark.sql.session.timeZone`, captured when the inferencer is
+  * built) — the same zone the write side's `month()`/`date_format()`
+  * evaluation used, so a deployment running non-UTC sessions maps
+  * predicate bounds to the same civil times the generated values were
+  * computed from. TimestampNTZ and DATE are zone-free by type.
+  *
+  * Under column mapping, pushed data filters (and file stats) carry
+  * PHYSICAL column names — the inferencer keys its bound lookup and
+  * its emitted ranges by physical names. Today partitioned tables
+  * refuse rename/drop (mapping never activates there), so this is
+  * defense-in-depth against a future composition, not a live path.
   */
 private[lake] object LakeGenPruning {
 
@@ -86,22 +94,32 @@ private[lake] object LakeGenPruning {
     // spelling here so bound extraction (keyed by analyzer attribute
     // names) and type lookup both hit
     val resolver = spark.sessionState.analyzer.resolver
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
     def canonical(base: String): Option[String] =
       schema.fieldNames.find(resolver(_, base))
-    val shapes: Seq[(String, GenShape)] = snap.partitionBy.flatMap { g =>
-      snap.colSpecs.get(g).toSeq
-        .filter(_.kind == LakeColumns.KindGenerated)
-        .flatMap(cs => cs.spec.get("expr"))
-        .flatMap(parseShape(spark, _))
-        .flatMap {
-          case DatePart(b, part)   => canonical(b).map(DatePart(_, part))
-          case Prefix(b, len)      => canonical(b).map(Prefix(_, len))
-          case Formatted(b, f, un) => canonical(b).map(Formatted(_, f, un))
-        }
-        .map(g -> _)
-    }
+    def phys(c: String): String = snap.colMap.getOrElse(c, c)
+    // shapes carry PHYSICAL names (= the name space of pushed filters
+    // and file stats) plus the base's LOGICAL type for bound decoding
+    val shapes: Seq[(String, GenShape, DataType)] =
+      snap.partitionBy.flatMap { g =>
+        snap.colSpecs.get(g).toSeq
+          .filter(_.kind == LakeColumns.KindGenerated)
+          .flatMap(cs => cs.spec.get("expr"))
+          .flatMap(parseShape(spark, _))
+          .flatMap { sh =>
+            canonical(sh.base).map { logical =>
+              val withPhys = sh match {
+                case d: DatePart  => d.copy(base = phys(logical))
+                case p: Prefix    => p.copy(base = phys(logical))
+                case f: Formatted => f.copy(base = phys(logical))
+              }
+              (phys(g), withPhys, schema(logical).dataType)
+            }
+          }
+      }
     if (shapes.isEmpty) _ => Nil
-    else dataFilters => inferRanges(shapes, schema, dataFilters)
+    else dataFilters => inferRanges(shapes, zone, dataFilters)
   }
 
   private def parseShape(spark: SparkSession, sql: String): Option[GenShape] = {
@@ -167,25 +185,32 @@ private[lake] object LakeGenPruning {
     }
   }
 
-  private def inferRanges(shapes: Seq[(String, GenShape)],
-                          schema: StructType,
+  private def inferRanges(shapes: Seq[(String, GenShape, DataType)],
+                          zone: java.time.ZoneId,
                           dataFilters: Seq[Expression])
       : Seq[LakeTable.ColRange] = {
     val bounds = baseBounds(dataFilters)
-    shapes.flatMap { case (g, shape) =>
+    shapes.flatMap { case (g, shape, dt) =>
       for {
         (lo, hi) <- bounds.get(shape.base).toSeq
-        dt <- schema.find(_.name == shape.base).map(_.dataType).toSeq
         range <- shape match {
           case Prefix(_, len) if dt == StringType =>
+            // truncate by CODE POINTS — Spark's substring counts code
+            // points, while String.take counts UTF-16 units; a
+            // unit-count cut of a supplementary-plane string would be
+            // SHORTER than the real generated prefix and sort below
+            // it, pruning files that contain matching rows
             def cut(b: Option[Any]): Option[Any] =
-              b.collect { case s: String => s.take(len) }
+              b.collect { case s: String =>
+                s.substring(0, s.offsetByCodePoints(0,
+                  math.min(len, s.codePointCount(0, s.length))))
+              }
             val r = LakeTable.ColRange(g, cut(lo), cut(hi))
             if (r.lo.isEmpty && r.hi.isEmpty) Nil else Seq(r)
           case _: Prefix => Nil
           case DatePart(_, part) =>
-            datePartRange(part, lo.flatMap(toDateTime(_, dt)),
-              hi.flatMap(toDateTime(_, dt)))
+            datePartRange(part, lo.flatMap(toDateTime(_, dt, zone)),
+              hi.flatMap(toDateTime(_, dt, zone)))
               .map { case (l, h) => LakeTable.ColRange(g, l, h) }.toSeq
           case Formatted(_, fmt, unit) =>
             // chronological formats are monotone: each bound maps
@@ -193,16 +218,17 @@ private[lake] object LakeGenPruning {
             val f = java.time.format.DateTimeFormatter.ofPattern(fmt)
             def dtOf(v: Any): Option[LocalDateTime] = unit match {
               case "micros" => v match {
-                case l: Long => toDateTime(l, TimestampType)
-                case i: Int  => toDateTime(i.toLong, TimestampType)
+                case l: Long => toDateTime(l, TimestampType, zone)
+                case i: Int  => toDateTime(i.toLong, TimestampType, zone)
                 case _ => None
               }
               case "millis" => v match {
-                case l: Long => toDateTime(l * 1000L, TimestampType)
-                case i: Int  => toDateTime(i.toLong * 1000L, TimestampType)
+                case l: Long => toDateTime(l * 1000L, TimestampType, zone)
+                case i: Int  =>
+                  toDateTime(i.toLong * 1000L, TimestampType, zone)
                 case _ => None
               }
-              case _ => toDateTime(v, dt)
+              case _ => toDateTime(v, dt, zone)
             }
             val r = LakeTable.ColRange(g,
               lo.flatMap(dtOf).map(f.format), hi.flatMap(dtOf).map(f.format))
@@ -269,20 +295,27 @@ private[lake] object LakeGenPruning {
   private def cmpAny(a: Any, b: Any): Int = (a, b) match {
     case (x: Int, y: Int)       => java.lang.Integer.compare(x, y)
     case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
-    case (x: String, y: String) => x.compareTo(y)
+    // UTF-8 binary order — the order the stats comparator and Spark's
+    // min/max aggregates use (String.compareTo is UTF-16 order, which
+    // disagrees for supplementary-plane characters)
+    case (x: String, y: String) =>
+      UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
     case _                      => 0 // incomparable: keep first
   }
 
-  /** A literal of the base column's type → the UTC civil time it
-    * denotes (dates at start of day).
+  /** A literal of the base column's type → the civil time it denotes
+    * (dates at start of day). TIMESTAMP instants convert under the
+    * session `zone` (matching date_format/month evaluation);
+    * TimestampNTZ and DATE carry civil time directly.
     */
-  private def toDateTime(v: Any, dt: DataType): Option[LocalDateTime] =
+  private def toDateTime(v: Any, dt: DataType,
+                         zone: java.time.ZoneId): Option[LocalDateTime] =
     (v, dt) match {
       case (days: Int, DateType) =>
         Some(LocalDate.ofEpochDay(days.toLong).atStartOfDay())
       case (micros: Long, TimestampType) =>
         Some(LocalDateTime.ofInstant(
-          Instant.EPOCH.plusNanos(micros * 1000L), ZoneOffset.UTC))
+          Instant.EPOCH.plusNanos(micros * 1000L), zone))
       case (micros: Long, TimestampNTZType) =>
         Some(LocalDateTime.ofInstant(
           Instant.EPOCH.plusNanos(micros * 1000L), ZoneOffset.UTC))

@@ -44,7 +44,8 @@ import org.apache.spark.sql.types.StructType
 private[lake] final class LakeMorRelation(spark: SparkSession,
                                           private[lake] val root: Path,
                                           private[lake] val snap: LakeLog.Snapshot)
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan
+    with org.apache.spark.internal.Logging {
 
   override def sqlContext: SQLContext = spark.sqlContext
 
@@ -54,6 +55,19 @@ private[lake] final class LakeMorRelation(spark: SparkSession,
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
+    // reaching here means LakeMorExpansion did NOT splice this
+    // relation out — the session is running without
+    // GraftSparkExtensions. Same results, slower physics: say so
+    // loudly ONCE per table instead of silently degrading.
+    if (LakeMorRelation.warnedRoots.add(root.toString))
+      logWarning(
+        s"reading deletion-vector'd lake table $root through the V1 " +
+          "PrunedFilteredScan fallback: the inner parquet scan is " +
+          "still vectorized, but rows cross the relation boundary " +
+          "one at a time (no whole-stage codegen across it). Set " +
+          "spark.sql.extensions=graft.GraftSparkExtensions to splice " +
+          "the native DV scan (and enable MOR DML, table_changes, " +
+          "lake SQL statements).")
     val ranges = filters.flatMap(LakeMorRelation.toRanges)
       .filter(r => snap.statsCols.contains(r.column))
     val pr = LakeTable.physRanges(ranges.toSeq, snap.colMap)
@@ -104,6 +118,12 @@ private[lake] final class LakeCdfRelation(spark: SparkSession,
 }
 
 private[lake] object LakeMorRelation {
+
+  /** Tables already warned about the no-extensions fallback — the
+    * degradation is per-TABLE news, not per-query noise.
+    */
+  private[lake] val warnedRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** `sources.Filter` → stats-prunable ranges (the data-source-API
     * twin of [[LakeFileIndex.toRanges]], which walks Catalyst

@@ -94,7 +94,7 @@ private[lake] object LakeSqlStatements {
   private val restoreTsRe: Regex =
     s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$target\\s+(?:TO\\s+)?TIMESTAMP\\s+AS\\s+OF\\s+(?:'([^']+)'|(\\d{10,}))\\s*;?\\s*$$""".r
   private val cloneRe: Regex =
-    s"""(?is)^\\s*CREATE\\s+TABLE\\s+$target\\s+SHALLOW\\s+CLONE\\s+$target(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+(?:'([^']+)'|(\\d{10,})))?\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*CREATE\\s+TABLE\\s+$target\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$target(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+(?:'([^']+)'|(\\d{10,})))?\\s*;?\\s*$$""".r
   private val convertRe: Regex =
     s"""(?is)^\\s*CONVERT\\s+TO\\s+LAKE\\s+('[^']+')\\s*(?:STATS\\s+COLUMNS\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""".r
   private val copyIntoRe: Regex =
@@ -121,11 +121,12 @@ private[lake] object LakeSqlStatements {
       case restoreTsRe(t, ts, millis) =>
         Some(LakeRestoreCommand(parts(t, delegate), -1L,
           Some(if (millis != null) millis.toLong else utcMillis(ts))))
-      case cloneRe(dst, src, v, ts, millis) =>
+      case cloneRe(dst, kind, src, v, ts, millis) =>
         Some(LakeShallowCloneCommand(parts(dst, delegate),
           parts(src, delegate), Option(v).map(_.toLong),
           if (millis != null) Some(millis.toLong)
-          else Option(ts).map(utcMillis)))
+          else Option(ts).map(utcMillis),
+          deep = kind.equalsIgnoreCase("DEEP")))
       case convertRe(path, stats) =>
         Some(LakeConvertCommand(path.stripPrefix("'").stripSuffix("'"),
           Option(stats).map(_.split(",").map(stripTicks).toSeq)))
@@ -361,17 +362,21 @@ private[lake] final case class LakeRestoreCommand(
   }
 }
 
-/** `CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF <n>]` — a
-  * zero-copy branch: the clone's create commit references the source
-  * snapshot's files by absolute path. Metadata (schema, stats columns,
-  * cluster spec, column mapping, CHECK constraints, reader features)
-  * carries over; later writes to either table never affect the other.
+/** `CREATE TABLE <dst> SHALLOW|DEEP CLONE <src> [VERSION AS OF <n>]` —
+  * a branch of the source snapshot. SHALLOW is zero-copy: the clone's
+  * create commit references the source's files by absolute path. DEEP
+  * additionally [[LakeTable.localize]]s — the destination owns a
+  * physical copy of every file, immune to the source's vacuum.
+  * Metadata (schema, stats columns, cluster spec, column mapping,
+  * CHECK constraints, reader features) carries over; later writes to
+  * either table never affect the other.
   */
 private[lake] final case class LakeShallowCloneCommand(
     dst: Either[String, Seq[String]],
     src: Either[String, Seq[String]],
     asOf: Option[Long],
-    asOfTs: Option[Long] = None) extends LeafRunnableCommand {
+    asOfTs: Option[Long] = None,
+    deep: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[AttributeReference] = Seq(
     AttributeReference("version", LongType, nullable = false)())
@@ -386,9 +391,9 @@ private[lake] final case class LakeShallowCloneCommand(
         LakeLog.fileSystem(p, spark.sparkContext.hadoopConfiguration),
         p, ts)
     }.orElse(asOf)
-    val v = LakeTable.shallowClone(spark, srcRoot,
-      LakeSqlStatements.newRootOf(spark, dst), at)
-    Seq(Row(v))
+    val dstRoot = LakeSqlStatements.newRootOf(spark, dst)
+    val v = LakeTable.shallowClone(spark, srcRoot, dstRoot, at)
+    Seq(Row(if (deep) LakeTable.localize(spark, dstRoot).version else v))
   }
 }
 

@@ -1818,6 +1818,91 @@ object LakeTable {
         snap.clusterBy, snap.colMap, snap.partitionBy) +: carried) ++ adds)
   }
 
+  /** Escape hatch for the shallow-clone/source-vacuum hazard: copy
+    * every file this table references OUTSIDE its own root (the
+    * absolute paths a [[shallowClone]] inherited) into the table's
+    * own layout, and atomically re-point the log at the local copies.
+    * After `localize`, a SOURCE vacuum can no longer strand this
+    * table — the non-localized refusal path (loud scan-time failure)
+    * is unchanged for clones that skip it.
+    *
+    * Each copy preserves the file's trailing identity segments
+    * ([[idDepth]] — the segments deletion-vector rows key files by),
+    * so inherited DVs keep matching; foreign DV sidecar directories
+    * localize under their own `dv/<uuid>` tail. The copy itself is a
+    * distributed Spark job (at a 100 TB clone this is a data-movement
+    * job by nature — Delta's DEEP CLONE), never a driver loop; the
+    * driver handles only the KB-sized path list and the one swap
+    * commit. Layout-only (live-row multiset unchanged): CDF skips the
+    * commit exactly like `compact`.
+    */
+  def localize(spark: SparkSession, root: String): RewriteReport = {
+    val rootP = new Path(root)
+    val f = fs(spark, rootP)
+    val snap = LakeLog.snapshot(f, rootP, None)
+    val qualRoot = f.makeQualified(rootP).toString + "/"
+    def isForeign(p: String): Boolean =
+      !f.makeQualified(new Path(rootP, p)).toString.startsWith(qualRoot)
+    val depth = idDepth(snap.partitionBy)
+    def localRel(p: String, segs: Int): String =
+      f.makeQualified(new Path(rootP, p)).toUri.getPath
+        .split('/').filter(_.nonEmpty).takeRight(segs).mkString("/")
+    val todo = snap.files.filter(a =>
+      isForeign(a.path) || a.dv.exists(d => isForeign(d.path)))
+    if (todo.isEmpty)
+      return RewriteReport(snap.version, 0, 0, snap.files.size)
+    val dataMoves = todo.collect {
+      case a if isForeign(a.path) => a.path -> localRel(a.path, depth)
+    }
+    val dvMoves = todo.flatMap(_.dv).map(_.path).distinct.collect {
+      case p if isForeign(p) => p -> localRel(p, 2)
+    }
+    val moves = dataMoves ++ dvMoves
+    // trailing-segment collisions can only arise from pathological
+    // converted layouts — refuse rather than silently merge files
+    require(moves.map(_._2).distinct.size == moves.size,
+      "localize: trailing path segments collide across referenced " +
+        "files — compact the clone to rewrite it locally instead")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rootStr = f.makeQualified(rootP).toString
+    spark.sparkContext
+      .parallelize(moves, math.min(moves.size, 64).max(1))
+      .foreach { case (src, rel) =>
+        val sp = new Path(src)
+        val dp = new Path(new Path(rootStr), rel)
+        val sfs = sp.getFileSystem(conf.value)
+        val dfs = dp.getFileSystem(conf.value)
+        // overwrite=true keeps task retries idempotent; the files
+        // become live only when the swap commit below lands
+        org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp,
+          false, true, conf.value)
+      }
+    val readds = todo.map { a =>
+      val np = if (isForeign(a.path)) localRel(a.path, depth) else a.path
+      val nd = a.dv.map(d =>
+        if (isForeign(d.path)) d.copy(path = localRel(d.path, 2)) else d)
+      a.copy(path = np, dv = nd)
+    }
+    val v = LakeLog.commit(f, rootP,
+      (Meta("localize", snap.schemaDdl, snap.statsCols, None, None,
+        now()) +: todo.map(a => Remove(a.path))) ++ readds,
+      guardFiles = todo, baseVersion = snap.version)
+    RewriteReport(v, todo.size, readds.size, snap.files.size - todo.size)
+  }
+
+  /** DEEP CLONE: a [[shallowClone]] immediately [[localize]]d — the
+    * destination owns a physical copy of every referenced file, so
+    * the source's vacuum/retention lifecycle can never strand it.
+    * Two commits (v0 references, v1 swaps in the local copies); the
+    * returned version is the localized one.
+    */
+  def deepClone(spark: SparkSession, src: String, dst: String,
+                asOf: Option[Long] = None): Long = {
+    shallowClone(spark, src, dst, asOf)
+    localize(spark, dst).version
+  }
+
   // ---- CHECK constraints ---------------------------------------------
 
   /** Project `df` onto the table schema, null-filling omitted
@@ -2626,7 +2711,7 @@ object LakeTable {
       val op = actions.collectFirst { case m: Meta => m.op }.getOrElse("")
       val adds = actions.collect { case a: Add => a }
       val rms = actions.collect { case r: LakeLog.Remove => r.path }
-      if (op == "compact" || op == "recluster")
+      if (op == "compact" || op == "recluster" || op == "localize")
         Seq.empty // layout-only: dataChange=false
       else if (op == "mordelete") {
         // a MOR delete re-points files at a new DV; the row delta is

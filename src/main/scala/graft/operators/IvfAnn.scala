@@ -65,6 +65,14 @@ object IvfAnn {
       s"maxTrainPerCentroid must be >= the 64-point floor, got $maxTrainPerCentroid")
   }
 
+  /** Task count every Lloyd iteration runs at — fixed per
+    * environment (min(cores, 32)), NEVER the corpus's input-split
+    * count (pinned by IvfAnnSpec's marginal-task budget).
+    */
+  private[operators] def trainPartitions(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    math.max(1, math.min(32, spark.sparkContext.defaultParallelism))
+
   /** score of assigning vector v to centroid c under L2:
     * argmin |v-c|^2 = argmax (v.c - |c|^2/2); |v|^2 is constant per row.
     */
@@ -114,7 +122,17 @@ object IvfAnn {
           val f0 = if (sampled eq all) 1.0 else p.trainFraction
           all.where(Sampling.hashGate(col("id"), f0 * capRows.toDouble / n))
         } else sampled
-      chosen.localCheckpoint(eager = false) // one materialization, reused per iteration
+      // pin the materialized sample onto a FIXED small partition
+      // count before checkpointing: the sample is bounded (≤
+      // maxTrainPerCentroid·k points) but inherits the CORPUS scan's
+      // partitioning — without this every Lloyd iteration re-runs one
+      // (mostly empty) task per corpus split, which is wall-clock
+      // jitter at test SF and a 5× full-fan-in disaster at 100 TB
+      // (millions of no-op tasks per iteration over ~256k rows).
+      // Centroids are partitioning-independent (exact decimal sums),
+      // so this changes scheduling, never results.
+      chosen.repartition(trainPartitions(corpus.sparkSession))
+        .localCheckpoint(eager = false) // one materialization, reused per iteration
     }
     var centroids = vecs.orderBy(col("id")).limit(p.k)
       .collect().map(_.getSeq[Double](1).toArray)

@@ -145,7 +145,11 @@ object PqAnn {
           val f0 = if (sampled eq all) 1.0 else p.trainFraction
           all.where(Sampling.hashGate(col("id"), f0 * capRows.toDouble / n))
         } else sampled
-      chosen.localCheckpoint(eager = false) // reused across iterations
+      // pinned task count for every Lloyd pass (min(cores, 32)) — the
+      // bounded sample must never inherit the corpus's input-split
+      // count (see IvfAnn.fitCentroids; same jitter/fan-in argument)
+      chosen.repartition(IvfAnn.trainPartitions(prepared.sparkSession))
+        .localCheckpoint(eager = false) // reused across iterations
     }
     // init: subvectors of the ksub lowest-id vectors, per subspace
     val initRows = base.orderBy(col("id")).limit(p.ksub)

@@ -147,6 +147,67 @@ class LakeCloneSpec extends SparkSuite {
     }
   }
 
+  test("localize copies foreign files (incl. DV sidecars) so a source " +
+      "vacuum can no longer strand the clone") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    LakeTable.create(spark, src, seed(0, 100), Seq("id"), nFiles = 4,
+      clusterBy = Some("id"))
+    LakeTable.deleteWhereMor(spark, src, range(0, 4)) // inherited DV
+    LakeTable.shallowClone(spark, src, dst)
+    assert(localFileCount(dst) == 0, "shallow: the clone owns no data")
+    val rep = LakeTable.localize(spark, dst)
+    assert(rep.filesRewritten == 4 && rep.filesUntouched == 0)
+    assert(localFileCount(dst) == 4, "localize copies the data files")
+    val snap = LakeTable.snapshot(spark, dst)
+    assert(snap.files.forall(a => !a.path.startsWith("/") &&
+      a.dv.forall(d => !d.path.startsWith("/"))),
+      s"all references local after localize: ${snap.files.map(_.path)}")
+    // the inherited DV still applies against the COPIED files (file
+    // identity segments preserved by the copy)
+    assert(ids(LakeTable.scan(spark, dst)) == (5L until 100L))
+    // layout-only: CDF skips the localize commit unread
+    val v = LakeTable.latestVersion(spark, dst).get
+    assert(LakeTable.scanChanges(spark, dst, v - 1, v).count() == 0,
+      "localize is dataChange=false for the change feed")
+    // idempotent: nothing foreign remains
+    assert(LakeTable.localize(spark, dst).filesRewritten == 0)
+    // the hazard is gone: source rewrites AND vacuums everything,
+    // the localized clone still reads (the non-localized refusal
+    // path is pinned by the previous test, unchanged)
+    LakeTable.overwrite(spark, src, seed(0, 10), nFiles = 1)
+    LakeTable.vacuum(spark, src,
+      keepFromVersion = LakeTable.latestVersion(spark, src).get,
+      retentionMs = 0L)
+    assert(ids(LakeTable.scan(spark, dst)) == (5L until 100L),
+      "a localized clone must survive any source vacuum")
+  }
+
+  test("DEEP CLONE = shallow clone + localize, through SQL and API") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    LakeTable.create(spark, src, seed(0, 60), Seq("id"), nFiles = 2)
+    spark.sql(s"CREATE TABLE '$dst' DEEP CLONE '$src'")
+    assert(localFileCount(dst) == 2, "deep clone owns physical copies")
+    assert(LakeTable.snapshot(spark, dst).files
+      .forall(a => !a.path.startsWith("/")))
+    LakeTable.vacuum(spark, src, keepFromVersion = 0L, retentionMs = 0L)
+    // even deleting the whole source tree cannot strand a deep clone
+    def rm(fl: java.io.File): Unit = {
+      if (fl.isDirectory) fl.listFiles().foreach(rm)
+      fl.delete()
+    }
+    rm(new java.io.File(src))
+    assert(ids(LakeTable.scan(spark, dst)) == (0L until 60L))
+    // API form at an old version
+    val src2 = freshRoot()
+    val dst2 = freshRoot()
+    LakeTable.create(spark, src2, seed(0, 10), Seq("id"), nFiles = 1)
+    LakeTable.append(spark, src2, seed(10, 20), nFiles = 1)
+    LakeTable.deepClone(spark, src2, dst2, asOf = Some(0L))
+    assert(ids(LakeTable.scan(spark, dst2)) == (0L until 10L))
+  }
+
   test("clone at an old version branches history") {
     val src = freshRoot()
     val dst = freshRoot()

@@ -418,6 +418,28 @@ class LakeDvSpec extends SparkSuite {
     }
   }
 
+  test("no-extensions DV fallback scan warns ONCE per table and stays " +
+      "row-correct") {
+    // with GraftSparkExtensions installed the expansion rule splices
+    // buildScan out, so drive the V1 boundary directly — the path a
+    // session WITHOUT the extensions executes
+    val root = freshRoot()
+    LakeTable.create(spark, root, seed(0, 20), Seq("id"), nFiles = 1)
+    LakeTable.deleteWhereMor(spark, root, range(0, 4))
+    val rel = new LakeMorRelation(spark,
+      new org.apache.hadoop.fs.Path(root), LakeTable.snapshot(spark, root))
+    assert(!LakeMorRelation.warnedRoots.contains(rel.root.toString))
+    val rows = rel.buildScan(Array("id"), Array.empty).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (5L until 20L),
+      "the fallback scan must apply deletion vectors")
+    assert(LakeMorRelation.warnedRoots.contains(rel.root.toString),
+      "first fallback scan must record the one-time degradation warning")
+    val before = LakeMorRelation.warnedRoots.size
+    rel.buildScan(Array("id"), Array.empty).collect()
+    assert(LakeMorRelation.warnedRoots.size == before,
+      "the warning is per-table news, not per-query noise")
+  }
+
   test("the commit guard conflicts on a concurrently re-pointed DV") {
     val root = freshRoot()
     LakeTable.create(spark, root, seed(0, 100), Seq("id"), nFiles = 1)

@@ -64,6 +64,61 @@ class LakeStreamSpec extends SparkSuite {
       "restart must resume at committed offset, not replay the table")
   }
 
+  test("readChangeFeed tail across RENAME COLUMN: the running " +
+      "incarnation keeps its pinned names; a restart adopts the new " +
+      "ones without replaying") {
+    // column mapping makes a rename metadata-only: files keep their
+    // PHYSICAL names, so a CDF stream's schema is a per-incarnation
+    // LOGICAL view. Mid-stream the pinned (old) names keep mapping to
+    // the same physical columns — post-rename commits still stream
+    // correctly; the rename commit itself (Meta-only) emits nothing.
+    // A restarted incarnation re-derives the logical view and emits
+    // under the NEW name, resuming at the committed offset.
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("lake_ckpt_rename").toString
+    LakeTable.create(spark, root, seed(0, 10), Seq("id"), nFiles = 1)
+    val batches = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[String], Seq[Long])]
+    def record(df: DataFrame): Unit = {
+      val rows = df.collect()
+      if (rows.nonEmpty) batches.synchronized {
+        batches += ((df.columns.toSeq,
+          rows.map(_.getLong(df.columns.indexOf("id"))).sorted.toSeq))
+      }
+    }
+    def start() = spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) => record(df) }.start()
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable() // v0 inserts under the old name
+      LakeTable.renameColumn(spark, root, "name", "label") // v1, mid-stream
+      import spark.implicits._
+      LakeTable.append(spark, root, // v2, written under the NEW name
+        (10 until 20).map(i => (i.toLong, s"n_$i")).toDF("id", "label"),
+        nFiles = 1)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(batches.map(_._2) == Seq(0L until 10L, 10L until 20L),
+      s"both commits must stream exactly once: $batches")
+    assert(batches.forall(_._1.take(2) == Seq("id", "name")),
+      "the running incarnation keeps its pinned (pre-rename) names")
+
+    batches.clear()
+    LakeTable.append(spark, root,
+      { import spark.implicits._
+        (20 until 25).map(i => (i.toLong, s"n_$i")).toDF("id", "label") },
+      nFiles = 1) // v3, between incarnations
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches.map(_._2) == Seq(20L until 25L),
+      s"restart must resume at the committed offset: $batches")
+    assert(batches.forall(_._1.take(2) == Seq("id", "label")),
+      "a restarted incarnation must adopt the renamed logical view")
+  }
+
   test("startingTimestamp bounds the cold start like startingVersion") {
     val root = freshRoot()
     LakeTable.create(spark, root, seed(0, 50), Seq("id"), nFiles = 1) // v0

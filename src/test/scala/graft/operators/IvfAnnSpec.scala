@@ -59,6 +59,48 @@ class IvfAnnSpec extends SparkSuite {
     assert(ivf == brute)
   }
 
+  test("Lloyd iterations run on a pinned task count — marginal tasks " +
+      "vs corpus partitioning come only from the one-time sample pass") {
+    // the training sample is BOUNDED, so only the count + the
+    // repartition map side may scale with the corpus's split count;
+    // every Lloyd iteration must run at IvfAnn.trainPartitions — the
+    // de-jitter (and 100 TB fan-in) contract. Measured the
+    // IterativeShuffleSpec way: total scheduler tasks at two corpus
+    // partitionings; an iteration leaking the corpus partitioning
+    // adds ~(2 + iterations) x delta instead of ~2 x delta.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 2000).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    def fitTasks(parts: Int): Int = {
+      val df = rows.toDF("vec_id", "embedding").repartition(parts)
+      val tasks = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageSubmitted(
+            s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+          tasks.addAndGet(s.stageInfo.numTasks); ()
+        }
+      }
+      def settle(): Int = {
+        var prev = -1
+        var cur = tasks.get
+        while (cur != prev) { Thread.sleep(200); prev = cur; cur = tasks.get }
+        cur
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val s0 = settle()
+        IvfAnn.fitCentroids(df, "vec_id", "embedding",
+          IvfAnn.Params(k = 4, iterations = 5, trainFraction = 1.0))
+        settle() - s0
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val delta = fitTasks(37) - fitTasks(5)
+    assert(delta <= 3 * (37 - 5),
+      s"per-iteration stages must not scale with corpus partitioning " +
+        s"(marginal tasks $delta > ${3 * (37 - 5)})")
+  }
+
   test("fitCentroids is bit-identical under different input partitionings") {
     // the round-4 determinism claim at its root: cell sums accumulate
     // exact fixed-point DECIMAL, so shuffle merge order — which DOES

@@ -268,24 +268,37 @@ object LakeTable {
       .drop("__curve") // projection preserves the per-partition order
     arranged.write.partitionBy(partCols: _*).parquet(outDir.toString)
 
-    val hfs = fs(spark, root)
-    val qualOut = hfs.makeQualified(outDir).toUri.getPath
-    val it = hfs.listFiles(outDir, true)
-    val parts = scala.collection.mutable.Map[String, Long]()
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.getPath.getName.endsWith(".parquet"))
-        parts(st.getPath.toUri.getPath.stripPrefix(qualOut + "/")) =
-          st.getLen
-    }
-    // an empty batch writes no files at all under the dynamic writer
-    if (parts.isEmpty) return Nil
-
     // per-file key = the last (1 + #partCols) path segments —
     // "day=5/part-...parquet" — NOT the bare file name: one task
     // writing the same part number into two partition directories
     // reuses the name
     val depth = partCols.size + 1
+    val hfs = fs(spark, root)
+    val qualOut = hfs.makeQualified(outDir).toUri.getPath
+    val it = hfs.listFiles(outDir, true)
+    val parts = scala.collection.mutable.Map[String, Long]()
+    val rawByEnc = scala.collection.mutable.Map[String, String]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) {
+        val raw = st.getPath.toUri.getPath.stripPrefix(qualOut + "/")
+        parts(raw) = st.getLen
+        // the stats pass below keys files by input_file_name(), which
+        // is the URI-ENCODED SparkPath form. A partition VALUE holding
+        // URI-special characters makes the two name spaces diverge —
+        // e.g. value '01/01/2024' is Hive-escaped ON DISK to
+        // 'day=01%2F01%2F2024', whose URI encoding is
+        // 'day=01%252F01%252F2024' — and a raw-keyed lookup would
+        // record 0 bytes (⇒ zero scan splits ⇒ silently empty reads).
+        // Both encodings derive from Path.toUri on the same listed
+        // path, so this map is exact by construction.
+        rawByEnc(st.getPath.toUri.toString.split('/')
+          .takeRight(depth).mkString("/")) = raw
+      }
+    }
+    // an empty batch writes no files at all under the dynamic writer
+    if (parts.isEmpty) return Nil
+
     val relKey = concat_ws("/",
       slice(split(input_file_name(), "/"), -depth, depth))
     // basePath read re-derives the partition columns from the
@@ -308,7 +321,11 @@ object LakeTable {
       .collect()
 
     statRows.map { r =>
-      val rel = r.getAs[String]("__file")
+      // translate the stats key (URI-encoded) back to the on-disk
+      // name — the log records the RAW literal path (identity for
+      // names without URI-special characters)
+      val rel = rawByEnc.getOrElse(r.getAs[String]("__file"),
+        r.getAs[String]("__file"))
       val mins = statsCols.map(c =>
         c -> normalizeStat(r.getAs[Any](s"__min_$c")))
         .filter(_._2 != null).toMap
@@ -1311,10 +1328,17 @@ object LakeTable {
   /** The same identity computed from an Add's recorded path, resolved
     * against the table root (relative for own files, absolute for
     * clone-inherited ones — `new Path(root, abs)` keeps an absolute
-    * child as-is).
+    * child as-is). Derived through `toUri` because the OTHER side of
+    * every comparison is `_metadata.file_path` — the URI-ENCODED
+    * SparkPath form: for a partition VALUE holding URI-special
+    * characters the raw name ('day=01%2F01%2F2024', a Hive-escaped
+    * '/') and its URI encoding ('day=01%252F01%252F2024') diverge,
+    * and a raw-keyed id made every MOR delete on such a partition a
+    * silent no-op. Identical to the raw form for every name without
+    * such characters (all pre-existing tables and sidecars).
     */
   private def fileId(rootP: Path, path: String, depth: Int): String =
-    new Path(rootP, path).toString.split('/').takeRight(depth)
+    new Path(rootP, path).toUri.toString.split('/').takeRight(depth)
       .mkString("/")
 
   private def readDvRows(spark: SparkSession, root: Path,

@@ -482,4 +482,44 @@ class LakePartitionSpec extends SparkSuite {
       spark.sql(s"SHOW PARTITIONS $cat.core.flat")
     }
   }
+
+  test("partition VALUES with URI-special characters ('/', '%', ' ') " +
+      "read, prune, MOR-delete, COW-delete and compact exactly") {
+    // Hive path-escapes such values on DISK ('01/01' -> '01%2F01'),
+    // and Spark's URI name space encodes the escaped name AGAIN
+    // ('01%252F01') — the two write-side lookups that mixed those
+    // name spaces recorded 0-byte Adds (silently EMPTY reads) and
+    // no-op'd MOR deletes. Probe-found round 20; pinned here across
+    // the whole lifecycle.
+    val root = freshRoot()
+    import spark.implicits._
+    val vals = Seq("01/01/2024", "50%off", "a b:c", "plain")
+    val df = (0 until 80).map(i => (vals(i % 4), i.toLong)).toDF("day", "id")
+    LakeTable.create(spark, root, df, Seq("id"), nFiles = 1,
+      partitionBy = Seq("day"))
+    assert(LakeTable.scan(spark, root).count() == 80,
+      "escaped-partition files must read back (non-zero split length)")
+    // exact partition filter prunes to the one escaped directory
+    val one = LakeTable.scan(spark, root).where(col("day") === "01/01/2024")
+    assert(ids(one) == (0L until 80L by 4L).toSeq)
+    // stats carry the RAW value; SHOW PARTITIONS surfaces it
+    val snap = LakeTable.snapshot(spark, root)
+    assert(snap.files.flatMap(_.stats.min.get("day")).toSet ==
+      vals.toSet, "stats must hold the unescaped partition value")
+    // MOR delete inside an escaped partition actually applies
+    val rep = LakeTable.deleteWhereMor(spark, root,
+      Seq(LakeTable.ColRange("id", Some(0L), Some(7L))))
+    assert(rep.filesRewritten > 0,
+      "the DV identity must match files in escaped partition dirs")
+    assert(LakeTable.scan(spark, root).count() == 72)
+    // COW delete + compaction round-trip the escaped layout
+    LakeTable.deleteWhere(spark, root,
+      Seq(LakeTable.ColRange("id", Some(8L), Some(9L))))
+    assert(LakeTable.scan(spark, root).count() == 70)
+    LakeTable.compact(spark, root, smallBytes = Long.MaxValue,
+      targetBytes = Long.MaxValue)
+    assert(LakeTable.scan(spark, root).count() == 70)
+    assert(ids(LakeTable.scan(spark, root)
+      .where(col("day") === "50%off")) == (13L until 80L by 4L).toSeq)
+  }
 }

@@ -267,6 +267,36 @@ object LakeQueries {
       root
     })
 
+  /** Deep-clone chain: dedicated source (4 clustered files) + a MOR
+    * delete of [700,1199] (so the clone INHERITS a deletion vector),
+    * `CREATE TABLE ... DEEP CLONE` (verbatim SQL — shallow clone +
+    * localize in one statement), then the source is vacuumed past
+    * everything AND its directory deleted outright. Only a
+    * physically-owned clone survives that; the read also proves the
+    * localized copies preserved the DV file identity (the inherited
+    * deletions still apply).
+    */
+  private val deepCloneCache = new ConcurrentHashMap[String, String]()
+  private def deepCloneFor(s: SparkSession, dir: String): String =
+    deepCloneCache.computeIfAbsent(dir, _ => {
+      val src = s"$lakeRoot/dcsrc_${dirKey(dir)}"
+      val root = s"$lakeRoot/dclone_${dirKey(dir)}"
+      LakeTable.create(s, src, seed(s, dir), Seq("o_orderkey"),
+        nFiles = 4, clusterBy = Some("o_orderkey"))
+      LakeTable.deleteWhereMor(s, src,
+        Seq(LakeTable.ColRange("o_orderkey", Some(700L), Some(1199L))))
+      s.sql(s"CREATE TABLE '$root' DEEP CLONE '$src'")
+      LakeTable.vacuum(s, src,
+        keepFromVersion = LakeTable.latestVersion(s, src).get,
+        retentionMs = 0L)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(src))
+      root
+    })
+
   /** Restore chain: create(even keys) → append(odd keys) → COW
     * delete [1000,1999] → RESTORE to v0. The final read must equal
     * v0 exactly — proving the rollback commit reproduced the old
@@ -1614,6 +1644,21 @@ object LakeQueries {
         SELECT k AS o_orderkey, c AS o_custkey, s AS o_orderstatus,
                cents AS o_cents
         FROM final WHERE k NOT BETWEEN 2000 AND 2499
+        ORDER BY o_orderkey""")),
+
+    QueryDef("lake_deep_clone_read",
+      // DEEP CLONE: physically-owned branch — the SOURCE was vacuumed
+      // and its directory deleted after the clone, so every row here
+      // reads from the clone's own localized copies, with the
+      // inherited deletion vector still applying (identity preserved
+      // by the trailing-segment copy)
+      (s, dir) => LakeTable.scan(s, deepCloneFor(s, dir))
+        .orderBy("o_orderkey"),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+        FROM orders
+        WHERE o_orderkey < 4000 AND o_orderkey NOT BETWEEN 700 AND 1199
         ORDER BY o_orderkey""")),
 
     QueryDef("lake_mor_delete",

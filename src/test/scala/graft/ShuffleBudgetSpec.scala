@@ -434,6 +434,10 @@ class ShuffleBudgetSpec extends SparkSuite {
     ("lake_clone_read", 1, "clone scan: inherited source files by " +
       "reference, clone-local DV through the broadcast row-index " +
       "anti-join; the one exchange is the output ordering"),
+    ("lake_deep_clone_read", 1, "deep-clone scan: the clone's OWN " +
+      "localized copies (source vacuumed + deleted), inherited DV " +
+      "through the broadcast row-index anti-join; the one exchange " +
+      "is the output ordering"),
     ("lake_mor_delete", 1, "clean files on the stock scan, DV'd files " +
       "through a BROADCAST row-index anti-join (the sidecar is a KB-" +
       "sized file relation with known size) — the one exchange is the " +

@@ -56,6 +56,14 @@ import graft.lake.{LakeLog, LakeTable}
   *     match the log exactly, and a compaction serializing after the
   *     delete purges the DV into clean files with the rows still
   *     gone.
+  *  6. **Localize-vs-MOR-delete race** (round 20): child A localizes
+  *     a shallow clone (copies foreign files, swaps every Add) while
+  *     child B MOR-deletes a range of the same clone (re-points two
+  *     inherited Adds at a local DV). Both rewrite Add identities,
+  *     so a mid-flight straddle has exactly one winner and the loser
+  *     aborts typed on the file guard; retrying the loser from a
+  *     fresh snapshot must CONVERGE — deletions preserved and every
+  *     reference (DV sidecars included) local.
   *
   * Usage: `sbt "runMain graft.tools.CommitRaceProbe"` — appends a
   * section to SCALEPROBE.md and prints COMMIT-RACE-PASS.
@@ -75,6 +83,8 @@ object CommitRaceProbe {
       childVac(args(1), args(2), args(3).toInt)
     case Some("child-mor") =>
       childMor(args(1), args(2), args(3).toInt)
+    case Some("child-loc") =>
+      childLoc(args(1), args(2), args(3).toInt)
     case _ => coordinate()
   }
 
@@ -294,6 +304,37 @@ object CommitRaceProbe {
     spark.stop()
   }
 
+  // ---- child 6: localize vs MOR delete on a shallow clone -------------
+
+  private def childLoc(base: String, childId: String,
+                       nRounds: Int): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    (0 until nRounds).foreach { r =>
+      val root = s"$base/ltab_$r/clone"
+      touch(s"$base/race/ready-l$r-$childId")
+      await(s"$base/race/go-l$r")
+      // odd rounds: the delete gets the head start (localize must
+      // abort on the re-pointed Add); even rounds: localize does
+      if (childId == "A" && r % 2 == 1) Thread.sleep(300)
+      if (childId == "B" && r % 2 == 0) Thread.sleep(300)
+      val outcome =
+        try {
+          if (childId == "A") LakeTable.localize(spark, root)
+          else LakeTable.deleteWhereMor(spark, root,
+            Seq(LakeTable.ColRange("id", Some(50L), Some(149L))))
+          "OK"
+        } catch { case e: Throwable => s"REFUSED: ${e.getClass.getName}" }
+      Files.write(Paths.get(s"$base/race/result-l$r-$childId"),
+        outcome.getBytes(StandardCharsets.UTF_8))
+    }
+    spark.stop()
+  }
+
   // ---- coordinator -----------------------------------------------------
 
   private def spawn(mainArgs: Seq[String], logFile: String,
@@ -322,10 +363,11 @@ object CommitRaceProbe {
     val base = Files.createTempDirectory("graft_race").toString
     Files.createDirectories(Paths.get(s"$base/race"))
     val sb = new StringBuilder
-    sb.append("\n## Commit race probe (round 19 re-run; version + ")
+    sb.append("\n## Commit race probe (round 20 re-run; version + ")
     sb.append("constraint races from round 15, dynamic-overwrite race ")
     sb.append("from round 17, vacuum-vs-reader race from round 18, ")
-    sb.append("compaction-vs-MOR-delete race new): two SEPARATE ")
+    sb.append("compaction-vs-MOR-delete race from round 19, ")
+    sb.append("localize-vs-MOR-delete race new): two SEPARATE ")
     sb.append("JVMs racing the same log\n\n")
 
     // ---- race 1: tryCommit version race, no Spark anywhere ----------
@@ -680,6 +722,101 @@ object CommitRaceProbe {
     sb.append("pointer is part of the guarded identity, so a re-point ")
     sb.append("is a conflict); post-delete compactions purged the DV ")
     sb.append("into clean rewrites\n")
+    // ---- race 6: localize vs concurrent MOR delete on a clone ----------
+    // the new escape hatch vs a concurrent writer: both ops rewrite
+    // Add identities (localize re-points paths, the delete re-points
+    // a DV), so exactly one may serialize per round and the loser
+    // must abort typed on the file guard; a RETRY of the loser from a
+    // fresh snapshot must then converge (deletions preserved, every
+    // reference local — DV sidecars included)
+    val nLoc = 6
+    (0 until nLoc).foreach { r =>
+      val src = s"$base/ltab_$r/src"
+      LakeTable.create(spark, src,
+        (0 until 200).map(i => (i.toLong, i.toLong)).toDF("id", "v"),
+        Seq("id"), nFiles = 4, clusterBy = Some("id"))
+      LakeTable.shallowClone(spark, src, s"$base/ltab_$r/clone")
+    }
+    val t5 = now()
+    val la = spawn(Seq("child-loc", base, "A", nLoc.toString),
+      s"$base/child-l-A.out", "2g")
+    val lb = spawn(Seq("child-loc", base, "B", nLoc.toString),
+      s"$base/child-l-B.out", "2g")
+    (0 until nLoc).foreach { r =>
+      await(s"$base/race/ready-l$r-A"); await(s"$base/race/ready-l$r-B")
+      touch(s"$base/race/go-l$r")
+      await(s"$base/race/result-l$r-A"); await(s"$base/race/result-l$r-B")
+    }
+    require(la.waitFor() == 0, s"child A failed — $base/child-l-A.out")
+    require(lb.waitFor() == 0, s"child B failed — $base/child-l-B.out")
+    val wallL = (now() - t5) / 1e3
+    var locWins = 0
+    var locDelWins = 0
+    var locAborts = 0
+    (0 until nLoc).foreach { r =>
+      val root = s"$base/ltab_$r/clone"
+      val rootP = new Path(root)
+      val lfs = LakeLog.fileSystem(rootP, new Configuration())
+      def res(id: String) = new String(Files.readAllBytes(
+        Paths.get(s"$base/race/result-l$r-$id")), StandardCharsets.UTF_8)
+      val (ra, rbb) = (res("A"), res("B"))
+      var locV = -1L
+      var morV = -1L
+      LakeLog.versions(lfs, rootP).foreach { v =>
+        LakeLog.readCommit(lfs, rootP, v).foreach {
+          case m: LakeLog.Meta if m.op == "localize"  => locV = v
+          case m: LakeLog.Meta if m.op == "mordelete" => morV = v
+          case _ => ()
+        }
+      }
+      require((locV >= 0) == ra.startsWith("OK"),
+        s"loc round $r: A='$ra' but localize commit at v$locV")
+      require((morV >= 0) == rbb.startsWith("OK"),
+        s"loc round $r: B='$rbb' but mordelete commit at v$morV")
+      // a STAGGERED child may take its snapshot after the winner's
+      // commit and serialize cleanly behind it (both-OK); a true
+      // mid-flight straddle has exactly one winner — the loser must
+      // abort typed on the file guard (both ops rewrite Add
+      // identities)
+      require(ra.startsWith("OK") || rbb.startsWith("OK"),
+        s"loc round $r: nothing committed ($ra / $rbb)")
+      Seq("A" -> ra, "B" -> rbb).foreach { case (id, out) =>
+        if (!out.startsWith("OK")) {
+          require(out.contains("ConcurrentCommitException"),
+            s"loc round $r: child $id refused with the wrong failure: " +
+              out)
+          locAborts += 1
+        }
+      }
+      if (ra.startsWith("OK")) locWins += 1
+      if (rbb.startsWith("OK")) locDelWins += 1
+      // retry any loser from a fresh snapshot — convergence is the
+      // contract the escape hatch sells
+      if (!rbb.startsWith("OK"))
+        LakeTable.deleteWhereMor(spark, root,
+          Seq(LakeTable.ColRange("id", Some(50L), Some(149L))))
+      if (!ra.startsWith("OK")) LakeTable.localize(spark, root)
+      val scan = LakeTable.scan(spark, root)
+      require(scan.count() == 100 &&
+        scan.where($"id".between(50, 149)).count() == 0,
+        s"loc round $r: converged state must be 100 live rows minus " +
+          "the deleted range")
+      val snap = LakeTable.snapshot(spark, root)
+      require(snap.files.forall(a => !a.path.startsWith("/") &&
+        a.dv.forall(d => !d.path.startsWith("/"))),
+        s"loc round $r: every reference (DV sidecars included) must " +
+          s"be local after convergence: ${snap.files.map(_.path)}")
+    }
+    sb.append(s"- localize-vs-MOR-delete race (round 20, new): $nLoc ")
+    sb.append(f"rounds in $wallL%.1f s — a mid-flight straddle has ")
+    sb.append("exactly one winner (both ops rewrite Add identities) ")
+    sb.append("and every loser aborted typed on the file guard ")
+    sb.append(s"($locAborts ConcurrentCommitException across $nLoc ")
+    sb.append(s"rounds); localize committed $locWins/$nLoc, delete ")
+    sb.append(s"$locDelWins/$nLoc (staggered rounds may serialize ")
+    sb.append("both cleanly); retrying any loser from a fresh ")
+    sb.append("snapshot converged every round to 100 live rows with ")
+    sb.append("every reference (DV sidecars included) local\n")
     spark.stop()
 
     Files.write(Paths.get("SCALEPROBE.md"),

@@ -71,3 +71,21 @@ Compile / run / javaOptions ++= Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-Dspark.local.dir=/dev/shm/graft-scratch",
 )
+// Transient run scratch (streaming checkpoints, replay fixtures, temp
+// lakes — everything the mains put under java.io.tmpdir) moves to
+// tmpfs for the same reason spark.local.dir does above: /tmp on this
+// box is the slow disk, and the bounded stream replays are LATENCY
+// bound on per-commit fsyncs of many tiny checkpoint/WAL files (task
+// time ~1 s for 2-8 s wall — BASELINE.md; guide §5/§6 transient
+// scratch placement). Cluster equivalent: checkpoint dirs on local
+// NVMe for bounded replays / object store for durable production
+// streams — durability of BENCH scratch buys nothing, the fixtures
+// are rebuilt per run. Parameterised: SPARK_GRAFT_TMPDIR overrides;
+// falls back to the JVM default when /dev/shm is absent. The dir is
+// created here (the JVM does not create java.io.tmpdir) and swept of
+// stale leaks by graft.Bench at startup.
+Compile / run / javaOptions ++= {
+  val tmp = sys.env.get("SPARK_GRAFT_TMPDIR").orElse(
+    if (file("/dev/shm").isDirectory) Some("/dev/shm/graft-tmp") else None)
+  tmp.toSeq.map { d => file(d).mkdirs(); s"-Djava.io.tmpdir=$d" }
+}

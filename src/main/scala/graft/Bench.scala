@@ -119,15 +119,22 @@ object Bench {
     * per-app subdir on clean exit, but a killed run would leak tmpfs
     * pages until reboot. Only touches the configured graft dir.
     */
-  private def sweepScratch(): Unit =
+  private def sweepScratch(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
     sys.props.get("spark.local.dir").filter(_.contains("graft-scratch"))
+      .foreach(dir => rm(new java.io.File(dir)))
+    // java.io.tmpdir is likewise tmpfs-placed by build.sbt (graft-tmp):
+    // sweep a previous killed run's leaked replay fixtures/checkpoints,
+    // keeping the dir itself (createTempDirectory needs the parent)
+    sys.props.get("java.io.tmpdir").filter(_.contains("graft-tmp"))
       .foreach { dir =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(dir))
+        val d = new java.io.File(dir)
+        Option(d.listFiles()).foreach(_.foreach(rm))
       }
+  }
 
   /** Fault ~75% of the pinned heap up front, in parallel. The heap is
     * Xms-pinned (build.sbt) so G1 never uncommits it, but pages still

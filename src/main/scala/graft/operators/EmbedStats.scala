@@ -58,12 +58,22 @@ object EmbedStats {
     * folded by partial aggregation before any exchange.
     */
   def pairSums(embeddings: DataFrame): DataFrame =
+    pairSumsImpl(embeddings, includeDiagonal = false)
+
+  /** Shared fan-out aggregation; `includeDiagonal` widens the triangle
+    * predicate to j >= i so [[covMatrix]] gets E[x_i²] from the SAME
+    * one-scan job (the j == i product IS x², quantized identically)
+    * instead of a second dedicated pass. [[pairSums]]'s declared
+    * i < j surface is unchanged.
+    */
+  private def pairSumsImpl(embeddings: DataFrame,
+                           includeDiagonal: Boolean): DataFrame =
     embeddings.select(col("embedding"),
         posexplode(col("embedding")).as(Seq("i", "xif")))
       .select(col("i").cast("long").as("i"),
         col("xif").cast("double").as("xi"),
         posexplode(col("embedding")).as(Seq("j", "xjf")))
-      .where(col("j") > col("i"))
+      .where(if (includeDiagonal) col("j") >= col("i") else col("j") > col("i"))
       .select(col("i"), col("j").cast("long").as("j"),
         (col("xi") * col("xjf").cast("double")).as("xy"))
       .groupBy("i", "j")
@@ -115,22 +125,17 @@ object EmbedStats {
     val d = dims.size
     val mu = Array.tabulate(d)(i => dims(i)._1 / Scale / dims(i)._2)
     val a = Array.ofDim[Double](d, d)
-    pairSums(embeddings).collect().foreach { r =>
+    // diagonal folded into the pair pass (j >= i): the j == i product
+    // is exactly x², quantized by the same q() the old dedicated
+    // diagonal aggregation used — identical decimal sums, identical
+    // double formula, one fewer Spark action per covMatrix call
+    pairSumsImpl(embeddings, includeDiagonal = true).collect().foreach { r =>
       val i = r.getLong(0).toInt
       val j = r.getLong(1).toInt
       val c = r.getDecimal(2).doubleValue() / Scale / r.getLong(3) -
         mu(i) * mu(j)
       a(i)(j) = c
       a(j)(i) = c
-    }
-    // diagonal: var(i) needs E[x_i²] — one more bounded aggregation
-    val sq = exploded(embeddings).groupBy("i")
-      .agg(sum(q(col("x") * col("x"))).as("sxx"), count(lit(1)).as("n"))
-      .collect()
-    sq.foreach { r =>
-      val i = r.getLong(0).toInt
-      a(i)(i) = r.getDecimal(1).doubleValue() / Scale / r.getLong(2) -
-        mu(i) * mu(i)
     }
     a
   }

@@ -77,7 +77,10 @@ object IvfAnn {
     * argmin |v-c|^2 = argmax (v.c - |c|^2/2); |v|^2 is constant per row.
     */
   private def cellScore(vec: Column, centroid: Array[Double]): Column =
-    VectorFunctions.dot(vec, array(centroid.toIndexedSeq.map(lit): _*)) -
+    // typedLit: one ArrayType literal, not dim child literals — the k
+    // probe-side scores otherwise put k x dim nodes through the
+    // analyzer/optimizer on every run (driver time, guide §7.3)
+    VectorFunctions.dot(vec, typedLit(centroid.toSeq)) -
       lit(centroid.map(x => x * x).sum / 2.0)
 
   /** Ties to the highest cell; compact loop codegen over the

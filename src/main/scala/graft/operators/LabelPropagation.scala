@@ -46,6 +46,14 @@ object LabelPropagation {
       .distinct()
     val adj = e.select(col("u").as("node"), col("v").as("nbr"))
       .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+      // partitioned ONCE on the per-round join key before the lineage
+      // cut (the PageRank/Sssp/Bfs pattern — a checkpointed Dataset
+      // keeps its partitioning): every round's vote join then finds
+      // the adjacency already hash-partitioned on nbr and only the
+      // narrow labels relation moves. Without this the BIG side
+      // re-shuffled every round. Votes are exact integer arithmetic,
+      // so partitioning changes scheduling, never results.
+      .repartition(col("nbr"))
       .localCheckpoint(eager = false) // reread every round
     var labels = adj.select(col("node")).distinct()
       .select(col("node"), col("node").as("lab"))

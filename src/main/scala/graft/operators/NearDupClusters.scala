@@ -38,10 +38,16 @@ object NearDupClusters {
     */
   def representativesWithIterations(nodes: DataFrame, pairs: DataFrame, idCol: String,
                                     maxIterations: Int = 10): (DataFrame, Int) = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions — hash-partitioned ONCE on
+    // the per-iteration join key before the lineage cut (a
+    // checkpointed Dataset keeps its partitioning — the PageRank/Sssp
+    // pattern), so every propagation round's neighbor join finds the
+    // edge side in place and only the labels relation moves. min/least
+    // labels are partitioning-independent, so results are unchanged.
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .repartition(col("b"))
       .localCheckpoint(eager = true)
 
     // labels: start as self

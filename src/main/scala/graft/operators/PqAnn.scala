@@ -422,7 +422,7 @@ object IvfPqAnn {
     val qn = PqAnn.normalizedCol(col(vecCol))
     val probesSorted = array_sort(array(idx.coarse.toIndexedSeq.zipWithIndex.map {
       case (c, i) =>
-        val score = VectorFunctions.dot(qn, array(c.toIndexedSeq.map(lit): _*)) -
+        val score = VectorFunctions.dot(qn, typedLit(c.toSeq)) -
           lit(c.map(x => x * x).sum / 2.0)
         struct((-score).as("negscore"), lit(i).as("cell"))
     }: _*))

@@ -101,7 +101,11 @@ object RandomHyperplaneLSH {
     val v = col(vecCol)
     val tableStructs = planes(p).zipWithIndex.map { case (ps, t) =>
       val bucket = ps.zipWithIndex.map { case (plane, b) =>
-        val planeLit = array(plane.toIndexedSeq.map(lit): _*)
+        // typedLit: ONE ArrayType literal per plane, not a CreateArray
+        // of dim child literals — same constant post-folding, but the
+        // analyzer/optimizer walk a tables x planes x dim node tree on
+        // EVERY run, and that driver time dominated the LSH rows
+        val planeLit = typedLit(plane.toSeq)
         when(VectorFunctions.dot(v, planeLit) >= 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("table"), bucket.as("bucket"))
@@ -139,7 +143,7 @@ object RandomHyperplaneLSH {
     // would duplicate non-cheap expressions.
     val dotCols = planes(p).zipWithIndex.map { case (ps, t) =>
       array(ps.map(plane =>
-        VectorFunctions.dot(v, array(plane.toIndexedSeq.map(lit): _*))): _*)
+        VectorFunctions.dot(v, typedLit(plane.toSeq))): _*)
         .as(s"__dots_$t")
     }
     val withDots = df.select(col(idCol) +: dotCols: _*)

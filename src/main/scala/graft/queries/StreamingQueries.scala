@@ -308,7 +308,8 @@ object StreamingQueries {
         val out = StreamingOps.streamingGapSessionize(
           eventsStream(s, dir), "user_id", "event_id", "ts",
           gapUs, watermarkDelay = "1 hour")
-        replayToTable(out, "graft_sess_replay")
+        replayToTable(out, "graft_sess_replay",
+          shufflePartitions = Some(8))
       },
       Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
           m AS (SELECT user_id, event_id, tsu,
@@ -342,7 +343,7 @@ object StreamingQueries {
           StreamingOps.streamingFunnel(eventsStream(s, dir), "user_id",
             "event_id", "ts", "event_type", stages,
             horizonUs, watermarkDelay = "1 hour"),
-          "graft_funnel_replay")
+          "graft_funnel_replay", shufflePartitions = Some(8))
         val firstAttempt = adv
           .withColumn("first_start",
             min(col("funnel_start_us")).over(Window.partitionBy("user_id")))
@@ -397,7 +398,8 @@ object StreamingQueries {
           .map { case (et, v, id) => (et, (v, id)) }
         val sunk = replayToTable(
           StreamingOps.statefulTopK(typed, k = 5).toDF(),
-          "graft_topn_replay", mode = "update", expectMinBatches = 4)
+          "graft_topn_replay", mode = "update", expectMinBatches = 4,
+          shufflePartitions = Some(8))
         val w = Window.partitionBy(col("event_type"))
           .orderBy(col("value").desc, col("event_id").desc)
         sunk.select(
@@ -439,7 +441,8 @@ object StreamingQueries {
             "streaming.state.RocksDBStateStoreProvider")
           replayToTable(
             StreamingOps.statefulTopKTws(typed, k = 5).toDF(),
-            "graft_topn_tws_replay", mode = "update", expectMinBatches = 4)
+            "graft_topn_tws_replay", mode = "update", expectMinBatches = 4,
+            shufflePartitions = Some(8))
         } finally prev match {
           case Some(v) => s.conf.set(confKey, v)
           case None => s.conf.unset(confKey)
@@ -482,7 +485,8 @@ object StreamingQueries {
           .map { case (u, t, id) => (u, (t, id)) }
         val sunk = replayToTable(
           StreamingOps.streamingLatestByKey(typed).toDF(),
-          "graft_latest_replay", mode = "update", expectMinBatches = 4)
+          "graft_latest_replay", mode = "update", expectMinBatches = 4,
+          shufflePartitions = Some(8))
         sunk.groupBy(col("_1").as("user_id"))
           .agg(max(col("_2")).as("__latest"))
           .select(col("user_id"),
@@ -509,7 +513,7 @@ object StreamingQueries {
           tsCol = "ts", contentCol = "event_id",
           watermarkDelay = "3650 days")
         replayToTable(deduped, "graft_dedup_replay",
-            expectMinBatches = 8)
+            expectMinBatches = 8, shufflePartitions = Some(8))
           .select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("ts_us"),
             col("event_type"), col("value"))
@@ -763,11 +767,24 @@ object StreamingQueries {
         def recovered(sink: DataFrame): Map[String, Long] =
           sink.groupBy("event_type").agg(max("n_events").as("n"))
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val run1 = runOnce(
-          Files.createTempDirectory("graft_recovery_sink_a").toString)
-        writeParts(2 until 4)
-        val run2 = runOnce(
-          Files.createTempDirectory("graft_recovery_sink_b").toString)
+        // state partitions sized to the replay's load (8, the registry's
+        // streaming norm — see replayToTable's scaladoc); scoped to the
+        // two incarnations' starts and restored. The first start
+        // checkpoint-pins it, so run 2 recovers the same count.
+        val spKey = "spark.sql.shuffle.partitions"
+        val spPrev = s.conf.getOption(spKey)
+        val (run1, run2) = try {
+          s.conf.set(spKey, "8")
+          val r1 = runOnce(
+            Files.createTempDirectory("graft_recovery_sink_a").toString)
+          writeParts(2 until 4)
+          val r2 = runOnce(
+            Files.createTempDirectory("graft_recovery_sink_b").toString)
+          (r1, r2)
+        } finally spPrev match {
+          case Some(v) => s.conf.set(spKey, v)
+          case None    => s.conf.unset(spKey)
+        }
         val totals = base.groupBy("event_type").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val r1 = recovered(run1); val r2 = recovered(run2)

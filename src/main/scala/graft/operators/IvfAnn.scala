@@ -65,13 +65,25 @@ object IvfAnn {
       s"maxTrainPerCentroid must be >= the 64-point floor, got $maxTrainPerCentroid")
   }
 
-  /** Task count every Lloyd iteration runs at — fixed per
-    * environment (min(cores, 32)), NEVER the corpus's input-split
-    * count (pinned by IvfAnnSpec's marginal-task budget).
+  /** Task count every Lloyd iteration runs at — sized to the TRAINING
+    * SAMPLE's row volume (~[[trainRowsPerPartition]] rows per task,
+    * capped at min(cores, 32)), NEVER the corpus's input-split count
+    * (pinned by IvfAnnSpec's marginal-task budget). The sample is
+    * bounded by maxTrainPerCentroid·k regardless of corpus size, so at
+    * test SF this is 1 task per Lloyd stage (a few hundred rows spread
+    * over 32 partitions was pure scheduling overhead — ~60 ms/task
+    * floor × iterations × stages) and at the 256k-row cap it is the
+    * full environment parallelism. Centroids are partitioning-
+    * independent (exact decimal sums — IvfAnnSpec), so this changes
+    * scheduling only, never a result bit.
     */
+  private[operators] val trainRowsPerPartition = 8192L
   private[operators] def trainPartitions(
-      spark: org.apache.spark.sql.SparkSession): Int =
-    math.max(1, math.min(32, spark.sparkContext.defaultParallelism))
+      spark: org.apache.spark.sql.SparkSession, sampleRows: Long): Int = {
+    val envCap = math.max(1, math.min(32, spark.sparkContext.defaultParallelism))
+    val byRows = math.ceil(sampleRows.toDouble / trainRowsPerPartition).toInt
+    math.max(1, math.min(envCap, byRows))
+  }
 
   /** score of assigning vector v to centroid c under L2:
     * argmin |v-c|^2 = argmax (v.c - |c|^2/2); |v|^2 is constant per row.
@@ -125,6 +137,13 @@ object IvfAnn {
           val f0 = if (sampled eq all) 1.0 else p.trainFraction
           all.where(Sampling.hashGate(col("id"), f0 * capRows.toDouble / n))
         } else sampled
+      // rows the chosen frame will actually hold, for partition sizing:
+      // the capped gate lands ~capRows; the tiny-corpus fallback to
+      // `all` is ~n/trainFraction (n was the fraction's yield)
+      val chosenRows =
+        if (!(sampled eq all) && n < 64L * p.k)
+          math.ceil(n / p.trainFraction).toLong
+        else math.min(n, capRows)
       // pin the materialized sample onto a FIXED small partition
       // count before checkpointing: the sample is bounded (≤
       // maxTrainPerCentroid·k points) but inherits the CORPUS scan's
@@ -134,7 +153,7 @@ object IvfAnn {
       // (millions of no-op tasks per iteration over ~256k rows).
       // Centroids are partitioning-independent (exact decimal sums),
       // so this changes scheduling, never results.
-      chosen.repartition(trainPartitions(corpus.sparkSession))
+      chosen.repartition(trainPartitions(corpus.sparkSession, chosenRows))
         .localCheckpoint(eager = false) // one materialization, reused per iteration
     }
     var centroids = vecs.orderBy(col("id")).limit(p.k)

@@ -145,10 +145,16 @@ object PqAnn {
           val f0 = if (sampled eq all) 1.0 else p.trainFraction
           all.where(Sampling.hashGate(col("id"), f0 * capRows.toDouble / n))
         } else sampled
-      // pinned task count for every Lloyd pass (min(cores, 32)) — the
-      // bounded sample must never inherit the corpus's input-split
+      // pinned task count for every Lloyd pass, sized to the sample's
+      // sub-row volume (each vector explodes into m subspace rows) —
+      // the bounded sample must never inherit the corpus's input-split
       // count (see IvfAnn.fitCentroids; same jitter/fan-in argument)
-      chosen.repartition(IvfAnn.trainPartitions(prepared.sparkSession))
+      val chosenRows =
+        if (!(sampled eq all) && n < 64L * p.ksub)
+          math.ceil(n / p.trainFraction).toLong
+        else math.min(n, capRows)
+      chosen.repartition(IvfAnn.trainPartitions(prepared.sparkSession,
+        chosenRows * p.m))
         .localCheckpoint(eager = false) // reused across iterations
     }
     // init: subvectors of the ksub lowest-id vectors, per subspace

@@ -59,18 +59,33 @@ object NgramLm {
     */
   final case class Model(bigrams: DataFrame, contexts: DataFrame, vocab: Long)
 
-  def fit(corpus: DataFrame, textCol: String): Model = {
+  def fit(corpus: DataFrame, textCol: String): Model =
+    fitFromBigrams(docBigrams(corpus, textCol, Nil),
+      vocabOf(corpus, textCol))
+
+  /** Vocabulary size (distinct tokens, short docs included) — the
+    * add-one denominator [[fit]] materializes; one count-distinct
+    * action.
+    */
+  def vocabOf(corpus: DataFrame, textCol: String): Long = corpus
+    .select(explode(split(col(textCol), " ")).as("tok"))
+    .agg(countDistinct(col("tok"))).head().getLong(0)
+
+  /** [[fit]] from an ALREADY-BUILT bigram relation (the [[docBigrams]]
+    * shape — extra carry columns are ignored by the (w1, w2) rollup,
+    * so counts equal a fresh fit's bit for bit). Lets a caller that
+    * fits several models AND scores from one corpus explode (the
+    * contrastive-selection shape) pay that explode exactly once.
+    */
+  def fitFromBigrams(bigramRows: DataFrame, vocab: Long): Model = {
     // share-the-scan: contexts re-aggregates the bigram table and the
     // scoring join reads it again — a lazy localCheckpoint stops each
     // consumer from replanning the corpus scan + explode. NOT a
     // correctness cut (the bigram table is a deterministic aggregate).
-    val bigrams = docBigrams(corpus, textCol, Nil)
+    val bigrams = bigramRows
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .localCheckpoint(eager = false)
     val contexts = bigrams.groupBy("w1").agg(sum("c12").as("c1"))
-    val vocab = corpus
-      .select(explode(split(col(textCol), " ")).as("tok"))
-      .agg(countDistinct(col("tok"))).head().getLong(0)
     Model(bigrams, contexts, vocab)
   }
 
@@ -118,6 +133,61 @@ object NgramLm {
       .agg(count(lit(1)).as("n_bigrams"),
         sum("oovf").as("oov_bigrams"),
         sum("bits").as("total_bits"))
+  }
+
+  /** Per-document quantized surprisal under SEVERAL models in ONE
+    * docBigrams pass — the contrastive-selection shape (DSIR weights
+    * need the same corpus scored under a target and a source model).
+    * Calling [[score]] once per model pays the corpus explode, the
+    * per-doc rollup, and a final per-doc join once per model; here the
+    * bigram relation is built once and every model contributes two
+    * broadcast/hash lookups (bigram + context) to the same pass, then
+    * one rollup emits every model's bits column side by side.
+    *
+    * Output: keys ++ (n_bigrams, <name>_bits per model). Per model the
+    * bits column is bit-identical to [[score]]'s total_bits (same
+    * integer-exact num/den/floor-log2 per bigram row, same sum —
+    * model tables are unique per (w1,w2)/(w1) so the left joins never
+    * change row cardinality), and the output doc set is [[score]]'s
+    * (docs with >= 2 tokens) — pinned in NgramLmSpec.
+    */
+  def scoreAll(docs: DataFrame, idCol: String, textCol: String,
+      models: Seq[(String, Model)], carry: Seq[String] = Nil): DataFrame =
+    scoreAllBigrams(docBigrams(docs, textCol, idCol +: carry),
+      idCol +: carry, models)
+
+  /** [[scoreAll]] over an ALREADY-BUILT bigram relation (the
+    * [[docBigrams]] shape: keys ++ (w1, w2)) — callers that also fit
+    * their models from the same relation materialize the corpus
+    * explode exactly once per run.
+    */
+  def scoreAllBigrams(bigramRows: DataFrame, keys: Seq[String],
+      models: Seq[(String, Model)]): DataFrame = {
+    require(models.nonEmpty, "scoreAll needs at least one model")
+    var rows = bigramRows
+    models.foreach { case (nm, m) =>
+      val b = m.bigrams
+        .withColumnRenamed("w1", s"${nm}_b_w1")
+        .withColumnRenamed("w2", s"${nm}_b_w2")
+        .withColumnRenamed("c12", s"${nm}_c12")
+      val u = m.contexts
+        .withColumnRenamed("w1", s"${nm}_u_w1")
+        .withColumnRenamed("c1", s"${nm}_c1")
+      rows = rows
+        .join(b, col("w1") === col(s"${nm}_b_w1") &&
+          col("w2") === col(s"${nm}_b_w2"), "left")
+        .join(u, col("w1") === col(s"${nm}_u_w1"), "left")
+        .withColumn(s"${nm}_num", coalesce(col(s"${nm}_c12"), lit(0L)) + lit(1L))
+        .withColumn(s"${nm}_den", coalesce(col(s"${nm}_c1"), lit(0L)) + lit(m.vocab))
+        .withColumn(s"${nm}_bits_row",
+          (length(bin(expr(s"${nm}_den div ${nm}_num"))) - 1).cast("long"))
+    }
+    rows
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_bigrams"),
+        models.map { case (nm, _) =>
+          sum(col(s"${nm}_bits_row")).as(s"${nm}_bits")
+        }: _*)
   }
 
   /** Mean surprisal bits per bigram — ONE IEEE division of exact

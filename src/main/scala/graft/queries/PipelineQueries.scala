@@ -1908,14 +1908,21 @@ object PipelineQueries {
       // each, joined per doc_id; TakeOrderedAndProject ends the plan
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val tgt = NgramLm.fit(docs.where(col("lang") === "en"), "text")
-        val src = NgramLm.fit(docs, "text")
-        val ts = NgramLm.score(docs, "doc_id", "text", tgt, carry = Seq("lang"))
-          .select(col("doc_id"), col("lang"), col("n_bigrams"),
-            col("total_bits").as("tgt_bits"))
-        val ss = NgramLm.score(docs, "doc_id", "text", src)
-          .select(col("doc_id"), col("total_bits").as("src_bits"))
-        ts.join(ss, Seq("doc_id"))
+        // ONE corpus bigram explode (checkpointed) feeds BOTH models'
+        // counts and the fused two-model scoring pass — the old shape
+        // exploded the full corpus four times per run (src fit, src
+        // vocab, and one scoring pass per model). Counts, per-bigram
+        // bits, the per-doc rollup, and the top-50 cut are all
+        // bit-identical to the two-pass score()+join form (NgramLmSpec
+        // pins both the fused scorer and the shared-explode fit).
+        val db = NgramLm.docBigrams(docs, "text", Seq("doc_id", "lang"))
+          .localCheckpoint(eager = false)
+        val tgt = NgramLm.fitFromBigrams(db.where(col("lang") === "en"),
+          NgramLm.vocabOf(docs.where(col("lang") === "en"), "text"))
+        val src = NgramLm.fitFromBigrams(db,
+          NgramLm.vocabOf(docs, "text"))
+        NgramLm.scoreAllBigrams(db, Seq("doc_id", "lang"),
+            Seq("tgt" -> tgt, "src" -> src))
           .select(col("doc_id"), col("lang"), col("n_bigrams"),
             (col("src_bits") - col("tgt_bits")).as("weight_bits"))
           .orderBy(col("weight_bits").desc, col("doc_id").asc)

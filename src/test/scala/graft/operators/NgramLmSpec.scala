@@ -68,6 +68,45 @@ class NgramLmSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("scoreAll equals per-model score() joined per doc, bit for bit") {
+    // the fused one-pass contrastive scorer must be indistinguishable
+    // from scoring twice and joining on doc_id — same doc set (>= 2
+    // tokens), same n_bigrams, same per-model total bits
+    val docs = (1L to 40L).map(i =>
+        (i, if (i % 3 == 0) "en" else "de",
+          s"w${i % 5} w${i % 7} w${i % 4} w${i % 3}"))
+      .toDF("doc_id", "lang", "text")
+    val tgt = NgramLm.fit(docs.where(col("lang") === "en"), "text")
+    val src = NgramLm.fit(docs, "text")
+    val fused = NgramLm.scoreAll(docs, "doc_id", "text",
+        Seq("tgt" -> tgt, "src" -> src), carry = Seq("lang"))
+      .select("doc_id", "lang", "n_bigrams", "tgt_bits", "src_bits")
+      .orderBy("doc_id").collect().toSeq
+    val ts = NgramLm.score(docs, "doc_id", "text", tgt, carry = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("total_bits").as("tgt_bits"))
+    val ss = NgramLm.score(docs, "doc_id", "text", src)
+      .select(col("doc_id"), col("total_bits").as("src_bits"))
+    val twoPass = ts.join(ss, Seq("doc_id"))
+      .select("doc_id", "lang", "n_bigrams", "tgt_bits", "src_bits")
+      .orderBy("doc_id").collect().toSeq
+    assert(fused === twoPass)
+    // the shared-explode composition (fitFromBigrams + scoreAllBigrams
+    // over ONE docBigrams relation — the sample_lm_contrast shape)
+    // must also be bit-identical to the two-pass form
+    val db = NgramLm.docBigrams(docs, "text", Seq("doc_id", "lang"))
+      .localCheckpoint(eager = false)
+    val tgt2 = NgramLm.fitFromBigrams(db.where(col("lang") === "en"),
+      NgramLm.vocabOf(docs.where(col("lang") === "en"), "text"))
+    val src2 = NgramLm.fitFromBigrams(db, NgramLm.vocabOf(docs, "text"))
+    assert(tgt2.vocab === tgt.vocab && src2.vocab === src.vocab)
+    val shared = NgramLm.scoreAllBigrams(db, Seq("doc_id", "lang"),
+        Seq("tgt" -> tgt2, "src" -> src2))
+      .select("doc_id", "lang", "n_bigrams", "tgt_bits", "src_bits")
+      .orderBy("doc_id").collect().toSeq
+    assert(shared === twoPass)
+  }
+
   test("score partial-aggregates map-side (accumulation-order free)") {
     // same doc content split across partitions must fold identically
     // regardless of partitioning — repartition and compare

@@ -307,6 +307,12 @@ object PipelineQueries {
       TF.fingerprint(col("text")).as("fp"),
       (pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100)) < 80)
         .as("is_train"))
+      // every downstream stage (bloom bitset, train split, decontam,
+      // exact dedup) AND four of the six stage-count branches re-read
+      // this gate+fingerprint projection; one within-run
+      // materialization replaces the per-branch re-scan of documents
+      // (guide §2.4 — same cut as the funnel tail below)
+      .localCheckpoint(eager = false)
     val bits = Bloom.bitset(f.where(!col("is_train")), "fp", bloomParams)
     val train = f.where(col("is_train"))
     val clean = train.join(
@@ -321,7 +327,10 @@ object PipelineQueries {
       .localCheckpoint(eager = false)
     val semInput = t(s, dir, "embeddings")
       .join(exact.select(col("doc_id").as("vec_id")), Seq("vec_id"))
-    Map("input" -> docs, "gate" -> gated, "train" -> train,
+    // the gate stage's row set IS f's (the fingerprint projection is
+    // 1:1), so its count branch reads the materialization, not a
+    // fourth documents scan
+    Map("input" -> docs, "gate" -> f, "train" -> train,
       "decontam" -> clean, "exact" -> exact, "semInput" -> semInput)
   }
 

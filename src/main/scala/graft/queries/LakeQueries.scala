@@ -562,15 +562,15 @@ object LakeQueries {
       Seq("o_orderkey"), nFiles = 2, clusterBy = Some("o_orderkey"))
     LakeTable.create(s, dst, sd.where(col("o_orderkey") < 0),
       Seq("o_orderkey"), nFiles = 1, clusterBy = Some("o_orderkey"))
-    def drain(): Unit = {
-      val q = s.readStream.format("graft-lake")
-        .option("readChangeFeed", "true").load(src)
-        .writeStream.option("checkpointLocation", ckpt)
-        .foreachBatch(LakeSink.replicator(dst, "repl", "o_orderkey"))
-        .start()
+    def start() = s.readStream.format("graft-lake")
+      .option("readChangeFeed", "true").load(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(LakeSink.replicator(dst, "repl", "o_orderkey"))
+      .start()
+    locally { // incarnation 1: the create commit's inserts
+      val q = start()
       try q.processAllAvailable() finally q.stop()
     }
-    drain() // incarnation 1: the create commit's inserts
     // UPDATE via latest-wins merge: k%7 rows change status and cents
     val ups = sd.where(col("o_orderkey") < 1000 &&
         col("o_orderkey") % 7 === 0)
@@ -580,10 +580,19 @@ object LakeQueries {
     LakeTable.merge(s, src, ups, "o_orderkey")
     LakeTable.deleteWhere(s, src,
       Seq(LakeTable.ColRange("o_orderkey", Some(300L), Some(399L))))
-    drain() // incarnation 2 on the same checkpoint
-    LakeTable.deleteWhereMor(s, src,
-      Seq(LakeTable.ColRange("o_orderkey", Some(500L), Some(549L))))
-    drain() // and the MOR delete's delta
+    locally { // incarnation 2 on the same checkpoint: drains the merge
+      // + CoW-delete commits, then the MOR delete lands WHILE it runs
+      // and its delta is drained by the same incarnation — mutations
+      // still arrive both between and after the restart, one fewer
+      // full query start/stop/recover cycle than the old third drain
+      val q = start()
+      try {
+        q.processAllAvailable()
+        LakeTable.deleteWhereMor(s, src,
+          Seq(LakeTable.ColRange("o_orderkey", Some(500L), Some(549L))))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     LakeTable.scan(s, dst).orderBy("o_orderkey")
   }
 

@@ -39,6 +39,33 @@ object StreamingQueries {
     */
   private val seq = new AtomicLong()
 
+  /** State-partition sizing policy (guide §2.2): every stateful
+    * operator materializes one state-store instance per shuffle
+    * partition per micro-batch, so the partition count must track the
+    * EXPECTED KEYED-STATE VOLUME, never the session's core count. The
+    * rule: one state partition per [[stateRowsPerPartition]] source
+    * events, clamped to [[stateMinPartitions]]..[[stateMaxPartitions]]
+    * — at the bench fixtures (1e5 events at sf0.1) this derives the
+    * registry's long-standing 8; a deployment feeds its own expected
+    * per-trigger key volume through the same rule and raises the
+    * clamp. Derived once per fixture dir from the events parquet's
+    * footer row count (metadata-only, no scan) and cached; the engine
+    * checkpoint-pins the value at first query start, exactly as in
+    * production. Results are partition-count-independent, which the
+    * DuckDB oracle certifies per replay.
+    */
+  private val stateRowsPerPartition = 12500L
+  private val stateMinPartitions = 4
+  private val stateMaxPartitions = 64
+  private val statePartCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def statePartitionsFor(s: SparkSession, dir: String): Int =
+    statePartCache.getOrElseUpdate(dir, {
+      val rows = s.read.parquet(s"$dir/events.parquet").count()
+      math.max(stateMinPartitions, math.min(stateMaxPartitions,
+        math.ceil(rows.toDouble / stateRowsPerPartition).toInt))
+    })
+
   /** The streaming twin of Tables.normalizeEventTs: surface the
     * fixture's `ts` as a TimestampType column (watermarks reject NTZ
     * and raw longs) with the raw stored micros preserved — sessions
@@ -309,7 +336,7 @@ object StreamingQueries {
           eventsStream(s, dir), "user_id", "event_id", "ts",
           gapUs, watermarkDelay = "1 hour")
         replayToTable(out, "graft_sess_replay",
-          shufflePartitions = Some(8))
+          shufflePartitions = Some(statePartitionsFor(s, dir)))
       },
       Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
           m AS (SELECT user_id, event_id, tsu,
@@ -343,7 +370,7 @@ object StreamingQueries {
           StreamingOps.streamingFunnel(eventsStream(s, dir), "user_id",
             "event_id", "ts", "event_type", stages,
             horizonUs, watermarkDelay = "1 hour"),
-          "graft_funnel_replay", shufflePartitions = Some(8))
+          "graft_funnel_replay", shufflePartitions = Some(statePartitionsFor(s, dir)))
         val firstAttempt = adv
           .withColumn("first_start",
             min(col("funnel_start_us")).over(Window.partitionBy("user_id")))
@@ -399,7 +426,7 @@ object StreamingQueries {
         val sunk = replayToTable(
           StreamingOps.statefulTopK(typed, k = 5).toDF(),
           "graft_topn_replay", mode = "update", expectMinBatches = 4,
-          shufflePartitions = Some(8))
+          shufflePartitions = Some(statePartitionsFor(s, dir)))
         val w = Window.partitionBy(col("event_type"))
           .orderBy(col("value").desc, col("event_id").desc)
         sunk.select(
@@ -442,7 +469,7 @@ object StreamingQueries {
           replayToTable(
             StreamingOps.statefulTopKTws(typed, k = 5).toDF(),
             "graft_topn_tws_replay", mode = "update", expectMinBatches = 4,
-            shufflePartitions = Some(8))
+            shufflePartitions = Some(statePartitionsFor(s, dir)))
         } finally prev match {
           case Some(v) => s.conf.set(confKey, v)
           case None => s.conf.unset(confKey)
@@ -486,7 +513,7 @@ object StreamingQueries {
         val sunk = replayToTable(
           StreamingOps.streamingLatestByKey(typed).toDF(),
           "graft_latest_replay", mode = "update", expectMinBatches = 4,
-          shufflePartitions = Some(8))
+          shufflePartitions = Some(statePartitionsFor(s, dir)))
         sunk.groupBy(col("_1").as("user_id"))
           .agg(max(col("_2")).as("__latest"))
           .select(col("user_id"),
@@ -513,7 +540,7 @@ object StreamingQueries {
           tsCol = "ts", contentCol = "event_id",
           watermarkDelay = "3650 days")
         replayToTable(deduped, "graft_dedup_replay",
-            expectMinBatches = 8, shufflePartitions = Some(8))
+            expectMinBatches = 8, shufflePartitions = Some(statePartitionsFor(s, dir)))
           .select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("ts_us"),
             col("event_type"), col("value"))
@@ -545,7 +572,7 @@ object StreamingQueries {
           p, c, keyCol = "user_id", leftTs = "p_ts", rightTs = "c_ts",
           lookbackUs = 6L * 3600 * 1000000, watermarkDelay = "3650 days")
         replayToTable(joined, "graft_ssjoin_replay", expectMinBatches = 4,
-          shufflePartitions = Some(8))
+          shufflePartitions = Some(statePartitionsFor(s, dir)))
           .select(col("purchase_id"), col("click_id"), col("user_id"))
       },
       Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
@@ -580,7 +607,7 @@ object StreamingQueries {
             unix_micros(col("sw.end")).as("session_end"),
             col("n_events"), col("mn"), col("mx"))
         replayToTable(sess, "graft_sesswin_replay", expectMinBatches = 4,
-          shufflePartitions = Some(8))
+          shufflePartitions = Some(statePartitionsFor(s, dir)))
           .where(col("user_id") >= 0)
       },
       Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events),
@@ -638,7 +665,7 @@ object StreamingQueries {
       // advance time without contributing pairs). Oracle is the
       // batch join + date_trunc grouping.
       (s, dir) => replayToTable(joinAggDaily(s, dir), "graft_ssjagg_replay",
-        expectMinBatches = 4, shufflePartitions = Some(8)),
+        expectMinBatches = 4, shufflePartitions = Some(statePartitionsFor(s, dir))),
       Some(joinAggDailySql)),
 
     QueryDef("stream_join_agg_rocksdb_replay",
@@ -655,7 +682,7 @@ object StreamingQueries {
       // per-operator (GRAFT_STATE_METRICS) and recorded in
       // BASELINE.md.
       (s, dir) => replayToTable(joinAggDaily(s, dir), "graft_ssjagg_rocks",
-        expectMinBatches = 4, shufflePartitions = Some(8),
+        expectMinBatches = 4, shufflePartitions = Some(statePartitionsFor(s, dir)),
         extraConfs = Map(
           "spark.sql.streaming.stateStore.providerClass" ->
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -695,7 +722,7 @@ object StreamingQueries {
           lookbackUs = 6L * 3600 * 1000000, watermarkDelay = "90 days",
           joinType = "left_outer")
         replayToTable(joined, "graft_ssloj_replay", expectMinBatches = 4,
-          shufflePartitions = Some(8))
+          shufflePartitions = Some(statePartitionsFor(s, dir)))
           .where(col("user_id") >= 0)
           .select(col("purchase_id"), col("click_id"), col("user_id"))
       },
@@ -767,14 +794,14 @@ object StreamingQueries {
         def recovered(sink: DataFrame): Map[String, Long] =
           sink.groupBy("event_type").agg(max("n_events").as("n"))
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        // state partitions sized to the replay's load (8, the registry's
-        // streaming norm — see replayToTable's scaladoc); scoped to the
+        // state partitions sized to the replay's load (the
+        // statePartitionsFor policy — see its scaladoc); scoped to the
         // two incarnations' starts and restored. The first start
         // checkpoint-pins it, so run 2 recovers the same count.
         val spKey = "spark.sql.shuffle.partitions"
         val spPrev = s.conf.getOption(spKey)
         val (run1, run2) = try {
-          s.conf.set(spKey, "8")
+          s.conf.set(spKey, statePartitionsFor(s, dir).toString)
           val r1 = runOnce(
             Files.createTempDirectory("graft_recovery_sink_a").toString)
           writeParts(2 until 4)

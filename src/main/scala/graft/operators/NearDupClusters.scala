@@ -44,15 +44,21 @@ object NearDupClusters {
     // pattern), so every propagation round's neighbor join finds the
     // edge side in place and only the labels relation moves. min/least
     // labels are partitioning-independent, so results are unchanged.
+    // lazy checkpoints throughout the loop: every per-iteration frame
+    // is consumed by the labelSum probe right after it is built, so the
+    // probe's one aggregate job materializes the checkpoint blocks too
+    // — one job per iteration instead of an eager-materialize job PLUS
+    // the probe (guide §1.2; blocks are reused by the next round's
+    // joins exactly as with eager cuts)
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .repartition(col("b"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
 
     // labels: start as self
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
 
     var converged = false
     var iter = 0
@@ -83,7 +89,7 @@ object NearDupClusters {
           least(col("label"),
             coalesce(col("nmin"), col("label")),
             coalesce(col("llabel"), col("label"))).as("label"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false) // materialized by labelSum below
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0

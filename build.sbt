@@ -70,6 +70,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 Compile / run / javaOptions ++= Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-Dspark.local.dir=/dev/shm/graft-scratch",
+  // explicit sweep-eligibility signal for graft.ScratchGuard (never
+  // path-name matching): this dir holds only per-run transient state
+  "-Dgraft.sweep.localdir=true",
 )
 // Transient run scratch (streaming checkpoints, replay fixtures, temp
 // lakes — everything the mains put under java.io.tmpdir) moves to
@@ -84,8 +87,22 @@ Compile / run / javaOptions ++= Seq(
 // falls back to the JVM default when /dev/shm is absent. The dir is
 // created here (the JVM does not create java.io.tmpdir) and swept of
 // stale leaks by graft.Bench at startup.
+// NOTE: everything below (temp lakes, RocksDB state, checkpoints)
+// moves to the chosen dir — on tmpfs budget a few GiB of /dev/shm
+// headroom at bench SF; set SPARK_GRAFT_TMPDIR to disk-backed scratch
+// on smaller hosts. Creation is CHECKED: an unwritable target falls
+// back to the JVM default tmpdir instead of pointing java.io.tmpdir at
+// a nonexistent path (every createTempDirectory would fail obscurely).
+// The sweep flag travels with the property so graft.ScratchGuard never
+// has to guess eligibility from the path name.
 Compile / run / javaOptions ++= {
   val tmp = sys.env.get("SPARK_GRAFT_TMPDIR").orElse(
     if (file("/dev/shm").isDirectory) Some("/dev/shm/graft-tmp") else None)
-  tmp.toSeq.map { d => file(d).mkdirs(); s"-Djava.io.tmpdir=$d" }
+  tmp.toSeq.flatMap { d =>
+    val f = file(d)
+    f.mkdirs()
+    if (f.isDirectory && f.canWrite)
+      Seq(s"-Djava.io.tmpdir=$d", "-Dgraft.sweep.tmpdir=true")
+    else Seq.empty // unwritable target: keep the JVM default tmpdir
+  }
 }

@@ -119,22 +119,11 @@ object Bench {
     * per-app subdir on clean exit, but a killed run would leak tmpfs
     * pages until reboot. Only touches the configured graft dir.
     */
-  private def sweepScratch(): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    sys.props.get("spark.local.dir").filter(_.contains("graft-scratch"))
-      .foreach(dir => rm(new java.io.File(dir)))
-    // java.io.tmpdir is likewise tmpfs-placed by build.sbt (graft-tmp):
-    // sweep a previous killed run's leaked replay fixtures/checkpoints,
-    // keeping the dir itself (createTempDirectory needs the parent)
-    sys.props.get("java.io.tmpdir").filter(_.contains("graft-tmp"))
-      .foreach { dir =>
-        val d = new java.io.File(dir)
-        Option(d.listFiles()).foreach(_.foreach(rm))
-      }
-  }
+  private def sweepScratch(): Unit =
+    // dirs build.sbt declared sweep-eligible (explicit
+    // -Dgraft.sweep.* flags, not path-name matching), swept only when
+    // no sibling JVM holds the live lock — see ScratchGuard
+    ScratchGuard.init(sweep = true)
 
   /** Fault ~75% of the pinned heap up front, in parallel. The heap is
     * Xms-pinned (build.sbt) so G1 never uncommits it, but pages still
@@ -386,9 +375,7 @@ object Bench {
     val failed = results.count(_._2.wall < 0)
     // loud, machine-readable contamination marker: a band captured at
     // loadavg > 2 is NOT an idle band and must not be adjudicated as one
-    val warn =
-      if (loadStart > 2.0) s""","warn":"LOADED RUN: loadavg ${s2(loadStart)} at launch — times are upper bounds, adjudicate from reruns/cpu/steal, do not record as an idle band""""
-      else ""
+    val warn = warnFragment(loadStart)
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed$warn,"cpu_sec_all_runs":${s2(cpuTotal)},"gc_sec_all_runs":${s2(gcTotal)},"load_start":${s2(loadStart)},"load_end":${s2(loadEnd)},"reruns":$reruns,"queries":$qs,"runs":$runsJson,"canary":$canaryJson,"sf":"$sfDir"}"""
     // The full per-query map is persisted to a file; stdout carries a
     // COMPACT line instead. The consumer captures only the last ~2000
@@ -430,8 +417,34 @@ object Bench {
     val diag = results.filter(_._2.wall >= 0).sortBy(-_._2.wall).take(6)
       .map { case (k, m, _, _) => "\"" + k + "\":" + runJson(m) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":${results.size},"failed":$failed$warn,"load":[${s2(loadStart)},${s2(loadEnd)}],"reruns":$rerunsCompact,"diag_wcgl":$diag,"queries":$headlineQs,"full":"$out","sf":"$sfDir"}"""
+    val line = compactLine(total, results.size, failed, loadStart, loadEnd,
+      rerunsCompact, diag, headlineQs, out, sfDir)
     println(line)
     spark.stop()
   }
+
+  /** The `,"warn":"..."` fragment for a loaded run, or "". ASCII-ONLY
+    * by contract (see [[compactLine]]) — a round-19 driver run failed
+    * to parse the bench line (`parsed: null` on rc 0), and the only
+    * non-machine-checked part of the line was this free-text warning;
+    * a consumer decoding stdout under a non-UTF-8 charset mangles
+    * multi-byte punctuation into bytes that can break a strict JSON
+    * decode.
+    */
+  private[graft] def warnFragment(loadStart: Double): String =
+    if (loadStart > 2.0)
+      s""","warn":"LOADED RUN: loadavg ${s2(loadStart)} at launch -- times are upper bounds, adjudicate from reruns/cpu/steal, do not record as an idle band""""
+    else ""
+
+  /** The ONE-LINE JSON contract the driver consumes from stdout:
+    * `{"metric":...,"value":N,"unit":"sec",...,"queries":{...},"sf":...}`.
+    * Assembled here (pure string function) so BenchLineSpec can
+    * round-trip exactly what `main` emits through a strict JSON parser
+    * and pin the contract fields + ASCII-only invariant; `reruns`,
+    * `diag`, and `queries` arrive as prebuilt JSON object strings.
+    */
+  private[graft] def compactLine(total: Double, n: Int, failed: Int,
+      loadStart: Double, loadEnd: Double, reruns: String, diag: String,
+      queries: String, full: String, sfDir: String): String =
+    s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":$n,"failed":$failed${warnFragment(loadStart)},"load":[${s2(loadStart)},${s2(loadEnd)}],"reruns":$reruns,"diag_wcgl":$diag,"queries":$queries,"full":"$full","sf":"$sfDir"}"""
 }

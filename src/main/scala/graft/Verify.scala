@@ -8,6 +8,9 @@ object Verify {
     // optional 3rd arg: comma-separated query-name filter, or the
     // literal `smoke` for the curated capability-representative subset
     // (local iteration only — the driver always runs the full surface)
+    // hold the scratch live-lock so a concurrently-starting Bench's
+    // startup sweep cannot delete this run's fixtures/checkpoints
+    ScratchGuard.init(sweep = false)
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
       if (args.length <= 2) None

@@ -80,8 +80,13 @@ object KCore {
   private def peelRound(e: DataFrame, k: Int): DataFrame = {
     val keep = degrees(e).where(col("d") >= k).select("node")
       .localCheckpoint(eager = false) // read by both semi-joins
-    e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-      .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+    // both semi-joins broadcast the IDENTICAL `keep` subtree (the
+    // rename lives in the join condition, not above the exchange), so
+    // the planner's ReusedExchange builds the survivor broadcast once
+    // per round instead of once per endpoint — half the per-round
+    // broadcast-build jobs, byte-identical survivors (KCoreSpec)
+    e.join(keep, col("u") === col("node"), "left_semi")
+      .join(keep, col("v") === col("node"), "left_semi")
       .select("u", "v")
       .localCheckpoint(eager = false) // cut lineage per round
   }

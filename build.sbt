@@ -96,8 +96,14 @@ Compile / run / javaOptions ++= Seq(
 // The sweep flag travels with the property so graft.ScratchGuard never
 // has to guess eligibility from the path name.
 Compile / run / javaOptions ++= {
-  val tmp = sys.env.get("SPARK_GRAFT_TMPDIR").orElse(
-    if (file("/dev/shm").isDirectory) Some("/dev/shm/graft-tmp") else None)
+  // SPARK_GRAFT_TMPDIR names the PARENT; a graft-dedicated `graft-tmp`
+  // leaf is always appended so the swept dir can never be a shared
+  // system dir (SPARK_GRAFT_TMPDIR=/tmp must not make the startup
+  // sweep eligible to clear /tmp itself)
+  val tmp = sys.env.get("SPARK_GRAFT_TMPDIR")
+    .map(p => s"${p.stripSuffix("/")}/graft-tmp")
+    .orElse(
+      if (file("/dev/shm").isDirectory) Some("/dev/shm/graft-tmp") else None)
   tmp.toSeq.flatMap { d =>
     val f = file(d)
     f.mkdirs()
